@@ -1,13 +1,592 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ChangeHash, Crc32Q}
+import graft.operators.{Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, Transforms}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (the "Planned query" column), each with a DuckDB-oracle SQL
+  * twin over the same parquet tables in `oracleSql`.
+  *
+  * Oracle-parity conventions (the driver hash-compares values after sorting
+  * columns by name):
+  *  - money/double aggregates are emitted as integer cents/permille
+  *    (`round(x*100)` → BIGINT on both sides) so float formatting can never
+  *    drift;
+  *  - timestamps are emitted as formatted strings;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - hash-valued outputs (crc32q, xxhash64-based operators) have no SQL
+  *    twin → rows-only check; their exactness is covered by ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---- reconcile-family fixtures (FIXTURES.md §C): a (state, batch) pair
+  // derived from `orders`. batch = live upstream snapshot (keys %7 != 0,
+  // token bumped to v2 on %5 == 0); state = previous sync image (keys
+  // %3 != 0, all tokens v1). The Spark side diffs by CRC32-Q change hash;
+  // the oracle compares the underlying tokens — identical up to hash
+  // collisions (2^-32).
+  private def rBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").cast("string").as("external_id"),
+        when(col("o_orderkey") % 5 === 0, "v2").otherwise("v1").as("updated_at"),
+        cents(col("o_totalprice")).as("price_cents"))
+
+  private def rState(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").cast("string").as("external_id"),
+        Crc32Q(lit("v1")).as("hash"))
+
+  private val rBatchSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS external_id,
+      | CASE WHEN o_orderkey % 5 = 0 THEN 'v2' ELSE 'v1' END AS tok
+      | FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin
+  private val rStateSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS external_id, 'v1' AS tok
+      | FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin
+
+  /** Flagship: the engine's novel operator — classified snapshot diff
+    * (incremental sync delta) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Reconcile.classified(rBatch(spark, dir), rState(spark, dir))
+      .select(col("__key").as("external_id"), col("op"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== §2.1 sources / scans =====
+    "scan_parquet" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))),
+
+    "scan_json" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))),
+
+    // ===== §2.2 transform algebra =====
+    "explode_array" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("v").cast("double") * 1000000).cast("long").as("v_micro"))),
+
+    "explode_nested" -> ((s, dir) => {
+      // build nested array<struct> then correlated-flatten it back (T2):
+      // parent key stays in scope next to each exploded child.
+      val nested = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity")))
+          .as("lines"))
+      nested.select(col("l_orderkey"), explode(col("lines")).as("ln"))
+        .select(col("l_orderkey"), col("ln.l_linenumber").as("line_no"),
+          cents(col("ln.l_quantity")).as("qty_cents"))
+    }),
+
+    "project_rename" -> ((s, dir) =>
+      Transforms.projectRename(t(s, dir, "orders"),
+        "o_orderkey" -> "order_id", "o_custkey" -> "customer_id",
+        "o_orderstatus" -> "status")),
+
+    "nested_field" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          struct(col("user_id").as("uid"), col("event_type").as("et")).as("s"))
+        .select(col("event_id"), col("s.uid").as("uid"), col("s.et").as("et"))),
+
+    "const_column" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang").as("external_id"),
+        lit("true").as("latest")).distinct()),
+
+    "edge_pairs" -> ((s, dir) =>
+      Transforms.edgePairs(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderkey"))),
+
+    "pos_size" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        (size(col("embedding")) - 1).cast("long").as("last_idx"))),
+
+    "filter_pred" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
+          && col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    "cast_string" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("ok"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))),
+
+    "topk_per_group" -> ((s, dir) =>
+      Transforms.topKPerGroup(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"))),
+
+    "json_roundtrip" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        from_json(to_json(struct(col("user_id"), col("event_type"))),
+          lit("user_id BIGINT, event_type STRING"))
+          .getField("user_id").as("uid"))),
+
+    "dedup_key" -> ((s, dir) =>
+      Transforms.dedupByKey(t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("external_id")))),
+
+    "upsert_lastwins" -> ((s, dir) =>
+      Transforms.lastWinsByKey(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("string").as("external_id"),
+          col("l_linenumber").as("line_no"),
+          cents(col("l_quantity")).as("qty_cents")),
+        "external_id", col("line_no").desc, col("qty_cents").desc)),
+
+    // ===== §2.3 joins =====
+    "edge_resolve_join" -> ((s, dir) => {
+      val edges = Transforms.edgePairs(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"))
+      val a = broadcast(t(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").cast("string").as("a_id")))
+      val b = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("string").as("b_id")))
+      edges.join(a, Seq("a_id"), "left_semi")
+        .join(b, Seq("b_id"), "left_semi")
+        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id")
+    }),
+
+    "snapshot_diff" -> ((s, dir) =>
+      Reconcile.classified(rBatch(s, dir), rState(s, dir))
+        .select(col("__key").as("external_id"), col("op"))),
+
+    "anti_join" -> ((s, dir) =>
+      rState(s, dir).join(rBatch(s, dir), Seq("external_id"), "left_anti")
+        .select(col("external_id"))),
+
+    "semi_changed" -> ((s, dir) =>
+      Reconcile.diff(rBatch(s, dir), rState(s, dir)).toCreate
+        .select(col("external_id"))),
+
+    // ===== §2.6 reconcile family =====
+    "reconcile_delta" -> ((s, dir) => {
+      val d = Reconcile.diff(rBatch(s, dir), rState(s, dir))
+      d.toCreate.select(col("external_id"), lit("create").as("op"))
+        .unionByName(d.toDelete.select(col("external_id"),
+          lit("delete").as("op")))
+    }),
+
+    "reconcile_passthru" -> ((s, dir) => {
+      val edges = Transforms.edgePairs(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderkey"))
+      Reconcile.diff(edges, rState(s, dir), passthrough = true).toCreate
+    }),
+
+    "reconcile_commit" -> ((s, dir) =>
+      Reconcile.postState(rBatch(s, dir)).select(col("external_id"))),
+
+    // ===== §2.4 aggregations =====
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_discount"))).as("sum_disc_cents"),
+          count(lit(1)).as("n"))),
+
+    "count_rows" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))),
+
+    "group_state" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type").as("fn_key"),
+        col("user_id")).agg(count(lit(1)).as("n"))),
+
+    "sum_metric" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(sum(cents(col("value"))).as("dur_cents"))),
+
+    // ===== §2.5 scalar functions =====
+    "concat_keys" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(concat_ws(":", lit("http"), col("o_orderpriority")).as("ikey"))
+        .distinct()),
+
+    "coalesce_chain" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        coalesce(
+          nullif(when(col("doc_id") % 3 === 0, "").otherwise(col("lang")), lit("")),
+          nullif(when(col("doc_id") % 4 === 0, "").otherwise(col("source")), lit("")),
+          col("doc_id").cast("string")).as("token"))
+    }),
+
+    "canonical_json" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        ChangeHash.canonicalJson(d, Seq("source", "lang")).as("cj"))
+    }),
+
+    "crc32_hash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      d.select(col("doc_id"), ChangeHash.changeHash(d).as("h"),
+        Crc32Q(col("lang")).as("h_lang"))
+    }),
+
+    "cast_string_hash" -> ((s, dir) =>
+      // T10 cast-to-string + F1 over a numeric column: string-cast parity
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Crc32Q(col("o_orderkey").cast("string")).as("h"))),
+
+    // ===== extensions: dedup family =====
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactSurvivors(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 5, thresholdPermille = 100)),
+
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "text", "doc_id")
+      Dedup.minhashLshCandidates(sigs)
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")),
+        "vec", "id", thresholdPermille = 300)
+        .select(col("a"), col("b"), col("cos_permille"))),
+
+    // ===== extensions: similarity search =====
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopK(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5)
+    }),
+
+    // ===== extensions: text analysis =====
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    "quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    "token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeishCount(col("text")).cast("long").as("n_bpeish"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ===== extensions: multimodal plumbing =====
+    "mm_meta" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir, "documents"),
+        "doc_id", "text", "source", "text")
+      assets.select(col("asset_id"), col("meta.byte_len").as("byte_len"),
+        md5(col("content")).as("content_md5"))
+    }),
+
+    "mm_frames" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir, "documents"),
+        "doc_id", "text", "source", "video")
+      Multimodal.sampleFrames(
+        Multimodal.decodeAssets(assets).toDF(), stride = 7)
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
+    // ===== streaming-shape (batch-checkable windowed agg) =====
+    "stream_window" -> ((s, dir) => {
+      val ss = new graft.streaming.StreamingSync(s, null, null)
+      // ts arrives as long nanos (nanosAsLong) — integer-divide to micros.
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      ss.windowedAgg(ev, "ts", "event_type", "1 hour", "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"), col("value_cents"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_cents
+        | FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "scan_json" ->
+      "SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events",
+
+    "explode_array" ->
+      """SELECT vec_id, pos - 1 AS pos,
+        | CAST(round(CAST(v AS DOUBLE)*1000000, 0) AS BIGINT) AS v_micro
+        | FROM (SELECT vec_id, unnest(embedding) AS v,
+        |   generate_subscripts(embedding, 1) AS pos FROM embeddings)""".stripMargin,
+
+    "explode_nested" ->
+      """SELECT l_orderkey, l_linenumber AS line_no,
+        | CAST(round(l_quantity*100, 0) AS BIGINT) AS qty_cents FROM lineitem""".stripMargin,
+
+    "project_rename" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        | o_orderstatus AS status FROM orders""".stripMargin,
+
+    "nested_field" ->
+      "SELECT event_id, user_id AS uid, event_type AS et FROM events",
+
+    "const_column" ->
+      "SELECT DISTINCT lang AS external_id, 'true' AS latest FROM documents",
+
+    "edge_pairs" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS a_id,
+        | CAST(o_orderkey AS VARCHAR) AS b_id FROM orders""".stripMargin,
+
+    "pos_size" ->
+      """SELECT vec_id, len(embedding) AS n_dims,
+        | len(embedding) - 1 AS last_idx FROM embeddings""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        | WHERE (l_quantity < 10 OR l_returnflag <> 'N') AND l_linenumber <= 3""".stripMargin,
+
+    "cast_string" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS ok,
+        | strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "json_roundtrip" ->
+      "SELECT event_id, user_id AS uid FROM events",
+
+    "dedup_key" ->
+      "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS external_id FROM lineitem",
+
+    "upsert_lastwins" ->
+      """SELECT external_id, line_no, qty_cents FROM (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS external_id,
+        |    l_linenumber AS line_no,
+        |    CAST(round(l_quantity*100, 0) AS BIGINT) AS qty_cents,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber DESC,
+        |        CAST(round(l_quantity*100, 0) AS BIGINT) DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "edge_resolve_join" ->
+      """SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS a_id,
+        | CAST(l_suppkey AS VARCHAR) AS b_id FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        |   AND l_suppkey IN (SELECT s_suppkey FROM supplier)""".stripMargin,
+
+    "snapshot_diff" ->
+      s"""WITH b AS ($rBatchSql), s AS ($rStateSql)
+        |SELECT COALESCE(b.external_id, s.external_id) AS external_id,
+        |  CASE WHEN b.external_id IS NULL THEN 'delete'
+        |       WHEN s.external_id IS NULL THEN 'create'
+        |       WHEN b.tok <> s.tok THEN 'create'
+        |       ELSE 'unchanged' END AS op
+        |FROM b FULL OUTER JOIN s ON b.external_id = s.external_id""".stripMargin,
+
+    "anti_join" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS external_id FROM orders
+        | WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0""".stripMargin,
+
+    "semi_changed" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS external_id FROM orders
+        | WHERE o_orderkey % 7 <> 0
+        |   AND (o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)""".stripMargin,
+
+    "reconcile_delta" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS external_id, 'create' AS op
+        | FROM orders WHERE o_orderkey % 7 <> 0
+        |   AND (o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR) AS external_id, 'delete' AS op
+        | FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0""".stripMargin,
+
+    "reconcile_passthru" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS a_id,
+        | CAST(o_orderkey AS VARCHAR) AS b_id FROM orders""".stripMargin,
+
+    "reconcile_commit" ->
+      """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS external_id
+        | FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "count_rows" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "group_state" ->
+      """SELECT event_type AS fn_key, user_id, COUNT(*) AS n
+        | FROM events GROUP BY event_type, user_id""".stripMargin,
+
+    "sum_metric" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS dur_cents
+        | FROM events GROUP BY event_type""".stripMargin,
+
+    "concat_keys" ->
+      "SELECT DISTINCT 'http' || ':' || o_orderpriority AS ikey FROM orders",
+
+    "coalesce_chain" ->
+      """SELECT doc_id, COALESCE(
+        |  NULLIF(CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END, ''),
+        |  NULLIF(CASE WHEN doc_id % 4 = 0 THEN '' ELSE source END, ''),
+        |  CAST(doc_id AS VARCHAR)) AS token FROM documents""".stripMargin,
+
+    "canonical_json" ->
+      """SELECT doc_id,
+        | to_json(struct_pack(lang := lang, source := source)) AS cj
+        | FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT a, b,
+        |  CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) AS jacc_permille
+        |FROM p
+        |WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH v AS (SELECT vec_id AS id, label,
+        |   CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |   WHERE vec_id % 10 = 0)
+        |SELECT x.id AS a, y.id AS b,
+        |  CAST(round(list_dot_product(x.e, y.e) /
+        |    (sqrt(list_dot_product(x.e, x.e)) *
+        |     sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT)
+        |    AS cos_permille
+        |FROM v x JOIN v y ON x.id < y.id
+        |WHERE CAST(round(list_dot_product(x.e, y.e) /
+        |    (sqrt(list_dot_product(x.e, x.e)) *
+        |     sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT) >= 300""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |   FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+        |   FROM embeddings WHERE vec_id >= 10),
+        |scored AS (SELECT qid, nid,
+        |  CAST(round(list_dot_product(qv, nv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))
+        |    * 1000.0, 0) AS BIGINT) AS cos_permille
+        |  FROM c, q)
+        |SELECT qid, nid, cos_permille FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    "lang_id" -> langIdSql,
+
+    "quality_score" -> qualityScoreSql,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |   AS n_bpeish
+        | FROM documents""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS byte_len,
+        | md5(text) AS content_md5 FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id, unnest(range(0,
+        |   1 + CAST(octet_length(encode(text)) % 30 AS INT), 7)) AS frame_idx
+        | FROM documents""".stripMargin,
+
+    "stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |   AS window_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Oracle twin of [[TextAnalysis.langId]]: same stopword lists, same
+    * scoring (token-set filter count), same argmax tie order. */
+  private def langIdSql: String = {
+    def score(ws: Seq[String]): String = {
+      val conds = ws.map(w => s"x = '$w'").mkString(" OR ")
+      s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> $conds))"
+    }
+    val scores = TextAnalysis.stopwords.map { case (l, ws) => l -> score(ws) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, sc) =>
+      s"WHEN $best > 0 AND $sc = $best THEN '$l'"
+    }.mkString(" ")
+    s"SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM documents"
+  }
+
+  /** Oracle twin of [[TextAnalysis.qualityScore]] — formula mirrored
+    * term-for-term (same double arithmetic shape). */
+  private def qualityScoreSql: String = {
+    val allStops = TextAnalysis.stopwords.flatMap(_._2)
+      .map(w => s"x = '$w'").mkString(" OR ")
+    s"""SELECT doc_id, CAST(round((
+       |  least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+       |    / 100.0, 1.0) * 0.4 +
+       |  least(CAST(len(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> $allStops)) AS DOUBLE)
+       |    / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |        AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4 +
+       |  (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |        AS DOUBLE)
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.2
+       |  ) * 1000, 0) AS BIGINT) AS score FROM documents""".stripMargin
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ChangeHash
+import graft.model.Schemas
+
+/** Snapshot reconciliation — the reference's one genuinely novel operator
+  * family (reference `internal/recon/recon.go:36-131`, SURVEY §2.6), recast
+  * as incremental view maintenance over a keyed snapshot table.
+  *
+  * The reference diffs an incoming batch against an in-memory
+  * `external_id → crc32` map, single-threaded. Here the diff is ONE
+  * full-outer hash join on the key — distributed, AQE-planned, and at 100 TB
+  * the state table is partitioned by key so the join co-partitions with it.
+  * When a batch is small relative to state (the common incremental case) AQE
+  * broadcasts the batch side and the diff costs a single pass over state
+  * with no shuffle of the big side.
+  *
+  * Two-phase contract preserved (reference `recon.go:66-69` vs `102-131`):
+  * [[diff]] is pure — it never mutates state; [[GraftState.commit]] in
+  * [[graft.state.SnapshotStore]] advances it only after the sink write
+  * succeeds, giving at-least-once delivery with an idempotent sink.
+  */
+object Reconcile {
+
+  /** Classification column values. An update is deliberately expressed as a
+    * `create` — the sink's MERGE replaces the node wholesale, there is no
+    * partial update (reference `recon.go:81-84`, `neo4j.go:87-88`). */
+  val OpCreate = "create"
+  val OpDelete = "delete"
+  val OpUnchanged = "unchanged"
+
+  val key: String = Schemas.externalId
+
+  /** Attach the change-detection hash (F1-F3) to a batch. */
+  def withHash(batch: DataFrame): DataFrame =
+    batch.withColumn("__hash", ChangeHash.changeHash(batch))
+
+  /** Full classified diff of `batch` (node records, must contain
+    * `external_id`) against `state` (`external_id`, `hash`).
+    *
+    * Returns the join image with an `op` column ∈ {create, delete,
+    * unchanged}: new key → create; key in both with hash mismatch → create
+    * (reference `recon.go:79-90`); key only in state → delete
+    * (`recon.go:94-96`). Delete rows carry only the key — all batch columns
+    * are null for them, matching `{"external_id": k}` (`recon.go:95`).
+    */
+  def classified(batch: DataFrame, state: DataFrame): DataFrame = {
+    val b = withHash(batch).alias("b")
+    val s = state.alias("s")
+    b.join(s, col(s"b.$key") === col(s"s.$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"b.$key").isNull, lit(OpDelete))
+          .when(col(s"s.$key").isNull, lit(OpCreate))
+          .when(col("b.__hash") =!= col("s.hash"), lit(OpCreate))
+          .otherwise(lit(OpUnchanged)))
+      .withColumn("__key", coalesce(col(s"b.$key"), col(s"s.$key")))
+  }
+
+  /** Delta pair, reference `Reconcile` return shape (`recon.go:40`). */
+  case class Delta(toCreate: DataFrame, toDelete: DataFrame)
+
+  /** R1 — snapshot diff. `passthrough = true` is the relation mode
+    * (reference `recon.go:42-44`): everything is toCreate, nothing is
+    * deleted, state untouched — edges are append/merge-only (R4). */
+  def diff(batch: DataFrame, state: DataFrame,
+      passthrough: Boolean = false): Delta = {
+    if (passthrough) {
+      return Delta(batch, batch.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.deleteRecord))
+    }
+    val cls = classified(batch, state)
+    val toCreate = cls.filter(col("op") === OpCreate)
+      .select(batch.columns.map(c => col(s"b.`$c`")): _*)
+    val toDelete = cls.filter(col("op") === OpDelete)
+      .select(col(s"s.$key").as(key))
+    Delta(toCreate, toDelete)
+  }
+
+  /** R2 — post-commit state image. For full (node) mode the post-image is
+    * simply the batch's key→hash projection: commit upserts every created
+    * key, drops every deleted key, and keeps unchanged keys — which together
+    * is exactly the incoming batch image (reference `recon.go:102-131`).
+    * No join needed: one column projection, shuffle-free. */
+  def postState(batch: DataFrame): DataFrame =
+    withHash(batch).select(col(key), col("__hash").as("hash"))
+      .dropDuplicates(key)
+
+  /** R5 — convergence check: a second diff immediately after commit must be
+    * empty for node functions (reference `main.go:224-237`, `"commit
+    * failed"`). Returns the non-empty-delta count (0 = converged). */
+  def convergenceViolations(batch: DataFrame, committedState: DataFrame): Long = {
+    val cls = classified(batch, committedState)
+    cls.filter(col("op") =!= OpUnchanged).count()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * single-pass column expressions (no shuffle, fully codegen'd) — at 100 TB
+  * these run fused into the document scan, which is the only acceptable
+  * shape for per-document featurization.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword-ish token count: runs of letters, runs of digits, or a
+    * single other non-space symbol — the standard cheap proxy regex. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately SQL-expressible so the DuckDB oracle can mirror
+    * the exact scoring. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por"),
+    "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "zai4", "you3", "he2"))
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(lower(text)),
+      w => words.foldLeft(lit(false))((acc, s) => acc || (w === s))))
+
+  /** Language-ID: argmax of stopword-hit counts, ties broken by the fixed
+    * language order above; no hits at all → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(best > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Punctuation count (chars outside letters/digits/whitespace). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Quality score in [0, 1000] (integer, so the oracle compare is exact):
+    * rewards stopword presence and moderate length, penalizes punctuation
+    * soup. A deterministic, documented formula — the point is the plumbing
+    * (single-pass scoring at scale), not linguistic truth. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stop = langScore(text, stopwords.flatMap(_._2)).cast("double")
+    val punct = punctCount(text).cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val stopScore = least(stop / greatest(n, lit(1.0)) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punct / greatest(length(text), lit(1)).cast("double")
+      * lit(4.0), lit(1.0))
+    round((lenScore * lit(0.4) + stopScore * lit(0.4) +
+      (lit(1.0) - punctPenalty) * lit(0.2)) * lit(1000)).cast("long")
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): min of xxhash64
+    * over all character 8-grams. Equal fingerprints ⇒ likely shared content;
+    * used as a cheap pre-cluster key before pairwise near-dup checks. */
+  def fingerprint(text: Column, k: Int = 8): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1)))
+    array_min(transform(idx, i => xxhash64(text.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's template algebra (SURVEY §2.2, T1-T14) as pure
+  * `DataFrame => DataFrame` combinators. Each is a thin, declarative wrapper
+  * over Catalyst operators, so column pruning / predicate pushdown / codegen
+  * all apply — the reference executes its templates row-at-a-time on one
+  * thread; these run distributed and columnar.
+  */
+object Transforms {
+
+  /** T1 — array flatten: one output row per array element
+    * (reference `transform_bucket.json.tmpl:2` `range .buckets`). */
+  def explodeArray(df: DataFrame, arrayCol: String, as: String): DataFrame =
+    df.select(explode(col(arrayCol)).as(as))
+
+  /** T2 — two-level correlated flatten: parent stays in scope while its
+    * child array is exploded (reference `transform_build.json.tmpl:2-4`
+    * `range .buckets` × `range $bucket.latest_version.builds`). */
+  def explodeNested(df: DataFrame, arrayCol: String, as: String,
+      keep: Seq[Column]): DataFrame =
+    df.select(keep :+ explode(col(arrayCol)).as(as): _*)
+
+  /** T3 — projection + rename (`id` → `external_id` etc.,
+    * reference `transform_bucket.json.tmpl:5-10`). */
+  def projectRename(df: DataFrame, mapping: (String, String)*): DataFrame =
+    df.select(mapping.map { case (from, to) => col(from).as(to) }: _*)
+
+  /** T6 — edge-pair construction: `(a_id, b_id)` = (parent key, child key)
+    * (reference `transform_org_project_R.json.tmpl:5-6`). Values cast to
+    * string: every template-emitted property is a string (SURVEY §1.2). */
+  def edgePairs(df: DataFrame, aKey: Column, bKey: Column): DataFrame =
+    df.select(aKey.cast("string").as("a_id"), bKey.cast("string").as("b_id"))
+
+  /** T13 — dedup by key. The reference emits one org/project row per bucket
+    * and relies on Neo4j `MERGE` to collapse them
+    * (`transform_organization.json.tmpl:2-6` + `neo4j.go:87`). Rows with the
+    * same key are identical projections in the reference, so plain distinct
+    * keyed dedup is faithful. */
+  def dedupByKey(df: DataFrame, key: String = "external_id"): DataFrame =
+    df.dropDuplicates(key)
+
+  /** T14/K1 — last-wins upsert semantics on key conflict
+    * (`neo4j.go:87-88`: `MERGE … SET x = item`, last processed row wins and
+    * replaces all properties). The reference's "last" is batch order; a
+    * distributed engine needs an explicit ordering, so callers pass the
+    * tiebreak. One shuffle on the key; at scale this is the same hash
+    * partitioning the downstream keyed sink wants, so it is reused, not
+    * repeated. */
+  def lastWinsByKey(df: DataFrame, key: String, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** T11 generalized — top-k per group (the reference only ever takes the
+    * API-provided head element `latest_version`,
+    * `transform_version.json.tmpl:4`; the general capability is top-k).
+    * Window + row_number: single shuffle on the group key, no global sort. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

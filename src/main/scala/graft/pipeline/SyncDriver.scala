@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Reconcile
+import graft.sink.GraphSink
+import graft.state.SnapshotStore
+
+/** The per-integration sync pipeline — the engine's analog of the
+  * reference's `execute()` (reference `main.go:121-241`, SURVEY §3.2):
+  *
+  *   EXTRACT → TRANSFORM → RECONCILE → LOAD → COMMIT STATE → VERIFY
+  *
+  * Differences by design:
+  *  - transforms are lazy Catalyst plans, not template strings; EXTRACT and
+  *    TRANSFORM fuse into one scan per function with column pruning;
+  *  - RECONCILE is a distributed full-outer join against the parquet
+  *    snapshot (see [[Reconcile]]), not an in-memory map walk;
+  *  - the delta is cached (MEMORY_AND_DISK) across LOAD / COMMIT / VERIFY so
+  *    Spark's laziness cannot recompute the diff against already-advanced
+  *    state — the explicit materialization boundary SURVEY §7.5 calls out.
+  */
+class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
+    verify: Boolean = true) {
+
+  /** Run one full sync pass of an integration (one micro-batch).
+    * Returns (created, deleted) row counts per function. */
+  def run(spec: IntegrationSpec): Map[String, (Long, Long)] =
+    runBatch(spec, spec.load(spark))
+
+  /** One sync pass over an already-loaded document batch — also the
+    * foreachBatch body of the streaming variant
+    * ([[graft.streaming.StreamingSync]]). */
+  def runBatch(spec: IntegrationSpec, document: DataFrame): Map[String, (Long, Long)] = {
+    // Source document feeds every function; materialize it once instead of
+    // re-reading per function (the reference fetches once too, main.go:125).
+    document.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      spec.functions.map { fn =>
+        fn.name -> runFunction(spec, fn, document)
+      }.toMap
+    } finally { document.unpersist() }
+  }
+
+  /** Edge tables are identified by (relType, endpoint labels): the
+    * reference's single `has` type spans three endpoint pairs that Neo4j
+    * distinguishes structurally; a flat table must distinguish them by
+    * name. */
+  private def edgeTable(relType: String, a: String, b: String): String =
+    s"${relType}__${a}__$b"
+
+  private def emptyKeys(): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.model.Schemas.deleteRecord)
+
+  private def runFunction(spec: IntegrationSpec, fn: FunctionSpec,
+      doc: DataFrame): (Long, Long) = {
+    val batch = fn.transform(doc)
+    fn.kind match {
+      case CreateNode(label) =>
+        val state = store.read(spec.key, fn.name)
+        val delta = Reconcile.diff(batch, state)
+        // Materialization boundary: pin the delta before the sink mutates
+        // tables and the store advances state (two-phase contract).
+        delta.toCreate.persist(StorageLevel.MEMORY_AND_DISK)
+        delta.toDelete.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (nc, nd) = (delta.toCreate.count(), delta.toDelete.count())
+          if (nc > 0 || nd > 0) {
+            sink.applyNodeDelta(label, delta.toCreate, delta.toDelete)
+            if (nd > 0) {
+              // DETACH DELETE semantics (reference neo4j.go:117): edges
+              // touching a deleted node go with it.
+              spec.functions.foreach { other =>
+                other.kind match {
+                  case CreateRelation(rt, la, lb) if la == label || lb == label =>
+                    sink.detachEdges(edgeTable(rt, la, lb),
+                      if (la == label) delta.toDelete else emptyKeys(),
+                      if (lb == label) delta.toDelete else emptyKeys())
+                  case _ =>
+                }
+              }
+            }
+            store.commit(spec.key, fn.name, Reconcile.postState(batch))
+          }
+          if (verify) {
+            // R5 convergence check (reference main.go:224-237): a second
+            // diff against committed state must be empty for nodes.
+            val violations = Reconcile.convergenceViolations(
+              batch, store.read(spec.key, fn.name))
+            require(violations == 0, s"commit failed for ${fn.name}: " +
+              s"$violations unconverged keys")
+          }
+          (nc, nd)
+        } finally {
+          delta.toCreate.unpersist(); delta.toDelete.unpersist()
+        }
+      case CreateRelation(relType, labelA, labelB) =>
+        // R4: relations skip reconciliation — everything is toCreate,
+        // nothing deleted (reference recon.go:42-44, neo4j.go:119-120).
+        val n = batch.count()
+        sink.mergeEdges(edgeTable(relType, labelA, labelB), batch, labelA, labelB)
+        (n, 0L)
+    }
+  }
+}

