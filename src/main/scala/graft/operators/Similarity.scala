@@ -72,13 +72,23 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       lshBucket(col(vecCol).cast("array<double>"), nPlanes, dim).as("bucket"))
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket,
-    * then exact cosine rank within bucket. The join is an equi-join on
-    * bucket — co-partitionable, no all-pairs blowup. */
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * plus all buckets at Hamming distance 1 (multi-probe — standard recall
+    * boost: a near neighbor differs from the query on at most a few plane
+    * signs, and probing the 1-bit-flip buckets catches the common case
+    * without touching the rest of the corpus). The probe expansion happens
+    * on the tiny query side only; the corpus join stays an equi-join on
+    * bucket — co-partitionable, no all-pairs blowup. Expected scan fraction
+    * ≈ (nPlanes + 1) / 2^nPlanes of the corpus per query. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val q = lshBuckets(queries, "vec", "id", nPlanes, dim)
+    val q0 = lshBuckets(queries, "vec", "id", nPlanes, dim)
       .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
+    val probes = array(lit(0L) +:
+      (0 until nPlanes).map(p => shiftleft(lit(1L), p)): _*)
+    val q = q0.select(col("qid"), col("qv"),
+      explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
     val c = lshBuckets(corpus, "vec", "id", nPlanes, dim)
       .select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

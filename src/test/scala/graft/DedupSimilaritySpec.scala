@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (3L, "completely different words about spark catalyst optimizer plans here"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val got = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L)) // 4 is an exact dup of 1
+  }
+
+  test("ngram jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, thresholdPermille = 500)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates cover the true near-dup pairs (recall)") {
+    val sigs = Dedup.minhashSignature(docs, "text", "doc_id", k = 64, n = 3)
+    val cand = Dedup.minhashLshCandidates(sigs, k = 64, r = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L))) // identical → all bands agree
+    assert(cand.contains((1L, 2L))) // 12/13 shingles shared → near-certain
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(4L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("ann LSH recall vs brute force on real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(q, c, 5, nPlanes = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // 4 planes ⇒ 1/16 corpus scanned
+    // every approx hit must be a real neighbor pair ranked by true cosine:
+    assert(approx.forall { case (qid, _) => exact.exists(_._1 == qid) })
+  }
+
+  test("embedding cosine pairs: self-similarity sanity") {
+    val two = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.001f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0)).toDF("id", "vec", "label")
+    val pairs = Dedup.embeddingCosinePairs(two, "vec", "id", 950)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis, Transforms}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("lastWinsByKey keeps exactly the ordered winner") {
+    val df = Seq(("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
+      ("k2", 1, "x")).toDF("external_id", "seq", "v")
+    val got = Transforms.lastWinsByKey(df, "external_id", col("seq").desc)
+      .select("external_id", "v").as[(String, String)].collect().toMap
+    assert(got === Map("k1" -> "c", "k2" -> "x"))
+  }
+
+  test("topKPerGroup with deterministic tiebreak") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0),
+      ("h", 4, 1.0)).toDF("grp", "id", "score")
+    val got = Transforms.topKPerGroup(df, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("grp", "id").as[(String, Int)].collect().toSet
+    assert(got === Set(("g", 1), ("g", 2), ("h", 4)))
+  }
+
+  test("langId prefers declared order on ties, und on no hits") {
+    val df = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "en" && got(2L) === "de" && got(3L) === "und")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishCount(col("text")).as("bp")).first()
+    assert(got.getInt(0) === 3 && got.getInt(1) === 4)
+  }
+
+  test("fingerprint: equal for equal text, char-8-gram sensitive") {
+    val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
+      (3L, "abcdefghijklmnoX")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).as[(Long, Long)]
+      .collect().toMap
+    assert(fp(1L) === fp(2L))
+  }
+
+  test("multimodal: asset schema, stub decode batch shape, frame sampling") {
+    val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
+    val meta = assets.select("meta.byte_len").as[Long].first()
+    assert(meta === "hello world payload".getBytes("UTF-8").length.toLong)
+    val dec = Multimodal.decodeAssets(assets)
+    val d = dec.collect().head
+    assert(d.asset_id === 7L && d.modality === "video" && d.n_frames >= 1)
+    val frames = Multimodal.sampleFrames(dec.toDF(), stride = 3)
+    assert(frames.count() === (0 until d.n_frames by 3).size.toLong)
+  }
+}
