@@ -196,6 +196,18 @@ object SparkEntry {
     "reconcile_commit" -> ((s, dir) =>
       Reconcile.postState(rBatch(s, dir)).select(col("external_id"))),
 
+    "delete_keys" -> ((s, dir) => {
+      // K2: apply a delete-key list to a node table (anti-join), the
+      // DETACH-DELETE analog (reference neo4j.go:116-118).
+      val nodes = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("external_id"),
+          col("o_orderstatus").as("status"))
+      val deletes = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast("string").as("external_id"))
+      nodes.join(deletes, Seq("external_id"), "left_anti")
+    }),
+
     // ===== §2.4 aggregations =====
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -442,6 +454,11 @@ object SparkEntry {
 
     "reconcile_commit" ->
       """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS external_id
+        | FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "delete_keys" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS external_id,
+        | o_orderstatus AS status
         | FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     "q1_agg" ->

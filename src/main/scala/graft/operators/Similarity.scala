@@ -33,14 +33,24 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries`/`corpus`: (id, vec array<float>). Self-matches excluded. */
+  /** Pairwise cosine from precomputed squared norms — per-pair work is one
+    * dot product; the formula is bit-identical to
+    * dot/(sqrt(dot(a,a))·sqrt(dot(b,b))). */
+  private def cosFromN2(av: Column, an2: Column, bv: Column, bn2: Column): Column =
+    round(dot(av, bv) / (sqrt(an2) * sqrt(bn2)) * lit(1000.0)).cast("long")
+
+  private def withN2(df: DataFrame, idAs: String, vecAs: String,
+      n2As: String): DataFrame =
+    df.select(col("id").as(idAs), col("vec").cast("array<double>").as(vecAs))
+      .withColumn(n2As, dot(col(vecAs), col(vecAs)))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qid"),
-      col("vec").cast("array<double>").as("qv")))
-    val c = corpus.select(col("id").as("nid"),
-      col("vec").cast("array<double>").as("nv"))
+    val q = broadcast(withN2(queries, "qid", "qv", "qn2"))
+    val c = withN2(corpus, "nid", "nv", "nn2")
     val scored = c.join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosinePermille(col("qv"), col("nv")).as("cos_permille"))
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
     Transforms.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }
@@ -84,17 +94,20 @@ object Similarity {
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val q0 = lshBuckets(queries, "vec", "id", nPlanes, dim)
       .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
     val probes = array(lit(0L) +:
       (0 until nPlanes).map(p => shiftleft(lit(1L), p)): _*)
-    val q = q0.select(col("qid"), col("qv"),
+    val q = q0.select(col("qid"), col("qv"), col("qn2"),
       explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
         .as("bucket"))
     val c = lshBuckets(corpus, "vec", "id", nPlanes, dim)
       .select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
+      .withColumn("nn2", dot(col("nv"), col("nv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosinePermille(col("qv"), col("nv")).as("cos_permille"))
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
     Transforms.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }

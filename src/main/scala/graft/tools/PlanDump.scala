@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan (and optionally run+time)
+  * of one SparkEntry query. Usage:
+  *   runMain graft.tools.PlanDump <query> [sfDir] [run]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    if (args.length > 2 && args(2) == "run") {
+      val t0 = System.nanoTime()
+      println(s"ROWS=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    }
+    spark.stop()
+  }
+}
