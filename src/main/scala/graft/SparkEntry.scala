@@ -336,6 +336,14 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"))
     }),
 
+    "sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "ts",
+        "event_id", gapSeconds = 1800)
+    }),
+
     // ===== streaming-shape (batch-checkable windowed agg) =====
     "stream_window" -> ((s, dir) => {
       val ss = new graft.streaming.StreamingSync(s, null, null)
@@ -564,6 +572,25 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, unnest(range(0,
         |   1 + CAST(octet_length(encode(text)) % 30 AS INT), 7)) AS frame_idx
         | FROM documents""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |    SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -57,6 +57,23 @@ object Transforms {
       .drop("__rn")
   }
 
+  /** Skew-safe equi-join: salt the skewed (big, hot-keyed) side into
+    * `saltBuckets` sub-keys and explode the small side across all buckets.
+    * AQE's skew-join handles moderate skew on its own; explicit salting is
+    * for the pathological hot key (one key = a whole partition's worth of
+    * rows) where even a split shuffle block leaves a straggler. Cost:
+    * small side replicated ×saltBuckets — use only when small side
+    * broadcast is impossible (both sides large) AND a hot key exists. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val exploded = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** T11 generalized — top-k per group (the reference only ever takes the
     * API-provided head element `latest_version`,
     * `transform_version.json.tmpl:4`; the general capability is top-k).

@@ -52,6 +52,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
   }
 
+  test("saltedJoin equals plain join (inner + left)") {
+    val big = Seq(("k1", 1), ("k1", 2), ("k1", 3), ("k2", 4), ("k3", 5))
+      .toDF("k", "v")
+    val small = Seq(("k1", "x"), ("k2", "y")).toDF("k", "s")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "v", "s").collect().map(_.toSeq).toSet
+      val salted = Transforms.saltedJoin(big, small, "k", 4, jt)
+        .select("k", "v", "s").collect().map(_.toSeq).toSet
+      assert(salted === plain, s"joinType=$jt")
+    }
+  }
+
+  test("sessionize: gap splits sessions, per-key numbering") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (1L, 2L, "2024-01-01 00:10:00", 1.0),
+      (1L, 3L, "2024-01-01 02:00:00", 1.0), // > 30min gap → new session
+      (2L, 4L, "2024-01-01 00:00:00", 1.0))
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = graft.operators.Sessionize
+      .sessionStats(ev, "user_id", "ts", "event_id", 1800)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")

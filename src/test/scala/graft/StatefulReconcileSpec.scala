@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Crc32Q
+import graft.streaming.{ChangeEvent, KeyedRecord, StatefulReconcile}
+
+/** State must live ACROSS micro-batches: batch 2 sees batch 1's hashes. */
+class StatefulReconcileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("changelog reconcile across micro-batches with tombstones") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sfr").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val schema = "external_id STRING, token STRING, tombstone BOOLEAN"
+    val stream = spark.readStream.schema(schema).json(inDir).as[KeyedRecord]
+    val events = StatefulReconcile.changelog(stream)
+    val q = events.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("sfr_out").start()
+    try {
+      Files.writeString(Paths.get(s"$inDir/b1.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}
+          |{"external_id":"b","token":"t1","tombstone":false}""".stripMargin)
+      q.processAllAvailable()
+      val ev1 = spark.table("sfr_out").as[ChangeEvent].collect()
+        .map(e => e.external_id -> e.op).toSet
+      assert(ev1 === Set("a" -> "create", "b" -> "create"))
+
+      // batch 2: a unchanged (no emit), b changed (create), b's old key c
+      // absent is NOT a delete (changelog semantics); explicit tombstone
+      // for a → delete
+      Files.writeString(Paths.get(s"$inDir/b2.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}
+          |{"external_id":"b","token":"t2","tombstone":false}
+          |{"external_id":"a","token":"","tombstone":true}""".stripMargin)
+      q.processAllAvailable()
+      val ev2 = spark.table("sfr_out").as[ChangeEvent].collect()
+      assert(ev2.length === 4) // 2 from batch1 + b:create + a:delete
+      val batch2 = ev2.drop(2).map(e => e.external_id -> e.op).toSet
+      assert(batch2 === Set("b" -> "create", "a" -> "delete"))
+      // hash parity with the batch reconciler:
+      assert(ev2.find(e => e.external_id == "b" && e.hash == Crc32Q.computeUtf8("t2")).isDefined)
+    } finally q.stop()
+  }
+}
