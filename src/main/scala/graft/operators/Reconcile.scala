@@ -83,7 +83,14 @@ object Reconcile {
     * simply the batch's key→hash projection: commit upserts every created
     * key, drops every deleted key, and keeps unchanged keys — which together
     * is exactly the incoming batch image (reference `recon.go:102-131`).
-    * No join needed: one column projection, shuffle-free. */
+    * No join needed: one column projection, shuffle-free.
+    *
+    * Duplicate keys in a batch: the reference emits every duplicate to
+    * toCreate and lets MERGE last-wins resolve (batch iteration order,
+    * `recon.go:72-90`); this engine matches (the join duplicates the diff
+    * row), but a distributed bag has no "last", so callers who need a
+    * deterministic winner should pre-apply
+    * [[Transforms.lastWinsByKey]] with an explicit ordering. */
   def postState(batch: DataFrame): DataFrame =
     withHash(batch).select(col(key), col("__hash").as("hash"))
       .dropDuplicates(key)

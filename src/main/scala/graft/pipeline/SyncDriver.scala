@@ -22,7 +22,12 @@ import graft.state.SnapshotStore
   *    state — the explicit materialization boundary SURVEY §7.5 calls out.
   */
 class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
-    verify: Boolean = true) {
+    verify: Boolean = true, nodeParallelism: Int = 1) {
+
+  /** Serializes edge-table detach swaps: two node functions deleting the
+    * two endpoint labels of the SAME edge table would otherwise race the
+    * read-modify-swap. */
+  private val detachLock = new Object
 
   /** Run one full sync pass of an integration (one micro-batch).
     * Returns (created, deleted) row counts per function. */
@@ -37,9 +42,29 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
     // re-reading per function (the reference fetches once too, main.go:125).
     document.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      spec.functions.map { fn =>
-        fn.name -> runFunction(spec, fn, document)
-      }.toMap
+      // Node functions are mutually independent (distinct state dirs +
+      // node tables), so they may run as concurrent Spark jobs — the
+      // improvement over the reference's single thread that SURVEY §4
+      // calls out. Relations stay sequential AFTER all nodes: edge MATCH
+      // needs endpoints to exist (reference function ordering,
+      // main.go:26-80).
+      val (nodes, rels) = spec.functions.partition(_.kind.isInstanceOf[CreateNode])
+      val nodeResults: Seq[(String, (Long, Long))] =
+        if (nodeParallelism > 1 && nodes.size > 1) {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(nodeParallelism, nodes.size))
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(nodes.map(fn =>
+              Future(fn.name -> runFunction(spec, fn, document)))),
+            Duration.Inf)
+          finally pool.shutdown()
+        } else nodes.map(fn => fn.name -> runFunction(spec, fn, document))
+      val relResults = rels.map(fn => fn.name -> runFunction(spec, fn, document))
+      (nodeResults ++ relResults).toMap
     } finally { document.unpersist() }
   }
 
@@ -75,9 +100,11 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
               spec.functions.foreach { other =>
                 other.kind match {
                   case CreateRelation(rt, la, lb) if la == label || lb == label =>
-                    sink.detachEdges(edgeTable(rt, la, lb),
-                      if (la == label) delta.toDelete else emptyKeys(),
-                      if (lb == label) delta.toDelete else emptyKeys())
+                    detachLock.synchronized {
+                      sink.detachEdges(edgeTable(rt, la, lb),
+                        if (la == label) delta.toDelete else emptyKeys(),
+                        if (lb == label) delta.toDelete else emptyKeys())
+                    }
                   case _ =>
                 }
               }

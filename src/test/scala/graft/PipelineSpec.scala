@@ -65,6 +65,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sink.readEdges("creates__version__packer_build").count() === 0)
   }
 
+  test("parallel node execution: same results as sequential") {
+    val root = Files.createTempDirectory("graft-par").toString
+    val store = new SnapshotStore(spark, s"$root/state")
+    val sink = new GraphSink(spark, s"$root/graph")
+    val driver = new SyncDriver(spark, store, sink, nodeParallelism = 4)
+    val spec = HcpIntegration.spec("hcp-par", s => HcpFixture.doc(s))
+    val r1 = driver.run(spec)
+    assert(r1("buckets") === ((2L, 0L)) && r1("packer_build") === ((3L, 0L)))
+    assert(sink.readEdges("creates__version__packer_build").count() === 3)
+    // delete pass in parallel too (exercises the detach lock)
+    val specEmpty = HcpIntegration.spec("hcp-par",
+      s => HcpFixture.doc(s, HcpFixture.emptyJson))
+    val r2 = driver.run(specEmpty)
+    assert(r2("buckets") === ((0L, 2L)))
+    assert(sink.readNodes("bucket").count() === 0)
+    assert(sink.readEdges("has__project__bucket").count() === 0)
+  }
+
   test("update path: changed updated-at replaces node wholesale (K1)") {
     val (driver, sink) = freshEnv()
     val spec = HcpIntegration.spec("hcp-upd", s => HcpFixture.doc(s))
