@@ -217,6 +217,37 @@ object SparkEntry {
           sum(cents(col("l_discount"))).as("sum_disc_cents"),
           count(lit(1)).as("n"))),
 
+    // multi-join analytics: fact ⋈ broadcast dims — the plan shape every
+    // 100 TB star-schema query wants (dims broadcast, fact never shuffles
+    // before the partial agg).
+    "q3_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val c = broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+    }),
+
     "count_rows" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))),
@@ -479,6 +510,29 @@ object SparkEntry {
 
     "count_rows" ->
       "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "q3_revenue" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
 
     "group_state" ->
       """SELECT event_type AS fn_key, user_id, COUNT(*) AS n
