@@ -59,8 +59,9 @@ class GraphSink(spark: SparkSession, root: String) {
     val old = new Path(base, s"old-${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     val f = fs
-    if (f.exists(cur)) f.rename(cur, old)
-    f.rename(staged, cur)
+    if (f.exists(cur))
+      require(f.rename(cur, old), s"table swap failed: $cur -> $old")
+    require(f.rename(staged, cur), s"table swap failed: $staged -> $cur")
     if (f.exists(old)) f.delete(old, true)
   }
 

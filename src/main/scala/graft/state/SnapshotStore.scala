@@ -55,8 +55,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
     else postImage
     img.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     val f = fs
-    if (f.exists(cur)) f.rename(cur, old)
-    f.rename(staged, cur)
+    if (f.exists(cur))
+      require(f.rename(cur, old), s"state swap failed: $cur -> $old")
+    require(f.rename(staged, cur), s"state swap failed: $staged -> $cur")
     if (f.exists(old)) f.delete(old, true)
   }
 }
