@@ -347,6 +347,19 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
         TextAnalysis.bpeishCount(col("text")).cast("long").as("n_bpeish"))),
 
+    "curate_docs" -> ((s, dir) => {
+      // composite training-data curation: language filter + quality gate +
+      // minimum length + exact dedup — each stage a single-pass column
+      // expression or one hash shuffle, the shape a 100 TB curation job
+      // needs (no stage materializes more than (key, id)).
+      val d = t(s, dir, "documents")
+      val filtered = d.filter(
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.qualityScore(col("text")) >= 400 &&
+        TextAnalysis.langId(col("text")) === "en")
+      Dedup.exactSurvivors(filtered, "text", "doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -611,6 +624,8 @@ object SparkEntry {
 
     "quality_score" -> qualityScoreSql,
 
+    "curate_docs" -> curateDocsSql,
+
     "token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
@@ -654,9 +669,9 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2""".stripMargin
   )
 
-  /** Oracle twin of [[TextAnalysis.langId]]: same stopword lists, same
-    * scoring (token-set filter count), same argmax tie order. */
-  private def langIdSql: String = {
+  /** DuckDB expression twin of [[TextAnalysis.langId]]: same stopword
+    * lists, same scoring (token-set filter count), same argmax tie order. */
+  private def langIdCaseExpr: String = {
     def score(ws: Seq[String]): String = {
       val conds = ws.map(w => s"x = '$w'").mkString(" OR ")
       s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> $conds))"
@@ -666,25 +681,43 @@ object SparkEntry {
     val cases = scores.map { case (l, sc) =>
       s"WHEN $best > 0 AND $sc = $best THEN '$l'"
     }.mkString(" ")
-    s"SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM documents"
+    s"CASE $cases ELSE 'und' END"
   }
 
-  /** Oracle twin of [[TextAnalysis.qualityScore]] — formula mirrored
-    * term-for-term (same double arithmetic shape). */
-  private def qualityScoreSql: String = {
+  private def langIdSql: String =
+    s"SELECT doc_id, $langIdCaseExpr AS pred_lang FROM documents"
+
+  private def wsCountExpr: String =
+    "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+  /** DuckDB expression twin of [[TextAnalysis.qualityScore]] — formula
+    * mirrored term-for-term (same double arithmetic shape). */
+  private def qualityExpr: String = {
     val allStops = TextAnalysis.stopwords.flatMap(_._2)
       .map(w => s"x = '$w'").mkString(" OR ")
-    s"""SELECT doc_id, CAST(round((
-       |  least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+    s"""CAST(round((
+       |  least(CAST($wsCountExpr AS DOUBLE)
        |    / 100.0, 1.0) * 0.4 +
        |  least(CAST(len(list_filter(
        |      regexp_split_to_array(trim(lower(text)), '\\s+'),
        |      x -> $allStops)) AS DOUBLE)
-       |    / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-       |        AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4 +
+       |    / greatest(CAST($wsCountExpr AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4 +
        |  (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
        |        AS DOUBLE)
        |    / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 1.0)) * 0.2
-       |  ) * 1000, 0) AS BIGINT) AS score FROM documents""".stripMargin
+       |  ) * 1000, 0) AS BIGINT)""".stripMargin
   }
+
+  private def qualityScoreSql: String =
+    s"SELECT doc_id, $qualityExpr AS score FROM documents"
+
+  /** Oracle twin of the `curate_docs` composite: filters mirrored from the
+    * standalone lang/quality/token oracles, then exact-dedup survivors. */
+  private def curateDocsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE $wsCountExpr >= 20
+       |    AND $qualityExpr >= 400
+       |    AND $langIdCaseExpr = 'en')
+       |SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text""".stripMargin
 }
