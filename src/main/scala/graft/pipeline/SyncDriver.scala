@@ -29,6 +29,16 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
     * read-modify-swap. */
   private val detachLock = new Object
 
+  /** K6 — per-function sink/commit wall time from the last run, the
+    * engine's `WriteRequest.Duration` analog (reference `model.go:13`,
+    * `neo4j.go:111-114`): populated for functions whose delta was applied. */
+  private val lastDurations =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def lastRunMetrics: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    lastDurations.asScala.toMap
+  }
+
   /** Run one full sync pass of an integration (one micro-batch).
     * Returns (created, deleted) row counts per function. */
   def run(spec: IntegrationSpec): Map[String, (Long, Long)] =
@@ -92,6 +102,7 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
         delta.toDelete.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val (nc, nd) = (delta.toCreate.count(), delta.toDelete.count())
+          val writeT0 = System.nanoTime()
           if (nc > 0 || nd > 0) {
             sink.applyNodeDelta(label, delta.toCreate, delta.toDelete)
             if (nd > 0) {
@@ -111,6 +122,7 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
             }
             store.commit(spec.key, fn.name, Reconcile.postState(batch))
           }
+          lastDurations.put(fn.name, (System.nanoTime() - writeT0) / 1e9)
           if (verify) {
             // R5 convergence check (reference main.go:224-237): a second
             // diff against committed state must be empty for nodes.
