@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("crc32q"),
       new ExpressionInfo(classOf[Crc32QExpression].getName, "crc32q"),
-      (children: Seq[Expression]) => Crc32QExpression(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"crc32q expects exactly 1 argument, got ${children.size}")
+        Crc32QExpression(children.head)
+      }))
   }
 }

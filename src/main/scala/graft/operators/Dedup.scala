@@ -20,24 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word shingles (n-grams of the whitespace token stream), distinct per
-    * doc. 5-grams by default: long enough that random collisions are rare
-    * even in small vocabularies.
-    *
-    * IMPORTANT: `wordsCol` must be a BOUND column (a real attribute, not an
-    * inline `split(...)` expression). Catalyst inlines expression aliases
-    * into every reference — with n element_at calls per shingle an inline
-    * split() would be re-evaluated O(n × shingles) times per row (observed
-    * 60× slowdown). [[shingleInv]] sets up the binding correctly. */
-  def shinglesFromWords(wordsCol: Column, n: Int): Column = {
-    val idx = sequence(lit(0), size(wordsCol) - lit(n))
-    when(size(wordsCol) >= n,
-      array_distinct(transform(idx, i =>
-        concat_ws(" ",
-          (0 until n).map(j => element_at(wordsCol, i + lit(j + 1))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Inverted shingle index: (id, nsh, s) — one row per (doc, distinct
     * shingle), with the doc's distinct-shingle count.
     *
@@ -64,11 +46,15 @@ object Dedup {
       .select("id", "nsh", "s")
   }
 
-  /** Exact dedup: one survivor (min id) per distinct text. The group key is
-    * xxhash64(text) so the shuffle moves 8-byte keys; survivors keep the
-    * full row via min-by-id within the hash group. */
+  /** Exact dedup: one surviving id (min) per distinct text. The group key
+    * is (xxhash64, crc32, byte-length) of the text — ~96 collision bits —
+    * so the shuffle moves fixed-size keys instead of document bodies while
+    * keeping accidental merges out of reach even at 100 TB corpus sizes
+    * (a 64-bit hash alone hits birthday collisions at billions of docs). */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("__th"))
+    df.groupBy(xxhash64(col(textCol)).as("__h1"),
+        crc32(encode(col(textCol), "UTF-8")).as("__h2"),
+        length(encode(col(textCol), "UTF-8")).as("__len"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
@@ -111,6 +97,8 @@ object Dedup {
     * agreeing on all r hashes of any band collide. Returns distinct
     * candidate pairs (a < b). */
   def minhashLshCandidates(sigs: DataFrame, k: Int = 64, r: Int = 4): DataFrame = {
+    require(k % r == 0,
+      s"k=$k must be a multiple of r=$r (trailing hashes would be silently unused)")
     val bands = k / r
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

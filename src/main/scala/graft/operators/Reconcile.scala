@@ -48,7 +48,12 @@ object Reconcile {
     * are null for them, matching `{"external_id": k}` (`recon.go:95`).
     */
   def classified(batch: DataFrame, state: DataFrame): DataFrame = {
-    val b = withHash(batch).alias("b")
+    // Null keys are unsyncable (no identity to upsert/delete by) and would
+    // otherwise be misclassified as deletes by the full-outer join AND
+    // poison the convergence check forever — drop them up front. (The
+    // reference cannot produce them: template output keys are always
+    // strings, possibly empty.)
+    val b = withHash(batch.filter(col(key).isNotNull)).alias("b")
     val s = state.alias("s")
     b.join(s, col(s"b.$key") === col(s"s.$key"), "full_outer")
       .withColumn("op",
@@ -92,7 +97,8 @@ object Reconcile {
     * deterministic winner should pre-apply
     * [[Transforms.lastWinsByKey]] with an explicit ordering. */
   def postState(batch: DataFrame): DataFrame =
-    withHash(batch).select(col(key), col("__hash").as("hash"))
+    withHash(batch.filter(col(key).isNotNull))
+      .select(col(key), col("__hash").as("hash"))
       .dropDuplicates(key)
 
   /** R5 — convergence check: a second diff immediately after commit must be

@@ -34,11 +34,12 @@ object Sessionize {
       .drop("__new")
   }
 
-  /** Per-session rollup: span + event count + value sum (cents). */
+  /** Per-session rollup: event count + value sum (cents). */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
-      tieBreak: String, gapSeconds: Long): DataFrame =
+      tieBreak: String, gapSeconds: Long,
+      valueCol: String = "value"): DataFrame =
     byGap(df, keyCol, tsCol, tieBreak, gapSeconds)
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
 }

@@ -66,6 +66,10 @@ object Transforms {
     * broadcast is impossible (both sides large) AND a hot key exists. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // outer-on-the-exploded-side types would emit saltBuckets copies of
+    // every unmatched `other` row — only these two types are sound:
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
     val salted = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets)).cast("int"))

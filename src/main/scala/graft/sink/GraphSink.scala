@@ -1,7 +1,6 @@
 package graft.sink
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
@@ -32,48 +31,32 @@ class GraphSink(spark: SparkSession, root: String) {
 
   private val key = Schemas.externalId
 
-  private def fs = new Path(root).getFileSystem(
-    spark.sparkContext.hadoopConfiguration)
-
-  private def tableDir(kind: String, name: String) = s"$root/$kind/$name"
+  private def table(kind: String, name: String) =
+    new graft.state.AtomicTable(spark, s"$root/$kind/$name")
 
   def readNodes(label: String, schema: org.apache.spark.sql.types.StructType = null): DataFrame =
-    readTable(tableDir("nodes", label), schema)
+    table("nodes", label).read(schema)
 
   def readEdges(relType: String): DataFrame =
-    readTable(tableDir("edges", relType), Schemas.edge)
+    table("edges", relType).read(Schemas.edge)
 
-  private def readTable(base: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val cur = new Path(base, "current")
-    if (fs.exists(cur)) spark.read.parquet(cur.toString)
-    else if (schema != null) spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.emptyDataFrame
-  }
-
-  /** Atomic swap: stage → rename over current (K5 transaction analog). */
-  private def swapIn(base: String, df: DataFrame): Unit = {
-    val staged = new Path(base, s"staged-${java.util.UUID.randomUUID()}")
-    val cur = new Path(base, "current")
-    val old = new Path(base, s"old-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    val f = fs
-    if (f.exists(cur))
-      require(f.rename(cur, old), s"table swap failed: $cur -> $old")
-    require(f.rename(staged, cur), s"table swap failed: $staged -> $cur")
-    if (f.exists(old)) f.delete(old, true)
-  }
-
-  /** K1 + K2 in one transaction: apply creates (last-wins on key, replacing
-    * whole rows) and deletes (by key) to the node table. */
+  /** K1 + K2 in one transaction: apply creates (replacing whole rows on
+    * key match — `SET x = item`) and deletes (by key) to the node table as
+    * ONE crash-safe version swap (K5 transaction analog).
+    *
+    * Duplicate keys inside toCreate are collapsed to one arbitrary winner
+    * (the table invariant is one row per key, matching MERGE); callers who
+    * need a deterministic winner apply [[graft.operators.Transforms
+    * .lastWinsByKey]] upstream — a distributed bag has no "last" without an
+    * explicit order (reference batch order, `neo4j.go:87-88`). */
   def applyNodeDelta(label: String, toCreate: DataFrame,
       toDelete: DataFrame): Unit = {
     val existing = readNodes(label, toCreate.schema)
     val survivors = existing
       .join(toDelete.select(col(key)), Seq(key), "left_anti")
       .join(toCreate.select(col(key)), Seq(key), "left_anti")
-    swapIn(tableDir("nodes", label), survivors.unionByName(toCreate))
+    table("nodes", label)
+      .commit(survivors.unionByName(toCreate.dropDuplicates(key)))
   }
 
   /** J1 + K3 — resolve edges against endpoint node tables (inner joins ==
@@ -88,8 +71,8 @@ class GraphSink(spark: SparkSession, root: String) {
       .join(b, Seq("b_id"), "left_semi")
       .dropDuplicates("a_id", "b_id")
     val existing = readEdges(relType)
-    swapIn(tableDir("edges", relType),
-      existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+    table("edges", relType)
+      .commit(existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
   }
 
   /** K2 DETACH semantics for edges: when nodes are deleted, drop edges
@@ -100,6 +83,6 @@ class GraphSink(spark: SparkSession, root: String) {
     val kept = existing
       .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_anti")
       .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_anti")
-    swapIn(tableDir("edges", relType), kept)
+    table("edges", relType).commit(kept)
   }
 }

@@ -1,0 +1,77 @@
+package graft.state
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Crash-safe versioned parquet table.
+  *
+  * Layout: `base/v-<counter>-<uuid>/` data directories plus pointer files
+  * `base/ptr-<counter>-<uuid>` whose NAME encodes the committed version.
+  * A commit (1) writes the new data directory completely, then (2) creates
+  * one new pointer file — a single atomic filesystem create. Readers
+  * resolve the highest-counter pointer, which by construction always names
+  * a fully-written directory. A crash at any point leaves either the old
+  * pointer (old data served) or both pointers (new data served) — never a
+  * missing or half-visible table. Old versions/pointers are best-effort
+  * garbage-collected on the next successful commit.
+  *
+  * This replaces a rename-cur-to-old/rename-staged-to-cur sequence whose
+  * crash window between the two renames could lose the table entirely.
+  */
+class AtomicTable(spark: SparkSession, base: String) {
+
+  private def fs: FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val PtrRe = "ptr-([0-9]{12}-.+)".r
+
+  /** (counter, full version name) of the newest committed pointer. */
+  private def currentPtr(f: FileSystem): Option[(Long, String)] = {
+    val b = new Path(base)
+    if (!f.exists(b)) return None
+    val ptrs = f.listStatus(b).iterator.map(_.getPath.getName).collect {
+      case PtrRe(ver) => (ver.take(12).toLong, ver)
+    }.toSeq
+    if (ptrs.isEmpty) None else Some(ptrs.maxBy(_._1))
+  }
+
+  private def dataDir(ver: String) = new Path(base, s"v-$ver")
+
+  def exists: Boolean = currentPtr(fs).isDefined
+
+  /** Read the committed image; empty DataFrame with `schema` if never
+    * committed (schema == null → caller must handle emptiness itself). */
+  def read(schema: StructType): DataFrame = currentPtr(fs) match {
+    case Some((_, ver)) =>
+      if (schema != null)
+        spark.read.schema(schema).parquet(dataDir(ver).toString)
+      else spark.read.parquet(dataDir(ver).toString)
+    case None if schema != null =>
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    case None => spark.emptyDataFrame
+  }
+
+  /** Atomically publish `df` as the new table image. */
+  def commit(df: DataFrame): Unit = {
+    val f = fs
+    val prev = currentPtr(f)
+    val ctr = prev.map(_._1 + 1).getOrElse(1L)
+    val ver = f"$ctr%012d-${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(ver).toString)
+    val ptr = new Path(base, s"ptr-$ver")
+    require(f.createNewFile(ptr), s"pointer create failed: $ptr")
+    // GC older versions (best-effort; readers of the old pointer in flight
+    // on another thread finish before the next commit in this engine's
+    // single-writer-per-table model).
+    f.listStatus(new Path(base)).foreach { st =>
+      val n = st.getPath.getName
+      val isOldPtr = n.startsWith("ptr-") && n != s"ptr-$ver"
+      val isOldData = n.startsWith("v-") && n != s"v-$ver"
+      if (isOldPtr || isOldData) {
+        try f.delete(st.getPath, true) catch { case _: Exception => }
+      }
+    }
+  }
+}

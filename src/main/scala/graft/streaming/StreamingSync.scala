@@ -21,14 +21,25 @@ import graft.state.SnapshotStore
 class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) {
 
   /** Start incremental sync of a document stream (e.g.
-    * `spark.readStream.schema(Schemas.hcpDocument).json(dir)`). */
+    * `spark.readStream.schema(Schemas.hcpDocument).json(dir)`).
+    *
+    * Snapshot-diff semantics require each micro-batch to be ONE complete
+    * upstream snapshot: configure the source to deliver at most one
+    * snapshot per trigger (file source: `maxFilesPerTrigger=1`) — a batch
+    * that unions two snapshots would carry conflicting duplicates of every
+    * changed key. An EMPTY micro-batch ("no new files") is skipped rather
+    * than synced: absence of new data is not an empty snapshot, and
+    * diffing it would delete everything. An intentionally-empty snapshot
+    * (the reference's delete-path, `main.go:288-295`) is a FILE with
+    * `{"buckets": []}` — non-empty batch, one row, and flattens to empty
+    * function batches that do drive the delete flow. */
   def start(spec: IntegrationSpec, documents: DataFrame,
       checkpoint: String): StreamingQuery = {
     val driver = new SyncDriver(spark, store, sink)
     documents.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        driver.runBatch(spec, batch): Unit
+        if (!batch.isEmpty) driver.runBatch(spec, batch): Unit
       }
       .start()
   }
@@ -38,12 +49,13 @@ class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) 
     * identically on a batch DataFrame (window() is just an expression),
     * which is how the DuckDB oracle checks it. */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
-      windowLen: String, watermark: String): DataFrame = {
+      windowLen: String, watermark: String,
+      valueCol: String = "value"): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark(tsCol, watermark)
       else events
     src.groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n"), col("value_cents"))
   }

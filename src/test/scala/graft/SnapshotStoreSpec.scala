@@ -22,7 +22,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(s.columns.toSeq === Seq("external_id", "hash"))
   }
 
-  test("commit swaps atomically; leftover staged dir is harmless") {
+  test("commit publishes atomically; crashed-commit orphan dir is invisible") {
     val root = Files.createTempDirectory("graft-st2").toString
     val store = new SnapshotStore(spark, root)
     def img(rows: (String, Long)*) = rows.toSeq.toDF("external_id", "hash")
@@ -30,16 +30,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     store.commit("i", "f", img("a" -> 1L, "b" -> 2L))
     assert(store.read("i", "f").count() === 2)
 
-    // simulate a crashed commit: orphan staged dir with different content
-    val orphan = new java.io.File(s"$root/i/f/staged-orphan")
+    // simulate a crash mid-commit: data dir written but pointer never
+    // created — must be invisible to readers
+    val orphan = new java.io.File(s"$root/i/f/v-999999999999-orphan")
     img("zz" -> 9L).write.parquet(orphan.toString)
     assert(store.read("i", "f").as[(String, Long)].collect().toMap ===
-      Map("a" -> 1L, "b" -> 2L)) // reads still serve current
+      Map("a" -> 1L, "b" -> 2L))
 
-    // next commit replaces current, ignoring the orphan
+    // next commit replaces the image and GCs old versions + the orphan
     store.commit("i", "f", img("c" -> 3L))
     assert(store.read("i", "f").as[(String, Long)].collect().toMap ===
       Map("c" -> 3L))
+    val leftover = new java.io.File(s"$root/i/f").listFiles()
+      .map(_.getName).filter(n => n.startsWith("v-") || n.startsWith("ptr-"))
+    assert(leftover.count(_.startsWith("v-")) === 1)
+    assert(leftover.count(_.startsWith("ptr-")) === 1)
   }
 
   test("commit with partitions hash-clusters the state by key") {
@@ -48,9 +53,21 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val img = (1 to 100).map(i => (s"k$i", i.toLong))
       .toDF("external_id", "hash")
     store.commit("i", "f", img, partitions = 4)
-    val files = new java.io.File(s"$root/i/f/current").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val dataDir = new java.io.File(s"$root/i/f").listFiles()
+      .find(_.getName.startsWith("v-")).get
+    val files = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 4)
     assert(store.read("i", "f").count() === 100)
+  }
+
+  test("null-key batch rows are dropped, not misclassified as deletes") {
+    import graft.operators.Reconcile
+    val batch = Seq((null.asInstanceOf[String], "t1"), ("a", "t1"))
+      .toDF("external_id", "updated_at")
+    val state = Reconcile.postState(batch)
+    assert(state.count() === 1) // null key excluded
+    val d = Reconcile.diff(batch, state)
+    assert(d.toCreate.count() === 0 && d.toDelete.count() === 0)
+    assert(Reconcile.convergenceViolations(batch, state) === 0)
   }
 }
