@@ -333,6 +333,13 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopKIvf(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5)
+    }),
+
     // ===== extensions: text analysis =====
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

@@ -82,6 +82,39 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       lshBucket(col(vecCol).cast("array<double>"), nPlanes, dim).as("bucket"))
 
+  /** IVF (inverted-file) ANN — the other classic scale path. The corpus is
+    * partitioned into cells by nearest centroid; a query probes only its
+    * `nProbe` nearest cells (~nProbe/nCells of the corpus). Centroids here
+    * are deterministic samples (lowest ids) rather than trained k-means —
+    * the partition/probe machinery is identical and swapping in trained
+    * centroids changes one DataFrame. Everything is joins against a
+    * broadcast centroid set: no driver-side loops, corpus assignment is one
+    * pass. */
+  def annTopKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
+      .orderBy(col("cid")).limit(nCells))
+    def assign(df: DataFrame, idC: String, vC: String, n2C: String,
+        probes: Int): DataFrame =
+      Transforms.topKPerGroup(
+        df.crossJoin(cents).select(col(idC), col(vC), col(n2C), col("cid"),
+          cosFromN2(col(vC), col(n2C), col("cv"), col("cn2")).as("__sim")),
+        Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
+        .drop("__sim")
+    val corpusCells = assign(withN2(corpus, "nid", "nv", "nn2"),
+      "nid", "nv", "nn2", 1)
+    val queryCells = assign(withN2(queries, "qid", "qv", "qn2"),
+      "qid", "qv", "qn2", nProbe)
+    val scored = corpusCells.join(queryCells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
+      .dropDuplicates("qid", "nid") // a pair may meet in several probed cells
+    Transforms.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos_permille").desc, col("nid").asc), k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets at Hamming distance 1 (multi-probe — standard recall
     * boost: a near neighbor differs from the query on at most a few plane

@@ -64,6 +64,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (qid, _) => exact.exists(_._1 == qid) })
   }
 
+  test("ann IVF recall vs brute force on real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopKIvf(q, c, 5, nCells = 8, nProbe = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // 3/8 of corpus probed
+    assert(approx.size === 25) // full top-5 for each of 5 queries
+  }
+
   test("embedding cosine pairs: self-similarity sanity") {
     val two = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), 0),
