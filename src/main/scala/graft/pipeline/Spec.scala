@@ -16,9 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 sealed trait FunctionKind
 /** Node function: reconciled against snapshot state, upsert+delete sink. */
 case class CreateNode(label: String) extends FunctionKind
-/** Relation function: reconcile passthrough (reference `recon.go:42-44`),
-  * merge-only sink resolved against endpoint labels. */
-case class CreateRelation(relType: String, labelA: String, labelB: String)
+/** Relation function. Default (`reconcile = false`) is the faithful
+  * reference behavior: passthrough diff, merge-only sink — which leaks
+  * stale edges whose endpoints both survive (reference `recon.go:42-44` +
+  * no relationship delete at `neo4j.go:119-120`; SURVEY R4 fine print).
+  * `reconcile = true` is the engine's opt-in fix: edges are snapshot-diffed
+  * on the (a_id, b_id) pair key like nodes, so vanished edges are deleted
+  * even when their endpoints remain. */
+case class CreateRelation(relType: String, labelA: String, labelB: String,
+    reconcile: Boolean = false)
   extends FunctionKind
 
 case class FunctionSpec(

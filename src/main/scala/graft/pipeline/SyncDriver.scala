@@ -110,7 +110,7 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
               // touching a deleted node go with it.
               spec.functions.foreach { other =>
                 other.kind match {
-                  case CreateRelation(rt, la, lb) if la == label || lb == label =>
+                  case CreateRelation(rt, la, lb, _) if la == label || lb == label =>
                     detachLock.synchronized {
                       sink.detachEdges(edgeTable(rt, la, lb),
                         if (la == label) delta.toDelete else emptyKeys(),
@@ -135,12 +135,40 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
         } finally {
           delta.toCreate.unpersist(); delta.toDelete.unpersist()
         }
-      case CreateRelation(relType, labelA, labelB) =>
+      case CreateRelation(relType, labelA, labelB, false) =>
         // R4: relations skip reconciliation — everything is toCreate,
         // nothing deleted (reference recon.go:42-44, neo4j.go:119-120).
         val n = batch.count()
         sink.mergeEdges(edgeTable(relType, labelA, labelB), batch, labelA, labelB)
         (n, 0L)
+
+      case CreateRelation(relType, labelA, labelB, true) =>
+        // Engine's stale-edge fix: snapshot-diff edges on the pair key so
+        // an edge that vanished upstream is deleted even when both of its
+        // endpoints survive (the reference leaks these — SURVEY R4).
+        import org.apache.spark.sql.functions.{col, concat_ws, split, element_at}
+        val sep = "\u0001"
+        val keyed = batch.withColumn("external_id",
+          concat_ws(sep, col("a_id"), col("b_id")))
+        val state = store.read(spec.key, fn.name)
+        val delta = Reconcile.diff(keyed, state)
+        delta.toCreate.persist(StorageLevel.MEMORY_AND_DISK)
+        delta.toDelete.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (nc, nd) = (delta.toCreate.count(), delta.toDelete.count())
+          if (nc > 0 || nd > 0) {
+            val deletePairs = delta.toDelete.select(
+              element_at(split(col("external_id"), sep), 1).as("a_id"),
+              element_at(split(col("external_id"), sep), 2).as("b_id"))
+            sink.applyEdgeDelta(edgeTable(relType, labelA, labelB),
+              delta.toCreate.select("a_id", "b_id"), deletePairs,
+              labelA, labelB)
+            store.commit(spec.key, fn.name, Reconcile.postState(keyed))
+          }
+          (nc, nd)
+        } finally {
+          delta.toCreate.unpersist(); delta.toDelete.unpersist()
+        }
     }
   }
 }

@@ -75,6 +75,24 @@ class GraphSink(spark: SparkSession, root: String) {
       .commit(existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
   }
 
+  /** Reconciled-edge mode: one transaction applying resolved creates and
+    * pair-keyed deletes to the edge table (the engine's stale-edge fix —
+    * the reference never deletes relationships, `neo4j.go:119-120`). */
+  def applyEdgeDelta(relType: String, toCreate: DataFrame,
+      deletePairs: DataFrame, labelA: String, labelB: String): Unit = {
+    val a = readNodes(labelA, Schemas.state).select(col(key).as("a_id"))
+    val b = readNodes(labelB, Schemas.state).select(col(key).as("b_id"))
+    val resolved = toCreate
+      .join(a, Seq("a_id"), "left_semi")
+      .join(b, Seq("b_id"), "left_semi")
+      .dropDuplicates("a_id", "b_id")
+    val kept = readEdges(relType)
+      .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),
+        "left_anti")
+    table("edges", relType)
+      .commit(kept.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+  }
+
   /** K2 DETACH semantics for edges: when nodes are deleted, drop edges
     * touching them (the reference gets this from `DETACH DELETE`). */
   def detachEdges(relType: String, deletedA: DataFrame,
