@@ -165,6 +165,15 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
               labelA, labelB)
             store.commit(spec.key, fn.name, Reconcile.postState(keyed))
           }
+          if (verify) {
+            // symmetric convergence check — the reference skips this for
+            // relations (main.go:235 guards CREATE_NODE only); reconciled
+            // edges get the same guarantee as nodes.
+            val violations = Reconcile.convergenceViolations(
+              keyed, store.read(spec.key, fn.name))
+            require(violations == 0, s"commit failed for ${fn.name}: " +
+              s"$violations unconverged edge pairs")
+          }
           (nc, nd)
         } finally {
           delta.toCreate.unpersist(); delta.toDelete.unpersist()
