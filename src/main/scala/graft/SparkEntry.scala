@@ -658,10 +658,10 @@ object SparkEntry {
         |  FROM events),
         |s AS (
         |  SELECT user_id, value,
-        |    SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |    CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
         |             THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM x)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)

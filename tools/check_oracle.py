@@ -52,7 +52,18 @@ for name in queries:
         print(f'{name:24s} COLS-MISMATCH got={sorted(got.columns)} exp={sorted(exp.columns)}')
         n_fail += 1; continue
     g, e = norm(got), norm(exp)
-    if g == e:
+    # Driver-style strictness: a column that is int64 on one side and
+    # float64/object on the other (e.g. an uncast DuckDB HUGEINT window
+    # SUM) hash-mismatches in the real gate even when canon_val coerces
+    # the values equal. Surface it as a failure here too.
+    dtype_drift = [c for c in sorted(got.columns)
+                   if str(got[c].dtype) != str(exp[c].dtype)]
+    if g == e and dtype_drift:
+        n_fail += 1
+        print(f'{name:24s} DTYPE-DRIFT '
+              + ', '.join(f'{c}: spark={got[c].dtype} duck={exp[c].dtype}'
+                          for c in dtype_drift))
+    elif g == e:
         print(f'{name:24s} OK ({len(g)} rows)')
     else:
         n_fail += 1
