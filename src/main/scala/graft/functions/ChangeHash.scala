@@ -27,9 +27,17 @@ object ChangeHash {
   private def nonEmpty(c: Column): Column = nullif(c, lit(""))
 
   /** Canonical JSON of the given columns: alphabetical key order matches Go
-    * `json.Marshal` map-key sorting (`recon.go:148-152`). */
+    * `json.Marshal` map-key sorting (`recon.go:148-152`), and null fields
+    * are emitted as `"key":null` like Go does (Spark's default would omit
+    * them). NOT byte-identical to the reference for every input: Go's
+    * encoder additionally HTML-escapes `<`, `>`, `&` inside strings (to
+    * `\\u003c` / `\\u003e` / `\\u0026`), which we deliberately don't
+    * reproduce — the hash is
+    * self-consistent within this engine, but migrating stored state from
+    * the reference requires a full re-hash of fallback-hashed records. */
   def canonicalJson(df: DataFrame, cols: Seq[String]): Column =
-    to_json(struct(cols.sorted.map(col): _*))
+    to_json(struct(cols.sorted.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
 
   def canonicalJson(df: DataFrame): Column = canonicalJson(df, df.columns.toSeq)
 

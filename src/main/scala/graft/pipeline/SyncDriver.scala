@@ -148,8 +148,15 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
         // endpoints survive (the reference leaks these — SURVEY R4).
         import org.apache.spark.sql.functions.{col, concat_ws, split, element_at}
         val sep = "\u0001"
-        val keyed = batch.withColumn("external_id",
-          concat_ws(sep, col("a_id"), col("b_id")))
+        // Resolve endpoints BEFORE the diff (mirroring the sink's MATCH):
+        // state must only ever record pairs the sink actually applied. A
+        // dangling pair (endpoint node not yet synced, or deleted) stays
+        // out of state entirely, so it re-enters the diff as toCreate on
+        // every sync until both endpoints exist — and an edge removed by
+        // detachEdges reconverges the same way when its node returns.
+        val keyed = sink.resolveEndpoints(batch, labelA, labelB)
+          .withColumn("external_id",
+            concat_ws(sep, col("a_id"), col("b_id")))
         val state = store.read(spec.key, fn.name)
         val delta = Reconcile.diff(keyed, state)
         delta.toCreate.persist(StorageLevel.MEMORY_AND_DISK)

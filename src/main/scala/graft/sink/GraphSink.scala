@@ -59,16 +59,27 @@ class GraphSink(spark: SparkSession, root: String) {
       .commit(survivors.unionByName(toCreate.dropDuplicates(key)))
   }
 
+  /** Endpoint resolution == Cypher `MATCH (a),(b)` before the edge MERGE
+    * (`neo4j.go:90-91`): keep only pairs whose BOTH endpoints exist in the
+    * node tables right now. Exposed so reconciled-edge mode can resolve
+    * BEFORE its snapshot diff — state must never record a pair the sink
+    * dropped as dangling, or the pair would be stuck "unchanged" and never
+    * retried once the missing endpoint arrives. */
+  def resolveEndpoints(edges: DataFrame, labelA: String,
+      labelB: String): DataFrame = {
+    val a = readNodes(labelA, Schemas.state).select(col(key).as("a_id"))
+    val b = readNodes(labelB, Schemas.state).select(col(key).as("b_id"))
+    edges
+      .join(a, Seq("a_id"), "left_semi")
+      .join(b, Seq("b_id"), "left_semi")
+  }
+
   /** J1 + K3 — resolve edges against endpoint node tables (inner joins ==
     * Cypher MATCH: dangling edges silently dropped, `neo4j.go:90-91`), dedup
     * (MERGE idempotence), and merge into the edge table. */
   def mergeEdges(relType: String, edges: DataFrame, labelA: String,
       labelB: String): Unit = {
-    val a = readNodes(labelA, Schemas.state).select(col(key).as("a_id"))
-    val b = readNodes(labelB, Schemas.state).select(col(key).as("b_id"))
-    val resolved = edges
-      .join(a, Seq("a_id"), "left_semi")
-      .join(b, Seq("b_id"), "left_semi")
+    val resolved = resolveEndpoints(edges, labelA, labelB)
       .dropDuplicates("a_id", "b_id")
     val existing = readEdges(relType)
     table("edges", relType)
@@ -80,11 +91,7 @@ class GraphSink(spark: SparkSession, root: String) {
     * the reference never deletes relationships, `neo4j.go:119-120`). */
   def applyEdgeDelta(relType: String, toCreate: DataFrame,
       deletePairs: DataFrame, labelA: String, labelB: String): Unit = {
-    val a = readNodes(labelA, Schemas.state).select(col(key).as("a_id"))
-    val b = readNodes(labelB, Schemas.state).select(col(key).as("b_id"))
-    val resolved = toCreate
-      .join(a, Seq("a_id"), "left_semi")
-      .join(b, Seq("b_id"), "left_semi")
+    val resolved = resolveEndpoints(toCreate, labelA, labelB)
       .dropDuplicates("a_id", "b_id")
     val kept = readEdges(relType)
       .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),

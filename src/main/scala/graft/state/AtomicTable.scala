@@ -13,11 +13,20 @@ import org.apache.spark.sql.types.StructType
   * resolve the highest-counter pointer, which by construction always names
   * a fully-written directory. A crash at any point leaves either the old
   * pointer (old data served) or both pointers (new data served) — never a
-  * missing or half-visible table. Old versions/pointers are best-effort
+  * missing or half-visible table. The PREVIOUS version is retained for one
+  * full commit cycle (a reader that resolved the old pointer just before a
+  * commit can finish its scan); versions older than that are best-effort
   * garbage-collected on the next successful commit.
   *
   * This replaces a rename-cur-to-old/rename-staged-to-cur sequence whose
   * crash window between the two renames could lose the table entirely.
+  *
+  * Filesystem contract: commit atomicity rests on `createNewFile` being an
+  * atomic create-if-absent and `listStatus` seeing it immediately — true of
+  * HDFS and local filesystems, NOT of object stores (S3A implements create
+  * as a non-atomic exists+PUT, and listings may lag). On an object store,
+  * front this with a real table format or an external lock; this class
+  * intentionally targets HDFS-semantics filesystems only.
   */
 class AtomicTable(spark: SparkSession, base: String) {
 
@@ -62,15 +71,23 @@ class AtomicTable(spark: SparkSession, base: String) {
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(ver).toString)
     val ptr = new Path(base, s"ptr-$ver")
     require(f.createNewFile(ptr), s"pointer create failed: $ptr")
-    // GC older versions (best-effort; readers of the old pointer in flight
-    // on another thread finish before the next commit in this engine's
-    // single-writer-per-table model).
-    f.listStatus(new Path(base)).foreach { st =>
-      val n = st.getPath.getName
-      val isOldPtr = n.startsWith("ptr-") && n != s"ptr-$ver"
-      val isOldData = n.startsWith("v-") && n != s"v-$ver"
-      if (isOldPtr || isOldData) {
-        try f.delete(st.getPath, true) catch { case _: Exception => }
+    // GC (best-effort): keep the current AND the immediately previous
+    // committed version — a reader that resolved the old pointer just
+    // before this commit gets a full commit cycle to finish its scan;
+    // eager deletion would hand it FileNotFoundException mid-read
+    // (external readers, or stragglers outside the single-writer model).
+    // Data dirs with no surviving pointer (crashed commits, superseded
+    // versions) are deleted whatever their counter.
+    val names = f.listStatus(new Path(base)).map(_.getPath.getName)
+    val keptVers = names.collect {
+      case PtrRe(v) if v.take(12).toLong >= ctr - 1 => v
+    }.toSet
+    names.foreach { n =>
+      val drop =
+        (n.startsWith("ptr-") && !keptVers.contains(n.stripPrefix("ptr-"))) ||
+        (n.startsWith("v-") && !keptVers.contains(n.stripPrefix("v-")))
+      if (drop) {
+        try f.delete(new Path(base, n), true) catch { case _: Exception => }
       }
     }
   }

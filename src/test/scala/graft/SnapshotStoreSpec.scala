@@ -37,14 +37,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(store.read("i", "f").as[(String, Long)].collect().toMap ===
       Map("a" -> 1L, "b" -> 2L))
 
-    // next commit replaces the image and GCs old versions + the orphan
+    // next commit replaces the image, GCs the pointer-less orphan, and
+    // retains the previous version for one commit cycle (in-flight readers
+    // of the old pointer must not hit FileNotFoundException mid-scan)
     store.commit("i", "f", img("c" -> 3L))
     assert(store.read("i", "f").as[(String, Long)].collect().toMap ===
       Map("c" -> 3L))
-    val leftover = new java.io.File(s"$root/i/f").listFiles()
+    def leftover() = new java.io.File(s"$root/i/f").listFiles()
       .map(_.getName).filter(n => n.startsWith("v-") || n.startsWith("ptr-"))
-    assert(leftover.count(_.startsWith("v-")) === 1)
-    assert(leftover.count(_.startsWith("ptr-")) === 1)
+    assert(!leftover().exists(_.contains("orphan")), "orphan must be GC'd")
+    assert(leftover().count(_.startsWith("v-")) === 2)
+    assert(leftover().count(_.startsWith("ptr-")) === 2)
+
+    // a third commit ages the oldest version out: still exactly two kept
+    store.commit("i", "f", img("d" -> 4L))
+    assert(leftover().count(_.startsWith("v-")) === 2)
+    assert(leftover().count(_.startsWith("ptr-")) === 2)
+    assert(store.read("i", "f").as[(String, Long)].collect().toMap ===
+      Map("d" -> 4L))
   }
 
   test("commit with partitions hash-clusters the state by key") {
