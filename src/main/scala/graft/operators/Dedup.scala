@@ -64,8 +64,16 @@ object Dedup {
     * (a, b, jacc_permille) with a < b. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5, thresholdPermille: Int = 100): DataFrame = {
-    val inv = shingleInv(df, textCol, idCol, n)
-    val pairs = inv.as("x").join(inv.as("y"),
+    // Self-join shape: repartition on the join key and force a shuffle
+    // join. The two sides are then byte-identical plans ending in the same
+    // Exchange, so AQE computes the whole inverted index ONCE and feeds the
+    // second side from a ReusedExchange. A broadcast join here would skip
+    // that common shuffle boundary and rebuild the index (scan + explode +
+    // two windows + aggregate) once per side — measured ~2× the cost — and
+    // at 100 TB the index can't broadcast anyway, so the shuffle join is
+    // also the only plan that scales.
+    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    val pairs = inv.as("x").join(inv.as("y").hint("shuffle_hash"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
         col("x.nsh").as("na"), col("y.nsh").as("nb"))
@@ -104,8 +112,14 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(i => col(s"h${b * r + i}")): _*).as("bh"))
     }
+    // Same self-join shape as [[ngramJaccardPairs]]: repartition on the
+    // band key + shuffle join ⇒ AQE reuses one Exchange for both sides, so
+    // the signature pipeline (shingle index + k min-hashes) runs once, not
+    // twice — and bucket joins on band keys are the only shape that scales
+    // past broadcast size.
     val keyed = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-    keyed.as("x").join(keyed.as("y"),
+      .repartition(col("bk"))
+    keyed.as("x").join(keyed.as("y").hint("shuffle_hash"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()

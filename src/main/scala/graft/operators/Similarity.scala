@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays — zip_with + aggregate,
-    * fully codegen'd, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two equal-length double arrays — a native codegen'd
+    * Catalyst expression ([[graft.functions.DotProduct]]). The equivalent
+    * `aggregate(zip_with(...))` higher-order-function form runs interpreted
+    * (outside whole-stage codegen) and dominated the ANN profile; the
+    * native loop is bit-identical (same left-to-right summation). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

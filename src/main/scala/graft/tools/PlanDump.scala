@@ -10,9 +10,10 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -24,6 +25,12 @@ object PlanDump {
     if (args.length > 2 && args(2) == "run") {
       val t0 = System.nanoTime()
       println(s"ROWS=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+      // post-AQE plan: shows ReusedExchange / final join strategies
+      val fin = df.queryExecution.executedPlan.toString
+      println("FINAL_REUSED_EXCHANGES=" +
+        fin.linesIterator.count(l => l.contains("ReusedExchange")
+          || l.contains("ReusedQueryStage")))
+      if (args.length > 3 && args(3) == "final") println(fin)
     }
     spark.stop()
   }
