@@ -97,12 +97,29 @@ object Similarity {
     val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
       .orderBy(col("cid")).limit(nCells))
     def assign(df: DataFrame, idC: String, vC: String, n2C: String,
-        probes: Int): DataFrame =
-      Transforms.topKPerGroup(
-        df.crossJoin(cents).select(col(idC), col(vC), col(n2C), col("cid"),
-          cosFromN2(col(vC), col(n2C), col("cv"), col("cn2")).as("__sim")),
-        Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
-        .drop("__sim")
+        probes: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .select(col(idC), col(vC), col(n2C), col("cid"),
+          cosFromN2(col(vC), col(n2C), col("cv"), col("cn2")).as("__sim"))
+      if (probes == 1) {
+        // Corpus-side argmax: aggregate only (sim, -cid) — a 16-byte
+        // buffer, map-side combined, so the nCells candidate rows per
+        // vector collapse before any shuffle and the 64-dim vector never
+        // rides through a sort or an aggregation buffer. The winning cell
+        // id joins back to the vectors on the id (AQE broadcasts the
+        // assignment side when it fits). Tie-break (-cid) matches the
+        // window's (sim desc, cid asc). The window form shuffles and sorts
+        // nCells copies of every vector — untenable at corpus scale.
+        val best = scored.groupBy(col(idC))
+          .agg(max(struct(col("__sim"), (lit(0L) - col("cid")).as("__ncid")))
+            .as("__best"))
+          .select(col(idC), (lit(0L) - col("__best.__ncid")).as("cid"))
+        df.join(best, Seq(idC)).select(col(idC), col(vC), col(n2C), col("cid"))
+      } else
+        Transforms.topKPerGroup(scored,
+          Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
+          .drop("__sim")
+    }
     val corpusCells = assign(withN2(corpus, "nid", "nv", "nn2"),
       "nid", "nv", "nn2", 1)
     val queryCells = assign(withN2(queries, "qid", "qv", "qn2"),

@@ -33,9 +33,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por"),
     "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "zai4", "you3", "he2"))
 
+  /** Stopword-hit count: every occurrence counts. Native codegen'd
+    * membership loop ([[graft.functions.CountInSet]]) — the equivalent
+    * `size(filter(tokens, w => w === s1 || ...))` HOF runs interpreted and
+    * language-ID evaluates five of these per document. */
   def langScore(text: Column, words: Seq[String]): Column =
-    size(filter(wsTokens(lower(text)),
-      w => words.foldLeft(lit(false))((acc, s) => acc || (w === s))))
+    graft.functions.CountInSet(wsTokens(lower(text)), words)
 
   /** Language-ID: argmax of stopword-hit counts, ties broken by the fixed
     * language order above; no hits at all → "und" (undetermined). */
