@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Single-shot query workloads (each generated class runs once) lose far
+  // more wall-clock to C2 compile storms over Janino-generated megamorphic
+  // classes than C2-optimized code ever earns back; C1-only keeps codegen
+  // JIT cost linear and predictable.
+  "-XX:TieredStopAtLevel=1",
+  "-XX:ReservedCodeCacheSize=512m",
 )

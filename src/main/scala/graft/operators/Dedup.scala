@@ -33,8 +33,17 @@ object Dedup {
   def shingleInv(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "w0")))
+    // Input-split rebalance: repartition the RAW docs by id before
+    // tokenizing. A non-splittable input (one parquet row group — the shape
+    // of small dimension files and of freshly-landed single-file drops)
+    // would otherwise run the whole tokenize+explode in one task; and the
+    // downstream window needs hash(id) clustering anyway, so this exchange
+    // replaces the bigger one that would have shuffled the exploded tokens
+    // — strictly less data moved (docs < tokens) at any scale.
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")))
     val wspec = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
     val sh = tok.select(col("id") +: col("w0") +: leads: _*)
@@ -86,17 +95,16 @@ object Dedup {
       .select("a", "b", "jacc_permille")
   }
 
-  private def hashFn(i: Int, c: Column): Column =
-    xxhash64(lit(i), c)
-
-  /** Per-doc MinHash signature: k independent min-hashes over the shingle
-    * set, computed in ONE aggregation (k min() columns), not k passes. */
+  /** Per-doc MinHash signature as ONE `array<long>` column (`sig`), built
+    * by the native [[graft.functions.SketchAggs.minhash]] aggregate — a
+    * single tight-loop aggregate with an Array[Long] buffer instead of k
+    * `min(xxhash64(i, s))` columns whose generated code grew with k and
+    * dominated wall time via JIT compilation. Scale shape unchanged: one
+    * hash shuffle on doc id, k longs of state per doc. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, n: Int = 5): DataFrame = {
     val inv = shingleInv(df, textCol, idCol, n)
-    inv.groupBy("id")
-      .agg(min(hashFn(0, col("s"))).as("h0"),
-        (1 until k).map(i => min(hashFn(i, col("s"))).as(s"h$i")): _*)
+    inv.groupBy("id").agg(graft.functions.SketchAggs.minhash(col("s"), k).as("sig"))
   }
 
   /** MinHash + LSH banding: signatures → (band, bandHash) keys → bucket
@@ -110,7 +118,7 @@ object Dedup {
     val bands = k / r
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until r).map(i => col(s"h${b * r + i}")): _*).as("bh"))
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
     // Same self-join shape as [[ngramJaccardPairs]]: repartition on the
     // band key + shuffle join ⇒ AQE reuses one Exchange for both sides, so
@@ -126,22 +134,21 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per-token hash votes weighted ±1 per bit, sign →
-    * bit. Near-dups have small Hamming distance. One explode + one
-    * aggregate with 64 sum columns — single shuffle on doc id. */
+    * bit. Near-dups have small Hamming distance. One explode + one native
+    * [[graft.functions.SketchAggs.simhash]] aggregate (64-counter buffer in
+    * a tight loop — same output as the 64-sum-column formulation whose
+    * generated code was a JIT-time sink) — single shuffle on doc id.
+    * Raw docs are rebalanced by id first so the tokenize+explode
+    * parallelizes even off a single input split, and that exchange is the
+    * one the aggregate needs anyway. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // hash bound to a column BEFORE the aggregate: the 64 vote expressions
-    // then read an attribute instead of re-evaluating xxhash64 64× per row.
-    val tok = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("w"))
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(TextAnalysis.wsTokens(lower(col("__text")))).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"), (0 until 64).map { b =>
-        when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    tok.groupBy("id")
+      .agg(graft.functions.SketchAggs.simhash(col("h")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -156,8 +163,12 @@ object Dedup {
     // (n² rows); the per-pair work is a single dot product. The cosine
     // formula stays dot/(sqrt(n2a)·sqrt(n2b)) — bit-identical to the naive
     // form, so the oracle compare is unaffected.
+    // Rebalance by id: the pairwise join parallelizes over the LEFT side's
+    // partitions (the right side broadcasts), so a single-split input would
+    // serialize all the dot products into one task.
     val v = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("id"))
       .withColumn("n2", Similarity.dot(col("v"), col("v")))
     val a = v.as("x"); val b = v.as("y")
     a.join(b, col("x.id") < col("y.id"))

@@ -41,14 +41,21 @@ object Similarity {
   private def cosFromN2(av: Column, an2: Column, bv: Column, bn2: Column): Column =
     round(dot(av, bv) / (sqrt(an2) * sqrt(bn2)) * lit(1000.0)).cast("long")
 
+  /** `rebalance = true` repartitions by id before the vector math — for the
+    * CORPUS side, whose per-row dot products would otherwise all run in one
+    * task when the input is a single non-splittable split. Query sides skip
+    * it (they broadcast; partitioning is irrelevant). */
   private def withN2(df: DataFrame, idAs: String, vecAs: String,
-      n2As: String): DataFrame =
-    df.select(col("id").as(idAs), col("vec").cast("array<double>").as(vecAs))
+      n2As: String, rebalance: Boolean = false): DataFrame = {
+    val base = df.select(col("id").as(idAs),
+      col("vec").cast("array<double>").as(vecAs))
+    (if (rebalance) base.repartition(col(idAs)) else base)
       .withColumn(n2As, dot(col(vecAs), col(vecAs)))
+  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withN2(queries, "qid", "qv", "qn2"))
-    val c = withN2(corpus, "nid", "nv", "nn2")
+    val c = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val scored = c.join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
@@ -96,6 +103,7 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
       .orderBy(col("cid")).limit(nCells))
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     def assign(df: DataFrame, idC: String, vC: String, n2C: String,
         probes: Int): DataFrame = {
       val scored = df.crossJoin(cents)
@@ -120,8 +128,7 @@ object Similarity {
           Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
           .drop("__sim")
     }
-    val corpusCells = assign(withN2(corpus, "nid", "nv", "nn2"),
-      "nid", "nv", "nn2", 1)
+    val corpusCells = assign(corpusN2, "nid", "nv", "nn2", 1)
     val queryCells = assign(withN2(queries, "qid", "qv", "qn2"),
       "qid", "qv", "qn2", nProbe)
     val scored = corpusCells.join(queryCells, Seq("cid"))
@@ -152,7 +159,9 @@ object Similarity {
     val q = q0.select(col("qid"), col("qv"), col("qn2"),
       explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
         .as("bucket"))
-    val c = lshBuckets(corpus, "vec", "id", nPlanes, dim)
+    // Corpus side rebalanced by id before the per-row bucket/norm math —
+    // single-split inputs would otherwise compute every plane dot in 1 task.
+    val c = lshBuckets(corpus.repartition(col("id")), "vec", "id", nPlanes, dim)
       .select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
       .withColumn("nn2", dot(col("nv"), col("nv")))
     val scored = c.join(broadcast(q), Seq("bucket"))

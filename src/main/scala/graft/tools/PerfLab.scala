@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratchpad: repeated runs of one query inside a warm session, with
+  * GC + JIT time deltas per iteration, to separate plan cost from JVM
+  * pathology (GC thrash / codegen compilation storms). */
+object PerfLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qname = if (args.nonEmpty) args(0) else "dedup_simhash"
+    val iters = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def gcMillis: Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    def jitMillis: Long = ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+
+    // experiment variants: <name>_par repartitions the scanned table before
+    // the per-row work, testing the input-split-rebalance hypothesis.
+    val experiments: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "simhash_par" -> ((s, dir) =>
+        graft.operators.Dedup.simhash(
+          s.read.parquet(s"$dir/documents.parquet").repartition(32),
+          "text", "doc_id")),
+      "q1_agg_par" -> ((s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet").repartition(32)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+            count(lit(1)).as("n"))
+      })
+    )
+    val fn = experiments.getOrElse(qname, graft.SparkEntry.queries(qname))
+    for (i <- 1 to iters) {
+      val g0 = gcMillis; val j0 = jitMillis; val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PERF $qname iter=$i rows=$n sec=$sec%.2f gc_ms=${gcMillis - g0} jit_ms=${jitMillis - j0}")
+    }
+    spark.stop()
+  }
+}
