@@ -371,6 +371,39 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "rep_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupTokenPermille(col("text")).as("dup_permille"))),
+
+    "rep_topgram" -> ((s, dir) =>
+      TextAnalysis.topBigramConcentration(t(s, dir, "documents"),
+        "text", "doc_id").withColumnRenamed("id", "doc_id")),
+
+    "hash_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.hashSplit(col("text")).as("split"))),
+
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
+
+    // as-of join (engine extension, §2.3 note): latest 'error' event
+    // at-or-before each 'click', per user — one union + window pass,
+    // linear in |L|+|R|, never the quadratic join-filter-window shape.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("err_ts"),
+          col("event_id"))
+      graft.operators.AsofJoin.asof(clicks, errors, "user_id", "ts",
+          Seq("err_ts"), rightTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_err_ts")).as("err_ts_us"))
+    }),
+
     // ===== extensions: multimodal plumbing =====
     "mm_meta" -> ((s, dir) => {
       val assets = Multimodal.toAssets(t(s, dir, "documents"),
@@ -639,6 +672,49 @@ object SparkEntry {
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |   AS n_bpeish
         | FROM documents""".stripMargin,
+
+    "rep_score" ->
+      """SELECT doc_id,
+        | CAST(round((len(w) - len(list_distinct(w))) * 1000.0
+        |   / greatest(len(w), 1), 0) AS BIGINT) AS dup_permille
+        | FROM (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |   FROM documents)""".stripMargin,
+
+    "rep_topgram" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM w),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(round(MAX(c) * 1000.0 / SUM(c), 0) AS BIGINT)
+        |    AS top_bigram_permille
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |      WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS split
+        | FROM documents""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT w, COUNT(*) AS n
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |   '\s+')) AS w FROM documents)
+        | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    "asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  epoch_us(e.ts) AS err_ts_us
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS byte_len,

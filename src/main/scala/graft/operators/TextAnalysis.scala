@@ -77,4 +77,61 @@ object TextAnalysis {
     val idx = sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1)))
     array_min(transform(idx, i => xxhash64(text.substr(i, lit(k)))))
   }
+
+  /** Duplicate-token fraction (permille): 1000·(n − n_distinct)/n — the
+    * cheap Gopher-style repetitiousness gate. Single-pass expression, no
+    * shuffle; empty text → 0. */
+  def dupTokenPermille(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val n = size(toks).cast("double")
+    round((n - size(array_distinct(toks)).cast("double")) * lit(1000.0) /
+      greatest(n, lit(1.0))).cast("long")
+  }
+
+  /** Top-bigram concentration per doc (permille of all bigram occurrences
+    * taken by the most frequent one) — the Gopher "top n-gram fraction"
+    * repetition signal. Shape: explode bigrams → count per (doc, bigram) →
+    * max/total per doc; two hash shuffles on the doc id, counts only (no
+    * text) past the first aggregate. Docs with < 2 tokens emit no row
+    * (they have no bigrams). */
+  def topBigramConcentration(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Same input-split rebalance + exchange-reuse shape as shingleInv:
+    // repartition raw docs by id; both aggregates then cluster on id.
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(wsTokens(lower(col("__text")))).as(Seq("pos", "w")))
+    val wspec = Window.partitionBy("id").orderBy("pos")
+    val bg = tok.select(col("id"),
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(wspec)).as("g"),
+        lead(col("w"), 1).over(wspec).isNotNull.as("ok"))
+      .filter(col("ok"))
+    bg.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"))
+      .select(col("id"),
+        round(col("maxc") * lit(1000.0) / col("tot")).cast("long")
+          .as("top_bigram_permille"))
+  }
+
+  /** Deterministic content-hash split assignment (train/val/test by the
+    * first hex nibble of md5(text): 12/2/2 of 16). Content-keyed — exact
+    * duplicates always land in the same split, so near-version leakage
+    * across splits is bounded by the dedup stage, not row order. Pure
+    * column expression: stable under repartitioning, reshuffling, reruns. */
+  def hashSplit(text: Column): Column = {
+    val nibble = substring(md5(text), 1, 1)
+    when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
+  }
+
+  /** Global top-k vocabulary by token count: one explode + one map-side-
+    * combined count aggregate; the top-k is a TakeOrderedAndProject (per-
+    * partition heaps + driver merge), never a global sort. Ties broken by
+    * token ascending for determinism. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(k)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, TextAnalysis}
+
+class AsofTextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("asof join: latest right at-or-before, >= tie visibility, null when none") {
+    val left = Seq(
+      ("k1", 10L, "l_a"), // after r@5  -> 5
+      ("k1", 20L, "l_b"), // after r@15 -> 15
+      ("k1", 15L, "l_c"), // EQUAL to r@15 -> 15 (>= semantics)
+      ("k1", 3L, "l_d"),  // before any right -> null
+      ("k2", 50L, "l_e"), // key with no rights at all -> null
+      ("k3", 9L, "l_f")   // right exists only at same key k3
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      ("k1", 5L, 100L), ("k1", 15L, 101L), ("k3", 1L, 102L),
+      ("k9", 1L, 103L) // right-only key never surfaces
+    ).toDF("k", "ts", "rid")
+
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("rid"),
+        rightTieBreak = Seq("rid"))
+      .select("lv", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out === Map(
+      "l_a" -> Some(100L), "l_b" -> Some(101L), "l_c" -> Some(101L),
+      "l_d" -> None, "l_e" -> None, "l_f" -> Some(102L)))
+  }
+
+  test("asof join: tie among right rows at one (key, ts) -> max tiebreak wins") {
+    val left = Seq(("k", 10L, "l")).toDF("k", "ts", "lv")
+    val right = Seq(("k", 10L, 1L), ("k", 10L, 7L), ("k", 10L, 3L))
+      .toDF("k", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("rid"),
+        rightTieBreak = Seq("rid"))
+      .select("asof_rid").as[Long].collect()
+    assert(out.toSeq === Seq(7L))
+  }
+
+  test("dup-token permille: all-same vs all-distinct") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "x x y y"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.dupTokenPermille(col("text")).as("p"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 750L, 2L -> 0L, 3L -> 500L))
+  }
+
+  test("top-bigram concentration: repeated bigram dominates") {
+    // "a b a b a b" -> bigrams: (a b)x3, (b a)x2 -> top 3/5 = 600
+    val df = Seq((1L, "a b a b a b"), (2L, "q")).toDF("id", "text")
+    val out = TextAnalysis.topBigramConcentration(df, "text", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 600L)) // id 2 has no bigrams -> no row
+  }
+
+  test("hash split: deterministic, content-keyed, covers all three splits") {
+    val docs = (0 until 200).map(i => (i.toLong, s"doc number $i"))
+      .toDF("id", "text")
+    val a = docs.select(col("id"), TextAnalysis.hashSplit(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = docs.repartition(7)
+      .select(col("id"), TextAnalysis.hashSplit(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a === b) // stable under repartitioning
+    assert(a.values.toSet === Set("train", "val", "test"))
+    // identical content -> identical split regardless of id
+    val dup = Seq((900L, "doc number 3")).toDF("id", "text")
+      .select(TextAnalysis.hashSplit(col("text"))).as[String].head()
+    assert(dup === a(3L))
+  }
+
+  test("vocab top-k: counts and tie order") {
+    val df = Seq("b a", "b c a", "b").toDF("text")
+    val out = TextAnalysis.vocabTopK(df, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("b", 3L), ("a", 2L))) // a beats c on count; then token asc
+  }
+}
