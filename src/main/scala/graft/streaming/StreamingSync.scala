@@ -59,4 +59,32 @@ class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) 
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n"), col("value_cents"))
   }
+
+  /** Streaming exact-dedup on a key: keeps the FIRST arrival per key and
+    * drops later duplicates, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates separated by more than
+    * the watermark may both survive; that is the price of bounded state at
+    * unbounded scale). Batch mode degenerates to a plain `dropDuplicates`
+    * so the same call is oracle-checkable. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** Gap-based session aggregation via `session_window` — the streaming
+    * twin of [[graft.operators.Sessionize]] (same gap semantics; watermark
+    * closes sessions and evicts their state). Works on batch frames too. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String,
+      valueCol: String = "value"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    src.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("n_events"), col("value_cents"))
+  }
 }

@@ -69,4 +69,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expect)
     } finally q.stop()
   }
+
+  test("streaming dedup: duplicates within watermark dropped, state bounded") {
+    val root = Files.createTempDirectory("graft-ddp").toString
+    val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // same key appears 3x within minutes; a second key once
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/ev.json"), Seq(
+      """{"ts": "2024-01-01T00:00:00Z", "k": "a", "v": 1}""",
+      """{"ts": "2024-01-01T00:01:00Z", "k": "a", "v": 2}""",
+      """{"ts": "2024-01-01T00:02:00Z", "k": "b", "v": 3}""",
+      """{"ts": "2024-01-01T00:03:00Z", "k": "a", "v": 4}""").mkString("\n"))
+    val schema = "ts TIMESTAMP, k STRING, v INT"
+    val sync = new StreamingSync(spark, null, null)
+
+    val streamDf = spark.readStream.schema(schema).json(inDir)
+    val q = sync.dedupStream(streamDf, "ts", Seq("k"), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddp_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ddp_out").collect()
+        .map(r => r.getAs[String]("k")).sorted.toSeq
+      assert(got === Seq("a", "b")) // one survivor per key
+    } finally q.stop()
+
+    // batch twin: same call, plain dropDuplicates
+    val batchDf = spark.read.schema(schema).json(inDir)
+    assert(sync.dedupStream(batchDf, "ts", Seq("k"), "10 minutes").count() === 2)
+  }
+
+  test("session window agg: streaming result equals batch result") {
+    val root = Files.createTempDirectory("graft-sess").toString
+    val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // user u1: two bursts separated by > 30min gap; u2: one event
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/ev.json"), Seq(
+      """{"ts": "2024-01-01T00:00:00Z", "u": "u1", "value": 1.0}""",
+      """{"ts": "2024-01-01T00:10:00Z", "u": "u1", "value": 2.0}""",
+      """{"ts": "2024-01-01T02:00:00Z", "u": "u1", "value": 3.0}""",
+      """{"ts": "2024-01-01T00:05:00Z", "u": "u2", "value": 4.0}""").mkString("\n"))
+    val schema = "ts TIMESTAMP, u STRING, value DOUBLE"
+    val sync = new StreamingSync(spark, null, null)
+
+    val batchDf = spark.read.schema(schema).json(inDir)
+    val expect = sync.sessionWindowAgg(batchDf, "ts", "u", "30 minutes", "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(expect.size === 3) // u1 x2 sessions + u2 x1
+
+    val streamDf = spark.readStream.schema(schema).json(inDir)
+    val q = sync.sessionWindowAgg(streamDf, "ts", "u", "30 minutes", "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect().map(_.toSeq).toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
 }
