@@ -24,7 +24,11 @@ object PlanDump {
     df.explain("formatted")
     if (args.length > 2 && args(2) == "run") {
       val t0 = System.nanoTime()
-      println(s"ROWS=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+      // execute df's OWN QueryExecution: count() would plan a separate one
+      // and the inspected AQE plan would stay isFinalPlan=false, reporting
+      // zero reused exchanges no matter what actually ran.
+      val n = df.queryExecution.toRdd.count()
+      println(s"ROWS=$n in ${(System.nanoTime() - t0) / 1e9}s")
       // post-AQE plan: shows ReusedExchange / final join strategies
       val fin = df.queryExecution.executedPlan.toString
       println("FINAL_REUSED_EXCHANGES=" +
