@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the hot operators — the properties
+  * the 100 TB story rests on (filter pushdown into the scan, column
+  * pruning, broadcast of dimension sides, exchange reuse across self-join
+  * sides, no redundant exchanges). Failing one of these means a plan
+  * regression even if results stay correct. Uses sf0.001 — plan shape is
+  * scale-invariant, data volume is not the subject here.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Execute df's own QueryExecution (so AQE finalizes) and return the
+    * final physical plan string — ONLY the "Final Plan" section (the
+    * AdaptiveSparkPlan string repeats the whole tree under
+    * "== Initial Plan ==", which would double every node count). */
+  private def finalPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("scan_parquet: filter pushed to the scan, columns pruned") {
+    val plan = q("scan_parquet").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    // projection is 3 referenced columns + the filter column — nothing else
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .forall(read.contains), read)
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), read)
+  }
+
+  test("q3/q5 star joins: dimension sides broadcast, fact side never does") {
+    for (name <- Seq("q3_revenue", "q5_nation_revenue")) {
+      val plan = finalPlan(q(name))
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcasts")
+      val bcastScans = plan.linesIterator
+        .filter(_.contains("BroadcastExchange")).size
+      assert(bcastScans >= 1, s"$name: no BroadcastExchange in final plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ crept in")
+      // lineitem (the fact) must not be on a broadcast side
+      assert(!plan.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("dedup_minhash/ngram self-joins: signature pipeline computed once") {
+    for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
+      val plan = finalPlan(q(name))
+      val reused = plan.linesIterator.count(l =>
+        l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+      assert(reused >= 1,
+        s"$name: self-join sides no longer share one exchange\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
+  test("simhash: one rebalance exchange feeds the aggregate, no second shuffle") {
+    val df = graft.operators.Dedup.simhash(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    val plan = finalPlan(df)
+    val exchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange")
+        || l.trim.startsWith("Exchange"))
+    assert(exchanges === 1,
+      s"simhash should have exactly the repartition(id) exchange, got $exchanges:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), "sketch agg not planned")
+  }
+
+  test("reconcile diff: single full-outer join on the key, both sides pruned") {
+    val plan = finalPlan(q("snapshot_diff"))
+    assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins === 1, s"diff should be exactly one join, got $joins")
+  }
+
+  test("edge_resolve_join: both node dims broadcast semi-joins") {
+    val plan = finalPlan(q("edge_resolve_join"))
+    val bsemi = plan.linesIterator
+      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(bsemi === 2, s"expected 2 broadcast semi joins:\n$plan")
+  }
+
+  test("vocab_topk: top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(q("vocab_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("asof_join: one shuffle+sort per side union, no join operator at all") {
+    val plan = finalPlan(q("asof_join"))
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+}
