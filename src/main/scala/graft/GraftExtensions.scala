@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.Crc32QExpression
+import graft.functions.{Crc32QExpression, DotProductExpression,
+  MinhashAggExpression, SimhashAggExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use.
@@ -15,17 +16,47 @@ import graft.functions.Crc32QExpression
   *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
   *   .getOrCreate()
   * spark.sql("SELECT crc32q(token) FROM batch")
+  * spark.sql("SELECT dot_product(a.vec, b.vec) FROM ...")
+  * spark.sql("SELECT id, minhash_agg(shingle, 64) FROM inv GROUP BY id")
+  * spark.sql("SELECT id, simhash_agg(xxhash64(w)) FROM toks GROUP BY id")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def register(e: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression, clazz: Class[_]): Unit =
+    e.injectFunction((new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name), builder))
+
+  private def arity(name: String, n: Int)(children: Seq[Expression]): Unit =
+    require(children.size == n,
+      s"$name expects exactly $n argument(s), got ${children.size}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("crc32q"),
-      new ExpressionInfo(classOf[Crc32QExpression].getName, "crc32q"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1,
-          s"crc32q expects exactly 1 argument, got ${children.size}")
-        Crc32QExpression(children.head)
-      }))
+    register(e, "crc32q", { children =>
+      arity("crc32q", 1)(children)
+      Crc32QExpression(children.head)
+    }, classOf[Crc32QExpression])
+
+    register(e, "dot_product", { children =>
+      arity("dot_product", 2)(children)
+      DotProductExpression(children(0), children(1))
+    }, classOf[DotProductExpression])
+
+    register(e, "minhash_agg", { children =>
+      require(children.size == 1 || children.size == 2,
+        s"minhash_agg(shingle[, k]) expects 1 or 2 arguments, got ${children.size}")
+      val k = children.lift(1).map {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_agg k must be an integer literal, got $other")
+      }.getOrElse(64)
+      MinhashAggExpression(children.head, k).toAggregateExpression()
+    }, classOf[MinhashAggExpression])
+
+    register(e, "simhash_agg", { children =>
+      arity("simhash_agg", 1)(children)
+      SimhashAggExpression(children.head).toAggregateExpression()
+    }, classOf[SimhashAggExpression])
   }
 }
