@@ -297,6 +297,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactSurvivors(t(s, dir, "documents"), "text", "doc_id")),
 
+    // incremental crawl dedup: batch vs persistent seen-hash state —
+    // one within-batch hash agg + one (hash, id) anti-join; bodies never
+    // join. State fixture = the docs already "seen" in a previous sync.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = Dedup.seenHashes(docs.filter(col("doc_id") % 3 === 0), "text")
+      Dedup.incrementalExactSurvivors(docs, seen, "text", "doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 5, thresholdPermille = 100)),
@@ -359,7 +368,9 @@ object SparkEntry {
       // minimum length + exact dedup — each stage a single-pass column
       // expression or one hash shuffle, the shape a 100 TB curation job
       // needs (no stage materializes more than (key, id)).
-      val d = t(s, dir, "documents")
+      // input-split rebalance ahead of the scoring expressions: a single
+      // row-group input would run all three scorers in one task.
+      val d = t(s, dir, "documents").repartition(col("doc_id"))
       val filtered = d.filter(
         TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.qualityScore(col("text")) >= 400 &&
@@ -612,6 +623,14 @@ object SparkEntry {
 
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "dedup_incremental" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS seen_hash
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id FROM b
+        |WHERE h NOT IN (SELECT seen_hash FROM seen)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (

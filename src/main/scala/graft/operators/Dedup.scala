@@ -67,6 +67,30 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Incremental exact dedup: survivors of `batch` whose content does NOT
+    * already exist in `seenState` (a persisted hash set from previous
+    * syncs). The crawl-pipeline composition of this engine's two halves —
+    * content dedup × reconcile-style persistent state: each new batch costs
+    * one within-batch dedup plus one anti-join of (hash, id) pairs against
+    * the state table; document bodies never join anything.
+    *
+    * `seenState` must carry `hashCol` (e.g. `md5(text)` from
+    * [[seenHashes]]); at scale it is written hash-clustered on `hashCol`
+    * so the anti-join co-partitions with it. New survivors' hashes are the
+    * caller's to append to state after the sink write succeeds — same
+    * two-phase contract as [[graft.operators.Reconcile]]. */
+  def incrementalExactSurvivors(batch: DataFrame, seenState: DataFrame,
+      textCol: String, idCol: String, hashCol: String = "seen_hash"): DataFrame =
+    batch.select(md5(col(textCol)).as(hashCol), col(idCol))
+      .groupBy(hashCol).agg(min(col(idCol)).as(idCol))
+      .join(seenState.select(hashCol), Seq(hashCol), "left_anti")
+      .select(idCol)
+
+  /** State image of a batch for [[incrementalExactSurvivors]]. */
+  def seenHashes(df: DataFrame, textCol: String,
+      hashCol: String = "seen_hash"): DataFrame =
+    df.select(md5(col(textCol)).as(hashCol)).dropDuplicates(hashCol)
+
   /** Exact n-gram-Jaccard near-dup pairs via inverted shingle index:
     * doc→shingle explode, self-join on shingle, common-count per pair,
     * jaccard = common / (|A| + |B| − common) ≥ threshold. Returns

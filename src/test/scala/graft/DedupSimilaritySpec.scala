@@ -39,6 +39,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cand.contains((1L, 2L))) // 12/13 shingles shared → near-certain
   }
 
+  test("incremental dedup: seen content excluded, within-batch dups collapse") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val batch = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"))
+      .toDF("doc_id", "text")
+    val seen = Dedup.seenHashes(
+      Seq((99L, "bbb")).toDF("doc_id", "text"), "text")
+    val out = Dedup.incrementalExactSurvivors(batch, seen, "text", "doc_id")
+      .as[Long].collect().toSet
+    // "bbb" already seen; "aaa" collapses to min id 1; "ccc" new
+    assert(out === Set(1L, 4L))
+    // empty state: everything (deduped) survives
+    val none = Dedup.seenHashes(batch.filter(col("doc_id") < 0), "text")
+    assert(Dedup.incrementalExactSurvivors(batch, none, "text", "doc_id")
+      .count() === 3)
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
