@@ -136,7 +136,15 @@ object Dedup {
     * [[ngramJaccardPairs]] on the candidate subset). r rows/band; docs
     * agreeing on all r hashes of any band collide. Returns distinct
     * candidate pairs (a < b). */
-  def minhashLshCandidates(sigs: DataFrame, k: Int = 64, r: Int = 4): DataFrame = {
+  /** `maxBucket` (0 = off) drops band buckets with more than that many
+    * members before the self-join — the standard skew control at corpus
+    * scale: a degenerate bucket of m docs (boilerplate shingle sets,
+    * adversarial content) would emit m²/2 candidate pairs on one key and
+    * stall the stage. Dropped buckets lose those candidates by design —
+    * docs that near-duplicate each other agree on MANY bands, so they
+    * still collide in a non-degenerate one with high probability. */
+  def minhashLshCandidates(sigs: DataFrame, k: Int = 64, r: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     require(k % r == 0,
       s"k=$k must be a multiple of r=$r (trailing hashes would be silently unused)")
     val bands = k / r
@@ -149,8 +157,16 @@ object Dedup {
     // the signature pipeline (shingle index + k min-hashes) runs once, not
     // twice — and bucket joins on band keys are the only shape that scales
     // past broadcast size.
-    val keyed = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val allKeyed = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .repartition(col("bk"))
+    val keyed = if (maxBucket <= 0) allKeyed else {
+      // bucket-size filter clusters on the same key, so it rides the same
+      // exchange; only (bk, n) pairs flow into the window, never payloads.
+      import org.apache.spark.sql.expressions.Window
+      allKeyed
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("bk")))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    }
     keyed.as("x").join(keyed.as("y").hint("shuffle_hash"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))

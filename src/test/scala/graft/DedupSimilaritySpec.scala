@@ -39,6 +39,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cand.contains((1L, 2L))) // 12/13 shingles shared → near-certain
   }
 
+  test("minhash LSH bucket cap drops only the degenerate buckets") {
+    val sigs = Dedup.minhashSignature(docs, "text", "doc_id", k = 64, n = 3)
+    val uncapped = Dedup.minhashLshCandidates(sigs, k = 64, r = 4)
+      .collect().toSet
+    // cap far above any real bucket: identical results
+    val high = Dedup.minhashLshCandidates(sigs, k = 64, r = 4, maxBucket = 1000)
+      .collect().toSet
+    assert(high === uncapped)
+    // cap of 1: every multi-member bucket dropped -> no candidates at all
+    val one = Dedup.minhashLshCandidates(sigs, k = 64, r = 4, maxBucket = 1)
+    assert(one.count() === 0)
+  }
+
   test("incremental dedup: seen content excluded, within-batch dups collapse") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
