@@ -91,18 +91,66 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       lshBucket(col(vecCol).cast("array<double>"), nPlanes, dim).as("bucket"))
 
+  /** Spherical k-means-lite centroid training for [[annTopKIvf]]: Lloyd
+    * iterations entirely as DataFrame jobs — assign every vector to its
+    * nearest centroid (broadcast-join + argmax aggregate, one pass), then
+    * recompute each centroid as the elementwise mean of its cell
+    * (posexplode → avg per (cell, dim) → array rebuild). The driver only
+    * orchestrates iterations and ferries the (nCells × dim) centroid set —
+    * small by definition — between them; vectors never leave executors.
+    * Seeded from the deterministic lowest-id sample, so training is
+    * reproducible. Returns (cid, vec). */
+  def trainCentroids(corpus: DataFrame, nCells: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    var cents: Seq[(Long, Seq[Double])] =
+      withN2(corpus, "cid", "cv", "cn2").orderBy(col("cid")).limit(nCells)
+        .select(col("cid").cast("long"), col("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 0 until iters) {
+      import spark.implicits._
+      val centDf = broadcast(cents.toDF("cid", "cv")
+        .withColumn("cn2", dot(col("cv"), col("cv"))))
+      val scored = corpusN2.crossJoin(centDf)
+        .select(col("nid"), col("nv"), col("cid"),
+          cosFromN2(col("nv"), col("nn2"), col("cv"), col("cn2")).as("__sim"))
+      val best = scored.groupBy(col("nid"))
+        .agg(max(struct(col("__sim"), (lit(0L) - col("cid")).as("__ncid")))
+          .as("__best"))
+        .select(col("nid"), (lit(0L) - col("__best.__ncid")).as("cid"))
+      val assigned = corpusN2.join(best, Seq("nid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .select(col("cid").cast("long"), col("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    }
+    import spark.implicits._
+    cents.toDF("cid", "vec")
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path. The corpus is
     * partitioned into cells by nearest centroid; a query probes only its
-    * `nProbe` nearest cells (~nProbe/nCells of the corpus). Centroids here
-    * are deterministic samples (lowest ids) rather than trained k-means —
-    * the partition/probe machinery is identical and swapping in trained
-    * centroids changes one DataFrame. Everything is joins against a
+    * `nProbe` nearest cells (~nProbe/nCells of the corpus). Default
+    * centroids are deterministic samples (lowest ids); pass
+    * `centroids = Some(trainCentroids(corpus))` for k-means cells — the
+    * partition/probe machinery is identical. Everything is joins against a
     * broadcast centroid set: no driver-side loops, corpus assignment is one
     * pass. */
   def annTopKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
-      .orderBy(col("cid")).limit(nCells))
+      nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val centBase = centroids match {
+      case Some(c) => withN2(c.select(col("cid").as("id"), col("vec")),
+        "cid", "cv", "cn2")
+      case None => withN2(corpus, "cid", "cv", "cn2")
+        .orderBy(col("cid")).limit(nCells)
+    }
+    val cents = broadcast(centBase)
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     def assign(df: DataFrame, idC: String, vC: String, n2C: String,
         probes: Int): DataFrame = {

@@ -109,6 +109,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.size === 25) // full top-5 for each of 5 queries
   }
 
+  test("IVF with trained centroids: valid top-k, recall not worse than sampled") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+
+    val trained = Similarity.trainCentroids(c, nCells = 8, iters = 2)
+    assert(trained.count() <= 8)
+    assert(trained.select("vec").head().getSeq[Double](0).length ===
+      c.select("vec").head().getSeq[Float](0).length)
+
+    def recallOf(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val approx = Similarity
+        .annTopKIvf(q, c, 5, nCells = 8, nProbe = 3, centroids = cents)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      assert(approx.size === 25)
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val rSampled = recallOf(None)
+    val rTrained = recallOf(Some(trained))
+    // trained cells should not LOSE recall vs arbitrary sampled seeds
+    // (allow one-neighbor slack for tie reshuffling at equal similarity)
+    assert(rTrained >= rSampled - 0.04, s"trained=$rTrained sampled=$rSampled")
+  }
+
   test("embedding cosine pairs: self-similarity sanity") {
     val two = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), 0),
