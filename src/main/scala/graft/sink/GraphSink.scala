@@ -26,16 +26,27 @@ import graft.model.Schemas
   * are written hash-clustered by key so the next merge co-partitions — the
   * moral equivalent of the reference's `CREATE INDEX … ON external_id`
   * (`neo4j.go:54-71`).
+  *
+  * `nodeBuckets > 0` switches node tables to hash-bucketed
+  * [[graft.state.ManifestedTable]] storage: a delta then reads and
+  * rewrites ONLY the buckets its keys route to — the property that makes a
+  * 1% delta against a 100 TB node table affordable. Per-commit atomicity
+  * is a single manifest swap either way; cross-function replay safety is
+  * unchanged (at-least-once + idempotent MERGE).
   */
-class GraphSink(spark: SparkSession, root: String) {
+class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
 
   private val key = Schemas.externalId
 
   private def table(kind: String, name: String) =
     new graft.state.AtomicTable(spark, s"$root/$kind/$name")
 
+  private def bucketed(label: String) =
+    new graft.state.ManifestedTable(spark, s"$root/nodes/$label", nodeBuckets)
+
   def readNodes(label: String, schema: org.apache.spark.sql.types.StructType = null): DataFrame =
-    table("nodes", label).read(schema)
+    if (nodeBuckets > 0) bucketed(label).read(schema)
+    else table("nodes", label).read(schema)
 
   def readEdges(relType: String): DataFrame =
     table("edges", relType).read(Schemas.edge)
@@ -51,12 +62,32 @@ class GraphSink(spark: SparkSession, root: String) {
     * explicit order (reference batch order, `neo4j.go:87-88`). */
   def applyNodeDelta(label: String, toCreate: DataFrame,
       toDelete: DataFrame): Unit = {
+    if (nodeBuckets > 0) { applyNodeDeltaBucketed(label, toCreate, toDelete); return }
     val existing = readNodes(label, toCreate.schema)
     val survivors = existing
       .join(toDelete.select(col(key)), Seq(key), "left_anti")
       .join(toCreate.select(col(key)), Seq(key), "left_anti")
     table("nodes", label)
       .commit(survivors.unionByName(toCreate.dropDuplicates(key)))
+  }
+
+  /** Bucket-pruned merge: only the buckets the delta's keys route to are
+    * read, merged, and rewritten; every other bucket is carried forward by
+    * manifest reference. The touched-bucket set is a collect of distinct
+    * bucket IDS (ints bounded by nodeBuckets — never row data). */
+  private def applyNodeDeltaBucketed(label: String, toCreate: DataFrame,
+      toDelete: DataFrame): Unit = {
+    val t = bucketed(label)
+    val touched = toCreate.select(t.bucketOf(col(key)).as("b"))
+      .union(toDelete.select(t.bucketOf(col(key)).as("b")))
+      .distinct().collect().map(_.getLong(0).toInt).toSet
+    if (touched.isEmpty) return
+    val existing = t.readBucketSubset(touched, toCreate.schema)
+    val survivors = existing
+      .join(toDelete.select(col(key)), Seq(key), "left_anti")
+      .join(toCreate.select(col(key)), Seq(key), "left_anti")
+    t.commitBuckets(survivors.unionByName(toCreate.dropDuplicates(key)),
+      key, touched)
   }
 
   /** Endpoint resolution == Cypher `MATCH (a),(b)` before the edge MERGE

@@ -1,0 +1,168 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Hash-bucketed, manifest-versioned parquet table: the vanilla-Spark
+  * answer to "a 1% delta must not rewrite a 100 TB table".
+  *
+  * Layout:
+  *   base/data/<commit-uuid>/__gbucket=<i>/part-*.parquet   bucket data dirs
+  *   base/manifest-<counter>-<uuid>                          manifest files
+  *
+  * A manifest is a text file mapping every bucket id to the commit-uuid
+  * whose data dir currently holds that bucket. Commit = (1) write data
+  * dirs for the TOUCHED buckets only, (2) atomically create one new
+  * manifest that re-points those buckets and carries every other bucket
+  * forward unchanged. Readers resolve the highest-counter manifest — one
+  * atomic snapshot, same pointer discipline as [[AtomicTable]] (and the
+  * same HDFS/local `createNewFile` filesystem contract; object stores need
+  * a real table format instead — this class is its minimal shape: data
+  * files + manifest + atomic pointer swap is exactly the Iceberg/Delta
+  * commit model).
+  *
+  * Cost model: merge of a delta touching b of n buckets reads and rewrites
+  * only those b buckets' rows; untouched buckets are carried by reference.
+  * Bucket routing is `pmod(xxhash64(key), n)` — deterministic, so the same
+  * key always lands in the same bucket and a keyed delta prunes exactly.
+  *
+  * GC keeps data dirs referenced by the current AND previous manifest
+  * (straggling readers get one full commit cycle, as in [[AtomicTable]]);
+  * anything older or never-referenced (crashed commits) is deleted
+  * best-effort on the next commit.
+  */
+class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+
+  final val BucketCol = "__gbucket"
+
+  private def fs: FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestRe = "manifest-([0-9]{12})-.+".r
+
+  /** Bucket id of a key column. */
+  def bucketOf(keyCol: Column): Column =
+    pmod(xxhash64(keyCol), lit(nBuckets.toLong))
+
+  /** (counter, path) of the newest committed manifest. */
+  private def currentManifest(f: FileSystem): Option[(Long, Path)] = {
+    val b = new Path(base)
+    if (!f.exists(b)) return None
+    val ms = f.listStatus(b).iterator.map(_.getPath).collect {
+      case p if ManifestRe.findFirstMatchIn(p.getName).isDefined =>
+        (ManifestRe.findFirstMatchIn(p.getName).get.group(1).toLong, p)
+    }.toSeq
+    if (ms.isEmpty) None else Some(ms.maxBy(_._1))
+  }
+
+  /** bucket id → commit uuid. Missing entries = bucket never written. */
+  private def readManifest(f: FileSystem, p: Path): Map[Int, String] = {
+    val in = f.open(p)
+    val txt = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+    } finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, uuid) = line.split("\t", 2)
+      b.toInt -> uuid
+    }.toMap
+  }
+
+  private def bucketDir(uuid: String, bucket: Int): Path =
+    new Path(base, s"data/$uuid/$BucketCol=$bucket")
+
+  def exists: Boolean = currentManifest(fs).isDefined
+
+  private def readBuckets(entries: Map[Int, String],
+      schema: StructType): DataFrame = {
+    val paths = entries.toSeq.sortBy(_._1)
+      .map { case (b, uuid) => bucketDir(uuid, b).toString }
+    if (paths.isEmpty) {
+      if (schema == null) spark.emptyDataFrame
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else {
+      val r = if (schema != null) spark.read.schema(schema) else spark.read
+      r.parquet(paths: _*)
+    }
+  }
+
+  /** Full-table read of the committed snapshot. */
+  def read(schema: StructType): DataFrame = currentManifest(fs) match {
+    case Some((_, p)) => readBuckets(readManifest(fs, p), schema)
+    case None if schema == null => spark.emptyDataFrame
+    case None => spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Read ONLY the given buckets of the committed snapshot. */
+  def readBucketSubset(buckets: Set[Int], schema: StructType): DataFrame =
+    currentManifest(fs) match {
+      case Some((_, p)) =>
+        readBuckets(readManifest(fs, p).filter(e => buckets(e._1)), schema)
+      case None if schema == null => spark.emptyDataFrame
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+
+  /** Commit `rows` as the new content of exactly the buckets in
+    * `touched` — rows MUST all route to those buckets (they are written
+    * partitioned by [[bucketOf]] of `keyCol`). Every other bucket is
+    * carried forward by reference. */
+  def commitBuckets(rows: DataFrame, keyCol: String,
+      touched: Set[Int]): Unit = {
+    val f = fs
+    val prev = currentManifest(f)
+    val prevMap = prev.map { case (_, p) => readManifest(f, p) }
+      .getOrElse(Map.empty)
+    val ctr = prev.map(_._1 + 1).getOrElse(1L)
+    val uuid = java.util.UUID.randomUUID().toString
+
+    rows.withColumn(BucketCol, bucketOf(col(keyCol)))
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(new Path(base, s"data/$uuid").toString)
+
+    // empty touched buckets get no dir from partitionBy — they simply drop
+    // out of the manifest (bucket has zero rows now).
+    val written = touched.filter(b => f.exists(bucketDir(uuid, b)))
+    val newMap = (prevMap -- touched) ++ written.map(_ -> uuid)
+    val body = newMap.toSeq.sortBy(_._1)
+      .map { case (b, u) => s"$b\t$u" }.mkString("\n")
+    // write manifest body to a temp name, then atomically rename into
+    // place: a bare create-then-write would let a concurrent reader (or a
+    // crash) observe a truncated manifest. File rename is atomic on the
+    // HDFS/local filesystems this class targets.
+    val mpath = new Path(base, f"manifest-$ctr%012d-$uuid")
+    val tmp = new Path(base, s".tmp-manifest-$uuid")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(f.rename(tmp, mpath), s"manifest rename failed: $tmp -> $mpath")
+
+    // GC: keep commit-uuids referenced by this and the previous manifest.
+    val keep = newMap.values.toSet ++ prevMap.values.toSet
+    val dataRoot = new Path(base, "data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) {
+        try f.delete(st.getPath, true) catch { case _: Exception => }
+      }
+    }
+    // drop manifests older than the previous one
+    f.listStatus(new Path(base)).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(c) if c.toLong < ctr - 1 =>
+          try f.delete(st.getPath, true) catch { case _: Exception => }
+        case _ =>
+      }
+    }
+  }
+
+  /** Full rewrite (all buckets touched) — for bootstrap loads. */
+  def commitAll(rows: DataFrame, keyCol: String): Unit =
+    commitBuckets(rows, keyCol, (0 until nBuckets).toSet)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.GraphSink
+import graft.state.ManifestedTable
+
+class ManifestedTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-mt").toString
+
+  /** Evaluate a key's bucket id through the engine itself. */
+  private def bucketIdOf(t: ManifestedTable, v: Long): Int =
+    Seq(v).toDF("k").select(t.bucketOf(col("k"))).head().getLong(0).toInt
+
+  test("commit + read round-trip; missing table reads empty") {
+    val t = new ManifestedTable(spark, tmp() + "/t", 8)
+    val schema = Seq((1L, "a")).toDF("external_id", "v").schema
+    assert(!t.exists)
+    assert(t.read(schema).count() === 0)
+    val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("external_id", "v")
+    t.commitAll(rows, "external_id")
+    assert(t.exists)
+    assert(t.read(schema).as[(Long, String)].collect().toSet ===
+      (1L to 100L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("partial commit rewrites only touched buckets; others carried by reference") {
+    val base = tmp() + "/t"
+    val t = new ManifestedTable(spark, base, 8)
+    val rows = (1L to 100L).map(i => (i, "v1")).toDF("external_id", "v")
+    t.commitAll(rows, "external_id")
+
+    // manifest v1: all buckets point at one commit uuid
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(base, "data"))
+      .map(_.getPath.getName).toSet
+    val firstCommit = dataDirs
+    assert(firstCommit.size === 1)
+
+    // delta touching only key 7's bucket
+    val touched = Set(bucketIdOf(t, 7L))
+    val existing = t.readBucketSubset(touched,
+      rows.schema).filter(col("external_id") =!= 7L)
+    t.commitBuckets(
+      existing.unionByName(Seq((7L, "v2")).toDF("external_id", "v")),
+      "external_id", touched)
+
+    // old commit dir must STILL be referenced (untouched buckets)
+    assert(dataDirs.size === 2)
+    assert(dataDirs.intersect(firstCommit).nonEmpty,
+      "untouched buckets were rewritten")
+    val schema = rows.schema
+    val now = t.read(schema).as[(Long, String)].collect().toMap
+    assert(now(7L) === "v2")
+    assert(now(8L) === "v1")
+    assert(now.size === 100)
+  }
+
+  test("delete-only delta empties a bucket's keys") {
+    val t = new ManifestedTable(spark, tmp() + "/t", 4)
+    val rows = (1L to 20L).map(i => (i, "x")).toDF("external_id", "v")
+    t.commitAll(rows, "external_id")
+    // drop keys 1..20 routed to bucket of key 3, keep none of them
+    val b3 = bucketIdOf(t, 3L)
+    val keep = t.readBucketSubset(Set(b3), rows.schema)
+      .filter(t.bucketOf(col("external_id")) =!= b3) // nothing survives
+    t.commitBuckets(keep, "external_id", Set(b3))
+    val out = t.read(rows.schema).as[(Long, String)].collect().map(_._1).toSet
+    assert(!out.contains(3L))
+    assert((1L to 20L).filter(i => bucketIdOf(t, i) != b3)
+      .forall(i => out.contains(i)))
+  }
+
+  test("bucketed GraphSink: upsert/delete semantics identical to plain sink") {
+    val plain = new GraphSink(spark, tmp() + "/g0")
+    val bucketed = new GraphSink(spark, tmp() + "/g1", nodeBuckets = 8)
+    val create1 = Seq(("a", "p1"), ("b", "p1"), ("c", "p1"))
+      .toDF("external_id", "prop")
+    val none = create1.filter(lit(false)).select("external_id")
+    for (s <- Seq(plain, bucketed)) s.applyNodeDelta("n", create1, none)
+
+    // update b, delete c, add d
+    val create2 = Seq(("b", "p2"), ("d", "p1")).toDF("external_id", "prop")
+    val del2 = Seq("c").toDF("external_id")
+    for (s <- Seq(plain, bucketed)) s.applyNodeDelta("n", create2, del2)
+
+    val want = plain.readNodes("n", create1.schema)
+      .as[(String, String)].collect().toSet
+    val got = bucketed.readNodes("n", create1.schema)
+      .as[(String, String)].collect().toSet
+    assert(got === want)
+    assert(got === Set(("a", "p1"), ("b", "p2"), ("d", "p1")))
+
+    // replay the same delta (crash-recovery path): idempotent
+    bucketed.applyNodeDelta("n", create2, del2)
+    assert(bucketed.readNodes("n", create1.schema)
+      .as[(String, String)].collect().toSet === want)
+  }
+}

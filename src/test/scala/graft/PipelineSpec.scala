@@ -83,6 +83,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sink.readEdges("has__project__bucket").count() === 0)
   }
 
+  test("bucketed node sink: full golden flow equals plain sink") {
+    val root = Files.createTempDirectory("graft-bkt").toString
+    val store = new SnapshotStore(spark, s"$root/state")
+    val sink = new GraphSink(spark, s"$root/graph", nodeBuckets = 4)
+    val driver = new SyncDriver(spark, store, sink)
+    val spec = HcpIntegration.spec("hcp-bkt", s => HcpFixture.doc(s))
+    val r1 = driver.run(spec)
+    assert(r1("buckets") === ((2L, 0L)) && r1("packer_build") === ((3L, 0L)))
+    assert(sink.readNodes("bucket").count() === 2)
+    assert(sink.readEdges("creates__version__packer_build").count() === 3)
+    // idempotent re-run then full delete, through the bucketed path
+    val r2 = driver.run(spec)
+    assert(r2("buckets") === ((0L, 0L)))
+    val specEmpty = HcpIntegration.spec("hcp-bkt",
+      s => HcpFixture.doc(s, HcpFixture.emptyJson))
+    val r3 = driver.run(specEmpty)
+    assert(r3("buckets") === ((0L, 2L)))
+    assert(sink.readNodes("bucket").count() === 0)
+    assert(sink.readEdges("has__project__bucket").count() === 0)
+  }
+
   test("update path: changed updated-at replaces node wholesale (K1)") {
     val (driver, sink) = freshEnv()
     val spec = HcpIntegration.spec("hcp-upd", s => HcpFixture.doc(s))
