@@ -397,6 +397,21 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // PII scrub: the corpus has no addresses, so deterministic emails are
+    // SYNTHESIZED into every 5th doc first — the redaction regex is then
+    // actually exercised, and the oracle re-creates the identical input.
+    "pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact: user"), col("doc_id"),
+                lit("@example.com now"))).otherwise(lit("")))
+            .as("t2"))
+        .select(col("doc_id"),
+          TextAnalysis.piiEmailCount(col("t2")).cast("long").as("n_emails"),
+          md5(TextAnalysis.piiRedact(col("t2"))).as("redacted_md5"))),
+
     // as-of join (engine extension, §2.3 note): latest 'error' event
     // at-or-before each 'click', per user — one union + window pass,
     // linear in |L|+|R|, never the quadratic join-filter-window shape.
@@ -725,6 +740,19 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  md5(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |    'g')) AS redacted_md5
+        |FROM (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' contact: user' || doc_id || '@example.com now'
+        |         ELSE '' END AS t2
+        |  FROM documents)""".stripMargin,
 
     "asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,

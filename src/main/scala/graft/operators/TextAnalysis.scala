@@ -125,6 +125,20 @@ object TextAnalysis {
     when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
   }
 
+  /** Email pattern kept to constructs with identical semantics in Java
+    * regex and RE2 (so engine and oracle agree byte-for-byte). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Count of email-shaped spans in `text`. */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  /** `text` with every email-shaped span replaced by `[EMAIL]` — the
+    * standard single-pass PII scrub stage; zero shuffle, fused into the
+    * scan like the other per-document featurizers. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(text, emailPattern, "[EMAIL]")
+
   /** Global top-k vocabulary by token count: one explode + one map-side-
     * combined count aggregate; the top-k is a TakeOrderedAndProject (per-
     * partition heaps + driver merge), never a global sort. Ties broken by

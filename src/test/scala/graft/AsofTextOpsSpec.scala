@@ -74,6 +74,20 @@ class AsofTextOpsSpec extends AnyFunSuite {
     assert(dup === a(3L))
   }
 
+  test("pii redact: emails replaced, counts right, clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at bob.smith+x@corp.example.org or alice@ex.io thanks"),
+      (2L, "no addresses here @ not-an-email x@y"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.piiEmailCount(col("text")).as("n"),
+        TextAnalysis.piiRedact(col("text")).as("r"))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((2, "reach me at [EMAIL] or [EMAIL] thanks")))
+    assert(out(2L) === ((0, "no addresses here @ not-an-email x@y")))
+    assert(out(3L) === ((0, "")))
+  }
+
   test("vocab top-k: counts and tie order") {
     val df = Seq("b a", "b c a", "b").toDF("text")
     val out = TextAnalysis.vocabTopK(df, "text", 2)
