@@ -173,6 +173,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard verification of CANDIDATE pairs only — the second half
+    * of the 100 TB near-dedup recipe (LSH proposes, exact verifies): the
+    * shingle index joins against the candidate list first, so the
+    * quadratic all-pairs shingle join never happens; per-pair cost is the
+    * common-shingle count of pairs LSH already vouched for. Returns the
+    * same (a, b, jacc_permille) shape as [[ngramJaccardPairs]]. */
+  def verifyCandidates(df: DataFrame, candidates: DataFrame, textCol: String,
+      idCol: String, n: Int = 5, thresholdPermille: Int = 100): DataFrame = {
+    val inv = shingleInv(df, textCol, idCol, n)
+    val pairs = candidates.select(col("a"), col("b"))
+      .join(inv.as("x"), col("a") === col("x.id"))
+      .join(inv.as("y"), col("b") === col("y.id") && col("x.s") === col("y.s"))
+      .groupBy(col("a"), col("b"), col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jacc_permille",
+        round(col("common") * lit(1000.0) /
+          (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jacc_permille") >= thresholdPermille)
+      .select("a", "b", "jacc_permille")
+  }
+
   /** SimHash (64-bit): per-token hash votes weighted ±1 per bit, sign →
     * bit. Near-dups have small Hamming distance. One explode + one native
     * [[graft.functions.SketchAggs.simhash]] aggregate (64-counter buffer in

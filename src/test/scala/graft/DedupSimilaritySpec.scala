@@ -39,6 +39,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cand.contains((1L, 2L))) // 12/13 shingles shared → near-certain
   }
 
+  test("LSH candidates + exact verify = exact pairs restricted to candidates") {
+    val sigs = Dedup.minhashSignature(docs, "text", "doc_id", k = 64, n = 3)
+    val cand = Dedup.minhashLshCandidates(sigs, k = 64, r = 4)
+    val verified = Dedup
+      .verifyCandidates(docs, cand, "text", "doc_id", n = 3,
+        thresholdPermille = 500)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val exactAll = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        thresholdPermille = 500)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val candSet = cand.as[(Long, Long)].collect().toSet
+    // verified == exact ∩ candidates, with IDENTICAL jaccard values
+    assert(verified === exactAll.filter { case (p, _) => candSet(p) })
+    // and the near-dup pair the recall test guarantees is present survives
+    assert(verified.contains((1L, 4L)))
+  }
+
   test("minhash LSH bucket cap drops only the degenerate buckets") {
     val sigs = Dedup.minhashSignature(docs, "text", "doc_id", k = 64, n = 3)
     val uncapped = Dedup.minhashLshCandidates(sigs, k = 64, r = 4)
