@@ -446,6 +446,14 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"))
     }),
 
+    "mm_patches" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir, "documents"),
+        "doc_id", "text", "source", "image")
+      Multimodal.patchGrid(Multimodal.decodeAssets(assets).toDF(), tile = 16)
+        .select(col("asset_id"), col("px").cast("long").as("px"),
+          col("py").cast("long").as("py"))
+    }),
+
     "sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -771,6 +779,18 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, unnest(range(0,
         |   1 + CAST(octet_length(encode(text)) % 30 AS INT), 7)) AS frame_idx
         | FROM documents""".stripMargin,
+
+    "mm_patches" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |dims AS (SELECT asset_id, 16 + n % 64 AS w,
+        |    16 + ((n // 7) % 64) AS h FROM d),
+        |px AS (SELECT asset_id, h,
+        |    unnest(range(0, CAST(ceil(w / 16.0) AS BIGINT))) AS px
+        |  FROM dims)
+        |SELECT asset_id, px,
+        |  unnest(range(0, CAST(ceil(h / 16.0) AS BIGINT))) AS py
+        |FROM px""".stripMargin,
 
     "sessionize" ->
       """WITH x AS (

@@ -73,6 +73,20 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .as("frame_idx"))
 
+  /** Patch-grid tiling: one row per (tile_x, tile_y) cell of each decoded
+    * image — the ViT-style patching shape. Pure Spark on decoded metadata
+    * (two sequence explodes = the cross of the per-axis tile counts); in a
+    * real pipeline each row would then crop/encode its single patch. */
+  def patchGrid(decoded: DataFrame, tile: Int): DataFrame =
+    decoded
+      .select(col("asset_id"),
+        ceil(col("width") / lit(tile.toDouble)).cast("int").as("nx"),
+        ceil(col("height") / lit(tile.toDouble)).cast("int").as("ny"))
+      .select(col("asset_id"), col("ny"),
+        explode(sequence(lit(0), col("nx") - 1)).as("px"))
+      .select(col("asset_id"), col("px"),
+        explode(sequence(lit(0), col("ny") - 1)).as("py"))
+
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model
     * inference per partition-batch). Demonstrates the wide-row (id, vec)

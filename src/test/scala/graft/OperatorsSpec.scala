@@ -9,6 +9,16 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("patchGrid: one row per tile, cross of per-axis counts") {
+    val decoded = Seq((1L, 17, 33), (2L, 16, 16)).toDF("asset_id", "width", "height")
+    val out = Multimodal.patchGrid(decoded, tile = 16)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    assert(out(1L).length === 2 * 3) // ceil(17/16) x ceil(33/16)
+    assert(out(2L).length === 1)
+    assert(out(1L).map(t => (t._2, t._3)).toSet ===
+      (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
+  }
+
   test("lastWinsByKey keeps exactly the ordered winner") {
     val df = Seq(("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
       ("k2", 1, "x")).toDF("external_id", "seq", "v")
