@@ -45,6 +45,11 @@ object PerfLab {
             count(lit(1)).as("n"))
       })
     )
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"PERFCONF $k=$v")
+    }
     val fn = experiments.getOrElse(qname, graft.SparkEntry.queries(qname))
     for (i <- 1 to iters) {
       val g0 = gcMillis; val j0 = jitMillis; val t0 = System.nanoTime()
