@@ -653,7 +653,7 @@ object SparkEntry {
         |b AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
         |  FROM documents GROUP BY 1)
         |SELECT doc_id FROM b
-        |WHERE h NOT IN (SELECT seen_hash FROM seen)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.seen_hash = b.h)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
@@ -763,13 +763,16 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
 
     "asof_join" ->
-      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
-        |  epoch_us(e.ts) AS err_ts_us
-        |FROM (SELECT event_id, user_id, ts FROM events
+      // compares in the MICROSECOND domain on both sides: the engine
+      // truncates the ns source to us (timestamp_micros(ts DIV 1000)), so
+      // the oracle must order by the same truncated value — ns-precision
+      // `c.ts >= e.ts` would disagree for events inside one microsecond.
+      """SELECT c.event_id, c.user_id, c.tu AS ts_us, e.tu AS err_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
         |      WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
         |      WHERE event_type = 'error') e
-        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+        |  ON c.user_id = e.user_id AND c.tu >= e.tu""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS byte_len,

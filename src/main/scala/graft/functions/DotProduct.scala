@@ -18,12 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation order is left-to-right (identical to the lambda fold and to
   * the oracle's `list_dot_product`), so results stay bit-identical to the
-  * HOF version. Null handling matches the HOF chain on whole-column nulls
-  * (null array → null); arrays are assumed non-null-elemented and
-  * equal-length (embedding columns are fixed-dim) — extra elements on one
-  * side are ignored like `zip_with` would pair them with null and the sum
-  * would go null, which never occurs for the fixed-dim embedding data this
-  * serves.
+  * HOF version. Null handling matches the HOF chain: null array → null,
+  * and a LENGTH MISMATCH → null (the `zip_with` pairing would inject a
+  * null element and null the fold) — so a truncated/corrupt embedding is
+  * excluded by downstream threshold filters instead of scoring a
+  * plausible-looking partial dot product. Array ELEMENTS are assumed
+  * non-null (embedding columns; a per-element null branch would cost in
+  * the ANN hot loop) — the one remaining caller contract.
   */
 object DotProduct {
   def apply(a: Column, b: Column): Column =
@@ -54,13 +55,23 @@ case class DotProductExpression(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null on length mismatch even for non-null inputs
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else DotProduct.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != ($b).numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.DotProduct.compute($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -103,7 +103,12 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, nCells: Int = 16,
       iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
+    // pinned: every iteration evaluates the corpus twice (assignment scan
+    // + mean recompute) as separate jobs — without the persist the scan,
+    // rebalance exchange, and norm computation would re-run 2x per
+    // iteration.
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Long, Seq[Double])] =
       withN2(corpus, "cid", "cv", "cn2").orderBy(col("cid")).limit(nCells)
         .select(col("cid").cast("long"), col("cv"))
@@ -129,6 +134,7 @@ object Similarity {
         .select(col("cid").cast("long"), col("cv"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
+    corpusN2.unpersist()
     import spark.implicits._
     cents.toDF("cid", "vec")
   }

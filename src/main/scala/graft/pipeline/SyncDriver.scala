@@ -154,9 +154,13 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
         // out of state entirely, so it re-enters the diff as toCreate on
         // every sync until both endpoints exist — and an edge removed by
         // detachEdges reconverges the same way when its node returns.
+        // keyed is pinned: it feeds the diff, the post-commit state image,
+        // and the convergence check — without the persist each would re-run
+        // the two node-table endpoint joins.
         val keyed = sink.resolveEndpoints(batch, labelA, labelB)
           .withColumn("external_id",
             concat_ws(sep, col("a_id"), col("b_id")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val state = store.read(spec.key, fn.name)
         val delta = Reconcile.diff(keyed, state)
         delta.toCreate.persist(StorageLevel.MEMORY_AND_DISK)
@@ -169,7 +173,7 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
               element_at(split(col("external_id"), sep), 2).as("b_id"))
             sink.applyEdgeDelta(edgeTable(relType, labelA, labelB),
               delta.toCreate.select("a_id", "b_id"), deletePairs,
-              labelA, labelB)
+              labelA, labelB, alreadyResolved = true)
             store.commit(spec.key, fn.name, Reconcile.postState(keyed))
           }
           if (verify) {
@@ -184,6 +188,7 @@ class SyncDriver(spark: SparkSession, store: SnapshotStore, sink: GraphSink,
           (nc, nd)
         } finally {
           delta.toCreate.unpersist(); delta.toDelete.unpersist()
+          keyed.unpersist()
         }
     }
   }

@@ -119,10 +119,17 @@ class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
 
   /** Reconciled-edge mode: one transaction applying resolved creates and
     * pair-keyed deletes to the edge table (the engine's stale-edge fix —
-    * the reference never deletes relationships, `neo4j.go:119-120`). */
+    * the reference never deletes relationships, `neo4j.go:119-120`).
+    * `alreadyResolved = true` skips the endpoint MATCH when the caller
+    * has resolved `toCreate` itself (the reconciled-edge driver does,
+    * BEFORE its diff) — node tables don't change between those two points
+    * (nodes sync before edges), so re-resolving would only re-scan both
+    * node tables for an identical result. */
   def applyEdgeDelta(relType: String, toCreate: DataFrame,
-      deletePairs: DataFrame, labelA: String, labelB: String): Unit = {
-    val resolved = resolveEndpoints(toCreate, labelA, labelB)
+      deletePairs: DataFrame, labelA: String, labelB: String,
+      alreadyResolved: Boolean = false): Unit = {
+    val resolved = (if (alreadyResolved) toCreate
+      else resolveEndpoints(toCreate, labelA, labelB))
       .dropDuplicates("a_id", "b_id")
     val kept = readEdges(relType)
       .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),

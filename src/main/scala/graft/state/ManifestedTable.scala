@@ -152,10 +152,14 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
         try f.delete(st.getPath, true) catch { case _: Exception => }
       }
     }
-    // drop manifests older than the previous one
+    // drop manifests older than the previous one, and tmp files left by
+    // crashed commits (ours was just renamed away, so any .tmp-manifest-*
+    // still present is an orphan)
     f.listStatus(new Path(base)).foreach { st =>
       st.getPath.getName match {
         case ManifestRe(c) if c.toLong < ctr - 1 =>
+          try f.delete(st.getPath, true) catch { case _: Exception => }
+        case n if n.startsWith(".tmp-manifest-") =>
           try f.delete(st.getPath, true) catch { case _: Exception => }
         case _ =>
       }

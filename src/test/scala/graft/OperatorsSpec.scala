@@ -9,6 +9,14 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("dot product: ragged arrays yield null, not a partial sum") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0)),
+      (Seq(1.0, 2.0), Seq(10.0, 20.0))).toDF("a", "b")
+    val out = df.select(graft.functions.DotProduct(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect()
+    assert(out.toSeq === Seq(None, Some(50.0)))
+  }
+
   test("patchGrid: one row per tile, cross of per-axis counts") {
     val decoded = Seq((1L, 17, 33), (2L, 16, 16)).toDF("asset_id", "width", "height")
     val out = Multimodal.patchGrid(decoded, tile = 16)
