@@ -49,8 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val k = children.lift(1).map {
         case Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
-          s"minhash_agg k must be an integer literal, got $other")
+          s"minhash_agg k must be an INT literal (e.g. 64), got $other")
       }.getOrElse(64)
+      require(k > 0, s"minhash_agg k must be positive, got $k")
       MinhashAggExpression(children.head, k).toAggregateExpression()
     }, classOf[MinhashAggExpression])
 

@@ -388,7 +388,7 @@ object SparkEntry {
 
     "rep_topgram" -> ((s, dir) =>
       TextAnalysis.topBigramConcentration(t(s, dir, "documents"),
-        "text", "doc_id").withColumnRenamed("id", "doc_id")),
+        "text", "doc_id")),
 
     "hash_split" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

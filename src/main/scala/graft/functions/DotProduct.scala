@@ -31,9 +31,12 @@ object DotProduct {
     GraftSqlBridge.column(DotProductExpression(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Interpreted-mode twin of the generated loop. */
+  /** Interpreted-mode twin of the generated loop. Both eval paths return
+    * null BEFORE calling this on a length mismatch; looping to x's length
+    * (not the min) means a direct caller with ragged arrays fails loudly
+    * instead of getting a silent partial sum. */
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }

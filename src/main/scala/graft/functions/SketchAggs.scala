@@ -71,11 +71,14 @@ case class MinhashAggExpression(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_agg requires STRING input, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(
+      s"minhash_agg k must be positive, got $k")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_agg requires STRING input, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

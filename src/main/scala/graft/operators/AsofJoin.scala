@@ -45,7 +45,11 @@ object AsofJoin {
         leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
         rightTieBreak.map(c => lit(null).cast(right.schema(c).dataType)
           .as(s"__tb_$c"))): _*)
-    val taggedR = right.select(
+    // right rows with a NULL ts have no position on the timeline: the
+    // nulls-first sort would otherwise make them an "-infinity" match for
+    // every early left row, where ASOF semantics (and the SQL `>=`, which
+    // is null-false) exclude them.
+    val taggedR = right.filter(col(tsCol).isNotNull).select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         payload.as("__payload")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)

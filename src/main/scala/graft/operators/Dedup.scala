@@ -200,12 +200,13 @@ object Dedup {
     * [[graft.functions.SketchAggs.simhash]] aggregate (64-counter buffer in
     * a tight loop — same output as the 64-sum-column formulation whose
     * generated code was a JIT-time sink) — single shuffle on doc id.
-    * Raw docs are rebalanced by id first so the tokenize+explode
-    * parallelizes even off a single input split, and that exchange is the
-    * one the aggregate needs anyway. */
+    * Raw docs are rebalanced by id first (only when the input is too
+    * narrow — on a well-split input the aggregate's map-side combine
+    * shuffles 64-long buffers, cheaper than doc bodies) so the
+    * tokenize+explode parallelizes even off a single input split. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(col("id"))
+    val tok = Transforms.rebalanceIfNarrow(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
       .select(col("id"),
         explode(TextAnalysis.wsTokens(lower(col("__text")))).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
@@ -225,12 +226,12 @@ object Dedup {
     // (n² rows); the per-pair work is a single dot product. The cosine
     // formula stays dot/(sqrt(n2a)·sqrt(n2b)) — bit-identical to the naive
     // form, so the oracle compare is unaffected.
-    // Rebalance by id: the pairwise join parallelizes over the LEFT side's
-    // partitions (the right side broadcasts), so a single-split input would
-    // serialize all the dot products into one task.
-    val v = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .repartition(col("id"))
+    // Rebalance by id (narrow inputs only): the pairwise join parallelizes
+    // over the LEFT side's partitions (the right side broadcasts), so a
+    // single-split input would serialize all the dot products into one task.
+    val v = Transforms.rebalanceIfNarrow(
+        df.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")), col("id"))
       .withColumn("n2", Similarity.dot(col("v"), col("v")))
     val a = v.as("x"); val b = v.as("y")
     a.join(b, col("x.id") < col("y.id"))

@@ -49,7 +49,7 @@ object Similarity {
       n2As: String, rebalance: Boolean = false): DataFrame = {
     val base = df.select(col("id").as(idAs),
       col("vec").cast("array<double>").as(vecAs))
-    (if (rebalance) base.repartition(col(idAs)) else base)
+    (if (rebalance) Transforms.rebalanceIfNarrow(base, col(idAs)) else base)
       .withColumn(n2As, dot(col(vecAs), col(vecAs)))
   }
 
@@ -117,9 +117,14 @@ object Similarity {
       import spark.implicits._
       val centDf = broadcast(cents.toDF("cid", "cv")
         .withColumn("cn2", dot(col("cv"), col("cv"))))
+      // UNROUNDED cosine: training has no oracle-parity constraint, and
+      // the permille quantization used by the query paths would tie
+      // near-normalized vectors en masse, dumping them all on the lowest
+      // cid via the tie-break and skewing the cells.
       val scored = corpusN2.crossJoin(centDf)
         .select(col("nid"), col("nv"), col("cid"),
-          cosFromN2(col("nv"), col("nn2"), col("cv"), col("cn2")).as("__sim"))
+          (dot(col("nv"), col("cv")) /
+            (sqrt(col("nn2")) * sqrt(col("cn2")))).as("__sim"))
       val best = scored.groupBy(col("nid"))
         .agg(max(struct(col("__sim"), (lit(0L) - col("cid")).as("__ncid")))
           .as("__best"))
@@ -214,8 +219,10 @@ object Similarity {
       explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
         .as("bucket"))
     // Corpus side rebalanced by id before the per-row bucket/norm math —
-    // single-split inputs would otherwise compute every plane dot in 1 task.
-    val c = lshBuckets(corpus.repartition(col("id")), "vec", "id", nPlanes, dim)
+    // single-split inputs would otherwise compute every plane dot in 1 task
+    // (skipped when the input is already split wide enough).
+    val c = lshBuckets(Transforms.rebalanceIfNarrow(corpus, col("id")),
+        "vec", "id", nPlanes, dim)
       .select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
       .withColumn("nn2", dot(col("nv"), col("nv")))
     val scored = c.join(broadcast(q), Seq("bucket"))

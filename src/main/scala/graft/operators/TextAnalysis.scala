@@ -110,7 +110,7 @@ object TextAnalysis {
       .filter(col("ok"))
     bg.groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"))
-      .select(col("id"),
+      .select(col("id").as(idCol),
         round(col("maxc") * lit(1000.0) / col("tot")).cast("long")
           .as("top_bigram_permille"))
   }

@@ -64,6 +64,21 @@ object Transforms {
     * rows) where even a split shuffle block leaves a straggler. Cost:
     * small side replicated ×saltBuckets — use only when small side
     * broadcast is impossible (both sides large) AND a hot key exists. */
+  /** Input-split rebalance, applied only when the plan's current
+    * partitioning is too narrow to use the cluster: a single non-splittable
+    * input file (one parquet row group) serializes every fused per-row
+    * stage into one task, and a cheap shuffle of the raw rows buys full
+    * parallelism for the expensive stage that follows. Skipped when the
+    * input is already split wide enough — then the added exchange would
+    * only move data the downstream aggregate could map-side combine first.
+    * (Operators whose downstream shuffle is STRICTLY bigger than the raw
+    * rows — e.g. shingle explosion feeding a window — rebalance
+    * unconditionally instead; see [[Dedup.shingleInv]].) */
+  def rebalanceIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(key) else df
+  }
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     // outer-on-the-exploded-side types would emit saltBuckets copies of

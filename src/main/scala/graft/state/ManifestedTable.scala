@@ -128,9 +128,18 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(new Path(base, s"data/$uuid").toString)
 
+    // contract check: rows routing OUTSIDE `touched` would be written to
+    // dirs the manifest never points at — silent data loss. Fail loudly.
+    val writtenDirs = f.listStatus(new Path(base, s"data/$uuid"))
+      .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
+    val stray = writtenDirs -- touched
+    require(stray.isEmpty,
+      s"commitBuckets: rows routed to untouched buckets $stray — " +
+        "the touched set must cover every key's bucket")
     // empty touched buckets get no dir from partitionBy — they simply drop
     // out of the manifest (bucket has zero rows now).
-    val written = touched.filter(b => f.exists(bucketDir(uuid, b)))
+    val written = touched.filter(writtenDirs.contains)
     val newMap = (prevMap -- touched) ++ written.map(_ -> uuid)
     val body = newMap.toSeq.sortBy(_._1)
       .map { case (b, u) => s"$b\t$u" }.mkString("\n")

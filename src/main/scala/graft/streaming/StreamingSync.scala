@@ -64,14 +64,19 @@ class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) 
     * drops later duplicates, with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark` — duplicates separated by more than
     * the watermark may both survive; that is the price of bounded state at
-    * unbounded scale). Batch mode degenerates to a plain `dropDuplicates`
-    * so the same call is oracle-checkable. */
+    * unbounded scale). Batch mode keeps the earliest-`tsCol` row per key
+    * (deterministic up to ts ties), mirroring first-arrival where arrival
+    * order follows event time — a plain `dropDuplicates` would keep an
+    * arbitrary row and non-key columns could never be compared against the
+    * streaming output. */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String): DataFrame =
     if (events.isStreaming)
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
-    else events.dropDuplicates(keyCols)
+    else
+      graft.operators.Transforms.topKPerGroup(events,
+        keyCols.map(col), Seq(col(tsCol).asc), 1)
 
   /** Gap-based session aggregation via `session_window` — the streaming
     * twin of [[graft.operators.Sessionize]] (same gap semantics; watermark
