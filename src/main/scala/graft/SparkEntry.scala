@@ -167,6 +167,19 @@ object SparkEntry {
         .select("a_id", "b_id")
     }),
 
+    // skew-safe salted join (spec'd equal to the plain join; the oracle is
+    // the plain SQL join) — the pathological-hot-key fallback when the
+    // small side can't broadcast and AQE's skew split still leaves a
+    // straggler. lineitem.l_orderkey vs an orders projection.
+    "salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"))
+      val dim = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Transforms.saltedJoin(big, dim, "k", 8)
+        .select(col("k"), col("l_linenumber"), col("o_orderpriority"))
+    }),
+
     "snapshot_diff" -> ((s, dir) =>
       Reconcile.classified(rBatch(s, dir), rState(s, dir))
         .select(col("__key").as("external_id"), col("op"))),
@@ -547,6 +560,11 @@ object SparkEntry {
         | CAST(l_suppkey AS VARCHAR) AS b_id FROM lineitem
         | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
         |   AND l_suppkey IN (SELECT s_suppkey FROM supplier)""".stripMargin,
+
+    "salted_join" ->
+      """SELECT l_orderkey AS k, l_linenumber, o_orderpriority
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderkey % 4 = 0""".stripMargin,
 
     "snapshot_diff" ->
       s"""WITH b AS ($rBatchSql), s AS ($rStateSql)

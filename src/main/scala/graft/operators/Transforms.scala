@@ -57,13 +57,6 @@ object Transforms {
       .drop("__rn")
   }
 
-  /** Skew-safe equi-join: salt the skewed (big, hot-keyed) side into
-    * `saltBuckets` sub-keys and explode the small side across all buckets.
-    * AQE's skew-join handles moderate skew on its own; explicit salting is
-    * for the pathological hot key (one key = a whole partition's worth of
-    * rows) where even a split shuffle block leaves a straggler. Cost:
-    * small side replicated ×saltBuckets — use only when small side
-    * broadcast is impossible (both sides large) AND a hot key exists. */
   /** Input-split rebalance, applied only when the plan's current
     * partitioning is too narrow to use the cluster: a single non-splittable
     * input file (one parquet row group) serializes every fused per-row
@@ -79,6 +72,13 @@ object Transforms {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(key) else df
   }
 
+  /** Skew-safe equi-join: salt the skewed (big, hot-keyed) side into
+    * `saltBuckets` sub-keys and explode the small side across all buckets.
+    * AQE's skew-join handles moderate skew on its own; explicit salting is
+    * for the pathological hot key (one key = a whole partition's worth of
+    * rows) where even a split shuffle block leaves a straggler. Cost:
+    * small side replicated ×saltBuckets — use only when small side
+    * broadcast is impossible (both sides large) AND a hot key exists. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     // outer-on-the-exploded-side types would emit saltBuckets copies of
