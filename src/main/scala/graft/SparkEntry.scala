@@ -265,6 +265,14 @@ object SparkEntry {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))),
 
+    // group-collect to a SORTED list (deterministic, so oracle-exact):
+    // collect_set bounded by the group's distinct-value count, then an
+    // in-row sort — the list-agg family the reference's state map implies.
+    "collect_sorted" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"), count(lit(1)).as("n"))),
+
     "group_state" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type").as("fn_key"),
         col("user_id")).agg(count(lit(1)).as("n"))),
@@ -615,6 +623,13 @@ object SparkEntry {
 
     "count_rows" ->
       "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "collect_sorted" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |   AS statuses,
+        | COUNT(*) AS n
+        | FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q3_revenue" ->
       """SELECT l_orderkey,
