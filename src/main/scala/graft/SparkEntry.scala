@@ -265,6 +265,19 @@ object SparkEntry {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))),
 
+    // distinct aggregation (Expand + two-phase agg plan shape):
+    "distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n"))),
+
+    // rollup: subtotal + grand-total rows with NULL group markers, the
+    // multi-level agg Catalyst gives for free (absent from the reference).
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))),
+
     // group-collect to a SORTED list (deterministic, so oracle-exact):
     // collect_set bounded by the group's distinct-value count, then an
     // in-row sort — the list-agg family the reference's state map implies.
@@ -623,6 +636,17 @@ object SparkEntry {
 
     "count_rows" ->
       "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        | COUNT(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        | FROM orders
+        | GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
 
     "collect_sorted" ->
       """SELECT o_orderpriority,
