@@ -278,6 +278,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(cents(col("o_totalprice"))).as("total_cents"))),
 
+    // pivot (long→wide reshape); missing combinations coalesced to 0 so
+    // the oracle's FILTER-count twin matches exactly.
+    "pivot_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_n"),
+          coalesce(col("O"), lit(0L)).as("o_n"),
+          coalesce(col("P"), lit(0L)).as("p_n"))),
+
     // group-collect to a SORTED list (deterministic, so oracle-exact):
     // collect_set bounded by the group's distinct-value count, then an
     // in-row sort — the list-agg family the reference's state map implies.
@@ -647,6 +657,13 @@ object SparkEntry {
         |   AS total_cents
         | FROM orders
         | GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS p_n
+        | FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "collect_sorted" ->
       """SELECT o_orderpriority,
