@@ -78,6 +78,47 @@ class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) 
       graft.operators.Transforms.topKPerGroup(events,
         keyCols.map(col), Seq(col(tsCol).asc), 1)
 
+  /** Streaming incremental crawl-dedup: every micro-batch is deduped
+    * against the PERSISTENT seen-hash state (all content from previous
+    * batches and runs), survivors are handed to `emit`, and the state
+    * advances only afterwards — the streaming composition of
+    * [[graft.operators.Dedup.incrementalExactSurvivors]] with the same
+    * write-then-commit ordering as the sync pipeline (at-least-once +
+    * idempotent downstream = effectively-once; a replayed batch re-emits
+    * only content the state never committed).
+    *
+    * Unlike [[dedupStream]] (watermark-bounded, duplicates can re-enter
+    * after the watermark), state here is unbounded-but-tiny: one hash per
+    * distinct content ever seen, in an [[graft.state.AtomicTable]] readable
+    * by any batch job. */
+  def startIncrementalDedup(docs: DataFrame, textCol: String, idCol: String,
+      stateDir: String, checkpoint: String,
+      emit: DataFrame => Unit): StreamingQuery = {
+    val table = new graft.state.AtomicTable(spark, stateDir)
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seen_hash",
+        org.apache.spark.sql.types.StringType)))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val seen = table.read(stateSchema)
+          val survivorIds = graft.operators.Dedup
+            .incrementalExactSurvivors(batch, seen, textCol, idCol)
+          // full surviving rows = batch semi-joined on the surviving ids
+          val survivors = batch.join(survivorIds, Seq(idCol), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            emit(survivors)
+            val newHashes = graft.operators.Dedup.seenHashes(survivors, textCol)
+            table.commit(seen.unionByName(newHashes)
+              .dropDuplicates("seen_hash"))
+          } finally survivors.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Gap-based session aggregation via `session_window` — the streaming
     * twin of [[graft.operators.Sessionize]] (same gap semantics; watermark
     * closes sessions and evicts their state). Works on batch frames too. */

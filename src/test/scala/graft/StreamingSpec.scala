@@ -98,6 +98,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(sync.dedupStream(batchDf, "ts", Seq("k"), "10 minutes").count() === 2)
   }
 
+  test("streaming incremental dedup: persistent state survives batches") {
+    val root = Files.createTempDirectory("graft-incd").toString
+    val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = "doc_id BIGINT, text STRING"
+    val sync = new StreamingSync(spark, null, null)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val stream = spark.readStream.schema(schema).json(inDir)
+    val q = sync.startIncrementalDedup(stream, "text", "doc_id",
+      s"$root/seen", s"$root/ckpt",
+      emit = df => got ++= df.select("doc_id")
+        .collect().map(_.getLong(0)))
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"), Seq(
+        """{"doc_id": 1, "text": "alpha"}""",
+        """{"doc_id": 2, "text": "beta"}""",
+        """{"doc_id": 3, "text": "alpha"}""").mkString("\n"))
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === Seq(1L, 2L)) // min-id survivor per text
+
+      // batch 2: repeats of batch-1 content dropped by PERSISTENT state;
+      // new content passes
+      Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"), Seq(
+        """{"doc_id": 10, "text": "alpha"}""",
+        """{"doc_id": 11, "text": "gamma"}""").mkString("\n"))
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === Seq(1L, 2L, 11L))
+    } finally q.stop()
+
+    // the seen-state is a plain AtomicTable — readable by any batch job
+    val seen = new graft.state.AtomicTable(spark, s"$root/seen")
+      .read(null)
+    assert(seen.count() === 3) // alpha, beta, gamma
+  }
+
   test("session window agg: streaming result equals batch result") {
     val root = Files.createTempDirectory("graft-sess").toString
     val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
