@@ -41,6 +41,22 @@ class AsofTextOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(7L))
   }
 
+  test("asof join: multi-column payload and null-ts right rows excluded") {
+    val left = Seq(("k", 10L, "l1"), ("k", 2L, "l2")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (("k"), Some(5L), 100L, "state-a"),
+      (("k"), None: Option[Long], 999L, "no-timeline")) // must never match
+      .toDF("k", "ts", "rid", "rstate")
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("rid", "rstate"),
+        rightTieBreak = Seq("rid"))
+      .select("lv", "asof_rid", "asof_rstate")
+      .as[(String, Option[Long], Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    assert(out("l1") === ((Some(100L), Some("state-a"))))
+    assert(out("l2") === ((None, None))) // before any VALID right row
+  }
+
   test("dup-token permille: all-same vs all-distinct") {
     val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "x x y y"))
       .toDF("id", "text")

@@ -79,6 +79,41 @@ class ManifestedTableSpec extends AnyFunSuite {
       .forall(i => out.contains(i)))
   }
 
+  test("crash debris (orphan data dir, tmp manifest) is GC'd and never read") {
+    val base = tmp() + "/t"
+    val t = new ManifestedTable(spark, base, 4)
+    val rows = (1L to 10L).map(i => (i, "v")).toDF("external_id", "v")
+    t.commitAll(rows, "external_id")
+
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crashed commit: data dir written, manifest never renamed
+    val orphan = new org.apache.hadoop.fs.Path(base, "data/dead-commit-uuid")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "__gbucket=0"))
+    val tmpManifest = new org.apache.hadoop.fs.Path(base, ".tmp-manifest-dead")
+    fs.create(tmpManifest, true).close()
+
+    // reads ignore debris; next commit sweeps it
+    assert(t.read(rows.schema).count() === 10)
+    val b = bucketIdOf(t, 1L)
+    t.commitBuckets(t.readBucketSubset(Set(b), rows.schema),
+      "external_id", Set(b))
+    assert(!fs.exists(orphan), "orphan data dir survived GC")
+    assert(!fs.exists(tmpManifest), "tmp manifest survived GC")
+    assert(t.read(rows.schema).count() === 10)
+  }
+
+  test("commitBuckets fails loudly when rows route outside the touched set") {
+    val t = new ManifestedTable(spark, tmp() + "/t", 4)
+    val rows = (1L to 10L).map(i => (i, "v")).toDF("external_id", "v")
+    val b1 = bucketIdOf(t, 1L)
+    // declare only key 1's bucket but pass every row
+    val ex = intercept[IllegalArgumentException] {
+      t.commitBuckets(rows, "external_id", Set(b1))
+    }
+    assert(ex.getMessage.contains("untouched buckets"))
+  }
+
   test("bucketed GraphSink: upsert/delete semantics identical to plain sink") {
     val plain = new GraphSink(spark, tmp() + "/g0")
     val bucketed = new GraphSink(spark, tmp() + "/g1", nodeBuckets = 8)
