@@ -441,6 +441,14 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // context-window chunking: 8-token windows every 4 tokens (50%
+    // overlap); chunk text emitted as md5 to keep the compare compact.
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), "text", "doc_id",
+          width = 8, stride = 4)
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          md5(col("chunk")).as("chunk_md5"))),
+
     // PII scrub: the corpus has no addresses, so deterministic emails are
     // SYNTHESIZED into every 5th doc first — the redaction regex is then
     // actually exercised, and the oracle re-creates the identical input.
@@ -822,6 +830,16 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    "chunk_docs" ->
+      """SELECT doc_id, u.st AS chunk_start, md5(u.ch) AS chunk_md5
+        |FROM (SELECT doc_id,
+        |  unnest([{'st': i,
+        |           'ch': array_to_string(w[i:i+7], ' ')}
+        |          for i in range(1, greatest(len(w), 1) + 1, 4)]) AS u
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |    FROM documents))""".stripMargin,
 
     "pii_redact" ->
       """SELECT doc_id,

@@ -139,6 +139,26 @@ object TextAnalysis {
   def piiRedact(text: Column): Column =
     regexp_replace(text, emailPattern, "[EMAIL]")
 
+  /** Sliding-window document chunking: token windows of `width` starting
+    * every `stride` tokens (stride < width ⇒ overlap) — the
+    * context-window chunking stage of a training pipeline. Emits one row
+    * per chunk as (chunk_start [1-based token index], chunk text).
+    * Single-pass per document (array ops fused into the scan); the
+    * explode multiplies rows by ~n_tokens/stride, after which chunk rows
+    * flow on independently. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, s"width=$width stride=$stride must be positive")
+    val toks = wsTokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(stride))
+    val chunks = transform(starts, st =>
+      struct(st.as("st"),
+        concat_ws(" ", slice(toks, st, lit(width))).as("ch")))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.st").as("chunk_start"),
+        col("c.ch").as("chunk"))
+  }
+
   /** Global top-k vocabulary by token count: one explode + one map-side-
     * combined count aggregate; the top-k is a TakeOrderedAndProject (per-
     * partition heaps + driver merge), never a global sort. Ties broken by

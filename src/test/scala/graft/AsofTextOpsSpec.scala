@@ -104,6 +104,16 @@ class AsofTextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0, "")))
   }
 
+  test("chunking: sliding windows with overlap, truncated tail, 1-token doc") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "solo")).toDF("id", "text")
+    val out = TextAnalysis.chunkDocs(df, "text", "id", width = 4, stride = 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(out === Set(
+      (1L, 1, "a b c d"), (1L, 3, "c d e f"), (1L, 5, "e f g h"),
+      (1L, 7, "g h i j"), (1L, 9, "i j"),
+      (2L, 1, "solo")))
+  }
+
   test("vocab top-k: counts and tie order") {
     val df = Seq("b a", "b c a", "b").toDF("text")
     val out = TextAnalysis.vocabTopK(df, "text", 2)
