@@ -22,8 +22,19 @@ import graft.operators.{Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, 
   */
 object SparkEntry {
 
+  /** Analyzed-plan cache: `spark.read.parquet` pays driver-side file
+    * listing + footer schema inference on EVERY call, and the 65 queries
+    * re-read the same nine tables — ~0.1-0.2 s × 65 of pure metadata
+    * overhead in a bench/verify run. DataFrames are immutable plan handles,
+    * so caching per (session, path) is safe; the testdata tables are
+    * read-only by contract (TESTDATA.md). Keyed on the session so
+    * multi-session tests never share a stopped session's relations. */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
