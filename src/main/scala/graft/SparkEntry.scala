@@ -382,6 +382,15 @@ object SparkEntry {
         "vec", "id", thresholdPermille = 300)
         .select(col("a"), col("b"), col("cos_permille"))),
 
+    // the SCALE path for cosine dedup: SRP-LSH bucket → in-bucket exact
+    // cosine (equi-join on bucket, never all-pairs). Same input slice and
+    // threshold as dedup_embed_cosine, whose output is its superset.
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosineLsh(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "vec", "id", thresholdPermille = 300)),
+
     // ===== extensions: similarity search =====
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -536,6 +545,32 @@ object SparkEntry {
           .as("window_start"), col("event_type"), col("n"), col("value_cents"))
     })
   )
+
+  /** Why each remaining `queries` entry WITHOUT an `oracleSql` twin cannot
+    * have one — the driver's correctness table should never show an
+    * unexplained `no_oracle`. Everything here is hash-valued with no DuckDB
+    * twin function; each is byte-exactness-tested in ScalaTest instead.
+    * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
+  def noOracleReason: Map[String, String] = Map(
+    "crc32_hash" -> ("output is CRC-32/Q (polynomial 0x814141AB, the " +
+      "reference's hash — SURVEY §2.5 F1); DuckDB has no CRC-32/Q. " +
+      "Byte-exact vs the Go implementation's vectors in Crc32QSpec."),
+    "cast_string_hash" -> ("CRC-32/Q over string-cast numerics; same " +
+      "missing DuckDB twin as crc32_hash. Covered by Crc32QSpec + the " +
+      "oracle-green cast_string query for the cast half."),
+    "dedup_minhash" -> ("candidate pairs are keyed on xxhash64 band " +
+      "hashes of xxhash64 shingle min-hashes; DuckDB has no xxhash64, so " +
+      "the candidate set is not SQL-reproducible. Recall + bucket-cap + " +
+      "verify-subset semantics are asserted in DedupSimilaritySpec; the " +
+      "exact tier it feeds (verifyCandidates ∘ ngramJaccardPairs) IS " +
+      "oracle-green as dedup_ngram_jaccard."),
+    "dedup_simhash" -> ("64-bit simhash over xxhash64 token hashes — no " +
+      "xxhash64 in DuckDB. Sign-vote semantics and near/far Hamming " +
+      "ordering asserted in DedupSimilaritySpec and OperatorsSpec; the " +
+      "native aggregate's single-exchange plan in PlanShapeSpec."),
+    "doc_fingerprint" -> ("winnowing-lite fingerprint over xxhash64 " +
+      "char-8-gram hashes — no xxhash64 in DuckDB. Equal-text equality " +
+      "and 8-gram sensitivity asserted in OperatorsSpec."))
 
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -795,6 +830,12 @@ object SparkEntry {
         |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
         |WHERE rn <= 5""".stripMargin,
 
+    "ann_ivf" -> annIvfSql,
+
+    "ann_lsh" -> annLshSql,
+
+    "dedup_embed_lsh" -> dedupEmbedLshSql,
+
     "lang_id" -> langIdSql,
 
     "quality_score" -> qualityScoreSql,
@@ -966,6 +1007,100 @@ object SparkEntry {
 
   private def qualityScoreSql: String =
     s"SELECT doc_id, $qualityExpr AS score FROM documents"
+
+  /** DuckDB oracle for `ann_ivf` ([[Similarity.annTopKIvf]] with default
+    * deterministic centroids): everything the Spark plan does is plain
+    * SQL — centroids = 16 lowest-id corpus vectors, corpus assignment =
+    * argmax of ROUNDED permille cosine with lowest-cid tie-break (the same
+    * quantized value the engine aggregates on), query probes = top-4 cells
+    * by the same order, then in-cell scoring and per-query top-5. */
+  private def annIvfSql: String =
+    """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+      |   FROM base WHERE id >= 10 ORDER BY id LIMIT 16),
+      |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+      |   FROM base WHERE id >= 10),
+      |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+      |   FROM base WHERE id < 10),
+      |cassign AS (SELECT nid, nv, nn2, cid FROM (
+      |  SELECT nid, nv, nn2, cid, row_number() OVER (PARTITION BY nid
+      |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+      |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+      |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+      |qprobe AS (SELECT qid, qv, qn2, cid FROM (
+      |  SELECT qid, qv, qn2, cid, row_number() OVER (PARTITION BY qid
+      |    ORDER BY CAST(round(list_dot_product(qv, cv) /
+      |      (sqrt(qn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+      |    AS rn FROM q CROSS JOIN cent) WHERE rn <= 4),
+      |scored AS (SELECT DISTINCT qid, nid,
+      |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+      |    * 1000.0, 0) AS BIGINT) AS cos_permille
+      |  FROM cassign JOIN qprobe USING (cid) WHERE qid <> nid)
+      |SELECT qid, nid, cos_permille FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin
+
+  /** The splitmix plane constants of [[Similarity.planes]] as DuckDB double
+    * literals — `java.lang.Double.toString` emits the shortest string that
+    * round-trips to the exact bits, and DuckDB's parser is
+    * correctly-rounded, so the oracle computes sign bits against the SAME
+    * hyperplanes the engine does. Sign-flip risk from summation-order
+    * divergence exists only within ~1 ulp of 0 — pseudo-random plane dots
+    * against real embeddings never land there. */
+  private def planeLit(p: Array[Double]): String =
+    // explicit DOUBLE[] cast: DuckDB types bare decimal literals as
+    // DECIMAL; the exact decimal → correctly-rounded double cast recovers
+    // the engine's bits, but only if the coercion actually happens.
+    p.map(java.lang.Double.toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** SRP bucket id of `vCol` as a DuckDB expression — sign bit per plane
+    * packed into an integer, mirroring [[Similarity.lshBucket]]. */
+  private def bucketExpr(vCol: String, nPlanes: Int = 6, dim: Int = 64): String =
+    graft.operators.Similarity.planes(nPlanes, dim).zipWithIndex.map {
+      case (pl, p) =>
+        s"(CASE WHEN list_dot_product($vCol, ${planeLit(pl)}) >= 0" +
+          s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB oracle for `ann_lsh` ([[Similarity.annTopK]]): corpus bucket
+    * equi-join against the query's own bucket plus its 6 Hamming-1 probes
+    * (bucket XOR 1<<p), then per-query top-5. */
+  private def annLshSql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2,
+      |   ${bucketExpr("v")} AS qb FROM base WHERE id < 10),
+      |qp AS (SELECT qid, qv, qn2, xor(qb, m) AS bucket
+      |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m)),
+      |c AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2,
+      |   ${bucketExpr("v")} AS bucket FROM base WHERE id >= 10),
+      |scored AS (SELECT qid, nid,
+      |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+      |    * 1000.0, 0) AS BIGINT) AS cos_permille
+      |  FROM c JOIN qp USING (bucket) WHERE qid <> nid)
+      |SELECT qid, nid, cos_permille FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin
+
+  /** DuckDB oracle for `dedup_embed_lsh` ([[Dedup.embeddingCosineLsh]]):
+    * same-bucket pairs only, exact cosine ≥ threshold. */
+  private def dedupEmbedLshSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+      |   ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+      |   FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT x.id AS a, y.id AS b,
+      |  CAST(round(list_dot_product(x.e, y.e) /
+      |    (sqrt(list_dot_product(x.e, x.e)) *
+      |     sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT)
+      |    AS cos_permille
+      |FROM v x JOIN v y ON x.bucket = y.bucket AND x.id < y.id
+      |WHERE CAST(round(list_dot_product(x.e, y.e) /
+      |    (sqrt(list_dot_product(x.e, x.e)) *
+      |     sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT) >= 300""".stripMargin
 
   /** Oracle twin of the `curate_docs` composite: filters mirrored from the
     * standalone lang/quality/token oracles, then exact-dedup survivors. */

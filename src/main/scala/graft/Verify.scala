@@ -41,6 +41,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every query with NEITHER an oracle twin NOR a documented reason is a
+    // contract bug — fail the dump rather than let it pass silently.
+    val undocumented = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.noOracleReason.keySet
+    require(undocumented.isEmpty,
+      s"queries with no oracle and no documented reason: $undocumented")
+    val reasons = SparkEntry.noOracleReason
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle.json"), reasons)
     spark.stop()
   }
 }

@@ -217,9 +217,43 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** The SCALE path for embedding-cosine dedup: SRP-LSH pre-bucketing →
+    * exact cosine only WITHIN buckets. The all-pairs join of
+    * [[embeddingCosinePairs]] becomes an equi-join on the bucket key — the
+    * candidate volume drops from n²/2 to Σ|bucket|²/2 (≈ n²/2^nPlanes for
+    * balanced buckets), and the join co-partitions on the key, so at corpus
+    * scale nothing ever materializes beyond same-bucket pairs. Same
+    * self-join exchange-reuse shape as [[minhashLshCandidates]]: both sides
+    * are the identical bucket pipeline, so AQE computes signatures once.
+    *
+    * Recall trade-off is the SRP one: a true near-dup pair lands in the
+    * same bucket iff no hyperplane separates it — probability
+    * (1 − θ/π)^nPlanes for angle θ, high precisely for the near-duplicates
+    * this operator hunts (θ→0), and tunable via nPlanes. Missed pairs are
+    * recoverable by multi-probe or plane-set rotation; the exact tier
+    * ([[embeddingCosinePairs]]) remains the verifier. Output is exact
+    * cosine on surviving pairs — a strict SUBSET of the all-pairs result
+    * (asserted in DedupSimilaritySpec). */
+  def embeddingCosineLsh(df: DataFrame, vecCol: String, idCol: String,
+      thresholdPermille: Int, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val b = Similarity.lshBuckets(
+        Transforms.rebalanceIfNarrow(
+          df.select(col(idCol).as("id"), col(vecCol).as("vec")), col("id")),
+        "vec", "id", nPlanes, dim)
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+      .repartition(col("bucket"))
+    b.as("x").join(b.as("y").hint("shuffle_hash"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(Similarity.dot(col("x.v"), col("y.v")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2"))) * lit(1000.0))
+          .cast("long").as("cos_permille"))
+      .filter(col("cos_permille") >= thresholdPermille)
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold (exact, all-pairs — the
-    * verification-grade path; use [[Similarity.lshBuckets]] to pre-bucket at
-    * scale). Cosine in double; emitted as permille for exact compares. */
+    * verification-grade path; [[embeddingCosineLsh]] is the scale path).
+    * Cosine in double; emitted as permille for exact compares. */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       thresholdPermille: Int): DataFrame = {
     // squared norms precomputed once per VECTOR (n rows), not per pair

@@ -155,6 +155,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rTrained >= rSampled - 0.04, s"trained=$rTrained sampled=$rSampled")
   }
 
+  test("embeddingCosineLsh: strict subset of all-pairs with identical cosines, high recall on near-dups") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val all = Dedup.embeddingCosinePairs(
+        emb.select(col("id"), col("vec"), lit(0).as("label")),
+        "vec", "id", thresholdPermille = 300)
+      .select("a", "b", "cos_permille").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.embeddingCosineLsh(emb, "vec", "id",
+        thresholdPermille = 300)
+      .select("a", "b", "cos_permille").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // subset with IDENTICAL exact-cosine values (LSH only restricts
+    // candidates; it never changes the score of a surviving pair)
+    lsh.foreach { case (p, cos) => assert(all.get(p).contains(cos)) }
+    // SRP recall concentrates on the closest pairs: every pair the
+    // all-pairs tier scores ≥ 900 permille (θ ≤ ~26°, same-bucket
+    // probability ≥ (1 − θ/π)^6 ≈ 0.6 per pair) — demand the aggregate
+    // recall there, and nontrivial recall overall.
+    val hot = all.filter(_._2 >= 900)
+    if (hot.nonEmpty) {
+      val hotRecall = hot.keys.count(lsh.contains).toDouble / hot.size
+      assert(hotRecall >= 0.4, s"hot recall=$hotRecall of ${hot.size}")
+    }
+    if (all.nonEmpty) {
+      val recall = all.keys.count(lsh.contains).toDouble / all.size
+      assert(recall > 0.0, s"recall=$recall of ${all.size}")
+    }
+  }
+
   test("embedding cosine pairs: self-similarity sanity") {
     val two = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), 0),
