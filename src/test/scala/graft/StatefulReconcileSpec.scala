@@ -46,4 +46,63 @@ class StatefulReconcileSpec extends AnyFunSuite {
       assert(ev2.find(e => e.external_id == "b" && e.hash == Crc32Q.computeUtf8("t2")).isDefined)
     } finally q.stop()
   }
+
+  test("transformWithState form: event parity with flatMapGroupsWithState") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tws").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val schema = "external_id STRING, token STRING, tombstone BOOLEAN"
+    val stream = spark.readStream.schema(schema).json(inDir).as[KeyedRecord]
+    val events = StatefulReconcile.changelogTws(stream)
+    // transformWithState's contract: RocksDB state store only (session
+    // conf; restored below so other streaming suites keep the default)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = events.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("tws_out").start()
+    try {
+      // batch 1: identical to the legacy-API test above
+      Files.writeString(Paths.get(s"$inDir/b1.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}
+          |{"external_id":"b","token":"t1","tombstone":false}""".stripMargin)
+      q.processAllAvailable()
+      val ev1 = spark.table("tws_out").as[ChangeEvent].collect()
+        .map(e => e.external_id -> e.op).toSet
+      assert(ev1 === Set("a" -> "create", "b" -> "create"))
+
+      // batch 2: unchanged key silent, changed key creates, tombstone deletes
+      Files.writeString(Paths.get(s"$inDir/b2.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}
+          |{"external_id":"b","token":"t2","tombstone":false}
+          |{"external_id":"a","token":"","tombstone":true}""".stripMargin)
+      q.processAllAvailable()
+      val ev2 = spark.table("tws_out").as[ChangeEvent].collect()
+      assert(ev2.length === 4)
+      assert(ev2.drop(2).map(e => e.external_id -> e.op).toSet ===
+        Set("b" -> "create", "a" -> "delete"))
+      // identical hash values (CRC32-Q over token) as the legacy form
+      assert(ev2.exists(e =>
+        e.external_id == "b" && e.hash == Crc32Q.computeUtf8("t2")))
+
+      // batch 3: tombstone for the already-deleted key emits nothing;
+      // re-arrival of a deleted key re-creates
+      Files.writeString(Paths.get(s"$inDir/b3.json"),
+        """{"external_id":"a","token":"","tombstone":true}
+          |{"external_id":"a","token":"t3","tombstone":false}""".stripMargin)
+      q.processAllAvailable()
+      val ev3 = spark.table("tws_out").as[ChangeEvent].collect()
+      assert(ev3.length === 5)
+      assert(ev3.last.external_id === "a" && ev3.last.op === "create" &&
+        ev3.last.hash === Crc32Q.computeUtf8("t3"))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
