@@ -156,13 +156,17 @@ object SparkEntry {
       Transforms.dedupByKey(t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("string").as("external_id")))),
 
+    // aggregate (max_by) form: the partial phase collapses duplicate keys
+    // before the shuffle (the window form shuffles every row first) — the
+    // window form (lastWinsByKey) stays for orderings a max-tuple can't
+    // express, and OperatorsSpec asserts the two agree.
     "upsert_lastwins" -> ((s, dir) =>
-      Transforms.lastWinsByKey(
+      Transforms.lastWinsByKeyAgg(
         t(s, dir, "lineitem").select(
           col("l_orderkey").cast("string").as("external_id"),
           col("l_linenumber").as("line_no"),
           cents(col("l_quantity")).as("qty_cents")),
-        "external_id", col("line_no").desc, col("qty_cents").desc)),
+        "external_id", col("line_no"), col("qty_cents"))),
 
     // ===== §2.3 joins =====
     "edge_resolve_join" -> ((s, dir) => {

@@ -33,26 +33,38 @@ object Dedup {
   def shingleInv(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Input-split rebalance: repartition the RAW docs by id before
-    // tokenizing. A non-splittable input (one parquet row group — the shape
-    // of small dimension files and of freshly-landed single-file drops)
-    // would otherwise run the whole tokenize+explode in one task; and the
-    // downstream window needs hash(id) clustering anyway, so this exchange
-    // replaces the bigger one that would have shuffled the exploded tokens
-    // — strictly less data moved (docs < tokens) at any scale.
+    val sh = shingleStream(df, textCol, idCol, n).dropDuplicates("id", "s")
+    sh.withColumn("nsh", count(lit(1)).over(Window.partitionBy("id")))
+      .select("id", "nsh", "s")
+  }
+
+  /** Raw (id, s) shingle stream WITHOUT the distinct / per-doc-count
+    * stages of [[shingleInv]] — for consumers that are insensitive to
+    * duplicate shingles (min-hash: `min` over a bag equals `min` over its
+    * set), where the dropDuplicates hash-aggregate and the counting window
+    * are pure overhead. Same scale shape: the one exchange hashes on doc
+    * id, everything after is per-partition.
+    *
+    * Input-split rebalance: repartition the RAW docs by id before
+    * tokenizing. A non-splittable input (one parquet row group — the shape
+    * of small dimension files and of freshly-landed single-file drops)
+    * would otherwise run the whole tokenize+explode in one task; and the
+    * downstream window needs hash(id) clustering anyway, so this exchange
+    * replaces the bigger one that would have shuffled the exploded tokens
+    * — strictly less data moved (docs < tokens) at any scale. */
+  def shingleStream(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
       .select(col("id"),
         posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")))
     val wspec = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
-    val sh = tok.select(col("id") +: col("w0") +: leads: _*)
+    tok.select(col("id") +: col("w0") +: leads: _*)
       .filter(col(s"w${n - 1}").isNotNull)
       .select(col("id"),
         concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
-      .dropDuplicates("id", "s")
-    sh.withColumn("nsh", count(lit(1)).over(Window.partitionBy("id")))
-      .select("id", "nsh", "s")
   }
 
   /** Exact dedup: one surviving id (min) per distinct text. The group key
@@ -127,7 +139,10 @@ object Dedup {
     * hash shuffle on doc id, k longs of state per doc. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, n: Int = 5): DataFrame = {
-    val inv = shingleInv(df, textCol, idCol, n)
+    // shingleStream, not shingleInv: min over a bag == min over its set,
+    // so the distinct + count-window stages would be dead weight here
+    // (~40% of the signature pipeline's time at sf0.1).
+    val inv = shingleStream(df, textCol, idCol, n)
     inv.groupBy("id").agg(graft.functions.SketchAggs.minhash(col("s"), k).as("sig"))
   }
 

@@ -57,6 +57,30 @@ object Transforms {
       .drop("__rn")
   }
 
+  /** [[lastWinsByKey]] as an AGGREGATE for the common case where the
+    * winner is the row maximizing a tuple of columns (descending):
+    * `max_by(struct(payload), struct(rank))`, two-phase. The property that
+    * matters at 100 TB is the partial phase: duplicate keys collapse
+    * BEFORE the shuffle, so the exchange moves one row per
+    * (key × input partition) instead of every input row — the window form
+    * shuffles everything and then sorts it. (Spark plans max_by-over-struct
+    * as SortAggregate — struct buffers can't hash-aggregate — so
+    * per-partition sorts of the narrow projection remain; the shuffle
+    * reduction is the win, asserted in PlanShapeSpec.)
+    * Equivalence: `max` over `struct(rankCols)` is lexicographic-greatest,
+    * i.e. row_number()=1 under `rankCols.desc`; rows tying on ALL rank
+    * columns are interchangeable in both forms (window tie order is
+    * partition-dependent too), so use rank columns that determine the
+    * payload when determinism matters. Asserted equal to the window form
+    * in OperatorsSpec. */
+  def lastWinsByKeyAgg(df: DataFrame, key: String,
+      rankCols: Column*): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(col(key).as("__k"))
+      .agg(max_by(payload, struct(rankCols: _*)).as("__w"))
+      .select(df.columns.map(c => col(s"__w.$c")).toIndexedSeq: _*)
+  }
+
   /** Input-split rebalance, applied only when the plan's current
     * partitioning is too narrow to use the cluster: a single non-splittable
     * input file (one parquet row group) serializes every fused per-row

@@ -138,6 +138,34 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ne.status === 401)
   }
 
+  test("EnvConfig: .env parse, env override, missing-key error, token wiring") {
+    import graft.sources.EnvConfig
+    val f = java.nio.file.Files.createTempFile("graft-env", ".env")
+    java.nio.file.Files.writeString(f,
+      """# credentials
+        |HCP_CLIENT_ID=cid-1
+        |HCP_CLIENT_SECRET="s3cret"
+        |EXTRA='quoted value'
+        |BROKEN LINE WITHOUT EQUALS IS IGNORED
+        |""".stripMargin)
+    val cfg = EnvConfig.load(f.toString, env = Map("EXTRA" -> "from-env"))
+    assert(cfg("HCP_CLIENT_ID") === "cid-1")
+    assert(cfg("HCP_CLIENT_SECRET") === "s3cret") // quotes stripped
+    assert(cfg("EXTRA") === "from-env") // real environment wins
+    assert(!cfg.contains("BROKEN LINE WITHOUT EQUALS IS IGNORED"))
+    val e = intercept[IllegalArgumentException](
+      EnvConfig.required(cfg, "NOPE"))
+    assert(e.getMessage.contains("NOPE"))
+    // wired against the stub token endpoint: full credential round-trip
+    validToken = "tok-1"
+    val tp = EnvConfig.hcpTokenProvider(cfg,
+      tokenUrl = s"$base/oauth/token", audience = "https://api.example.test")
+    assert(tp.token() === "tok-1")
+    // missing file: env only
+    assert(EnvConfig.load("/nonexistent/.env",
+      env = Map("K" -> "v"))("K") === "v")
+  }
+
   test("golden e2e from the live stub endpoint: full HCP pipeline") {
     validToken = "tok-1"
     docBody = HcpFixture.json

@@ -35,6 +35,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map("k1" -> "c", "k2" -> "x"))
   }
 
+  test("lastWinsByKeyAgg agrees with the window form") {
+    val df = Seq(("k1", 1, 5L, "a"), ("k1", 3, 1L, "c"), ("k1", 3, 9L, "d"),
+      ("k2", 1, 0L, "x")).toDF("external_id", "seq", "sub", "v")
+    val win = Transforms.lastWinsByKey(df, "external_id",
+      col("seq").desc, col("sub").desc)
+      .as[(String, Int, Long, String)].collect().toSet
+    val agg = Transforms.lastWinsByKeyAgg(df, "external_id",
+      col("seq"), col("sub"))
+      .as[(String, Int, Long, String)].collect().toSet
+    assert(agg === win)
+    assert(agg === Set(("k1", 3, 9L, "d"), ("k2", 1, 0L, "x")))
+  }
+
   test("topKPerGroup with deterministic tiebreak") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0),
       ("h", 4, 1.0)).toDF("grp", "id", "score")

@@ -75,6 +75,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), "sketch agg not planned")
   }
 
+  test("dedup_embed_lsh: bucket pipeline computed once, equi-join on bucket") {
+    val plan = finalPlan(q("dedup_embed_lsh"))
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+    assert(reused >= 1,
+      s"bucket self-join sides no longer share one exchange\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    // candidate restriction is an equi-join on the bucket key — all-pairs
+    // would plan BroadcastNestedLoopJoin / CartesianProduct
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("upsert_lastwins (agg form): partial aggregate BEFORE the exchange") {
+    val plan = finalPlan(q("upsert_lastwins"))
+    assert(!plan.contains("Window"), "window crept back in")
+    // the property that matters at scale: a partial max_by collapses
+    // duplicate keys before the shuffle, so the exchange moves one row per
+    // (key, partition) — the window form shuffles every input row. (Spark
+    // plans max_by-over-struct as SortAggregate — struct buffers can't
+    // hash-aggregate — so per-partition sorts remain; they sort the narrow
+    // projection, not the shuffle.)
+    val planLines = plan.linesIterator.toList
+    val partialIdx = planLines.indexWhere(_.contains("partial_max_by"))
+    val exchangeIdx = planLines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial aggregate:\n$plan")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial aggregate must feed the exchange (appear BELOW it):\n$plan")
+  }
+
   test("reconcile diff: single full-outer join on the key, both sides pruned") {
     val plan = finalPlan(q("snapshot_diff"))
     assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
