@@ -465,6 +465,21 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // stratified downsampling: cap over-represented languages by
+    // deterministic content-hash rate (en 25%, de 50%, rest whole) — one
+    // fused filter pass, no shuffle, no RNG state.
+    "sample_stratified" -> ((s, dir) =>
+      TextAnalysis.sampleStratified(t(s, dir, "documents"),
+          col("lang"), col("text"), Map("en" -> 250, "de" -> 500))
+        .select(col("doc_id"), col("lang"))),
+
+    // sequence packing (concat-then-cut training layout): per-shard
+    // running token count → (pack_id, pack_offset); shard = content-hash
+    // split so each shard's order-window is bounded.
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
+        TextAnalysis.hashSplit(col("text")), maxTokens = 1024)),
+
     // context-window chunking: 8-token windows every 4 tokens (50%
     // overlap); chunk text emitted as md5 to keep the compare compact.
     "chunk_docs" -> ((s, dir) =>
@@ -886,6 +901,33 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    // thresholds generated from the SAME hashSampleThreshold the engine
+    // uses — lowercase-hex compare is numeric compare on both sides.
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN substr(md5(text), 1, 4) <
+        |    '${TextAnalysis.hashSampleThreshold(250)}'
+        |  WHEN lang = 'de' THEN substr(md5(text), 1, 4) <
+        |    '${TextAnalysis.hashSampleThreshold(500)}'
+        |  ELSE TRUE END""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS shard,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum // 1024 AS BIGINT) AS pack_id,
+        |  CAST(cum % 1024 AS BIGINT) AS pack_offset
+        |FROM (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)""".stripMargin,
 
     "chunk_docs" ->
       """SELECT doc_id, u.st AS chunk_start, md5(u.ch) AS chunk_md5

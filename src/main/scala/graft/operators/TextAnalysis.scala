@@ -168,4 +168,60 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(k)
+
+  /** 4-hex-digit md5-prefix threshold for [[sampleByHash]]:
+    * `substr(md5(key),1,4) < threshold` keeps
+    * ⌊rate‰ · 65536 / 1000⌋ / 65536 of rows. Lowercase hex compares
+    * lexicographically == numerically, so the SAME string constant works
+    * in Spark and in the DuckDB oracle (the SQL is generated from this). */
+  def hashSampleThreshold(ratePermille: Int): String = {
+    require(ratePermille >= 0 && ratePermille < 1000,
+      s"ratePermille=$ratePermille must be in [0, 1000); use no filter for keep-all")
+    f"${(ratePermille.toLong * 65536L) / 1000L}%04x"
+  }
+
+  /** Deterministic content-hash sampling predicate: keep a row iff the
+    * first 16 bits of md5(key) fall under the rate's threshold. The same
+    * properties as [[hashSplit]] — pure column expression fused into the
+    * scan (no shuffle, no RNG state), stable under repartitioning and
+    * reruns, and content-keyed so exact duplicates sample identically. */
+  def sampleByHash(key: Column, ratePermille: Int): Column =
+    if (ratePermille >= 1000) lit(true)
+    else substring(md5(key), 1, 4) < lit(hashSampleThreshold(ratePermille))
+
+  /** Stratified downsampling — per-stratum deterministic rates (the
+    * rebalancing stage of corpus curation: cap the over-represented
+    * sources/languages, keep the rare ones whole). One fused filter pass;
+    * strata absent from `rates` keep `defaultPermille`. */
+  def sampleStratified(df: DataFrame, strataCol: Column, key: Column,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    val pred = rates.foldRight(sampleByHash(key, defaultPermille)) {
+      case ((stratum, rate), els) =>
+        when(strataCol === stratum, sampleByHash(key, rate)).otherwise(els)
+    }
+    df.filter(pred)
+  }
+
+  /** Sequence packing — the "concatenate, then cut every `maxTokens`"
+    * batching layout used for LLM training: documents are laid end-to-end
+    * per shard (in deterministic `idCol` order) and assigned
+    * (pack_id, pack_offset) by exclusive running token count. One window
+    * pass per shard; sharding by [[hashSplit]] (or any partition column)
+    * bounds each shard's range-sort, which is what makes the global-order
+    * cumsum affordable at corpus scale — pack ids are per-shard. A doc
+    * longer than `maxTokens` spans packs, exactly like the training
+    * layout it mirrors. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      shardCol: Column, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, s"maxTokens=$maxTokens must be positive")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), shardCol.as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("__cum") / maxTokens).cast("long").as("pack_id"),
+        (col("__cum") % maxTokens).as("pack_offset"))
+  }
 }

@@ -48,6 +48,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agg === Set(("k1", 3, 9L, "d"), ("k2", 1, 0L, "x")))
   }
 
+  test("packSequences: contiguous concat-then-cut layout per shard") {
+    val docs = Seq(
+      (1L, "a b c"),           // 3 tokens
+      (2L, "d e f g h"),       // 5
+      (3L, "i j"),             // 2
+      (4L, (1 to 12).map(i => s"t$i").mkString(" ")) // 12 > maxTokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "text", "doc_id",
+        lit("s0"), maxTokens = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    // cum:     doc1=0, doc2=3, doc3=8, doc4=10
+    assert(out === Array(
+      (1L, 3L, 0L, 0L),
+      (2L, 5L, 0L, 3L),
+      (3L, 2L, 1L, 0L),   // starts exactly at the second pack boundary
+      (4L, 12L, 1L, 2L))) // longer than a pack: spans packs by design
+    // invariant: offsets are the exclusive running count mod maxTokens,
+    // so pack_id*8 + pack_offset is strictly increasing by n_tokens
+    val pos = out.map(r => r._3 * 8 + r._4)
+    assert(pos.zip(out.map(_._2)).sliding(2).forall {
+      case Array((p1, n1), (p2, _)) => p2 == p1 + n1
+      case _ => true
+    })
+  }
+
+  test("sampleStratified: deterministic, content-keyed, rate-respecting") {
+    val docs = (1 to 400).map(i => (i.toLong,
+      if (i % 2 == 0) "en" else "de", s"doc text number $i"))
+      .toDF("doc_id", "lang", "text")
+    val once = TextAnalysis.sampleStratified(docs, col("lang"), col("text"),
+      Map("en" -> 250, "de" -> 1000)).select("doc_id")
+      .as[Long].collect().toSet
+    // deterministic: same input → same sample, rerun and repartitioned
+    val again = TextAnalysis.sampleStratified(docs.repartition(7),
+      col("lang"), col("text"), Map("en" -> 250, "de" -> 1000))
+      .select("doc_id").as[Long].collect().toSet
+    assert(once === again)
+    // de at 1000‰ is keep-all; en at 250‰ keeps roughly a quarter
+    assert(once.count(_ % 2 == 1) === 200)
+    val enKept = once.count(_ % 2 == 0)
+    assert(enKept > 20 && enKept < 80, s"en kept $enKept of 200")
+    // rate monotonicity: a higher rate's sample is a superset
+    val enHalf = TextAnalysis.sampleStratified(docs, col("lang"), col("text"),
+      Map("en" -> 500, "de" -> 1000)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(once.subsetOf(enHalf))
+  }
+
   test("topKPerGroup with deterministic tiebreak") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0),
       ("h", 4, 1.0)).toDF("grp", "id", "score")
