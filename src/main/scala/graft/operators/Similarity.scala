@@ -187,6 +187,13 @@ object Similarity {
           Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
           .drop("__sim")
     }
+    // NOTE (measured, round 3): inlining the centroid set as literal
+    // vectors and assigning via array_max over per-centroid structs — "no
+    // crossJoin, no shuffle" on paper — ran 2× SLOWER than this
+    // crossJoin+argmax shape (16 inlined dot-product loops bloat the
+    // generated projection past what JIT handles well; 15 s cold vs ~3 s).
+    // Keep the aggregate path: the fan-out rows are narrow, collapse
+    // map-side, and the codegen stays compact.
     val corpusCells = assign(corpusN2, "nid", "nv", "nn2", 1)
     val queryCells = assign(withN2(queries, "qid", "qv", "qn2"),
       "qid", "qv", "qn2", nProbe)
