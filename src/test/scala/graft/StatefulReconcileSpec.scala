@@ -105,4 +105,58 @@ class StatefulReconcileSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState TTL: evicted key re-emits create on re-arrival") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ttl").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val schema = "external_id STRING, token STRING, tombstone BOOLEAN"
+    val stream = spark.readStream.schema(schema).json(inDir).as[KeyedRecord]
+    // 1-second TTL: long enough to survive within-batch processing, short
+    // enough that a 3s sleep between batches guarantees eviction.
+    val events = StatefulReconcile.changelogTws(stream,
+      ttl = Some(java.time.Duration.ofSeconds(1)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode (forced by TTL) keeps running no-data batches
+    // for timer/TTL bookkeeping, so processAllAvailable never settles —
+    // poll the sink with a deadline instead.
+    val q = events.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .format("memory").queryName("ttl_out").start()
+    def awaitRows(n: Long, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (spark.table("ttl_out").count() < n) {
+        q.exception.foreach(throw _)
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $n rows, have ${spark.table("ttl_out").count()}")
+        Thread.sleep(250)
+      }
+    }
+    try {
+      Files.writeString(Paths.get(s"$inDir/b1.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}""")
+      awaitRows(1)
+      Thread.sleep(3000) // let the hash state expire
+      // identical token again: WITHOUT TTL this would be silent
+      // (unchanged); after eviction it re-emits create — the documented
+      // at-least-once trade the idempotent sink absorbs
+      Files.writeString(Paths.get(s"$inDir/b2.json"),
+        """{"external_id":"a","token":"t1","tombstone":false}""")
+      awaitRows(2)
+      val ev = spark.table("ttl_out").as[ChangeEvent].collect()
+      assert(ev.length === 2)
+      assert(ev.forall(e => e.op == "create" &&
+        e.hash == Crc32Q.computeUtf8("t1")))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
