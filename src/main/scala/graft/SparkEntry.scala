@@ -465,6 +465,23 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // CCNet-style corpus-LM quality signal: mean unigram log-prob per doc
+    // (integer-micro rounding per token keeps the distributed sum exact).
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
+
+    // per-source corpus stats: the curation dashboard query (docs, token
+    // volume, mean quality per source) — one partial-combined aggregate.
+    "domain_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+          round(sum(col("q")) / count(lit(1))).cast("long")
+            .as("mean_quality_permille"))),
+
     // stratified downsampling: cap over-represented languages by
     // deterministic content-hash rate (en 25%, de 50%, rest whole) — one
     // fused filter pass, no shuffle, no RNG state.
@@ -901,6 +918,29 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    // per-token integer-micro rounding makes the doc sum order-free, so
+    // the only cross-engine float ops are ln() on identical integer
+    // ratios and two end divisions — ulp drift cannot cross a boundary.
+    "unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT SUM(c) AS t FROM c)
+        |SELECT doc_id,
+        |  CAST(round(SUM(CAST(round(ln(CAST(c.c AS DOUBLE) /
+        |      CAST(tot.t AS DOUBLE)) * 1000000, 0) AS BIGINT))
+        |    / (COUNT(*) * 1000.0), 0) AS BIGINT) AS lp_permille
+        |FROM tok JOIN c USING (w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    "domain_stats" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM($wsCountExpr) AS BIGINT) AS total_tokens,
+        |  CAST(round(SUM($qualityExpr) * 1.0 / COUNT(*), 0) AS BIGINT)
+        |    AS mean_quality_permille
+        |FROM documents GROUP BY source""".stripMargin,
 
     // thresholds generated from the SAME hashSampleThreshold the engine
     // uses — lowercase-hex compare is numeric compare on both sides.

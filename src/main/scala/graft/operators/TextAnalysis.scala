@@ -189,6 +189,36 @@ object TextAnalysis {
     if (ratePermille >= 1000) lit(true)
     else substring(md5(key), 1, 4) < lit(hashSampleThreshold(ratePermille))
 
+  /** CCNet-style unigram log-probability quality signal: score each doc by
+    * the mean corpus log-probability of its tokens (well-formed prose
+    * scores high; gibberish and rare-token soup score low). Two passes
+    * over the exploded tokens, both riding ONE exchange on the token —
+    * `repartition(w)` feeds the count aggregate AND the token→count join,
+    * so AQE computes the explode once (same exchange-reuse shape as the
+    * shingle self-join) — then one partial-combined aggregate on doc id.
+    * The corpus total rides a broadcast single-row cross join.
+    *
+    * Oracle-parity discipline: per-token log-probs are rounded to
+    * integer MICROs first and summed as longs — integer sums are
+    * order-independent, so distributed vs sequential accumulation can
+    * never drift a rounding boundary (a raw double `avg` could). The
+    * per-doc mean divides two exact integers at the end. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .select(col("id"), explode(wsTokens(lower(col("__text")))).as("w"))
+      .repartition(col("w"))
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = broadcast(counts.agg(sum(col("c")).as("t")))
+    tok.join(counts, Seq("w")).crossJoin(total)
+      .select(col("id"),
+        round(log(col("c").cast("double") / col("t").cast("double"))
+          * lit(1000000)).cast("long").as("lp_micro"))
+      .groupBy("id")
+      .agg(round(sum(col("lp_micro")) / (count(lit(1)) * lit(1000.0)))
+        .cast("long").as("lp_permille"))
+      .select(col("id").as(idCol), col("lp_permille"))
+  }
+
   /** Stratified downsampling — per-stratum deterministic rates (the
     * rebalancing stage of corpus curation: cap the over-represented
     * sources/languages, keep the rare ones whole). One fused filter pass;

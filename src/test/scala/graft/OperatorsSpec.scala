@@ -98,6 +98,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(once.subsetOf(enHalf))
   }
 
+  test("unigramLogProb: common-token prose outscores rare-token soup") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zqx jvw pfft blorp qwrk xyzzy")).toDF("doc_id", "text")
+    val lp = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // docs 1/2 share most tokens (high corpus probability); doc 3 is all
+    // hapaxes — strictly lower mean log-prob
+    assert(lp(1L) > lp(3L) && lp(2L) > lp(3L), lp.toString)
+    // identical token distributions score identically
+    val twice = TextAnalysis.unigramLogProb(
+      docs.union(docs.withColumn("doc_id", col("doc_id") + 10)),
+      "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(twice(1L) === twice(11L))
+  }
+
   test("topKPerGroup with deterministic tiebreak") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0),
       ("h", 4, 1.0)).toDF("grp", "id", "score")

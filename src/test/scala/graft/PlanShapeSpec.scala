@@ -105,6 +105,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partial aggregate must feed the exchange (appear BELOW it):\n$plan")
   }
 
+  test("unigram_logprob: token explode computed once for counts and join") {
+    val plan = finalPlan(q("unigram_logprob"))
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+    assert(reused >= 1,
+      s"count side and join side no longer share the token exchange\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("reconcile diff: single full-outer join on the key, both sides pruned") {
     val plan = finalPlan(q("snapshot_diff"))
     assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
