@@ -208,12 +208,10 @@ object SparkEntry {
         .select(col("external_id"))),
 
     // ===== §2.6 reconcile family =====
-    "reconcile_delta" -> ((s, dir) => {
-      val d = Reconcile.diff(rBatch(s, dir), rState(s, dir))
-      d.toCreate.select(col("external_id"), lit("create").as("op"))
-        .unionByName(d.toDelete.select(col("external_id"),
-          lit("delete").as("op")))
-    }),
+    // One classified pass → filter op != unchanged: a single full-outer
+    // join, vs the union-of-two-diffs form that re-planned it per branch.
+    "reconcile_delta" -> ((s, dir) =>
+      Reconcile.changelog(rBatch(s, dir), rState(s, dir))),
 
     "reconcile_passthru" -> ((s, dir) => {
       val edges = Transforms.edgePairs(t(s, dir, "orders"),

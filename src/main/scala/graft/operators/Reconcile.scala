@@ -84,6 +84,19 @@ object Reconcile {
     Delta(toCreate, toDelete)
   }
 
+  /** Changelog relation: every non-unchanged key with its op, from ONE
+    * classified pass — i.e. one full-outer join, one scan of each side.
+    * This is the relation a changelog sink (or the `reconcile_delta`
+    * query) wants: `Delta(toCreate, toDelete)` unioned back together
+    * re-plans the diff join per branch, doubling the dominant cost, while
+    * this form filters the single join image. Use [[diff]] only when the
+    * two sides genuinely flow to different sinks in different shapes
+    * (creates carry batch columns, deletes only the key). */
+  def changelog(batch: DataFrame, state: DataFrame): DataFrame =
+    classified(batch, state)
+      .filter(col("op") =!= OpUnchanged)
+      .select(col("__key").as(key), col("op"))
+
   /** R2 — post-commit state image. For full (node) mode the post-image is
     * simply the batch's key→hash projection: commit upserts every created
     * key, drops every deleted key, and keeps unchanged keys — which together
