@@ -21,7 +21,12 @@ object Bench {
     // work inside the timed loop (measurement overhead, not query cost).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Deterministic run order: Scala Map hash order reshuffles whenever the
+    // query set changes, confounding per-query cross-round comparisons (the
+    // protocol BASELINE.md prescribes). Sorted-by-name is stable under
+    // additions.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).schema
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed to plan: ${e.getMessage}")
@@ -31,7 +36,7 @@ object Bench {
     // like any other query, is listed by name, and forces a nonzero exit —
     // never a near-zero "improvement".
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -42,7 +47,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -32,9 +32,18 @@ object SparkEntry {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Evict entries of stopped sessions on each access: a long-lived suite
+    // run creates many short-lived sessions, and without eviction every
+    // stopped session's plans (and its closure over the SparkContext) stay
+    // reachable for the life of the JVM. O(entries) per call, entries =
+    // live sessions × ~9 tables — negligible next to a parquet footer read.
+    tableCache.keysIterator
+      .filter { case (sess, _) => sess.sparkContext.isStopped }
+      .foreach(tableCache.remove)
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
       s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 

@@ -72,7 +72,14 @@ object Transforms {
     * columns are interchangeable in both forms (window tie order is
     * partition-dependent too), so use rank columns that determine the
     * payload when determinism matters. Asserted equal to the window form
-    * in OperatorsSpec. */
+    * in OperatorsSpec.
+    * Null contract: a null rank value sorts SMALLEST (struct comparison is
+    * ascending nulls-first, so `max` prefers any non-null) — matching the
+    * window form's `.desc` default of NULLS LAST. A group whose rank
+    * columns are all null still emits exactly one (tie-broken) row; the
+    * struct wrapper is what guarantees this — a bare `max_by(payload,
+    * rank)` would skip null-rank rows entirely and return a NULL winner
+    * for all-null groups. Asserted in OperatorsSpec. */
   def lastWinsByKeyAgg(df: DataFrame, key: String,
       rankCols: Column*): DataFrame = {
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)

@@ -106,8 +106,8 @@ class GraphDbWriter(txFactory: GraphTxFactory, batchSize: Int = 1000)
   *    re-drops anything dangling (there should be none — same input).
   */
 class MirroredGraphSink(spark: SparkSession, root: String,
-    writer: GraphDbWriter, nodeBuckets: Int = 0)
-  extends GraphSink(spark, root, nodeBuckets) {
+    writer: GraphDbWriter, nodeBuckets: Int = 0, edgeBuckets: Int = 0)
+  extends GraphSink(spark, root, nodeBuckets, edgeBuckets) {
 
   import org.apache.spark.sql.functions.col
 
@@ -121,13 +121,19 @@ class MirroredGraphSink(spark: SparkSession, root: String,
   def ensureIndexes(labels: Seq[String]): Unit =
     writer.runDdl(labels.map(CypherDialect.keyIndex))
 
+  /** Deletes forward BEFORE merges: the local table applies a key present
+    * in both sets as net-create (survivors drop it, the create union
+    * re-adds it), so the remote must end created too — forwarding the
+    * merge first would let the trailing DETACH DELETE win and diverge the
+    * two stores. Reconcile.diff never emits an overlapping key, but the
+    * sink must not depend on every caller being a reconcile. */
   override def applyNodeDelta(label: String, toCreate: DataFrame,
       toDelete: DataFrame): Unit = {
     super.applyNodeDelta(label, toCreate, toDelete)
-    writer.write(toCreate.dropDuplicates("external_id"),
-      CypherDialect.mergeNodes(label))
     writer.write(toDelete.select(col("external_id")),
       CypherDialect.deleteNodes(label))
+    writer.write(toCreate.dropDuplicates("external_id"),
+      CypherDialect.mergeNodes(label))
   }
 
   override def mergeEdges(relType: String, edges: DataFrame, labelA: String,
@@ -147,9 +153,12 @@ class MirroredGraphSink(spark: SparkSession, root: String,
     val resolved = (if (alreadyResolved) toCreate
       else resolveEndpoints(toCreate, labelA, labelB))
       .dropDuplicates("a_id", "b_id")
-    writer.write(resolved.select(col("a_id"), col("b_id")),
-      CypherDialect.mergeEdges(rel, labelA, labelB))
+    // deletes before merges — same net-create contract as applyNodeDelta:
+    // locally a pair in both sets survives (anti-join drops it, the create
+    // union re-adds it), so the remote merge must be the last word.
     writer.write(deletePairs.select(col("a_id"), col("b_id")),
       CypherDialect.deleteEdges(rel, labelA, labelB))
+    writer.write(resolved.select(col("a_id"), col("b_id")),
+      CypherDialect.mergeEdges(rel, labelA, labelB))
   }
 }

@@ -33,8 +33,21 @@ import graft.model.Schemas
   * 1% delta against a 100 TB node table affordable. Per-commit atomicity
   * is a single manifest swap either way; cross-function replay safety is
   * unchanged (at-least-once + idempotent MERGE).
+  *
+  * `edgeBuckets > 0` does the same for edge tables, routed on the
+  * composite `(a_id, b_id)` key. This matters MORE than node bucketing at
+  * scale: 4 of the reference's 9 functions are relations
+  * (`main.go:45-79`) and the edge table is the fan-out one. Pair-keyed
+  * deltas ([[mergeEdges]], [[applyEdgeDelta]]) prune exactly — only
+  * buckets the delta's pairs route to are read and rewritten. The one
+  * asymmetry is [[detachEdges]]: a node-key delete doesn't determine the
+  * pair buckets, so the touched set comes from a column-pruned scan of the
+  * (a_id, b_id) pair columns — a cheap read-side pass at 100 TB (two
+  * string columns, predicate-semi-joined against a small delete set), vs
+  * the full-table REWRITE the unbucketed path pays.
   */
-class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
+class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0,
+    edgeBuckets: Int = 0) {
 
   private val key = Schemas.externalId
 
@@ -44,12 +57,24 @@ class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
   private def bucketed(label: String) =
     new graft.state.ManifestedTable(spark, s"$root/nodes/$label", nodeBuckets)
 
+  private def bucketedEdges(relType: String) =
+    new graft.state.ManifestedTable(spark, s"$root/edges/$relType", edgeBuckets)
+
   def readNodes(label: String, schema: org.apache.spark.sql.types.StructType = null): DataFrame =
     if (nodeBuckets > 0) bucketed(label).read(schema)
     else table("nodes", label).read(schema)
 
   def readEdges(relType: String): DataFrame =
-    table("edges", relType).read(Schemas.edge)
+    if (edgeBuckets > 0) bucketedEdges(relType).read(Schemas.edge)
+    else table("edges", relType).read(Schemas.edge)
+
+  /** Distinct bucket ids a pair set routes to — a collect of ints bounded
+    * by `edgeBuckets`, never row data. */
+  private def pairBuckets(t: graft.state.ManifestedTable,
+      pairs: DataFrame*): Set[Int] =
+    pairs.map(_.select(t.bucketOf(col("a_id"), col("b_id")).as("b")))
+      .reduce(_ union _)
+      .distinct().collect().map(_.getLong(0).toInt).toSet
 
   /** K1 + K2 in one transaction: apply creates (replacing whole rows on
     * key match — `SET x = item`) and deletes (by key) to the node table as
@@ -112,9 +137,19 @@ class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
       labelB: String): Unit = {
     val resolved = resolveEndpoints(edges, labelA, labelB)
       .dropDuplicates("a_id", "b_id")
-    val existing = readEdges(relType)
-    table("edges", relType)
-      .commit(existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+    if (edgeBuckets > 0) {
+      val t = bucketedEdges(relType)
+      val touched = pairBuckets(t, resolved)
+      if (touched.isEmpty) return
+      val existing = t.readBucketSubset(touched, Schemas.edge)
+      t.commitBuckets(
+        existing.unionByName(resolved).dropDuplicates("a_id", "b_id"),
+        Seq("a_id", "b_id"), touched)
+    } else {
+      val existing = readEdges(relType)
+      table("edges", relType)
+        .commit(existing.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+    }
   }
 
   /** Reconciled-edge mode: one transaction applying resolved creates and
@@ -131,21 +166,55 @@ class GraphSink(spark: SparkSession, root: String, nodeBuckets: Int = 0) {
     val resolved = (if (alreadyResolved) toCreate
       else resolveEndpoints(toCreate, labelA, labelB))
       .dropDuplicates("a_id", "b_id")
-    val kept = readEdges(relType)
-      .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),
-        "left_anti")
-    table("edges", relType)
-      .commit(kept.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+    if (edgeBuckets > 0) {
+      // both creates and deletes carry full pairs → the touched set prunes
+      // exactly; every untouched bucket is carried by manifest reference
+      val t = bucketedEdges(relType)
+      val touched = pairBuckets(t, resolved,
+        deletePairs.select(col("a_id"), col("b_id")))
+      if (touched.isEmpty) return
+      val kept = t.readBucketSubset(touched, Schemas.edge)
+        .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),
+          "left_anti")
+      t.commitBuckets(
+        kept.unionByName(resolved).dropDuplicates("a_id", "b_id"),
+        Seq("a_id", "b_id"), touched)
+    } else {
+      val kept = readEdges(relType)
+        .join(deletePairs.select("a_id", "b_id"), Seq("a_id", "b_id"),
+          "left_anti")
+      table("edges", relType)
+        .commit(kept.unionByName(resolved).dropDuplicates("a_id", "b_id"))
+    }
   }
 
   /** K2 DETACH semantics for edges: when nodes are deleted, drop edges
     * touching them (the reference gets this from `DETACH DELETE`). */
   def detachEdges(relType: String, deletedA: DataFrame,
       deletedB: DataFrame): Unit = {
-    val existing = readEdges(relType)
-    val kept = existing
-      .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_anti")
-      .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_anti")
-    table("edges", relType).commit(kept)
+    if (edgeBuckets > 0) {
+      // A node-key delete doesn't determine pair buckets, so find them by
+      // scanning the pair columns (column-pruned; the delete sets are
+      // deltas and broadcast) — then rewrite ONLY buckets that actually
+      // hold a doomed edge. Read-side pass instead of full-table rewrite.
+      val t = bucketedEdges(relType)
+      val all = t.read(Schemas.edge)
+      val doomed = all
+        .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_semi")
+        .unionByName(all
+          .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_semi"))
+      val touched = pairBuckets(t, doomed)
+      if (touched.isEmpty) return
+      val kept = t.readBucketSubset(touched, Schemas.edge)
+        .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_anti")
+        .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_anti")
+      t.commitBuckets(kept, Seq("a_id", "b_id"), touched)
+    } else {
+      val existing = readEdges(relType)
+      val kept = existing
+        .join(deletedA.select(col(key).as("a_id")), Seq("a_id"), "left_anti")
+        .join(deletedB.select(col(key).as("b_id")), Seq("b_id"), "left_anti")
+      table("edges", relType).commit(kept)
+    }
   }
 }

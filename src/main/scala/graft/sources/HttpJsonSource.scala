@@ -49,7 +49,8 @@ object TokenProvider {
       audience: Option[String] = None,
       expirySlackSeconds: Long = 60,
       client: HttpClient = defaultClient,
-      clock: () => Long = () => System.currentTimeMillis() / 1000L)
+      clock: () => Long = () => System.currentTimeMillis() / 1000L,
+      requestTimeout: Duration = defaultRequestTimeout)
     : TokenProvider = new TokenProvider {
 
     private var cached: Option[(String, Long)] = None // (token, expiresAtSec)
@@ -67,7 +68,11 @@ object TokenProvider {
             .map { case (k, v) =>
               s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}"
             }.mkString("&")
+          // per-request deadline: token refresh is synchronized, so a
+          // stalled token endpoint without one would hang every thread
+          // queued behind this monitor, not just the caller
           val req = HttpRequest.newBuilder(URI.create(tokenUrl))
+            .timeout(requestTimeout)
             .header("Content-Type", "application/x-www-form-urlencoded")
             .header("Accept", "application/json")
             .POST(HttpRequest.BodyPublishers.ofString(form)).build()
@@ -100,6 +105,11 @@ object TokenProvider {
 
   private[sources] def defaultClient: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(20)).build()
+
+  /** `HttpClient.connectTimeout` only bounds the TCP handshake — a server
+    * that accepts and then stalls hangs the request forever without a
+    * per-request deadline. */
+  private[sources] val defaultRequestTimeout: Duration = Duration.ofSeconds(60)
 }
 
 /** Non-2xx response — definitive, never retried as transport noise. */
@@ -139,15 +149,22 @@ class HttpJsonSource(
     schema: Option[StructType] = None,
     maxRetries: Int = 2,
     backoffMillis: Long = 200,
-    client: HttpClient = TokenProvider.defaultClient) {
+    client: HttpClient = TokenProvider.defaultClient,
+    requestTimeout: java.time.Duration = TokenProvider.defaultRequestTimeout) {
 
-  /** GET the document body, with auth/retry semantics as documented. */
+  /** GET the document body, with auth/retry semantics as documented.
+    * Every request carries a deadline (`requestTimeout`): a server that
+    * accepts the connection and then stalls mid-response would otherwise
+    * hang the sync pass forever (connectTimeout only bounds the
+    * handshake). A timeout surfaces as `HttpTimeoutException ⊂
+    * IOException`, i.e. transient — it retries like any transport fault. */
   def fetchBody(): String = {
     var attempt = 0
     var retriedAuth = false
     while (true) {
       val req = {
         val b = HttpRequest.newBuilder(URI.create(url))
+          .timeout(requestTimeout)
           .header("Accept", "application/json").GET()
         tokenProvider.foreach(tp =>
           b.header("Authorization", s"Bearer ${tp.token()}"))

@@ -45,9 +45,12 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
 
   private val ManifestRe = "manifest-([0-9]{12})-.+".r
 
-  /** Bucket id of a key column. */
-  def bucketOf(keyCol: Column): Column =
-    pmod(xxhash64(keyCol), lit(nBuckets.toLong))
+  /** Bucket id of a (possibly composite) key. Routing is
+    * `pmod(xxhash64(keyCols…), n)` — deterministic in the key tuple, so an
+    * edge table keyed `(a_id, b_id)` routes a pair delta to exactly the
+    * buckets its pairs live in, same as a single-key node table. */
+  def bucketOf(keyCols: Column*): Column =
+    pmod(xxhash64(keyCols: _*), lit(nBuckets.toLong))
 
   /** (counter, path) of the newest committed manifest. */
   private def currentManifest(f: FileSystem): Option[(Long, Path)] = {
@@ -110,11 +113,16 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
 
+  /** Single-key convenience overload of the composite-key commit. */
+  def commitBuckets(rows: DataFrame, keyCol: String,
+      touched: Set[Int]): Unit =
+    commitBuckets(rows, Seq(keyCol), touched)
+
   /** Commit `rows` as the new content of exactly the buckets in
     * `touched` — rows MUST all route to those buckets (they are written
-    * partitioned by [[bucketOf]] of `keyCol`). Every other bucket is
+    * partitioned by [[bucketOf]] of `keyCols`). Every other bucket is
     * carried forward by reference. */
-  def commitBuckets(rows: DataFrame, keyCol: String,
+  def commitBuckets(rows: DataFrame, keyCols: Seq[String],
       touched: Set[Int]): Unit = {
     val f = fs
     val prev = currentManifest(f)
@@ -123,7 +131,7 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
     val ctr = prev.map(_._1 + 1).getOrElse(1L)
     val uuid = java.util.UUID.randomUUID().toString
 
-    rows.withColumn(BucketCol, bucketOf(col(keyCol)))
+    rows.withColumn(BucketCol, bucketOf(keyCols.map(col): _*))
       .repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(new Path(base, s"data/$uuid").toString)
@@ -176,6 +184,6 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
   }
 
   /** Full rewrite (all buckets touched) — for bootstrap loads. */
-  def commitAll(rows: DataFrame, keyCol: String): Unit =
-    commitBuckets(rows, keyCol, (0 until nBuckets).toSet)
+  def commitAll(rows: DataFrame, keyCols: String*): Unit =
+    commitBuckets(rows, keyCols, (0 until nBuckets).toSet)
 }

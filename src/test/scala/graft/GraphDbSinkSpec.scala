@@ -153,6 +153,32 @@ class GraphDbSinkSpec extends AnyFunSuite {
       CypherDialect.mergeEdges("creates", "version", "packer_build")))
   }
 
+  test("overlapping create+delete key: remote converges to local (deletes forward first)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val (_, sink, db) = env("overlap")
+    // local semantics make an overlapping key net-create (survivors drop
+    // it, the create union re-adds it) — so the mirror must forward the
+    // DELETE first and let MERGE be the last word, or the stores diverge.
+    val create = Seq(("x", "p1"), ("y", "p1")).toDF("external_id", "name")
+    val del = Seq("x").toDF("external_id")
+    sink.applyNodeDelta("bucket", create, del)
+    assert(sink.readNodes("bucket", create.schema).select("external_id")
+      .collect().map(_.getString(0)).toSet === Set("x", "y"))
+    assert(db.synchronized(
+      db.nodes.keys.filter(_._1 == "bucket").map(_._2).toSet) === Set("x", "y"))
+
+    // same contract on the edge path: a pair in both sets stays created
+    sink.applyNodeDelta("A", Seq(("x", "p")).toDF("external_id", "name"),
+      del.filter(lit(false)))
+    sink.applyNodeDelta("B", Seq(("y", "p")).toDF("external_id", "name"),
+      del.filter(lit(false)))
+    val pair = Seq(("x", "y")).toDF("a_id", "b_id")
+    sink.applyEdgeDelta("r__A__B", pair, pair, "A", "B")
+    assert(sink.readEdges("r__A__B").count() === 1)
+    assert(db.synchronized(db.edges.contains(("r", "A", "x", "B", "y"))))
+  }
+
   test("reconciled-edge mode forwards pair deletes as edge DELETE") {
     val (driver, sink, db) = env("recon-edges")
     import graft.pipeline.{CreateNode, CreateRelation, FunctionSpec, IntegrationSpec}

@@ -61,6 +61,13 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
     server.createContext("/api/broken", (x: HttpExchange) =>
       respond(x, 500, """{"error":"boom"}"""))
+    server.createContext("/api/slow", (x: HttpExchange) => {
+      Thread.sleep(2000)
+      respond(x, 200, "{}")
+    })
+    // handlers run concurrently so a stalled /api/slow exchange can't
+    // serialize the rest of the suite behind its sleep
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -136,6 +143,23 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val noauth = new HttpJsonSource(s"$base/api/doc")
     val ne = intercept[HttpStatusException](noauth.fetchBody())
     assert(ne.status === 401)
+  }
+
+  test("request timeout: a stalled server fails the fetch instead of hanging") {
+    // document fetch: deadline fires while the server sleeps
+    val src = new HttpJsonSource(s"$base/api/slow", maxRetries = 0,
+      requestTimeout = java.time.Duration.ofMillis(300))
+    val t0 = System.nanoTime()
+    intercept[java.net.http.HttpTimeoutException](src.fetchBody())
+    assert((System.nanoTime() - t0) / 1e9 < 1.5,
+      "timeout did not bound the stalled request")
+
+    // token fetch: same deadline on the (synchronized) token endpoint call,
+    // so a stalled auth server can't wedge every thread behind the monitor
+    val tp = TokenProvider.oauth2ClientCredentials(
+      s"$base/api/slow", "cid-1", "s3cret",
+      requestTimeout = java.time.Duration.ofMillis(300))
+    intercept[java.net.http.HttpTimeoutException](tp.token())
   }
 
   test("EnvConfig: .env parse, env override, missing-key error, token wiring") {

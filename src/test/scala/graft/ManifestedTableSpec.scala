@@ -114,6 +114,71 @@ class ManifestedTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("untouched buckets"))
   }
 
+  test("bucketed edge table: pair delta rewrites only touched buckets") {
+    val root = tmp() + "/g"
+    val sink = new GraphSink(spark, root, edgeBuckets = 8)
+    val pairBucket: (String, String) => Int = (a, b) =>
+      Seq((a, b)).toDF("a_id", "b_id")
+        .select(new ManifestedTable(spark, root + "/edges/r", 8)
+          .bucketOf(col("a_id"), col("b_id"))).head().getLong(0).toInt
+
+    val edges1 = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("a_id", "b_id")
+    val nonePairs = edges1.filter(lit(false))
+    sink.applyEdgeDelta("r", edges1, nonePairs, "A", "B",
+      alreadyResolved = true)
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "edges/r/data"))
+      .map(_.getPath.getName).toSet
+    val firstCommit = dataDirs
+    assert(firstCommit.size === 1)
+
+    // small delta: one create, one delete — only their buckets rewritten
+    val create = Seq(("a7", "bNew")).toDF("a_id", "b_id")
+    val del = Seq(("a9", "b9")).toDF("a_id", "b_id")
+    sink.applyEdgeDelta("r", create, del, "A", "B", alreadyResolved = true)
+
+    assert(dataDirs.size === 2, "delta did not produce a second commit dir")
+    assert(dataDirs.intersect(firstCommit).nonEmpty,
+      "untouched edge buckets were rewritten")
+    val got = sink.readEdges("r").as[(String, String)].collect().toSet
+    val want = (1 to 100).filter(_ != 9).map(i => (s"a$i", s"b$i")).toSet +
+      (("a7", "bNew"))
+    assert(got === want)
+
+    // replay the same delta (crash-recovery path): idempotent
+    sink.applyEdgeDelta("r", create, del, "A", "B", alreadyResolved = true)
+    assert(sink.readEdges("r").as[(String, String)].collect().toSet === want)
+  }
+
+  test("bucketed edge sink: merge/delta/detach semantics identical to plain sink") {
+    val plain = new GraphSink(spark, tmp() + "/g0")
+    val bucketed = new GraphSink(spark, tmp() + "/g1", edgeBuckets = 4)
+    val nodesA = Seq("a1", "a2", "a3").map((_, "p")).toDF("external_id", "prop")
+    val nodesB = Seq("b1", "b2", "b3").map((_, "p")).toDF("external_id", "prop")
+    val noneKeys = nodesA.filter(lit(false)).select("external_id")
+    for (s <- Seq(plain, bucketed)) {
+      s.applyNodeDelta("A", nodesA, noneKeys)
+      s.applyNodeDelta("B", nodesB, noneKeys)
+      // a3→bX dangles: MATCH must drop it in both sinks
+      s.mergeEdges("r", Seq(("a1", "b1"), ("a2", "b2"), ("a3", "bX"))
+        .toDF("a_id", "b_id"), "A", "B")
+      s.applyEdgeDelta("r",
+        Seq(("a1", "b3"), ("a2", "b3")).toDF("a_id", "b_id"),
+        Seq(("a2", "b2")).toDF("a_id", "b_id"), "A", "B")
+      s.detachEdges("r", Seq("a1").toDF("external_id"),
+        noneKeys.toDF("external_id"))
+    }
+    // merge keeps (a1,b1),(a2,b2) [a3→bX dangles]; delta adds (a1,b3),
+    // (a2,b3) and deletes (a2,b2); detach of node a1 drops its two edges.
+    val want = plain.readEdges("r").as[(String, String)].collect().toSet
+    val got = bucketed.readEdges("r").as[(String, String)].collect().toSet
+    assert(got === want)
+    assert(got === Set(("a2", "b3")))
+  }
+
   test("bucketed GraphSink: upsert/delete semantics identical to plain sink") {
     val plain = new GraphSink(spark, tmp() + "/g0")
     val bucketed = new GraphSink(spark, tmp() + "/g1", nodeBuckets = 8)

@@ -27,6 +27,48 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("decodeAssets really parses BMP and WAV headers from hand-built files") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmpBytes(w: Int, h: Int): Array[Byte] = {
+      // 54-byte BMP: file header (14) + BITMAPINFOHEADER (40), no pixels
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h)
+      b.putShort(1).putShort(24) // planes, bpp
+      b.array()
+    }
+    def wavBytes(blockAlign: Int, dataBytes: Int): Array[Byte] = {
+      // canonical 44-byte PCM WAV header; data payload not required
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      b.putInt(44100).putInt(44100 * blockAlign)
+        .putShort(blockAlign.toShort).putShort(16)
+      b.put("data".getBytes).putInt(dataBytes)
+      b.array()
+    }
+    val assets = Seq(
+      (1L, "image", bmpBytes(640, 480)),
+      (2L, "image", bmpBytes(7, -9)), // negative height = top-down rows
+      (3L, "audio", wavBytes(4, 400)), // 400/4 = 100 PCM frames
+      (4L, "image", "not a container at all".getBytes("UTF-8")))
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.decodeAssets(assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) === ((640, 480, 1)))
+    assert((got(2L).width, got(2L).height) === ((7, 9)))
+    assert((got(3L).width, got(3L).height, got(3L).n_frames) === ((0, 0, 100)))
+    // unprobeable bytes keep the documented deterministic stub
+    val n = "not a container at all".getBytes("UTF-8").length
+    assert((got(4L).width, got(4L).height) === ((16 + n % 64, 16 + (n / 7) % 64)))
+
+    // probe rejects truncated/corrupt headers rather than mis-parsing
+    import graft.operators.HeaderProbe
+    assert(HeaderProbe.bmp("BM".getBytes).isEmpty)
+    assert(HeaderProbe.wav(wavBytes(0, 400)).isEmpty) // zero block align
+    assert(HeaderProbe.wav("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
   test("lastWinsByKey keeps exactly the ordered winner") {
     val df = Seq(("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
       ("k2", 1, "x")).toDF("external_id", "seq", "v")
@@ -46,6 +88,29 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(String, Int, Long, String)].collect().toSet
     assert(agg === win)
     assert(agg === Set(("k1", 3, 9L, "d"), ("k2", 1, 0L, "x")))
+  }
+
+  test("lastWinsByKeyAgg null-rank contract: null loses to any value; all-null groups emit one row") {
+    val df = Seq(
+      ("k1", Some(2), "b"), ("k1", None, "z"), ("k1", Some(1), "a"),
+      ("k2", None, "p"), ("k2", None, "q"), // all-null ranks
+      ("k3", None, "only"))
+      .toDF("external_id", "seq", "v")
+    // contract: a null rank sorts SMALLEST in the agg form (struct-max is
+    // nulls-first ascending), which matches the window form's `.desc`
+    // default of NULLS LAST — so a null-ranked row loses to any non-null
+    // one, and an all-null group still yields exactly one row. Ties on all
+    // rank columns are settled by the trailing tiebreak column, making
+    // both forms deterministic here.
+    val agg = Transforms.lastWinsByKeyAgg(df, "external_id",
+      col("seq"), col("v"))
+      .as[(String, Option[Int], String)].collect().toSet
+    val win = Transforms.lastWinsByKey(df, "external_id",
+      col("seq").desc, col("v").desc)
+      .as[(String, Option[Int], String)].collect().toSet
+    assert(agg === win)
+    assert(agg === Set(("k1", Some(2), "b"), ("k2", None, "q"),
+      ("k3", None, "only")))
   }
 
   test("packSequences: contiguous concat-then-cut layout per shard") {

@@ -121,6 +121,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins === 1, s"diff should be exactly one join, got $joins")
   }
 
+  test("reconcile_delta (changelog form): single full-outer join, no re-plan per branch") {
+    // The union-of-two-diffs form re-plans the diff join per branch,
+    // doubling the dominant cost; changelog() filters ONE classified pass.
+    val plan = finalPlan(q("reconcile_delta"))
+    assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins === 1, s"changelog should be exactly one join, got $joins:\n$plan")
+  }
+
   test("edge_resolve_join: both node dims broadcast semi-joins") {
     val plan = finalPlan(q("edge_resolve_join"))
     val bsemi = plan.linesIterator

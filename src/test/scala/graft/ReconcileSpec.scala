@@ -42,6 +42,22 @@ class ReconcileSpec extends AnyFunSuite {
     assert(d.toCreate.count() === 2 && d.toDelete.count() === 0)
   }
 
+  test("changelog: every non-unchanged key with its op, equal to diff's two sets") {
+    val prev = batchOf("a" -> "t1", "b" -> "t1", "c" -> "t1")
+    val state = stateOf(prev)
+    val cur = batchOf("a" -> "t1", "b" -> "t2", "d" -> "t1")
+    val log = Reconcile.changelog(cur, state)
+    assert(log.columns.toSeq === Seq("external_id", "op"))
+    val rows = log.as[(String, String)].collect().toMap
+    assert(rows === Map("b" -> "create", "d" -> "create", "c" -> "delete"))
+    // changelog is exactly diff's two sets re-expressed as one relation
+    val d = Reconcile.diff(cur, state)
+    assert(rows.filter(_._2 == "create").keySet ===
+      d.toCreate.select("external_id").as[String].collect().toSet)
+    assert(rows.filter(_._2 == "delete").keySet ===
+      d.toDelete.as[String].collect().toSet)
+  }
+
   test("convergence: diff after commit is empty (reference main.go:224-237)") {
     val prev = batchOf("a" -> "t1", "b" -> "t9")
     val cur = batchOf("b" -> "t2", "c" -> "t3")

@@ -43,6 +43,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e2e: stub HTTP endpoint → HttpJsonSource → streaming pipeline → sink, with convergence") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.sources.{HttpJsonSource, TokenProvider}
+
+    // --- stub API endpoint (the reference's live upstream) ---
+    @volatile var docBody = HcpFixture.json
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/doc", (x: HttpExchange) => {
+      val ok = Option(x.getRequestHeaders.getFirst("Authorization"))
+        .contains("Bearer tok-e2e")
+      val b = (if (ok) docBody else """{"error":"unauthenticated"}""")
+        .getBytes(UTF_8)
+      x.sendResponseHeaders(if (ok) 200 else 401, b.length)
+      val os = x.getResponseBody; os.write(b); os.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/doc"
+
+    val root = Files.createTempDirectory("graft-stream-e2e").toString
+    val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val store = new SnapshotStore(spark, s"$root/state")
+    val sink = new GraphSink(spark, s"$root/graph")
+    val sync = new StreamingSync(spark, store, sink)
+    val spec = HcpIntegration.spec("hcp-e2e", _ => null)
+    val src = new HttpJsonSource(url, Some(TokenProvider.static("tok-e2e")))
+
+    // Ingest step: each HTTP fetch (bearer-authenticated, via the real
+    // source) lands one complete snapshot as one single-line JSON file —
+    // one file = one micro-batch = one snapshot (maxFilesPerTrigger=1).
+    var n = 0
+    def fetchSnapshot(): Unit = {
+      n += 1
+      Files.writeString(java.nio.file.Paths.get(s"$inDir/snap$n.json"),
+        src.fetchBody().replaceAll("\n", " "))
+    }
+
+    val stream = spark.readStream.schema(Schemas.hcpDocument)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val q = sync.start(spec, stream, s"$root/ckpt")
+    try {
+      // pass 1: create — full extract → reconcile → sink → commit →
+      // convergence (SyncDriver verify=true raises on any unconverged key)
+      fetchSnapshot()
+      q.processAllAvailable()
+      assert(sink.readNodes("bucket").count() === 2)
+      assert(sink.readEdges("creates__version__packer_build").count() === 3)
+
+      // pass 2: upstream update (token bump + rename) lands incrementally
+      docBody = HcpFixture.json
+        .replace("\"updated-at\": \"2024-06-01T00:00:00Z\"",
+          "\"updated-at\": \"2024-11-01T00:00:00Z\"")
+        .replace("\"name\": \"base-img\"", "\"name\": \"base-img-streamed\"")
+      fetchSnapshot()
+      q.processAllAvailable()
+      assert(sink.readNodes("bucket")
+        .filter(col("external_id") === "b1")
+        .collect().head.getAs[String]("name") === "base-img-streamed")
+
+      // pass 3: empty upstream snapshot → full delete flow
+      docBody = HcpFixture.emptyJson
+      fetchSnapshot()
+      q.processAllAvailable()
+      assert(sink.readNodes("bucket").count() === 0)
+      assert(sink.readEdges("creates__version__packer_build").count() === 0)
+
+      // explicit post-hoc convergence: committed state vs live upstream
+      val lastDoc = spark.read.schema(Schemas.hcpDocument)
+        .json(spark.createDataset(Seq(docBody.replaceAll("\n", " ")))(
+          org.apache.spark.sql.Encoders.STRING))
+      val batch = graft.operators.HcpTransforms.bucketNodes(lastDoc)
+      assert(graft.operators.Reconcile.convergenceViolations(
+        batch, store.read(spec.key, "buckets")) === 0)
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("windowed agg: streaming result equals batch result") {
     val root = Files.createTempDirectory("graft-wnd").toString
     val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
