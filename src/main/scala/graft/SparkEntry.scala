@@ -569,6 +569,28 @@ object SparkEntry {
           col("py").cast("long").as("py"))
     }),
 
+    // Real container decode, end-to-end and oracle-checkable: per-row BMP /
+    // WAV containers are SYNTHESIZED from each document's byte length with
+    // codegen'd expressions (hex/concat/unhex fused into the scan), then
+    // decoded back by the real header probe in the mapPartitions batch.
+    // The oracle recomputes the expected dims/frames arithmetically —
+    // agreeing requires both the synthesis AND the byte-layout parse to be
+    // correct. Zero shuffle: project → mapPartitions → project.
+    "mm_decode" -> ((s, dir) => {
+      val len = length(encode(col("text"), "UTF-8")) // octet length
+      val assets = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("asset_id"),
+        when(col("doc_id") % 2 === 0, lit("image"))
+          .otherwise(lit("audio")).as("modality"),
+        when(col("doc_id") % 2 === 0,
+          Multimodal.bmpContent((len % 300) + 1, (floor(len / 7) % 200 + 1).cast("int")))
+          .otherwise(Multimodal.wavContent(len * 4)).as("content"))
+      Multimodal.decodeAssets(assets)
+        .select(col("asset_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
+
     "sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -1019,6 +1041,18 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, unnest(range(0,
         |   1 + CAST(octet_length(encode(text)) % 30 AS INT), 7)) AS frame_idx
         | FROM documents""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 2 = 0
+        |   THEN CAST(octet_length(encode(text)) % 300 + 1 AS BIGINT)
+        |   ELSE 0 END AS width,
+        | CASE WHEN doc_id % 2 = 0
+        |   THEN CAST((octet_length(encode(text)) // 7) % 200 + 1 AS BIGINT)
+        |   ELSE 0 END AS height,
+        | CASE WHEN doc_id % 2 = 0 THEN 1
+        |   ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_frames
+        |FROM documents""".stripMargin,
 
     "mm_patches" ->
       """WITH d AS (SELECT doc_id AS asset_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -170,6 +170,34 @@ object Multimodal {
         explode(sequence(lit(0), col("nx") - 1)).as("px"))
       .select(col("asset_id"), col("px"),
         explode(sequence(lit(0), col("ny") - 1)).as("py"))
+
+  /** Hex of little-endian byte `i` of a non-negative int column. */
+  private def byteHex(c: Column, i: Int): Column =
+    lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255)).cast("long")), 2, "0")
+
+  private def le32Hex(c: Column): Column =
+    concat(byteHex(c, 0), byteHex(c, 1), byteHex(c, 2), byteHex(c, 3))
+
+  /** Synthesize a canonical 44-byte PCM WAV header as a binary column
+    * (RIFF + fmt[1ch=2,44100Hz,blockAlign=4,16bit] + data with the given
+    * payload byte length — payload itself omitted; RIFF permits the data
+    * chunk to be declared-then-streamed and [[HeaderProbe.wav]] honors
+    * that). Pure codegen'd expressions (hex/concat/unhex), so container
+    * synthesis fuses into the scan stage — this is how the engine can
+    * round-trip its own decode path at any scale without stored media. */
+  def wavContent(dataLen: Column): Column =
+    unhex(concat(
+      lit("52494646"), le32Hex(dataLen + lit(36)),
+      lit("57415645666D7420100000000100020044AC000010B102000400100064617461"),
+      le32Hex(dataLen)))
+
+  /** Synthesize a 54-byte BMP (file header + BITMAPINFOHEADER, no pixel
+    * array) with the given dimensions, as a binary column. */
+  def bmpContent(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("424D"), le32Hex(lit(54)), lit("00000000"), le32Hex(lit(54)),
+      lit("28000000"), le32Hex(w), le32Hex(h), lit("01001800"),
+      lit("00" * 24)))
 
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model

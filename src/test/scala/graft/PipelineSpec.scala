@@ -104,6 +104,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(sink.readEdges("has__project__bucket").count() === 0)
   }
 
+  test("fully bucketed sink (nodes + edges): full golden flow incl. reconciled edges") {
+    val root = Files.createTempDirectory("graft-bkt2").toString
+    val store = new SnapshotStore(spark, s"$root/state")
+    val sink = new GraphSink(spark, s"$root/graph", nodeBuckets = 4,
+      edgeBuckets = 4)
+    val driver = new SyncDriver(spark, store, sink)
+    // reconcile = true on one relation exercises applyEdgeDelta's bucketed
+    // pair-pruned path; the others go through bucketed mergeEdges; node
+    // deletes exercise the bucketed detach (touched-set via pair scan)
+    import graft.pipeline.{CreateNode, CreateRelation, FunctionSpec, IntegrationSpec}
+    import graft.operators.HcpTransforms
+    def spec(body: String) = IntegrationSpec("hcp-bkt2",
+      s => HcpFixture.doc(s, body), Seq(
+        FunctionSpec("buckets", CreateNode("bucket"), HcpTransforms.bucketNodes),
+        FunctionSpec("version", CreateNode("version"), HcpTransforms.versionNodes),
+        FunctionSpec("bucket_version",
+          CreateRelation("has", "bucket", "version", reconcile = true),
+          HcpTransforms.bucketVersionEdges)))
+
+    val r1 = driver.run(spec(HcpFixture.json))
+    assert(r1("buckets") === ((2L, 0L)))
+    assert(sink.readEdges("has__bucket__version").count() === 2)
+
+    // idempotent re-run: zero deltas anywhere
+    val r2 = driver.run(spec(HcpFixture.json))
+    assert(r2.values.forall(_ == ((0L, 0L))))
+
+    // b2 vanishes upstream: bucketed node delete + bucketed detach + the
+    // reconciled edge diff's pair delete all land; (b1, v1) survives
+    val onlyB1 = HcpFixture.json.replaceAll(
+      """\{"id": "b2".*\]\}\}\s*""", "").replaceAll(",\\s*]", "]")
+    val r3 = driver.run(spec(onlyB1))
+    assert(r3("buckets") === ((0L, 1L)))
+    assert(sink.readEdges("has__bucket__version")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("b1", "v1")))
+
+    // full delete through every bucketed path
+    driver.run(spec(HcpFixture.emptyJson))
+    assert(sink.readNodes("bucket").count() === 0)
+    assert(sink.readEdges("has__bucket__version").count() === 0)
+  }
+
   test("update path: changed updated-at replaces node wholesale (K1)") {
     val (driver, sink) = freshEnv()
     val spec = HcpIntegration.spec("hcp-upd", s => HcpFixture.doc(s))
