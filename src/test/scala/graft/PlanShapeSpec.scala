@@ -142,6 +142,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("mm_decode: container synthesis + header probe plan is shuffle-free") {
+    val plan = finalPlan(q("mm_decode"))
+    assert(!plan.contains("Exchange"),
+      s"decode path must stay project → mapPartitions → project:\n$plan")
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("asof_join: one shuffle+sort per side union, no join operator at all") {
     val plan = finalPlan(q("asof_join"))
     assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
