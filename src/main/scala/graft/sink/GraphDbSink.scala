@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 /** One remote-graph-DB transaction: batched parameterized statements, then
   * commit/rollback. The abstraction is exactly what the Neo4j bolt
   * driver's `Session.BeginTransaction` offers (reference
-  * `internal/store/neo4j.go:72-81`) so a production implementation is a
-  * thin wrapper over `org.neo4j.driver.Session` — which cannot ship here
-  * (no bolt driver on the classpath, zero-egress), hence the seam. */
+  * `internal/store/neo4j.go:72-81`). Two implementations exist: the
+  * in-memory mirror used by specs, and [[BoltTxFactory]] — a from-scratch
+  * client for the public Bolt wire protocol (handshake, PackStream,
+  * chunked framing, explicit transactions), since no third-party driver
+  * jar can ship in this zero-egress build. */
 trait GraphTx {
   /** Run one statement with a `$list` parameter batch
     * (`UNWIND $list AS item …`). */
