@@ -30,12 +30,21 @@ import org.apache.spark.sql.types.StructType
   * Bucket routing is `pmod(xxhash64(key), n)` — deterministic, so the same
   * key always lands in the same bucket and a keyed delta prunes exactly.
   *
+  * Concurrency: commits are optimistic — each claims its target counter
+  * with an exclusive file create before writing anything, so of two
+  * racing writers exactly one publishes and the other fails loudly with
+  * "concurrent commit detected" (re-read + retry), never a silent lost
+  * update. A claim left by a crashed writer goes stale after
+  * `claimTtlMillis` (no manifest at its counter) and is swept by the
+  * next committer.
+  *
   * GC keeps data dirs referenced by the current AND previous manifest
   * (straggling readers get one full commit cycle, as in [[AtomicTable]]);
   * anything older or never-referenced (crashed commits) is deleted
   * best-effort on the next commit.
   */
-class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
+class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int,
+    claimTtlMillis: Long = 15 * 60 * 1000L) {
   require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
 
   final val BucketCol = "__gbucket"
@@ -131,6 +140,40 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
     val ctr = prev.map(_._1 + 1).getOrElse(1L)
     val uuid = java.util.UUID.randomUUID().toString
 
+    // Optimistic concurrency (the Iceberg commit model): claim this
+    // counter with an exclusive create BEFORE paying for the data write.
+    // Two writers racing the same base counter would otherwise both
+    // publish counter+1 manifests and one writer's buckets would be
+    // silently dropped at read time (maxBy tie). With the claim, the
+    // loser fails loudly — and cheaply — here, and can re-read + retry.
+    // (POSIX rename overwrites, so rename alone cannot be the claim;
+    // create with overwrite=false is the same exclusivity contract
+    // AtomicTable's pointer swap relies on.)
+    val claim = new Path(base, f".claim-$ctr%012d")
+    f.mkdirs(new Path(base))
+    def tryClaim(): Boolean =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryClaim()) {
+      // Crash recovery: a writer that claimed, then died before publishing
+      // its manifest, must not block this counter forever. A claim is
+      // stale when no manifest with its counter exists AND it is older
+      // than the TTL (a live racer's claim is fresh — the TTL bounds how
+      // long a commit may take, not how long a lock lives).
+      val manifestExists = f.listStatus(new Path(base))
+        .exists(_.getPath.getName.startsWith(f"manifest-$ctr%012d"))
+      val age = try System.currentTimeMillis() -
+        f.getFileStatus(claim).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+      val recovered = !manifestExists && age > claimTtlMillis && {
+        (try f.delete(claim, false) catch { case _: Exception => false }) &&
+          tryClaim()
+      }
+      if (!recovered) throw new java.io.IOException(
+        s"concurrent commit detected for $base at counter $ctr — " +
+          "another writer claimed this version; re-read and retry")
+    }
+
     rows.withColumn(BucketCol, bucketOf(keyCols.map(col): _*))
       .repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
@@ -169,14 +212,17 @@ class ManifestedTable(spark: SparkSession, base: String, nBuckets: Int) {
         try f.delete(st.getPath, true) catch { case _: Exception => }
       }
     }
-    // drop manifests older than the previous one, and tmp files left by
-    // crashed commits (ours was just renamed away, so any .tmp-manifest-*
-    // still present is an orphan)
+    // drop manifests older than the previous one, settled claims, and tmp
+    // files left by crashed commits (ours was just renamed away, so any
+    // .tmp-manifest-* still present is an orphan)
     f.listStatus(new Path(base)).foreach { st =>
       st.getPath.getName match {
         case ManifestRe(c) if c.toLong < ctr - 1 =>
           try f.delete(st.getPath, true) catch { case _: Exception => }
         case n if n.startsWith(".tmp-manifest-") =>
+          try f.delete(st.getPath, true) catch { case _: Exception => }
+        case n if n.startsWith(".claim-") &&
+            n.stripPrefix(".claim-").toLong < ctr =>
           try f.delete(st.getPath, true) catch { case _: Exception => }
         case _ =>
       }

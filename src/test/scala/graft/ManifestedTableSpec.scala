@@ -103,6 +103,39 @@ class ManifestedTableSpec extends AnyFunSuite {
     assert(t.read(rows.schema).count() === 10)
   }
 
+  test("optimistic commit: raced counter fails loudly; stale claim recovers after TTL") {
+    val base = tmp() + "/t"
+    val t = new ManifestedTable(spark, base, 4, claimTtlMillis = 60000)
+    val rows = (1L to 10L).map(i => (i, "v")).toDF("external_id", "v")
+    t.commitAll(rows, "external_id") // counter 1
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // another writer holds the claim for counter 2 → this commit must fail
+    val claim = new org.apache.hadoop.fs.Path(base, ".claim-000000000002")
+    fs.create(claim, false).close()
+    val b = bucketIdOf(t, 1L)
+    val ex = intercept[java.io.IOException] {
+      t.commitBuckets(t.readBucketSubset(Set(b), rows.schema),
+        "external_id", Set(b))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(t.read(rows.schema).count() === 10) // table unharmed
+
+    // the claimant crashed: age the claim past the TTL (no manifest ever
+    // published at counter 2) → next commit sweeps it and proceeds
+    fs.setTimes(claim, System.currentTimeMillis() - 3600 * 1000L, -1)
+    t.commitBuckets(t.readBucketSubset(Set(b), rows.schema),
+      "external_id", Set(b))
+    assert(t.read(rows.schema).count() === 10)
+    // the claim at the CURRENT counter must persist (deleting it would
+    // reopen the race for this version); it is GC'd once superseded
+    assert(fs.exists(claim))
+    t.commitBuckets(t.readBucketSubset(Set(b), rows.schema),
+      "external_id", Set(b)) // counter 3
+    assert(!fs.exists(claim))
+  }
+
   test("commitBuckets fails loudly when rows route outside the touched set") {
     val t = new ManifestedTable(spark, tmp() + "/t", 4)
     val rows = (1L to 10L).map(i => (i, "v")).toDF("external_id", "v")
