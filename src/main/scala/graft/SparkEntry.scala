@@ -446,10 +446,14 @@ object SparkEntry {
       // input-split rebalance ahead of the scoring expressions: a single
       // row-group input would run all three scorers in one task.
       val d = t(s, dir, "documents").repartition(col("doc_id"))
-      val filtered = d.filter(
-        TextAnalysis.tokenCount(col("text")) >= 20 &&
-        TextAnalysis.qualityScore(col("text")) >= 400 &&
-        TextAnalysis.langId(col("text")) === "en")
+      // single fused gate expression == tokenCount >= 20 && qualityScore
+      // >= 400 && langId == "en" (FilterExec has no subexpression
+      // elimination, so the composed conjunction re-scans the text per
+      // predicate; the gate is one byte pass — parity property-tested in
+      // OperatorsSpec and oracle-checked here at three scale factors)
+      val filtered = d.filter(graft.functions.CurationGate(col("text"),
+        TextAnalysis.stopwords, minTokens = 20, minQuality = 400,
+        wantLang = "en"))
       Dedup.exactSurvivors(filtered, "text", "doc_id")
     }),
 

@@ -33,12 +33,16 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por"),
     "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "zai4", "you3", "he2"))
 
-  /** Stopword-hit count: every occurrence counts. Native codegen'd
-    * membership loop ([[graft.functions.CountInSet]]) — the equivalent
-    * `size(filter(tokens, w => w === s1 || ...))` HOF runs interpreted and
-    * language-ID evaluates five of these per document. */
+  /** Stopword-hit count: every occurrence counts. Native single-pass
+    * byte-scan ([[graft.functions.TokenSetCount]]) — it fuses the
+    * lowercase + whitespace-split + set-membership chain into one loop,
+    * because language-ID evaluates five of these per document and quality
+    * scoring a sixth, and each composed copy would re-lowercase and
+    * re-regex-split the text (FilterExec codegen has no subexpression
+    * elimination). Counting semantics identical to
+    * `CountInSet(wsTokens(lower(text)), words)`. */
   def langScore(text: Column, words: Seq[String]): Column =
-    graft.functions.CountInSet(wsTokens(lower(text)), words)
+    graft.functions.TokenSetCount(text, words)
 
   /** Language-ID: argmax of stopword-hit counts, ties broken by the fixed
     * language order above; no hits at all → "und" (undetermined). */

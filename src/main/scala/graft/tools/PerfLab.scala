@@ -43,7 +43,29 @@ object PerfLab {
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
             count(lit(1)).as("n"))
-      })
+      }),
+      // curate_docs stage isolation: scorer filter alone vs dedup alone
+      "curate_filter" -> ((s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .repartition(col("doc_id"))
+        d.filter(
+          graft.operators.TextAnalysis.tokenCount(col("text")) >= 20 &&
+          graft.operators.TextAnalysis.qualityScore(col("text")) >= 400 &&
+          graft.operators.TextAnalysis.langId(col("text")) === "en")
+      }),
+      "curate_dedup_only" -> ((s, dir) =>
+        graft.operators.Dedup.exactSurvivors(
+          s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id")),
+          "text", "doc_id")),
+      "filter_token" -> ((s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+          .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 20)),
+      "filter_quality" -> ((s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+          .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 400)),
+      "filter_lang" -> ((s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+          .filter(graft.operators.TextAnalysis.langId(col("text")) === "en"))
     )
     sys.env.get("SPARK_GRAFT_CONF").foreach { kv =>
       val Array(k, v) = kv.split("=", 2)

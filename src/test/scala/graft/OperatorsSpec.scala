@@ -198,6 +198,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === "en" && got(2L) === "de" && got(3L) === "und")
   }
 
+  test("TokenSetCount equals the composed CountInSet(wsTokens(lower)) form") {
+    // edge inputs: repeated hits, mixed case, every \s-class separator,
+    // leading/trailing separators (empty tokens), empty string, no hits
+    val texts = Seq(
+      "The the THE and of", "  \t le\u000Bla\nle \f\r", "", "   ",
+      "der und das ist", "nohits here at all", "of-of of, of")
+    val words = Seq("the", "and", "of", "le", "la", "und")
+    val df = texts.toDF("text")
+    val fused = df.select(
+      graft.functions.TokenSetCount(col("text"), words).as("c"))
+      .as[Int].collect().toSeq
+    val composed = df.select(graft.functions.CountInSet(
+      TextAnalysis.wsTokens(lower(col("text"))), words).as("c"))
+      .as[Int].collect().toSeq
+    assert(fused === composed)
+    assert(fused === Seq(5, 3, 0, 0, 1, 0, 1))
+  }
+
+  test("CurationGate equals the composed three-predicate filter (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    val stop = TextAnalysis.stopwords.flatMap(_._2)
+    val fillers = Seq("cat", "dog", "Zebra", "qq", "x1", "!!", "...", "héllo")
+    val seps = Seq(" ", "  ", "\t", "\n", "", "\f", "\r")
+    def randText(): String = {
+      val n = rnd.nextInt(60)
+      val body = (0 until n).map { _ =>
+        if (rnd.nextBoolean()) stop(rnd.nextInt(stop.size))
+        else fillers(rnd.nextInt(fillers.size))
+      }.mkString(seps(rnd.nextInt(seps.size)))
+      // random leading/trailing whitespace exercises the trim/split quirks
+      seps(rnd.nextInt(seps.size)) * rnd.nextInt(2) + body +
+        seps(rnd.nextInt(seps.size)) * rnd.nextInt(2)
+    }
+    val df = ((0 until 300).map(i => (i.toLong, randText())) :+
+      (9998L, "") :+ (9999L, "   \t  ")).toDF("doc_id", "text")
+    val composed = df.filter(
+      TextAnalysis.tokenCount(col("text")) >= 5 &&
+      TextAnalysis.qualityScore(col("text")) >= 300 &&
+      TextAnalysis.langId(col("text")) === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val fused = df.filter(graft.functions.CurationGate(col("text"),
+      TextAnalysis.stopwords, minTokens = 5, minQuality = 300,
+      wantLang = "en"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused === composed)
+    assert(fused.nonEmpty, "degenerate test: no row passed either form")
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val df = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
     val got = df.select(
