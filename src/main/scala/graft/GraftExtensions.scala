@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Crc32QExpression, DotProductExpression,
-  MinhashAggExpression, SimhashAggExpression}
+import graft.functions.{CountInSetExpression, Crc32QExpression,
+  DotProductExpression, MinhashAggExpression, SimhashAggExpression,
+  TokenSetCountExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use.
@@ -59,5 +60,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("simhash_agg", 1)(children)
       SimhashAggExpression(children.head).toAggregateExpression()
     }, classOf[SimhashAggExpression])
+
+    // word-set arguments arrive as trailing STRING literals:
+    //   token_set_count(text, 'the', 'and', 'of')
+    //   count_in_set(tokens, 'the', 'and', 'of')
+    def wordLits(name: String, children: Seq[Expression]): Seq[String] = {
+      require(children.size >= 2,
+        s"$name(input, word, ...) expects at least 2 arguments, got ${children.size}")
+      children.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name word arguments must be STRING literals, got $other")
+      }
+    }
+    register(e, "token_set_count", { children =>
+      TokenSetCountExpression(children.head,
+        wordLits("token_set_count", children))
+    }, classOf[TokenSetCountExpression])
+
+    register(e, "count_in_set", { children =>
+      CountInSetExpression(children.head,
+        wordLits("count_in_set", children))
+    }, classOf[CountInSetExpression])
   }
 }
