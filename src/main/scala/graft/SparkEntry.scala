@@ -300,6 +300,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(cents(col("o_totalprice"))).as("total_cents"))),
 
+    // per-group exact quartiles (distribution stats for curation/QA).
+    // Quartile fractions and the integer-valued measure keep every
+    // interpolation step exact in binary, so the DuckDB quantile_cont
+    // twin hash-matches with no float drift. Exact percentile buffers
+    // the group's values (ObjectHashAggregate) — fine for bounded-group
+    // stats; an unbounded-cardinality 100 TB profile would switch to
+    // approx_percentile's fixed-size sketch.
+    "group_quartiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)") * 100).cast("long")
+            .as("q1_cents"),
+          round(expr("percentile(l_quantity, 0.5)") * 100).cast("long")
+            .as("q2_cents"),
+          round(expr("percentile(l_quantity, 0.75)") * 100).cast("long")
+            .as("q3_cents"),
+          count(lit(1)).as("n"))),
+
     // pivot (long→wide reshape); missing combinations coalesced to 0 so
     // the oracle's FILTER-count twin matches exactly.
     "pivot_agg" -> ((s, dir) =>
@@ -549,6 +567,41 @@ object SparkEntry {
           unix_micros(col("asof_err_ts")).as("err_ts_us"))
     }),
 
+    // merge_asof parity: backward with a 1-hour tolerance — matches
+    // further away resolve to null, exactly pandas `tolerance=`.
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("err_ts"),
+          col("event_id"))
+      graft.operators.AsofJoin.asof(clicks, errors, "user_id", "ts",
+          Seq("err_ts"), rightTieBreak = Seq("event_id"),
+          tolerance = Some(expr("INTERVAL '1' HOUR")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_err_ts")).as("err_ts_us"))
+    }),
+
+    // forward direction: earliest error at-or-after each click
+    "asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("err_ts"),
+          col("event_id"))
+      graft.operators.AsofJoin.asof(clicks, errors, "user_id", "ts",
+          Seq("err_ts"), rightTieBreak = Seq("event_id"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_err_ts")).as("err_ts_us"))
+    }),
+
     // ===== extensions: multimodal plumbing =====
     "mm_meta" -> ((s, dir) => {
       val assets = Multimodal.toAssets(t(s, dir, "documents"),
@@ -773,6 +826,14 @@ object SparkEntry {
     "distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
         | COUNT(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "group_quartiles" ->
+      """SELECT l_returnflag AS flag,
+        | CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS q1_cents,
+        | CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS q2_cents,
+        | CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q3_cents,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
@@ -1036,6 +1097,23 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
         |      WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.tu >= e.tu""".stripMargin,
+
+    "asof_tolerance" ->
+      """SELECT c.event_id, c.user_id, c.tu AS ts_us,
+        |  CASE WHEN c.tu - e.tu <= 3600000000 THEN e.tu END AS err_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.tu >= e.tu""".stripMargin,
+
+    "asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.tu AS ts_us, e.tu AS err_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.tu <= e.tu""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS byte_len,

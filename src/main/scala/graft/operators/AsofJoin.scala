@@ -31,13 +31,31 @@ object AsofJoin {
 
   /** `left` and `right` must both contain `keyCol` and `tsCol`;
     * `payloadCols` are taken from `right` and appended (null when no right
-    * row is at-or-before the left row's ts). */
+    * row matches).
+    *
+    * `direction` — `"backward"` (default): latest right with
+    * `rightTs <= leftTs`; `"forward"`: earliest right with
+    * `rightTs >= leftTs` (equality visible in both). Forward is the same
+    * single window pass over the DESCENDING timeline — still linear, no
+    * join operator.
+    *
+    * `tolerance` — optional maximum distance between the left ts and the
+    * matched right ts: a match further away resolves to null payloads,
+    * exactly pandas `merge_asof(tolerance=...)`. Pass a literal comparable
+    * to `leftTs - rightTs` (an INTERVAL for timestamp columns, a number
+    * for numeric ones). Applied AFTER the window pass, per row — the plan
+    * shape is unchanged. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      payloadCols: Seq[String], rightTieBreak: Seq[String] = Nil): DataFrame = {
+      payloadCols: Seq[String], rightTieBreak: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
-    val payload = struct(payloadCols.map(col): _*)
+    // matched right ts rides along for the tolerance check
+    val payload = struct(payloadCols.map(col) :+ col(tsCol).as("__mts"): _*)
 
-    // side: right=0 sorts before left=1 at equal ts (>= visibility).
+    // side: right=0 sorts before left=1 at equal ts (equality visibility).
     val taggedL = left.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
         lit(null).cast(right.select(payload).schema.fields.head.dataType)
@@ -56,15 +74,27 @@ object AsofJoin {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightTieBreak.map(c => col(c).as(s"__tb_$c"))): _*)
 
-    val order: Seq[Column] = col(tsCol).asc +: col("__side").asc +:
+    // forward = the mirrored traversal: walk the timeline descending, so
+    // "last right seen" is the NEAREST following right row
+    val tsOrder = if (direction == "backward") col(tsCol).asc
+      else col(tsCol).desc
+    val order: Seq[Column] = tsOrder +: col("__side").asc +:
       rightTieBreak.map(c => col(s"__tb_$c").asc_nulls_first)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedL.unionByName(taggedR)
+    val matched = taggedL.unionByName(taggedR)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+    val gated = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val dist = if (direction == "backward")
+          col(tsCol) - col("__asof.__mts")
+        else col("__asof.__mts") - col(tsCol)
+        matched.withColumn("__asof", when(dist <= tol, col("__asof")))
+    }
+    gated.select(leftCols.map(col) ++
+      payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -41,6 +41,37 @@ class AsofTextOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(7L))
   }
 
+  test("asof join: forward direction — earliest right at-or-after") {
+    val left = Seq(
+      ("k1", 10L, "l_a"), // before r@15 -> 15
+      ("k1", 15L, "l_b"), // EQUAL to r@15 -> 15 (equality visible)
+      ("k1", 16L, "l_c"), // only r@30 remains -> 30
+      ("k1", 40L, "l_d"), // after every right -> null
+      ("k2", 1L, "l_e")   // no rights for key -> null
+    ).toDF("k", "ts", "lv")
+    val right = Seq(("k1", 15L, 101L), ("k1", 30L, 102L))
+      .toDF("k", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("rid"),
+        rightTieBreak = Seq("rid"), direction = "forward")
+      .select("lv", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out === Map(
+      "l_a" -> Some(101L), "l_b" -> Some(101L), "l_c" -> Some(102L),
+      "l_d" -> None, "l_e" -> None))
+  }
+
+  test("asof join: tolerance nulls matches beyond the window") {
+    val left = Seq(("k", 100L, "near"), ("k", 200L, "far"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(("k", 95L, 7L)).toDF("k", "ts", "rid")
+    // numeric timeline, tolerance 10 ticks: match@95 is kept for ts=100
+    // (distance 5) and dropped for ts=200 (distance 105)
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("rid"),
+        rightTieBreak = Seq("rid"),
+        tolerance = Some(org.apache.spark.sql.functions.lit(10L)))
+      .select("lv", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out === Map("near" -> Some(7L), "far" -> None))
+  }
+
   test("asof join: multi-column payload and null-ts right rows excluded") {
     val left = Seq(("k", 10L, "l1"), ("k", 2L, "l2")).toDF("k", "ts", "lv")
     val right = Seq(
