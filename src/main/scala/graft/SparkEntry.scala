@@ -618,6 +618,13 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir, "documents"),
+        "doc_id", "text", "source", "image")
+      Multimodal.resizePlan(Multimodal.decodeAssets(assets).toDF(),
+        maxSide = 32)
+    }),
+
     "mm_patches" -> ((s, dir) => {
       val assets = Multimodal.toAssets(t(s, dir, "documents"),
         "doc_id", "text", "source", "image")
@@ -1135,6 +1142,17 @@ object SparkEntry {
         | CASE WHEN doc_id % 2 = 0 THEN 1
         |   ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_frames
         |FROM documents""".stripMargin,
+
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    16 + octet_length(encode(text)) % 64 AS w,
+        |    16 + ((octet_length(encode(text)) // 7) % 64) AS h FROM documents),
+        |s AS (SELECT asset_id, w, h,
+        |    LEAST(1000, 32000 // GREATEST(w, h)) AS sc FROM d)
+        |SELECT asset_id, CAST(sc AS BIGINT) AS scale_permille,
+        |  CAST(w * sc // 1000 AS BIGINT) AS out_w,
+        |  CAST(h * sc // 1000 AS BIGINT) AS out_h
+        |FROM s""".stripMargin,
 
     "mm_patches" ->
       """WITH d AS (SELECT doc_id AS asset_id,

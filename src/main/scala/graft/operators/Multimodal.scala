@@ -157,6 +157,26 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .as("frame_idx"))
 
+  /** Resize planning: aspect-preserving fit of each decoded image into a
+    * `maxSide`×`maxSide` box, never upscaling — target dimensions and the
+    * applied scale (permille) per asset. Pure column arithmetic over the
+    * decoded metadata: the pixel-level resample belongs in the same
+    * per-partition codec batch as the decode, while THIS — the planning
+    * pass that sizes buffers, shards work and prices the job — is the
+    * distributed part, and costs one fused projection.
+    * round(x/scale) arithmetic is done in integer micros to stay exact
+    * across engines (the oracle recomputes it). */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    // scale_permille = min(1000, floor(maxSide*1000/longSide))
+    val scale = least(lit(1000L),
+      floor(lit(maxSide.toLong * 1000L) / longSide).cast("long"))
+    decoded.select(col("asset_id"),
+      scale.as("scale_permille"),
+      floor(col("width") * scale / lit(1000L)).cast("long").as("out_w"),
+      floor(col("height") * scale / lit(1000L)).cast("long").as("out_h"))
+  }
+
   /** Patch-grid tiling: one row per (tile_x, tile_y) cell of each decoded
     * image — the ViT-style patching shape. Pure Spark on decoded metadata
     * (two sequence explodes = the cross of the per-axis tile counts); in a

@@ -27,6 +27,23 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("resizePlan: aspect-fit into maxSide box, never upscaling") {
+    val decoded = Seq(
+      (1L, 640, 480), // downscale, exact 1000-divisible products
+      (2L, 16, 16),   // already fits: scale capped at 1000, dims unchanged
+      (3L, 20, 40),   // portrait: height is the long side
+      (4L, 33, 10))   // scale not 1000-divisible: floor semantics
+      .toDF("asset_id", "width", "height")
+    val out = Multimodal.resizePlan(decoded, maxSide = 32)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L) === ((1L, 50L, 32L, 24L)))
+    assert(out(2L) === ((2L, 1000L, 16L, 16L)))
+    assert(out(3L) === ((3L, 800L, 16L, 32L)))
+    assert(out(4L) === ((4L, 969L, 31L, 9L))) // floor(33*969/1000), floor(10*969/1000)
+    // invariant: the long side never exceeds maxSide
+    assert(out.values.forall(t => math.max(t._3, t._4) <= 32))
+  }
+
   test("decodeAssets really parses BMP and WAV headers from hand-built files") {
     import java.nio.{ByteBuffer, ByteOrder}
     def bmpBytes(w: Int, h: Int): Array[Byte] = {
