@@ -394,6 +394,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 5, thresholdPermille = 100)),
 
+    // pairs → groups: the clustering step that turns "a dups b" pair
+    // output into keep/drop decisions (cluster_id = canonical survivor).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 5, thresholdPermille = 100))),
+
     "dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = Dedup.minhashSignature(docs, "text", "doc_id")
@@ -937,6 +944,34 @@ object SparkEntry {
         |  CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) AS jacc_permille
         |FROM p
         |WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100""".stripMargin,
+
+    // same pair pipeline as dedup_ngram_jaccard, then connected components
+    // via a recursive CTE: reach(id, lab) = lab can reach id over the
+    // symmetrized edge set; min reachable label = component minimum.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH v AS (SELECT vec_id AS id, label,

@@ -210,6 +210,55 @@ object Dedup {
       .select("a", "b", "jacc_permille")
   }
 
+  /** Connected components over the near-dup PAIR graph — the clustering
+    * step every dedup pipeline ends with: pairs say "a duplicates b",
+    * components say "these k docs are one group, keep min(id)". Returns
+    * (id, cluster_id) for every doc appearing in a pair, cluster_id =
+    * min doc id of its component (deterministic canonical representative);
+    * docs with no dup pair are singletons by definition and are omitted.
+    *
+    * Shape: iterative min-label propagation. Edges are symmetrized and
+    * materialized ONCE (`localCheckpoint` — the upstream pair pipeline,
+    * e.g. the whole LSH+verify stack, must not replay per iteration);
+    * each iteration is one equi-join of (src,dst) against (id,lab) on the
+    * node id plus a min-aggregate — label records only, never payloads —
+    * and a checkpoint to truncate lineage (an iterative plan would
+    * otherwise grow without bound). Iterations = graph diameter; dup
+    * components are near-cliques (every member pairs with most others),
+    * so real corpora converge in 2-4 rounds regardless of corpus size.
+    * At cluster scale the same loop runs with reliable checkpointing, and
+    * an adversarial long-chain graph swaps in large-star/small-star on
+    * the identical join primitive (O(log n) rounds).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lab"))
+      val next = labels.union(msgs).groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      // min-propagation is monotone: unchanged ⇔ no label decreased
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(graph diameter exceeds maxIter — raise it or use star-contraction)")
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
+
   /** SimHash (64-bit): per-token hash votes weighted ±1 per bit, sign →
     * bit. Near-dups have small Hamming distance. One explode + one native
     * [[graft.functions.SketchAggs.simhash]] aggregate (64-counter buffer in

@@ -31,6 +31,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents: path, triangle, pair — min-id labels, multi-hop") {
+    // path 1-2-3-4-5 forces 4 propagation hops; triangle + isolated pair
+    // alongside prove components don't bleed into each other
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // path, mixed edge order
+      (20L, 21L), (21L, 22L), (20L, 22L),     // triangle
+      (10L, 11L))                             // pair
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      10L -> 10L, 11L -> 10L))
+    // non-participants are absent, not singletons
+    assert(!got.contains(6L))
+    // a too-small iteration cap fails loudly instead of mislabeling
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+  }
+
   test("minhash LSH candidates cover the true near-dup pairs (recall)") {
     val sigs = Dedup.minhashSignature(docs, "text", "doc_id", k = 64, n = 3)
     val cand = Dedup.minhashLshCandidates(sigs, k = 64, r = 4)
