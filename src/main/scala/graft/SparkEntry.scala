@@ -609,6 +609,26 @@ object SparkEntry {
           unix_micros(col("asof_err_ts")).as("err_ts_us"))
     }),
 
+    // range join (engine extension): clicks inside the 30-minute window
+    // after an error of the same user — binned equi-join on
+    // (user_id, bin), never a nested-loop range scan. All arithmetic in
+    // the long micros domain so binning and the residual BETWEEN are
+    // exact on both engines.
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tu", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("tu"))
+      val win = 30L * 60L * 1000000L // 30 min in micros
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("tu").as("w_start"), (col("tu") + lit(win)).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          clicks, errors, "tu", "w_start", "w_end",
+          binWidth = win, keys = Seq("user_id"))
+        .select(col("click_id"), col("user_id"), col("err_id"),
+          col("tu").as("click_us"), col("w_start").as("err_us"))
+    }),
+
     // ===== extensions: multimodal plumbing =====
     "mm_meta" -> ((s, dir) => {
       val assets = Multimodal.toAssets(t(s, dir, "documents"),
@@ -1156,6 +1176,18 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
         |      WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.tu <= e.tu""".stripMargin,
+
+    "range_join" ->
+      // same micros domain as the engine (ns DIV 1000); window inclusive
+      // on both ends to match pointInInterval's BETWEEN semantics
+      """SELECT c.event_id AS click_id, c.user_id, e.event_id AS err_id,
+        |  c.tu AS click_us, e.tu AS err_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+        |      WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND c.tu >= e.tu AND c.tu <= e.tu + 1800000000""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS byte_len,

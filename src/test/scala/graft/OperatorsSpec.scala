@@ -27,6 +27,37 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("rangeJoin: binned equi-join equals naive range filter (seeded random)") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    // negative values exercise floor-vs-truncate binning; spans up to 8×
+    // the bin width exercise multi-bin interval explosion
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextLong() % 10000L))
+      .toDF("pid", "k", "pt")
+    val ivs = (1 to 80).map { i =>
+      val s = rnd.nextLong() % 10000L
+      (i.toLong, rnd.nextInt(3).toLong, s, s + rnd.nextInt(800).toLong)
+    }.toDF("iid", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e",
+        binWidth = 100L, keys = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = pts.as("p").join(ivs.as("i"),
+        col("p.k") === col("i.k") &&
+          col("p.pt") >= col("i.s") && col("p.pt") <= col("i.e"))
+      .select(col("p.pid"), col("i.iid")).as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got === want)
+
+    // inclusive on both bounds, exactly once even when the interval spans
+    // many bins and the point sits on a bin edge
+    val p1 = Seq((1L, 200L), (2L, 500L), (3L, 199L), (4L, 501L))
+      .toDF("pid", "pt")
+    val i1 = Seq((9L, 200L, 500L)).toDF("iid", "s", "e")
+    val hits = RangeJoin.pointInInterval(p1, i1, "pt", "s", "e", binWidth = 50L)
+      .select("pid").as[Long].collect().sorted
+    assert(hits.toSeq === Seq(1L, 2L))
+  }
+
   test("resizePlan: aspect-fit into maxSide box, never upscaling") {
     val decoded = Seq(
       (1L, 640, 480), // downscale, exact 1000-divisible products

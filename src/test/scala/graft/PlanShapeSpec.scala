@@ -52,6 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("range_join: equi-join on (key, bin), never a nested-loop range scan") {
+    val plan = finalPlan(q("range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range predicate fell back to a non-equi join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"),
+      s"expected an equi-join in:\n$plan")
+  }
+
   test("dedup_minhash/ngram self-joins: signature pipeline computed once") {
     for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
       val plan = finalPlan(q(name))
