@@ -501,6 +501,16 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
+    // so the oracle compare never touches the float score (see tfIdf doc).
+    "tfidf_topterms" -> ((s, dir) =>
+      Transforms.topKPerGroup(
+          TextAnalysis.tfIdf(t(s, dir, "documents"), "text", "doc_id"),
+          Seq(col("id")),
+          Seq(col("tf").desc, col("term_df").asc, col("term").asc), 5)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("term_df"))),
+
     // CCNet-style corpus-LM quality signal: mean unigram log-prob per doc
     // (integer-micro rounding per token keeps the distributed sum exact).
     "unigram_logprob" -> ((s, dir) =>
@@ -1074,6 +1084,19 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(lower(text)), '\s+')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT w, COUNT(*) AS term_df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.w AS term, tf.tf, dfq.term_df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfq.term_df ASC, tf.w ASC) AS rk
+        |  FROM tf JOIN dfq USING (w))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(term_df AS BIGINT) AS term_df
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     // per-token integer-micro rounding makes the doc sum order-free, so
     // the only cross-engine float ops are ln() on identical integer

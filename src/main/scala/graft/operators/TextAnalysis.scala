@@ -223,6 +223,38 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** TF-IDF term scoring — the corpus-relevance signal: per (doc, term)
+    * term frequency joined with corpus document frequency, score =
+    * tf·ln(N/df). Shape: one explode + a (doc,term) count aggregate; the
+    * per-term document frequency is a SECOND aggregate of the tf relation
+    * itself (tf is already (doc,term)-distinct, so `count(*)` over term ==
+    * docs containing it — no countDistinct pass over raw tokens); the
+    * tf⋈df join keys on the term via the exchange-reuse shuffle shape
+    * ([[unigramLogProb]], the shingle self-join): `repartition(w)` feeds
+    * the df aggregate AND the join's left side, so the corpus-sized tf
+    * relation is computed and shuffled ONCE — a broadcast of df would
+    * instead replay the whole token pipeline onto the driver. The corpus
+    * size rides a broadcast single-row cross join.
+    *
+    * Oracle-parity discipline: `score` is a double (ln) — consumers that
+    * need cross-engine-exact output should rank on the INTEGER columns
+    * (tf DESC, df ASC, term ASC), which orders by relevance without a
+    * float in sight; the oracle query does exactly that. */
+  def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = Transforms.rebalanceIfNarrow(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+      .select(col("id"), explode(wsTokens(lower(col("__text")))).as("w"))
+    val tf = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .repartition(col("w"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("term_df"))
+    val n = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    tf.join(dfreq.hint("shuffle_hash"), Seq("w")).crossJoin(n)
+      .select(col("id"), col("w").as("term"), col("tf"), col("term_df"),
+        col("n_docs"),
+        (col("tf") * log(col("n_docs").cast("double") / col("term_df")))
+          .as("score"))
+  }
+
   /** Stratified downsampling — per-stratum deterministic rates (the
     * rebalancing stage of corpus curation: cap the over-represented
     * sources/languages, keep the rare ones whole). One fused filter pass;

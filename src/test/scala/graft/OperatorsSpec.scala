@@ -27,6 +27,31 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("tfIdf: tf, df and score on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "apple banana APPLE"),
+      (2L, "banana cherry"),
+      (3L, "cherry  cherry durian")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 6) // distinct (doc, term) pairs
+    assert(got((1L, "apple"))._3 === 2L)  // case-folded tf
+    assert(got((1L, "apple"))._4 === 1L)  // df: only d1
+    assert(got((2L, "banana"))._4 === 2L) // d1 and d2
+    assert(got((3L, "cherry"))._3 === 2L) // whitespace-run tokenizing
+    got.values.foreach { case (_, _, tf, df, n, score) =>
+      assert(n === 3L)
+      assert(math.abs(score - tf * math.log(3.0 / df)) < 1e-12)
+    }
+    // rare term outranks common at equal tf under the (tf, df) ordering
+    val top = Transforms.topKPerGroup(
+        TextAnalysis.tfIdf(docs, "text", "doc_id"), Seq(col("id")),
+        Seq(col("tf").desc, col("term_df").asc, col("term").asc), 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    assert(top === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
   test("rangeJoin: binned equi-join equals naive range filter (seeded random)") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(7)

@@ -123,6 +123,16 @@ class PlanShapeSpec extends AnyFunSuite {
         plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("tfidf_topterms: corpus-sized tf relation shuffled once, df side rides it") {
+    val plan = finalPlan(q("tfidf_topterms"))
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+    assert(reused >= 1,
+      s"df aggregate and join side no longer share the tf exchange\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), "n_docs must broadcast")
+  }
+
   test("reconcile diff: single full-outer join on the key, both sides pruned") {
     val plan = finalPlan(q("snapshot_diff"))
     assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
