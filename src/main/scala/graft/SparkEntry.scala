@@ -136,6 +136,21 @@ object SparkEntry {
         size(col("embedding")).cast("long").as("n_dims"),
         (size(col("embedding")) - 1).cast("long").as("last_idx"))),
 
+    // PageRank over the synced supplier→part→order→customer chain graph
+    // (type-tagged ids keep the key spaces disjoint). 3 fixed iterations
+    // in integer micros — bit-exact on both engines, see GraphAlgos.
+    "pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val edges = li.select((col("l_suppkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .union(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_orderkey") * 4 + 2).as("dst")))
+        .union(ord.select((col("o_orderkey") * 4 + 2).as("src"),
+          (col("o_custkey") * 4 + 3).as("dst")))
+      graft.operators.GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
     "filter_pred" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
@@ -774,6 +789,39 @@ object SparkEntry {
     "pos_size" ->
       """SELECT vec_id, len(embedding) AS n_dims,
         | len(embedding) - 1 AS last_idx FROM embeddings""".stripMargin,
+
+    // three unrolled integer-micro iterations — aggregates aren't allowed
+    // in a recursive CTE term, and unrolling keeps every step plain SQL
+    "pagerank" ->
+      """WITH edges AS (
+        |  SELECT l_suppkey*4 AS src, l_partkey*4+1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT l_partkey*4+1, l_orderkey*4+2 FROM lineitem
+        |  UNION
+        |  SELECT o_orderkey*4+2, o_custkey*4+3 FROM orders),
+        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM edges
+        |          UNION SELECT dst FROM edges),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r0 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |         CAST(150000 + COALESCE((850 * c.s) // 1000, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.id),
+        |c2 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r1 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |         CAST(150000 + COALESCE((850 * c.s) // 1000, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.id),
+        |c3 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r2 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |         CAST(150000 + COALESCE((850 * c.s) // 1000, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
+        |SELECT id, r AS rank_micro FROM r3""".stripMargin,
 
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem

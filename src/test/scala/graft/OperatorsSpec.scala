@@ -27,6 +27,26 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("pageRank: hand-computed integer-micro ranks, sink and cycle") {
+    import graft.operators.GraphAlgos
+    // 1→{2,3}, 2→{3,4}, 3→1; 4 is a sink (contributes nothing)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L))
+      .toDF("src", "dst")
+    val r2 = GraphAlgos.pageRank(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter1: c = {1:1000000, 2:500000, 3:1000000, 4:500000}
+    //   → r1 = {1:1000000, 2:575000, 3:1000000, 4:575000}
+    // iter2: shares 1→500000×2, 2→287500×2, 3→1000000
+    //   → r2 = {1:1000000, 2:575000, 3:150000+floor(850·787500/1000),
+    //           4:150000+floor(850·287500/1000)}
+    assert(r2 === Map(1L -> 1000000L, 2L -> 575000L,
+      3L -> 819375L, 4L -> 394375L))
+    // duplicate edges must not double-count (distinct inside)
+    val dup = GraphAlgos.pageRank(edges.union(edges), "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dup === r2)
+  }
+
   test("tfIdf: tf, df and score on a hand-checked corpus") {
     val docs = Seq(
       (1L, "apple banana APPLE"),
