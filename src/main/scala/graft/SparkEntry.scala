@@ -151,6 +151,23 @@ object SparkEntry {
       graft.operators.GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Per-node triangle counts over a bounded "interaction" graph derived
+    // from lineitem: nodes are part/supplier residues mod 300 (one shared
+    // id space), and a deterministic arithmetic keep-filter
+    // ((a*31+b) % 7 = 0) sparsifies to ~14% of slots — so edge count
+    // saturates near 6.3k at ANY scale factor and triangle enumeration
+    // stays bounded while the scan still reads every row. The same
+    // expressions run verbatim in the oracle.
+    "triangle_count" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      graft.operators.GraphAlgos.triangleCounts(g, "a", "b")
+    }),
+
     "filter_pred" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
@@ -314,6 +331,14 @@ object SparkEntry {
       t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(cents(col("o_totalprice"))).as("total_cents"))),
+
+    // full CUBE: all four grouping sets in ONE pass — Spark expands the
+    // sets below a single hash aggregate (Expand + partial agg), so the
+    // fact table is scanned and shuffled once, not once per set.
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_cents"))),
 
     // per-group exact quartiles (distribution stats for curation/QA).
     // Quartile fractions and the integer-valued measure keep every
@@ -707,6 +732,33 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    // trailing-1-hour rolling sum per user: a RANGE frame over epoch
+    // seconds, so the frame is defined by VALUES, not row positions —
+    // ties at the same second contribute identically no matter how the
+    // partition is ordered internally (exact under any parallelism).
+    // One shuffle on user_id; the frame scan is a single sorted pass.
+    "rolling_window" -> ((s, dir) =>
+      Transforms.rollingSum(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000000000").as("ts_sec"),
+          cents(col("value")).as("v_cents")),
+        "user_id", "ts_sec", "v_cents", lookback = 3600L, as = "roll_cents")
+        .select(col("event_id"), col("user_id"), col("roll_cents"))),
+
+    // per-label embedding centroid, exactly: element-wise SUM of
+    // integer-micro components plus the member count (centroid = sum/n,
+    // kept unreduced so the comparison is integer-exact). posexplode →
+    // one hash aggregate on (label, pos); at 100 TB the same shape holds
+    // because partial aggregation collapses each partition to
+    // |labels|×dim rows before the shuffle.
+    "embed_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(sum(round(col("v").cast("double") * 1000000).cast("long"))
+          .as("sum_micro"), count(lit(1)).as("n"))),
+
     "sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -823,6 +875,25 @@ object SparkEntry {
         |       FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
         |SELECT id, r AS rank_micro FROM r3""".stripMargin,
 
+    "triangle_count" ->
+      """WITH g AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |tri AS (
+        |  SELECT x.a AS a, x.b AS b, y.b AS c FROM g x
+        |  JOIN g y ON x.b = y.a
+        |  JOIN g z ON z.a = x.a AND z.b = y.b)
+        |SELECT id, COUNT(*) AS n_tri FROM (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY id""".stripMargin,
+
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         | WHERE (l_quantity < 10 OR l_returnflag <> 'N') AND l_linenumber <= 3""".stripMargin,
@@ -933,6 +1004,31 @@ object SparkEntry {
         |   AS total_cents
         | FROM orders
         | GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS qty_cents
+        | FROM lineitem
+        | GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "rolling_window" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) OVER (
+        |   PARTITION BY user_id
+        |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS roll_cents
+        | FROM events""".stripMargin,
+
+    "embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, pos - 1 AS pos,
+        | CAST(SUM(CAST(round(CAST(v AS DOUBLE)*1000000, 0) AS BIGINT))
+        |   AS BIGINT) AS sum_micro,
+        | COUNT(*) AS n
+        | FROM (SELECT label, unnest(embedding) AS v,
+        |   generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        | GROUP BY 1, 2""".stripMargin,
 
     "pivot_agg" ->
       """SELECT o_orderpriority,

@@ -58,4 +58,32 @@ object GraphAlgos {
     }
     r.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Per-node triangle counts over an undirected graph, via the ordered
+    * wedge-closing join: edges are canonicalized to `a < b`, wedges
+    * `(a,b,c)` with `a < b < c` are built by one self-join on the middle
+    * node, and a second equi-join against the edge set closes them — each
+    * triangle is enumerated exactly once, so no dedup or division by 6.
+    * Both joins are hash equi-joins on node ids; nothing is nested-loop.
+    *
+    * Scale: wedge count is Σ_b deg⁻(b)·deg⁺(b) under the `a<b<c` split —
+    * the id ordering acts as the degree-ordering trick's stand-in (at
+    * 100 TB you'd re-rank ids by degree first so high-degree hubs land on
+    * the cheap side of every wedge; same plan, one extra rank join). The
+    * closing join keys on the (lo, hi) pair, so skew concentrates only
+    * where true triangle density does.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+    val tris = wedges.join(e.as("z"),
+      col("wa") === col("z.a") && col("wc") === col("z.b"))
+      .select(col("wa"), col("wb"), col("wc"))
+    tris.select(explode(array(col("wa"), col("wb"), col("wc"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

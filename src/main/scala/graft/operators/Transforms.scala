@@ -135,4 +135,19 @@ object Transforms {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Trailing-value rolling sum: RANGE frame `[order - lookback, order]`
+    * over a numeric order column (epoch seconds, sequence numbers…). The
+    * frame is VALUE-bounded, not row-bounded — rows tied on `orderCol` all
+    * see the same frame and contribute to each other, so the result is
+    * independent of intra-tie ordering and therefore exact under any
+    * partitioning/parallelism (a ROWS frame would not be). One shuffle on
+    * the partition key; the frame itself is a single sorted scan with a
+    * sliding aggregate, never O(n·window). */
+  def rollingSum(df: DataFrame, partitionCol: String, orderCol: String,
+      valueCol: String, lookback: Long, as: String): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(orderCol)).rangeBetween(-lookback, 0)
+    df.withColumn(as, sum(col(valueCol)).over(w))
+  }
 }

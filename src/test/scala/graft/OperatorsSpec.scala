@@ -27,6 +27,33 @@ class OperatorsSpec extends AnyFunSuite {
       (for (x <- 0 until 2; y <- 0 until 3) yield (x, y)).toSet)
   }
 
+  test("triangleCounts: K4 + pendant — per-node counts, direction/dup-proof") {
+    import graft.operators.GraphAlgos
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, each node in 3 of them;
+    // pendant edge 4-5 closes nothing. Feed edges in MIXED direction and
+    // duplicated — canonicalize+distinct must make that invisible.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val messy = (k4 ++ k4.map(_.swap) ++ Seq((5L, 4L), (4L, 5L))).toDF("s", "d")
+    val got = GraphAlgos.triangleCounts(messy, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // self-loops must not fabricate triangles
+    val withLoop = messy.union(Seq((1L, 1L)).toDF("s", "d"))
+    assert(GraphAlgos.triangleCounts(withLoop, "s", "d")
+      .as[(Long, Long)].collect().toMap === got)
+  }
+
+  test("rollingSum: value-bounded frame — ties mutual, boundary inclusive") {
+    // user 1: ties at t=100 see each other (RANGE, not ROWS); t=3700 is
+    // EXACTLY lookback after t=100 → inclusive; t=3701 drops the t=100 pair.
+    val ev = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 3700L, 5L),
+      (4L, 3701L, 1L), (5L, 9999L, 7L)).toDF("id", "sec", "v")
+      .withColumn("u", lit(1L))
+    val got = Transforms.rollingSum(ev, "u", "sec", "v", 3600L, "roll")
+      .select(col("id"), col("roll")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 30L, 2L -> 30L, 3L -> 35L, 4L -> 6L, 5L -> 7L))
+  }
+
   test("pageRank: hand-computed integer-micro ranks, sink and cycle") {
     import graft.operators.GraphAlgos
     // 1→{2,3}, 2→{3,4}, 3→1; 4 is a sink (contributes nothing)
