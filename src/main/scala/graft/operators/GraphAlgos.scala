@@ -30,9 +30,11 @@ object GraphAlgos {
     * in-edges hold the base (1000−d)·1000.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampingPermille: Int = 850): DataFrame = {
+      iters: Int, dampingPermille: Int = 850,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
       s"iters=$iters dampingPermille=$dampingPermille out of range")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     import org.apache.spark.sql.expressions.Window
     // edge list + out-degree materialized ONCE; the window rides the same
     // hash(src) clustering the per-iteration join needs anyway
@@ -44,7 +46,14 @@ object GraphAlgos {
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val base = lit((1000L - dampingPermille) * 1000L)
     var r = nodes.select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    // Lineage is truncated every `checkpointEvery` rounds, not every round:
+    // a checkpoint is a full materialization of the rank table, and for the
+    // rounds in between Catalyst plans the chained join+agg as ONE fused
+    // DAG (the checkpointed edge scan is reused, only (id, long) rows move)
+    // — a 3-iteration run needs no intermediate materialization at all.
+    // The arithmetic is integer-only, so cadence cannot change the result.
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("id"))
         .select(col("dst").as("id"), expr("r DIV od").as("share"))
         .groupBy("id").agg(sum(col("share")).as("s"))
@@ -52,9 +61,12 @@ object GraphAlgos {
         .select(col("id"),
           (base + coalesce(expr(s"($dampingPermille * s) DIV 1000"),
             lit(0L))).as("r"))
-        .localCheckpoint()
-      r.unpersist()
-      r = next
+      r = if (i % checkpointEvery == 0 && i < iters) {
+        val c = next.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist()
+        lastCkpt = c
+        c
+      } else next
     }
     r.select(col("id"), col("r").as("rank_micro"))
   }

@@ -72,6 +72,11 @@ class OperatorsSpec extends AnyFunSuite {
     val dup = GraphAlgos.pageRank(edges.union(edges), "src", "dst", iters = 2)
       .as[(Long, Long)].collect().toMap
     assert(dup === r2)
+    // checkpoint cadence is an execution knob, never a semantic one:
+    // integer arithmetic ⇒ bit-identical at every cadence
+    val everyRound = GraphAlgos.pageRank(edges, "src", "dst", iters = 2,
+      checkpointEvery = 1).as[(Long, Long)].collect().toMap
+    assert(everyRound === r2)
   }
 
   test("tfIdf: tf, df and score on a hand-checked corpus") {
