@@ -541,6 +541,21 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    "bigram_topk" -> ((s, dir) =>
+      TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 50)),
+
+    // exact distribution moments per event type: (n, Σv, Σv²) in integer
+    // cents — mean/variance derive exactly downstream, and integer sums
+    // are order-independent so the comparison never sees float drift.
+    // One partial-combined aggregate; sumsq of cents fits BIGINT up to
+    // ~10^18 (value ≤ 10^3 dollars ⇒ v² ≤ 10^10 ⇒ 10^8 rows of margin).
+    "moment_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"),
+          sum(col("v") * col("v")).as("sumsq_cents2"))),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1228,6 +1243,28 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    // bigrams via positional self-join in SQL (the engine builds them
+    // array-side; same pairs either way)
+    "bigram_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS w,
+        |   generate_subscripts(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), 1) AS pos
+        |  FROM documents)
+        |SELECT x.w || ' ' || y.w AS bg, COUNT(*) AS n
+        |FROM tok x JOIN tok y
+        |  ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |GROUP BY 1 ORDER BY n DESC, bg ASC LIMIT 50""".stripMargin,
+
+    "moment_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(v) AS BIGINT) AS sum_cents,
+        | CAST(SUM(v*v) AS BIGINT) AS sumsq_cents2
+        | FROM (SELECT event_type,
+        |   CAST(round(value*100, 0) AS BIGINT) AS v FROM events)
+        | GROUP BY event_type""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(

@@ -173,6 +173,23 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w").asc)
       .limit(k)
 
+  /** Global top-k bigrams (n-gram LM / boilerplate surfacing): adjacent
+    * token pairs are built ARRAY-SIDE — `zip_with` over the two shifted
+    * slices of the token array, fully codegen'd — so no positional
+    * self-join and no window ever touches per-token rows; the rest is the
+    * same map-side-combined count + `TakeOrderedAndProject` as
+    * [[vocabTopK]]. Only (bigram, partial-count) pairs shuffle. */
+  def bigramTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg").asc)
+      .limit(k)
+  }
+
   /** 4-hex-digit md5-prefix threshold for [[sampleByHash]]:
     * `substr(md5(key),1,4) < threshold` keeps
     * ⌊rate‰ · 65536 / 1000⌋ / 65536 of rows. Lowercase hex compares

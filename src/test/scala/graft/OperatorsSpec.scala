@@ -43,6 +43,16 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === got)
   }
 
+  test("bigramTopK: adjacent pairs only, count ties broken by bigram") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramTopK(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    // "a b": doc1 twice + doc2 once; "b a": doc1; "b c": doc2;
+    // single-token and empty docs contribute nothing
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("rollingSum: value-bounded frame — ties mutual, boundary inclusive") {
     // user 1: ties at t=100 see each other (RANGE, not ROWS); t=3700 is
     // EXACTLY lookback after t=100 → inclusive; t=3701 drops the t=100 pair.

@@ -173,4 +173,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
     assert(plan.contains("Window"), plan)
   }
+
+  test("triangle_count: bounded edge set broadcasts, never nested-loop") {
+    val plan = finalPlan(q("triangle_count"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle joins must stay equi-joins:\n$plan")
+    // the ~6.3k-edge set should be small enough for AQE to broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded edge set not broadcast:\n$plan")
+  }
+
+  test("rolling_window: single exchange on the partition key, one Window") {
+    val plan = finalPlan(q("rolling_window"))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("cube_agg: one Expand + one aggregate pair — never a scan per set") {
+    val plan = finalPlan(q("cube_agg"))
+    val expands = plan.linesIterator.count(_.contains("Expand"))
+    assert(expands >= 1, s"cube lost its Expand:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"cube must scan the fact table once, got $scans")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"grouping sets must share one shuffle:\n$plan")
+  }
+
+  test("embed_centroid: partial agg collapses before the one exchange") {
+    val plan = finalPlan(q("embed_centroid"))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // two HashAggregates (partial + final) around that exchange
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"missing partial aggregate:\n$plan")
+  }
 }
