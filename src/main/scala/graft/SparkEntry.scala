@@ -168,6 +168,22 @@ object SparkEntry {
       graft.operators.GraphAlgos.triangleCounts(g, "a", "b")
     }),
 
+    // Bounded multi-source BFS over the DIRECTED variant of the same
+    // mod-300 interaction graph; sources = node ids ≡ 0 (mod 37), hop =
+    // min #edges from any source capped at 4. The cap is what gives the
+    // cyclic graph a terminating recursive-CTE oracle twin; the engine
+    // side is frontier iteration (GraphAlgos.bfsHops).
+    "bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      graft.operators.GraphAlgos.bfsHops(e, "src", "dst",
+        nodes.filter(col("id") % 37 === 0), "id", maxHops = 4)
+    }),
+
     "filter_pred" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
@@ -430,6 +446,17 @@ object SparkEntry {
       Dedup.incrementalExactSurvivors(docs, seen, "text", "doc_id")
     }),
 
+    // Bloom-pruned form of dedup_incremental — byte-identical output, but
+    // only the maybe-seen sliver of the batch pays the anti-join exchange;
+    // the definitely-new majority never shuffles (operator doc). Oracle =
+    // dedup_incremental's SQL verbatim: the filter changes the plan, not
+    // the result.
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = Dedup.seenHashes(docs.filter(col("doc_id") % 3 === 0), "text")
+      Dedup.bloomPrunedIncrementalSurvivors(docs, seen, "text", "doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 5, thresholdPermille = 100)),
@@ -440,6 +467,19 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 5, thresholdPermille = 100))),
+
+    // benchmark decontamination: training docs sharing ≥1 distinct word
+    // 8-gram with the held-out 'test' split of the same corpus
+    // ([[TextAnalysis.hashSplit]] is the split authority on both sides).
+    // Output = the contamination report a curation pipeline acts on.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = TextAnalysis.hashSplit(col("text"))
+      Dedup.benchmarkContamination(
+        docs.filter(split === "train"), docs.filter(split === "test"),
+        "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_bench_docs"))
+    }),
 
     "dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -589,6 +629,17 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       TextAnalysis.sampleStratified(t(s, dir, "documents"),
           col("lang"), col("text"), Map("en" -> 250, "de" -> 500))
+        .select(col("doc_id"), col("lang"))),
+
+    // derive-the-rates half of stratified sampling: resample to a TARGET
+    // language mixture (en 40%, others 15% each); the scarcest-vs-target
+    // stratum is kept whole and the rest downsample to match. Integer
+    // rate math + Knuth-multiplicative keep decision (mixtureResample
+    // doc), so the oracle reproduces the exact kept row set.
+    "mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureResample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), Map("en" -> 400, "zh" -> 150, "es" -> 150,
+            "de" -> 150, "fr" -> 150))
         .select(col("doc_id"), col("lang"))),
 
     // sequence packing (concat-then-cut training layout): per-shard
@@ -760,6 +811,40 @@ object SparkEntry {
         "user_id", "ts_sec", "v_cents", lookback = 3600L, as = "roll_cents")
         .select(col("event_id"), col("user_id"), col("roll_cents"))),
 
+    // hourly activity grid per event type with gaps ZERO-FILLED — the
+    // resampling step of time-series featurization. sequence() builds each
+    // type's [min,max] hour grid (grid size is bounded by the time span,
+    // never the row count), observed counts left-join in. ts arrives as
+    // long nanos (see stream_window).
+    "gapfill_hours" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("h"))
+      val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val grid = counts.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("h"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // per-user inter-arrival gap (LAG) in exact integer micros; ties are
+    // broken by event_id so the window order is total and the result
+    // engine-independent. First event per user (NULL gap) is filtered so
+    // the output column stays a clean BIGINT on both sides.
+    "event_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t_us"))
+        .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .filter(col("delta_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("delta_us"))
+    }),
+
     // per-label embedding centroid, exactly: element-wise SUM of
     // integer-micro components plus the member count (centroid = sum/n,
     // kept unreduced so the comparison is integer-exact). posexplode →
@@ -909,6 +994,22 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY id""".stripMargin,
 
+    // bounded BFS as a recursive CTE: UNION-distinct on (id, hop) pairs
+    // + the hop < 4 guard make the recursion finite on the cyclic graph;
+    // MIN(hop) then recovers the BFS distance for every distance ≤ 4
+    "bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r(id, hop) AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS hop FROM n WHERE id % 37 = 0
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.hop < 4)
+        |SELECT id, MIN(hop) AS hop FROM r GROUP BY id""".stripMargin,
+
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         | WHERE (l_quantity < 10 OR l_returnflag <> 'N') AND l_linenumber <= 3""".stripMargin,
@@ -1036,6 +1137,29 @@ object SparkEntry {
         |   AS roll_cents
         | FROM events""".stripMargin,
 
+    "gapfill_hours" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+        |  FROM c GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp)
+        |SELECT g.event_type AS event_type,
+        |  strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM grid g
+        |LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
+
+    "event_lag" ->
+      """SELECT event_id, user_id, delta_us FROM (
+        |  SELECT event_id, user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS delta_us
+        |  FROM events)
+        |WHERE delta_us IS NOT NULL""".stripMargin,
+
     "embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, pos - 1 AS pos,
         | CAST(SUM(CAST(round(CAST(v AS DOUBLE)*1000000, 0) AS BIGINT))
@@ -1116,6 +1240,15 @@ object SparkEntry {
         |SELECT doc_id FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.seen_hash = b.h)""".stripMargin,
 
+    // the Bloom prune is plan-level only: exact semantics are identical
+    "dedup_bloom" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS seen_hash
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.seen_hash = b.h)""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(
@@ -1133,6 +1266,26 @@ object SparkEntry {
         |  CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) AS jacc_permille
         |FROM p
         |WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100""".stripMargin,
+
+    // word 8-grams via the same list-comprehension idiom; split by the
+    // hash_split CASE so engine and oracle agree on train/test membership
+    "decontaminate" ->
+      """WITH sp AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, split, unnest(list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |      ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |     for i in range(1, greatest(len(w)-6, 1))])) AS s
+        |  FROM sp)
+        |SELECT t.doc_id AS doc_id, COUNT(DISTINCT t.s) AS n_grams,
+        |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM g t JOIN g b ON t.s = b.s
+        |  AND t.split = 'train' AND b.split = 'test'
+        |GROUP BY 1""".stripMargin,
 
     // same pair pipeline as dedup_ngram_jaccard, then connected components
     // via a recursive CTE: reach(id, lab) = lab can reach id over the
@@ -1312,6 +1465,18 @@ object SparkEntry {
         |  WHEN lang = 'de' THEN substr(md5(text), 1, 4) <
         |    '${TextAnalysis.hashSampleThreshold(500)}'
         |  ELSE TRUE END""".stripMargin,
+
+    // integer floor division on both sides (// in DuckDB, DIV in Spark);
+    // the Knuth step (id·2654435761 mod 10⁶) is plain BIGINT arithmetic
+    "mixture_sample" ->
+      """WITH w(lang, w) AS (VALUES ('en', CAST(400 AS BIGINT)),
+        |    ('zh', 150), ('es', 150), ('de', 150), ('fr', 150)),
+        |c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |j AS (SELECT c.lang, c.n_s, w.w FROM c JOIN w USING (lang)),
+        |s AS (SELECT MIN((n_s * 1000000) // w) AS scale FROM j),
+        |r AS (SELECT lang, (w * scale) // n_s AS rate_ppm FROM j, s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
 
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id,

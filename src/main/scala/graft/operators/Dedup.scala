@@ -103,6 +103,98 @@ object Dedup {
       hashCol: String = "seen_hash"): DataFrame =
     df.select(md5(col(textCol)).as(hashCol)).dropDuplicates(hashCol)
 
+  /** Bloom-pruned variant of [[incrementalExactSurvivors]] — same EXACT
+    * output, different shuffle economics. A Bloom filter over the seen-state
+    * hashes is built with Spark's own partial-aggregating
+    * `BloomFilterAggregate` (map-side combine: only fixed-size sketches move
+    * between executors), collected once (bounded by `expectedItems` sizing,
+    * ~1.2 MB per million entries at the default FPP — the same
+    * bounded-driver-artifact contract as the IVF centroid set), and embedded
+    * as a literal probed by the codegen'd `BloomFilterMightContain`.
+    *
+    * Routing: batch rows the filter rejects are DEFINITELY unseen (Bloom
+    * has no false negatives) and skip the anti-join entirely. Only the
+    * maybe-seen sliver (true dups + false positives, typically a few
+    * percent of a crawl batch) pays the exchange against state. False
+    * positives are re-checked by the exact anti-join, so the result is
+    * identical to the plain form. The probe runs map-side on the RAW rows
+    * and its verdict travels THROUGH the aggregate as a carried column
+    * (it is hash-determined, so any per-group agg of it is exact) — if the
+    * branches filtered on a plain key predicate instead, the optimizer
+    * would push each filter below the aggregate and plan TWO scans of the
+    * batch; carried this way both branches share one scan + partial
+    * aggregate and AQE feeds the second from a ReusedExchange
+    * (plan-asserted in PlanShapeSpec).
+    *
+    * At 100 TB: the plain form shuffles the ENTIRE batch's (hash, id) pairs
+    * into the anti-join; this form shuffles ~(dup_rate + fpp) of them. The
+    * filter build streams the state once with no shuffle at all (partial
+    * sketches OR-merge). When the state outgrows one broadcastable filter
+    * (~billions of entries), the same shape runs per state bucket —
+    * ManifestedTable's hash-clustering contract gives each bucket its own
+    * bounded filter. */
+  def bloomPrunedIncrementalSurvivors(batch: DataFrame, seenState: DataFrame,
+      textCol: String, idCol: String, hashCol: String = "seen_hash",
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val buildAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(hashCol))), expectedItems)
+        .toAggregateExpression())
+    val bloomRow = seenState.select(buildAgg.as("bf")).head()
+    if (bloomRow.isNullAt(0)) // empty state: everything (deduped) is new
+      return batch.select(md5(col(textCol)).as(hashCol), col(idCol))
+        .groupBy(hashCol).agg(min(col(idCol)).as(idCol)).select(idCol)
+
+    val maybeSeen = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloomRow.getAs[Array[Byte]](0), BinaryType),
+      GraftSqlBridge.expression(xxhash64(col(hashCol)))))
+    val flagged = batch
+      .select(md5(col(textCol)).as(hashCol), col(idCol))
+      .withColumn("__maybe_seen", maybeSeen)
+      .groupBy(hashCol)
+      .agg(min(col(idCol)).as(idCol), max(col("__maybe_seen")).as("__maybe_seen"))
+    val definitelyNew = flagged.filter(!col("__maybe_seen")).select(idCol)
+    val verifiedNew = flagged.filter(col("__maybe_seen"))
+      .join(seenState.select(hashCol), Seq(hashCol), "left_anti")
+      .select(idCol)
+    definitelyNew.union(verifiedNew)
+  }
+
+  /** Benchmark decontamination: for every training document, count the
+    * distinct word `n`-grams it shares with a held-out benchmark corpus and
+    * how many distinct benchmark documents those grams touch. Non-empty
+    * output = contaminated docs a training pipeline must drop before the
+    * eval numbers mean anything (the standard n for this check is 8–13
+    * words; verbatim leaks survive tokenization noise at that length while
+    * idiom-level coincidences don't).
+    *
+    * Shape: both sides reuse [[shingleStream]] (codegen'd explode+lead,
+    * exchanges hash on the doc id) and dedup to per-doc gram SETS. The join
+    * key is the gram string itself — no sketching, so the check is exact.
+    * Benchmark corpora are small by nature (eval sets, not crawls), so the
+    * bench side is broadcast: the training side's gram stream joins in
+    * place and never shuffles for the join. Only MATCHED (id, s, bench_id)
+    * rows — contamination is rare by construction — reach the final
+    * aggregate, so the one real exchange carries a sliver. At 100 TB this
+    * is a linear scan of the training corpus against a constant-size
+    * broadcast, the same economics as [[bloomPrunedIncrementalSurvivors]]. */
+  def benchmarkContamination(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val tg = shingleStream(train, textCol, idCol, n).dropDuplicates("id", "s")
+    val bg = shingleStream(bench, textCol, idCol, n)
+      .select(col("id").as("bench_id"), col("s"))
+      .dropDuplicates("bench_id", "s")
+    tg.join(broadcast(bg), "s")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via inverted shingle index:
     * doc→shingle explode, self-join on shingle, common-count per pair,
     * jaccard = common / (|A| + |B| − common) ≥ threshold. Returns

@@ -71,6 +71,45 @@ object GraphAlgos {
     r.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Multi-source BFS: minimum hop count from any source node, bounded at
+    * `maxHops` (the bounded form is what both a feature pipeline and a
+    * recursive-SQL oracle can express — an unbounded fixpoint over a cyclic
+    * graph has no safe SQL twin). Classic frontier iteration: each round
+    * expands the previous frontier through one equi-join on the edge
+    * source, then anti-joins the visited set so every node is claimed by
+    * its FIRST (= minimum) hop. Frontiers are materialized per round
+    * (`localCheckpoint`; reliable checkpoint on a cluster) — they are the
+    * loop-carried state, and the final result is a union of ≤ maxHops+1
+    * already-materialized bounded tables, so lineage never deepens.
+    *
+    * Scale: each round moves (id) rows only — no payloads, no ranks — and
+    * both the expand join and the anti-join hash on the node id, so a
+    * cluster run co-partitions every round on the same key. The visited
+    * set grows monotonically but stays (id, hop) — 16 bytes/node. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops out of range")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hop"))
+        .localCheckpoint()
+      exhausted = next.isEmpty // already materialized: the check is free
+      if (!exhausted) dist = dist.union(next)
+      frontier = next
+      h += 1
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected graph, via the ordered
     * wedge-closing join: edges are canonicalized to `a < b`, wedges
     * `(a,b,c)` with `a < b < c` are built by one self-join on the middle

@@ -285,6 +285,39 @@ object TextAnalysis {
     df.filter(pred)
   }
 
+  /** Target-mixture resampling — [[sampleStratified]]'s missing half: the
+    * per-stratum rates are not given but DERIVED, so the kept corpus hits a
+    * target mixture (the "data mixing weights" step of training-set
+    * assembly). Semantics: the scarcest stratum relative to its target
+    * weight is kept whole and every other stratum is downsampled to match —
+    * `scale = min_s(n_s·10⁶ DIV w_s)`, `rate_s = w_s·scale DIV n_s` ppm.
+    * All arithmetic is integer (floor division on both engines), and the
+    * per-row keep decision hashes the id through a fixed Knuth
+    * multiplicative step (`id·2654435761 mod 10⁶` — pure BIGINT arithmetic,
+    * so engine and oracle agree bit-for-bit, unlike any engine-native
+    * hash). Strata absent from `targetPermille` are dropped: a mixture spec
+    * is a whitelist.
+    *
+    * Shape: one partial-combined count per stratum (tiny), a scalar min,
+    * and a broadcast rates join — the corpus itself is scanned twice but
+    * never shuffled, so at 100 TB the cost is two linear passes. */
+  def mixtureResample(df: DataFrame, strataCol: Column, idCol: Column,
+      targetPermille: Map[String, Int]): DataFrame = {
+    require(targetPermille.nonEmpty && targetPermille.values.forall(_ > 0),
+      s"targetPermille=$targetPermille must be a non-empty positive map")
+    val wmap = typedLit(targetPermille.view.mapValues(_.toLong).toMap)
+    val counts = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", element_at(wmap, col("__stratum")))
+      .filter(col("__w").isNotNull)
+    val scale = counts.agg(min(expr("(__n * 1000000) DIV __w")).as("__scale"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col("__stratum"), expr("(__w * __scale) DIV __n").as("__rate_ppm"))
+    df.join(broadcast(rates), strataCol === col("__stratum"))
+      .filter((idCol * lit(2654435761L)) % lit(1000000L) < col("__rate_ppm"))
+      .drop("__stratum", "__rate_ppm")
+  }
+
   /** Sequence packing — the "concatenate, then cut every `maxTokens`"
     * batching layout used for LLM training: documents are laid end-to-end
     * per shard (in deterministic `idCol` order) and assigned

@@ -109,6 +109,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() === 3)
   }
 
+  test("bloom-pruned incremental dedup: identical to plain form, FP-proof, empty state") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val batch = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"))
+      .toDF("doc_id", "text")
+    val seen = Dedup.seenHashes(
+      Seq((99L, "bbb")).toDF("doc_id", "text"), "text")
+    val out = Dedup.bloomPrunedIncrementalSurvivors(batch, seen, "text", "doc_id")
+      .as[Long].collect().toSet
+    assert(out === Set(1L, 4L))
+    // empty state short-circuits: everything (deduped) survives
+    val none = Dedup.seenHashes(batch.filter(col("doc_id") < 0), "text")
+    assert(Dedup.bloomPrunedIncrementalSurvivors(batch, none, "text", "doc_id")
+      .count() === 3)
+    // a deliberately under-sized filter (1 expected item for a 300-entry
+    // state) floods the maybe-seen branch with false positives — the exact
+    // anti-join must still verify them all away: output identical to the
+    // plain form on a larger corpus
+    val docs = (1L to 400L).map(i => (i, s"doc number ${i % 350}"))
+      .toDF("doc_id", "text")
+    val state = Dedup.seenHashes(docs.filter(col("doc_id") % 3 === 0), "text")
+    val plain = Dedup.incrementalExactSurvivors(docs, state, "text", "doc_id")
+      .as[Long].collect().toSet
+    val tiny = Dedup.bloomPrunedIncrementalSurvivors(docs, state, "text",
+      "doc_id", expectedItems = 1L)
+      .as[Long].collect().toSet
+    assert(tiny === plain)
+  }
+
+  test("benchmarkContamination: verbatim leak found, gram/doc counts exact") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten"
+    val train = Seq(
+      (1L, s"prefix words then $leak and a tail"), // contains the leaked span
+      (2L, "totally unrelated training content with many distinct words here"),
+      (3L, s"$leak")                               // the bare benchmark text
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, leak),
+      (101L, "another benchmark item that nothing in training shares at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(train, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: the 10-token leak span yields 3 distinct 8-grams, all from
+    // bench doc 100; doc 3 carries the same 3; doc 2 is clean
+    assert(got === Map(1L -> ((3L, 1L)), 3L -> ((3L, 1L))))
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toMap

@@ -89,6 +89,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(everyRound === r2)
   }
 
+  test("bfsHops: min-hop over diamond + cycle, cap, unreachable, multi-source") {
+    import graft.operators.GraphAlgos
+    // diamond 1→{2,3}→4, chain 4→5→6→7, cycle 7→1, island 100→101
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 1L), (100L, 101L)).toDF("src", "dst")
+    def run(src: Seq[Long], cap: Int) =
+      GraphAlgos.bfsHops(edges, "src", "dst", src.toDF("id"), "id", cap)
+        .as[(Long, Long)].collect().toMap
+    // diamond gives ONE hop-2 claim on 4 (not two); cycle re-visits 1 at
+    // hop 7 but first-claim (hop 0) wins; island never appears
+    assert(run(Seq(1L), 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+    // cap truncates the frontier exactly
+    assert(run(Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // multi-source: nearest source claims each node
+    assert(run(Seq(1L, 6L), 2) === Map(1L -> 0L, 6L -> 0L, 2L -> 1L,
+      3L -> 1L, 7L -> 1L, 4L -> 2L))
+    // frontier exhaustion stops early (island source, 1 real edge)
+    assert(run(Seq(100L), 4) === Map(100L -> 0L, 101L -> 1L))
+  }
+
+  test("mixtureResample: scarcest stratum whole, rates hit targets, whitelist") {
+    // strata: a=100 rows, b=300 rows; targets 500/500 permille → b is
+    // 3× over-represented: scale = min(100·1e6/500, 300·1e6/500) = 200000,
+    // rate_a = 500·200000/100 = 1e6 ppm (keep all), rate_b = 333333 ppm.
+    val rows = (1L to 100L).map(i => (i, "a")) ++
+      (1001L to 1300L).map(i => (i, "b")) ++
+      (9001L to 9050L).map(i => (i, "zz")) // not in the target → dropped
+    val df = rows.toDF("id", "stratum")
+    val kept = TextAnalysis.mixtureResample(df, col("stratum"), col("id"),
+      Map("a" -> 500, "b" -> 500))
+      .as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("a") === 100) // rate 1e6 ppm keeps every row
+    assert(!byStratum.contains("zz")) // whitelist semantics
+    // b's keep decision is the documented hash predicate, row-exact
+    val expB = (1001L to 1300L).count(i => (i * 2654435761L) % 1000000L < 333333L)
+    assert(byStratum("b") === expB)
+    // deterministic: same input → same rows
+    val again = TextAnalysis.mixtureResample(df, col("stratum"), col("id"),
+      Map("a" -> 500, "b" -> 500)).as[(Long, String)].collect()
+    assert(again.toSet === kept.toSet)
+  }
+
   test("tfIdf: tf, df and score on a hand-checked corpus") {
     val docs = Seq(
       (1L, "apple banana APPLE"),

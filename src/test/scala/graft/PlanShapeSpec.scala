@@ -149,6 +149,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins === 1, s"changelog should be exactly one join, got $joins:\n$plan")
   }
 
+  test("dedup_bloom: one anti-join, shared batch aggregate, bloom probe in plan") {
+    val plan = finalPlan(q("dedup_bloom"))
+    // the two branches (definitely-new filter / verified anti-join) must
+    // share the batch's hash-aggregate exchange, not recompute it
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
+    assert(reused >= 1, s"branches no longer share the survivor exchange:\n$plan")
+    val antiJoins = plan.linesIterator.count(_.contains("LeftAnti"))
+    assert(antiJoins === 1, s"expected exactly one anti-join, got $antiJoins:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom probe fell out of the plan:\n$plan")
+  }
+
+  test("decontaminate: benchmark gram side broadcast, no cartesian") {
+    val plan = finalPlan(q("decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams no longer broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated:\n$plan")
+  }
+
+  test("mixture_sample: corpus side joins rates by broadcast only — no full shuffle") {
+    val plan = finalPlan(q("mixture_sample"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates no longer broadcast:\n$plan")
+    // the only exchanges should belong to the tiny counts/scale aggregates
+    // and broadcasts — the documents relation itself must not hash-shuffle
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"documents relation picked up a shuffle join:\n$plan")
+  }
+
   test("edge_resolve_join: both node dims broadcast semi-joins") {
     val plan = finalPlan(q("edge_resolve_join"))
     val bsemi = plan.linesIterator
