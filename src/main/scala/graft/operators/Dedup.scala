@@ -53,18 +53,24 @@ object Dedup {
     * replaces the bigger one that would have shuffled the exploded tokens
     * — strictly less data moved (docs < tokens) at any scale. */
   def shingleStream(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // `carry` columns must be constant per id (they ride the id-keyed
+    // explode and window untouched) — used by consumers that branch on a
+    // row property ABOVE the shared stream instead of pre-filtering, so
+    // both branches reuse one exchange (see splitContamination).
+    val carryCols = carry.map(col)
+    val tok = df.select(col(idCol).as("id") +: carryCols
+        :+ col(textCol).as("__text"): _*)
       .repartition(col("id"))
-      .select(col("id"),
-        posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")))
+      .select(col("id") +: carryCols
+        :+ posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")): _*)
     val wspec = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
-    tok.select(col("id") +: col("w0") +: leads: _*)
+    tok.select(col("id") +: carryCols ++: (col("w0") +: leads): _*)
       .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
+      .select(col("id") +: carryCols
+        :+ concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"): _*)
   }
 
   /** Exact dedup: one surviving id (min) per distinct text. The group key
@@ -189,11 +195,25 @@ object Dedup {
     val bg = shingleStream(bench, textCol, idCol, n)
       .select(col("id").as("bench_id"), col("s"))
       .dropDuplicates("bench_id", "s")
-    tg.join(broadcast(bg), "s")
+    contaminationReport(tg, broadcast(bg))
+  }
+
+  // Shape note (measured, sf0.1, warm — tools/PerfLab decont_*): when train
+  // and bench are SPLITS OF ONE CORPUS it is tempting to tokenize once and
+  // branch, but every sharing mechanism measured WORSE than the pre-filtered
+  // two-stream form above (2.2 s): carried-split-tag + repartition(s)
+  // self-join 3.8 s (the optimizer pushes each side's single-side split
+  // filter below the added exchange, so nothing above the tokenize is
+  // shared and the gram shuffle is pure overhead); localCheckpoint-shared
+  // gram stream 2.85 s (the materialization barrier costs more than it
+  // saves). The duplicated work is only the BENCH slice's tokenize —
+  // benchmark corpora are the small side by construction — so the
+  // two-stream form is also the right 100 TB plan, not just the local win.
+  private def contaminationReport(tg: DataFrame, bg: DataFrame): DataFrame =
+    tg.join(bg, "s")
       .groupBy(col("id"))
       .agg(countDistinct(col("s")).as("n_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-  }
 
   /** Exact n-gram-Jaccard near-dup pairs via inverted shingle index:
     * doc→shingle explode, self-join on shingle, common-count per pair,

@@ -65,7 +65,32 @@ object PerfLab {
           .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 400)),
       "filter_lang" -> ((s, dir) =>
         s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
-          .filter(graft.operators.TextAnalysis.langId(col("text")) === "en"))
+          .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")),
+      // decontaminate shape A/B/C: pre-filtered two-stream form (the
+      // general benchmarkContamination) vs checkpoint-shared gram stream;
+      // variant B (carried-tag + repartition(s)) is the live query.
+      "decont_two" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val split = graft.operators.TextAnalysis.hashSplit(col("text"))
+        graft.operators.Dedup.benchmarkContamination(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "text", "doc_id", n = 8)
+      }),
+      "decont_ckpt" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val split = graft.operators.TextAnalysis.hashSplit(col("text"))
+        val tagged = docs.withColumn("__split", split)
+          .filter(col("__split").isin("train", "test"))
+        val grams = graft.operators.Dedup.shingleStream(
+            tagged, "text", "doc_id", 8, carry = Seq("__split"))
+          .dropDuplicates("id", "s").localCheckpoint()
+        val tg = grams.filter(col("__split") === "train").select(col("id"), col("s"))
+        val bg = grams.filter(col("__split") === "test")
+          .select(col("id").as("bench_id"), col("s"))
+        tg.join(broadcast(bg), "s").groupBy(col("id"))
+          .agg(countDistinct(col("s")).as("n_grams"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+      })
     )
     sys.env.get("SPARK_GRAFT_CONF").foreach { kv =>
       val Array(k, v) = kv.split("=", 2)

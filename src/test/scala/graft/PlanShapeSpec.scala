@@ -163,6 +163,8 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("decontaminate: benchmark gram side broadcast, no cartesian") {
+    // deliberately the pre-filtered two-stream form — every tokenize-once
+    // sharing shape measured worse (Dedup.contaminationReport shape note)
     val plan = finalPlan(q("decontaminate"))
     assert(plan.contains("BroadcastHashJoin"),
       s"bench grams no longer broadcast:\n$plan")
