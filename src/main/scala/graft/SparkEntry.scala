@@ -507,6 +507,17 @@ object SparkEntry {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         "vec", "id", thresholdPermille = 300)),
 
+    // entity-resolution fuzzy matching: block on p_brand (bounded blocks),
+    // verify candidates with exact Levenshtein — the record-linkage
+    // block-then-verify shape; a 10% deterministic key sample keeps the
+    // per-block pair volume proportional at every scale factor, and
+    // maxDist=4 is genuinely selective (keeps ~13% of candidates).
+    "fuzzy_pairs" -> ((s, dir) =>
+      Dedup.blockedEditDistance(
+        t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+          .select(col("p_brand"), col("p_name"), col("p_partkey")),
+        "p_brand", "p_name", "p_partkey", maxDist = 4)),
+
     // ===== extensions: similarity search =====
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -595,6 +606,58 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"),
           sum(col("v") * col("v")).as("sumsq_cents2"))),
+
+    // fixed-width histogram binning in integer-cent space: bucket ids come
+    // from BIGINT floor division (never float division, whose boundary
+    // rounding differs per engine) — one partial-combined aggregate, the
+    // value-distribution profiling primitive. Bucket width $200k.
+    "hist_prices" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("pc"))
+        .select(expr("pc DIV 2000000").as("bucket"), col("pc"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_cents"))),
+
+    // per-group quantile bucketing (ntile): equal-count quartile labels
+    // within each order priority, total-ordered by (price, key) so the
+    // assignment is deterministic. One shuffle on the group key; the sort
+    // is per-group, never global.
+    "ntile_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        ntile(4).over(Window.partitionBy(col("o_orderpriority"))
+          .orderBy(cents(col("o_totalprice")), col("o_orderkey")))
+          .cast("long").as("tile"))
+    }),
+
+    // per-column profiling (the data-quality pass a pipeline runs before
+    // training): non-null and exact distinct counts per column, via one
+    // stack (unpivot) generate over a single scan — adding a column adds a
+    // stack row, not a scan.
+    "profile_cols" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(expr("stack(3, 'o_orderstatus', o_orderstatus, " +
+          "'o_orderpriority', o_orderpriority, " +
+          "'o_custkey', CAST(o_custkey AS STRING)) AS (col_name, val)"))
+        .groupBy(col("col_name"))
+        .agg(count(col("val")).as("n_nonnull"),
+          countDistinct(col("val")).as("n_distinct"))),
+
+    // bivariate sufficient statistics (n, Σx, Σy, Σxy) in integer units —
+    // covariance/correlation derive exactly downstream; order-independent
+    // integer sums, one partial-combined aggregate (the feature-correlation
+    // sibling of moment_stats). x = quantity units, y = price cents;
+    // Σxy ≤ 50·1.1e7·|rows| — BIGINT-safe past sf100.
+    "corr_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("q"),
+          cents(col("l_extendedprice")).as("pc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          sum(col("pc")).as("sum_pc"),
+          sum(col("q") * col("pc")).as("sum_qpc"))),
 
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
@@ -1418,6 +1481,48 @@ object SparkEntry {
         | FROM (SELECT event_type,
         |   CAST(round(value*100, 0) AS BIGINT) AS v FROM events)
         | GROUP BY event_type""".stripMargin,
+
+    "hist_prices" ->
+      """SELECT pc // 2000000 AS bucket, COUNT(*) AS n,
+        | CAST(SUM(pc) AS BIGINT) AS sum_cents
+        | FROM (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS pc
+        |   FROM orders)
+        | GROUP BY 1""".stripMargin,
+
+    "ntile_split" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        | ntile(4) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY CAST(round(o_totalprice*100, 0) AS BIGINT), o_orderkey)
+        |   AS tile
+        | FROM orders""".stripMargin,
+
+    "profile_cols" ->
+      """SELECT col_name, COUNT(val) AS n_nonnull,
+        | COUNT(DISTINCT val) AS n_distinct
+        | FROM (
+        |   SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        |   UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |   UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders)
+        | GROUP BY col_name""".stripMargin,
+
+    "corr_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(q) AS BIGINT) AS sum_q,
+        | CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        | CAST(SUM(q*pc) AS BIGINT) AS sum_qpc
+        | FROM (SELECT l_returnflag,
+        |   CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
+        |   FROM lineitem)
+        | GROUP BY l_returnflag""".stripMargin,
+
+    "fuzzy_pairs" ->
+      """SELECT x.p_partkey AS a, y.p_partkey AS b,
+        | CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS edit_dist
+        | FROM part x JOIN part y
+        |   ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+        | WHERE x.p_partkey % 10 = 0 AND y.p_partkey % 10 = 0
+        |   AND levenshtein(x.p_name, y.p_name) <= 4""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(

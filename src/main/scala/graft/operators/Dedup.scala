@@ -427,6 +427,31 @@ object Dedup {
       .filter(col("cos_permille") >= thresholdPermille)
   }
 
+  /** Entity-resolution fuzzy matching in the classic block-then-verify
+    * shape: candidate pairs are generated ONLY within blocks (an equi-join
+    * on the blocking key — co-partitionable, never all-pairs), then
+    * verified with exact Levenshtein edit distance, keeping pairs within
+    * `maxDist`. The record-linkage sibling of [[verifyCandidates]]: LSH
+    * buckets there, a domain blocking key (brand, zip, sorted-neighborhood
+    * window…) here; both confine the quadratic stage to candidates.
+    *
+    * Scale: pair volume is Σ_blocks |block|²/2 — the blocking key must
+    * bound block size (compose keys or salt a hot block if not); the join
+    * hashes on the key, so blocks co-locate and verification parallelizes
+    * across blocks. `levenshtein` is codegen'd (O(|s|²) per pair — cap
+    * string length upstream for adversarial inputs). */
+  def blockedEditDistance(df: DataFrame, blockCol: String, textCol: String,
+      idCol: String, maxDist: Int): DataFrame = {
+    val v = Transforms.rebalanceIfNarrow(
+      df.select(col(blockCol).as("blk"), col(textCol).as("s"),
+        col(idCol).as("id")), col("id"))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        levenshtein(col("x.s"), col("y.s")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold (exact, all-pairs — the
     * verification-grade path; [[embeddingCosineLsh]] is the scale path).
     * Cosine in double; emitted as permille for exact compares. */

@@ -470,6 +470,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("blockedEditDistance: pairs only within blocks, threshold + id order") {
+    import graft.operators.Dedup
+    val recs = Seq(
+      (1L, "A", "kitten"), (2L, "A", "sitten"), (3L, "A", "zzzzzzzzzz"),
+      (4L, "B", "kitten"), // same text as 1 but different block → no pair
+      (5L, "B", "kitte")).toDF("id", "blk", "s")
+    val got = Dedup.blockedEditDistance(recs, "blk", "s", "id", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // within A: (1,2) dist 1; (1,3)/(2,3) dist 10 > 3 dropped.
+    // within B: (4,5) dist 1. across blocks: nothing, ever.
+    assert(got === Set((1L, 2L, 1L), (4L, 5L, 1L)))
+    // a < b canonical ordering: no (2,1) mirror, no self-pairs
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")

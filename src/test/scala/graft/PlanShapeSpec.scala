@@ -246,4 +246,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"missing partial aggregate:\n$plan")
   }
+
+  test("fuzzy_pairs: candidate join keys on the block — never all-pairs") {
+    val plan = finalPlan(q("fuzzy_pairs"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking key fell out of the join:\n$plan")
+    // Levenshtein must run on candidates (above the join), not inside a
+    // join condition evaluated per cross-pair of a nested loop
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("hist_prices / corr_stats: one partial-combined aggregate, no extra exchange") {
+    for (name <- Seq("hist_prices", "corr_stats")) {
+      val plan = finalPlan(q(name))
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"$name: expected 1 exchange, got $exchanges:\n$plan")
+      val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs >= 2, s"$name: missing partial aggregate:\n$plan")
+    }
+  }
+
+  test("profile_cols: one scan feeds the stack generate — not a scan per column") {
+    val plan = finalPlan(q("profile_cols"))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
 }
