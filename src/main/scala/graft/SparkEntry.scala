@@ -705,6 +705,49 @@ object SparkEntry {
             "de" -> 150, "fr" -> 150))
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic per-stratum cap: keep ≤20 docs per language, ranked by
+    // (content-hash, id) — the "no source may exceed K examples" curation
+    // rule, reproducible under reshuffling/reruns because the rank key is
+    // content, not arrival order. Same TakeOrdered-per-group machinery as
+    // topk_per_group.
+    "sample_per_group" -> ((s, dir) =>
+      Transforms.topKPerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("h")),
+        Seq(col("lang")), Seq(col("h").asc, col("doc_id").asc), 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // corpus drift report: per-language composition of the train vs test
+    // content-hash splits, shares in integer permille (n*1000 DIV total) —
+    // the dataset-shift QA check run before a retrain. Two partial
+    // aggregates + one tiny join; the window sums run over the ≤|langs|
+    // aggregate output, never over rows.
+    "corpus_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val split = TextAnalysis.hashSplit(col("text"))
+      val a = d.filter(split === "train")
+        .groupBy(col("lang")).agg(count(lit(1)).as("a_n"))
+      val b = d.filter(split === "test")
+        .groupBy(col("lang")).agg(count(lit(1)).as("b_n"))
+      a.join(b, Seq("lang"), "full_outer")
+        .select(col("lang"), coalesce(col("a_n"), lit(0L)).as("a_n"),
+          coalesce(col("b_n"), lit(0L)).as("b_n"))
+        .select(col("lang"), col("a_n"), col("b_n"),
+          expr("a_n * 1000 DIV sum(a_n) OVER ()").as("a_share_pm"),
+          expr("b_n * 1000 DIV sum(b_n) OVER ()").as("b_share_pm"))
+        .withColumn("drift_pm", col("a_share_pm") - col("b_share_pm"))
+    }),
+
+    // approximate-aggregate tier: HLL++ distinct users per event type
+    // (exact distinct shuffles every (type, user) pair; the sketch carries
+    // a constant-size buffer per group — the 100 TB cardinality path).
+    // No SQL twin (DuckDB's approx_count_distinct is a different sketch);
+    // OperatorsSpec bounds relative error vs exact on the same data.
+    "distinct_approx" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
+
     // sequence packing (concat-then-cut training layout): per-shard
     // running token count → (pack_id, pack_offset); shard = content-hash
     // split so each shard's order-window is bounded.
@@ -966,7 +1009,13 @@ object SparkEntry {
       "native aggregate's single-exchange plan in PlanShapeSpec."),
     "doc_fingerprint" -> ("winnowing-lite fingerprint over xxhash64 " +
       "char-8-gram hashes — no xxhash64 in DuckDB. Equal-text equality " +
-      "and 8-gram sensitivity asserted in OperatorsSpec."))
+      "and 8-gram sensitivity asserted in OperatorsSpec."),
+    "distinct_approx" -> ("HLL++ sketch counts — DuckDB's " +
+      "approx_count_distinct is a different sketch with different " +
+      "estimates, so values are not SQL-reproducible by design. " +
+      "OperatorsSpec bounds relative error vs exact COUNT(DISTINCT) on " +
+      "the same data (rsd=0.02 → assert within 5%); the exact tier is " +
+      "oracle-green as distinct_agg."))
 
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -1331,6 +1380,34 @@ object SparkEntry {
         |WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100""".stripMargin,
 
     // word 8-grams via the same list-comprehension idiom; split by the
+    "sample_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        | WHERE rn <= 20""".stripMargin,
+
+    // same hash_split CASE as decontaminate; integer-permille shares
+    "corpus_drift" ->
+      """WITH sp AS (SELECT lang,
+        |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |a AS (SELECT lang, COUNT(*) AS a_n FROM sp
+        |      WHERE split = 'train' GROUP BY lang),
+        |b AS (SELECT lang, COUNT(*) AS b_n FROM sp
+        |      WHERE split = 'test' GROUP BY lang),
+        |j AS (SELECT COALESCE(a.lang, b.lang) AS lang,
+        |        COALESCE(a_n, 0) AS a_n, COALESCE(b_n, 0) AS b_n
+        |      FROM a FULL JOIN b ON a.lang = b.lang)
+        |SELECT lang, a_n, b_n,
+        |  CAST(a_n * 1000 // SUM(a_n) OVER () AS BIGINT) AS a_share_pm,
+        |  CAST(b_n * 1000 // SUM(b_n) OVER () AS BIGINT) AS b_share_pm,
+        |  CAST(a_n * 1000 // SUM(a_n) OVER ()
+        |     - b_n * 1000 // SUM(b_n) OVER () AS BIGINT) AS drift_pm
+        |FROM j""".stripMargin,
+
     // hash_split CASE so engine and oracle agree on train/test membership
     "decontaminate" ->
       """WITH sp AS (SELECT doc_id,

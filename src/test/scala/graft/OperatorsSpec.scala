@@ -485,6 +485,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _) => a < b })
   }
 
+  test("distinct_approx: HLL estimate within 5% of exact per group") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("distinct_approx")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, est) <- approx) {
+      val ex = exact(k).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"$k: estimate $est vs exact $ex exceeds 5%")
+    }
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
