@@ -518,6 +518,15 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
+    // sorted-neighborhood dedup: sort part names within a 1-char prefix
+    // block, pair each with its next 3 neighbors in sort order, verify
+    // with exact Levenshtein — candidate volume is exactly 3n, found
+    // without any key equality (complements fuzzy_pairs' key blocking).
+    "sorted_neighbors" -> ((s, dir) =>
+      Dedup.sortedNeighborPairs(t(s, dir, "part"),
+        substring(col("p_name"), 1, 1), col("p_name"),
+        "p_name", "p_partkey", window = 3, maxDist = 4)),
+
     // ===== extensions: similarity search =====
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1600,6 +1609,27 @@ object SparkEntry {
         |   ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
         | WHERE x.p_partkey % 10 = 0 AND y.p_partkey % 10 = 0
         |   AND levenshtein(x.p_name, y.p_name) <= 4""".stripMargin,
+
+    "sorted_neighbors" ->
+      """WITH v AS (SELECT p_partkey AS id, p_name AS s,
+        |    substr(p_name, 1, 1) AS blk FROM part),
+        |l AS (
+        |  SELECT id, s,
+        |    lead(id, 1) OVER (PARTITION BY blk ORDER BY s, id) AS nid1,
+        |    lead(s, 1)  OVER (PARTITION BY blk ORDER BY s, id) AS ns1,
+        |    lead(id, 2) OVER (PARTITION BY blk ORDER BY s, id) AS nid2,
+        |    lead(s, 2)  OVER (PARTITION BY blk ORDER BY s, id) AS ns2,
+        |    lead(id, 3) OVER (PARTITION BY blk ORDER BY s, id) AS nid3,
+        |    lead(s, 3)  OVER (PARTITION BY blk ORDER BY s, id) AS ns3
+        |  FROM v),
+        |n AS (
+        |  SELECT id, s, nid1 AS nid, ns1 AS ns FROM l
+        |  UNION ALL SELECT id, s, nid2, ns2 FROM l
+        |  UNION ALL SELECT id, s, nid3, ns3 FROM l)
+        |SELECT id AS a, nid AS b,
+        |  CAST(levenshtein(s, ns) AS BIGINT) AS edit_dist
+        |FROM n
+        |WHERE nid IS NOT NULL AND levenshtein(s, ns) <= 4""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(

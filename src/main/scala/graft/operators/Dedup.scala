@@ -452,6 +452,43 @@ object Dedup {
       .filter(col("edit_dist") <= maxDist)
   }
 
+  /** Sorted-neighborhood candidate generation (the third classic blocking
+    * strategy, next to key blocking — [[blockedEditDistance]] — and LSH):
+    * records are sorted by a content-derived key and each record pairs
+    * with its next `window` neighbors in that order, then candidates are
+    * verified with exact Levenshtein. Near-identical strings sort
+    * adjacent, so a tiny window finds them without any quadratic stage.
+    *
+    * Scale: the sort is per `blockExpr` partition (classic SNM prefix
+    * blocking), so the plan is one shuffle on the block + a per-block sort
+    * — never a global sort; candidate volume is exactly window·n. Pairs
+    * whose sort keys straddle a block boundary are missed — the standard
+    * SNM trade, mitigated by multi-pass runs with different sort keys
+    * (compose by unioning passes). Each ordered pair is emitted at most
+    * once (forward window). */
+  def sortedNeighborPairs(df: DataFrame, blockExpr: Column, sortKey: Column,
+      textCol: String, idCol: String, window: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Transforms.rebalanceIfNarrow(
+      df.select(blockExpr.as("blk"), sortKey.as("sk"),
+        col(textCol).as("s"), col(idCol).as("id")), col("id"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
+    // window exprs are computed in a plain projection FIRST (one Window
+    // node — all leads share the frame sort), then packed and exploded:
+    // Spark forbids window functions inside a generator expression.
+    val withLeads = v.select(col("id") +: col("s") +:
+      (1 to window).flatMap(i => Seq(
+        lead(col("id"), i).over(w).as(s"nid_$i"),
+        lead(col("s"), i).over(w).as(s"ns_$i"))): _*)
+    val nbrs = array((1 to window).map(i =>
+      struct(col(s"nid_$i").as("nid"), col(s"ns_$i").as("ns"))): _*)
+    withLeads.withColumn("nb", explode(nbrs))
+      .filter(col("nb.nid").isNotNull)
+      .select(col("id").as("a"), col("nb.nid").as("b"),
+        levenshtein(col("s"), col("nb.ns")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold (exact, all-pairs — the
     * verification-grade path; [[embeddingCosineLsh]] is the scale path).
     * Cosine in double; emitted as permille for exact compares. */

@@ -485,6 +485,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _) => a < b })
   }
 
+  test("sortedNeighborPairs: window-bounded, block-bounded, forward-once") {
+    import graft.operators.Dedup
+    val recs = Seq((1L, "apple"), (2L, "applf"), (3L, "apzzz"),
+      (4L, "beta"), (5L, "betb")).toDF("id", "s")
+    val got = Dedup.sortedNeighborPairs(recs,
+        substring(col("s"), 1, 1), col("s"), "s", "id",
+        window = 2, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // block 'a' sort: apple(1), applf(2), apzzz(3) → (1,2) d1 kept;
+    // (2,3)/(1,3) exceed maxDist. block 'b': beta(4), betb(5) → d1 kept.
+    // cross-block (3,4) is never a candidate.
+    assert(got === Set((1L, 2L, 1L), (4L, 5L, 1L)))
+  }
+
   test("distinct_approx: HLL estimate within 5% of exact per group") {
     val dir = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("distinct_approx")(spark, dir)
