@@ -469,9 +469,13 @@ object Dedup {
   def sortedNeighborPairs(df: DataFrame, blockExpr: Column, sortKey: Column,
       textCol: String, idCol: String, window: Int, maxDist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = Transforms.rebalanceIfNarrow(
-      df.select(blockExpr.as("blk"), sortKey.as("sk"),
-        col(textCol).as("s"), col(idCol).as("id")), col("id"))
+    // No input rebalance here (contrast blockedEditDistance): the Window's
+    // own hash(blk) exchange is the redistribution — the expensive per-row
+    // work (levenshtein) runs above it, so a prior exchange on the id
+    // would shuffle the corpus twice for nothing. Parallelism is bounded
+    // by |blocks|; pick a blockExpr with enough distinct values.
+    val v = df.select(blockExpr.as("blk"), sortKey.as("sk"),
+      col(textCol).as("s"), col(idCol).as("id"))
     val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
     // window exprs are computed in a plain projection FIRST (one Window
     // node — all leads share the frame sort), then packed and exploded:
