@@ -668,6 +668,105 @@ object SparkEntry {
           sum(col("pc")).as("sum_pc"),
           sum(col("q") * col("pc")).as("sum_qpc"))),
 
+    // SCD Type-2 dimension build: the orders change log versioned into
+    // half-open validity intervals per customer ([[Transforms.scdType2]] —
+    // one window pass, one shuffle on the entity key). The open head gets
+    // the classic 9999-12-31 sentinel so the interval columns stay
+    // non-null strings.
+    "scd2_build" -> ((s, dir) =>
+      Transforms.scdType2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          cents(col("o_totalprice")).as("price_cents")),
+        Seq(col("o_custkey")), Seq(col("od"), col("o_orderkey")), col("od"))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_cents"),
+          col("eff_from"),
+          coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
+          col("is_current"))),
+
+    // winsorized robust sum: per-group exact [p05, p95] clamp then an
+    // integer-exact sum ([[Transforms.winsorizedSum]] — the |groups|-row
+    // stats side broadcasts back; rows shuffle only for the final
+    // partial-combined aggregate).
+    "winsorize" -> ((s, dir) =>
+      Transforms.winsorizedSum(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("pc")),
+        "flag", "pc", 0.05, 0.95)),
+
+    // approximate-quantile tier (percentile_approx, accuracy 10000):
+    // mergeable constant-size sketch state per group — the 100 TB path
+    // where the exact tier's full-materialize-per-group doesn't fly.
+    // Exact tier = group_quartiles; relative error bounded vs exact in
+    // OperatorsSpec (rows-only, see noOracleReason).
+    "quantiles_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile_approx(l_extendedprice, 0.25, 10000)") * 100)
+            .cast("long").as("q1_cents"),
+          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)") * 100)
+            .cast("long").as("q2_cents"),
+          round(expr("percentile_approx(l_extendedprice, 0.75, 10000)") * 100)
+            .cast("long").as("q3_cents"),
+          count(lit(1)).as("n"))),
+
+    // skew diagnostic: the per-key frequency report that decides whether a
+    // join needs salting ([[Transforms.saltedJoin]]) — top heavy-hitter
+    // keys with integer-permille share, total-ordered by (count desc, key)
+    // so the cut is deterministic. Counts collapse to |keys| rows, the
+    // global top-20 ships via TakeOrderedAndProject (never a global sort),
+    // and the one-row total broadcasts.
+    "skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("__total"))
+      counts.orderBy(col("n").desc, col("o_custkey").asc).limit(20)
+        .crossJoin(broadcast(total))
+        .select(col("o_custkey"), col("n"),
+          expr("n * 1000 DIV __total").as("share_permille"))
+    }),
+
+    // Z-order layout key: Morton-interleave of (customer-bucket ×
+    // day-bucket) ([[Transforms.zValue8]]) so a writer range-partitioning
+    // by zval clusters rows near in BOTH dimensions into the same files —
+    // parquet footer min/max then prunes 2-D predicates. Pure projection:
+    // zero exchanges (plan-asserted). zbucket = 64-wide curve segment ≈
+    // target file id.
+    "zorder_layout" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Transforms.zValue8(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1992-01-01"))).cast("long")).as("zval"))
+        .select(col("o_orderkey"), col("zval"),
+          expr("zval DIV 64").as("zbucket"))),
+
+    // canonical text normalization (dedup pre-pass): case / punctuation /
+    // whitespace variants collapse to one canonical form
+    // ([[TextAnalysis.normalizeText]] — fused single-regex column
+    // expression, zero shuffle).
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("canon"))
+        .select(col("doc_id"), col("canon"),
+          length(col("canon")).cast("long").as("n_chars"))),
+
+    // representative selection per near-dup cluster — the "which member
+    // survives" step downstream of dedup_clusters
+    // ([[Dedup.clusterRepresentatives]]: longest text wins, ties to
+    // smallest id; one join of the dup-sliver cluster map + one shared
+    // window exchange). The clustering input is the even-id half of the
+    // corpus (dedup_embed_cosine precedent): the operator under test here
+    // is the rep pick, and the full-corpus clustering already holds its
+    // own bench slot as dedup_clusters.
+    "cluster_reps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusterRepresentatives(
+        Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id", n = 5, thresholdPermille = 100)),
+        docs, "doc_id", col("n_chars"))
+    }),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1019,6 +1118,12 @@ object SparkEntry {
     "doc_fingerprint" -> ("winnowing-lite fingerprint over xxhash64 " +
       "char-8-gram hashes — no xxhash64 in DuckDB. Equal-text equality " +
       "and 8-gram sensitivity asserted in OperatorsSpec."),
+    "quantiles_approx" -> ("GK-sketch approximate percentiles " +
+      "(percentile_approx, accuracy 10000) — DuckDB's approx_quantile is " +
+      "a t-digest with different estimates, so values are not " +
+      "SQL-reproducible by design. OperatorsSpec bounds each approximate " +
+      "quartile within 1% relative error of the exact percentile on the " +
+      "same data; the exact tier is oracle-green as group_quartiles."),
     "distinct_approx" -> ("HLL++ sketch counts — DuckDB's " +
       "approx_count_distinct is a different sketch with different " +
       "estimates, so values are not SQL-reproducible by design. " +
@@ -1234,6 +1339,61 @@ object SparkEntry {
         | CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q3_cents,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "scd2_build" ->
+      """WITH v AS (SELECT o_custkey, o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, price_cents, od AS eff_from,
+        |  COALESCE(LEAD(od) OVER w, '9999-12-31') AS eff_to,
+        |  CAST(CASE WHEN LEAD(od) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM v WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY od, o_orderkey)""".stripMargin,
+
+    "winsorize" ->
+      """WITH f AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |s AS (SELECT flag,
+        |    CAST(round(quantile_cont(pc, 0.05), 0) AS BIGINT) AS lo,
+        |    CAST(round(quantile_cont(pc, 0.95), 0) AS BIGINT) AS hi
+        |  FROM f GROUP BY 1)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(LEAST(GREATEST(pc, lo), hi)) AS BIGINT) AS sum_clamped
+        |FROM f JOIN s USING (flag) GROUP BY 1""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |top AS (SELECT o_custkey, n FROM c
+        |        ORDER BY n DESC, o_custkey LIMIT 20)
+        |SELECT o_custkey, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000 // tot AS BIGINT) AS share_permille
+        |FROM top, t""".stripMargin,
+
+    "zorder_layout" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey & 255 AS x,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      & 255 AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, (x | (x<<4)) & 3855 AS x,
+        |       (y | (y<<4)) & 3855 AS y FROM b),
+        |s2 AS (SELECT o_orderkey, (x | (x<<2)) & 13107 AS x,
+        |       (y | (y<<2)) & 13107 AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, (x | (x<<1)) & 21845 AS x,
+        |       (y | (y<<1)) & 21845 AS y FROM s2)
+        |SELECT o_orderkey, CAST(x | (y<<1) AS BIGINT) AS zval,
+        |  CAST((x | (y<<1)) // 64 AS BIGINT) AS zbucket FROM s3""".stripMargin,
+
+    "text_normalize" ->
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |      AS canon
+        |  FROM documents)
+        |SELECT doc_id, canon, CAST(length(canon) AS BIGINT) AS n_chars
+        |FROM c""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
@@ -1463,6 +1623,40 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS id,
         |  CAST(MIN(lab) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    // same clustering CTE as dedup_clusters (on the even-id half), plus
+    // the representative pick
+    "cluster_reps" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents WHERE doc_id % 2 = 0)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT CAST(id AS BIGINT) AS id,
+        |         CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |       FROM reach GROUP BY id)
+        |SELECT cluster_id, rep_id, n_members FROM (
+        |  SELECT cl.cluster_id, d.doc_id AS rep_id,
+        |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |  FROM cl JOIN documents d ON d.doc_id = cl.id)
+        |WHERE rn = 1""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH v AS (SELECT vec_id AS id, label,

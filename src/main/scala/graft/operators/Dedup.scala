@@ -371,6 +371,30 @@ object Dedup {
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 
+  /** Canonical-representative selection: the step after clustering that
+    * decides which member of each duplicate cluster survives into the
+    * training corpus. Representative = the member ranked first by
+    * `quality` descending (ties to smallest id, so the choice is total and
+    * rerun-stable). One inner join of the cluster map (only docs that had a
+    * near-dup — a sliver of the corpus) against the doc table, then one
+    * window pass partitioned on `cluster_id`: member count and rank share
+    * the same exchange, and `row_number <= 1` lets `WindowGroupLimit` cap
+    * each map task's output at one row per cluster before the shuffle.
+    * Output: (cluster_id, rep_id, n_members). */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame,
+      idCol: String, quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = docs.join(clusters, docs(idCol) === clusters("id"))
+      .drop("id")
+    val part = Window.partitionBy(col("cluster_id"))
+    val ranked = part.orderBy(quality.desc, col(idCol).asc)
+    joined
+      .withColumn("n_members", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(ranked))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"), col("n_members"))
+  }
+
   /** SimHash (64-bit): per-token hash votes weighted ±1 per bit, sign →
     * bit. Near-dups have small Hamming distance. One explode + one native
     * [[graft.functions.SketchAggs.simhash]] aggregate (64-counter buffer in

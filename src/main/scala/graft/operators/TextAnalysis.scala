@@ -129,6 +129,17 @@ object TextAnalysis {
     when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
   }
 
+  /** Canonical text normalization for dedup keying: lowercase, collapse
+    * every run of non-alphanumerics to a single space, trim. Two docs that
+    * differ only in case, punctuation, or whitespace map to the same
+    * canonical form — the pre-pass that makes exact-hash dedup catch
+    * trivial variants before the expensive near-dup tiers run. Single fused
+    * regex pass, pure column expression (codegen'd, zero shuffle); the
+    * character class is ASCII-only so Java regex and RE2 (the oracle's
+    * engine) agree byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Email pattern kept to constructs with identical semantics in Java
     * regex and RE2 (so engine and oracle agree byte-for-byte). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

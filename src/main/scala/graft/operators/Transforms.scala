@@ -150,4 +150,62 @@ object Transforms {
       .orderBy(col(orderCol)).rangeBetween(-lookback, 0)
     df.withColumn(as, sum(col(valueCol)).over(w))
   }
+
+  /** SCD Type-2 interval build: turn a change log (one row per version of an
+    * entity) into versioned dimension rows with half-open validity
+    * intervals `[eff_from, eff_to)` and an `is_current` flag — the standard
+    * warehouse shape the reference's last-wins upsert (T14) collapses away.
+    * `eff_from` is the version's own effective value; `eff_to` is the NEXT
+    * version's `eff_from` (`lead` over the per-key version order), null on
+    * the open head. One window pass = one shuffle on the entity key; the
+    * per-key sort is local. `versionOrder` must be a total order within a
+    * key (include a tiebreaker id) or the chain is nondeterministic. */
+  def scdType2(df: DataFrame, keyCols: Seq[Column], versionOrder: Seq[Column],
+      effFrom: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(versionOrder: _*)
+    df.withColumn("eff_from", effFrom)
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      .withColumn("is_current",
+        when(col("eff_to").isNull, 1L).otherwise(0L))
+  }
+
+  /** Winsorized (clamped-tail) sum: robust aggregation that clamps each
+    * value into its group's exact `[pLo, pHi]` percentile band before
+    * summing, so a handful of corrupt extreme rows can't dominate a corpus
+    * statistic. Two scans by construction (percentiles need the full group
+    * before any row can be clamped), but the stats side collapses to
+    * |groups| rows and is broadcast back — the data itself shuffles only
+    * for the final partial-combined aggregate. `valueCol` must already be
+    * integral (cents/micros): the clamp and sum stay in BIGINT, so the
+    * result is order-exact under any parallelism. */
+  def winsorizedSum(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, $pLo)")).cast("long").as("__lo"),
+        round(expr(s"percentile($valueCol, $pHi)")).cast("long").as("__hi"))
+    df.join(broadcast(stats), groupCol)
+      .select(col(groupCol),
+        least(greatest(col(valueCol), col("__lo")), col("__hi")).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_clamped"))
+  }
+
+  /** 8-bit × 8-bit Morton (Z-order) interleave: maps two bucketed
+    * dimensions into one locality-preserving 16-bit curve value. Writing a
+    * table range-partitioned/sorted by `zValue8` clusters rows that are
+    * near in BOTH dimensions into the same files, so min/max footer
+    * statistics prune scans for 2-D predicates (date × customer, lat ×
+    * lon) — the layout trick behind Delta/Iceberg Z-ordering, as pure
+    * column arithmetic. Inputs are masked to 8 bits; the bit-spread uses
+    * the classic shift-or-mask ladder (3 steps, codegen-friendly, no UDF).
+    */
+  def zValue8(x: Column, y: Column): Column = {
+    def spread(v: Column): Column = {
+      val m = v.cast("long").bitwiseAND(lit(255L))
+      val a = m.bitwiseOR(shiftleft(m, 4)).bitwiseAND(lit(0x0F0FL))
+      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
 }

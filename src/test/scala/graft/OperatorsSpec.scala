@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, TextAnalysis, Transforms}
+import graft.operators.{Dedup, Multimodal, TextAnalysis, Transforms}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -512,6 +512,96 @@ class OperatorsSpec extends AnyFunSuite {
       val ex = exact(k).toDouble
       assert(math.abs(est - ex) / ex <= 0.05,
         s"$k: estimate $est vs exact $ex exceeds 5%")
+    }
+  }
+
+  test("scdType2: abutting half-open intervals, open head is current") {
+    // key 1's versions arrive out of order — the window order, not row
+    // order, must decide the chain; key 2 is a singleton (current from day
+    // one).
+    val log = Seq((1L, 10L, "2020-01-01"), (1L, 11L, "2020-03-01"),
+      (1L, 12L, "2020-02-01"), (2L, 20L, "2021-05-05")).toDF("k", "ver", "d")
+    val out = Transforms
+      .scdType2(log, Seq(col("k")), Seq(col("d"), col("ver")), col("d"))
+      .select("k", "ver", "eff_from", "eff_to", "is_current")
+      .as[(Long, Long, String, Option[String], Long)].collect().toSet
+    assert(out === Set(
+      (1L, 10L, "2020-01-01", Some("2020-02-01"), 0L),
+      (1L, 12L, "2020-02-01", Some("2020-03-01"), 0L),
+      (1L, 11L, "2020-03-01", None, 1L),
+      (2L, 20L, "2021-05-05", None, 1L)))
+  }
+
+  test("winsorizedSum: tails clamp to the exact percentile band") {
+    // 0..9 plus outlier 1000: n=11, p10 rank index = 1 → lo = 1,
+    // p90 index = 9 → hi = 9. Clamp maps 0→1 and 1000→9; middle unchanged.
+    val df = ((0L to 9L) :+ 1000L).map(("g", _)).toDF("grp", "v")
+    val out = Transforms.winsorizedSum(df, "grp", "v", 0.10, 0.90)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("g", 11L, 1L + (1L to 9L).sum + 9L)))
+  }
+
+  test("zValue8: known morton value, invertible, inputs masked to 8 bits") {
+    def z(x: Long, y: Long): Long = Seq((x, y)).toDF("x", "y")
+      .select(Transforms.zValue8(col("x"), col("y"))).as[Long].head()
+    // x=5 (101b) → even bits 10001b=17; y=3 (011b) → odd bits 1010b=10
+    assert(z(5L, 3L) === 27L)
+    // deinterleave recovers the inputs across the domain's corners/edges
+    for ((x, y) <- Seq((0L, 0L), (255L, 255L), (170L, 85L), (1L, 128L),
+        (200L, 7L))) {
+      val v = z(x, y)
+      var (rx, ry) = (0L, 0L)
+      for (i <- 0 until 8) {
+        rx |= ((v >> (2 * i)) & 1L) << i
+        ry |= ((v >> (2 * i + 1)) & 1L) << i
+      }
+      assert((rx, ry) === (x, y), s"z($x,$y)=$v")
+    }
+    // out-of-range inputs wrap to their low byte, never overflow the curve
+    assert(z(256L, 0L) === z(0L, 0L) && z(511L, 3L) === z(255L, 3L))
+  }
+
+  test("normalizeText: case, punctuation, whitespace variants collapse") {
+    val out = Seq("Hello,  World!!", "hello world", "  HELLO--world  ",
+      "a.b,c").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
+    assert(out(0) === "hello world")
+    assert(out(1) === "hello world")
+    assert(out(2) === "hello world")
+    assert(out(3) === "a b c")
+  }
+
+  test("clusterRepresentatives: longest member wins, ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 4L),
+      (9L, 100L)).toDF("doc_id", "len")
+    val out = Dedup.clusterRepresentatives(clusters, docs, "doc_id", col("len"))
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: 2 and 3 tie on len 9 → min id 2; cluster 7: tie → 7;
+    // doc 9 has no near-dup → not represented at all.
+    assert(out === Set((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
+  test("quantiles_approx: each quartile within 1% of the exact percentile") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("quantiles_approx")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.25)") * 100)
+        .cast("long").as("q1"),
+        round(expr("percentile(l_extendedprice, 0.5)") * 100)
+          .cast("long").as("q2"),
+        round(expr("percentile(l_extendedprice, 0.75)") * 100)
+          .cast("long").as("q3"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    assert(approx.keySet === exact.keySet)
+    for (k <- approx.keys; (est, ex) <- approx(k).zip(exact(k))) {
+      assert(math.abs(est - ex).toDouble / ex <= 0.01,
+        s"$k: approx $est vs exact $ex exceeds 1%")
     }
   }
 

@@ -273,4 +273,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
+
+  test("zorder_layout: pure column arithmetic — zero exchanges") {
+    val plan = finalPlan(q("zorder_layout"))
+    assert(!plan.contains("Exchange"),
+      s"z-value must be a projection, never a shuffle:\n$plan")
+  }
+
+  test("skew_report: global top-k via TakeOrderedAndProject, total broadcast") {
+    val plan = finalPlan(q("skew_report"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row total must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("winsorize: percentile stats side broadcasts back to the fact rows") {
+    val plan = finalPlan(q("winsorize"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join must broadcast the |groups|-row side:\n$plan")
+  }
+
+  test("scd2_build: one window pass — a single hash exchange") {
+    val plan = finalPlan(q("scd2_build"))
+    val n = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(n == 1, s"expected exactly 1 exchange, got $n:\n$plan")
+  }
 }
