@@ -767,6 +767,82 @@ object SparkEntry {
         docs, "doc_id", col("n_chars"))
     }),
 
+    // explicit GROUPING SETS (the non-hierarchical cousin of rollup/cube):
+    // both one-column sets plus the grand total in ONE pass — Expand +
+    // a single partial-combined hash aggregate, one scan and one shuffle
+    // regardless of how many sets are requested.
+    "grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders").groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+          Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))),
+
+    // rank-family windows: percent_rank + cume_dist per group, emitted in
+    // integer permille under a deterministic (price, key) total order.
+    // Both engines compute the identical (rank-1)/(n-1) double before the
+    // shared round — one window exchange, per-group sort only.
+    "rank_permille" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(cents(col("o_totalprice")), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        round(percent_rank().over(w) * 1000).cast("long").as("pr_permille"),
+        round(cume_dist().over(w) * 1000).cast("long").as("cd_permille"))
+    }),
+
+    // null-safe equi-join (<=>): null keys MATCH null keys instead of
+    // dropping — the semantics a dimension join needs when "unknown" is
+    // itself a dimension member. Still a hash join (null-safe equality is
+    // a valid equi-key), never a nested loop.
+    "nullsafe_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(col("o_orderstatus")).as("st"))
+      val dim = o.groupBy(col("st")).agg(count(lit(1)).as("st_n"))
+        .withColumnRenamed("st", "dim_st")
+      o.join(dim, o("st") <=> dim("dim_st"))
+        .select(col("o_orderkey"), col("dim_st").as("st"), col("st_n"))
+    }),
+
+    // higher-order array functions fused in one projection: filter /
+    // transform+aggregate (fold) / array_distinct over the token array —
+    // all codegen'd array ops, zero shuffle, no explode round-trip.
+    "array_hof" -> ((s, dir) => {
+      val toks = TextAnalysis.wsTokens(lower(trim(col("text"))))
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(toks, w => length(w) > lit(4))).cast("long")
+          .as("n_long"),
+        aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("sum_len"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+    }),
+
+    // JSON path extraction (get_json_object $.nested.field) — the
+    // schema-on-read escape hatch for ragged payloads; round-trips a
+    // nested struct through JSON text so the oracle twin is the identity.
+    "json_path" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(
+          to_json(struct(col("user_id"),
+            struct(col("event_type").as("t")).as("meta"))),
+          "$.meta.t").as("etype"))),
+
+    // approximate heavy-hitters tier (DataSketches frequent-items via
+    // approx_top_k): constant-size mergeable sketch state — the 100 TB
+    // path when the key space (web tokens, URLs) is too large for
+    // vocab_topk's exact full-vocabulary aggregate state. Rows-only (see
+    // noOracleReason); error bounded vs exact counts in OperatorsSpec.
+    "freq_approx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.wsTokens(lower(trim(col("text")))))
+          .as("w"))
+        .agg(expr("approx_top_k(w, 20, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("w"), col("e.count").cast("long").as("n"))),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1118,6 +1194,12 @@ object SparkEntry {
     "doc_fingerprint" -> ("winnowing-lite fingerprint over xxhash64 " +
       "char-8-gram hashes — no xxhash64 in DuckDB. Equal-text equality " +
       "and 8-gram sensitivity asserted in OperatorsSpec."),
+    "freq_approx" -> ("DataSketches frequent-items heavy hitters " +
+      "(approx_top_k) — DuckDB has no equivalent sketch, so the estimate " +
+      "column is not SQL-reproducible by design. OperatorsSpec asserts " +
+      "every reported count matches the exact count within 1% and that " +
+      "the reported set contains the exact top-10; the exact tier is " +
+      "oracle-green as vocab_topk."),
     "quantiles_approx" -> ("GK-sketch approximate percentiles " +
       "(percentile_approx, accuracy 10000) — DuckDB's approx_quantile is " +
       "a t-digest with different estimates, so values are not " +
@@ -1394,6 +1476,45 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, canon, CAST(length(canon) AS BIGINT) AS n_chars
         |FROM c""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "rank_permille" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        | CAST(round(percent_rank() OVER w * 1000, 0) AS BIGINT)
+        |   AS pr_permille,
+        | CAST(round(cume_dist() OVER w * 1000, 0) AS BIGINT)
+        |   AS cd_permille
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        | ORDER BY CAST(round(o_totalprice*100, 0) AS BIGINT), o_orderkey)""".stripMargin,
+
+    "nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL
+        |         ELSE o_orderstatus END AS st
+        |  FROM orders),
+        |d AS (SELECT st, COUNT(*) AS st_n FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, d.st, CAST(d.st_n AS BIGINT) AS st_n
+        |FROM o JOIN d ON o.st IS NOT DISTINCT FROM d.st""".stripMargin,
+
+    "array_hof" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        | CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |   AS sum_len,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+        |FROM tk""".stripMargin,
+
+    "json_path" ->
+      "SELECT event_id, event_type AS etype FROM events",
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,

@@ -605,6 +605,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("freq_approx: sketch counts within 1% of exact, top-10 contained") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("freq_approx")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.nonEmpty)
+    for ((w, n) <- approx) {
+      val ex = exact(w)
+      assert(math.abs(n - ex).toDouble / ex <= 0.01,
+        s"$w: sketch $n vs exact $ex exceeds 1%")
+    }
+    val top10 = exact.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(10).map(_._1).toSet
+    assert(top10.subsetOf(approx.keySet),
+      s"missing exact top-10 items: ${top10 -- approx.keySet}")
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")

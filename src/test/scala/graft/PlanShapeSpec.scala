@@ -295,6 +295,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stats join must broadcast the |groups|-row side:\n$plan")
   }
 
+  test("grouping_sets: one scan + Expand — not a scan per set") {
+    val plan = finalPlan(q("grouping_sets"))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("nullsafe_join: <=> still plans a hash join, never a nested loop") {
+    val plan = finalPlan(q("nullsafe_join"))
+    assert(plan.contains("HashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("array_hof: fused array projection — zero exchanges") {
+    val plan = finalPlan(q("array_hof"))
+    assert(!plan.contains("Exchange"),
+      s"higher-order fns must not force a shuffle or explode:\n$plan")
+  }
+
   test("scd2_build: one window pass — a single hash exchange") {
     val plan = finalPlan(q("scd2_build"))
     val n = plan.linesIterator
