@@ -1067,21 +1067,30 @@ object SparkEntry {
     }),
 
     // Real container decode, end-to-end and oracle-checkable: per-row BMP /
-    // WAV containers are SYNTHESIZED from each document's byte length with
-    // codegen'd expressions (hex/concat/unhex fused into the scan), then
-    // decoded back by the real header probe in the mapPartitions batch.
-    // The oracle recomputes the expected dims/frames arithmetically —
-    // agreeing requires both the synthesis AND the byte-layout parse to be
-    // correct. Zero shuffle: project → mapPartitions → project.
+    // WAV / PNG / GIF containers are SYNTHESIZED from each document's byte
+    // length with codegen'd expressions (hex/concat/unhex fused into the
+    // scan), then decoded back by the real header probe in the
+    // mapPartitions batch — all four byte layouts (LE32, RIFF chunk walk,
+    // network-order PNG chunks, LE16 GIF descriptor) round-tripped. The
+    // oracle recomputes the expected dims/frames arithmetically — agreeing
+    // requires both the synthesis AND the byte-layout parse to be correct.
+    // Zero shuffle: project → mapPartitions → project.
     "mm_decode" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8")) // octet length
+      val m = col("doc_id") % 4
       val assets = t(s, dir, "documents").select(
         col("doc_id").cast("long").as("asset_id"),
-        when(col("doc_id") % 2 === 0, lit("image"))
-          .otherwise(lit("audio")).as("modality"),
-        when(col("doc_id") % 2 === 0,
-          Multimodal.bmpContent((len % 300) + 1, (floor(len / 7) % 200 + 1).cast("int")))
-          .otherwise(Multimodal.wavContent(len * 4)).as("content"))
+        when(m === 1, lit("audio")).otherwise(lit("image")).as("modality"),
+        when(m === 0,
+          Multimodal.bmpContent((len % 300) + 1,
+            (floor(len / 7) % 200 + 1).cast("int")))
+          .when(m === 1, Multimodal.wavContent(len * 4))
+          .when(m === 2,
+            Multimodal.pngContent((len % 500) + 1,
+              (floor(len / 3) % 400 + 1).cast("int")))
+          .otherwise(
+            Multimodal.gifContent((len % 300) + 2,
+              (floor(len / 5) % 250 + 1).cast("int"))).as("content"))
       Multimodal.decodeAssets(assets)
         .select(col("asset_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -2096,14 +2105,23 @@ object SparkEntry {
 
     "mm_decode" ->
       """SELECT doc_id AS asset_id,
-        | CASE WHEN doc_id % 2 = 0
-        |   THEN CAST(octet_length(encode(text)) % 300 + 1 AS BIGINT)
-        |   ELSE 0 END AS width,
-        | CASE WHEN doc_id % 2 = 0
-        |   THEN CAST((octet_length(encode(text)) // 7) % 200 + 1 AS BIGINT)
-        |   ELSE 0 END AS height,
-        | CASE WHEN doc_id % 2 = 0 THEN 1
-        |   ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_frames
+        | CASE doc_id % 4
+        |   WHEN 0 THEN CAST(octet_length(encode(text)) % 300 + 1 AS BIGINT)
+        |   WHEN 1 THEN 0
+        |   WHEN 2 THEN CAST(octet_length(encode(text)) % 500 + 1 AS BIGINT)
+        |   ELSE CAST(octet_length(encode(text)) % 300 + 2 AS BIGINT)
+        |   END AS width,
+        | CASE doc_id % 4
+        |   WHEN 0 THEN CAST((octet_length(encode(text)) // 7) % 200 + 1
+        |     AS BIGINT)
+        |   WHEN 1 THEN 0
+        |   WHEN 2 THEN CAST((octet_length(encode(text)) // 3) % 400 + 1
+        |     AS BIGINT)
+        |   ELSE CAST((octet_length(encode(text)) // 5) % 250 + 1 AS BIGINT)
+        |   END AS height,
+        | CASE WHEN doc_id % 4 = 1
+        |   THEN CAST(octet_length(encode(text)) AS BIGINT)
+        |   ELSE 1 END AS n_frames
         |FROM documents""".stripMargin,
 
     "mm_resize" ->

@@ -4,15 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSes
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Pure-JVM container-header probes for the two formats whose metadata is
+/** Pure-JVM container-header probes for the formats whose metadata is
   * parseable without a codec library: BMP (pixel dimensions from the DIB
-  * header) and RIFF/WAVE (PCM frame count from the fmt/data chunks). This
-  * is a real decoder for real bytes — byte-layout parsing per the public
-  * file-format specs — and it runs exactly where the batch shape wants it:
-  * per row inside a `mapPartitions` batch, no Spark types involved.
-  * Compressed formats (JPEG/PNG/MP4…) still need codec libraries this
-  * environment doesn't ship; those fall through to the deterministic stub
-  * in [[Multimodal.decodeAssets]].
+  * header), RIFF/WAVE (PCM frame count from the fmt/data chunks), PNG
+  * (dimensions from the mandatory-first IHDR chunk — no inflate needed),
+  * and GIF (logical screen descriptor). This is a real decoder for real
+  * bytes — byte-layout parsing per the public file-format specs — and it
+  * runs exactly where the batch shape wants it: per row inside a
+  * `mapPartitions` batch, no Spark types involved. PIXEL decode of
+  * compressed formats (JPEG/PNG payloads, MP4…) still needs codec
+  * libraries this environment doesn't ship; bytes no probe recognizes
+  * fall through to the deterministic stub in [[Multimodal.decodeAssets]].
   */
 object HeaderProbe {
 
@@ -75,19 +77,52 @@ object HeaderProbe {
     else None
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk MUST come first (PNG spec
+    * §11.2.2) — big-endian int32 width/height at offsets 16/20. Dimensions
+    * live entirely in the header; no inflate needed. */
+  def png(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 24 || !pngSig.indices.forall(i => b(i) == pngSig(i)))
+      return None
+    if (!tag(b, 12, "IHDR")) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w > 0 && h > 0) Some(Probe(w, h, 1)) else None
+  }
+
+  /** GIF87a/89a: 6-byte version magic, then the logical screen descriptor —
+    * little-endian uint16 width/height at offsets 6/8. */
+  def gif(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 10 || b(0) != 'G'.toByte || b(1) != 'I'.toByte ||
+      b(2) != 'F'.toByte || b(3) != '8'.toByte ||
+      (b(4) != '7'.toByte && b(4) != '9'.toByte) || b(5) != 'a'.toByte)
+      return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w > 0 && h > 0) Some(Probe(w, h, 1)) else None
+  }
+
   /** First matching container probe, by magic bytes. */
-  def probe(b: Array[Byte]): Option[Probe] = bmp(b).orElse(wav(b))
+  def probe(b: Array[Byte]): Option[Probe] =
+    bmp(b).orElse(wav(b)).orElse(png(b)).orElse(gif(b))
 }
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark side — schema, partitioning, batch shape, typed mapPartitions —
-  * is real and tested. Decoding: BMP and WAV headers are REALLY parsed
-  * ([[HeaderProbe]] — dimensions and PCM frame counts from the container
-  * bytes); compressed formats (no codec libraries in this environment)
-  * fall through to a clearly-marked deterministic stub. Swapping in a full
-  * codec changes only the per-row function body, not the pipeline shape.
+  * is real and tested. Decoding: BMP, WAV, PNG and GIF headers are REALLY
+  * parsed ([[HeaderProbe]] — dimensions and PCM frame counts from the
+  * container bytes); pixel payloads of compressed formats (no codec
+  * libraries in this environment) fall through to a clearly-marked
+  * deterministic stub. Swapping in a full codec changes only the per-row
+  * function body, not the pipeline shape.
   */
 object Multimodal {
 
@@ -218,6 +253,26 @@ object Multimodal {
       lit("424D"), le32Hex(lit(54)), lit("00000000"), le32Hex(lit(54)),
       lit("28000000"), le32Hex(w), le32Hex(h), lit("01001800"),
       lit("00" * 24)))
+
+  /** Hex of big-endian int32 (network order, PNG chunk fields). */
+  private def be32Hex(c: Column): Column =
+    concat(byteHex(c, 3), byteHex(c, 2), byteHex(c, 1), byteHex(c, 0))
+
+  private def le16Hex(c: Column): Column =
+    concat(byteHex(c, 0), byteHex(c, 1))
+
+  /** Synthesize a PNG signature + IHDR chunk (33 bytes: 8-bit RGBA, CRC
+    * left zero — [[HeaderProbe.png]] reads the byte layout, it does not
+    * verify CRCs, exactly like real fast-path dimension sniffers). */
+  def pngContent(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      be32Hex(w), be32Hex(h), lit("0806000000"), lit("00000000")))
+
+  /** Synthesize a GIF89a header + logical screen descriptor (13 bytes). */
+  def gifContent(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("474946383961"), le16Hex(w), le16Hex(h), lit("000000")))
 
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model

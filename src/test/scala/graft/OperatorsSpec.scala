@@ -248,6 +248,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HeaderProbe.wav("RIFFxxxxJUNK".getBytes).isEmpty)
   }
 
+  test("HeaderProbe parses PNG IHDR and GIF screen descriptor bytes") {
+    import graft.operators.HeaderProbe
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33) // big-endian by default
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(8.toByte).put(6.toByte) // bit depth, color type
+      b.array()
+    }
+    def gifBytes(ver: String, w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(s"GIF$ver".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    assert(HeaderProbe.png(pngBytes(1920, 1080)).contains(
+      HeaderProbe.Probe(1920, 1080, 1)))
+    assert(HeaderProbe.gif(gifBytes("89a", 320, 200)).contains(
+      HeaderProbe.Probe(320, 200, 1)))
+    assert(HeaderProbe.gif(gifBytes("87a", 1, 1)).contains(
+      HeaderProbe.Probe(1, 1, 1)))
+    // corrupt/truncated forms are rejected, not mis-parsed
+    assert(HeaderProbe.png(pngBytes(1920, 1080).take(20)).isEmpty)
+    val notIhdr = pngBytes(4, 4); notIhdr(12) = 'X'.toByte
+    assert(HeaderProbe.png(notIhdr).isEmpty)
+    assert(HeaderProbe.gif(gifBytes("88a", 2, 2)).isEmpty) // bad version
+    assert(HeaderProbe.gif(gifBytes("89a", 0, 5)).isEmpty) // zero width
+    // the synthesis columns round-trip through the probe
+    val df = Seq((1L, 33, 47), (2L, 500, 1)).toDF("id", "w", "h")
+    val png = df.select(Multimodal.pngContent(col("w"), col("h")).as("c"))
+      .as[Array[Byte]].collect()
+    assert(HeaderProbe.probe(png(0)).contains(HeaderProbe.Probe(33, 47, 1)))
+    assert(HeaderProbe.probe(png(1)).contains(HeaderProbe.Probe(500, 1, 1)))
+    val gif = df.select(Multimodal.gifContent(col("w"), col("h")).as("c"))
+      .as[Array[Byte]].collect()
+    assert(HeaderProbe.probe(gif(0)).contains(HeaderProbe.Probe(33, 47, 1)))
+    assert(HeaderProbe.probe(gif(1)).contains(HeaderProbe.Probe(500, 1, 1)))
+  }
+
   test("lastWinsByKey keeps exactly the ordered winner") {
     val df = Seq(("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
       ("k2", 1, "x")).toDF("external_id", "seq", "v")
