@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ChangeHash, Crc32Q}
-import graft.operators.{Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, Transforms}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, Reconcile, Similarity, TextAnalysis, Transforms}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (the "Planned query" column), each with a DuckDB-oracle SQL
@@ -843,6 +843,36 @@ object SparkEntry {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("w"), col("e.count").cast("long").as("n"))),
 
+    // ordered funnel view → click → purchase per user
+    // ([[EventAnalytics.funnelStages]]): per-stage earliest-after-previous
+    // timestamps + stage count; every exchange in the chain hashes on the
+    // same entity key.
+    "funnel_stages" -> ((s, dir) =>
+      EventAnalytics.funnelStages(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("t_us")),
+        "user_id", "event_type", "t_us",
+        Seq("view", "click", "purchase"))),
+
+    // cohort retention grid ([[EventAnalytics.retentionCohorts]]): first
+    // active day = cohort, exact distinct users per (cohort, age) cell.
+    "retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 86400000000000").as("day")),
+        "user_id", "day")),
+
+    // 5-minute same-(user,type) debounce ([[EventAnalytics.debounce]]):
+    // duplicate-click suppression under a deterministic (ts, id) total
+    // order; one window exchange.
+    "event_debounce" -> ((s, dir) =>
+      EventAnalytics.debounce(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts DIV 1000").as("t_us")),
+        Seq(col("user_id"), col("event_type")),
+        Seq(col("t_us"), col("event_id")),
+        "t_us", minGap = 300000000L)),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1524,6 +1554,40 @@ object SparkEntry {
 
     "json_path" ->
       "SELECT event_id, event_type AS etype FROM events",
+
+    "funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(t_us) AS t_1 FROM e
+        |       WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT user_id, MIN(t_us) AS t_2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE et = 'click' AND t_us > t_1 GROUP BY 1),
+        |s3 AS (SELECT user_id, MIN(t_us) AS t_3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE et = 'purchase' AND t_us > t_2 GROUP BY 1)
+        |SELECT s1.user_id, t_1, t_2, t_3,
+        |  CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |        LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, day - cohort AS age_days,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "event_debounce" ->
+      """SELECT event_id, user_id, event_type, t_us FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR t_us - prev >= 300000000""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,

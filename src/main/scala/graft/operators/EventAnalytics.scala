@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/telemetry event analytics: ordered funnels, cohort retention,
+  * and time-window debouncing. The reference syncs event-shaped API payloads
+  * (SURVEY §1.1) but never analyzes them; these are the standard analyses a
+  * warehouse user runs on that data, built on the same events fixture as
+  * `sessionize`/`stream_window`.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each entity, stage k's timestamp is the EARLIEST
+    * event of `stages(k)` strictly after that entity's stage-(k-1)
+    * timestamp (the classic "did view → click → purchase happen in order"
+    * question — min-over-threshold per stage, not sequence matching).
+    * Returns one row per entity that reached stage 1: `t_1..t_n` (null
+    * once the funnel is abandoned) and `stage` = count reached.
+    *
+    * Scale shape: each stage is a filtered partial-combined min-aggregate
+    * hash-joined back on the entity key, so every exchange in the chain
+    * partitions on the SAME key (co-partitioned on a cluster, and the
+    * stage frames shrink monotonically — later joins see only survivors).
+    * Never a sort, never a sequence scan over whole event histories. */
+  def funnelStages(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val head = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t_1"))
+    val withAll = stages.zipWithIndex.tail.foldLeft(head) {
+      case (acc, (st, i)) =>
+        val prev = s"t_$i"
+        val cur = s"t_${i + 1}"
+        val next = events.filter(col(typeCol) === st)
+          .join(acc.select(col(entityCol), col(prev)), entityCol)
+          .filter(col(tsCol) > col(prev))
+          .groupBy(col(entityCol)).agg(min(col(tsCol)).as(cur))
+        acc.join(next, Seq(entityCol), "left")
+    }
+    val stageExpr = stages.indices.map(i =>
+      when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    withAll.withColumn("stage", stageExpr)
+  }
+
+  /** Cohort retention grid: cohort = each entity's first active day;
+    * output = distinct entities per (cohort, age_days) cell — the
+    * "how many of the day-X signups were still here k days later" table.
+    * Two aggregates, both hashed on the entity key then the (small)
+    * cohort grid; the second countDistinct is exact (swap in the HLL tier
+    * at extreme cardinality — same plan). */
+  def retentionCohorts(events: DataFrame, entityCol: String,
+      dayCol: String): DataFrame = {
+    val first = events.groupBy(col(entityCol))
+      .agg(min(col(dayCol)).as("cohort"))
+    events.join(first, entityCol)
+      .groupBy(col("cohort"), (col(dayCol) - col("cohort")).as("age_days"))
+      .agg(countDistinct(col(entityCol)).as("n_users"))
+  }
+
+  /** Debounce: drop events closer than `minGap` (in `tsCol` units) to the
+    * PREVIOUS event of the same key — duplicate-click / retry suppression.
+    * One window pass = one shuffle on the key; `orderCols` must be a total
+    * order (include an id tiebreaker) for a deterministic survivor set.
+    * Note the reference point is the previous ROW, not the previous
+    * SURVIVOR — a burst longer than `minGap` keeps its first event and
+    * any event ≥ `minGap` after its predecessor (the stateless form; the
+    * previous-survivor form is inherently sequential per key and lives in
+    * streaming state, cf. [[graft.streaming.StatefulReconcile]]). */
+  def debounce(events: DataFrame, keyCols: Seq[Column],
+      orderCols: Seq[Column], tsCol: String, minGap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    events.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull || col(tsCol) - col("__prev") >= minGap)
+      .drop("__prev")
+  }
+}

@@ -665,6 +665,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing exact top-10 items: ${top10 -- approx.keySet}")
   }
 
+  test("funnelStages: earliest-after-previous per stage, abandonment nulls") {
+    import graft.operators.EventAnalytics
+    // user 1: the click at t=5 precedes the first view (t=10) so it can't
+    // advance the funnel; the t=20 click does. user 2 purchases without
+    // ever clicking → stuck at stage 1. user 3 never views → absent.
+    val ev = Seq((1L, "view", 10L), (1L, "click", 5L), (1L, "click", 20L),
+      (1L, "purchase", 30L), (2L, "view", 10L), (2L, "purchase", 15L),
+      (3L, "click", 5L)).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.funnelStages(ev, "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+      .select("user_id", "t_1", "t_2", "t_3", "stage")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().toSet
+    assert(out === Set(
+      (1L, Some(10L), Some(20L), Some(30L), 3L),
+      (2L, Some(10L), None, None, 1L)))
+  }
+
+  test("retentionCohorts: first-day cohorts, distinct entities per age") {
+    import graft.operators.EventAnalytics
+    val ev = Seq((1L, 0L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("user_id", "day")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "day")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L)))
+  }
+
+  test("debounce: previous-row reference, exact-gap boundary survives") {
+    import graft.operators.EventAnalytics
+    val ev = Seq((1L, "u", "c", 0L), (2L, "u", "c", 100L),
+      (3L, "u", "c", 300L), (4L, "u", "c", 650L), (5L, "u", "d", 50L),
+      (6L, "u", "e", 0L), (7L, "u", "e", 300L))
+      .toDF("event_id", "u", "et", "t")
+    val out = EventAnalytics.debounce(ev, Seq(col("u"), col("et")),
+      Seq(col("t"), col("event_id")), "t", minGap = 300L)
+      .select("event_id").as[Long].collect().toSet
+    // (u,c): t=0 kept; t=100 (gap 100) dropped; t=300 dropped — the gap is
+    // measured to the previous ROW (t=100), not the previous survivor;
+    // t=650 kept (gap 350). Exactly-minGap gaps survive (>=): ids 6, 7.
+    assert(out === Set(1L, 4L, 5L, 6L, 7L))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
