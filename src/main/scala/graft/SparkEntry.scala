@@ -873,6 +873,28 @@ object SparkEntry {
         Seq(col("t_us"), col("event_id")),
         "t_us", minGap = 300000000L)),
 
+    // synchronous label propagation (3 deterministic rounds) over the same
+    // bounded interaction graph as triangle_count
+    // ([[graft.operators.GraphAlgos.labelPropagation]]); the oracle
+    // unrolls the rounds — aggregates can't appear in a recursive CTE.
+    "label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      graft.operators.GraphAlgos.labelPropagation(e, "src", "dst",
+        rounds = 3)
+    }),
+
+    // 3σ outlier census per event type in exact DECIMAL(38,0) integer math
+    // ([[Transforms.sigmaOutlierCensus]] — no float σ anywhere, so the
+    // census is bit-identical across engines and scales).
+    "outlier_sigma" -> ((s, dir) =>
+      Transforms.sigmaOutlierCensus(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          cents(col("value")).as("v")),
+        "et", "v", k = 3)),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1588,6 +1610,49 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR t_us - prev >= 300000000""".stripMargin,
+
+    // three unrolled synchronous rounds (same reason as pagerank: no
+    // aggregates inside a recursive CTE term)
+    "label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey % 300 AS a,
+        |    l_suppkey % 300 AS b
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0
+        |    AND l_partkey % 300 <> l_suppkey % 300),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0)),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und),
+        |r1 AS (SELECT und.dst AS id, l0.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l0 ON und.src = l0.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT und.dst AS id, l1.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l1 ON und.src = l1.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT und.dst AS id, l2.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l2 ON und.src = l2.id GROUP BY 1, 2),
+        |l3 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r3) WHERE rn = 1)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(lab AS BIGINT) AS lab
+        |FROM l3""".stripMargin,
+
+    "outlier_sigma" ->
+      """WITH f AS (SELECT event_type AS et,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+        |s AS (SELECT et, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS sv,
+        |        SUM(CAST(v AS HUGEINT) * v) AS svv
+        |      FROM f GROUP BY 1)
+        |SELECT et,
+        |  CAST(COUNT(*) FILTER (WHERE
+        |    (CAST(v AS HUGEINT)*n - sv)*(CAST(v AS HUGEINT)*n - sv)
+        |      > 9*(n*svv - sv*sv)) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM f JOIN s USING (et) GROUP BY 1""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,

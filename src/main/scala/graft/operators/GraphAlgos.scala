@@ -137,4 +137,37 @@ object GraphAlgos {
     tris.select(explode(array(col("wa"), col("wb"), col("wc"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Synchronous label propagation (community detection), fixed `rounds`:
+    * every node starts labeled with its own id, and each round every node
+    * simultaneously adopts the most frequent label among its neighbors
+    * (ties → smallest label). Fixed rounds + a total tie order make the
+    * result deterministic on any engine or partitioning — asynchronous LPA
+    * famously is not, and "run until stable" can oscillate on bipartite
+    * structure, so bounded-round synchronous is the reproducible form.
+    *
+    * Per round: one equi-join of the edge list against the label frame on
+    * the node id + two hash aggregates ((id, label) counts, then a
+    * `max_by` argmax whose (count, -label) order key is unique within a
+    * node, so the argmax is total). Only (id, label, count) triples ever
+    * shuffle — payloads never ride the loop — and lineage is truncated
+    * every round, the same posture as [[pageRank]]/[[bfsHops]]. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    for (_ <- 1 to rounds) {
+      val counts = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("lab"))
+        .groupBy("id", "lab").agg(count(lit(1)).as("cnt"))
+      labels = counts.groupBy("id")
+        .agg(max_by(col("lab"), struct(col("cnt"), -col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

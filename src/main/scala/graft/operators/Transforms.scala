@@ -190,6 +190,31 @@ object Transforms {
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_clamped"))
   }
 
+  /** kσ outlier census per group in arbitrary-scale integer math: a value
+    * is flagged when (v·n − Σv)² > k²·(n·Σv² − (Σv)²) — the 3σ rule with
+    * both sides multiplied out to integers, so no float mean/σ is ever
+    * computed and the census is bit-identical on any engine or
+    * parallelism. Sufficient statistics and the comparison run in
+    * DECIMAL(38,0): v·n up to ~10^17 squares to 10^34, still inside the
+    * 38-digit range, so the math is exact far past BIGINT scale. Same
+    * two-scan broadcast-back shape as [[winsorizedSum]] — the stats side
+    * is |groups| rows, the data shuffles only for the final census
+    * aggregate. */
+  def sigmaOutlierCensus(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val dv = col(valueCol).cast("decimal(38,0)")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(dv).as("__sv"),
+        sum(dv * col(valueCol)).as("__svv"))
+    val lhs = dv * col("__n") - col("__sv")
+    val rhs = (col("__n") * col("__svv") - col("__sv") * col("__sv")) *
+      lit(k * k)
+    df.join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol))
+      .agg(sum(when(lhs * lhs > rhs, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   /** 8-bit × 8-bit Morton (Z-order) interleave: maps two bucketed
     * dimensions into one locality-preserving 16-bit curve value. Writing a
     * table range-partitioned/sorted by `zValue8` clusters rows that are

@@ -708,6 +708,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set(1L, 4L, 5L, 6L, 7L))
   }
 
+  test("labelPropagation: disjoint triangles converge to their min label") {
+    import graft.operators.GraphAlgos
+    // two K3s, fed with duplicate/reversed edges and a self-loop — the
+    // canonicalization must make those invisible. Sync LPA on a K3:
+    // round 1 → {1→2, 2→1, 3→1}, round 2 → all 1, stable after.
+    val k3a = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L))
+    val k3b = Seq((10L, 11L), (11L, 12L), (12L, 10L), (10L, 11L))
+    val out = GraphAlgos.labelPropagation(
+      (k3a ++ k3b).toDF("s", "d"), "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("sigmaOutlierCensus: integer 3σ flag, no variance-eating-itself FP") {
+    // 20 zeros + one 100: σ ≈ 21.3, the spike sits ≈4.5σ out → flagged;
+    // the zeros are within 1σ. A symmetric group has no outliers at all
+    // (every value is exactly 1σ from the mean).
+    val df = ((1 to 20).map(_ => ("a", 0L)) :+ (("a", 100L))) ++
+      Seq(("b", 10L), ("b", 30L))
+    val got = Transforms.sigmaOutlierCensus(df.toDF("g", "v"), "g", "v", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((1L, 21L)), "b" -> ((0L, 2L))))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
