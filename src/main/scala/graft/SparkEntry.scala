@@ -895,6 +895,70 @@ object SparkEntry {
           cents(col("value")).as("v")),
         "et", "v", k = 3)),
 
+    // robust sibling of outlier_sigma: median/MAD census in doubled-scale
+    // integers ([[Transforms.madOutlierCensus]]) — the spike that inflates
+    // σ can't hide from the median.
+    "mad_outliers" -> ((s, dir) =>
+      Transforms.madOutlierCensus(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          cents(col("value")).as("v")),
+        "et", "v", k = 3)),
+
+    // first-order Markov transition matrix over each user's event-type
+    // sequence ([[EventAnalytics.transitionMatrix]]); integer-permille
+    // shares, (t_us, event_id) total order.
+    "event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("t_us"), col("event_id")),
+        "user_id", "event_type", Seq(col("t_us"), col("event_id")))),
+
+    // time-weighted average value per user (TWAP): spans to the next
+    // event weight each observation; exact BIGINT cents×micros math
+    // ([[EventAnalytics.timeWeightedAvg]]).
+    "twap_user" -> ((s, dir) =>
+      EventAnalytics.timeWeightedAvg(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 1000").as("t_us"), col("event_id"),
+          cents(col("value")).as("v_cents")),
+        "user_id", "t_us", "v_cents", Seq(col("event_id")))
+        .withColumnRenamed("twap", "twap_cents")),
+
+    // sweep-line peak concurrency per event type: each event holds a
+    // 10-minute presence window ([[EventAnalytics.maxConcurrency]];
+    // closes-before-opens tie order = half-open interval semantics).
+    "max_concurrency" -> ((s, dir) => {
+      val tus = expr("ts DIV 1000")
+      EventAnalytics.maxConcurrency(
+        t(s, dir, "events").select(col("event_type"), tus.as("t0"),
+          (tus + lit(600000000L)).as("t1")),
+        "event_type", "t0", "t1")
+        .withColumnRenamed("k", "et")
+    }),
+
+    // compaction planning over per-order "file" sizes: distributed
+    // ordered prefix sum (no single-partition window —
+    // [[Transforms.orderedPrefixSum]]) then greedy first-fit binning to
+    // ~2 GB targets ([[Transforms.compactionBins]]).
+    "compaction_bins" -> ((s, dir) => {
+      val files = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("bytes"))
+      Transforms.compactionBins(files, "l_orderkey", "bytes",
+        expr("l_orderkey DIV 256"), target = 2000000000L)
+    }),
+
+    // zone-map pruning census: per-month shipdate zones vs a 6-month
+    // predicate window — the parquet row-group skipping arithmetic a
+    // layout optimizer prices ([[Transforms.zoneMapPrune]]).
+    // [10227, 10407] = days-since-epoch for 1998-01-01 .. 1998-06-30.
+    "zone_prune" -> ((s, dir) =>
+      Transforms.zoneMapPrune(
+        t(s, dir, "lineitem").select(
+          expr("CAST(datediff(l_shipdate, DATE'1970-01-01') AS BIGINT)")
+            .as("d"))
+          .withColumn("zone", expr("d DIV 30")),
+        col("zone"), "d", lo = 10227L, hi = 10407L)),
+
     // TF-IDF top terms per doc — ranked on the integer (tf, df) columns
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
@@ -1653,6 +1717,83 @@ object SparkEntry {
         |      > 9*(n*svv - sv*sv)) AS BIGINT) AS n_outliers,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM f JOIN s USING (et) GROUP BY 1""".stripMargin,
+
+    // doubled-scale integer median/MAD (quantile_cont == Spark's exact
+    // percentile: linear interpolation, exact in doubles at cent scale)
+    "mad_outliers" ->
+      """WITH f AS (SELECT event_type AS et,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+        |m AS (SELECT et, CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT)
+        |        AS med2 FROM f GROUP BY 1),
+        |a AS (SELECT et, abs(v*2 - med2) AS a FROM f JOIN m USING (et)),
+        |md AS (SELECT et, CAST(round(quantile_cont(a, 0.5) * 2) AS BIGINT)
+        |        AS mad4 FROM a GROUP BY 1)
+        |SELECT et,
+        |  CAST(COUNT(*) FILTER (WHERE a*2 > 3*mad4) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM a JOIN md USING (et) GROUP BY 1""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t_us,
+        |    event_id FROM events),
+        |p AS (SELECT user_id, et, lag(et) OVER (PARTITION BY user_id
+        |        ORDER BY t_us, event_id) AS prev FROM e),
+        |c AS (SELECT prev AS prev_et, et, COUNT(*) AS n FROM p
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_et, et, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000 // SUM(n) OVER (PARTITION BY prev_et) AS BIGINT)
+        |    AS permille
+        |FROM c""".stripMargin,
+
+    "twap_user" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+        |d AS (SELECT user_id, v,
+        |    lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+        |      - t_us AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(v AS HUGEINT) * dt) // SUM(dt) AS BIGINT)
+        |    AS twap_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans
+        |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // closes sort before opens at the same instant (d = -1 < 1): the
+    // half-open interval tie rule, mirrored in the engine's (t, d) order
+    "max_concurrency" ->
+      """WITH e AS (SELECT event_type AS et, epoch_us(ts) AS t FROM events),
+        |p AS (SELECT et, t, 1 AS d FROM e
+        |      UNION ALL SELECT et, t + 600000000, -1 FROM e),
+        |c AS (SELECT et, SUM(d) OVER (PARTITION BY et ORDER BY t, d
+        |        ROWS UNBOUNDED PRECEDING) AS c FROM p)
+        |SELECT et, CAST(MAX(c) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "compaction_bins" ->
+      """WITH f AS (SELECT l_orderkey AS k,
+        |    SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT k, bytes, SUM(bytes) OVER (ORDER BY k
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM f)
+        |SELECT CAST((cum - bytes) // 2000000000 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "zone_prune" ->
+      """WITH z AS (SELECT
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS d FROM lineitem),
+        |s AS (SELECT d // 30 AS zone, MIN(d) AS mn, MAX(d) AS mx,
+        |        COUNT(*) AS n FROM z GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+        |  CAST(COUNT(*) FILTER (WHERE mx < 10227 OR mn > 10407) AS BIGINT)
+        |    AS zones_skipped,
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE mx < 10227 OR mn > 10407), 0)
+        |    AS BIGINT) AS rows_skipped,
+        |  CAST(SUM(n) AS BIGINT) AS rows_total
+        |FROM s""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,

@@ -59,6 +59,78 @@ object EventAnalytics {
       .agg(countDistinct(col(entityCol)).as("n_users"))
   }
 
+  /** First-order transition matrix (Markov chain over event types): for
+    * each entity's event sequence under the `orderCols` total order, count
+    * (previous type → type) transitions, with each row's share of its
+    * source type in integer permille (floor division — exact on any
+    * engine). The workhorse behind "what do users do after X" and
+    * next-event priors.
+    *
+    * Scale shape: one window pass hashed on the entity key (the only
+    * data-sized shuffle), then the transition counts collapse to the
+    * |types|² grid before the share window runs — the second window sees
+    * a constant-size frame no matter the event count. */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+      typeCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+    val counts = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_et"), col(typeCol).as("et"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("permille",
+      expr("n * 1000 DIV sum(n) OVER (PARTITION BY prev_et)"))
+  }
+
+  /** Time-weighted average (TWAP): per entity, the average of `valueCol`
+    * weighted by how long each value was "current" — the span to the next
+    * event under the (tsCol, orderCols) total order. The last event of an
+    * entity has no span and drops out (standard TWAP-to-last-observation).
+    * Value cents × span micros stays under 2^63 for month-scale spans, so
+    * the division `Σ(v·dt) / Σ(dt)` is exact BIGINT floor math on any
+    * engine — no float accumulator.
+    *
+    * Scale shape: the lead() window and the final aggregate both hash on
+    * the entity key — one data-sized exchange, reused by the aggregate. */
+  def timeWeightedAvg(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy((col(tsCol) +: orderCols): _*)
+    events
+      .withColumn("__dt", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(expr(s"sum($valueCol * __dt) DIV sum(__dt)").as("twap"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Sweep-line maximum concurrency: given [start, end) intervals, the
+    * peak number simultaneously open, per key. Each interval contributes a
+    * +1 at start and a −1 at end; ordering ties as (t, delta) processes
+    * closes before opens at the same instant, so back-to-back intervals
+    * ([a,t) then [t,b)) never double-count — the half-open semantics.
+    * The running sum's maximum is tie-order independent beyond that:
+    * permuting equal (t, delta) rows permutes identical deltas, leaving
+    * every prefix value unchanged.
+    *
+    * Scale shape: the sweep is per-key (one shuffle on the key; each
+    * key's 2n points sort independently). A single global sweep line is
+    * the range-partition + two-pass prefix-sum shape instead — see
+    * [[Transforms.orderedPrefixSum]]. */
+  def maxConcurrency(intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val opens = intervals.select(col(keyCol).as("k"),
+      col(startCol).as("t"), lit(1L).as("d"))
+    val closes = intervals.select(col(keyCol).as("k"),
+      col(endCol).as("t"), lit(-1L).as("d"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opens.union(closes)
+      .withColumn("__c", sum(col("d")).over(w))
+      .groupBy(col("k"))
+      .agg(max(col("__c")).as("max_concurrent"))
+  }
+
   /** Debounce: drop events closer than `minGap` (in `tsCol` units) to the
     * PREVIOUS event of the same key — duplicate-click / retry suppression.
     * One window pass = one shuffle on the key; `orderCols` must be a total

@@ -233,4 +233,98 @@ object Transforms {
     }
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
+
+  /** Distributed ordered prefix sum (running total under a global order)
+    * WITHOUT a single-partition window: rows are bucketed by
+    * `coarseBucket` (any monotone function of the order key — e.g.
+    * `key DIV 128`), per-bucket totals are prefix-summed on the tiny
+    * |buckets|-row frame, and each row adds its bucket's offset to a
+    * within-bucket running sum. Two aggregates + one broadcast join + one
+    * window partitioned by bucket — every data-sized operation
+    * parallelizes across buckets, which is the textbook two-pass scan
+    * fix for Spark's "window over ORDER BY whole table = one partition"
+    * trap. Emits `as` = inclusive running total of `valueCol` under
+    * (bucket, orderCols) — callers must pick orderCols that total-order
+    * rows WITHIN a bucket. */
+  def orderedPrefixSum(df: DataFrame, coarseBucket: Column,
+      orderCols: Seq[Column], valueCol: String, as: String): DataFrame = {
+    val b = df.withColumn("__b", coarseBucket)
+    val offsets = b.groupBy(col("__b")).agg(sum(col(valueCol)).as("__bt"))
+      .withColumn("__off",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), "__b")
+      .withColumn(as, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__b", "__off")
+  }
+
+  /** Compaction planning: pack ordered "files" (any (key, size) frame —
+    * small parquet files, log segments, spill shards) into contiguous
+    * target-sized bins, the way a table-maintenance job sizes rewrite
+    * tasks. A file starts the bin its preceding cumulative size falls in:
+    * `bin = (running_total − size) DIV target` — greedy first-fit in key
+    * order, deterministic, and each bin lands within one file of
+    * `target`. Built on [[orderedPrefixSum]], so the plan has no
+    * single-partition stage; the bin census collapses to |bins| rows. */
+  def compactionBins(files: DataFrame, keyCol: String, sizeCol: String,
+      coarseBucket: Column, target: Long): DataFrame =
+    orderedPrefixSum(files, coarseBucket, Seq(col(keyCol)), sizeCol, "__cum")
+      .withColumn("bin", expr(s"(__cum - $sizeCol) DIV $target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bin_bytes"))
+
+  /** Zone-map pruning census: the scan-planning arithmetic behind parquet
+    * row-group / data-file skipping. Per `bucketCol` zone, min/max/count
+    * of `valueCol` are the footer statistics; a zone is skippable for the
+    * predicate `valueCol BETWEEN lo AND hi` iff its range misses
+    * [lo, hi] entirely. Returns the one-row report (zones, skippable
+    * zones, rows skipped/total) a layout optimizer uses to price a sort
+    * order — pair with [[zValue8]] to measure what Z-ordering buys.
+    * Two partial-combined aggregates; the second runs on |zones| rows. */
+  def zoneMapPrune(df: DataFrame, bucketCol: Column, valueCol: String,
+      lo: Long, hi: Long): DataFrame =
+    df.groupBy(bucketCol.as("__z"))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+        count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("__mx") < lo || col("__mn") > hi, 1L).otherwise(0L))
+          .as("zones_skipped"),
+        sum(when(col("__mx") < lo || col("__mn") > hi, col("__n"))
+          .otherwise(0L)).as("rows_skipped"),
+        sum(col("__n")).as("rows_total"))
+
+  /** Median-absolute-deviation outlier census per group — the robust
+    * sibling of [[sigmaOutlierCensus]] (a single wild value inflates σ
+    * and can mask itself; the median and MAD barely move). Flags values
+    * with |v − median| > k·MAD. All thresholds stay exact integers by
+    * carrying doubled scales: `med2 = 2·median(v)` and `mad4 =
+    * 2·median(|2v − med2|)` are integers even when a percentile midpoint
+    * interpolates halfway, and the flag test `2·|2v−med2| > k·mad4`
+    * multiplies both sides integer-exact (the ×100-cent inputs keep
+    * doubles exact far below 2^53, so percentile() itself is exact too).
+    *
+    * Scale shape: two percentile aggregates and the census all hash on
+    * the group key; the |groups|-row stats frames broadcast back, so the
+    * data shuffles once per pass and never expands. Exact percentiles
+    * buffer each group's values — bounded-cardinality groups; at
+    * unbounded scale the approx-quantile tier swaps in (same plan). */
+  def madOutlierCensus(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)") * 2).cast("long")
+        .as("__med2"))
+    val withDev = df.join(broadcast(med), groupCol)
+      .withColumn("__a", abs(col(valueCol) * 2 - col("__med2")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(round(expr("percentile(__a, 0.5)") * 2).cast("long").as("__mad4"))
+    withDev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("__a") * lit(2L) > lit(k.toLong) * col("__mad4"), 1L)
+        .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
 }

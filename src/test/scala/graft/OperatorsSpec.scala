@@ -734,6 +734,93 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map("a" -> ((1L, 21L)), "b" -> ((0L, 2L))))
   }
 
+  test("madOutlierCensus: spike can't mask itself; mad4 stays integer") {
+    import graft.operators.Transforms
+    // 20 zeros + one 100: median 0, MAD 0 → ANY deviation flags (the
+    // robust census catches the spike that inflated σ). {10,30}: median
+    // 20, deviations both 20, MAD 20 → 20 < 3·20, nothing flagged —
+    // and every intermediate (med2=40, mad4=40) is an exact integer
+    // despite the even-count interpolation.
+    val df = ((1 to 20).map(_ => ("a", 0L)) :+ (("a", 100L))) ++
+      Seq(("b", 10L), ("b", 30L))
+    val got = Transforms.madOutlierCensus(df.toDF("g", "v"), "g", "v", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((1L, 21L)), "b" -> ((0L, 2L))))
+  }
+
+  test("transitionMatrix: per-entity lag pairs, integer-permille shares") {
+    import graft.operators.EventAnalytics
+    // u1: A,B,A,C → A→B, B→A, A→C; u2: B,B → B→B. No cross-user pair;
+    // prev A splits 500/500, prev B splits 500/500 across {A, B}.
+    val e = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "A", 3L), (1L, "C", 4L),
+      (2L, "B", 1L), (2L, "B", 2L)).toDF("u", "et", "t")
+    val got = EventAnalytics.transitionMatrix(e, "u", "et", Seq(col("t")))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 500L)), ("A", "C") -> ((1L, 500L)),
+      ("B", "A") -> ((1L, 500L)), ("B", "B") -> ((1L, 500L))))
+  }
+
+  test("timeWeightedAvg: span-weighted, last observation dropped") {
+    import graft.operators.EventAnalytics
+    // spans: v=10 held 10 ticks, v=30 held 20 ticks → (100+600)/30 = 23
+    // (floor). The final v=99 has no span and must not contribute.
+    val e = Seq((1L, 0L, 10L, 1L), (1L, 10L, 30L, 2L), (1L, 30L, 99L, 3L))
+      .toDF("u", "ts", "v", "id")
+    val got = EventAnalytics.timeWeightedAvg(e, "u", "ts", "v",
+      Seq(col("id"))).as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 23L, 2L)))
+  }
+
+  test("maxConcurrency: half-open intervals, closes before opens on ties") {
+    import graft.operators.EventAnalytics
+    // [0,10) [5,15) [10,20): peak 2 during [5,10); at t=10 the first
+    // interval's close processes before the third's open, so back-to-back
+    // never reads 3. Key "y": nested [0,30) [5,25) [10,20) → 3.
+    val iv = Seq(("x", 0L, 10L), ("x", 5L, 15L), ("x", 10L, 20L),
+      ("y", 0L, 30L), ("y", 5L, 25L), ("y", 10L, 20L))
+      .toDF("k", "t0", "t1")
+    val got = EventAnalytics.maxConcurrency(iv, "k", "t0", "t1")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("x" -> 2L, "y" -> 3L))
+  }
+
+  test("orderedPrefixSum: matches single-partition running total") {
+    import graft.operators.Transforms
+    // keys 1..100 with value=key, coarse bucket DIV 7: inclusive running
+    // total must be exactly k(k+1)/2 at every row — bucket offsets plus
+    // within-bucket sums reassemble the global scan.
+    val df = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    val got = Transforms.orderedPrefixSum(df, expr("k DIV 7"),
+      Seq(col("k")), "v", "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(k => got(k) == k * (k + 1) / 2))
+  }
+
+  test("compactionBins: greedy first-fit by start offset, bins near target") {
+    import graft.operators.Transforms
+    // sizes 60,60,60 with target 100: starts at 0,60,120 → bins 0,0,1 —
+    // a bin may overflow the target by one file but never starts past it.
+    val f = Seq((1L, 60L), (2L, 60L), (3L, 60L)).toDF("k", "bytes")
+    val got = Transforms.compactionBins(f, "k", "bytes",
+      expr("k DIV 2"), target = 100L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(0L -> ((2L, 120L)), 1L -> ((1L, 60L))))
+  }
+
+  test("zoneMapPrune: zones outside the predicate range are skippable") {
+    import graft.operators.Transforms
+    // zone 0 holds 1..10, zone 1 holds 11..20, zone 2 holds 21..30;
+    // predicate [12, 18] keeps only zone 1 → 2 zones / 20 rows skipped.
+    val df = (1L to 30L).map(v => ((v - 1) / 10, v)).toDF("z", "v")
+    val got = Transforms.zoneMapPrune(df, col("z"), "v", 12L, 18L)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List((3L, 2L, 20L, 30L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
