@@ -1183,17 +1183,18 @@ object SparkEntry {
     }),
 
     // Real container decode, end-to-end and oracle-checkable: per-row BMP /
-    // WAV / PNG / GIF containers are SYNTHESIZED from each document's byte
-    // length with codegen'd expressions (hex/concat/unhex fused into the
-    // scan), then decoded back by the real header probe in the
-    // mapPartitions batch — all four byte layouts (LE32, RIFF chunk walk,
-    // network-order PNG chunks, LE16 GIF descriptor) round-tripped. The
-    // oracle recomputes the expected dims/frames arithmetically — agreeing
-    // requires both the synthesis AND the byte-layout parse to be correct.
-    // Zero shuffle: project → mapPartitions → project.
+    // WAV / PNG / GIF / JPEG containers are SYNTHESIZED from each
+    // document's byte length with codegen'd expressions (hex/concat/unhex
+    // fused into the scan), then decoded back by the real header probe in
+    // the mapPartitions batch — all five byte layouts (LE32, RIFF chunk
+    // walk, network-order PNG chunks, LE16 GIF descriptor, JPEG marker
+    // walk over APP0 to SOF0) round-tripped. The oracle recomputes the
+    // expected dims/frames arithmetically — agreeing requires both the
+    // synthesis AND the byte-layout parse to be correct. Zero shuffle:
+    // project → mapPartitions → project.
     "mm_decode" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8")) // octet length
-      val m = col("doc_id") % 4
+      val m = col("doc_id") % 5
       val assets = t(s, dir, "documents").select(
         col("doc_id").cast("long").as("asset_id"),
         when(m === 1, lit("audio")).otherwise(lit("image")).as("modality"),
@@ -1204,9 +1205,12 @@ object SparkEntry {
           .when(m === 2,
             Multimodal.pngContent((len % 500) + 1,
               (floor(len / 3) % 400 + 1).cast("int")))
-          .otherwise(
+          .when(m === 3,
             Multimodal.gifContent((len % 300) + 2,
-              (floor(len / 5) % 250 + 1).cast("int"))).as("content"))
+              (floor(len / 5) % 250 + 1).cast("int")))
+          .otherwise(
+            Multimodal.jpegContent((len % 400) + 1,
+              (floor(len / 11) % 300 + 1).cast("int"))).as("content"))
       Multimodal.decodeAssets(assets)
         .select(col("asset_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -2375,21 +2379,24 @@ object SparkEntry {
 
     "mm_decode" ->
       """SELECT doc_id AS asset_id,
-        | CASE doc_id % 4
+        | CASE doc_id % 5
         |   WHEN 0 THEN CAST(octet_length(encode(text)) % 300 + 1 AS BIGINT)
         |   WHEN 1 THEN 0
         |   WHEN 2 THEN CAST(octet_length(encode(text)) % 500 + 1 AS BIGINT)
-        |   ELSE CAST(octet_length(encode(text)) % 300 + 2 AS BIGINT)
+        |   WHEN 3 THEN CAST(octet_length(encode(text)) % 300 + 2 AS BIGINT)
+        |   ELSE CAST(octet_length(encode(text)) % 400 + 1 AS BIGINT)
         |   END AS width,
-        | CASE doc_id % 4
+        | CASE doc_id % 5
         |   WHEN 0 THEN CAST((octet_length(encode(text)) // 7) % 200 + 1
         |     AS BIGINT)
         |   WHEN 1 THEN 0
         |   WHEN 2 THEN CAST((octet_length(encode(text)) // 3) % 400 + 1
         |     AS BIGINT)
-        |   ELSE CAST((octet_length(encode(text)) // 5) % 250 + 1 AS BIGINT)
+        |   WHEN 3 THEN CAST((octet_length(encode(text)) // 5) % 250 + 1
+        |     AS BIGINT)
+        |   ELSE CAST((octet_length(encode(text)) // 11) % 300 + 1 AS BIGINT)
         |   END AS height,
-        | CASE WHEN doc_id % 4 = 1
+        | CASE WHEN doc_id % 5 = 1
         |   THEN CAST(octet_length(encode(text)) AS BIGINT)
         |   ELSE 1 END AS n_frames
         |FROM documents""".stripMargin,

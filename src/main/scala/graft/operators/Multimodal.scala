@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * parseable without a codec library: BMP (pixel dimensions from the DIB
   * header), RIFF/WAVE (PCM frame count from the fmt/data chunks), PNG
   * (dimensions from the mandatory-first IHDR chunk — no inflate needed),
-  * and GIF (logical screen descriptor). This is a real decoder for real
-  * bytes — byte-layout parsing per the public file-format specs — and it
-  * runs exactly where the batch shape wants it: per row inside a
+  * GIF (logical screen descriptor), and JPEG (marker walk to the first
+  * start-of-frame segment). This is a real decoder for real bytes —
+  * byte-layout parsing per the public file-format specs — and it runs
+  * exactly where the batch shape wants it: per row inside a
   * `mapPartitions` batch, no Spark types involved. PIXEL decode of
-  * compressed formats (JPEG/PNG payloads, MP4…) still needs codec
-  * libraries this environment doesn't ship; bytes no probe recognizes
-  * fall through to the deterministic stub in [[Multimodal.decodeAssets]].
+  * compressed payloads (JPEG entropy data, PNG IDAT, MP4…) still needs
+  * codec libraries this environment doesn't ship; bytes no probe
+  * recognizes fall through to the deterministic stub in
+  * [[Multimodal.decodeAssets]].
   */
 object HeaderProbe {
 
@@ -108,9 +110,46 @@ object HeaderProbe {
     if (w > 0 && h > 0) Some(Probe(w, h, 1)) else None
   }
 
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** JPEG: SOI then a marker walk — each segment is `FF marker len(BE16,
+    * includes itself) payload`; standalone markers (TEM, RSTn, SOI) carry
+    * no length, and 0xFF fill bytes before a marker are padding (JPEG
+    * spec B.1.1.2). Dimensions live in the first start-of-frame segment
+    * (SOF0/1/2/…: precision byte, then BE16 height, BE16 width) — C4/C8/CC
+    * sit in the SOF code range but are DHT/JPG/DAC, not frames. A SOS or
+    * EOI before any SOF means no parseable dimensions: give up rather
+    * than guess, like any honest sniffer. */
+  def jpeg(b: Array[Byte]): Option[Probe] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val m = b(off + 1) & 0xff
+      if (m == 0xff) off += 1 // fill byte, resync on the next 0xff
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS, no SOF seen
+      else {
+        if (off + 4 > b.length) return None
+        val len = be16(b, off + 2)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (off + 9 > b.length) return None
+          val h = be16(b, off + 5)
+          val w = be16(b, off + 7)
+          return if (w > 0 && h > 0) Some(Probe(w, h, 1)) else None
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
   /** First matching container probe, by magic bytes. */
   def probe(b: Array[Byte]): Option[Probe] =
-    bmp(b).orElse(wav(b)).orElse(png(b)).orElse(gif(b))
+    bmp(b).orElse(wav(b)).orElse(png(b)).orElse(gif(b)).orElse(jpeg(b))
 }
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -273,6 +312,20 @@ object Multimodal {
   def gifContent(w: Column, h: Column): Column =
     unhex(concat(
       lit("474946383961"), le16Hex(w), le16Hex(h), lit("000000")))
+
+  private def be16Hex(c: Column): Column =
+    concat(byteHex(c, 1), byteHex(c, 0))
+
+  /** Synthesize a JPEG prefix (39 bytes): SOI, a JFIF APP0 segment, and a
+    * baseline SOF0 for a 3-component (YCbCr 4:4:4) frame with the given
+    * dimensions — everything [[HeaderProbe.jpeg]]'s marker walk needs,
+    * with a real APP0 in front so the walk actually walks. */
+  def jpegContent(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("FFD8"),
+      lit("FFE000104A46494600010100000100010000"),
+      lit("FFC0001108"), be16Hex(h), be16Hex(w),
+      lit("03011100021101031101")))
 
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model

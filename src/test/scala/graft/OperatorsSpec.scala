@@ -288,6 +288,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HeaderProbe.probe(gif(1)).contains(HeaderProbe.Probe(500, 1, 1)))
   }
 
+  test("HeaderProbe.jpeg: marker walk to SOF, skipping DHT and fill bytes") {
+    import graft.operators.{HeaderProbe, Multimodal}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI + APP0(JFIF) + DHT (C4: inside the SOF code range but NOT a
+    // frame — must be walked over) + a fill byte + progressive SOF2
+    // (h=0x0150=336, w=0x0280=640) + 1 grayscale component
+    val realistic = hx("FFD8" +
+      "FFE000104A46494600010100000100010000" +
+      "FFC400160001010101010101010000000000000000000102" +
+      "FF" + // fill byte before the next marker
+      "FFC2000B08" + "0150" + "0280" + "01011100")
+    assert(HeaderProbe.jpeg(realistic).contains(
+      HeaderProbe.Probe(640, 336, 1)))
+    assert(HeaderProbe.probe(realistic).contains(
+      HeaderProbe.Probe(640, 336, 1)))
+    // RSTn/TEM standalone markers have no length field
+    val standalone = hx("FFD8" + "FFD0" + "FF01" +
+      "FFC0000B08" + "0010" + "0020" + "01011100")
+    assert(HeaderProbe.jpeg(standalone).contains(
+      HeaderProbe.Probe(32, 16, 1)))
+    // SOS before any SOF, truncation mid-segment, and a non-marker byte
+    // are rejected, never mis-parsed
+    assert(HeaderProbe.jpeg(hx("FFD8FFDA0002")).isEmpty)
+    assert(HeaderProbe.jpeg(realistic.take(30)).isEmpty)
+    assert(HeaderProbe.jpeg(hx("FFD800C0000B080010002001011100")).isEmpty)
+    assert(HeaderProbe.jpeg(hx("FFD8FFC0000B08" + "0000" + "0020" +
+      "01011100")).isEmpty) // zero height
+    // synthesis round-trips through the probe (w=33,h=47 / w=500,h=1)
+    val df = Seq((1L, 33, 47), (2L, 500, 1)).toDF("id", "w", "h")
+    val jp = df.select(Multimodal.jpegContent(col("w"), col("h")).as("c"))
+      .as[Array[Byte]].collect()
+    assert(HeaderProbe.probe(jp(0)).contains(HeaderProbe.Probe(33, 47, 1)))
+    assert(HeaderProbe.probe(jp(1)).contains(HeaderProbe.Probe(500, 1, 1)))
+  }
+
   test("lastWinsByKey keeps exactly the ordered winner") {
     val df = Seq(("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
       ("k2", 1, "x")).toDF("external_id", "seq", "v")
