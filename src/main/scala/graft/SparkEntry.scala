@@ -184,6 +184,23 @@ object SparkEntry {
         nodes.filter(col("id") % 37 === 0), "id", maxHops = 4)
     }),
 
+    // Bounded weighted shortest paths (Bellman-Ford, 4 relaxation rounds)
+    // over the same directed mod-300 graph with a deterministic per-edge
+    // integer weight; sources = node ids ≡ 0 (mod 37). The oracle unrolls
+    // the relax rounds — min-aggregates can't appear in a recursive CTE
+    // (GraphAlgos.shortestPaths).
+    "shortest_path" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+        .withColumn("w", (col("src") * 13 + col("dst") * 7) % 97 + 1)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      graft.operators.GraphAlgos.shortestPaths(e, "src", "dst", "w",
+        nodes.filter(col("id") % 37 === 0), "id", rounds = 4)
+    }),
+
     "filter_pred" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
@@ -924,6 +941,40 @@ object SparkEntry {
         "user_id", "t_us", "v_cents", Seq(col("event_id")))
         .withColumnRenamed("twap", "twap_cents")),
 
+    // tick→bar OHLC resampling: per (event_type, hour) the first / max /
+    // min / last value in cents ([[EventAnalytics.ohlcBars]]); first and
+    // last are min_by/max_by under the (t_us, event_id) total order so
+    // intra-hour ties are engine-independent.
+    "ohlc_bars" -> ((s, dir) =>
+      EventAnalytics.ohlcBars(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          expr("ts DIV 1000").as("t_us"), col("event_id"),
+          cents(col("value")).as("v")),
+        "et", expr("t_us DIV 3600000000").as("hour"), "v",
+        Seq(col("t_us"), col("event_id")))),
+
+    // behavioral-diversity scorer: Shannon entropy of each user's
+    // event-type mix, integer permille-nats
+    // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
+    // discipline as unigram_logprob, so the sum is order-exact).
+    "type_entropy" -> ((s, dir) =>
+      EventAnalytics.distributionEntropy(
+        t(s, dir, "events").select(col("user_id"), col("event_type")),
+        "user_id", "event_type")),
+
+    // hourly-seasonality monitor: per (event type, hour-of-day), flag
+    // days whose count exceeds 2x that hour's cross-day mean — the
+    // integer cross-multiplied test, no float baseline
+    // ([[EventAnalytics.seasonalAnomaly]]).
+    "seasonal_anomaly" -> ((s, dir) => {
+      val tus = expr("ts DIV 1000")
+      EventAnalytics.seasonalAnomaly(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          tus.as("t_us")),
+        "et", expr("t_us DIV 86400000000").as("day"),
+        expr("(t_us DIV 3600000000) % 24").as("hod"), factor = 2)
+    }),
+
     // sweep-line peak concurrency per event type: each event holds a
     // 10-minute presence window ([[EventAnalytics.maxConcurrency]];
     // closes-before-opens tie order = half-open interval semantics).
@@ -1447,6 +1498,32 @@ object SparkEntry {
         |  WHERE r.hop < 4)
         |SELECT id, MIN(hop) AS hop FROM r GROUP BY id""".stripMargin,
 
+    "shortest_path" ->
+      """WITH e AS (
+        |  SELECT src, dst, (src * 13 + dst * 7) % 97 + 1 AS w FROM (
+        |    SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |    FROM lineitem
+        |    WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0)),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |d0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM n WHERE id % 37 = 0),
+        |d1 AS (SELECT id, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.dst, d.cost + e.w FROM d0 d JOIN e ON e.src = d.id)
+        |  GROUP BY id),
+        |d2 AS (SELECT id, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.dst, d.cost + e.w FROM d1 d JOIN e ON e.src = d.id)
+        |  GROUP BY id),
+        |d3 AS (SELECT id, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.dst, d.cost + e.w FROM d2 d JOIN e ON e.src = d.id)
+        |  GROUP BY id),
+        |d4 AS (SELECT id, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT e.dst, d.cost + e.w FROM d3 d JOIN e ON e.src = d.id)
+        |  GROUP BY id)
+        |SELECT id, cost FROM d4""".stripMargin,
+
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         | WHERE (l_quantity < 10 OR l_returnflag <> 'N') AND l_linenumber <= 3""".stripMargin,
@@ -1762,6 +1839,47 @@ object SparkEntry {
         |    AS twap_cents,
         |  CAST(COUNT(*) AS BIGINT) AS n_spans
         |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "ohlc_bars" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS hour,
+        |    epoch_us(ts) AS t_us, event_id,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events)
+        |SELECT et, hour,
+        |  FIRST(v ORDER BY t_us, event_id) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  LAST(v ORDER BY t_us, event_id) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY 1),
+        |t AS (SELECT c.user_id, c.c, n.n,
+        |    CAST(round(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS lp
+        |  FROM c JOIN n USING (user_id))
+        |SELECT user_id,
+        |  CAST(round(-SUM(lp * c) / (MAX(n) * 1000.0), 0) AS BIGINT)
+        |    AS entropy_permille,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "seasonal_anomaly" ->
+      """WITH b AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 86400000000 AS period,
+        |    (epoch_us(ts) // 3600000000) % 24 AS phase, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT et, phase, COUNT(*) AS np, SUM(c) AS tot
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.et, b.phase,
+        |  CAST(MAX(s.np) AS BIGINT) AS n_periods,
+        |  CAST(MAX(s.tot) AS BIGINT) AS total_events,
+        |  CAST(SUM(CASE WHEN b.c * s.np > 2 * s.tot THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalous
+        |FROM b JOIN s ON b.et = s.et AND b.phase = s.phase
+        |GROUP BY 1, 2""".stripMargin,
 
     // closes sort before opens at the same instant (d = -1 < 1): the
     // half-open interval tie rule, mirrored in the engine's (t, d) order

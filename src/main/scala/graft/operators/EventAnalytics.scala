@@ -131,6 +131,86 @@ object EventAnalytics {
       .agg(max(col("__c")).as("max_concurrent"))
   }
 
+  /** OHLC downsampling bars: per (key, time bucket), the open (first),
+    * high, low, and close (last) of `valueCol`, plus the row count — the
+    * classic tick→bar resampling every telemetry/market pipeline runs.
+    * First/last are `min_by`/`max_by` under a caller-supplied TOTAL order
+    * (`orderCols`, e.g. (ts, event_id)) so ties can't make the bar
+    * engine- or partitioning-dependent.
+    *
+    * Scale shape: ONE partial-combined hash aggregate — min_by/max_by
+    * partials are a single (order-key, value) pair each, so executors
+    * collapse to |keys×buckets| rows before the only shuffle. */
+  def ohlcBars(events: DataFrame, keyCol: String, bucketCol: Column,
+      valueCol: String, orderCols: Seq[Column]): DataFrame = {
+    val ord = struct(orderCols: _*)
+    events
+      .groupBy(col(keyCol), bucketCol) // caller aliases the bucket column
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Shannon entropy of a categorical distribution per key, in integer
+    * permille-nats: H = −Σ p·ln(p) over the key's category shares — the
+    * behavioral-diversity / corpus-mix scorer (a user who only ever fires
+    * one event type scores 0). Same integer-log discipline as
+    * [[TextAnalysis.unigramLogProb]]: each ln(c/n) is quantized to
+    * micro-nats (BIGINT) BEFORE the weighted sum, so accumulation order
+    * can't move the result — the only float op is the per-category ln,
+    * identical one-ulp territory on any libm.
+    *
+    * Scale shape: (key, cat) counts collapse first (partial-combined);
+    * the category→key window and the final aggregate both hash on the
+    * key, so the second exchange is reused by the aggregate. */
+  def distributionEntropy(df: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(col(keyCol))
+    counts
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__lp",
+        expr("CAST(round(ln(CAST(__c AS DOUBLE) / CAST(__n AS DOUBLE)) " +
+          "* 1000000, 0) AS BIGINT)"))
+      .groupBy(col(keyCol))
+      .agg(expr("CAST(round(-SUM(__lp * __c) / (MAX(__n) * 1000.0), 0) " +
+          "AS BIGINT)").as("entropy_permille"),
+        count(lit(1)).as("n_cats"))
+  }
+
+  /** Seasonal-baseline anomaly census: bucket counts per (key, period,
+    * phase) — e.g. (event type, day, hour-of-day) — are compared to the
+    * key's mean count FOR THAT PHASE across periods; a bucket is
+    * anomalous when `count · n_periods > factor · total` (integer
+    * cross-multiplied form of `count > factor × mean`, exact — no float
+    * mean anywhere). Returns the per-(key, phase) report: periods seen,
+    * total events, anomalous periods. This is the hourly-seasonality
+    * monitor that flags a traffic spike against the same-hour baseline
+    * instead of the global mean.
+    *
+    * Scale shape: raw events collapse to (key, period, phase) counts in
+    * one partial-combined aggregate; the phase stats are |key×phase|
+    * rows, broadcast back for the flag test (same posture as
+    * [[Transforms.winsorizedSum]]); the final census aggregates the
+    * already-collapsed buckets. */
+  def seasonalAnomaly(df: DataFrame, keyCol: String, periodCol: Column,
+      phaseCol: Column, factor: Int): DataFrame = {
+    val buckets = df.groupBy(col(keyCol), periodCol.as("__period"),
+        phaseCol.as("__phase"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = buckets.groupBy(col(keyCol), col("__phase"))
+      .agg(count(lit(1)).as("__np"), sum(col("__c")).as("__tot"))
+    buckets.join(broadcast(stats), Seq(keyCol, "__phase"))
+      .groupBy(col(keyCol), col("__phase").as("phase"))
+      .agg(max(col("__np")).as("n_periods"),
+        max(col("__tot")).as("total_events"),
+        sum(when(col("__c") * col("__np") > lit(factor.toLong) * col("__tot"),
+          1L).otherwise(0L)).as("n_anomalous"))
+  }
+
   /** Debounce: drop events closer than `minGap` (in `tsCol` units) to the
     * PREVIOUS event of the same key — duplicate-click / retry suppression.
     * One window pass = one shuffle on the key; `orderCols` must be a total

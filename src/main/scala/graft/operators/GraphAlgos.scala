@@ -138,6 +138,43 @@ object GraphAlgos {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Bounded weighted shortest paths (Bellman-Ford relaxation, `rounds`
+    * rounds, integer weights): minimum path cost from any source node
+    * using at most `rounds` edges. The bounded form is the one a feature
+    * pipeline wants (an unbounded fixpoint needs convergence detection and
+    * has no safe SQL twin on cyclic graphs); with integer weights the
+    * result is bit-identical on any engine, partitioning, or relaxation
+    * order — min() is insensitive to all three.
+    *
+    * Per round: one equi-join of the current distance table against the
+    * edge list on the edge source, then one min-aggregate over the union
+    * with the previous distances — the textbook relax step as a join+agg.
+    * Only (id, cost) pairs ride the loop (payloads never move), both the
+    * join and the aggregate hash on the node id so a cluster run
+    * co-partitions every round, and lineage is truncated per round the
+    * same as [[pageRank]]/[[bfsHops]]. Unreachable nodes are absent from
+    * the result (no sentinel infinities to overflow). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, idCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds out of range")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
+      .localCheckpoint()
+    var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("cost")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Synchronous label propagation (community detection), fixed `rounds`:
     * every node starts labeled with its own id, and each round every node
     * simultaneously adopts the most frequent label among its neighbors

@@ -857,6 +857,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === List((3L, 2L, 20L, 30L)))
   }
 
+  test("shortestPaths: bounded relaxation, parallel edges, unreachable") {
+    import graft.operators.GraphAlgos
+    // 1→2 twice (w5 and w10: keep-cheapest), 1→3 (w1), 3→2 (w1), 2→4
+    // (w1); node 9 only reaches itself — backwards edge 9→1 must not
+    // make 9 reachable FROM the source. Source = {1}.
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 1L), (9L, 1L, 1L)).toDF("s", "d", "w")
+    val src = Seq(1L).toDF("id")
+    def run(rounds: Int): Map[Long, Long] =
+      GraphAlgos.shortestPaths(e, "s", "d", "w", src, "id", rounds)
+        .as[(Long, Long)].collect().toMap
+    // round 2: direct 1→2 (5) already relaxed to 1→3→2 (2); 4 only via
+    // the 5-cost prefix so far. Round 3 finds the 3-edge path to 4.
+    assert(run(2) === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 6L))
+    assert(run(3) === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("ohlcBars: open/close follow the (t, id) total order through ties") {
+    import graft.operators.EventAnalytics
+    // one bucket: two rows at t=1 — the id breaks the tie for open;
+    // close is the latest (t=2). high/low are order-free.
+    val ev = Seq(("a", 0L, 1L, 1L, 10L), ("a", 0L, 1L, 2L, 30L),
+      ("a", 0L, 2L, 3L, 5L), ("b", 1L, 9L, 4L, 7L))
+      .toDF("k", "bkt", "t", "id", "v")
+    val got = EventAnalytics.ohlcBars(ev, "k", col("bkt").as("bucket"),
+        "v", Seq(col("t"), col("id")))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === Map(("a", 0L) -> ((10L, 30L, 5L, 5L, 3L)),
+      ("b", 1L) -> ((7L, 7L, 7L, 7L, 1L))))
+  }
+
+  test("distributionEntropy: uniform=ln k, single-category=0, 3:1 split") {
+    import graft.operators.EventAnalytics
+    val df = (Seq.fill(1)(("u1", "a")) ++ Seq(("u1", "b"), ("u1", "c"),
+        ("u1", "d"))) ++ Seq.fill(5)(("u2", "x")) ++
+      (Seq.fill(3)(("u3", "a")) :+ (("u3", "b")))
+    val got = EventAnalytics.distributionEntropy(df.toDF("u", "cat"),
+        "u", "cat")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // u1: uniform over 4 → ln 4 = 1.3863 → 1386; u2: one category → 0;
+    // u3: −(¾·ln¾ + ¼·ln¼) = 0.5623 → 562 (quantized-ln arithmetic:
+    // (287682·3 + 1386294) / 4000 rounds to 562).
+    assert(got === Map("u1" -> ((1386L, 4L)), "u2" -> ((0L, 1L)),
+      "u3" -> ((562L, 2L))))
+  }
+
+  test("seasonalAnomaly: spike vs same-phase mean, integer cross-multiply") {
+    import graft.operators.EventAnalytics
+    // key a, phase 0: day counts (1,1,5) → np=3 tot=7; spike 5·3=15 >
+    // 2·7=14 flags exactly one bucket. phase 1: (2,2) → 2·2=4 !> 2·4 →
+    // none. Built as raw event rows so the first collapse is exercised.
+    val rows = Seq.fill(1)(("a", 1L, 0L)) ++ Seq.fill(1)(("a", 2L, 0L)) ++
+      Seq.fill(5)(("a", 3L, 0L)) ++ Seq.fill(2)(("a", 1L, 1L)) ++
+      Seq.fill(2)(("a", 2L, 1L))
+    val got = EventAnalytics.seasonalAnomaly(rows.toDF("k", "day", "hod"),
+        "k", col("day"), col("hod"), factor = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === Map(("a", 0L) -> ((3L, 7L, 1L)),
+      ("a", 1L) -> ((2L, 4L, 0L))))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
