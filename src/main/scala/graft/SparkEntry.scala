@@ -559,6 +559,15 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // mutual (reciprocal) top-3 cosine neighbors within a mod-4 vector
+    // subset — the high-precision near-dup filter
+    // ([[Similarity.reciprocalTopK]]; each unordered pair scored once,
+    // mutuality = equi-join of the ranked list on its swapped key).
+    "ann_reciprocal" -> ((s, dir) =>
+      Similarity.reciprocalTopK(
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), 3)),
+
     "ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -953,6 +962,40 @@ object SparkEntry {
         "et", expr("t_us DIV 3600000000").as("hour"), "v",
         Seq(col("t_us"), col("event_id")))),
 
+    // best-tradeoff census: customers on the (total spend, order count)
+    // Pareto frontier ([[Transforms.paretoFront2D]] — per-x max + a
+    // bucketed prefix-max over the descending-spend order, never the
+    // O(n²) dominance join the oracle uses).
+    "pareto_front" -> ((s, dir) => {
+      val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      Transforms.paretoFront2D(cust, "spend_cents", "n_orders",
+        expr("-(spend_cents DIV 10000000)"))
+    }),
+
+    // materialized-view maintenance with retractions: the per-customer
+    // (count, sum) view is advanced by an insert+retract delta stream and
+    // must equal the oracle's full recompute bit-for-bit
+    // ([[Reconcile.maintainAggState]] — one partial-combined aggregate
+    // over state ∪ delta-partials). Inserts = orders from 1997 on;
+    // retractions = pre-1997 'F' orders leaving the view.
+    "ivm_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pre = o.filter(col("o_orderdate") < lit("1997-01-01"))
+      val state = pre.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+      val inserts = o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_custkey"), lit(1L).as("op"),
+          cents(col("o_totalprice")).as("v"))
+      val retracts = pre.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), lit(-1L).as("op"),
+          cents(col("o_totalprice")).as("v"))
+      Reconcile.maintainAggState(state, "o_custkey", "n_orders",
+        "total_cents", inserts.union(retracts), "op", "v")
+    }),
+
     // behavioral-diversity scorer: Shannon entropy of each user's
     // event-type mix, integer permille-nats
     // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
@@ -1266,6 +1309,20 @@ object SparkEntry {
         .select(col("asset_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    // windowed PCM energy over synthesized WAVs WITH real payloads: the
+    // decoder reads actual bytes (LE32 data length, s16le samples,
+    // sign-extension — [[Multimodal.pcmWindowEnergy]]); the oracle
+    // regenerates the expected energies from the generator's closed form
+    // without parsing binary, so a hash match proves the byte decode.
+    "mm_energy" -> ((s, dir) => {
+      val len = length(encode(col("text"), "UTF-8"))
+      val assets = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id").cast("long").as("asset_id"),
+          Multimodal.wavPcmContent(col("doc_id").cast("long"),
+            (len % 128 + 64).cast("long")).as("content"))
+      Multimodal.pcmWindowEnergy(assets, "asset_id", "content", 64)
     }),
 
     // trailing-1-hour rolling sum per user: a RANGE frame over epoch
@@ -1851,6 +1908,61 @@ object SparkEntry {
         |  LAST(v ORDER BY t_us, event_id) AS close,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "ann_reciprocal" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x
+        |    FROM embeddings WHERE vec_id % 4 = 0),
+        |p AS (SELECT a.id AS aid, b.id AS bid,
+        |    CAST(round(list_dot_product(a.x, b.x) /
+        |      (sqrt(list_dot_product(a.x, a.x)) *
+        |       sqrt(list_dot_product(b.x, b.x))) * 1000.0, 0) AS BIGINT)
+        |      AS cos
+        |  FROM v a, v b WHERE a.id < b.id),
+        |d AS (SELECT aid AS q, bid AS n, cos FROM p
+        |      UNION ALL SELECT bid, aid, cos FROM p),
+        |r AS (SELECT q, n, cos, row_number() OVER (PARTITION BY q
+        |    ORDER BY cos DESC, n ASC) AS rn FROM d),
+        |k AS (SELECT q, n, cos FROM r WHERE rn <= 3)
+        |SELECT k1.q AS a, k1.n AS b, k1.cos AS cos_permille
+        |FROM k k1 JOIN k k2 ON k1.q = k2.n AND k1.n = k2.q
+        |WHERE k1.q < k1.n""".stripMargin,
+
+    "pareto_front" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT spend_cents, o_custkey, n_orders FROM c p
+        |WHERE NOT EXISTS (SELECT 1 FROM c q
+        |  WHERE q.spend_cents >= p.spend_cents
+        |    AND q.n_orders >= p.n_orders
+        |    AND (q.spend_cents > p.spend_cents
+        |      OR q.n_orders > p.n_orders))""".stripMargin,
+
+    "ivm_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+
+    "mm_energy" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    octet_length(encode(text)) % 128 + 64 AS n
+        |  FROM documents WHERE doc_id % 5 = 1),
+        |s AS (SELECT asset_id,
+        |    unnest(generate_series(0, n - 1)) AS i FROM a),
+        |v AS (SELECT asset_id, i // 64 AS frame,
+        |    CASE WHEN (asset_id*31 + i*2654435761) % 65536 >= 32768
+        |      THEN (asset_id*31 + i*2654435761) % 65536 - 65536
+        |      ELSE (asset_id*31 + i*2654435761) % 65536 END AS s
+        |  FROM s)
+        |SELECT asset_id, frame, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(s*s) AS BIGINT) AS energy
+        |FROM v GROUP BY 1, 2""".stripMargin,
 
     "type_entropy" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c

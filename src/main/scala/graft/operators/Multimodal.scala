@@ -285,6 +285,54 @@ object Multimodal {
       lit("57415645666D7420100000000100020044AC000010B102000400100064617461"),
       le32Hex(dataLen)))
 
+  /** [[wavContent]] plus an ACTUAL PCM payload: `nSamples` s16le samples
+    * generated by the deterministic integer mix
+    * `raw(i) = (seed·31 + i·2654435761) mod 65536` (signed value =
+    * raw − 65536 when raw ≥ 2¹⁵). Still pure codegen'd expressions — the
+    * payload hex is one `transform` lambda over `sequence`, so synthesis
+    * fuses into the scan. This is the round-trip input for
+    * [[pcmWindowEnergy]]: the DECODER reads bytes, only the generator
+    * knows the formula, and an oracle can regenerate the expected energy
+    * from the same closed form without ever parsing binary. */
+  def wavPcmContent(seed: Column, nSamples: Column): Column = {
+    val payload = array_join(
+      transform(sequence(lit(0L), nSamples - 1), i =>
+        le16Hex((seed * 31 + i * lit(2654435761L)) % 65536)), "")
+    concat(wavContent(nSamples * 2), unhex(payload))
+  }
+
+  /** Windowed PCM energy over a canonical-layout WAV (44-byte header,
+    * s16le data chunk — the layout [[wavContent]] emits; the general
+    * chunk-walk lives in [[HeaderProbe.wav]] and a spec cross-checks the
+    * two agree on the data length): per `window`-sample frame, the sample
+    * count and Σ s² — the VAD / silence-trim / loudness feature pass.
+    * REAL byte-level decode: the data length is read from the LE32 chunk
+    * size, each sample from its two payload bytes (hex→int, sign-extend)
+    * — all codegen'd expressions (substring/conv), no UDF, so decode +
+    * explode + aggregate is one whole-stage pipeline into a partial
+    * aggregate on (asset, frame). Rows carry only (id, 2 longs) into the
+    * single shuffle. */
+  def pcmWindowEnergy(assets: DataFrame, idCol: String, contentCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window=$window")
+    def byteAt(pos: String): String =
+      s"CAST(conv(hex(substring($contentCol, $pos, 1)), 16, 10) AS BIGINT)"
+    val dataLen = s"(${byteAt("41")} + 256*${byteAt("42")} + " +
+      s"65536*${byteAt("43")} + 16777216*${byteAt("44")})"
+    assets
+      .withColumn("__n", expr(s"$dataLen DIV 2"))
+      .select(col(idCol), col(contentCol),
+        explode(expr("sequence(0L, __n - 1)")).as("__i"))
+      .withColumn("__raw", expr(
+        s"${byteAt("CAST(45 + 2*__i AS INT)")} + " +
+          s"256*${byteAt("CAST(46 + 2*__i AS INT)")}"))
+      .withColumn("__s",
+        expr("CASE WHEN __raw >= 32768 THEN __raw - 65536 ELSE __raw END"))
+      .groupBy(col(idCol), expr(s"__i DIV $window").as("frame"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("__s * __s")).as("energy"))
+  }
+
   /** Synthesize a 54-byte BMP (file header + BITMAPINFOHEADER, no pixel
     * array) with the given dimensions, as a binary column. */
   def bmpContent(w: Column, h: Column): Column =

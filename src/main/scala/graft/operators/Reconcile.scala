@@ -114,6 +114,32 @@ object Reconcile {
       .select(col(key), col("__hash").as("hash"))
       .dropDuplicates(key)
 
+  /** Incremental aggregate-state maintenance (IVM with retractions): the
+    * sync engine's answer to "keep a per-key (count, sum) materialized
+    * view current without recomputing it". `state` holds the view as
+    * (key, n, s); `delta` is a change stream of (key, op, v) rows with
+    * op ∈ {+1 insert, −1 retract}. The new view is
+    *
+    *   n' = n + Σ op,   s' = s + Σ op·v,   rows with n' = 0 dropped
+    *
+    * — i.e. count/sum are commutative-group aggregates, so maintenance is
+    * ONE partial-combined hash aggregate over state ∪ delta-partials:
+    * both sides collapse map-side, the single shuffle keys on the view
+    * key, and the result is bit-exact equal to a full recompute (the
+    * oracle proves exactly that equality). A deletion that empties a key
+    * removes the row — the n' = 0 filter, mirroring the reference's
+    * delete path (`recon.go:133-150`: absent from post-state = detached).
+    */
+  def maintainAggState(state: DataFrame, keyCol: String, nCol: String,
+      sumCol: String, delta: DataFrame, opCol: String,
+      valCol: String): DataFrame =
+    state.select(col(keyCol), col(nCol).as("__n"), col(sumCol).as("__s"))
+      .union(delta.select(col(keyCol), col(opCol).cast("long").as("__n"),
+        (col(opCol) * col(valCol)).cast("long").as("__s")))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as(nCol), sum(col("__s")).as(sumCol))
+      .filter(col(nCol) =!= 0L)
+
   /** R5 — convergence check: a second diff immediately after commit must be
     * empty for node functions (reference `main.go:224-237`, `"commit
     * failed"`). Returns the non-empty-delta count (0 = converged). */

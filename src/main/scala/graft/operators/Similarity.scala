@@ -240,4 +240,39 @@ object Similarity {
     Transforms.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }
+
+  /** Reciprocal (mutual) k-NN pairs within one vector set: `(a, b)` with
+    * `a < b` survives iff b is in a's cosine top-k AND a is in b's — the
+    * high-precision near-dup / entity-match filter (one-directional kNN
+    * keeps hub points that attract many queries without reciprocating).
+    *
+    * Each unordered pair is scored ONCE (`a < b` self-join), then exploded
+    * to both directions for ranking, so the score math is half the naive
+    * cost and trivially symmetric. The mutuality check is an equi-join of
+    * the ranked list against its own swapped key — hash join on the
+    * (q, n) pair, no second scoring pass.
+    *
+    * Scale: all-pairs scoring makes this the VERIFICATION tier, same
+    * contract as [[graft.operators.Dedup.embeddingCosinePairs]] — at
+    * corpus scale feed it the SRP-bucketed candidate pairs instead of a
+    * raw set; ranking and the mutual join are unchanged. */
+  def reciprocalTopK(vectors: DataFrame, k: Int): DataFrame = {
+    val a = withN2(vectors, "aid", "av", "an2", rebalance = true)
+    val b = withN2(vectors, "bid", "bv", "bn2")
+    val pairs = a.join(b, col("aid") < col("bid"))
+      .select(col("aid"), col("bid"),
+        cosFromN2(col("av"), col("an2"), col("bv"), col("bn2"))
+          .as("cos_permille"))
+    val directed = pairs.select(col("aid").as("q"), col("bid").as("n"),
+        col("cos_permille"))
+      .union(pairs.select(col("bid").as("q"), col("aid").as("n"),
+        col("cos_permille")))
+    val ranked = Transforms.topKPerGroup(directed, Seq(col("q")),
+      Seq(col("cos_permille").desc, col("n").asc), k)
+    ranked.as("r1").join(ranked.as("r2"),
+        col("r1.q") === col("r2.n") && col("r1.n") === col("r2.q"))
+      .filter(col("r1.q") < col("r1.n"))
+      .select(col("r1.q").as("a"), col("r1.n").as("b"),
+        col("r1.cos_permille"))
+  }
 }

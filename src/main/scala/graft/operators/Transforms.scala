@@ -262,6 +262,43 @@ object Transforms {
       .drop("__b", "__off")
   }
 
+  /** 2-D Pareto frontier (skyline): rows not strictly dominated on the
+    * (xCol, yCol) pair — q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y with at
+    * least one strict. Equal points tie and both survive. The classic
+    * best-tradeoff query (spend vs. frequency, quality vs. length…).
+    *
+    * Shape: the skyline test factors through per-x groups — a row
+    * survives iff it holds its x's max y AND that max beats every max at
+    * any HIGHER x. So: (1) one hash aggregate to |distinct x| rows,
+    * (2) a prefix-max over the x-descending order, built like
+    * [[orderedPrefixSum]] (per-bucket window + broadcast bucket offsets —
+    * never a single-partition window; `coarseBucket` must be a
+    * DESCENDING-x bucketing, e.g. `-x DIV width`), (3) one equi-join
+    * back on x to emit surviving rows. No pairwise dominance join — the
+    * O(n²) NOT-EXISTS form is the oracle, not the plan. */
+  def paretoFront2D(df: DataFrame, xCol: String, yCol: String,
+      coarseBucket: Column): DataFrame = {
+    val groups = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
+      .withColumn("__b", coarseBucket)
+    // bucket offsets: running max of the per-bucket maxima over all
+    // STRICTLY PRECEDING buckets (buckets ascend ⇒ x descends)
+    val offsets = groups.groupBy(col("__b")).agg(max(col("__my")).as("__bm"))
+      .withColumn("__off",
+        max(col("__bm")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = groups.join(broadcast(offsets), "__b")
+      .withColumn("__pm", greatest(max(col("__my")).over(w), col("__off")))
+      .filter(col("__pm").isNull || col("__my") > col("__pm"))
+      .select(col(xCol), col("__my"))
+    df.join(frontier.withColumnRenamed("__my", "__fy"), Seq(xCol))
+      .filter(col(yCol) === col("__fy"))
+      .drop("__fy")
+  }
+
   /** Compaction planning: pack ordered "files" (any (key, size) frame —
     * small parquet files, log segments, spill shards) into contiguous
     * target-sized bins, the way a table-maintenance job sizes rewrite

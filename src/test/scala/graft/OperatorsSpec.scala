@@ -921,6 +921,78 @@ class OperatorsSpec extends AnyFunSuite {
       ("a", 1L) -> ((2L, 4L, 0L))))
   }
 
+  test("reciprocalTopK: hub points don't survive one-directional pull") {
+    import graft.operators.Similarity
+    // axis-aligned toy: v1≈v2 (mutual top-1), v3 orthogonal-ish closer
+    // to v1 than to anything — with k=1, v3 picks v1 but v1 picks v2,
+    // so (1,3) must NOT appear; (1,2) must.
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.14, 0.0)),
+      (3L, Seq(0.6, -0.8, 0.0))).toDF("id", "vec")
+    val got = Similarity.reciprocalTopK(vs, 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+    // k=2 admits the (1,3) pair: 3's top-2 is {1,2}... and 1's is {2,3}
+    val got2 = Similarity.reciprocalTopK(vs, 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got2 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("paretoFront2D: strict dominance, ties survive, buckets don't leak") {
+    import graft.operators.Transforms
+    // frontier: (10,1) (7,5) (5,9); dominated: (7,4) by (7,5); (6,5) by
+    // (7,5); (5,9) duplicated — BOTH copies survive (equal points tie).
+    // bucket width 3 on -x splits {10} | {7,7,6} | {5,5} — the offset
+    // chain must carry the max across buckets.
+    val pts = Seq((1L, 10L, 1L), (2L, 7L, 5L), (3L, 7L, 4L), (4L, 6L, 5L),
+      (5L, 5L, 9L), (6L, 5L, 9L))
+      .toDF("id", "x", "y")
+    val got = Transforms.paretoFront2D(pts, "x", "y",
+        expr("-(x DIV 3)"))
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 5L, 6L))
+  }
+
+  test("maintainAggState: inserts, retractions, empty groups drop") {
+    import graft.operators.Reconcile
+    val state = Seq(("a", 2L, 30L), ("b", 1L, 7L)).toDF("k", "n", "s")
+    // a: +1 of 5 → (3, 35); b: −1 of 7 → (0, 0) → dropped;
+    // c: fresh inserts only → (2, 9)
+    val delta = Seq(("a", 1L, 5L), ("b", -1L, 7L), ("c", 1L, 4L),
+      ("c", 1L, 5L)).toDF("k", "op", "v")
+    val got = Reconcile.maintainAggState(state, "k", "n", "s",
+        delta, "op", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((3L, 35L)), "c" -> ((2L, 9L))))
+  }
+
+  test("pcmWindowEnergy: byte-level decode matches the generator formula") {
+    import graft.operators.Multimodal
+    val assets = Seq((42L, 100L)).toDF("id", "n")
+      .select(col("id"),
+        Multimodal.wavPcmContent(col("id"), col("n")).as("content"))
+    // the general chunk walk and the canonical-layout fast path must
+    // agree on the payload size (100 samples × 2 B / blockAlign 4 = 50
+    // frames per HeaderProbe's stereo accounting)
+    val bytes = assets.select("content").as[Array[Byte]].first()
+    assert(bytes.length === 44 + 200)
+    assert(graft.operators.HeaderProbe.wav(bytes).map(_.nFrames) === Some(50))
+    val got = Multimodal.pcmWindowEnergy(assets, "id", "content", 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // expected energies straight from the formula, per 64-sample frame
+    def s(i: Long): Long = {
+      val raw = (42L * 31 + i * 2654435761L) % 65536
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    val exp = (0L until 100L).groupBy(_ / 64).map { case (f, is) =>
+      f -> ((is.size.toLong, is.map(i => s(i) * s(i)).sum))
+    }
+    assert(got === exp)
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
