@@ -322,4 +322,46 @@ class PlanShapeSpec extends AnyFunSuite {
         && !l.contains("ReusedExchange"))
     assert(n == 1, s"expected exactly 1 exchange, got $n:\n$plan")
   }
+
+  test("pareto_front: no dominance join — no BNLJ, no single-partition window") {
+    val plan = finalPlan(q("pareto_front"))
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"skyline fell back to the O(n^2) dominance join:\n$plan")
+    // the prefix-max must ride per-bucket windows + a tiny offset table,
+    // never one global-order window over all distinct x
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    // the offsets frame (|buckets| rows) is the only legitimate
+    // single-partition stage
+    assert(single <= 1, s"global-order window crept in:\n$plan")
+  }
+
+  test("ivm_agg: state ∪ delta maintained by ONE partial-combined aggregate") {
+    val plan = finalPlan(q("ivm_agg"))
+    // partial aggregates must appear under the union (map-side collapse)
+    // and the merge agg above it — no join between state and delta
+    assert(plan.contains("Union"), plan)
+    assert(!plan.linesIterator.exists(l => l.contains("Join")
+        && !l.contains("ReusedExchange")),
+      s"IVM merge must be an aggregate, not a join:\n$plan")
+  }
+
+  test("mm_energy: byte decode + explode + aggregate, no UDF, partial-agg") {
+    val plan = finalPlan(q("mm_energy"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"decode must stay codegen'd:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+    // partial aggregate collapses (asset, frame) before the one exchange
+    val n = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning")
+        && !l.contains("ReusedExchange"))
+    assert(n == 1, s"expected exactly 1 exchange, got $n:\n$plan")
+  }
+
+  test("ann_reciprocal: pair scores computed once, mutual join is hash") {
+    val plan = finalPlan(q("ann_reciprocal"))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair scoring must be the pruned a<b join, not a cartesian:\n$plan")
+    assert(plan.contains("HashJoin"), plan)
+  }
 }
