@@ -996,6 +996,41 @@ object SparkEntry {
         "total_cents", inserts.union(retracts), "op", "v")
     }),
 
+    // exact trailing-3-hour distinct users per event type, anchored at
+    // active hours — the bounded explode turns the range predicate into
+    // an equi-join ([[EventAnalytics.slidingDistinct]]); the oracle says
+    // the same thing as a BETWEEN join.
+    "sliding_distinct" -> ((s, dir) =>
+      EventAnalytics.slidingDistinct(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          expr("(ts DIV 1000) DIV 3600000000").as("h"), col("user_id")),
+        "et", "h", "user_id", lookback = 2)),
+
+    // referential-integrity audit across the schema's FK relations in one
+    // report ([[Transforms.fkAudit]]); events.user_id→customer is the
+    // deliberately unconstrained relation (real orphans).
+    "fk_audit" -> ((s, dir) =>
+      Transforms.fkAudit(Seq(
+        ("lineitem.orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.partkey", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders.custkey", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("events.user", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")))),
+
+    // graph health check: out-degree histogram of the mod-300 interaction
+    // graph ([[GraphAlgos.degreeHistogram]] — two-level aggregate).
+    "degree_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.GraphAlgos.degreeHistogram(
+        li.select((col("l_partkey") % 300).as("src"),
+            (col("l_suppkey") % 300).as("dst"))
+          .filter((col("src") * 31 + col("dst")) % 7 === 0),
+        "src", "dst")
+    }),
+
     // behavioral-diversity scorer: Shannon entropy of each user's
     // event-type mix, integer permille-nats
     // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
@@ -1963,6 +1998,49 @@ object SparkEntry {
         |SELECT asset_id, frame, CAST(COUNT(*) AS BIGINT) AS n_samples,
         |  CAST(SUM(s*s) AS BIGINT) AS energy
         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    "sliding_distinct" ->
+      """WITH e AS (SELECT DISTINCT event_type AS et, user_id,
+        |    epoch_us(ts) // 3600000000 AS h FROM events),
+        |a AS (SELECT DISTINCT et, h FROM e)
+        |SELECT a.et, a.h AS win_end,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+        |FROM a JOIN e ON e.et = a.et AND e.h BETWEEN a.h - 2 AND a.h
+        |GROUP BY 1, 2""".stripMargin,
+
+    "fk_audit" ->
+      """SELECT 'lineitem.orderkey' AS fk, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans
+        |FROM lineitem c LEFT JOIN
+        |  (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON c.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.partkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN
+        |  (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON c.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'orders.custkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders c LEFT JOIN
+        |  (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.o_custkey = p.k
+        |UNION ALL
+        |SELECT 'events.user', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events c LEFT JOIN
+        |  (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.user_id = p.k""".stripMargin,
+
+    "degree_hist" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 300 AS src,
+        |    l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
+        |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
+        |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
 
     "type_entropy" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c

@@ -153,6 +153,34 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** Exact sliding-window distinct count: per (key, window ending at
+    * bucket W), the number of distinct entities seen in buckets
+    * [W − lookback, W], anchored at buckets where the key actually has
+    * data. The bounded explode turns the trailing-range predicate into an
+    * equi-join — the same bin trick as [[graft.operators.RangeJoin]] —
+    * so the plan is hash joins + hash aggregates end to end; the oracle
+    * states the same thing as a BETWEEN range join.
+    *
+    * Scale: rows collapse to distinct (key, bucket, entity) FIRST (one
+    * partial-combined aggregate), each survivor then fans out to only
+    * `lookback + 1` window keys, and the final exact distinct is the
+    * standard two-phase expand. No window function, no range join, no
+    * per-window rescan. */
+  def slidingDistinct(df: DataFrame, keyCol: String, bucketCol: String,
+      entityCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 0, s"lookback=$lookback")
+    val e = df.select(col(keyCol), col(bucketCol), col(entityCol)).distinct()
+    val anchors = e.select(col(keyCol), col(bucketCol).as("win_end"))
+      .distinct()
+    val contrib = e.select(col(keyCol),
+      explode(sequence(col(bucketCol),
+        col(bucketCol) + lit(lookback.toLong))).as("win_end"),
+      col(entityCol))
+    contrib.join(anchors, Seq(keyCol, "win_end"))
+      .groupBy(col(keyCol), col("win_end"))
+      .agg(count_distinct(col(entityCol)).as("n_distinct"))
+  }
+
   /** Shannon entropy of a categorical distribution per key, in integer
     * permille-nats: H = −Σ p·ln(p) over the key's category shares — the
     * behavioral-diversity / corpus-mix scorer (a user who only ever fires

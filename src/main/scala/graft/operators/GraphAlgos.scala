@@ -138,6 +138,19 @@ object GraphAlgos {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Out-degree distribution: degree per node over the DISTINCT directed
+    * edge set, then the histogram (degree → node count) — the two-level
+    * aggregate every graph health check starts with (hubs, skew, the
+    * power-law tail that decides join strategies). First aggregate hashes
+    * on the node id over (src, dst) pairs only; the second runs on
+    * |nodes| rows and collapses to |distinct degrees|. */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
   /** Bounded weighted shortest paths (Bellman-Ford relaxation, `rounds`
     * rounds, integer weights): minimum path cost from any source node
     * using at most `rounds` edges. The bounded form is the one a feature

@@ -262,6 +262,28 @@ object Transforms {
       .drop("__b", "__off")
   }
 
+  /** Referential-integrity audit: one report row per declared FK relation
+    * — child row count and orphan count (child keys with no parent).
+    * Each relation is one left join of the child's key projection against
+    * the parent's DISTINCT key set plus one aggregate; relations are
+    * independent, so the union is embarrassingly parallel. Null FKs count
+    * as orphans (a null reference resolves to nothing).
+    *
+    * Scale: only key columns move; dimension-sized parents broadcast
+    * (Catalyst's choice), fact-sized parents fall back to a co-partitioned
+    * shuffle join — both correct, and the aggregate collapses to ONE row
+    * per relation before the union. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    relations.map { case (label, child, fkCol, parent, pkCol) =>
+      child.select(col(fkCol).as("__fk"))
+        .join(parent.select(col(pkCol).as("__fk")).distinct()
+          .withColumn("__hit", lit(1)), Seq("__fk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"))
+    }.reduce(_ union _)
+
   /** 2-D Pareto frontier (skyline): rows not strictly dominated on the
     * (xCol, yCol) pair — q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y with at
     * least one strict. Equal points tie and both survive. The classic

@@ -993,6 +993,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("slidingDistinct: trailing window, anchors only at active buckets") {
+    import graft.operators.EventAnalytics
+    // key a: u1@h0 u1@h1 u2@h1 u1@h5 — anchors {0,1,5}; window [h-2,h]:
+    // W0={u1}, W1={u1,u2}, W5={u1}. h2..h4 have no data → no anchor rows
+    // even though u1@h1 is still inside W3's range. Duplicate events in
+    // the same bucket collapse.
+    val df = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("a", 1L, 10L),
+      ("a", 1L, 20L), ("a", 5L, 10L), ("b", 7L, 30L))
+      .toDF("k", "h", "u")
+    val got = EventAnalytics.slidingDistinct(df, "k", "h", "u", 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("a", 0L) -> 1L, ("a", 1L) -> 2L, ("a", 5L) -> 1L,
+      ("b", 7L) -> 1L))
+  }
+
+  test("fkAudit: orphan and null FKs counted, clean relations report zero") {
+    import graft.operators.Transforms
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Transforms.fkAudit(Seq(("c.fk", child, "fk", parent, "pk")))
+      .as[(String, Long, Long)].collect().toList
+    // 99 is an orphan; the null FK resolves to nothing → also an orphan
+    assert(got === List(("c.fk", 4L, 2L)))
+  }
+
+  test("degreeHistogram: duplicate edges collapse before the degree count") {
+    import graft.operators.GraphAlgos
+    // 1→{2,3}, 2→{3}, duplicated — degrees {1:2, 2:1} → hist {2:1, 1:1}
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val got = GraphAlgos.degreeHistogram(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L, 1L -> 1L))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
