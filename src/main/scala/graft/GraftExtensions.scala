@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CountInSetExpression, Crc32QExpression,
-  DotProductExpression, MinhashAggExpression, SimhashAggExpression,
-  TokenSetCountExpression}
+  DotProductExpression, JaroWinklerExpression, MinhashAggExpression,
+  SimhashAggExpression, TokenSetCountExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use.
@@ -18,6 +18,7 @@ import graft.functions.{CountInSetExpression, Crc32QExpression,
   *   .getOrCreate()
   * spark.sql("SELECT crc32q(token) FROM batch")
   * spark.sql("SELECT dot_product(a.vec, b.vec) FROM ...")
+  * spark.sql("SELECT jaro_winkler(x.name, y.name) FROM ...")
   * spark.sql("SELECT id, minhash_agg(shingle, 64) FROM inv GROUP BY id")
   * spark.sql("SELECT id, simhash_agg(xxhash64(w)) FROM toks GROUP BY id")
   * }}}
@@ -43,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("dot_product", 2)(children)
       DotProductExpression(children(0), children(1))
     }, classOf[DotProductExpression])
+
+    register(e, "jaro_winkler", { children =>
+      arity("jaro_winkler", 2)(children)
+      JaroWinklerExpression(children(0), children(1))
+    }, classOf[JaroWinklerExpression])
 
     register(e, "minhash_agg", { children =>
       require(children.size == 1 || children.size == 2,

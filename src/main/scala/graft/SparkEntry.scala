@@ -535,6 +535,16 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
+    // transposition-tolerant entity matching: Jaro-Winkler ≥ 0.8 within
+    // brand blocks over a part-name subset ([[Dedup.blockedJaroWinkler]],
+    // native expression pinned to DuckDB's independent implementation —
+    // the oracle IS the cross-check).
+    "jw_pairs" -> ((s, dir) =>
+      Dedup.blockedJaroWinkler(
+        t(s, dir, "part").filter(col("p_partkey") % 10 === 1)
+          .select(col("p_brand"), col("p_name"), col("p_partkey")),
+        "p_brand", "p_name", "p_partkey", minPermille = 800)),
+
     // sorted-neighborhood dedup: sort part names within a 1-char prefix
     // block, pair each with its next 3 neighbors in sort order, verify
     // with exact Levenshtein — candidate volume is exactly 3n, found
@@ -2507,6 +2517,16 @@ object SparkEntry {
         |   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
         |   FROM lineitem)
         | GROUP BY l_returnflag""".stripMargin,
+
+    "jw_pairs" ->
+      """WITH v AS (SELECT p_brand AS blk, p_name AS s, p_partkey AS id
+        |  FROM part WHERE p_partkey % 10 = 1)
+        |SELECT a, b, jw_permille FROM (
+        |  SELECT x.id AS a, y.id AS b,
+        |    CAST(round(jaro_winkler_similarity(x.s, y.s) * 1000, 0)
+        |      AS BIGINT) AS jw_permille
+        |  FROM v x JOIN v y ON x.blk = y.blk AND x.id < y.id)
+        |WHERE jw_permille >= 800""".stripMargin,
 
     "fuzzy_pairs" ->
       """SELECT x.p_partkey AS a, y.p_partkey AS b,

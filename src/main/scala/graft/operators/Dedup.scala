@@ -476,6 +476,28 @@ object Dedup {
       .filter(col("edit_dist") <= maxDist)
   }
 
+  /** Blocked Jaro-Winkler matching: [[blockedEditDistance]]'s shape with
+    * the transposition-tolerant, prefix-weighted scorer
+    * ([[graft.functions.JaroWinkler]], a native codegen'd expression) —
+    * the name/brand/address tier of entity resolution, where edit
+    * distance over-penalizes swapped tokens. Same scale contract: an
+    * equi-join on the blocking key bounds candidates to Σ|block|²/2,
+    * scoring runs fused above the join, and the permille threshold is
+    * applied AFTER rounding so the engine and any oracle agree on
+    * boundary pairs. */
+  def blockedJaroWinkler(df: DataFrame, blockCol: String, textCol: String,
+      idCol: String, minPermille: Int): DataFrame = {
+    val v = Transforms.rebalanceIfNarrow(
+      df.select(col(blockCol).as("blk"), col(textCol).as("s"),
+        col(idCol).as("id")), col("id"))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(graft.functions.JaroWinkler(col("x.s"), col("y.s")) * 1000)
+          .cast("long").as("jw_permille"))
+      .filter(col("jw_permille") >= minPermille)
+  }
+
   /** Sorted-neighborhood candidate generation (the third classic blocking
     * strategy, next to key blocking — [[blockedEditDistance]] — and LSH):
     * records are sorted by a content-derived key and each record pairs

@@ -1029,6 +1029,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(2L -> 1L, 1L -> 1L))
   }
 
+  test("jaroWinkler: published vectors, library conventions, codegen path") {
+    import graft.functions.JaroWinkler.computeStr
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // Winkler's canonical examples
+    assert(close(computeStr("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(computeStr("DWAYNE", "DUANE"), 0.84))
+    assert(close(computeStr("DIXON", "DICKSONX"), 0.8133333333333332))
+    // library conventions pinned against DuckDB's implementation:
+    // empty → 0 (even both-empty); no boost at jaro ≤ 0.7; window-0
+    // short strings can't cross-match; transposition half FLOORS
+    assert(computeStr("", "") === 0.0)
+    assert(computeStr("a", "") === 0.0)
+    assert(computeStr("xy", "yx") === 0.0)
+    assert(close(computeStr("abcdef", "abczzzzzz"), 0.6111111111111112))
+    assert(close(computeStr("abcxxxx", "bcaxxxx"), 0.9523809523809524))
+    // prefix caps at 4 even for longer shared runs
+    assert(close(computeStr("aaaaaab", "aaaaaac"),
+      { val j = (6.0 / 7 + 6.0 / 7 + 1.0) / 3; j + 4 * 0.1 * (1 - j) }))
+    // the Column API goes through codegen and matches the static path
+    val df = Seq(("MARTHA", "MARHTA"), ("prefix", "preboot"))
+      .toDF("a", "b")
+      .select(graft.functions.JaroWinkler(col("a"), col("b")).as("jw"))
+    val got = df.as[Double].collect()
+    assert(close(got(0), 0.9611111111111111))
+    assert(close(got(1), computeStr("prefix", "preboot")))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
