@@ -535,6 +535,14 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
+    // first 3 BPE merge-training steps over the corpus
+    // ([[TextAnalysis.bpeMerges]]): corpus scanned once for word counts,
+    // then vocabulary-sized iterations; the oracle replays each merge as
+    // positional window logic (self-pairs excluded by contract — their
+    // run-parity semantics diverge across BPE implementations).
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", iters = 3)),
+
     // transposition-tolerant entity matching: Jaro-Winkler ≥ 0.8 within
     // brand blocks over a part-name subset ([[Dedup.blockedJaroWinkler]],
     // native expression pinned to DuckDB's independent implementation —
@@ -2517,6 +2525,63 @@ object SparkEntry {
         |   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
         |   FROM lineitem)
         | GROUP BY l_returnflag""".stripMargin,
+
+    "bpe_merges" ->
+      """WITH wrd AS (SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS w FROM documents) WHERE w <> '' GROUP BY 1),
+        |t1 AS (SELECT w AS word, freq,
+        |    unnest(string_split(w, '')) AS sym,
+        |    generate_subscripts(string_split(w, ''), 1) AS pos FROM wrd),
+        |p1 AS (SELECT x.sym AS px, y.sym AS py, SUM(x.freq) AS cnt
+        |  FROM t1 x JOIN t1 y ON x.word = y.word AND y.pos = x.pos + 1
+        |  WHERE x.sym <> y.sym GROUP BY 1, 2),
+        |b1 AS (SELECT px, py, cnt FROM p1
+        |  ORDER BY cnt DESC, px, py LIMIT 1),
+        |m1 AS (SELECT word, freq, pos, sym, COALESCE(
+        |    sym = (SELECT px FROM b1) AND
+        |    lead(sym) OVER (PARTITION BY word ORDER BY pos)
+        |      = (SELECT py FROM b1), false) AS st FROM t1),
+        |m1b AS (SELECT word, freq, pos, sym, st, COALESCE(
+        |    lag(st) OVER (PARTITION BY word ORDER BY pos), false) AS pst
+        |  FROM m1),
+        |s2 AS (SELECT word, freq, string_agg(CASE WHEN st
+        |      THEN (SELECT px FROM b1) || (SELECT py FROM b1)
+        |      ELSE sym END, ' ' ORDER BY pos) AS seq
+        |  FROM m1b WHERE NOT pst GROUP BY 1, 2),
+        |t2 AS (SELECT word, freq,
+        |    unnest(string_split(seq, ' ')) AS sym,
+        |    generate_subscripts(string_split(seq, ' '), 1) AS pos FROM s2),
+        |p2 AS (SELECT x.sym AS px, y.sym AS py, SUM(x.freq) AS cnt
+        |  FROM t2 x JOIN t2 y ON x.word = y.word AND y.pos = x.pos + 1
+        |  WHERE x.sym <> y.sym GROUP BY 1, 2),
+        |b2 AS (SELECT px, py, cnt FROM p2
+        |  ORDER BY cnt DESC, px, py LIMIT 1),
+        |m2 AS (SELECT word, freq, pos, sym, COALESCE(
+        |    sym = (SELECT px FROM b2) AND
+        |    lead(sym) OVER (PARTITION BY word ORDER BY pos)
+        |      = (SELECT py FROM b2), false) AS st FROM t2),
+        |m2b AS (SELECT word, freq, pos, sym, st, COALESCE(
+        |    lag(st) OVER (PARTITION BY word ORDER BY pos), false) AS pst
+        |  FROM m2),
+        |s3 AS (SELECT word, freq, string_agg(CASE WHEN st
+        |      THEN (SELECT px FROM b2) || (SELECT py FROM b2)
+        |      ELSE sym END, ' ' ORDER BY pos) AS seq
+        |  FROM m2b WHERE NOT pst GROUP BY 1, 2),
+        |t3 AS (SELECT word, freq,
+        |    unnest(string_split(seq, ' ')) AS sym,
+        |    generate_subscripts(string_split(seq, ' '), 1) AS pos FROM s3),
+        |p3 AS (SELECT x.sym AS px, y.sym AS py, SUM(x.freq) AS cnt
+        |  FROM t3 x JOIN t3 y ON x.word = y.word AND y.pos = x.pos + 1
+        |  WHERE x.sym <> y.sym GROUP BY 1, 2),
+        |b3 AS (SELECT px, py, cnt FROM p3
+        |  ORDER BY cnt DESC, px, py LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS iter, px || ' ' || py AS pair,
+        |  CAST(cnt AS BIGINT) AS freq FROM b1
+        |UNION ALL SELECT CAST(2 AS BIGINT), px || ' ' || py,
+        |  CAST(cnt AS BIGINT) FROM b2
+        |UNION ALL SELECT CAST(3 AS BIGINT), px || ' ' || py,
+        |  CAST(cnt AS BIGINT) FROM b3""".stripMargin,
 
     "jw_pairs" ->
       """WITH v AS (SELECT p_brand AS blk, p_name AS s, p_partkey AS id

@@ -329,6 +329,71 @@ object TextAnalysis {
       .drop("__stratum", "__rate_ppm")
   }
 
+  /** BPE merge training, the first `iters` steps: the classic
+    * byte-pair-encoding vocabulary learner (Sennrich et al. 2016) run as
+    * distributed jobs. Words are counted once (the only corpus-sized
+    * pass); per iteration the weighted adjacent-symbol-pair counts
+    * collapse in one hash aggregate, the argmax pair — count desc, then
+    * lexicographic, a total order — is driver state exactly like
+    * [[Similarity.trainCentroids]]'s k-means centroids (one bounded row
+    * per round), and the merge is applied to the vocabulary-sized symbol
+    * table with a fold over each word's symbol array (left-to-right,
+    * non-overlapping — the textbook greedy application).
+    *
+    * SELF-PAIRS (x,x) are excluded from selection: their greedy
+    * application depends on run parity, which famously diverges across
+    * BPE implementations — excluding them keeps the operator's semantics
+    * total-order deterministic AND lets an oracle state each merge as
+    * pure positional logic. (Real tokenizers handle letter-doubling via
+    * later multi-char merges anyway.)
+    *
+    * Scale: after the word count, every iteration touches only the
+    * |vocab| symbol table — (word-freq, symbols) rows — with lineage cut
+    * per round; the corpus itself is never rescanned. Returns one row per
+    * iteration: (iter, pair "x y", freq at selection time). */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seqs = words.select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (it <- 1 to iters) {
+      val pairs = seqs.select(col("freq"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("freq"), col("p.0").as("px"), col("p.1").as("py"))
+        .filter(col("px") =!= col("py"))
+        .groupBy(col("px"), col("py")).agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("px").asc, col("py").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (px, py, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it.toLong, s"$px $py", cnt))
+        val pxL = lit(px); val pyL = lit(py)
+        val next = seqs.select(col("freq"),
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === pxL && s === pyL,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(pxL, pyL))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint()
+        seqs.unpersist()
+        seqs = next
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("iter", "pair", "freq")
+  }
+
   /** Sequence packing — the "concatenate, then cut every `maxTokens`"
     * batching layout used for LLM training: documents are laid end-to-end
     * per shard (in deterministic `idCol` order) and assigned

@@ -1056,6 +1056,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(close(got(1), computeStr("prefix", "preboot")))
   }
 
+  test("bpeMerges: Sennrich corpus — freq weighting, ties, merged symbols") {
+    // words: low×3, lower×2, newest×1.
+    // iter1: (l,o)=5 ties (o,w)=5 → lexicographic px picks (l,o).
+    // iter2: merged 'lo' participates: (lo,w)=5 wins.
+    // iter3: (low,e)=2 ties (e,r)=2 → 'e' < 'low' picks (e,r).
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", iters = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, "l o", 5L), (2L, "lo w", 5L),
+      (3L, "e r", 2L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
