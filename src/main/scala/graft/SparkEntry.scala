@@ -535,6 +535,41 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
+    // domain-distinctive vocabulary: top-5 tokens per source by integer
+    // rate-ratio lift, tf floor 5 ([[TextAnalysis.sourceKeyness]]).
+    "keyness" -> ((s, dir) =>
+      TextAnalysis.sourceKeyness(t(s, dir, "documents"), "text", "source",
+        k = 5, minTf = 5)),
+
+    // dependence scorer: mutual information between event type and
+    // hour-of-day in integer permille-nats
+    // ([[EventAnalytics.mutualInformation]]; marginals re-aggregate from
+    // the cells and come back broadcast — no single-partition stage).
+    "mutual_info" -> ((s, dir) =>
+      EventAnalytics.mutualInformation(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          expr("((ts DIV 1000) DIV 3600000000) % 24").as("hod")),
+        "et", "hod")),
+
+    // hierarchical ratio-to-parent: each nation's revenue as a permille
+    // share of its region (two-level agg + a window over ≤|nations| rows).
+    "share_of_region" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r_name"))
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .withColumn("__rt", sum(col("rev_cents")).over(w))
+        .withColumn("share_permille", expr("(rev_cents * 1000) DIV __rt"))
+        .drop("__rt")
+    }),
+
     // first 3 BPE merge-training steps over the corpus
     // ([[TextAnalysis.bpeMerges]]): corpus scanned once for word counts,
     // then vocabulary-sized iterations; the oracle replays each merge as
@@ -2525,6 +2560,58 @@ object SparkEntry {
         |   CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
         |   FROM lineitem)
         | GROUP BY l_returnflag""".stripMargin,
+
+    "keyness" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS tf_s FROM tok
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |ct AS (SELECT tok, SUM(tf_s) AS tf_c FROM st GROUP BY 1),
+        |ns AS (SELECT source, SUM(tf_s) AS n_s FROM st GROUP BY 1),
+        |n AS (SELECT SUM(tf_s) AS n_c FROM st),
+        |sc AS (SELECT st.source, st.tok, st.tf_s,
+        |    (st.tf_s * n.n_c * 1000) // (ct.tf_c * ns.n_s)
+        |      AS lift_permille
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+        |  WHERE st.tf_s >= 5)
+        |SELECT source, tok, tf_s,
+        |  CAST(lift_permille AS BIGINT) AS lift_permille FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_permille DESC, tok ASC) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "mutual_info" ->
+      """WITH e AS (SELECT event_type AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
+        |cells AS (SELECT x, y, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n FROM cells),
+        |q AS (SELECT cells.c,
+        |    CAST(round(ln((CAST(cells.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |      / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)))
+        |      * 1000000, 0) AS BIGINT) AS q, n.n
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+        |SELECT CAST(round(SUM(q * c) / (MAX(n) * 1000.0), 0) AS BIGINT)
+        |    AS mi_permille,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(MAX(n) AS BIGINT) AS n_events
+        |FROM q""".stripMargin,
+
+    "share_of_region" ->
+      """WITH rn AS (SELECT r_name, n_name,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_cents,
+        |  CAST(rev_cents * 1000 // SUM(rev_cents)
+        |    OVER (PARTITION BY r_name) AS BIGINT) AS share_permille
+        |FROM rn""".stripMargin,
 
     "bpe_merges" ->
       """WITH wrd AS (SELECT w, COUNT(*) AS freq FROM (

@@ -239,6 +239,38 @@ object EventAnalytics {
           1L).otherwise(0L)).as("n_anomalous"))
   }
 
+  /** Mutual information between two categorical columns, in integer
+    * permille-nats: I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the
+    * dependence scorer behind feature selection and drift detection
+    * (is event mix independent of hour-of-day?). Same quantized-ln
+    * discipline as [[distributionEntropy]]: each cell's log-ratio is
+    * quantized to micro-nats BEFORE the weighted sum, so the one number
+    * this returns is bit-stable under any partitioning.
+    *
+    * Scale: the only data-sized stage is the (x, y) cell aggregate;
+    * marginals RE-aggregate from the cells (counts only, never rows) and
+    * come back broadcast — no single-partition window anywhere. Returns
+    * one row: (mi_permille, n_cells, n_events). */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    cells.join(broadcast(mx), "__x")
+      .join(broadcast(my), "__y")
+      .crossJoin(broadcast(n))
+      .withColumn("__q", expr(
+        "CAST(round(ln((CAST(__c AS DOUBLE) * CAST(__n AS DOUBLE)) / " +
+          "(CAST(__cx AS DOUBLE) * CAST(__cy AS DOUBLE))) * 1000000, 0) " +
+          "AS BIGINT)"))
+      .agg(expr("CAST(round(SUM(__q * __c) / (MAX(__n) * 1000.0), 0) " +
+          "AS BIGINT)").as("mi_permille"),
+        count(lit(1)).as("n_cells"),
+        max(col("__n")).as("n_events"))
+  }
+
   /** Debounce: drop events closer than `minGap` (in `tsCol` units) to the
     * PREVIOUS event of the same key — duplicate-click / retry suppression.
     * One window pass = one shuffle on the key; `orderCols` must be a total

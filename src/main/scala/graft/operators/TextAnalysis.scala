@@ -329,6 +329,40 @@ object TextAnalysis {
       .drop("__stratum", "__rate_ppm")
   }
 
+  /** Source-distinctive vocabulary (keyness): per source, the tokens most
+    * over-represented vs the whole corpus, ranked by integer lift
+    * `(tf_s · N_corpus · 1000) DIV (tf_corpus · N_s)` (permille of the
+    * corpus-relative rate ratio — the log-odds-keyness family with a
+    * division-free total order). A minimum source frequency floors out
+    * hapax noise; ties break on the token. This is [[tfIdf]]'s sibling at
+    * corpus-slice granularity — the "what does this domain talk about"
+    * curation tool.
+    *
+    * Scale: one corpus-sized token explode feeds the (source, token)
+    * aggregate; corpus-level token counts and source totals re-aggregate
+    * from it (counts only) and join back broadcast; the per-source top-k
+    * is a `WindowGroupLimit`-capped rank. */
+  def sourceKeyness(docs: DataFrame, textCol: String, sourceCol: String,
+      k: Int, minTf: Int): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val st = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf_s"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
+    val ns = st.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
+    val n = st.agg(sum(col("tf_s")).as("n_c"))
+    val scored = st.filter(col("tf_s") >= minTf)
+      .join(broadcast(ct), "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_permille",
+        expr("(tf_s * n_c * 1000) DIV (tf_c * n_s)"))
+      .select(col("source"), col("tok"), col("tf_s"), col("lift_permille"))
+    Transforms.topKPerGroup(scored, Seq(col("source")),
+      Seq(col("lift_permille").desc, col("tok").asc), k)
+  }
+
   /** BPE merge training, the first `iters` steps: the classic
     * byte-pair-encoding vocabulary learner (Sennrich et al. 2016) run as
     * distributed jobs. Words are counted once (the only corpus-sized

@@ -1069,6 +1069,39 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "e r", 2L)))
   }
 
+  test("sourceKeyness: lift ranks domain terms, floor kills hapax") {
+    // source A: 'spark' 5×, shared filler 'the' 5×; source B: 'the' 10×
+    // plus hapax 'rare'. Corpus N=21, A n_s=10, B n_s=11.
+    // A/'spark': lift = 5·21·1000 / (5·10) = 2100. A/'the': 5·21·1000 /
+    // (15·10) = 700. B/'the': 10·21·1000/(15·11) = 1272. 'rare' tf 1 < 5
+    // → floored out even though its lift would top the list.
+    val docs = Seq(
+      (1L, ("spark " * 5 + "the " * 5).trim, "A"),
+      (2L, ("the " * 10 + "rare").trim, "B")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceKeyness(docs, "text", "source",
+        k = 5, minTf = 5)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(("A", "spark") -> ((5L, 2100L)),
+      ("A", "the") -> ((5L, 700L)), ("B", "the") -> ((10L, 1272L))))
+  }
+
+  test("mutualInformation: zero for independence, H(X) for identity") {
+    import graft.operators.EventAnalytics
+    // independent: every (x, y) cell equally likely → MI = 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq(0L, 1L); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val mi0 = EventAnalytics.mutualInformation(ind, "x", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(mi0 === ((0L, 4L, 20L)))
+    // deterministic y = f(x), uniform over 4 values → MI = H = ln 4
+    val det = (for (x <- Seq("a", "b", "c", "d"); _ <- 1 to 3)
+      yield (x, x.hashCode.toLong)).toDF("x", "y")
+    val mi1 = EventAnalytics.mutualInformation(det, "x", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(mi1 === ((1386L, 4L, 12L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
