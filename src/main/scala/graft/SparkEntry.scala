@@ -201,6 +201,58 @@ object SparkEntry {
         nodes.filter(col("id") % 37 === 0), "id", rounds = 4)
     }),
 
+    // HITS hubs/authorities, 2 un-normalized integer rounds over the
+    // directed mod-300 graph ([[GraphAlgos.hits]]; the oracle unrolls
+    // both rounds as join+sum CTEs).
+    "hits_scores" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      graft.operators.GraphAlgos.hits(e, "src", "dst", rounds = 2)
+    }),
+
+    // near-dup cluster size census over the Jaccard pair graph: how much
+    // of the corpus collapses, and into how big groups — the dedup
+    // impact report ([[Dedup.connectedComponents]] + two aggregates).
+    "cluster_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 5, thresholdPermille = 100))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
+
+    // RFM customer segmentation with VALUE-based quartile codes (exact
+    // percentile cuts broadcast back, winsorize-style — equal values get
+    // equal codes, unlike ntile; recency measured against the corpus max
+    // date so the query is reproducible).
+    "rfm_scores" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(cents(col("o_totalprice"))).as("m_cents"))
+      val withR = base
+        .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("max_d"))))
+        .withColumn("r_days",
+          expr("CAST(datediff(max_d, last_d) AS BIGINT)"))
+      val cuts = withR.agg(
+        expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(f, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(m_cents, array(0.25, 0.5, 0.75))").as("mq"))
+      withR.crossJoin(broadcast(cuts))
+        .withColumn("r_q", expr("CAST(1 + CAST(r_days > rq[0] AS INT) " +
+          "+ CAST(r_days > rq[1] AS INT) + CAST(r_days > rq[2] AS INT) " +
+          "AS BIGINT)"))
+        .withColumn("f_q", expr("CAST(1 + CAST(f > fq[0] AS INT) " +
+          "+ CAST(f > fq[1] AS INT) + CAST(f > fq[2] AS INT) AS BIGINT)"))
+        .withColumn("m_q", expr("CAST(1 + CAST(m_cents > mq[0] AS INT) " +
+          "+ CAST(m_cents > mq[1] AS INT) + CAST(m_cents > mq[2] AS INT) " +
+          "AS BIGINT)"))
+        .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+          expr("r_q * 100 + f_q * 10 + m_q").as("rfm"))
+    }),
+
     "filter_pred" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter((col("l_quantity") < 10 || col("l_returnflag") =!= "N")
@@ -1642,6 +1694,84 @@ object SparkEntry {
         |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
         |  WHERE r.hop < 4)
         |SELECT id, MIN(hop) AS hop FROM r GROUP BY id""".stripMargin,
+
+    "hits_scores" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM n),
+        |a1r AS (SELECT e.dst AS id, SUM(h0.h) AS a FROM e
+        |  JOIN h0 ON e.src = h0.id GROUP BY 1),
+        |a1 AS (SELECT n.id, CAST(COALESCE(a1r.a, 0) AS BIGINT) AS a
+        |  FROM n LEFT JOIN a1r USING (id)),
+        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS h FROM e
+        |  JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        |h1 AS (SELECT n.id, CAST(COALESCE(h1r.h, 0) AS BIGINT) AS h
+        |  FROM n LEFT JOIN h1r USING (id)),
+        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS a FROM e
+        |  JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2 AS (SELECT n.id, CAST(COALESCE(a2r.a, 0) AS BIGINT) AS a
+        |  FROM n LEFT JOIN a2r USING (id)),
+        |h2r AS (SELECT e.src AS id, SUM(a2.a) AS h FROM e
+        |  JOIN a2 ON e.dst = a2.id GROUP BY 1),
+        |h2 AS (SELECT n.id, CAST(COALESCE(h2r.h, 0) AS BIGINT) AS h
+        |  FROM n LEFT JOIN h2r USING (id))
+        |SELECT h2.id, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 ON h2.id = a2.id""".stripMargin,
+
+    "cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+        |SELECT sz, COUNT(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
+
+    "rfm_scores" ->
+      """WITH base AS (SELECT o_custkey, MAX(o_orderdate) AS last_d,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+        |b2 AS (SELECT o_custkey,
+        |    CAST(date_diff('day', last_d, max_d) AS BIGINT) AS r_days,
+        |    f, m_cents FROM base CROSS JOIN mx),
+        |q AS (SELECT
+        |    quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5)
+        |      AS r2, quantile_cont(r_days, 0.75) AS r3,
+        |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+        |      quantile_cont(f, 0.75) AS f3,
+        |    quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5)
+        |      AS m2, quantile_cont(m_cents, 0.75) AS m3
+        |  FROM b2)
+        |SELECT o_custkey, r_days, f, m_cents,
+        |  CAST((1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+        |      + CAST(r_days > r3 AS INT)) * 100
+        |    + (1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+        |      + CAST(f > f3 AS INT)) * 10
+        |    + (1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT)
+        |      + CAST(m_cents > m3 AS INT)) AS BIGINT) AS rfm
+        |FROM b2 CROSS JOIN q""".stripMargin,
 
     "shortest_path" ->
       """WITH e AS (

@@ -188,6 +188,42 @@ object GraphAlgos {
     dist
   }
 
+  /** HITS hubs & authorities, fixed `rounds`, un-normalized integer
+    * arithmetic (Kleinberg 1999): h₀ = 1 for every node, then per round
+    * a(v) = Σ_{u→v} h(u) followed by h(u) = Σ_{u→v} a(v). Skipping the
+    * norm keeps every value an exact BIGINT — the fixed-round
+    * feature-generation form (relative ranking is what consumers use;
+    * magnitudes grow ~deg² per round, so bound `rounds` accordingly),
+    * same trade as [[pageRank]]'s integer micros. Nodes missing a side
+    * hold 0 via the left joins.
+    *
+    * Per round: two equi-joins against the edge list + two hash
+    * aggregates, each moving (id, long) pairs only; lineage truncated per
+    * round like the other iterative ops. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds out of range")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var h = nodes.select(col("id"), lit(1L).as("h"))
+    var a: DataFrame = null
+    for (i <- 1 to rounds) {
+      val auth = e.join(h, e("src") === h("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      a = nodes.join(auth.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      val hub = e.join(a, e("dst") === a("id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      h = nodes.join(hub.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      if (i < rounds) h = h.localCheckpoint()
+    }
+    h.join(a, Seq("id")).select(col("id"), col("h").as("hub"),
+      col("a").as("auth"))
+  }
+
   /** Synchronous label propagation (community detection), fixed `rounds`:
     * every node starts labeled with its own id, and each round every node
     * simultaneously adopts the most frequent label among its neighbors

@@ -1102,6 +1102,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mi1 === ((1386L, 4L, 12L)))
   }
 
+  test("hits: two un-normalized rounds, hand-checked, missing sides zero") {
+    import graft.operators.GraphAlgos
+    // 1→3, 2→3, 3→4 (duplicated — distinct inside). Round 1:
+    // a = {3:2, 4:1}; h = {1:2, 2:2, 3:1, 4:0}. Round 2: a = {3:4, 4:1};
+    // h = {1:4, 2:4, 3:1, 4:0}. Pure sinks/sources hold exact zeros.
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("s", "d")
+    val got = GraphAlgos.hits(e, "s", "d", rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
