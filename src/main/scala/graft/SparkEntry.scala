@@ -537,6 +537,14 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 5, thresholdPermille = 100))),
 
+    // asymmetric containment pairs: quote/subset detection with a low bar
+    // (≥300 permille either direction exercises both the filter's OR and
+    // real data) — [[Dedup.containmentPairs]], same reused-exchange
+    // inverted index as the Jaccard tier.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 5, thresholdPermille = 300)),
+
     // benchmark decontamination: training docs sharing ≥1 distinct word
     // 8-gram with the held-out 'test' split of the same corpus
     // ([[TextAnalysis.hashSplit]] is the split authority on both sides).
@@ -1720,6 +1728,26 @@ object SparkEntry {
         |  FROM n LEFT JOIN h2r USING (id))
         |SELECT h2.id, h2.h AS hub, a2.a AS auth
         |FROM h2 JOIN a2 ON h2.id = a2.id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT a, b,
+        |  CAST(round(common*1000.0/na, 0) AS BIGINT) AS cont_a_permille,
+        |  CAST(round(common*1000.0/nb, 0) AS BIGINT) AS cont_b_permille
+        |FROM p
+        |WHERE CAST(round(common*1000.0/na, 0) AS BIGINT) >= 300
+        |   OR CAST(round(common*1000.0/nb, 0) AS BIGINT) >= 300""".stripMargin,
 
     "cluster_sizes" ->
       """WITH RECURSIVE sh AS (

@@ -476,6 +476,35 @@ object Dedup {
       .filter(col("edit_dist") <= maxDist)
   }
 
+  /** Asymmetric shingle containment: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * — the quote/subset detector Jaccard misses (a paragraph fully
+    * embedded in a long document has high containment but low Jaccard,
+    * because the union is dominated by the long side). Emits both
+    * directions per unordered pair and keeps pairs where EITHER rounded
+    * permille clears the threshold, so a short doc swallowed by a long
+    * one always surfaces.
+    *
+    * Same plan as [[ngramJaccardPairs]] — ONE inverted index, reused
+    * exchange on the shingle, common counts per pair — only the score
+    * changes, so the same verifier-tier / LSH-scale contract applies. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, thresholdPermille: Int = 800): DataFrame = {
+    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    val pairs = inv.as("x").join(inv.as("y").hint("shuffle_hash"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("cont_a_permille",
+        round(col("common") * lit(1000.0) / col("na")).cast("long"))
+      .withColumn("cont_b_permille",
+        round(col("common") * lit(1000.0) / col("nb")).cast("long"))
+      .filter(col("cont_a_permille") >= thresholdPermille ||
+        col("cont_b_permille") >= thresholdPermille)
+      .select("a", "b", "cont_a_permille", "cont_b_permille")
+  }
+
   /** Blocked Jaro-Winkler matching: [[blockedEditDistance]]'s shape with
     * the transposition-tolerant, prefix-weighted scorer
     * ([[graft.functions.JaroWinkler]], a native codegen'd expression) —

@@ -1115,6 +1115,23 @@ class OperatorsSpec extends AnyFunSuite {
       3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
   }
 
+  test("containmentPairs: embedded quote scores 1000 where Jaccard misses") {
+    // doc 2 is a verbatim 6-word quote inside doc 1's 40 words:
+    // containment(2→1) = 1000 (both its shingles appear in doc 1) but
+    // Jaccard = 2/36 ≈ 56 permille — far under any dedup threshold.
+    val quote = "the quick brown fox jumps high"
+    val long = (quote + " " + (1 to 34).map(i => s"w$i").mkString(" "))
+    val docs = Seq((1L, long), (2L, quote), (3L, "unrelated text entirely here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", n = 5,
+        thresholdPermille = 800)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 56L, 1000L)))
+    val jacc = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 5,
+      thresholdPermille = 100).count()
+    assert(jacc === 0L)
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
