@@ -1459,6 +1459,21 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
     }),
 
+    // perceptual image fingerprint over BMPs synthesized WITH real pixel
+    // arrays (bottom-up rows, 4-byte padding): dims decoded from header
+    // bytes, 64 cell-center pixels sampled, integer luma + mean-threshold
+    // bits ([[Multimodal.imageAHash]]); the oracle regenerates everything
+    // from the pixel generator's closed form.
+    "mm_ahash" -> ((s, dir) => {
+      val len = length(encode(col("text"), "UTF-8"))
+      val assets = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("long").as("asset_id"),
+          Multimodal.bmpPixelContent(col("doc_id").cast("long"),
+            (len % 16 + 8).cast("long"),
+            (len % 12 + 8).cast("long")).as("content"))
+      Multimodal.imageAHash(assets, "asset_id", "content")
+    }),
+
     // windowed PCM energy over synthesized WAVs WITH real payloads: the
     // decoder reads actual bytes (LE32 data length, s16le samples,
     // sign-extension — [[Multimodal.pcmWindowEnergy]]); the oracle
@@ -2194,6 +2209,34 @@ object SparkEntry {
         |WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01'
         |  AND o_orderstatus = 'F')
         |GROUP BY 1""".stripMargin,
+
+    "mm_ahash" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    octet_length(encode(text)) % 16 + 8 AS w,
+        |    octet_length(encode(text)) % 12 + 8 AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT asset_id, w, h, ((3*w + 3) // 4) * 4 AS rs FROM a),
+        |c AS (SELECT asset_id, w, h, rs, cell % 8 AS cx, cell // 8 AS cy
+        |  FROM d, unnest(generate_series(0, 63)) AS t(cell)),
+        |c2 AS (SELECT asset_id, w, h, cx, cy,
+        |    (h - 1 - ((2*cy + 1) * h) // 16) * rs
+        |      + 3 * (((2*cx + 1) * w) // 16) AS k
+        |  FROM c),
+        |l AS (SELECT asset_id, w, h, cx, cy,
+        |    (299 * ((asset_id*31 + (k + 2)*2654435761) % 256)
+        |   + 587 * ((asset_id*31 + (k + 1)*2654435761) % 256)
+        |   + 114 * ((asset_id*31 + k*2654435761) % 256)) // 1000 AS luma
+        |  FROM c2),
+        |s AS (SELECT asset_id, SUM(luma) AS tot FROM l GROUP BY 1),
+        |b AS (SELECT l.asset_id, l.w, l.h, l.cy,
+        |    SUM(CASE WHEN l.luma * 64 > s.tot THEN 1 << l.cx ELSE 0 END)
+        |      AS rb
+        |  FROM l JOIN s USING (asset_id) GROUP BY 1, 2, 3, 4)
+        |SELECT asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  string_agg(lpad(hex(CAST(rb AS BIGINT)), 2, '0'), ''
+        |    ORDER BY cy) AS ahash_hex
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "mm_energy" ->
       """WITH a AS (SELECT doc_id AS asset_id,

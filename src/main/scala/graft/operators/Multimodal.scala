@@ -341,6 +341,82 @@ object Multimodal {
       lit("28000000"), le32Hex(w), le32Hex(h), lit("01001800"),
       lit("00" * 24)))
 
+  /** [[bmpContent]] plus an ACTUAL 24-bpp pixel array: rows bottom-up
+    * with 4-byte alignment padding (the real BMP layout), each payload
+    * byte generated by `(seed·31 + i·2654435761) mod 256` over its index
+    * in the pixel data (pad bytes zero). Same codegen'd-synthesis
+    * contract as [[wavPcmContent]]: one `transform` lambda fused into the
+    * scan, and [[imageAHash]] gets a closed-form oracle that never parses
+    * binary. */
+  def bmpPixelContent(seed: Column, w: Column, h: Column): Column = {
+    val rs = ((w * 3 + 3) / 4).cast("long") * 4
+    val payload = array_join(
+      transform(sequence(lit(0L), rs * h - 1), i =>
+        when(i % rs >= w * 3, lit("00"))
+          .otherwise(lpad(hex((seed * 31 + i * lit(2654435761L)) % 256),
+            2, "0"))), "")
+    concat(
+      unhex(concat(
+        lit("424D"), le32Hex(lit(54) + rs * h), lit("00000000"),
+        le32Hex(lit(54)), lit("28000000"), le32Hex(w), le32Hex(h),
+        lit("01001800"), lit("00" * 24))),
+      unhex(payload))
+  }
+
+  /** Point-sampled 8×8 average-hash (aHash) over a 24-bpp BMP — the
+    * perceptual near-dup fingerprint for images, with decode cost
+    * INDEPENDENT of image size: dimensions come from the real header
+    * bytes (LE32 at offsets 18/22), then exactly 64 pixels are sampled
+    * (cell centers of the 8×8 grid), integer BT.601 luma per sample, one
+    * bit per cell by the integer cross-multiplied mean test
+    * `luma·64 > Σluma`. Returns (id, width, height, ahash_hex) with the
+    * hash as 16 hex chars (row bytes top-to-bottom) — no 64-bit sign
+    * games.
+    *
+    * All decode is codegen'd expressions (substring/conv — no UDF): the
+    * 64-cell explode fans each asset to 64 rows of a few longs, the mean
+    * rides a 64-row window keyed on the asset, and two tiny aggregates
+    * rebuild the hash. Bottom-up row order and row padding live in the
+    * offset arithmetic — the bytes are the real BMP layout. */
+  def imageAHash(assets: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def byteAt(pos: String): String =
+      s"CAST(conv(hex(substring($contentCol, $pos, 1)), 16, 10) AS BIGINT)"
+    def le32(pos: Int): String =
+      s"(${byteAt(pos.toString)} + 256*${byteAt((pos + 1).toString)} + " +
+        s"65536*${byteAt((pos + 2).toString)} + " +
+        s"16777216*${byteAt((pos + 3).toString)})"
+    val cells = assets
+      .withColumn("__w", expr(le32(19))) // 1-based substring: offset 18
+      .withColumn("__h", expr(le32(23)))
+      .withColumn("__rs", expr("((3 * __w + 3) DIV 4) * 4"))
+      .select(col(idCol), col(contentCol), col("__w"), col("__h"),
+        col("__rs"), explode(expr("sequence(0L, 63L)")).as("__cell"))
+      .withColumn("__cx", expr("__cell % 8"))
+      .withColumn("__cy", expr("__cell DIV 8"))
+      .withColumn("__px", expr("((2*__cx + 1) * __w) DIV 16"))
+      .withColumn("__py", expr("((2*__cy + 1) * __h) DIV 16"))
+      // bottom-up storage: image row __py lives at stored row h-1-__py
+      .withColumn("__off",
+        expr("55 + (__h - 1 - __py) * __rs + 3 * __px"))
+      .withColumn("__luma", expr(
+        s"(299*${byteAt("CAST(__off + 2 AS INT)")} + " +
+          s"587*${byteAt("CAST(__off + 1 AS INT)")} + " +
+          s"114*${byteAt("CAST(__off AS INT)")}) DIV 1000"))
+    val w64 = Window.partitionBy(col(idCol))
+    val bits = cells
+      .withColumn("__sum", sum(col("__luma")).over(w64))
+      .withColumn("__bit",
+        when(col("__luma") * 64 > col("__sum"), 1L).otherwise(0L))
+    bits.groupBy(col(idCol), col("__w"), col("__h"), col("__cy"))
+      .agg(sum(expr("__bit * shiftleft(1L, CAST(__cx AS INT))")).as("__rb"))
+      .groupBy(col(idCol), col("__w").as("width"), col("__h").as("height"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__cy"), col("__rb")))),
+        x => lpad(hex(x.getField("__rb")), 2, "0")), "").as("ahash_hex"))
+  }
+
   /** Hex of big-endian int32 (network order, PNG chunk fields). */
   private def be32Hex(c: Column): Column =
     concat(byteHex(c, 3), byteHex(c, 2), byteHex(c, 1), byteHex(c, 0))

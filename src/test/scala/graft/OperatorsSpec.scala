@@ -1132,6 +1132,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jacc === 0L)
   }
 
+  test("imageAHash: BMP pixel round-trip — padding, bottom-up rows, bits") {
+    // w=9 forces a 1-byte row pad (27+1); h=6 exercises the bottom-up
+    // offset math. The expected hash is recomputed here from the
+    // generator formula, independently of the SQL expressions.
+    val (seed, w, h) = (42L, 9L, 6L)
+    val assets = Seq((seed, w, h)).toDF("id", "w", "h")
+      .select(col("id"),
+        Multimodal.bmpPixelContent(col("id"), col("w"), col("h"))
+          .as("content"))
+    val bytes = assets.select("content").as[Array[Byte]].first()
+    val rs = ((3 * w + 3) / 4) * 4
+    assert(bytes.length === 54 + rs * h)
+    assert(graft.operators.HeaderProbe.bmp(bytes).map(p =>
+      (p.width, p.height)) === Some((w.toInt, h.toInt)))
+    // independent reimplementation from the generator
+    def v(i: Long): Long = (seed * 31 + i * 2654435761L) % 256
+    val lumas = for (cell <- 0L until 64L) yield {
+      val (cx, cy) = (cell % 8, cell / 8)
+      val px = ((2 * cx + 1) * w) / 16
+      val py = ((2 * cy + 1) * h) / 16
+      val k = (h - 1 - py) * rs + 3 * px
+      (299 * v(k + 2) + 587 * v(k + 1) + 114 * v(k)) / 1000
+    }
+    val tot = lumas.sum
+    val expHex = (0 until 8).map { cy =>
+      val rb = (0 until 8).map { cx =>
+        if (lumas((cy * 8 + cx).toInt) * 64 > tot) 1L << cx else 0L
+      }.sum
+      f"$rb%02X"
+    }.mkString
+    val got = Multimodal.imageAHash(assets, "id", "content")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got === ((seed, w, h, expHex)))
+    // pad bytes really are zero where they should be
+    assert(bytes(54 + 27) === 0.toByte)
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
