@@ -347,8 +347,12 @@ object TextAnalysis {
     val tok = docs.select(col(sourceCol).as("source"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
+    // materialized ONCE (vocab-sized): the three marginals re-aggregate
+    // from this table — without the checkpoint each broadcast side
+    // replays the corpus-sized tokenize (the plan pin caught exactly
+    // that: 2 parquet scans instead of 1).
     val st = tok.groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("tf_s"))
+      .agg(count(lit(1)).as("tf_s")).localCheckpoint()
     val ct = st.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
     val ns = st.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
     val n = st.agg(sum(col("tf_s")).as("n_c"))

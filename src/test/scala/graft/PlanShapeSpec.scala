@@ -358,6 +358,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 exchange, got $n:\n$plan")
   }
 
+  test("keyness: corpus tokenized once — marginals re-aggregate, broadcast back") {
+    val plan = finalPlan(q("keyness"))
+    // st is checkpointed: the corpus scan runs in the checkpoint job,
+    // so the final plan replays it at most once (0 = fully reused)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1,
+      s"marginals replayed the corpus tokenize, got $scans scans:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("mutual_info: marginals come back broadcast — no single-partition window") {
+    val plan = finalPlan(q("mutual_info"))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    // two legitimate global stages, both 1-row aggregates over |cells|
+    // rows: the grand-total marginal and the final result
+    assert(single <= 2, s"marginals must not globally sort/window:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("mm_ahash: pixel decode stays codegen'd — no UDF, explode present") {
+    val plan = finalPlan(q("mm_ahash"))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"pixel decode must be expressions:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("hits_scores: iterative rounds stay hash joins over checkpointed edges") {
+    val plan = finalPlan(q("hits_scores"))
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("ann_reciprocal: pair scores computed once, mutual join is hash") {
     val plan = finalPlan(q("ann_reciprocal"))
     assert(!plan.contains("CartesianProduct"),
