@@ -1466,7 +1466,12 @@ object SparkEntry {
     // from the pixel generator's closed form.
     "mm_ahash" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8"))
-      val assets = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      // pixel synthesis is the expensive per-row stage: rebalance the
+      // narrow parquet input first (same contract as the shingle/vector
+      // pipelines) so 1000 images aren't generated in one task
+      val assets = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"))
         .select(col("doc_id").cast("long").as("asset_id"),
           Multimodal.bmpPixelContent(col("doc_id").cast("long"),
             (len % 16 + 8).cast("long"),
@@ -1481,7 +1486,9 @@ object SparkEntry {
     // without parsing binary, so a hash match proves the byte decode.
     "mm_energy" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8"))
-      val assets = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+      val assets = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 1),
+        col("doc_id"))
         .select(col("doc_id").cast("long").as("asset_id"),
           Multimodal.wavPcmContent(col("doc_id").cast("long"),
             (len % 128 + 64).cast("long")).as("content"))

@@ -100,7 +100,14 @@ object Transforms {
     * unconditionally instead; see [[Dedup.shingleInv]].) */
   def rebalanceIfNarrow(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(key) else df
+    // EXPLICIT partition count: this exchange exists to parallelize
+    // expensive per-row work, and the inputs that need it are narrow in
+    // BYTES — AQE would coalesce a bare repartition(key) right back to
+    // one task (measured: 3.2 s single-task vs 0.4 s at 32 — the aHash
+    // pixel synthesis), exactly defeating the point. An explicit count
+    // is exempt from AQE coalescing.
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
+    else df
   }
 
   /** Skew-safe equi-join: salt the skewed (big, hot-keyed) side into
