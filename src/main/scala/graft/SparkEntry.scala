@@ -743,6 +743,14 @@ object SparkEntry {
     "bigram_topk" -> ((s, dir) =>
       TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 50)),
 
+    // collocation extraction: top bigrams by pointwise mutual information
+    // (quantized-ln permille, pair-table marginals, count floor 5) —
+    // the association scorer bigram_topk's raw counts can't express
+    // ([[TextAnalysis.pmiCollocations]]).
+    "pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        k = 30, minCount = 5)),
+
     // exact distribution moments per event type: (n, Σv, Σv²) in integer
     // cents — mean/variance derive exactly downstream, and integer sums
     // are order-independent so the comparison never sees float drift.
@@ -1477,6 +1485,25 @@ object SparkEntry {
             (len % 16 + 8).cast("long"),
             (len % 12 + 8).cast("long")).as("content"))
       Multimodal.imageAHash(assets, "asset_id", "content")
+    }),
+
+    // image near-dup tier: quads of perturbed 16x12 BMPs (same base
+    // pixels, sparse byte shifts) hashed by [[Multimodal.imageAHash]],
+    // then banded Hamming search ([[Multimodal.ahashHammingPairs]] —
+    // 8-band pigeonhole, never all-pairs; the oracle IS all-pairs, so a
+    // missed candidate would surface as a row diff).
+    "mm_phash_pairs" -> ((s, dir) => {
+      val assets = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"))
+        .select(col("doc_id").cast("long").as("asset_id"),
+          Multimodal.bmpPixelContent(
+            expr("CAST(doc_id DIV 20 AS BIGINT)"), lit(16L), lit(12L),
+            expr("CAST(((doc_id DIV 5) % 4) * 85 AS BIGINT)"))
+            .as("content"))
+      Multimodal.ahashHammingPairs(
+        Multimodal.imageAHash(assets, "asset_id", "content"),
+        "asset_id", "ahash_hex", maxDist = 7)
     }),
 
     // windowed PCM energy over synthesized WAVs WITH real payloads: the
@@ -2245,6 +2272,44 @@ object SparkEntry {
         |    ORDER BY cy) AS ahash_hex
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
+    "mm_phash_pairs" ->
+      """WITH a AS (SELECT doc_id AS asset_id, doc_id // 20 AS seed,
+        |    ((doc_id // 5) % 4) * 85 AS pert
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT asset_id, seed, pert, cell % 8 AS cx, cell // 8 AS cy
+        |  FROM a, unnest(generate_series(0, 63)) AS t(cell)),
+        |c2 AS (SELECT asset_id, seed, pert, cx, cy,
+        |    (12 - 1 - ((2*cy + 1) * 12) // 16) * 48
+        |      + 3 * (((2*cx + 1) * 16) // 16) AS k
+        |  FROM c),
+        |l AS (SELECT asset_id, cx, cy,
+        |    (299 * v2 + 587 * v1 + 114 * v0) // 1000 AS luma
+        |  FROM (SELECT *,
+        |      ((seed*31 + k*2654435761) % 256 + pert *
+        |        (CASE WHEN k % 97 = 0 THEN 1 ELSE 0 END)) % 256 AS v0,
+        |      ((seed*31 + (k+1)*2654435761) % 256 + pert *
+        |        (CASE WHEN (k+1) % 97 = 0 THEN 1 ELSE 0 END)) % 256 AS v1,
+        |      ((seed*31 + (k+2)*2654435761) % 256 + pert *
+        |        (CASE WHEN (k+2) % 97 = 0 THEN 1 ELSE 0 END)) % 256 AS v2
+        |    FROM c2)),
+        |s AS (SELECT asset_id, SUM(luma) AS tot FROM l GROUP BY 1),
+        |b AS (SELECT l.asset_id, l.cy,
+        |    SUM(CASE WHEN l.luma * 64 > s.tot THEN 1 << l.cx ELSE 0 END)
+        |      AS rb
+        |  FROM l JOIN s USING (asset_id) GROUP BY 1, 2),
+        |hl AS (SELECT asset_id,
+        |    CAST(SUM(CASE WHEN cy < 4 THEN rb << (8*(3-cy)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN cy >= 4 THEN rb << (8*(7-cy)) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY 1)
+        |SELECT x.asset_id AS a, y.asset_id AS b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        |    AS BIGINT) AS hamming
+        |FROM hl x JOIN hl y ON x.asset_id < y.asset_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        |  <= 7""".stripMargin,
+
     "mm_energy" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |    octet_length(encode(text)) % 128 + 64 AS n
@@ -2726,6 +2791,28 @@ object SparkEntry {
         |FROM tok x JOIN tok y
         |  ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
         |GROUP BY 1 ORDER BY n DESC, bg ASC LIMIT 50""".stripMargin,
+
+    "pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS w,
+        |   generate_subscripts(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), 1) AS pos
+        |  FROM documents),
+        |p AS (SELECT x.w AS x, y.w AS y, COUNT(*) AS c
+        |  FROM tok x JOIN tok y
+        |    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |  GROUP BY 1, 2),
+        |l AS (SELECT x, SUM(c) AS cx FROM p GROUP BY 1),
+        |r AS (SELECT y, SUM(c) AS cy FROM p GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n FROM p)
+        |SELECT x || ' ' || y AS bigram, c,
+        |  CAST(round(ln((CAST(c AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+        |    (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1000, 0)
+        |    AS BIGINT) AS pmi_permille
+        |FROM p JOIN l USING (x) JOIN r USING (y) CROSS JOIN n
+        |WHERE c >= 5
+        |ORDER BY pmi_permille DESC, bigram ASC LIMIT 30""".stripMargin,
 
     "moment_stats" ->
       """SELECT event_type, COUNT(*) AS n,

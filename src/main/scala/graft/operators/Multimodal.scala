@@ -348,12 +348,17 @@ object Multimodal {
     * contract as [[wavPcmContent]]: one `transform` lambda fused into the
     * scan, and [[imageAHash]] gets a closed-form oracle that never parses
     * binary. */
-  def bmpPixelContent(seed: Column, w: Column, h: Column): Column = {
+  def bmpPixelContent(seed: Column, w: Column, h: Column,
+      perturb: Column = lit(0L)): Column = {
     val rs = ((w * 3 + 3) / 4).cast("long") * 4
+    // perturb shifts every 97th payload byte by its value (mod 256):
+    // the controlled "small visual edit" that gives the Hamming tier
+    // planted near-dups with a closed-form oracle
     val payload = array_join(
       transform(sequence(lit(0L), rs * h - 1), i =>
         when(i % rs >= w * 3, lit("00"))
-          .otherwise(lpad(hex((seed * 31 + i * lit(2654435761L)) % 256),
+          .otherwise(lpad(hex(((seed * 31 + i * lit(2654435761L)) % 256
+            + perturb * when(i % 97 === 0, 1L).otherwise(0L)) % 256),
             2, "0"))), "")
     concat(
       unhex(concat(
@@ -450,6 +455,39 @@ object Multimodal {
       lit("FFE000104A46494600010100000100010000"),
       lit("FFC0001108"), be16Hex(h), be16Hex(w),
       lit("03011100021101031101")))
+
+  /** Banded Hamming near-dup pairs over 64-bit perceptual hashes (as the
+    * 16-hex-char form [[imageAHash]] emits): pigeonhole blocking — a pair
+    * within Hamming distance d < 8 must agree EXACTLY on at least one of
+    * the eight 8-bit bands (pigeonhole: d mismatched bits can dirty at
+    * most d bands), so candidates come from eight band equi-joins
+    * (union, dedup), then the exact distance verifies via XOR popcount on
+    * the two 32-bit halves (no 64-bit sign games). The image-tier twin of
+    * MinHash banding: never all-pairs, candidate volume = Σ|band
+    * bucket|²/2. */
+  def ahashHammingPairs(hashes: DataFrame, idCol: String, hexCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist=$maxDist: 8 bands are lossless only for d ≤ 7")
+    val v = hashes.select(
+      col(idCol).as("id") +:
+      expr(s"CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT)").as("hi") +:
+      expr(s"CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)").as("lo") +:
+      (0 until 8).map(b =>
+        expr(s"substring($hexCol, ${b * 2 + 1}, 2)").as(s"b$b")): _*)
+    val cand = (0 until 8).map { b =>
+      v.as("x").join(v.as("y"),
+          col(s"x.b$b") === col(s"y.b$b") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.hi").as("ahi"), col("x.lo").as("alo"),
+          col("y.hi").as("bhi"), col("y.lo").as("blo"))
+    }.reduce(_ union _).dropDuplicates("a", "b")
+    cand
+      .withColumn("hamming", expr(
+        "CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
 
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model

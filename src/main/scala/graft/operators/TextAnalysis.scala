@@ -201,6 +201,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocations: the top-k adjacent token pairs by pointwise mutual
+    * information — `pmi(x,y) = ln(c_xy·N / (c_x·…·c_…y))` with marginals
+    * and N taken FROM the bigram-event table itself (self-contained, no
+    * mixed denominators) — the classic collocation extractor ("new york"
+    * scores high where "of the" scores ~0 despite a bigger raw count,
+    * which is exactly what [[bigramTopK]] can't see). Quantized-ln
+    * permille discipline as [[EventAnalytics.mutualInformation]]; a
+    * minimum pair count floors out hapax pairs whose PMI is maximal by
+    * construction.
+    *
+    * Scale: one corpus-sized explode into the pair aggregate (the
+    * bigrams are built array-side, zero positional joins); the pair
+    * table is checkpointed once (vocab²-bounded, typically vocab-sized)
+    * and both marginals re-aggregate from it, broadcast back; top-k is
+    * `TakeOrderedAndProject`. */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+      minCount: Int): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val prs = arrays_zip(slice(toks, lit(1), n1), slice(toks, lit(2), n1))
+    val cells = df.select(explode(prs).as("p"))
+      .select(col("p.0").as("x"), col("p.1").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val left = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val right = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    cells.filter(col("c") >= minCount)
+      .join(broadcast(left), "x")
+      .join(broadcast(right), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_permille", expr(
+        "CAST(round(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+          "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1000, 0) " +
+          "AS BIGINT)"))
+      .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+        col("c"), col("pmi_permille"))
+      .orderBy(col("pmi_permille").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** 4-hex-digit md5-prefix threshold for [[sampleByHash]]:
     * `substr(md5(key),1,4) < threshold` keeps
     * ⌊rate‰ · 65536 / 1000⌋ / 65536 of rows. Lowercase hex compares

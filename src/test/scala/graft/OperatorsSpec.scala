@@ -1169,6 +1169,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bytes(54 + 27) === 0.toByte)
   }
 
+  test("ahashHammingPairs: pigeonhole recall, both rejection modes") {
+    // 1: base; 2: one bit flipped (d=1, found via 7 clean bands);
+    // 3: 5 bits flipped inside ONE band (d=5 — other bands clean, found);
+    // 4: 8 bits flipped ONE PER BAND (d=8: no clean band — correctly
+    //    not even a candidate);
+    // 5: 8 bits flipped in one band (candidate via 7 clean bands, but
+    //    verify rejects d=8).
+    val base = "00FF00FF00FF00FF"
+    val hs = Seq(
+      (1L, base),
+      (2L, "01FF00FF00FF00FF"),
+      (3L, "1FFF00FF00FF00FF"),
+      (4L, "01FE01FE01FE01FE"),
+      (5L, "FFFF00FF00FF00FF")).toDF("id", "hx")
+    val got = Multimodal.ahashHammingPairs(hs, "id", "hx", maxDist = 7)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1L)
+    assert(got((1L, 3L)) === 5L)
+    assert(!got.contains((1L, 4L)) && !got.contains((1L, 5L)))
+    assert(got((2L, 3L)) === 4L) // 01 vs 1F = 4 bits, same band
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
