@@ -1152,6 +1152,26 @@ object SparkEntry {
         "src", "dst")
     }),
 
+    // metric drift: OLS slope of value (cents) over time (seconds,
+    // recentered) per event type — exact integer sufficient stats, one
+    // double division at the end ([[EventAnalytics.trendSlope]]).
+    "trend_slope" -> ((s, dir) =>
+      EventAnalytics.trendSlope(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          expr("ts DIV 1000000000").as("t_s"),
+          cents(col("value")).as("v")),
+        "et", "t_s", "v")),
+
+    // watermark-tuning report: per event type, events whose event time
+    // regresses behind the running max in event_id arrival order, lateness
+    // beyond 5 minutes, and the worst regression
+    // ([[EventAnalytics.disorderCensus]]).
+    "disorder_census" -> ((s, dir) =>
+      EventAnalytics.disorderCensus(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          expr("ts DIV 1000").as("t_us"), col("event_id")),
+        "et", "t_us", Seq(col("event_id")), lateThreshold = 300000000L)),
+
     // behavioral-diversity scorer: Shannon entropy of each user's
     // event-type mix, integer permille-nats
     // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
@@ -2367,6 +2387,42 @@ object SparkEntry {
         |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
         |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
         |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
+
+    "trend_slope" ->
+      """WITH e AS (SELECT event_type AS et, epoch(ts)::BIGINT AS t_s,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+        |m AS (SELECT et, MIN(t_s) AS x0 FROM e GROUP BY 1),
+        |st AS (SELECT e.et, COUNT(*) AS n,
+        |    SUM(e.t_s - m.x0) AS sx, SUM(e.v) AS sy,
+        |    SUM((e.t_s - m.x0) * e.v) AS sxy,
+        |    SUM((e.t_s - m.x0) * (e.t_s - m.x0)) AS sxx
+        |  FROM e JOIN m USING (et) GROUP BY 1)
+        |SELECT et, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      = 0 THEN NULL ELSE
+        |    CAST(round(
+        |      CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |        AS DOUBLE) * 1000000 /
+        |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE), 0) AS BIGINT) END AS slope_micro
+        |FROM st""".stripMargin,
+
+    "disorder_census" ->
+      """WITH e AS (SELECT event_type AS et, epoch_us(ts) AS t_us,
+        |    event_id FROM events),
+        |l AS (SELECT et, t_us,
+        |    MAX(t_us) OVER (PARTITION BY et ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |d AS (SELECT et, CASE WHEN hwm IS NOT NULL AND t_us < hwm
+        |    THEN hwm - t_us ELSE 0 END AS late FROM l)
+        |SELECT et, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_of_order,
+        |  CAST(SUM(CASE WHEN late > 300000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_beyond_threshold,
+        |  CAST(MAX(late) AS BIGINT) AS max_lateness
+        |FROM d GROUP BY 1""".stripMargin,
 
     "type_entropy" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c

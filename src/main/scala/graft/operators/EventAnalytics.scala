@@ -271,6 +271,65 @@ object EventAnalytics {
         max(col("__n")).as("n_events"))
   }
 
+  /** Per-key OLS trend slope from exact integer sufficient statistics:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with x recentered to the
+    * key's minimum so the sums stay in BIGINT range and the cross
+    * products in DECIMAL(38,0) — the metric-drift detector ("is this
+    * event type's value trending?"). Only the FINAL division touches
+    * doubles, with num/den exact integers on any engine, so the permille
+    * result is reproducible under any partitioning. Keys with a
+    * degenerate x spread (den = 0) report null slope.
+    *
+    * Scale: one pass for the per-key minimum (tiny, broadcast back), one
+    * partial-combined aggregate for the five sufficient statistics. */
+  def trendSlope(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val mins = df.groupBy(col(keyCol)).agg(min(col(xCol)).as("__x0"))
+    df.join(broadcast(mins), keyCol)
+      // DECIMAL(38,0) sums: x² per row fits a long, but a key's Σx² can
+      // pass 2^63 (a year of seconds squared × row count) and Spark's
+      // non-ANSI long sum would wrap SILENTLY — decimal keeps every
+      // statistic exact at any scale (DuckDB's SUM widens to HUGEINT on
+      // its own).
+      .withColumn("__x", (col(xCol) - col("__x0")).cast("decimal(38,0)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col(yCol)).as("__sy"),
+        sum(col("__x") * col(yCol)).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__num",
+        expr("CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy"))
+      .withColumn("__den",
+        expr("CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx"))
+      .select(col(keyCol), col("n"),
+        expr("CASE WHEN __den = 0 THEN NULL ELSE " +
+          "CAST(round(CAST(__num AS DOUBLE) * 1000000 / " +
+          "CAST(__den AS DOUBLE), 0) AS BIGINT) END").as("slope_micro"))
+  }
+
+  /** Out-of-orderness census — the watermark-tuning report for a stream:
+    * per key, how many events arrive with an event time older than the
+    * running maximum seen so far (in arrival order), and the worst
+    * lateness. `arrivalCols` must be a total order (ingest sequence,
+    * file+offset, event id). One window pass per key; lateness is exact
+    * integer time units. This is what you run BEFORE choosing a
+    * `withWatermark` delay. */
+  def disorderCensus(df: DataFrame, keyCol: String, tsCol: String,
+      arrivalCols: Seq[Column], lateThreshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(arrivalCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__hwm", max(col(tsCol)).over(w))
+      .withColumn("__late",
+        when(col("__hwm").isNotNull && col(tsCol) < col("__hwm"),
+          col("__hwm") - col(tsCol)).otherwise(lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        sum(when(col("__late") > lateThreshold, 1L).otherwise(0L))
+          .as("n_beyond_threshold"),
+        max(col("__late")).as("max_lateness"))
+  }
+
   /** Debounce: drop events closer than `minGap` (in `tsCol` units) to the
     * PREVIOUS event of the same key — duplicate-click / retry suppression.
     * One window pass = one shuffle on the key; `orderCols` must be a total

@@ -1192,6 +1192,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((2L, 3L)) === 4L) // 01 vs 1F = 4 bits, same band
   }
 
+  test("trendSlope: exact sufficient stats, degenerate spread yields null") {
+    import graft.operators.EventAnalytics
+    val df = Seq(("a", 100L, 0L), ("a", 101L, 10L), ("a", 102L, 20L),
+      ("b", 5L, 7L), ("b", 5L, 9L), ("c", 0L, 5L), ("c", 10L, 5L))
+      .toDF("k", "x", "y")
+    val got = EventAnalytics.trendSlope(df, "k", "x", "y")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "a" -> ((3L, Some(10000000L))), // slope 10/unit → 10M micro
+      "b" -> ((2L, None)),            // zero x spread → null
+      "c" -> ((2L, Some(0L)))))       // flat
+  }
+
+  test("disorderCensus: running high-water mark in arrival order") {
+    import graft.operators.EventAnalytics
+    // arrivals (id order) with ts 10,20,15,30,5: regressions at id 3
+    // (late 5) and id 5 (late 25); threshold 10 catches only the 25.
+    val df = Seq(("k", 10L, 1L), ("k", 20L, 2L), ("k", 15L, 3L),
+      ("k", 30L, 4L), ("k", 5L, 5L)).toDF("k", "t", "id")
+    val got = EventAnalytics.disorderCensus(df, "k", "t",
+        Seq(col("id")), lateThreshold = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(("k", 5L, 2L, 1L, 25L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
