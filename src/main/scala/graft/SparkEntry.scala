@@ -1152,6 +1152,37 @@ object SparkEntry {
         "src", "dst")
     }),
 
+    // REAL-data JSON extraction: events.props is a JSON payload column;
+    // per event type, stats over the extracted $.k (codegen'd
+    // get_json_object — the oracle cross-checks with an independent
+    // regexp extraction).
+    "props_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("n_distinct_k"),
+          max(col("k")).as("max_k"))),
+
+    // provenance of near-duplication: Jaccard pairs bucketed by their
+    // (source, source) pair — the "mirror site" census a curation
+    // pipeline uses to pick crawl roots to drop.
+    "cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 5, thresholdPermille = 100)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .groupBy(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // metric drift: OLS slope of value (cents) over time (seconds,
     // recentered) per event type — exact integer sufficient stats, one
     // double division at the end ([[EventAnalytics.trendSlope]]).
@@ -2387,6 +2418,39 @@ object SparkEntry {
         |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
         |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
         |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
+
+    "props_stats" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+        |      AS BIGINT) AS k
+        |  FROM events)
+        |SELECT et, COUNT(*) AS n, COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "cross_source_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100)
+        |SELECT least(da.source, db.source) AS s1,
+        |  greatest(da.source, db.source) AS s2,
+        |  COUNT(*) AS n_pairs
+        |FROM pr JOIN documents da ON pr.a = da.doc_id
+        |        JOIN documents db ON pr.b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "trend_slope" ->
       """WITH e AS (SELECT event_type AS et, epoch(ts)::BIGINT AS t_s,
