@@ -1203,6 +1203,43 @@ object SparkEntry {
           expr("ts DIV 1000").as("t_us"), col("event_id")),
         "et", "t_us", Seq(col("event_id")), lateThreshold = 300000000L)),
 
+    // CDC net-effect compaction: events re-read as a keyed changelog
+    // (op from a deterministic event_id residue), squashed to at most one
+    // downstream operation per user ([[Reconcile.compactChangelog]] —
+    // endpoints-only semantics, one partial-combined aggregate).
+    "cdc_compact" -> ((s, dir) =>
+      Reconcile.compactChangelog(
+        t(s, dir, "events").select(col("user_id"),
+          expr("CASE pmod(event_id, 7) WHEN 0 THEN 'D' WHEN 1 THEN 'I' " +
+            "ELSE 'U' END").as("op"),
+          cents(col("value")).as("v"),
+          col("ts"), col("event_id")),
+        "user_id", "op", "v", Seq(col("ts"), col("event_id")))),
+
+    // coverage census: each event opens a presence interval of
+    // 1..1800 s (deterministic in event_id); overlapping-or-touching
+    // intervals merge per user ([[EventAnalytics.mergeIntervals]] —
+    // prefix-max island detection, union measure in micros).
+    "interval_merge" -> ((s, dir) => {
+      val tus = expr("ts DIV 1000")
+      EventAnalytics.mergeIntervals(
+        t(s, dir, "events").select(col("user_id"), tus.as("t0"),
+          (tus + (pmod(col("event_id"), lit(1800L)) + lit(1L)) *
+            lit(1000000L)).as("t1"),
+          col("event_id")),
+        "user_id", "t0", "t1", Seq(col("event_id")))
+    }),
+
+    // momentum scorer: lag-1 serial correlation of value (cents) per
+    // event type under the (ts, event_id) total order
+    // ([[EventAnalytics.lagAutocorr]] — exact DECIMAL(38,0) sufficient
+    // stats, one double quantization to micros at the end).
+    "autocorr_lag" -> ((s, dir) =>
+      EventAnalytics.lagAutocorr(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          cents(col("value")).as("v"), col("ts"), col("event_id")),
+        "et", "v", Seq(col("ts"), col("event_id")))),
+
     // behavioral-diversity scorer: Shannon entropy of each user's
     // event-type mix, integer permille-nats
     // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
@@ -2469,6 +2506,74 @@ object SparkEntry {
         |        AS DOUBLE) * 1000000 /
         |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
         |        AS DOUBLE), 0) AS BIGINT) END AS slope_micro
+        |FROM st""".stripMargin,
+
+    "cdc_compact" ->
+      """WITH lg AS (SELECT user_id,
+        |    CASE event_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'I'
+        |      ELSE 'U' END AS op,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v, ts, event_id
+        |  FROM events),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rrn
+        |  FROM lg),
+        |a AS (SELECT user_id,
+        |    MAX(CASE WHEN rn = 1 THEN op END) AS fop,
+        |    MAX(CASE WHEN rrn = 1 THEN op END) AS lop,
+        |    MAX(CASE WHEN rrn = 1 THEN v END) AS lv,
+        |    COUNT(*) AS n_ops
+        |  FROM w GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN fop = 'I' THEN 'I' WHEN lop = 'D' THEN 'D'
+        |    ELSE 'U' END AS net_op,
+        |  CASE WHEN fop <> 'I' AND lop = 'D' THEN NULL ELSE lv END AS net_val,
+        |  n_ops
+        |FROM a WHERE NOT (fop = 'I' AND lop = 'D')""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + ((event_id % 1800) + 1) * 1000000 AS t1,
+        |    event_id
+        |  FROM events),
+        |x AS (SELECT *, MAX(t1) OVER (PARTITION BY user_id
+        |      ORDER BY t0, t1, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM iv),
+        |y AS (SELECT *,
+        |    CASE WHEN hwm IS NULL OR t0 > hwm THEN 1 ELSE 0 END AS nw
+        |  FROM x),
+        |z AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |      ORDER BY t0, t1, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM y),
+        |isl AS (SELECT user_id, island, MIN(t0) AS s, MAX(t1) AS e
+        |  FROM z GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered, MAX(e - s) AS longest
+        |FROM isl GROUP BY 1""".stripMargin,
+
+    "autocorr_lag" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v, ts, event_id
+        |  FROM events),
+        |p AS (SELECT et, lag(v) OVER (PARTITION BY et
+        |      ORDER BY ts, event_id) AS x, v AS y FROM e),
+        |q AS (SELECT * FROM p WHERE x IS NOT NULL),
+        |st AS (SELECT et, COUNT(*) AS n_pairs,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT et, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx = 0
+        |      OR n_pairs * syy - sy * sy = 0 THEN NULL ELSE
+        |    CAST(round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000 /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 0)
+        |      AS BIGINT) END AS corr_micro
         |FROM st""".stripMargin,
 
     "disorder_census" ->

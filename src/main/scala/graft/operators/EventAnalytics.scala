@@ -346,4 +346,87 @@ object EventAnalytics {
       .filter(col("__prev").isNull || col(tsCol) - col("__prev") >= minGap)
       .drop("__prev")
   }
+
+  /** Interval union-merge (gaps-and-islands over REAL [start, end)
+    * intervals, not point events — cf. [[graft.operators.Sessionize]] for
+    * the point form): per key, coalesce every overlapping-or-touching
+    * interval chain into one island and report the census — island count,
+    * total covered span (the measure of the union), and the longest
+    * island. This is uptime/coverage math: nested and staggered intervals
+    * collapse correctly because an island breaks only where a start
+    * strictly clears the running maximum of ALL previous ends, not just
+    * the previous row's end.
+    *
+    * Half-open semantics: [a,b) then [b,c) touch → one island (contiguous
+    * coverage, zero gap).
+    *
+    * Determinism: rows order by (start, end, orderCols); the prefix-max
+    * of ends is insensitive to tie order among equal (start, end) rows
+    * (they contribute identical ends), so the island ids — and everything
+    * derived — are partition-order independent.
+    *
+    * Scale shape: one window pass hashed on the key (the only data-sized
+    * shuffle — islands then collapse in a partial-combined aggregate that
+    * reuses the same hash partitioning). A single global sweep would be
+    * the range-partition prefix-sum shape instead
+    * ([[Transforms.orderedPrefixSum]]). */
+  def mergeIntervals(intervals: DataFrame, keyCol: String, startCol: String,
+      endCol: String, orderCols: Seq[Column]): DataFrame = {
+    val ord = (col(startCol) +: col(endCol) +: orderCols)
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .withColumn("__hwm", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__hwm").isNull || col(startCol) > col("__hwm"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("__s"), max(col(endCol)).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__e") - col("__s")).as("covered"),
+        max(col("__e") - col("__s")).as("longest"))
+  }
+
+  /** Lag-1 autocorrelation (serial correlation) per key — the "is this
+    * metric momentum or noise" scorer behind seasonality/trend triage.
+    * Pairs (vₜ₋₁, vₜ) form under the caller's total order; the Pearson
+    * correlation over those pairs is computed from exact integer
+    * sufficient stats (n, Σx, Σy, Σxy, Σx², Σy² in DECIMAL(38,0) — no
+    * float accumulation, so partial aggregation order can't perturb it),
+    * with ONE double expression at the end quantizing to integer micros.
+    * Same discipline as [[trendSlope]].
+    *
+    * Scale shape: one lag() window pass hashed on the key (the only
+    * data-sized shuffle), then a partial-combined aggregate over the
+    * pairs on the same key. */
+  def lagAutocorr(events: DataFrame, keyCol: String, valCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val dec = "DECIMAL(38,0)"
+    events
+      .withColumn("__x", lag(col(valCol), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col(valCol).cast(dec)).as("__sy"),
+        sum((col("__x") * col(valCol)).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum((col(valCol) * col(valCol)).cast(dec)).as("__syy"))
+      .withColumn("__num",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * __sxy - __sx * __sy"))
+      .withColumn("__dx",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * __sxx - __sx * __sx"))
+      .withColumn("__dy",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * __syy - __sy * __sy"))
+      .select(col(keyCol), col("n_pairs"),
+        expr("CASE WHEN __dx = 0 OR __dy = 0 THEN NULL ELSE " +
+          "CAST(round(CAST(__num AS DOUBLE) * 1000000 / " +
+          "(sqrt(CAST(__dx AS DOUBLE)) * sqrt(CAST(__dy AS DOUBLE))), 0) " +
+          "AS BIGINT) END").as("corr_micro"))
+  }
 }

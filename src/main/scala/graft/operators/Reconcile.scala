@@ -140,6 +140,44 @@ object Reconcile {
       .agg(sum(col("__n")).as(nCol), sum(col("__s")).as(sumCol))
       .filter(col(nCol) =!= 0L)
 
+  /** Net-effect changelog compaction (the CDC "squash" every log-shipping
+    * sync runs before applying a batch): a key touched many times within
+    * one batch applies as at most ONE operation downstream. With ops
+    * I(nsert)/U(pdate)/D(elete) under the caller's total order, only the
+    * batch's endpoints matter:
+    *
+    *   first I, last D → nothing   (created and destroyed inside the batch)
+    *   first I, last ¬D → I        (didn't exist before → net insert)
+    *   first ¬I, last D → D        (existed before → net delete)
+    *   first ¬I, last ¬D → U       (existed before and after → net update)
+    *
+    * carrying the LAST value for I/U and no value for D. This is the same
+    * contract a compacted Kafka topic / Debezium batch consumer applies.
+    *
+    * Scale shape: ONE partial-combined hash aggregate — first/last are
+    * `min_by`/`max_by` under the explicit total order, so each executor
+    * collapses its slice to one (first-op, last-op, last-value) triple per
+    * key before the only shuffle. Never a window sort over the log; the
+    * log's ops-per-key skew disappears map-side. */
+  def compactChangelog(log: DataFrame, keyCol: String, opCol: String,
+      valCol: String, orderCols: Seq[Column]): DataFrame = {
+    val ord = struct(orderCols: _*)
+    log.groupBy(col(keyCol))
+      .agg(min_by(col(opCol), ord).as("__first"),
+        max_by(col(opCol), ord).as("__last"),
+        max_by(col(valCol), ord).as("__lastv"),
+        count(lit(1)).as("n_ops"))
+      .withColumn("net_op",
+        when(col("__first") === "I" && col("__last") === "D", lit(null))
+          .when(col("__first") === "I", lit("I"))
+          .when(col("__last") === "D", lit("D"))
+          .otherwise(lit("U")))
+      .filter(col("net_op").isNotNull)
+      .select(col(keyCol), col("net_op"),
+        when(col("net_op") =!= "D", col("__lastv")).as("net_val"),
+        col("n_ops"))
+  }
+
   /** R5 — convergence check: a second diff immediately after commit must be
     * empty for node functions (reference `main.go:224-237`, `"commit
     * failed"`). Returns the non-empty-delta count (0 = converged). */

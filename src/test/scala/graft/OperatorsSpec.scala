@@ -1218,6 +1218,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === List(("k", 5L, 2L, 1L, 25L)))
   }
 
+  test("compactChangelog: endpoints-only net op, batch-born-and-dead drops") {
+    import graft.operators.Reconcile
+    // k1: I,U,U → net I with the last value; k2: U,D → net D, no value;
+    // k3: I,U,D → born and destroyed inside the batch, no output row;
+    // k4: D,I → existed before, exists after → net U with I's value;
+    // k5: lone U → net U.
+    val log = Seq(
+      ("k1", "I", 10L, 1L), ("k1", "U", 11L, 2L), ("k1", "U", 12L, 3L),
+      ("k2", "U", 20L, 1L), ("k2", "D", 0L, 2L),
+      ("k3", "I", 30L, 1L), ("k3", "U", 31L, 2L), ("k3", "D", 0L, 3L),
+      ("k4", "D", 0L, 1L), ("k4", "I", 40L, 2L),
+      ("k5", "U", 50L, 1L)).toDF("k", "op", "v", "seq")
+    val got = Reconcile.compactChangelog(log, "k", "op", "v", Seq(col("seq")))
+      .as[(String, String, Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "k1" -> (("I", Some(12L), 3L)),
+      "k2" -> (("D", None, 2L)),
+      "k4" -> (("U", Some(40L), 2L)),
+      "k5" -> (("U", Some(50L), 1L))))
+  }
+
+  test("mergeIntervals: staggered chains merge, touching merge, nesting absorbs") {
+    import graft.operators.EventAnalytics
+    // x: [0,10) [5,20) [20,30) chain into ONE island (overlap then touch),
+    //    [40,50) stands alone → 2 islands, covered 30+10, longest 30.
+    // y: [0,100) absorbs [10,20) and [30,40) even though [30,40) starts
+    //    after [10,20) ends — prefix-MAX, not previous row's end → 1 island.
+    val iv = Seq(("x", 0L, 10L, 1L), ("x", 5L, 20L, 2L), ("x", 20L, 30L, 3L),
+      ("x", 40L, 50L, 4L),
+      ("y", 0L, 100L, 1L), ("y", 10L, 20L, 2L), ("y", 30L, 40L, 3L))
+      .toDF("k", "t0", "t1", "id")
+    val got = EventAnalytics.mergeIntervals(iv, "k", "t0", "t1",
+        Seq(col("id")))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map("x" -> ((2L, 40L, 30L)), "y" -> ((1L, 100L, 100L))))
+  }
+
+  test("lagAutocorr: perfect trend = 1e6, alternation = -1e6, flat = null") {
+    import graft.operators.EventAnalytics
+    // up: strictly linear 1..5 → corr exactly +1 (micro 1000000);
+    // alt: 0,10,0,10,.. → consecutive pairs perfectly anti-correlated;
+    // flat: constant series → zero variance → NULL (not a crash or 0).
+    val e = (1L to 5L).map(i => ("up", i * 10L, i)) ++
+      (1L to 6L).map(i => ("alt", if (i % 2 == 0) 10L else 0L, i)) ++
+      (1L to 4L).map(i => ("flat", 7L, i))
+    val got = EventAnalytics.lagAutocorr(e.toDF("k", "v", "t"), "k", "v",
+        Seq(col("t")))
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "up" -> ((4L, Some(1000000L))),
+      "alt" -> ((5L, Some(-1000000L))),
+      "flat" -> ((3L, None))))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
