@@ -168,6 +168,34 @@ object SparkEntry {
       graft.operators.GraphAlgos.triangleCounts(g, "a", "b")
     }),
 
+    // cohesive-core extraction: bounded k-core peeling (k=15, 4 rounds —
+    // at sf0.01 the cascade 759→162→149 edges reaches its fixpoint inside
+    // the bound) over the same mod-300 interaction graph
+    // ([[GraphAlgos.kCore]]; oracle = the rounds unrolled as CTEs).
+    "kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      graft.operators.GraphAlgos.kCore(g, "a", "b", k = 15, rounds = 4)
+    }),
+
+    // neighborhood transitivity: local clustering coefficient per node in
+    // integer permille over the same graph
+    // ([[GraphAlgos.clusteringCoefficients]] — one materialized edge set
+    // feeds both the degree aggregate and the wedge-closing join).
+    "clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      graft.operators.GraphAlgos.clusteringCoefficients(g, "a", "b")
+    }),
+
     // Bounded multi-source BFS over the DIRECTED variant of the same
     // mod-300 interaction graph; sources = node ids ≡ 0 (mod 37), hop =
     // min #edges from any source capped at 4. The cap is what gives the
@@ -1823,6 +1851,59 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY id""".stripMargin,
+
+    "kcore" ->
+      """WITH g AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |u0 AS (SELECT a AS s, b AS d FROM g
+        |       UNION ALL SELECT b AS s, a AS d FROM g),
+        |k1 AS (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM u0 GROUP BY 1)
+        |       WHERE deg >= 15),
+        |u1 AS (SELECT u.s, u.d FROM u0 u
+        |       JOIN k1 x ON u.s = x.s JOIN k1 y ON u.d = y.s),
+        |k2 AS (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM u1 GROUP BY 1)
+        |       WHERE deg >= 15),
+        |u2 AS (SELECT u.s, u.d FROM u1 u
+        |       JOIN k2 x ON u.s = x.s JOIN k2 y ON u.d = y.s),
+        |k3 AS (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM u2 GROUP BY 1)
+        |       WHERE deg >= 15),
+        |u3 AS (SELECT u.s, u.d FROM u2 u
+        |       JOIN k3 x ON u.s = x.s JOIN k3 y ON u.d = y.s),
+        |k4 AS (SELECT s FROM (SELECT s, COUNT(*) AS deg FROM u3 GROUP BY 1)
+        |       WHERE deg >= 15),
+        |u4 AS (SELECT u.s, u.d FROM u3 u
+        |       JOIN k4 x ON u.s = x.s JOIN k4 y ON u.d = y.s)
+        |SELECT s AS id, COUNT(*) AS deg FROM u4 GROUP BY 1""".stripMargin,
+
+    "clustering_coeff" ->
+      """WITH g AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT a AS id FROM g UNION ALL SELECT b FROM g) GROUP BY 1),
+        |tri AS (
+        |  SELECT x.a AS a, x.b AS b, y.b AS c FROM g x
+        |  JOIN g y ON x.b = y.a
+        |  JOIN g z ON z.a = x.a AND z.b = y.b),
+        |tn AS (SELECT id, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN (2000 * COALESCE(t.n_tri, 0))
+        |    // (d.deg * (d.deg - 1)) ELSE 0 END AS coeff_permille
+        |FROM deg d LEFT JOIN tn t ON d.id = t.id""".stripMargin,
 
     // bounded BFS as a recursive CTE: UNION-distinct on (id, hop) pairs
     // + the hop < 4 guard make the recursion finite on the cyclic graph;

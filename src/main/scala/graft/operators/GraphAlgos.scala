@@ -224,6 +224,69 @@ object GraphAlgos {
       col("a").as("auth"))
   }
 
+  /** Bounded k-core peeling: repeatedly delete nodes of degree < k from
+    * the undirected graph; what survives `rounds` rounds is (converged or
+    * not — fixed rounds keep the result deterministic and give it an
+    * unrollable SQL twin, the same trade as [[pageRank]]) the cohesive
+    * core every fraud/community/robustness pipeline extracts first.
+    * Returns (id, deg) of surviving nodes with their within-core degree.
+    * Extra rounds past the fixpoint are no-ops, so `rounds` only needs to
+    * be an upper bound on the cascade depth.
+    *
+    * Per round: ONE hash aggregate for degrees, then two semi-joins
+    * filtering the edge list on surviving endpoints — all keyed on the
+    * node id, so a cluster run co-partitions every round; only (s, d)
+    * pairs ride the loop. The survivor set shrinks monotonically, so AQE
+    * flips the semi-joins to broadcasts as the core tightens. Lineage
+    * truncated per round like the other iterative ops. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds out of range")
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    var und = e.select(col("a").as("s"), col("b").as("d"))
+      .union(e.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("id"))
+        .localCheckpoint() // reused by BOTH semi-joins: build once
+      und = und
+        .join(keep.select(col("id").as("s")), Seq("s"), "left_semi")
+        .join(keep.select(col("id").as("d")), Seq("d"), "left_semi")
+        .localCheckpoint()
+    }
+    und.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Local clustering coefficient in integer permille: per node,
+    * 1000 · (closed wedges / all wedges) = 2000·triangles DIV deg·(deg−1),
+    * the "how clique-like is this node's neighborhood" score (transitivity
+    * census, spam-ring detection). Degree-<2 nodes score 0 by convention
+    * (no wedge to close). Exact integer floor math end to end.
+    *
+    * Scale shape: the canonical edge set materializes ONCE
+    * (`localCheckpoint`) and feeds both the degree aggregate and the
+    * wedge-closing triangle join ([[triangleCounts]]) — one scan, then
+    * everything hashes on node ids; the final join is |nodes|-sized
+    * against |triangle-bearing nodes| and AQE broadcasts the small side. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e, "a", "b").withColumnRenamed("id", "__tid")
+    deg.join(tri, col("id") === col("__tid"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("CASE WHEN deg >= 2 THEN (2000 * coalesce(n_tri, 0L)) " +
+          "DIV (deg * (deg - 1)) ELSE 0L END").as("coeff_permille"))
+  }
+
   /** Synchronous label propagation (community detection), fixed `rounds`:
     * every node starts labeled with its own id, and each round every node
     * simultaneously adopts the most frequent label among its neighbors

@@ -43,6 +43,39 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === got)
   }
 
+  test("kCore: pendant chain peels in cascade, K4 core survives") {
+    import graft.operators.GraphAlgos
+    // K4 on {1..4} plus a chain 4-5-6: k=2 peeling needs TWO rounds to
+    // clear the chain (6 falls first, exposing 5) — the cascade is the
+    // point. The K4 survives with within-core degree 3. Mixed directions
+    // and duplicate edges must be invisible.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val g = (k4 ++ Seq((4L, 5L), (5L, 6L)) ++ k4.map(_.swap)).toDF("s", "d")
+    val got = GraphAlgos.kCore(g, "s", "d", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round is NOT enough: 6 drops but 5 still shows (deg was 2)
+    val oneRound = GraphAlgos.kCore(g, "s", "d", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.contains(5L) && !oneRound.contains(6L))
+    // k above the max degree empties the graph
+    assert(GraphAlgos.kCore(g, "s", "d", k = 10, rounds = 2).isEmpty)
+  }
+
+  test("clusteringCoefficients: triangle=1000, star center=0, pendant=0") {
+    import graft.operators.GraphAlgos
+    // Triangle {1,2,3} with a pendant 3-4: nodes 1,2 have deg 2 and one
+    // closed wedge → 1000 permille; node 3 has deg 3, one triangle of
+    // the three wedges → 2000*1 DIV 6 = 333; node 4 deg 1 → 0.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = GraphAlgos.clusteringCoefficients(g, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1000L)), 2L -> ((2L, 1L, 1000L)),
+      3L -> ((3L, 1L, 333L)), 4L -> ((1L, 0L, 0L))))
+  }
+
   test("bigramTopK: adjacent pairs only, count ties broken by bigram") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
       .toDF("doc_id", "text")
