@@ -869,6 +869,38 @@ object SparkEntry {
           cents(col("l_extendedprice")).as("pc")),
         "flag", "pc", 0.05, 0.95)),
 
+    // mass-weighted robust center: exact lower weighted median of price
+    // cents, weighted by integer quantity, per return flag
+    // ([[Transforms.weightedMedian]] — one window pass, half-total test
+    // in exact integers).
+    "weighted_median" -> ((s, dir) =>
+      Transforms.weightedMedian(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber")),
+        "flag", "v", "w", Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    // sampling-plan quotas: a 10k-doc budget split across (source, lang)
+    // strata by largest-remainder apportionment — quotas sum EXACTLY to
+    // the budget ([[Transforms.largestRemainderApportion]]; windows run
+    // over the |strata|-row aggregate, never the corpus).
+    "apportion" -> ((s, dir) =>
+      Transforms.largestRemainderApportion(
+        t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("source", "lang"), "cnt", budget = 10000L)),
+
+    // inequality lens: Gini coefficient of order revenue per priority
+    // class, integer permille ([[Transforms.giniPermille]] — rank window
+    // + DECIMAL(38,0) sufficient stats, one floor division).
+    "gini_revenue" -> ((s, dir) =>
+      Transforms.giniPermille(
+        t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("v"), col("o_orderkey")),
+        "prio", "v", Seq(col("o_orderkey")))),
+
     // approximate-quantile tier (percentile_approx, accuracy 10000):
     // mergeable constant-size sketch state per group — the 100 TB path
     // where the exact tier's full-materialize-per-group doesn't fly.
@@ -2172,6 +2204,51 @@ object SparkEntry {
         |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(LEAST(GREATEST(pc, lo), hi)) AS BIGINT) AS sum_clamped
         |FROM f JOIN s USING (flag) GROUP BY 1""".stripMargin,
+
+    "weighted_median" ->
+      """WITH e AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (SELECT *,
+        |    SUM(w) OVER (PARTITION BY flag
+        |      ORDER BY v, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(w) OVER (PARTITION BY flag) AS totw
+        |  FROM e)
+        |SELECT flag, MIN(v) AS wmedian,
+        |  CAST(MAX(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw GROUP BY 1""".stripMargin,
+
+    "apportion" ->
+      """WITH s AS (SELECT source, lang, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |x AS (SELECT *, (SELECT SUM(cnt) FROM s) AS tot FROM s),
+        |y AS (SELECT source, lang, cnt,
+        |    (10000 * cnt) // tot AS base, (10000 * cnt) % tot AS rem
+        |  FROM x),
+        |z AS (SELECT *, 10000 - (SELECT SUM(base) FROM y) AS lft,
+        |    row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+        |  FROM y)
+        |SELECT source, lang, cnt,
+        |  CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM z""".stripMargin,
+
+    "gini_revenue" ->
+      """WITH e AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS v, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT prio, v, row_number() OVER (PARTITION BY prio
+        |    ORDER BY v, o_orderkey) AS i FROM e),
+        |st AS (SELECT prio, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS sv,
+        |    SUM(CAST(i AS HUGEINT) * v) AS siv
+        |  FROM r GROUP BY 1)
+        |SELECT prio, n,
+        |  CASE WHEN sv = 0 THEN NULL ELSE
+        |    CAST((2 * siv - (CAST(n AS HUGEINT) + 1) * sv) * 1000 //
+        |      (CAST(n AS HUGEINT) * sv) AS BIGINT) END AS gini_permille
+        |FROM st""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),

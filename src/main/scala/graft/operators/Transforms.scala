@@ -393,4 +393,89 @@ object Transforms {
         .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n"))
   }
+
+  /** Exact weighted median (lower form) per group: the smallest value v —
+    * under the (value, orderCols) total order — whose cumulative weight
+    * reaches half the group's total (2·cumw ≥ totw). The robust center a
+    * pipeline wants when rows carry unequal mass (docs weighted by token
+    * count, trades by size); reduces to the lower median at weight 1.
+    * Integer weights keep the ≥-half test exact — no float quantile.
+    *
+    * Determinism: cumw at equal values depends on the orderCols
+    * tiebreak, but the FIRST row to cross half within a run of equal
+    * values yields the same v for any tiebreak — the output is
+    * tie-order independent even though the internal prefix isn't.
+    *
+    * Scale shape: one window pass + one aggregate, both hashed on the
+    * group key (single data-sized shuffle, reused). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, orderCols: Seq[Column]): DataFrame = {
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy((col(valueCol) +: orderCols): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    df.withColumn("__cumw", sum(col(weightCol)).over(wCum))
+      .withColumn("__totw", sum(col(weightCol)).over(wTot))
+      .filter(col("__cumw") * 2 >= col("__totw"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("wmedian"),
+        max(col("__totw")).as("total_weight"))
+  }
+
+  /** Largest-remainder apportionment: split an integer budget across
+    * strata proportionally to `cntCol`, exactly — Σ allocations = budget,
+    * every stratum gets ⌊budget·cnt/total⌋, and the leftover units go to
+    * the largest fractional remainders (ties broken by the stratum key,
+    * so the split is deterministic). This is how a sampling plan turns
+    * "10k docs, proportional by (source, lang)" into per-stratum quotas
+    * that actually add up — plain rounding over- or under-shoots.
+    *
+    * Scale shape: runs on the ALREADY-AGGREGATED strata table (|strata|
+    * rows, not data) — the unpartitioned windows are over that tiny
+    * frame, the same posture as [[graft.SparkEntry]]'s corpus_drift. */
+  def largestRemainderApportion(counts: DataFrame, keyCols: Seq[String],
+      cntCol: String, budget: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy()
+      .orderBy((col("__rem").desc +: keys): _*)
+    counts
+      .withColumn("__tot", sum(col(cntCol)).over(wAll))
+      .withColumn("__base", expr(s"($budget * $cntCol) DIV __tot"))
+      .withColumn("__rem", expr(s"($budget * $cntCol) % __tot"))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(keys :+ col(cntCol) :+
+        (col("__base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).as("quota"): _*)
+  }
+
+  /** Gini concentration coefficient per group, integer permille: with
+    * values sorted ascending and ranked 1..n,
+    *
+    *   G = (2·Σ i·vᵢ − (n+1)·Σv) / (n·Σv)
+    *
+    * — 0 = perfectly equal, →1000 = one row holds everything. The
+    * inequality lens on revenue/traffic/token mass that decides "is this
+    * source dominated by a few documents". Σ i·vᵢ is tie-order exact
+    * (equal values swap identical contributions), DECIMAL(38,0) sums, one
+    * integer floor division at the end.
+    *
+    * Scale shape: one rank window + one aggregate, both hashed on the
+    * group key. */
+  def giniPermille(df: DataFrame, groupCol: String, valueCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((col(valueCol) +: orderCols): _*)
+    df.withColumn("__i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__sv"),
+        sum((col("__i") * col(valueCol)).cast("decimal(38,0)")).as("__siv"))
+      .select(col(groupCol), col("n"),
+        expr("CASE WHEN __sv = 0 THEN NULL ELSE CAST(" +
+          "(2 * __siv - (CAST(n AS DECIMAL(38,0)) + 1) * __sv) * 1000 DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * __sv) AS BIGINT) END")
+          .as("gini_permille"))
+  }
 }

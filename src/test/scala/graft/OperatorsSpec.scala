@@ -1308,6 +1308,55 @@ class OperatorsSpec extends AnyFunSuite {
       "flat" -> ((3L, None))))
   }
 
+  test("weightedMedian: half-total crossing, weight-1 = lower median") {
+    import graft.operators.Transforms
+    // a: v=1 w=1, v=2 w=1, v=3 w=10 → total 12, half 6 — only v=3's
+    // cumw (12) doubles past 12 ≥ 12 → median 3 (mass wins over count).
+    // b: weights all 1 over 1,2,3,4 → cumw*2 ≥ 4 first at v=2 (lower
+    // median of an even count).
+    val df = Seq(("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 3L, 10L, 3L),
+      ("b", 1L, 1L, 1L), ("b", 2L, 1L, 2L), ("b", 3L, 1L, 3L),
+      ("b", 4L, 1L, 4L)).toDF("g", "v", "w", "id")
+    val got = Transforms.weightedMedian(df, "g", "v", "w", Seq(col("id")))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((3L, 12L)), "b" -> ((2L, 4L))))
+  }
+
+  test("largestRemainderApportion: quotas sum exactly, remainders ranked") {
+    import graft.operators.Transforms
+    // counts 1,1,1 with budget 10: base 3 each, leftover 1 goes to the
+    // smallest key on the remainder tie → (a,b,c) = (4,3,3).
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "cnt")
+    val g1 = Transforms.largestRemainderApportion(even, Seq("k"), "cnt", 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(g1 === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // skewed: 5,3,2 over budget 7, total 10 → bases 3,2,1 (remainders
+    // 5,1,4), one left → +1 to a (largest remainder 5).
+    val skew = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "cnt")
+    val g2 = Transforms.largestRemainderApportion(skew, Seq("k"), "cnt", 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(g2 === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(g2.values.sum === 7L)
+  }
+
+  test("giniPermille: equal=0, degenerate concentration, zero-sum null") {
+    import graft.operators.Transforms
+    // eq: all equal → 0. conc: one row holds everything among 4 →
+    // G = (2·4·100 − 5·100)/(4·100) = 300/400 → 750. zero: Σv=0 → NULL.
+    val df = Seq(("eq", 5L, 1L), ("eq", 5L, 2L), ("eq", 5L, 3L),
+      ("conc", 0L, 1L), ("conc", 0L, 2L), ("conc", 0L, 3L),
+      ("conc", 100L, 4L),
+      ("zero", 0L, 1L), ("zero", 0L, 2L)).toDF("g", "v", "id")
+    val got = Transforms.giniPermille(df, "g", "v", Seq(col("id")))
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "eq" -> ((3L, Some(0L))),
+      "conc" -> ((4L, Some(750L))),
+      "zero" -> ((2L, None))))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
