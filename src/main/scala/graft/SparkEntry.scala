@@ -768,6 +768,13 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
 
+    // tokenizer-coverage check: per source, the share of token
+    // occurrences outside the corpus-wide top-50 vocabulary
+    // ([[TextAnalysis.oovRate]] — one tokenize pass into checkpointed
+    // counts, vocab broadcast back).
+    "oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "text", "source", 50)),
+
     "bigram_topk" -> ((s, dir) =>
       TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 50)),
 
@@ -1060,6 +1067,14 @@ object SparkEntry {
           expr("ts DIV 1000").as("t_us")),
         "user_id", "event_type", "t_us",
         Seq("view", "click", "purchase"))),
+
+    // bit-packed presence: per (user, 60-day bucket), activity days as
+    // one BIGINT bitmap + popcount ([[EventAnalytics.activityBitmap]] —
+    // a single bit_or aggregate; segmentation reads the mask, not events).
+    "activity_bitmap" -> ((s, dir) =>
+      EventAnalytics.activityBitmap(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        "user_id", expr("ts DIV 86400000000000"), bucketDays = 60)),
 
     // cohort retention grid ([[EventAnalytics.retentionCohorts]]): first
     // active day = cohort, exact distinct users per (cohort, age) cell.
@@ -1446,6 +1461,25 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
 
+    // MERGEABLE sketch rollup — the 100 TB distinct-count pattern: build
+    // a DataSketches HLL per event type ONCE, estimate each, and derive
+    // the all-types row by UNIONING THE SKETCHES (hll_union_agg) instead
+    // of re-scanning events. Rows-only (no SQL twin — see
+    // noOracleReason); OperatorsSpec pins merged-vs-direct equality and
+    // error vs exact.
+    "hll_rollup" -> ((s, dir) => {
+      val sk = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+        .localCheckpoint() // one sketch build feeds both levels
+      val per = sk.select(col("et"),
+        hll_sketch_estimate(col("__sk")).as("n_users_approx"))
+      val all = sk.agg(hll_union_agg(col("__sk")).as("__u"))
+        .select(lit("ALL").as("et"),
+          hll_sketch_estimate(col("__u")).as("n_users_approx"))
+      per.unionAll(all)
+    }),
+
     // sequence packing (concat-then-cut training layout): per-shard
     // running token count → (pack_id, pack_offset); shard = content-hash
     // split so each shard's order-window is bounded.
@@ -1793,7 +1827,14 @@ object SparkEntry {
       "estimates, so values are not SQL-reproducible by design. " +
       "OperatorsSpec bounds relative error vs exact COUNT(DISTINCT) on " +
       "the same data (rsd=0.02 → assert within 5%); the exact tier is " +
-      "oracle-green as distinct_agg."))
+      "oracle-green as distinct_agg."),
+    "hll_rollup" -> ("DataSketches HLL sketches (hll_sketch_agg / " +
+      "hll_union_agg) — DuckDB has no compatible sketch, so estimates " +
+      "are not SQL-reproducible by design. OperatorsSpec pins the " +
+      "property the query demonstrates: the union-merged rollup estimate " +
+      "EQUALS the direct single-sketch estimate over the same rows " +
+      "(mergeability), and both land within 5% of exact " +
+      "COUNT(DISTINCT). Exact tier = distinct_agg."))
 
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -2666,6 +2707,15 @@ object SparkEntry {
         |        AS DOUBLE), 0) AS BIGINT) END AS slope_micro
         |FROM st""".stripMargin,
 
+    "activity_bitmap" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT user_id, day // 60 AS bucket,
+        |    (1::BIGINT << CAST(day % 60 AS INTEGER)) AS bit FROM e)
+        |SELECT user_id, bucket, bit_or(bit) AS mask,
+        |  CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_active
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
     "cdc_compact" ->
       """WITH lg AS (SELECT user_id,
         |    CASE event_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'I'
@@ -3160,6 +3210,21 @@ object SparkEntry {
         | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
         |   '\s+')) AS w FROM documents)
         | GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin,
+
+    "oov_rate" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (
+        |    SELECT w, COUNT(*) AS n FROM tok GROUP BY 1
+        |    ORDER BY n DESC, w ASC LIMIT 50)),
+        |c AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c.n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c.n ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c.n ELSE 0 END) * 1000 //
+        |    SUM(c.n) AS BIGINT) AS oov_permille
+        |FROM c LEFT JOIN v ON c.w = v.w GROUP BY 1""".stripMargin,
 
     // bigrams via positional self-join in SQL (the engine builds them
     // array-side; same pairs either way)

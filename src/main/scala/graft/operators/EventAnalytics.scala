@@ -391,6 +391,30 @@ object EventAnalytics {
         max(col("__e") - col("__s")).as("longest"))
   }
 
+  /** Bit-packed presence bitmap: per (key, bucket of `bucketDays` days),
+    * a single BIGINT whose bit i records activity on day i of the bucket,
+    * plus the popcount = exact active-day count. 60 days of per-day
+    * presence collapse into 8 bytes — the layout trick behind fast
+    * "active N of last M days" segmentation at billions of users: one
+    * `bit_or` aggregate builds it, `bit_count` and mask tests answer
+    * every downstream question without re-touching events. Bits stay in
+    * 0..59, so the mask never reaches the sign bit (engine-portable).
+    *
+    * Scale shape: ONE partial-combined aggregate — bit_or partials are a
+    * single long per (key, bucket), so executors collapse before the only
+    * shuffle; no distinct, no window. */
+  def activityBitmap(events: DataFrame, keyCol: String, dayCol: Column,
+      bucketDays: Int = 60): DataFrame = {
+    require(bucketDays >= 1 && bucketDays <= 63,
+      s"bucketDays=$bucketDays must fit a BIGINT below the sign bit")
+    events.select(col(keyCol), dayCol.as("__day"))
+      .select(col(keyCol), expr(s"__day DIV $bucketDays").as("bucket"),
+        expr(s"shiftleft(1L, CAST(__day % $bucketDays AS INT))").as("__bit"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(expr("bit_or(__bit)").as("mask"))
+      .withColumn("n_active", expr("CAST(bit_count(mask) AS BIGINT)"))
+  }
+
   /** Lag-1 autocorrelation (serial correlation) per key — the "is this
     * metric momentum or noise" scorer behind seasonality/trend triage.
     * Pairs (vₜ₋₁, vₜ) form under the caller's total order; the Pearson

@@ -184,6 +184,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w").asc)
       .limit(k)
 
+  /** Out-of-vocabulary rate per group: the share of token OCCURRENCES not
+    * covered by the corpus-wide top-k vocabulary — the coverage check run
+    * before freezing a tokenizer or a stopword list ("how much of source X
+    * does a 50k vocab actually explain"). Integer permille.
+    *
+    * Scale shape: the corpus tokenizes ONCE into (group, token) counts
+    * (map-side combined, then checkpointed so neither consumer replays
+    * the explode — the [[sourceKeyness]] discipline); the vocabulary is a
+    * re-aggregate of those counts (`TakeOrderedAndProject`, never a
+    * global sort) and broadcasts back as a k-row build side. Only counts
+    * move after tokenization — token rows never shuffle twice. */
+  def oovRate(df: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val vocab = counts.groupBy(col("w")).agg(sum(col("__n")).as("__vn"))
+      .orderBy(col("__vn").desc, col("w").asc).limit(k)
+      .select(col("w"), lit(1).as("__in"))
+    counts.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 DIV n_tokens"))
+  }
+
   /** Global top-k bigrams (n-gram LM / boilerplate surfacing): adjacent
     * token pairs are built ARRAY-SIDE — `zip_with` over the two shifted
     * slices of the token array, fully codegen'd — so no positional

@@ -1357,6 +1357,51 @@ class OperatorsSpec extends AnyFunSuite {
       "zero" -> ((2L, None))))
   }
 
+  test("oovRate: occurrence-weighted, vocab ties break on token") {
+    // k=2 vocab over counts {a:3, b:2, c:2, z:1} → {a, b} (b beats c on
+    // the token tiebreak). src1 = "a a b c" → 1 OOV of 4 (250‰);
+    // src2 = "a z c" → 2 OOV of 3 (666‰ floored).
+    val docs = Seq((1L, "a a b c", "src1"), (2L, "a z c", "src2"),
+      (3L, "b", "src1")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.oovRate(docs, "text", "source", 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "src1" -> ((5L, 1L, 200L)), "src2" -> ((3L, 2L, 666L))))
+  }
+
+  test("activityBitmap: bucket boundary, bit 59, popcount") {
+    import graft.operators.EventAnalytics
+    // days 0, 59 land in bucket 0 at bits 0 and 59; day 60 opens bucket 1
+    // at bit 0; duplicate day 0 must not change the mask (bit_or).
+    val e = Seq((1L, 0L), (1L, 0L), (1L, 59L), (1L, 60L), (2L, 61L))
+      .toDF("u", "day")
+    val got = EventAnalytics.activityBitmap(e, "u", col("day"), 60)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (1L, 0L) -> ((1L | (1L << 59), 2L)),
+      (1L, 1L) -> ((1L, 1L)),
+      (2L, 1L) -> ((1L << 1, 1L))))
+  }
+
+  test("hll rollup: union-merged estimate = direct sketch, within 5% of exact") {
+    // The property hll_rollup demonstrates: merging per-group sketches
+    // gives EXACTLY the estimate a single sketch over all rows gives
+    // (mergeability — what makes the rollup free at 100 TB), and both
+    // track exact distinct within the sketch's error envelope.
+    val df = (1L to 2000L).map(i => (s"g${i % 4}", i % 701)).toDF("g", "v")
+    val merged = df.groupBy("g").agg(hll_sketch_agg(col("v")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("u"))
+      .select(hll_sketch_estimate(col("u"))).as[Long].first()
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"))))
+      .as[Long].first()
+    val exact = df.select(countDistinct(col("v"))).as[Long].first()
+    assert(merged === direct)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
