@@ -716,6 +716,16 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // vector compression layer: product-quantization codes — 4 subspaces
+    // × 8-centroid codebooks (subvectors of the 8 lowest-id vectors, the
+    // IVF deterministic-seed discipline), squared-L2 argmin in integer
+    // micros ([[Similarity.pqCodes]]).
+    "pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        dim = 64, nSub = 4, nCentroids = 8)),
+
     // ===== extensions: text analysis =====
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3159,6 +3169,23 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
 
     "ann_ivf" -> annIvfSql,
+
+    "pq_codes" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        |s AS (SELECT id, sub, v[sub*16+1 : sub*16+16] AS sv
+        |   FROM base CROSS JOIN (SELECT unnest([0,1,2,3]) AS sub)),
+        |e AS (SELECT id, sub, sv, list_dot_product(sv, sv) AS n2 FROM s),
+        |c AS (SELECT sub AS csub, id AS cid, sv AS cv, n2 AS cn2
+        |   FROM e WHERE id < 8),
+        |sc AS (SELECT e.id, e.sub, c.cid,
+        |    CAST(round((e.n2 - 2 * list_dot_product(e.sv, c.cv) + c.cn2)
+        |      * 1000.0, 0) AS BIGINT) AS dist_micro
+        |  FROM e JOIN c ON e.sub = c.csub)
+        |SELECT id, sub, cid AS code, dist_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id, sub
+        |    ORDER BY dist_micro ASC, cid ASC) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
 
     "ann_lsh" -> annLshSql,
 

@@ -275,4 +275,52 @@ object Similarity {
       .select(col("r1.q").as("a"), col("r1.n").as("b"),
         col("r1.cos_permille"))
   }
+
+  /** Product-quantization code assignment (Jégou et al., IEEE TPAMI 2011):
+    * split each `dim`-wide vector into `nSub` contiguous subvectors and
+    * assign each to its nearest codebook centroid by squared L2 — the
+    * compression layer under every billion-scale ANN index (a 64-dim
+    * float vector becomes `nSub` byte-ish codes; distance tables against
+    * the codebook replace full-vector math at query time).
+    *
+    * Codebook convention: the subvectors of the `nCentroids` lowest-id
+    * vectors (ids 0..nCentroids-1) — the same deterministic-seed
+    * discipline as the IVF tier, which is what makes an exact SQL twin
+    * possible. Distances quantize to integer micros (round half-up) with
+    * the lowest centroid id breaking ties, so the argmin is total.
+    *
+    * Scale shape: the codebook is nSub·nCentroids rows and BROADCASTS;
+    * the corpus explodes to nSub rows per vector (map-side, no shuffle),
+    * scores against the broadcast codebook, and the per-(id, sub) argmin
+    * is a `WindowGroupLimit`-capped rank — the corpus never shuffles for
+    * the join, only for the tiny final window on (id, sub). */
+  def pqCodes(vectors: DataFrame, dim: Int, nSub: Int,
+      nCentroids: Int): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0,
+      s"dim=$dim must split evenly into nSub=$nSub subvectors")
+    val w = dim / nSub
+    val base = vectors.select(col("id"),
+      col("vec").cast("array<double>").as("v"))
+    val subStructs = (0 until nSub).map { s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * w + 1, w).as("sv"))
+    }
+    val exploded = base
+      .select(col("id"), explode(array(subStructs: _*)).as("x"))
+      .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .withColumn("__n2", dot(col("sv"), col("sv")))
+    val cents = exploded.filter(col("id") < nCentroids)
+      .select(col("sub").as("csub"), col("id").as("cid"),
+        col("sv").as("cv"), col("__n2").as("cn2"))
+    val scored = exploded.join(broadcast(cents), col("sub") === col("csub"))
+      .withColumn("dist_micro",
+        round((col("__n2") - lit(2.0) * dot(col("sv"), col("cv"))
+          + col("cn2")) * lit(1000.0)).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sub"))
+      .orderBy(col("dist_micro").asc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("cid").as("code"),
+        col("dist_micro"))
+  }
 }

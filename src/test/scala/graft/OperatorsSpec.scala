@@ -1402,6 +1402,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"merged=$merged exact=$exact")
   }
 
+  test("pqCodes: per-subspace squared-L2 argmin, centroid-id tiebreak") {
+    import graft.operators.Similarity
+    // dim 4 split 2×2; codebook = vectors 0,1. v5's first half sits next
+    // to c1's, second half next to c0's — codes differ per subspace.
+    // v6 is EQUIDISTANT from both centroids in both subspaces → the
+    // lowest centroid id must win both.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 2f, 2f)),
+      (5L, Seq(0.9f, 0.9f, 0.1f, 0.1f)),
+      (6L, Seq(0.5f, 0.5f, 1f, 1f))).toDF("id", "vec")
+    val got = Similarity.pqCodes(vecs, dim = 4, nSub = 2, nCentroids = 2)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((5L, 0)) === 1L && got((5L, 1)) === 0L)
+    assert(got((6L, 0)) === 0L && got((6L, 1)) === 0L)
+    // codebook rows code to themselves at distance 0
+    assert(got((0L, 0)) === 0L && got((1L, 1)) === 1L)
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
