@@ -469,24 +469,30 @@ object Multimodal {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist: 8 bands are lossless only for d ≤ 7")
-    val v = hashes.select(
-      col(idCol).as("id") +:
-      expr(s"CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT)").as("hi") +:
-      expr(s"CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)").as("lo") +:
-      (0 until 8).map(b =>
-        expr(s"substring($hexCol, ${b * 2 + 1}, 2)").as(s"b$b")): _*)
-    val cand = (0 until 8).map { b =>
-      v.as("x").join(v.as("y"),
-          col(s"x.b$b") === col(s"y.b$b") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"),
-          col("x.hi").as("ahi"), col("x.lo").as("alo"),
-          col("y.hi").as("bhi"), col("y.lo").as("blo"))
-    }.reduce(_ union _).dropDuplicates("a", "b")
-    cand
-      .withColumn("hamming", expr(
-        "CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
+    // Materialize the (id, halves) table ONCE — it feeds both sides of the
+    // band join, and without this the whole upstream pipeline (decode +
+    // hash, the expensive part) replays per plan reference. 26 bytes/image.
+    val v = hashes.select(col(idCol).as("id"),
+        expr(s"CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT)").as("hi"),
+        expr(s"CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)").as("lo"),
+        array((0 until 8).map(b =>
+          expr(s"substring($hexCol, ${b * 2 + 1}, 2)")): _*).as("__bands"))
+      .localCheckpoint()
+    // Inverted-index form: ONE equi-join on the (band#, band-value) pair —
+    // not eight separate self-joins — and the exact Hamming test runs
+    // INSIDE the join before anything is materialized, so only true
+    // near-dups (not the ~|bucket|²/2 candidate flood, measured 1.5M pairs
+    // vs 288 survivors at sf0.1) reach the final pair-dedup shuffle.
+    val inv = v.select(col("id"), col("hi"), col("lo"),
+      posexplode(col("__bands")).as(Seq("bno", "bv")))
+    inv.as("x").join(inv.as("y"),
+        col("x.bno") === col("y.bno") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), expr(
+        "CAST(bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) AS BIGINT)")
+        .as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select("a", "b", "hamming")
+      .dropDuplicates("a", "b")
   }
 
   /** ===== STUB feature extraction =====
