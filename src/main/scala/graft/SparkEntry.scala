@@ -1325,6 +1325,39 @@ object SparkEntry {
           cents(col("value")).as("v"), col("ts"), col("event_id")),
         "et", "v", Seq(col("ts"), col("event_id")))),
 
+    // engagement streaks: distinct active days + longest consecutive-day
+    // run per user ([[EventAnalytics.streakCensus]] — rank-difference
+    // islands over the distinct (user, day) grid).
+    "streak_census" -> ((s, dir) =>
+      EventAnalytics.streakCensus(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        "user_id", expr("ts DIV 86400000000000"))),
+
+    // distribution-drift alarm: exact two-sample KS statistic of each
+    // event type's value distribution vs the pooled rest, D in integer
+    // micros via cross-multiplication ([[EventAnalytics.ksDrift]] — raw
+    // rows collapse to (group, value) counts before any window).
+    "ks_drift" -> ((s, dir) =>
+      EventAnalytics.ksDrift(
+        t(s, dir, "events").select(col("event_type").as("et"),
+          cents(col("value")).as("v")),
+        "et", "v")),
+
+    // fraud-lens digit census: first significant digit of order totals
+    // (cents) vs the Benford expectation — shares in integer permille,
+    // the 9-row expectation table inlined identically on both sides.
+    "benford_digits" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(expr("CAST(substring(CAST(" +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) " +
+          "AS INT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share_permille", expr(
+          "n * 1000 DIV sum(n) OVER ()"))
+        .withColumn("benford_permille", expr(
+          "element_at(map(1, 301L, 2, 176L, 3, 125L, 4, 97L, 5, 79L, " +
+          "6, 67L, 7, 58L, 8, 51L, 9, 46L), digit)"))),
+
     // behavioral-diversity scorer: Shannon entropy of each user's
     // event-type mix, integer permille-nats
     // ([[EventAnalytics.distributionEntropy]]; same quantized-ln
@@ -2716,6 +2749,57 @@ object SparkEntry {
         |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
         |        AS DOUBLE), 0) AS BIGINT) END AS slope_micro
         |FROM st""".stripMargin,
+
+    "streak_census" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS isl FROM d),
+        |l AS (SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |  MAX(len) AS longest_streak
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "ks_drift" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+        |c AS (SELECT et, v, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |g AS (SELECT et, SUM(cnt) AS ng FROM c GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS n FROM c),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |pv AS (SELECT v, SUM(cnt) AS cv FROM c GROUP BY 1),
+        |grid AS (SELECT g.et, g.ng, t.n, vals.v,
+        |    COALESCE(c.cnt, 0) AS cg, pv.cv
+        |  FROM g CROSS JOIN t CROSS JOIN vals
+        |  LEFT JOIN c ON c.et = g.et AND c.v = vals.v
+        |  JOIN pv ON pv.v = vals.v),
+        |cum AS (SELECT et, ng, n, v,
+        |    SUM(cg) OVER (PARTITION BY et ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumg,
+        |    SUM(cv - cg) OVER (PARTITION BY et ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumr
+        |  FROM grid),
+        |x AS (SELECT et, MAX(ng) AS ng, MAX(n - ng) AS nr,
+        |    MAX(ABS(cumg * (n - ng) - cumr * ng)) AS dmax
+        |  FROM cum GROUP BY 1)
+        |SELECT et, CAST(ng AS BIGINT) AS n_g, CAST(nr AS BIGINT) AS n_rest,
+        |  CAST(dmax * 1000000 // (ng * nr) AS BIGINT) AS d_micro
+        |FROM x""".stripMargin,
+
+    "benford_digits" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit FROM v),
+        |n AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(n * 1000 // (SELECT SUM(n) FROM n) AS BIGINT)
+        |    AS share_permille,
+        |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 ELSE 46 END AS BIGINT) AS benford_permille
+        |FROM n""".stripMargin,
 
     "activity_bitmap" ->
       """WITH e AS (SELECT user_id,

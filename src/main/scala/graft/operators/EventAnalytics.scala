@@ -415,6 +415,71 @@ object EventAnalytics {
       .withColumn("n_active", expr("CAST(bit_count(mask) AS BIGINT)"))
   }
 
+  /** Consecutive-day streak census: per key, the number of distinct
+    * active days and the longest run of consecutive days — the
+    * "7-day streak" engagement feature. Classic rank-difference islands:
+    * over the per-key DISTINCT day list, `day − row_number()` is constant
+    * exactly within a consecutive run, so one window pass + two
+    * aggregates finish the job. (Contrast [[mergeIntervals]], which
+    * islands REAL intervals via prefix-max — points on an integer grid
+    * don't need it.)
+    *
+    * Scale shape: the distinct collapses (key, day) pairs map-side; the
+    * window and both aggregates all hash on the key — one data-sized
+    * shuffle of (key, day) pairs only. */
+  def streakCensus(events: DataFrame, keyCol: String,
+      dayCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    events.select(col(keyCol), dayCol.as("__day")).distinct()
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_days"),
+        max(col("__len")).as("longest_streak"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic, exact integers: for
+    * each group g, the maximum CDF gap between g's value distribution and
+    * the pooled REST, as D·10⁶ via cross-multiplication —
+    *
+    *   D_micro = max over v of |cum_g(v)·n_rest − cum_rest(v)·n_g|
+    *             · 1000000 DIV (n_g·n_rest)
+    *
+    * — no float CDFs, so the result is bit-identical on any engine. This
+    * is the train/serve-skew alarm: "does event type X's value
+    * distribution still look like everything else's".
+    *
+    * Scale shape: raw rows collapse to (group, value) counts FIRST (one
+    * partial-combined aggregate — the only data-sized shuffle); the CDF
+    * grid is |groups| × |distinct values| (an explicit cross of two
+    * already-small frames), and the prefix/max windows run per group on
+    * that grid, never on raw rows. */
+  def ksDrift(events: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val counts = events.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    val values = counts.select(col(valCol)).distinct()
+    val groups = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ng"))
+    val total = counts.agg(sum(col("__c")).as("__n")).select(col("__n"))
+    val grid = groups.crossJoin(broadcast(total)).crossJoin(values)
+      .join(counts, Seq(groupCol, valCol), "left")
+      .withColumn("__cg", coalesce(col("__c"), lit(0L)))
+    val perV = counts.groupBy(col(valCol)).agg(sum(col("__c")).as("__cv"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(perV), valCol)
+      .withColumn("__cumg", sum(col("__cg")).over(w))
+      .withColumn("__cumr", sum(col("__cv") - col("__cg")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ng")).as("n_g"),
+        max(col("__n") - col("__ng")).as("n_rest"),
+        max(abs(col("__cumg") * (col("__n") - col("__ng"))
+          - col("__cumr") * col("__ng"))).as("__dmax"))
+      .select(col(groupCol), col("n_g"), col("n_rest"),
+        expr("__dmax * 1000000 DIV (n_g * n_rest)").as("d_micro"))
+  }
+
   /** Lag-1 autocorrelation (serial correlation) per key — the "is this
     * metric momentum or noise" scorer behind seasonality/trend triage.
     * Pairs (vₜ₋₁, vₜ) form under the caller's total order; the Pearson

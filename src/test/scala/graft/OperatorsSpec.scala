@@ -1422,6 +1422,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((0L, 0)) === 0L && got((1L, 1)) === 1L)
   }
 
+  test("streakCensus: rank-difference islands, duplicate days collapse") {
+    import graft.operators.EventAnalytics
+    // u1 active on days 1,2,3,7,8 (day 2 twice) → 5 distinct days,
+    // longest streak 3. u2: single day → streak 1.
+    val e = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L),
+      (2L, 40L)).toDF("u", "day")
+    val got = EventAnalytics.streakCensus(e, "u", col("day"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((5L, 3L)), 2L -> ((1L, 1L))))
+  }
+
+  test("ksDrift: disjoint supports = 1e6, identical mix = 0") {
+    import graft.operators.EventAnalytics
+    // a's values {1,2} vs rest c's {10,11}: disjoint supports → D = 1.
+    // b and its rest (a∪c shifted): craft b's distribution IDENTICAL to
+    // the pooled rest → D = 0: give every group the same values {1,2}.
+    val disjoint = (Seq(("a", 1L), ("a", 2L)) ++
+      Seq(("c", 10L), ("c", 11L))).toDF("g", "v")
+    val d1 = EventAnalytics.ksDrift(disjoint, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(d1 === Map("a" -> 1000000L, "c" -> 1000000L))
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L),
+      ("c", 1L), ("c", 2L)).toDF("g", "v")
+    val d0 = EventAnalytics.ksDrift(same, "g", "v")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(d0 === Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
