@@ -182,6 +182,19 @@ object SparkEntry {
       graft.operators.GraphAlgos.kCore(g, "a", "b", k = 15, rounds = 4)
     }),
 
+    // hub-mixing diagnostic: degree assortativity (Pearson r over edge
+    // endpoint degrees, both orientations) of the same graph, integer
+    // micros ([[GraphAlgos.degreeAssortativity]]).
+    "assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      graft.operators.GraphAlgos.degreeAssortativity(g, "a", "b")
+    }),
+
     // neighborhood transitivity: local clustering coefficient per node in
     // integer permille over the same graph
     // ([[GraphAlgos.clusteringCoefficients]] — one materialized edge set
@@ -784,6 +797,22 @@ object SparkEntry {
     // counts, vocab broadcast back).
     "oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "text", "source", 50)),
+
+    // grade-level readability: Automated Readability Index per source in
+    // integer centi-points from exact (chars, words, sentences) sums
+    // ([[TextAnalysis.readability]] — one partial-combined aggregate).
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "text", "source")),
+
+    // contrastive pair mining: hardest positive / hardest negative cosine
+    // per anchor over the labeled embedding corpus, margin < 0 flags
+    // label noise ([[Similarity.tripletMargins]] — anchors broadcast,
+    // corpus streams once, collapses in the same pass).
+    "triplet_margins" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      Similarity.tripletMargins(emb.filter(col("id") % 5 === 0), emb)
+    }),
 
     "bigram_topk" -> ((s, dir) =>
       TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 50)),
@@ -1967,6 +1996,65 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY id""".stripMargin,
+
+    "readability" ->
+      """WITH d AS (SELECT source,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS c,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(c) AS BIGINT) AS n_chars,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(s) AS BIGINT) AS n_sentences,
+        |  CAST(round((4.71 * SUM(c) / SUM(w) +
+        |    0.5 * SUM(w) / SUM(s) - 21.43) * 100, 0) AS BIGINT) AS ari_centi
+        |FROM d WHERE w > 0 GROUP BY 1""".stripMargin,
+
+    "triplet_margins" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label FROM embeddings),
+        |n AS (SELECT id, v, label, list_dot_product(v, v) AS n2 FROM base),
+        |a AS (SELECT id AS aid, v AS av, label AS alabel, n2 AS an2
+        |  FROM n WHERE id % 5 = 0),
+        |c AS (SELECT id AS cid, v AS cv, label AS clabel, n2 AS cn2 FROM n),
+        |p AS (SELECT aid, alabel, (alabel = clabel) AS same,
+        |    CAST(round(list_dot_product(av, cv) / (sqrt(an2) * sqrt(cn2))
+        |      * 1000.0, 0) AS BIGINT) AS cos
+        |  FROM a JOIN c ON aid <> cid)
+        |SELECT aid, alabel AS label,
+        |  MIN(CASE WHEN same THEN cos END) AS hard_pos_permille,
+        |  MAX(CASE WHEN NOT same THEN cos END) AS hard_neg_permille,
+        |  MIN(CASE WHEN same THEN cos END)
+        |    - MAX(CASE WHEN NOT same THEN cos END) AS margin_permille
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "assortativity" ->
+      """WITH g AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT a AS id FROM g UNION ALL SELECT b FROM g) GROUP BY 1),
+        |wd AS (SELECT da.deg AS da, db.deg AS db FROM g
+        |  JOIN deg da ON g.a = da.id JOIN deg db ON g.b = db.id),
+        |p AS (SELECT da AS x, db AS y FROM wd
+        |      UNION ALL SELECT db, da FROM wd),
+        |st AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM p)
+        |SELECT n AS n_ends,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(n AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+        |      * 1000000 /
+        |      CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 0)
+        |      AS BIGINT) END AS r_micro
+        |FROM st""".stripMargin,
 
     "kcore" ->
       """WITH g AS (

@@ -276,6 +276,43 @@ object Similarity {
         col("r1.cos_permille"))
   }
 
+  /** Triplet margin mining over a labeled embedding corpus: per anchor,
+    * the HARDEST positive (lowest cosine among same-label vectors) and
+    * HARDEST negative (highest cosine among other-label vectors), plus
+    * the margin between them — the pair-mining pass that feeds
+    * contrastive/triplet training, and (when the margin goes negative)
+    * the standard label-noise detector. Cosines quantize to integer
+    * permille (the [[cosinePermille]] discipline) so results are
+    * engine-exact.
+    *
+    * Scale shape: the brute-force tier — anchors BROADCAST (they are the
+    * caller-bounded side), the corpus streams past them with one dot
+    * product per (anchor, vector) pair and collapses in the same pass to
+    * one row per anchor via conditional min/max partial aggregation:
+    * nothing but the final |anchors|-row table ever shuffles. At extreme
+    * corpus sizes the LSH-bucketed candidate path ([[annTopK]]) swaps in
+    * above the same aggregate. */
+  def tripletMargins(anchors: DataFrame, corpus: DataFrame): DataFrame = {
+    val a = broadcast(anchors.select(col("id").as("aid"),
+        col("vec").cast("array<double>").as("av"),
+        col("label").as("alabel"))
+      .withColumn("an2", dot(col("av"), col("av"))))
+    val c = Transforms.rebalanceIfNarrow(
+        corpus.select(col("id").as("cid"),
+          col("vec").cast("array<double>").as("cv"),
+          col("label").as("clabel")), col("cid"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    c.join(a, col("aid") =!= col("cid"))
+      .select(col("aid"), col("alabel").as("label"),
+        (col("alabel") === col("clabel")).as("__same"),
+        cosFromN2(col("av"), col("an2"), col("cv"), col("cn2")).as("__cos"))
+      .groupBy(col("aid"), col("label"))
+      .agg(min(when(col("__same"), col("__cos"))).as("hard_pos_permille"),
+        max(when(!col("__same"), col("__cos"))).as("hard_neg_permille"))
+      .withColumn("margin_permille",
+        col("hard_pos_permille") - col("hard_neg_permille"))
+  }
+
   /** Product-quantization code assignment (Jégou et al., IEEE TPAMI 2011):
     * split each `dim`-wide vector into `nSub` contiguous subvectors and
     * assign each to its nearest codebook centroid by squared L2 — the

@@ -211,6 +211,39 @@ object TextAnalysis {
       .withColumn("oov_permille", expr("n_oov * 1000 DIV n_tokens"))
   }
 
+  /** Corpus readability (Automated Readability Index) per group, in
+    * integer centi-points: per document, exact (non-space chars, words,
+    * sentence-boundary runs) counts; per group, their sums feed the ARI
+    * formula
+    *
+    *   4.71·chars/words + 0.5·words/sentences − 21.43
+    *
+    * as ONE double expression quantized to centi-points — the
+    * grade-level lens a curation pipeline uses alongside
+    * [[qualityExprs quality scoring]]. Sentence runs count non-empty
+    * [.!?]+ matches with a floor of 1 per document (headlines et al.),
+    * so the denominator never zeroes; documents with no words are
+    * excluded from the group sums (they have no defined grade).
+    *
+    * Scale shape: counts are codegen'd per-row projections; ONE
+    * partial-combined aggregate per group — no token rows ever move. */
+  def readability(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val chars = length(regexp_replace(col(textCol), "\\s", ""))
+    val words = tokenCount(col(textCol))
+    val sentences = greatest(
+      expr(s"regexp_count($textCol, '[.!?]+')"), lit(1))
+    df.select(col(groupCol), chars.cast("long").as("__c"),
+        words.cast("long").as("__w"), sentences.cast("long").as("__s"))
+      .filter(col("__w") > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_chars"),
+        sum(col("__w")).as("n_words"), sum(col("__s")).as("n_sentences"))
+      .withColumn("ari_centi", expr(
+        "CAST(round((4.71 * n_chars / n_words + " +
+        "0.5 * n_words / n_sentences - 21.43) * 100, 0) AS BIGINT)"))
+  }
+
   /** Global top-k bigrams (n-gram LM / boilerplate surfacing): adjacent
     * token pairs are built ARRAY-SIDE — `zip_with` over the two shifted
     * slices of the token array, fully codegen'd — so no positional

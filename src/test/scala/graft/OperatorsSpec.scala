@@ -1452,6 +1452,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d0 === Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
   }
 
+  test("readability: exact counts, sentence floor, wordless docs excluded") {
+    // "Go now. Stop!" → 11 non-space chars, 3 words, 2 sentence runs.
+    // "abc" → no terminator → sentence floor 1.
+    // group g1: c=11+3=14, w=3+1=4, s=2+1=3 →
+    // 4.71*14/4 + 0.5*4/3 - 21.43 = 16.485+0.66667-21.43 = -4.27833 →
+    // ari_centi = -428.
+    val docs = Seq((1L, "Go now. Stop!", "g1"), (2L, "abc", "g1"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.readability(docs, "text", "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(got === (("g1", 2L, 14L, 4L, 3L, -428L)))
+  }
+
+  test("degreeAssortativity: star = -1e6, regular graph undefined") {
+    import graft.operators.GraphAlgos
+    // Star K1,3: every edge joins deg-3 hub to deg-1 leaf → perfect
+    // disassortativity, r = -1 exactly (micro -1000000).
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val rs = GraphAlgos.degreeAssortativity(star, "s", "d")
+      .as[(Long, Option[Long])].collect().head
+    assert(rs === ((6L, Some(-1000000L))))
+    // Cycle C4: all degrees 2 → zero variance → NULL, not a crash.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rc = GraphAlgos.degreeAssortativity(cyc, "s", "d")
+      .as[(Long, Option[Long])].collect().head
+    assert(rc === ((8L, None)))
+  }
+
+  test("tripletMargins: hardest pos is the far same-label, negative margin flags noise") {
+    import graft.operators.Similarity
+    // Label A points cluster at x-axis except a3 which sits ON the B
+    // cluster (y-axis): a1's hardest positive is a3 (cos 0), hardest
+    // negative is b1 (cos 0)... use distinct angles for strict order:
+    // a1=(1,0), a2=(0.9,0.1), a3=(0,1) [mislabeled], b1=(0.1,0.9).
+    // a1: pos cands {a2: ~0.993, a3: 0} → hard_pos 0; neg {b1: ~0.110}
+    // → margin 0 - 110 < 0 → flags the noise.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 1), (5L, Seq(0.9f, 0.1f), 1),
+      (10L, Seq(0f, 1f), 1), (15L, Seq(0.1f, 0.9f), 2))
+      .toDF("id", "vec", "label")
+    val got = Similarity.tripletMargins(vecs.filter(col("id") === 0), vecs)
+      .as[(Long, Int, Long, Long, Long)].collect().head
+    assert(got._1 === 0L && got._3 === 0L)
+    assert(got._4 === 110L && got._5 === -110L)
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
