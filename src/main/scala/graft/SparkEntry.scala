@@ -1354,6 +1354,24 @@ object SparkEntry {
           cents(col("value")).as("v"), col("ts"), col("event_id")),
         "et", "v", Seq(col("ts"), col("event_id")))),
 
+    // growth accounting: per active day, distinct actives, first-time
+    // users, and the running ever-seen total
+    // ([[EventAnalytics.cumulativeUsers]] — prefix sum of per-day
+    // new-user counts, no distinct-over-window).
+    "cumulative_users" -> ((s, dir) =>
+      EventAnalytics.cumulativeUsers(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        "user_id", expr("ts DIV 86400000000000"))),
+
+    // sequence mining: top-20 event-type trigrams across user timelines
+    // ([[EventAnalytics.pathTrigrams]] — array-side trigram build under
+    // a total order, no positional self-join).
+    "path_trigrams" -> ((s, dir) =>
+      EventAnalytics.pathTrigrams(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        "user_id", "event_type", Seq(col("ts"), col("event_id")), 20)),
+
     // engagement streaks: distinct active days + longest consecutive-day
     // run per user ([[EventAnalytics.streakCensus]] — rank-difference
     // islands over the distinct (user, day) grid).
@@ -2837,6 +2855,28 @@ object SparkEntry {
         |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
         |        AS DOUBLE), 0) AS BIGINT) END AS slope_micro
         |FROM st""".stripMargin,
+
+    "cumulative_users" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS fday FROM d GROUP BY 1),
+        |nu AS (SELECT fday AS day, COUNT(*) AS n_new FROM f GROUP BY 1),
+        |na AS (SELECT day, COUNT(*) AS n_active FROM d GROUP BY 1)
+        |SELECT na.day, na.n_active, COALESCE(nu.n_new, 0) AS n_new,
+        |  CAST(SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY na.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM na LEFT JOIN nu ON na.day = nu.day""".stripMargin,
+
+    "path_trigrams" ->
+      """WITH w AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1 || ' ' || e2 || ' ' || e3 AS trigram, COUNT(*) AS n
+        |FROM w WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
 
     "streak_census" ->
       """WITH d AS (SELECT DISTINCT user_id,

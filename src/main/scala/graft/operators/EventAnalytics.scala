@@ -391,6 +391,63 @@ object EventAnalytics {
         max(col("__e") - col("__s")).as("longest"))
   }
 
+  /** Cumulative audience growth: per active day, the distinct actives,
+    * the first-time entities (new users), and the running total of
+    * everyone ever seen — the growth-accounting triple (new vs returning
+    * vs cumulative) behind every "users over time" chart. The cumulative
+    * count needs NO giant distinct-over-window: each entity contributes
+    * once at its first-seen day, so the running total is a prefix sum of
+    * per-day new-user counts.
+    *
+    * Scale shape: (key, day) pairs collapse map-side; first-seen is one
+    * hash aggregate on the entity key; everything after runs on
+    * |days|-row frames (the only window is over that tiny frame). */
+  def cumulativeUsers(events: DataFrame, keyCol: String,
+      dayCol: Column): DataFrame = {
+    val d = events.select(col(keyCol).as("__k"), dayCol.as("day")).distinct()
+    val firstSeen = d.groupBy(col("__k")).agg(min(col("day")).as("__fday"))
+    val newbies = firstSeen.groupBy(col("__fday").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val actives = d.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    actives.join(newbies, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Top-k behavioral path trigrams: the most common length-3 event-type
+    * sequences across per-entity timelines — the sequence-mining census
+    * ("view→click→purchase beats view→view→bounce?") that next-action
+    * models and UX funnels start from. Each entity's timeline sorts
+    * ARRAY-SIDE under the (orderCols, type) total order (`array_sort`
+    * makes the `collect_list` partition-order immune), trigrams build via
+    * two fused `zip_with` passes — no positional self-join, no per-event
+    * window — and only (trigram, partial count) pairs shuffle into the
+    * final `TakeOrderedAndProject` top-k (count desc, trigram asc).
+    *
+    * Bounded-timeline contract: per-entity event counts must fit an
+    * executor row (same contract as `group_state`/`pack_sequences`); the
+    * window-lead formulation trades that bound for a per-event sort. */
+  def pathTrigrams(events: DataFrame, keyCol: String, typeCol: String,
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val arr = array_sort(collect_list(struct(orderCols :+ col(typeCol): _*)))
+    val types = transform(col("__arr"), x => x.getField(typeCol))
+    val n2 = greatest(size(col("__types")) - 2, lit(0))
+    events.groupBy(col(keyCol)).agg(arr.as("__arr"))
+      .withColumn("__types", types)
+      .withColumn("__tri", zip_with(
+        zip_with(slice(col("__types"), lit(1), n2),
+          slice(col("__types"), lit(2), n2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("__types"), lit(3), n2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .select(explode(col("__tri")).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(k)
+  }
+
   /** Bit-packed presence bitmap: per (key, bucket of `bucketDays` days),
     * a single BIGINT whose bit i records activity on day i of the bucket,
     * plus the popcount = exact active-day count. 60 days of per-day

@@ -1498,6 +1498,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got._4 === 110L && got._5 === -110L)
   }
 
+  test("cumulativeUsers: new vs returning vs ever-seen, day gaps skip") {
+    import graft.operators.EventAnalytics
+    // day 1: u1,u2 (both new). day 3: u1 (returning), u3 (new).
+    // day 7: u2 only → actives 1, new 0, cum stays 3.
+    val e = Seq((1L, 1L), (2L, 1L), (1L, 3L), (3L, 3L), (2L, 7L), (2L, 7L))
+      .toDF("u", "day")
+    val got = EventAnalytics.cumulativeUsers(e, "u", col("day"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 2L)), 3L -> ((2L, 1L, 3L)), 7L -> ((1L, 0L, 3L))))
+  }
+
+  test("pathTrigrams: order by (t, id), no cross-user trigrams, tie order") {
+    import graft.operators.EventAnalytics
+    // u1 timeline a,b,a,b → trigrams "a b a", "b a b". u2: a,b (too
+    // short, contributes nothing). Out-of-order input rows must not
+    // matter (array_sort, not collect order).
+    val e = Seq((1L, "a", 3L, 3L), (1L, "b", 4L, 4L), (1L, "a", 1L, 1L),
+      (1L, "b", 2L, 2L), (2L, "a", 1L, 1L), (2L, "b", 2L, 2L))
+      .toDF("u", "et", "t", "id")
+    val got = EventAnalytics.pathTrigrams(e, "u", "et",
+        Seq(col("t"), col("id")), 10)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("a b a", 1L), ("b a b", 1L)))
+  }
+
   test("multimodal: asset schema, stub decode batch shape, frame sampling") {
     val docs = Seq((7L, "hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "video")
