@@ -441,6 +441,83 @@ object SparkEntry {
           .as("revenue_cents"))
     }),
 
+    // market-share shape (TPC-H Q8): 7-table star — fact joins SIX
+    // broadcast dims (two roles of nation), aggregates to (year,
+    // supp_nation), then a window over the tiny year frame derives the
+    // denominator. Share is emitted as (nation_cents, year_cents) integer
+    // pair, never a float division.
+    "q8_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val sup = broadcast(t(s, dir, "supplier"))
+      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO"))
+      val cn = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+      val sn = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("yr"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("cn_key"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("sn_key"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("supp_nation"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("nation_cents"))
+        .withColumn("year_cents", sum(col("nation_cents")).over(w))
+    }),
+
+    // product-profit shape (TPC-H Q9): per (supplier nation, year) profit
+    // where cost is proxied by part list price (no partsupp table in the
+    // fixture set). Profit per line computed in one deterministic double
+    // expression, rounded to cents BEFORE the sum on both sides.
+    "q9_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val p = broadcast(t(s, dir, "part").filter(col("p_name").contains("e")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.5) * col("p_retailprice") * col("l_quantity")))
+          .as("profit_cents"))
+    }),
+
+    // large-volume orders (TPC-H Q18): HAVING on the grouped fact — the
+    // quantity sum aggregates FIRST (one pass over lineitem), and only the
+    // few surviving orderkeys join back to orders/customer (both sides of
+    // that join are post-agg small).
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+        .filter(col("qty_cents") > 20000L)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("qty_cents"),
+          cents(col("o_totalprice")).as("total_cents"))
+    }),
+
+    // customer order-count distribution (TPC-H Q13): LEFT join so
+    // zero-order customers survive, count the non-null side, then the
+    // second aggregation runs on the already-tiny (custkey, n) relation.
+    "custdist" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))),
+
     "count_rows" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))),
@@ -3179,6 +3256,57 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH sel AS (
+        |  SELECT year(o_orderdate) AS yr, sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice*(1 - l_discount)*100, 0) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
+        |g AS (SELECT yr, supp_nation, CAST(SUM(rc) AS BIGINT) AS nation_cents
+        |  FROM sel GROUP BY 1, 2)
+        |SELECT yr, supp_nation, nation_cents,
+        |  CAST(SUM(nation_cents) OVER (PARTITION BY yr) AS BIGINT) AS year_cents
+        |FROM g""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS yr,
+        | CAST(SUM(CAST(round((l_extendedprice*(1 - l_discount)
+        |   - 0.5*p_retailprice*l_quantity)*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS profit_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE '%e%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS qty_cents
+        |  FROM lineitem GROUP BY 1 HAVING qty_cents > 20000)
+        |SELECT o_orderkey, c_name, qty_cents,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_cust FROM pc GROUP BY 1""".stripMargin,
 
     "group_state" ->
       """SELECT event_type AS fn_key, user_id, COUNT(*) AS n
