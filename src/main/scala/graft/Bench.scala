@@ -9,10 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // back-compat for TIMESTAMP(NANOS) fixtures; current fixtures ship
+      // timestamp[us] — SparkEntry.events() normalizes either encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureProbe.check(spark, sfDir) // names drifted columns up front
     // Warm the session (job machinery, codegen, file index) so the first
     // timed query doesn't absorb startup cost. Building every query's
     // DataFrame eagerly resolves each table's file listing + parquet footer

@@ -47,6 +47,39 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** `events` with `ts` canonicalized to epoch-NANOSECONDS (LongType),
+    * whatever the fixture's physical encoding. The event/time-series family
+    * does its time arithmetic in the long-nanos domain (`ts DIV 1000` →
+    * micros, `ts DIV 86400000000000` → day), and the fixture has shipped
+    * two encodings so far: parquet TIMESTAMP(NANOS) read as BIGINT via
+    * `spark.sql.legacy.parquet.nanosAsLong` (rounds 1-4), and plain
+    * `timestamp[us]` → TIMESTAMP_NTZ (round 5+). Normalizing HERE, by
+    * dtype, keeps every query body encoding-agnostic — a fixture
+    * regeneration can never strand the family again (VERDICT r5 §wrong #1).
+    * The extra Project is transparent to Catalyst: filters/pruning still
+    * reach the scan, and the NTZ branch is pure codegen'd long arithmetic
+    * (timestampdiff against the NTZ epoch literal — timezone-free, unlike
+    * a cast through TimestampType which shifts by the session zone). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.withColumn("ts", tsNanos(df.schema("ts").dataType))
+  }
+
+  /** The `ts`-canonicalizing expression behind [[events]], shared with the
+    * streaming specs (a readStream source can't go through the batch
+    * accessor but must normalize identically for batch/stream parity). */
+  private[graft] def tsNanos(
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    dt match {
+      case LongType => col("ts") // already epoch-nanos (nanosAsLong read)
+      case TimestampNTZType => expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000")
+      case TimestampType => unix_micros(col("ts")) * lit(1000L)
+      case other => sys.error(s"events.ts: unsupported encoding $other")
+    }
+  }
+
   // ---- reconcile-family fixtures (FIXTURES.md §C): a (state, batch) pair
   // derived from `orders`. batch = live upstream snapshot (keys %7 != 0,
   // token bumped to v2 on %5 == 0); state = previous sync image (keys
@@ -473,8 +506,11 @@ object SparkEntry {
 
     // product-profit shape (TPC-H Q9): per (supplier nation, year) profit
     // where cost is proxied by part list price (no partsupp table in the
-    // fixture set). Profit per line computed in one deterministic double
-    // expression, rounded to cents BEFORE the sum on both sides.
+    // fixture set). Revenue and cost are rounded to cents SEPARATELY and
+    // the longs subtracted: rounding the raw difference would put values
+    // on .5-cent boundaries through two different round paths (Spark's
+    // BigDecimal.valueOf HALF_UP vs DuckDB's binary-double rounding) —
+    // each single product term is already oracle-safe on its own.
     "q9_profit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -486,21 +522,23 @@ object SparkEntry {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - lit(0.5) * col("p_retailprice") * col("l_quantity")))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - cents(lit(0.5) * col("p_retailprice") * col("l_quantity")))
           .as("profit_cents"))
     }),
 
     // large-volume orders (TPC-H Q18): HAVING on the grouped fact — the
-    // quantity sum aggregates FIRST (one pass over lineitem), and only the
-    // few surviving orderkeys join back to orders/customer (both sides of
-    // that join are post-agg small).
+    // quantity sum aggregates FIRST (one pass over lineitem), and the few
+    // surviving orderkeys are BROADCAST to the orders probe (post-HAVING
+    // `big` is selectivity-bounded; without the hint this is a full
+    // shuffle of orders unless AQE happens to convert it).
     "q18_large_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
         .filter(col("qty_cents") > 20000L)
-      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      broadcast(big)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("qty_cents"),
@@ -725,7 +763,7 @@ object SparkEntry {
     // the cells and come back broadcast — no single-partition stage).
     "mutual_info" -> ((s, dir) =>
       EventAnalytics.mutualInformation(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           expr("((ts DIV 1000) DIV 3600000000) % 24").as("hod")),
         "et", "hod")),
 
@@ -1179,7 +1217,7 @@ object SparkEntry {
     // same entity key.
     "funnel_stages" -> ((s, dir) =>
       EventAnalytics.funnelStages(
-        t(s, dir, "events").select(col("user_id"), col("event_type"),
+        events(s, dir).select(col("user_id"), col("event_type"),
           expr("ts DIV 1000").as("t_us")),
         "user_id", "event_type", "t_us",
         Seq("view", "click", "purchase"))),
@@ -1189,14 +1227,14 @@ object SparkEntry {
     // a single bit_or aggregate; segmentation reads the mask, not events).
     "activity_bitmap" -> ((s, dir) =>
       EventAnalytics.activityBitmap(
-        t(s, dir, "events").select(col("user_id"), col("ts")),
+        events(s, dir).select(col("user_id"), col("ts")),
         "user_id", expr("ts DIV 86400000000000"), bucketDays = 60)),
 
     // cohort retention grid ([[EventAnalytics.retentionCohorts]]): first
     // active day = cohort, exact distinct users per (cohort, age) cell.
     "retention_cohorts" -> ((s, dir) =>
       EventAnalytics.retentionCohorts(
-        t(s, dir, "events").select(col("user_id"),
+        events(s, dir).select(col("user_id"),
           expr("ts DIV 86400000000000").as("day")),
         "user_id", "day")),
 
@@ -1205,7 +1243,7 @@ object SparkEntry {
     // order; one window exchange.
     "event_debounce" -> ((s, dir) =>
       EventAnalytics.debounce(
-        t(s, dir, "events").select(col("event_id"), col("user_id"),
+        events(s, dir).select(col("event_id"), col("user_id"),
           col("event_type"), expr("ts DIV 1000").as("t_us")),
         Seq(col("user_id"), col("event_type")),
         Seq(col("t_us"), col("event_id")),
@@ -1247,7 +1285,7 @@ object SparkEntry {
     // shares, (t_us, event_id) total order.
     "event_transitions" -> ((s, dir) =>
       EventAnalytics.transitionMatrix(
-        t(s, dir, "events").select(col("user_id"), col("event_type"),
+        events(s, dir).select(col("user_id"), col("event_type"),
           expr("ts DIV 1000").as("t_us"), col("event_id")),
         "user_id", "event_type", Seq(col("t_us"), col("event_id")))),
 
@@ -1256,7 +1294,7 @@ object SparkEntry {
     // ([[EventAnalytics.timeWeightedAvg]]).
     "twap_user" -> ((s, dir) =>
       EventAnalytics.timeWeightedAvg(
-        t(s, dir, "events").select(col("user_id"),
+        events(s, dir).select(col("user_id"),
           expr("ts DIV 1000").as("t_us"), col("event_id"),
           cents(col("value")).as("v_cents")),
         "user_id", "t_us", "v_cents", Seq(col("event_id")))
@@ -1268,7 +1306,7 @@ object SparkEntry {
     // intra-hour ties are engine-independent.
     "ohlc_bars" -> ((s, dir) =>
       EventAnalytics.ohlcBars(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           expr("ts DIV 1000").as("t_us"), col("event_id"),
           cents(col("value")).as("v")),
         "et", expr("t_us DIV 3600000000").as("hour"), "v",
@@ -1314,7 +1352,7 @@ object SparkEntry {
     // the same thing as a BETWEEN join.
     "sliding_distinct" -> ((s, dir) =>
       EventAnalytics.slidingDistinct(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           expr("(ts DIV 1000) DIV 3600000000").as("h"), col("user_id")),
         "et", "h", "user_id", lookback = 2)),
 
@@ -1379,7 +1417,7 @@ object SparkEntry {
     // double division at the end ([[EventAnalytics.trendSlope]]).
     "trend_slope" -> ((s, dir) =>
       EventAnalytics.trendSlope(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           expr("ts DIV 1000000000").as("t_s"),
           cents(col("value")).as("v")),
         "et", "t_s", "v")),
@@ -1390,7 +1428,7 @@ object SparkEntry {
     // ([[EventAnalytics.disorderCensus]]).
     "disorder_census" -> ((s, dir) =>
       EventAnalytics.disorderCensus(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           expr("ts DIV 1000").as("t_us"), col("event_id")),
         "et", "t_us", Seq(col("event_id")), lateThreshold = 300000000L)),
 
@@ -1414,7 +1452,7 @@ object SparkEntry {
     "interval_merge" -> ((s, dir) => {
       val tus = expr("ts DIV 1000")
       EventAnalytics.mergeIntervals(
-        t(s, dir, "events").select(col("user_id"), tus.as("t0"),
+        events(s, dir).select(col("user_id"), tus.as("t0"),
           (tus + (pmod(col("event_id"), lit(1800L)) + lit(1L)) *
             lit(1000000L)).as("t1"),
           col("event_id")),
@@ -1437,7 +1475,7 @@ object SparkEntry {
     // new-user counts, no distinct-over-window).
     "cumulative_users" -> ((s, dir) =>
       EventAnalytics.cumulativeUsers(
-        t(s, dir, "events").select(col("user_id"), col("ts")),
+        events(s, dir).select(col("user_id"), col("ts")),
         "user_id", expr("ts DIV 86400000000000"))),
 
     // sequence mining: top-20 event-type trigrams across user timelines
@@ -1454,7 +1492,7 @@ object SparkEntry {
     // islands over the distinct (user, day) grid).
     "streak_census" -> ((s, dir) =>
       EventAnalytics.streakCensus(
-        t(s, dir, "events").select(col("user_id"), col("ts")),
+        events(s, dir).select(col("user_id"), col("ts")),
         "user_id", expr("ts DIV 86400000000000"))),
 
     // distribution-drift alarm: exact two-sample KS statistic of each
@@ -1498,7 +1536,7 @@ object SparkEntry {
     "seasonal_anomaly" -> ((s, dir) => {
       val tus = expr("ts DIV 1000")
       EventAnalytics.seasonalAnomaly(
-        t(s, dir, "events").select(col("event_type").as("et"),
+        events(s, dir).select(col("event_type").as("et"),
           tus.as("t_us")),
         "et", expr("t_us DIV 86400000000").as("day"),
         expr("(t_us DIV 3600000000) % 24").as("hod"), factor = 2)
@@ -1510,7 +1548,7 @@ object SparkEntry {
     "max_concurrency" -> ((s, dir) => {
       val tus = expr("ts DIV 1000")
       EventAnalytics.maxConcurrency(
-        t(s, dir, "events").select(col("event_type"), tus.as("t0"),
+        events(s, dir).select(col("event_type"), tus.as("t0"),
           (tus + lit(600000000L)).as("t1")),
         "event_type", "t0", "t1")
         .withColumnRenamed("k", "et")
@@ -1681,7 +1719,7 @@ object SparkEntry {
     // at-or-before each 'click', per user — one union + window pass,
     // linear in |L|+|R|, never the quadratic join-filter-window shape.
     "asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1698,7 +1736,7 @@ object SparkEntry {
     // merge_asof parity: backward with a 1-hour tolerance — matches
     // further away resolve to null, exactly pandas `tolerance=`.
     "asof_tolerance" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1715,7 +1753,7 @@ object SparkEntry {
 
     // forward direction: earliest error at-or-after each click
     "asof_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1736,7 +1774,7 @@ object SparkEntry {
     // the long micros domain so binning and the residual BETWEEN are
     // exact on both engines.
     "range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tu", expr("ts DIV 1000"))
+      val ev = events(s, dir).withColumn("tu", expr("ts DIV 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("tu"))
       val win = 30L * 60L * 1000000L // 30 min in micros
@@ -1878,7 +1916,7 @@ object SparkEntry {
     // One shuffle on user_id; the frame scan is a single sorted pass.
     "rolling_window" -> ((s, dir) =>
       Transforms.rollingSum(
-        t(s, dir, "events").select(col("event_id"), col("user_id"),
+        events(s, dir).select(col("event_id"), col("user_id"),
           expr("ts DIV 1000000000").as("ts_sec"),
           cents(col("value")).as("v_cents")),
         "user_id", "ts_sec", "v_cents", lookback = 3600L, as = "roll_cents")
@@ -1888,9 +1926,9 @@ object SparkEntry {
     // resampling step of time-series featurization. sequence() builds each
     // type's [min,max] hour grid (grid size is bounded by the time span,
     // never the row count), observed counts left-join in. ts arrives as
-    // long nanos (see stream_window).
+    // long nanos (events() canonicalizes the fixture encoding).
     "gapfill_hours" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
+      val ev = events(s, dir).select(col("event_type"),
         date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("h"))
       val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
       val grid = counts.groupBy("event_type")
@@ -1911,7 +1949,7 @@ object SparkEntry {
     "event_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
-      t(s, dir, "events")
+      events(s, dir)
         .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t_us"))
         .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(w))
         .filter(col("delta_us").isNotNull)
@@ -1933,7 +1971,7 @@ object SparkEntry {
           .as("sum_micro"), count(lit(1)).as("n"))),
 
     "sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       graft.operators.Sessionize.sessionStats(ev, "user_id", "ts",
@@ -1943,8 +1981,8 @@ object SparkEntry {
     // ===== streaming-shape (batch-checkable windowed agg) =====
     "stream_window" -> ((s, dir) => {
       val ss = new graft.streaming.StreamingSync(s, null, null)
-      // ts arrives as long nanos (nanosAsLong) — integer-divide to micros.
-      val ev = t(s, dir, "events")
+      // ts arrives as long nanos (events() canonicalizes) — DIV to micros.
+      val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       ss.windowedAgg(ev, "ts", "event_type", "1 hour", "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
@@ -3259,7 +3297,7 @@ object SparkEntry {
 
     "q8_market_share" ->
       """WITH sel AS (
-        |  SELECT year(o_orderdate) AS yr, sn.n_name AS supp_nation,
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, sn.n_name AS supp_nation,
         |    CAST(round(l_extendedprice*(1 - l_discount)*100, 0) AS BIGINT) AS rc
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -3277,9 +3315,9 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "q9_profit" ->
-      """SELECT n_name AS nation, year(o_orderdate) AS yr,
-        | CAST(SUM(CAST(round((l_extendedprice*(1 - l_discount)
-        |   - 0.5*p_retailprice*l_quantity)*100, 0) AS BIGINT)) AS BIGINT)
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0) AS BIGINT)
+        |   - CAST(round(0.5*p_retailprice*l_quantity*100, 0) AS BIGINT)) AS BIGINT)
         |   AS profit_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

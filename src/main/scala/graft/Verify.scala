@@ -12,12 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 has no nanos type —
-      // read as long, queries convert via `ts DIV 1000` → timestamp_micros.
+      // Back-compat for fixtures that encode events.ts as parquet
+      // TIMESTAMP(NANOS): read as long. Current fixtures ship timestamp[us];
+      // SparkEntry.events() normalizes either encoding to long nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureProbe.check(spark, sfDir) // names drifted columns up front
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -147,6 +147,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_window parity on the REAL events fixture (encoding-normalized)") {
+    // The round-5 fixture regeneration re-encoded events.ts (long nanos →
+    // timestamp[us]); this pins that the batch/streaming contract survives
+    // ANY encoding the `tsNanos` normalizer accepts: the same windowed agg,
+    // fed by readStream over the actual fixture file and normalized by the
+    // same expression the batch battery uses, must reproduce the batch
+    // `stream_window` query row-for-row.
+    val dir = "/root/testdata/sf0.001"
+    val expect = SparkEntry.queries("stream_window")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory — stream from a temp dir holding a
+    // symlink to the (read-only) fixture file.
+    val srcDir = Files.createTempDirectory("graft-fixture-wnd")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ev = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", SparkEntry.tsNanos(schema("ts").dataType))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val sync = new StreamingSync(spark, null, null)
+    val agg = sync.windowedAgg(ev, "ts", "event_type", "1 hour", "1 hour")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"), col("value_cents"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("fixture_wnd").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fixture_wnd").collect().map(_.toSeq).toSet
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within watermark dropped, state bounded") {
     val root = Files.createTempDirectory("graft-ddp").toString
     val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
