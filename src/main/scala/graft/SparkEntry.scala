@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ChangeHash, Crc32Q}
-import graft.operators.{Dedup, EventAnalytics, Multimodal, Reconcile, Similarity, TextAnalysis, Transforms}
+import graft.operators.{Dedup, EventAnalytics, GraphAlgos, Multimodal, Reconcile, Similarity, TextAnalysis, Transforms}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (the "Planned query" column), each with a DuckDB-oracle SQL
@@ -1987,7 +1987,74 @@ object SparkEntry {
       ss.windowedAgg(ev, "ts", "event_type", "1 hour", "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n"), col("value_cents"))
-    })
+    }),
+
+    // link prediction over the mod-300 interaction graph: top-50 not-yet-
+    // connected pairs by resource-allocation score
+    // ([[GraphAlgos.linkPrediction]] — wedge join, integer-micro RA, no
+    // all-pairs stage; same bounded graph as triangle_count/kcore).
+    "link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      GraphAlgos.linkPrediction(g, "a", "b")
+        .orderBy(col("ra_micro").desc, col("u").asc, col("w").asc)
+        .limit(50)
+    }),
+
+    // association rules: part pairs co-ordered in ≥2 orders, with integer
+    // support/confidence ([[Transforms.basketPairs]] — distinct-collapse
+    // first, self-join bounded by TPC-H's ≤7-line orders).
+    "basket_pairs" -> ((s, dir) =>
+      Transforms.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2)
+        .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+        .limit(100)),
+
+    // corpus-distribution quality: Zipf rank-frequency slope over the
+    // top-1k vocabulary ([[TextAnalysis.zipfSlope]] — per-term ln
+    // quantized to micros, regression on exact integer sufficient stats).
+    "zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", k = 1000)),
+
+    // dyadic-decay smoothing of per-type daily spend
+    // ([[EventAnalytics.ewmaDaily]] — grid collapse first, banded self-
+    // join with power-of-two weights, integer end to end).
+    "ewma_daily" -> ((s, dir) =>
+      EventAnalytics.ewmaDaily(
+        events(s, dir).select(col("event_type").as("et"), col("ts"),
+          col("value")),
+        "et", expr("ts DIV 86400000000000"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)"), horizon = 30)),
+
+    // level-shift detection: per-type CUSUM peak excursions vs the type's
+    // own mean daily spend ([[EventAnalytics.cusumShift]] — the
+    // cumsum − running-min prefix identity, exact integers).
+    "cusum_shift" -> ((s, dir) =>
+      EventAnalytics.cusumShift(
+        events(s, dir).select(col("event_type").as("et"), col("ts"),
+          col("value")),
+        "et", expr("ts DIV 86400000000000"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)"))),
+
+    // acquisition-channel attribution: conversions credited to each
+    // user's FIRST event type ([[EventAnalytics.firstTouchAttribution]] —
+    // entity-sized frames only, permille rate in integer floor division).
+    "attribution_first" -> ((s, dir) =>
+      EventAnalytics.firstTouchAttribution(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        "user_id", "event_type", Seq(col("ts"), col("event_id")),
+        convType = "purchase")),
+
+    // dominant variance axis of the embedding space
+    // ([[Similarity.pcaPower]] — distributed d² moment pass, bounded
+    // driver-side power iteration; rows-only, pinned by SimilaritySpec).
+    "pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(t(s, dir, "embeddings"), "embedding"))
   )
 
   /** Why each remaining `queries` entry WITHOUT an `oracleSql` twin cannot
@@ -1996,6 +2063,12 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
+    "pca_power" -> ("top eigenvector of the embedding covariance via " +
+      "power iteration — an iterated matrix fixpoint with no SQL " +
+      "equivalent in DuckDB. OperatorsSpec pins a hand-computable rank-1 " +
+      "case exactly instead (axis (2,1)/√5 → loadings 894427/447214 " +
+      "micros, λ = 25e6, zero padding dims exactly 0) plus bit-identical " +
+      "determinism across recomputation."),
     "crc32_hash" -> ("output is CRC-32/Q (polynomial 0x814141AB, the " +
       "reference's hash — SURVEY §2.5 F1); DuckDB has no CRC-32/Q. " +
       "Byte-exact vs the Go implementation's vectors in Crc32QSpec."),
@@ -4076,7 +4149,159 @@ object SparkEntry {
         |   AS window_start,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-        | FROM events GROUP BY 1, 2""".stripMargin
+        | FROM events GROUP BY 1, 2""".stripMargin,
+
+    // integer floor division on both sides (// in DuckDB, DIV in Spark);
+    // RA summand 1000000//deg is exact, so no float enters the score
+    "link_predict" ->
+      """WITH g AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |adj AS (SELECT a AS id, b AS nb FROM g
+        |        UNION ALL SELECT b, a FROM g),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT l.nb AS u, r.nb AS w, COUNT(*) AS common,
+        |    CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+        |  FROM adj l JOIN adj r ON l.id = r.id AND l.nb < r.nb
+        |  JOIN deg d ON d.id = l.id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT c.u, c.w, c.common, c.ra_micro,
+        |    (1000 * c.common) // (du.deg + dw.deg - c.common)
+        |      AS jaccard_permille
+        |  FROM cand c
+        |  JOIN deg du ON du.id = c.u
+        |  JOIN deg dw ON dw.id = c.w
+        |  WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.a = c.u AND g.b = c.w))
+        |SELECT * FROM sc
+        |ORDER BY ra_micro DESC, u ASC, w ASC LIMIT 50""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+        |ic AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, ca.c AS c_a, cb.c AS c_b,
+        |  (1000000 * p.n_ab) // t.n_baskets AS support_ppm,
+        |  (1000 * p.n_ab) // ca.c AS conf_ab_permille,
+        |  (1000 * p.n_ab) // cb.c AS conf_ba_permille
+        |FROM p
+        |JOIN ic ca ON ca.i = p.item_a
+        |JOIN ic cb ON cb.i = p.item_b
+        |CROSS JOIN tot t
+        |ORDER BY n_ab DESC, item_a ASC, item_b ASC LIMIT 100""".stripMargin,
+
+    // per-term ln quantizes to integer micros BEFORE any sum (the
+    // unigram_logprob discipline) — the regression runs on exact HUGEINT
+    // sufficient stats, one final double division
+    "zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+        |       FROM cnt ORDER BY c DESC, w ASC LIMIT 1000),
+        |q AS (SELECT
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        |  FROM rk),
+        |st AS (SELECT COUNT(*) AS n_terms,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM q)
+        |SELECT n_terms,
+        |  CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 1000000 /
+        |    CAST(n_terms * sxx - sx * sx AS DOUBLE), 0) AS BIGINT)
+        |    AS slope_micro
+        |FROM st""".stripMargin,
+
+    // weights are exact powers of two (1<<(30-age)); the weighted sum and
+    // weight sum stay integers, one floor division normalizes
+    "ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d1.et, d1.day, d2.day AS d2, d2.cents AS c2,
+        |    (CAST(1 AS BIGINT) << CAST(30 - (d1.day - d2.day) AS INT))
+        |      AS w,
+        |    d1.cents AS cur
+        |  FROM daily d1 JOIN daily d2 ON d1.et = d2.et
+        |    AND d2.day BETWEEN d1.day - 30 AND d1.day)
+        |SELECT et, day,
+        |  MAX(CASE WHEN d2 = day THEN cur END) AS cents,
+        |  COUNT(*) AS n_window,
+        |  CAST(SUM(w * c2) // SUM(w) AS BIGINT) AS ewma_cents
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // S⁺ = cumsum − running min, S⁻ = running max − cumsum (the prefix
+    // identity for max(0, S+dev)); argmax day via row_number, both exact
+    "cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *,
+        |    CAST(SUM(cents) OVER (PARTITION BY et) AS BIGINT)
+        |      // COUNT(*) OVER (PARTITION BY et) AS mean
+        |  FROM daily),
+        |c AS (SELECT *,
+        |    SUM(cents - mean) OVER (PARTITION BY et ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m),
+        |s AS (SELECT *,
+        |    cum - MIN(cum) OVER (PARTITION BY et ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS s_pos,
+        |    MAX(cum) OVER (PARTITION BY et ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) - cum AS s_neg
+        |  FROM c),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY et
+        |      ORDER BY s_pos DESC, day ASC) AS rp,
+        |    row_number() OVER (PARTITION BY et
+        |      ORDER BY s_neg DESC, day ASC) AS rn
+        |  FROM s)
+        |SELECT et,
+        |  CAST(MAX(CASE WHEN rp = 1 THEN s_pos END) AS BIGINT) AS peak_up,
+        |  MAX(CASE WHEN rp = 1 THEN day END) AS day_up,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN s_neg END) AS BIGINT)
+        |    AS peak_down,
+        |  MAX(CASE WHEN rn = 1 THEN day END) AS day_down
+        |FROM r WHERE rp = 1 OR rn = 1 GROUP BY 1""".stripMargin,
+
+    "attribution_first" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ft AS (SELECT user_id, event_type AS first_touch
+        |       FROM o WHERE rn = 1),
+        |cv AS (SELECT user_id, COUNT(*) AS nc FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT f.first_touch, COUNT(*) AS n_entities,
+        |  CAST(SUM(CASE WHEN cv.nc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(SUM(COALESCE(cv.nc, 0)) AS BIGINT) AS n_conversions,
+        |  (1000 * CAST(SUM(CASE WHEN cv.nc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // COUNT(*) AS conv_permille
+        |FROM ft f LEFT JOIN cv ON cv.user_id = f.user_id
+        |GROUP BY 1""".stripMargin
   )
 
   /** DuckDB expression twin of [[TextAnalysis.langId]]: same stopword

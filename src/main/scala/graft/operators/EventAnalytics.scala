@@ -575,4 +575,121 @@ object EventAnalytics {
           "(sqrt(CAST(__dx AS DOUBLE)) * sqrt(CAST(__dy AS DOUBLE))), 0) " +
           "AS BIGINT) END").as("corr_micro"))
   }
+
+  /** Dyadic-decay EWMA over a per-(key, day) series, integers end to end:
+    * each daily total contributes weight 2^(H−age) for age = days back
+    * (half-life = one day, window cut at H days — weights below 2⁰ are
+    * exactly the terms a float EWMA loses to ulp anyway), and the smoothed
+    * value is the weighted sum floor-divided by the realized weight sum.
+    * Powers of two + floor division keep every intermediate an exact
+    * integer, so any engine and any execution order agrees bit-for-bit —
+    * the recursive αx+(1−α)s form is order-dependent float and oracle-
+    * hostile, while this windowed form is its exact truncation.
+    *
+    * Scale shape: raw events collapse FIRST to the (key, day) grid (one
+    * partial-combined aggregate — the only data-sized shuffle); the decay
+    * is a banded self-join of that grid on the key with `0 ≤ age ≤ H`,
+    * which is |grid|·H work on a |keys|×|days| frame, independent of the
+    * raw event count. Never a window over raw rows, no gap-filling needed
+    * (missing days simply contribute no term, exactly like the gapped
+    * recursive form). */
+  def ewmaDaily(events: DataFrame, keyCol: String, dayCol: Column,
+      valCents: Column, horizon: Int = 30): DataFrame = {
+    val daily = events.select(col(keyCol).as("__k"), dayCol.as("day"),
+        valCents.as("__c"))
+      .groupBy(col("__k"), col("day")).agg(sum(col("__c")).as("cents"))
+      .localCheckpoint()
+    val past = daily.select(col("__k").as("__k2"), col("day").as("__d2"),
+      col("cents").as("__c2"))
+    daily.join(past,
+        col("__k") === col("__k2") &&
+          col("__d2").between(col("day") - horizon, col("day")))
+      .withColumn("__w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($horizon - (day - __d2) AS INT))"))
+      .groupBy(col("__k"), col("day"))
+      .agg(max(when(col("__d2") === col("day"), col("cents"))).as("cents"),
+        count(lit(1)).as("n_window"),
+        sum(col("__w") * col("__c2")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .withColumn("ewma_cents", expr("__swx DIV __sw"))
+      .select(col("__k").as(keyCol), col("day"), col("cents"),
+        col("n_window"), col("ewma_cents"))
+  }
+
+  /** CUSUM level-shift detector (Page 1954), exact integers: per key, the
+    * deviation of each daily total from the key's own mean accumulates,
+    * and the classic recursion S_n = max(0, S_{n−1} + dev_n) is computed
+    * NON-recursively as `cumsum − running min(cumsum)` (and the downward
+    * side as `running max − cumsum`) — the textbook prefix identity that
+    * turns an inherently sequential scan into two windows any engine
+    * executes identically on integers. Returns one row per key: the peak
+    * upward and downward excursions and the (earliest) day each peaked —
+    * "where did this metric's level actually break".
+    *
+    * The reference mean is the key's floor-average daily total
+    * (integer-division; exactness over unbiasedness, same posture as
+    * [[pageRank]]). Scale shape: events collapse to the (key, day) grid
+    * first; the mean attaches via one window over the key partition of
+    * that GRID (≤ |days| rows per key), the prefix windows run on the
+    * same partition, and the argmax rows reduce via row_number + a
+    * conditional aggregate — raw rows are touched exactly once. */
+  def cusumShift(events: DataFrame, keyCol: String, dayCol: Column,
+      valCents: Column): DataFrame = {
+    val daily = events.select(col(keyCol).as("__k"), dayCol.as("day"),
+        valCents.as("__c"))
+      .groupBy(col("__k"), col("day")).agg(sum(col("__c")).as("cents"))
+    val wk = Window.partitionBy(col("__k"))
+    val wc = wk.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("__mean", expr(
+        "sum(cents) OVER (PARTITION BY __k) DIV count(1) OVER (PARTITION BY __k)"))
+      .withColumn("__cum", sum(col("cents") - col("__mean")).over(wc))
+      .withColumn("s_pos", col("__cum") - min(col("__cum")).over(wc))
+      .withColumn("s_neg", max(col("__cum")).over(wc) - col("__cum"))
+      .withColumn("__rp", row_number().over(
+        wk.orderBy(col("s_pos").desc, col("day").asc)))
+      .withColumn("__rn", row_number().over(
+        wk.orderBy(col("s_neg").desc, col("day").asc)))
+    scored.filter(col("__rp") === 1 || col("__rn") === 1)
+      .groupBy(col("__k"))
+      .agg(max(when(col("__rp") === 1, col("s_pos"))).as("peak_up"),
+        max(when(col("__rp") === 1, col("day"))).as("day_up"),
+        max(when(col("__rn") === 1, col("s_neg"))).as("peak_down"),
+        max(when(col("__rn") === 1, col("day"))).as("day_down"))
+      .select(col("__k").as(keyCol), col("peak_up"), col("day_up"),
+        col("peak_down"), col("day_down"))
+  }
+
+  /** First-touch attribution: every entity's conversions credit the type
+    * of its very FIRST event (total order = orderCols, so "first" is
+    * engine-independent), the standard acquisition-channel question
+    * ("which entry behavior do purchasers start from"). One row per
+    * first-touch type: entities acquired, entities that ever converted,
+    * total conversions, and conversion rate in integer permille.
+    *
+    * Scale shape: the first-touch table is one row_number window per
+    * entity (or a min_by aggregate — the window keeps tiebreak semantics
+    * identical to the SQL twin); conversion counts are a filtered
+    * partial-combined aggregate on the same key, joined post-collapse —
+    * both sides are |entities|-sized, never event-sized, and partition on
+    * the same key. */
+  def firstTouchAttribution(events: DataFrame, keyCol: String,
+      typeCol: String, orderCols: Seq[Column],
+      convType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val firstTouch = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(typeCol).as("first_touch"))
+    val convs = events.filter(col(typeCol) === convType)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__nc"))
+    firstTouch.join(convs, Seq(keyCol), "left")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(when(col("__nc").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        sum(coalesce(col("__nc"), lit(0L))).as("n_conversions"))
+      .withColumn("conv_permille",
+        expr("(1000 * n_converted) DIV n_entities"))
+  }
 }

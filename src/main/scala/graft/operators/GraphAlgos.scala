@@ -360,4 +360,57 @@ object GraphAlgos {
     }
     labels
   }
+
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg 2003):
+    * for every 2-hop candidate pair (u,w) NOT already connected, the three
+    * classic scores — common-neighbor count, Jaccard of the neighborhoods
+    * in permille, and the resource-allocation index Σ_z 1/deg(z) over the
+    * shared neighbors z (Zhou et al. 2009 — Adamic-Adar's 1/ln(deg)
+    * sibling with better empirical precision, and, decisive here, an
+    * integer-exact form: each shared neighbor contributes
+    * `1000000 DIV deg(z)` micros, so the score never touches a float/log
+    * and two engines agree bit-for-bit; same quantization posture as
+    * [[pageRank]]).
+    *
+    * Scale shape: candidate generation is the wedge join — the adjacency
+    * list joined with itself on the shared mid-vertex z — which is the
+    * standard distributed formulation (no all-pairs stage; work is
+    * Σ_z deg(z)², the number of wedges, not n²). The mid-vertex degree
+    * rides the wedge row (deg joined on z BEFORE pairing), so the RA sum
+    * is a plain aggregate; endpoint degrees for Jaccard attach after the
+    * pair aggregate, when the relation has already collapsed to one row
+    * per candidate. Existing edges leave via one anti-join against the
+    * canonical edge set. Hub skew: a vertex of degree d emits d² wedges —
+    * on hub-prone graphs cap the mid-vertex degree upstream (`maxMidDeg`);
+    * the cap is explicit, never silently applied (`Int.MaxValue` default).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxMidDeg: Int = Int.MaxValue): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .union(e.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // wedge legs: (z, u, deg z) — the mid-vertex degree joins ONCE, before
+    // the self-join fans out, so it never re-aggregates per wedge
+    val leg = adj.join(deg, "id")
+      .filter(col("deg") <= maxMidDeg)
+      .select(col("id").as("z"), col("nb").as("u"), col("deg").as("dz"))
+    val right = adj.select(col("id").as("z2"), col("nb").as("w"))
+    val cand = leg.join(right, col("z") === col("z2"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 DIV dz")).as("ra_micro"))
+    val scored = cand
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), "w")
+      .withColumn("jaccard_permille",
+        expr("(1000 * common) DIV (du + dw - common)"))
+    scored.join(e, scored("u") === e("a") && scored("w") === e("b"),
+        "left_anti")
+      .select(col("u"), col("w"), col("common"), col("ra_micro"),
+        col("jaccard_permille"))
+  }
 }

@@ -360,4 +360,64 @@ object Similarity {
       .select(col("id"), col("sub"), col("cid").as("code"),
         col("dist_micro"))
   }
+
+  /** First principal component of the embedding corpus by power iteration
+    * — the dominant direction of variance, the standard first look at an
+    * embedding space ("is there one axis eating the geometry?") and the
+    * whitening/debiasing primitive. Two distributed passes build the d×d
+    * second-moment matrix and the d-vector mean; the d²-sized covariance
+    * then iterates ON THE DRIVER (64×64 here — the same bounded-ferry
+    * posture as [[trainCentroids]]'s centroid set; the data-sized work
+    * never leaves executors). Deterministic: uniform start vector, fixed
+    * iteration count, sign fixed by the largest-|loading| dimension.
+    *
+    * Scale shape: the moment pass is two nested posexplodes (i, j) —
+    * N·d² generated rows that partial-combine IN-TASK to ≤ d² groups
+    * before the only shuffle, so exchange volume is tasks·d², independent
+    * of N. No join anywhere; the mean rides the same aggregate via the
+    * j=0 slice trick (avg(xi) over the i-exploded rows).
+    *
+    * Returns one row per dimension: (dim, loading_micro, eigval_micro) —
+    * loadings unit-normalized, eigenvalue = the Rayleigh quotient vᵀCv.
+    * No SQL oracle (eigenvector of an iterated matrix); pinned by
+    * SimilaritySpec: residual ‖Cv−λv‖ ≤ 10⁻⁶·max(λ,1), unit norm, and
+    * λ within tolerance of the max per-coordinate variance lower bound. */
+  def pcaPower(corpus: DataFrame, vecCol: String,
+      iters: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val moments = corpus
+      .select(col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("__v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxx"),
+        sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val d = moments.map(_.getInt(0)).max + 1
+    val n = moments.head.getLong(4).toDouble
+    val mean = new Array[Double](d)
+    moments.foreach { r =>
+      if (r.getInt(1) == 0) mean(r.getInt(0)) = r.getDouble(3) / n
+    }
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      cov(i)(j) = r.getDouble(2) / n - mean(i) * mean(j)
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val av = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(av.map(x => x * x).sum)
+      v = av.map(_ / nrm)
+    }
+    val lambda = (0 until d).map(i =>
+      v(i) * (0 until d).map(j => cov(i)(j) * v(j)).sum).sum
+    val flip = if (v(v.map(math.abs).zipWithIndex.max._2) < 0) -1.0 else 1.0
+    import spark.implicits._
+    (0 until d).map(i => (i,
+        math.round(flip * v(i) * 1e6), math.round(lambda * 1e6)))
+      .toDF("dim", "loading_micro", "eigval_micro")
+  }
 }

@@ -555,4 +555,50 @@ object TextAnalysis {
         (col("__cum") / maxTokens).cast("long").as("pack_id"),
         (col("__cum") % maxTokens).as("pack_offset"))
   }
+
+  /** Zipf rank-frequency slope: the least-squares slope of ln(count) on
+    * ln(rank) over the corpus's top-k terms — natural text sits near −1;
+    * a corpus drifting toward 0 (flat) or below −1.5 (template spam /
+    * boilerplate) is the classic distribution-level quality alarm that
+    * per-document scorers ([[qualityScore]]) can't see. Rank order is
+    * total (count desc, term asc), so the regression inputs are engine-
+    * independent.
+    *
+    * Oracle-parity discipline (the [[unigramLogProb]] posture): each
+    * term's ln(rank)/ln(count) quantizes to integer micros FIRST, the
+    * regression then runs on exact DECIMAL(38,0) sufficient statistics of
+    * those integers — the only float ops are per-row ln and one final
+    * division, never an order-dependent float sum. Scale shape: one
+    * explode + one partial-combined term count (the only corpus-sized
+    * stage); ranking the top k is a k-sized TakeOrdered, and the
+    * regression is a single-row aggregate over k rows. */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // top-k FIRST (a distributed TakeOrdered), so the ranking window only
+    // ever sees k rows — never a single-partition pass over the vocabulary
+    val ranked = counts
+      .orderBy(col("c").desc, col("w").asc).limit(k)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("y"))
+    val dec = "DECIMAL(38,0)"
+    ranked
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).as("__sx"),
+        sum(col("y").cast(dec)).as("__sy"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("__sxy"),
+        sum((col("x").cast(dec) * col("x").cast(dec))).as("__sxx"))
+      .select(col("n_terms"),
+        expr("CAST(round(CAST(CAST(n_terms AS DECIMAL(38,0)) * __sxy " +
+          "- __sx * __sy AS DOUBLE) * 1000000 / " +
+          "CAST(CAST(n_terms AS DECIMAL(38,0)) * __sxx - __sx * __sx " +
+          "AS DOUBLE), 0) AS BIGINT)").as("slope_micro"))
+  }
 }

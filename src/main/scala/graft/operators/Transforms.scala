@@ -412,12 +412,22 @@ object Transforms {
     * resolves the exact crossing row. Two parallel scans + windows over
     * bucket-sized frames; no full-group sort anywhere.
     *
+    * Bucket width tunes the partial-agg collapse, and WIDE wins: the map
+    * side only combines when a task sees multiple rows per (group,
+    * bucket), so width must exceed value-range ÷ rows-per-task or the
+    * "aggregate" shuffles nearly raw rows. Measured at sf0.1 (600k rows,
+    * ~10M-cent range, WmLab): W=1024 → 30.5k buckets, near-zero collapse,
+    * 1.7 s warm; W=65536 → ~480 buckets, full in-task collapse, 1.35 s —
+    * while the crossing sliver stays a few thousand rows. The same
+    * arithmetic governs any scale: pick W ≈ range·tasks ÷ rows, err wide
+    * (the sliver window is the cheap side).
+    *
     * Tie safety: equal values share a bucket (v determines the bucket),
     * and the first crossing row within a run of equal values yields the
     * same v under any tiebreak, so the output is tie-order independent. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, orderCols: Seq[Column],
-      bucketWidth: Long = 1024L): DataFrame = {
+      bucketWidth: Long = 65536L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth=$bucketWidth out of range")
     val b = df.withColumn("__bkt", expr(s"$valueCol DIV $bucketWidth"))
     val wPfx = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
@@ -499,5 +509,46 @@ object Transforms {
           "(2 * __siv - (CAST(n AS DECIMAL(38,0)) + 1) * __sv) * 1000 DIV " +
           "(CAST(n AS DECIMAL(38,0)) * __sv) AS BIGINT) END")
           .as("gini_permille"))
+  }
+
+  /** Market-basket pair mining (the association-rule support/confidence
+    * census): for every unordered item pair co-occurring in ≥ `minCount`
+    * baskets, the co-count, each item's basket count, support in parts-
+    * per-million and the a→b confidence in permille — all integer floor
+    * arithmetic (1000·n_ab DIV c_a etc.), never a float ratio, so the
+    * scores are engine-exact. Lift derives offline as
+    * conf_ab / (c_b/n_baskets); the triple product n_ab·n_baskets·10⁶ is
+    * deliberately NOT materialized — it overflows BIGINT at warehouse
+    * scale, while every shipped column stays ≤ 10⁶·n_ab.
+    *
+    * Scale shape: baskets collapse to DISTINCT (basket, item) first (the
+    * only data-sized aggregate); candidate pairs come from the self-join
+    * on the basket id — work is Σ_b |basket|², bounded by the real-world
+    * basket-size cap, never |items|². Item counts attach AFTER the pair
+    * aggregate (|pairs|-sized), the basket total rides a broadcast
+    * single-row cross join. A pathological mega-basket would dominate
+    * Σ|basket|² — cap upstream if baskets are unbounded (here TPC-H
+    * orders hold ≤7 lines by construction). */
+  def basketPairs(items: DataFrame, basketCol: String, itemCol: String,
+      minCount: Int): DataFrame = {
+    val bi = items.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().localCheckpoint()
+    val total = bi.agg(countDistinct(col("__b")).as("n_baskets"))
+    val itemCounts = bi.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = bi
+      .join(bi.select(col("__b"), col("__i").as("__j")), "__b")
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(itemCounts.select(col("__i"), col("__c").as("c_a")), "__i")
+      .join(itemCounts.select(col("__i").as("__j"), col("__c").as("c_b")),
+        "__j")
+      .crossJoin(broadcast(total))
+      .select(col("__i").as("item_a"), col("__j").as("item_b"),
+        col("n_ab"), col("c_a"), col("c_b"),
+        expr("(1000000 * n_ab) DIV n_baskets").as("support_ppm"),
+        expr("(1000 * n_ab) DIV c_a").as("conf_ab_permille"),
+        expr("(1000 * n_ab) DIV c_b").as("conf_ba_permille"))
   }
 }

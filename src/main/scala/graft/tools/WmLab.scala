@@ -53,6 +53,13 @@ object WmLab {
         graft.operators.Transforms.weightedMedian(base, "flag", "v", "w",
           Seq(col("l_orderkey"), col("l_linenumber"))).count()
       }
+      for (w <- Seq(4096L, 65536L, 262144L)) {
+        time(s"full-w$w") {
+          graft.operators.Transforms.weightedMedian(base, "flag", "v", "w",
+            Seq(col("l_orderkey"), col("l_linenumber")), bucketWidth = w)
+            .count()
+        }
+      }
     }
     spark.stop()
   }

@@ -1536,4 +1536,111 @@ class OperatorsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(dec.toDF(), stride = 3)
     assert(frames.count() === (0 until d.n_frames by 3).size.toLong)
   }
+
+  test("linkPrediction: wedge scores on a square, edges excluded, deg cap") {
+    import graft.operators.GraphAlgos
+    // square 1-2-3-4-1 (diagonals open) + triangle 5-6-7 (fully closed)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("a", "b")
+    val got = GraphAlgos.linkPrediction(edges, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // diagonals: two shared degree-2 neighbors → RA = 2·(10⁶ DIV 2);
+    // J = 2/(2+2−2) = 1. The closed triangle contributes NOTHING —
+    // every wedge there is an existing edge (anti-join).
+    assert(got === Map((1L, 3L) -> ((2L, 1000000L, 1000L)),
+      (2L, 4L) -> ((2L, 1000000L, 1000L))))
+    // mid-degree cap below every degree → no wedges at all
+    assert(GraphAlgos.linkPrediction(edges, "a", "b", maxMidDeg = 1)
+      .count() === 0L)
+  }
+
+  test("basketPairs: distinct collapse, minCount gate, integer scores") {
+    // duplicate (b1, i1) row must not inflate counts; (1,3)/(2,3) fall
+    // below minCount=2
+    val items = Seq((10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L), (40L, 3L))
+      .toDF("basket", "item")
+    val got = Transforms.basketPairs(items, "basket", "item", minCount = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (a, b, nAb, cA, cB, sup, confAb, confBa) = got.head match {
+      case t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)
+    }
+    assert((a, b, nAb, cA, cB) === ((1L, 2L, 3L, 3L, 3L)))
+    assert(sup === 750000L)     // 3 of 4 baskets
+    assert(confAb === 1000L && confBa === 1000L)
+  }
+
+  test("ewmaDaily: dyadic weights, duplicate-day collapse, window cut") {
+    import graft.operators.EventAnalytics
+    // day1 has two rows (150+50); day40 is beyond day1+30 → own window
+    val ev = Seq(("a", 0L, 100L), ("a", 1L, 150L), ("a", 1L, 50L),
+      ("a", 40L, 300L)).toDF("k", "d", "c")
+    val got = EventAnalytics.ewmaDaily(ev, "k", col("d"), col("c"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // day0: only itself. day1: (2³⁰·200 + 2²⁹·100) DIV (2³⁰+2²⁹) =
+    // 500 DIV 3 = 166. day40: 39 days back > horizon → only itself.
+    assert(got === Map(0L -> ((100L, 1L, 100L)),
+      1L -> ((200L, 2L, 166L)), 40L -> ((300L, 1L, 300L))))
+  }
+
+  test("cusumShift: prefix identity peaks and argmax days") {
+    import graft.operators.EventAnalytics
+    // daily [10,10,40], mean 20 → dev [-10,-10,20], cum [-10,-20,0]
+    // S⁺ = cum − runmin = [0,0,20]; S⁻ = runmax − cum = [0,10,0]
+    val ev = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 40L))
+      .toDF("k", "d", "c")
+    val got = EventAnalytics.cusumShift(ev, "k", col("d"), col("c"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("a", 20L, 2L, 10L, 1L)))
+  }
+
+  test("firstTouchAttribution: first-event credit, converter counts") {
+    import graft.operators.EventAnalytics
+    // u1: view→purchase→purchase; u2: click only; u3: view only
+    val ev = Seq((1L, 1L, "view"), (1L, 2L, "purchase"), (1L, 3L, "purchase"),
+      (2L, 1L, "click"), (3L, 1L, "view"))
+      .toDF("u", "ts", "et")
+    val got = EventAnalytics.firstTouchAttribution(ev, "u", "et",
+        Seq(col("ts")), convType = "purchase")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map("view" -> ((2L, 1L, 2L, 500L)),
+      "click" -> ((1L, 0L, 0L, 0L))))
+  }
+
+  test("zipfSlope: exact power-law corpus regresses to slope ≈ −1") {
+    // word r repeated round(1024/r) times, r = 1..20 → ln c ≈ ln1024 − ln r
+    val docs = (1 to 20).map { r =>
+      val n = math.round(1024.0 / r).toInt
+      (r.toLong, Seq.fill(n)(f"w$r%02d").mkString(" "))
+    }.toDF("id", "text")
+    val got = TextAnalysis.zipfSlope(docs, "text", k = 20)
+      .as[(Long, Long)].collect().head
+    assert(got._1 === 20L)
+    assert(got._2 > -1050000L && got._2 < -950000L,
+      s"slope_micro=${got._2} not ≈ -1e6")
+  }
+
+  test("pcaPower: rank-1 plane recovers exact axis and eigenvalue") {
+    import graft.operators.Similarity
+    // vectors (2t, t, 0, 0), t ∈ {−3,−1,1,3}: mean 0, C = [[20,10],[10,5]]
+    // (zero-padded) → top eigvec (2,1)/√5, λ = 25, second eigenvalue 0.
+    val emb = Seq(-3f, -1f, 1f, 3f).map(t =>
+        Tuple1(Seq(2 * t, t, 0f, 0f)))
+      .toDF("embedding")
+    val got = Similarity.pcaPower(emb, "embedding")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val loadings = got.map(_._2)
+    assert(math.abs(loadings(0) - 894427L) <= 5)
+    assert(math.abs(loadings(1) - 447214L) <= 5)
+    assert(loadings(2) === 0L && loadings(3) === 0L)
+    assert(got.map(_._3).distinct.toSeq === Seq(25000000L))
+    // determinism: a second run is bit-identical
+    val again = Similarity.pcaPower(emb, "embedding")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
 }
