@@ -2054,7 +2054,48 @@ object SparkEntry {
     // ([[Similarity.pcaPower]] — distributed d² moment pass, bounded
     // driver-side power iteration; rows-only, pinned by SimilaritySpec).
     "pca_power" -> ((s, dir) =>
-      Similarity.pcaPower(t(s, dir, "embeddings"), "embedding"))
+      Similarity.pcaPower(t(s, dir, "embeddings"), "embedding")),
+
+    // inverted-index head: top-20 df terms with their first-10 posting
+    // lists ([[TextAnalysis.postingsHead]] — distinct collapse, k-sized
+    // TakeOrdered, rank-limit postings cap → WindowGroupLimit).
+    "postings" -> ((s, dir) =>
+      TextAnalysis.postingsHead(t(s, dir, "documents"), "text", "doc_id",
+        k = 20, cap = 10)),
+
+    // collection-level vocabulary overlap: Jaccard permille for every
+    // source pair ([[TextAnalysis.sourceJaccard]] — term self-join
+    // bounded by |sources|²·|vocab|, sizes attach post-collapse).
+    "source_jaccard" -> ((s, dir) =>
+      TextAnalysis.sourceJaccard(t(s, dir, "documents"), "text", "source")),
+
+    // closing-channel attribution: each purchase credits the latest
+    // non-purchase event within 7 days; windowless purchases counted on
+    // a NULL row so conversions conserve
+    // ([[EventAnalytics.lastTouchAttribution]] — banded self-join +
+    // rank-1, never a cross product).
+    "attribution_last" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convType = "purchase", lookbackUs = 604800000000L)),
+
+    // segment-level significance: Welch's t for each event type's spend
+    // vs the pooled rest ([[EventAnalytics.welchT]] — one aggregate pass,
+    // exact integer sufficient stats, one closing double expression).
+    "welch_t" -> ((s, dir) =>
+      EventAnalytics.welchT(
+        events(s, dir).select(col("event_type").as("et"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc")),
+        "et", "vc")),
+
+    // derandomized A-ES weighted sampling: 5 docs per source,
+    // length-weighted ([[TextAnalysis.weightedSampleAES]] — hash-drawn u,
+    // pico-quantized ln(u)/w keys, WindowGroupLimit top-k).
+    "weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSampleAES(t(s, dir, "documents"),
+        "source", "doc_id", "n_chars", k = 5))
   )
 
   /** Why each remaining `queries` entry WITHOUT an `oracleSql` twin cannot
@@ -4301,7 +4342,108 @@ object SparkEntry {
         |  (1000 * CAST(SUM(CASE WHEN cv.nc IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT)) // COUNT(*) AS conv_permille
         |FROM ft f LEFT JOIN cv ON cv.user_id = f.user_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "postings" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)),
+        |top AS (SELECT w, COUNT(*) AS df FROM td GROUP BY 1
+        |        ORDER BY df DESC, w ASC LIMIT 20),
+        |r AS (
+        |  SELECT t.w, t.df, td.doc_id,
+        |    row_number() OVER (PARTITION BY t.w ORDER BY td.doc_id) AS rn
+        |  FROM top t JOIN td ON td.w = t.w)
+        |SELECT w AS term, df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS postings
+        |FROM r WHERE rn <= 10 GROUP BY 1, 2""".stripMargin,
+
+    "source_jaccard" ->
+      """WITH st AS (
+        |  SELECT DISTINCT g, w FROM (
+        |    SELECT source AS g,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)),
+        |sz AS (SELECT g, COUNT(*) AS n FROM st GROUP BY 1),
+        |i AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_inter
+        |  FROM st a JOIN st b ON a.w = b.w AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+        |  (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+        |    AS jaccard_permille
+        |FROM i
+        |JOIN sz sa ON sa.g = i.src_a
+        |JOIN sz sb ON sb.g = i.src_b""".stripMargin,
+
+    // inner band join + NOT EXISTS for the orphan row — mirrors the
+    // engine's anti-join exactly (a left join would drop conversions
+    // whose entity has out-of-window priors)
+    "attribution_last" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |c AS (SELECT user_id, ts_us AS ct, event_id AS cid FROM e
+        |      WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, event_type AS pt, ts_us AS pts,
+        |        event_id AS pid FROM e
+        |      WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.cid, p.pt,
+        |    row_number() OVER (PARTITION BY c.user_id, c.cid
+        |      ORDER BY p.pts DESC, p.pid DESC) AS rn
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |    AND p.pts < c.ct AND p.pts >= c.ct - 604800000000),
+        |cr AS (SELECT pt AS last_touch, COUNT(*) AS n_conversions
+        |       FROM j WHERE rn = 1 GROUP BY 1),
+        |orph AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS last_touch,
+        |    COUNT(*) AS n_conversions
+        |  FROM c WHERE NOT EXISTS (
+        |    SELECT 1 FROM j WHERE j.rn = 1 AND j.user_id = c.user_id
+        |      AND j.cid = c.cid)),
+        |u AS (SELECT * FROM cr
+        |      UNION ALL SELECT * FROM orph WHERE n_conversions > 0)
+        |SELECT last_touch, n_conversions,
+        |  CAST((1000 * n_conversions) // SUM(n_conversions) OVER ()
+        |    AS BIGINT) AS share_permille
+        |FROM u""".stripMargin,
+
+    // formula mirrored token-for-token from the engine expression —
+    // identical op order keeps the one double evaluation bit-aligned
+    "welch_t" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    CAST(round(value*100, 0) AS BIGINT) AS x FROM events),
+        |g AS (SELECT et, COUNT(*) AS n_g,
+        |    SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS ss
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT *, SUM(n_g) OVER () AS nt, SUM(s) OVER () AS st,
+        |    SUM(ss) OVER () AS sst FROM g)
+        |SELECT et, n_g, nt - n_g AS n_rest,
+        |  CASE WHEN n_g < 2 OR nt - n_g < 2 THEN NULL ELSE
+        |    CAST(round((CAST(s AS DOUBLE)/n_g
+        |        - CAST(st - s AS DOUBLE)/(nt - n_g)) * 1000000 /
+        |      sqrt(
+        |        ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |            * CAST(s AS DOUBLE)/n_g) / (n_g - 1)) / n_g +
+        |        ((CAST(sst - ss AS DOUBLE) - CAST(st - s AS DOUBLE)
+        |            * CAST(st - s AS DOUBLE)/(nt - n_g)) / (nt - n_g - 1))
+        |          / (nt - n_g)), 0) AS BIGINT) END AS t_micro
+        |FROM t""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH s AS (SELECT source, doc_id, n_chars,
+        |    CAST(round(
+        |      ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296)
+        |        / n_chars * 1000000000000, 0) AS BIGINT) AS score_pico
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score_pico DESC, doc_id ASC) AS rank FROM s)
+        |SELECT source, doc_id, n_chars, score_pico, rank
+        |FROM r WHERE rank <= 5""".stripMargin
   )
 
   /** DuckDB expression twin of [[TextAnalysis.langId]]: same stopword

@@ -674,6 +674,96 @@ object EventAnalytics {
     * partial-combined aggregate on the same key, joined post-collapse —
     * both sides are |entities|-sized, never event-sized, and partition on
     * the same key. */
+  /** Last-touch attribution with a lookback window: each conversion
+    * credits the LATEST non-conversion event by the same entity within
+    * `lookbackUs` micros before it (strictly earlier; ties inside the
+    * window break by the total order, so credit is engine-exact).
+    * Complements [[firstTouchAttribution]] — "what acquired them" vs
+    * "what closed them". Conversions with an empty lookback window are
+    * counted separately (`n_unattributed` on a NULL-type row), so the
+    * output conserves conversions.
+    *
+    * Scale shape: conversions × prior-events is a banded self-join on
+    * the entity key (equi-join with a range residual — never a cross
+    * product; band width bounds the fan-out to events-per-entity-per-
+    * window); the per-conversion argmax is a rank-1 filter (the
+    * WindowGroupLimit form), and the final census is a |types|-sized
+    * aggregate with the share denominator riding a window over that
+    * tiny frame. */
+  def lastTouchAttribution(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, tieCol: String, convType: String,
+      lookbackUs: Long): DataFrame = {
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ct"),
+        col(tieCol).as("__cid"))
+    val prior = events.filter(col(typeCol) =!= convType)
+      .select(col(keyCol).as("__k"), col(typeCol).as("__pt"),
+        col(tsCol).as("__pts"), col(tieCol).as("__pid"))
+    val w = Window.partitionBy(col("__k"), col("__cid"))
+      .orderBy(col("__pts").desc, col("__pid").desc)
+    val credited = convs.join(prior, Seq("__k"))
+      .filter(col("__pts") < col("__ct") &&
+        col("__pts") >= col("__ct") - lookbackUs)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    // conversions whose window held nothing: anti-join, NOT a left join —
+    // a left join + rank would silently drop conversions whose entity has
+    // prior events that all miss the window
+    val orphans = convs.join(
+        credited.select(col("__k"), col("__cid")),
+        Seq("__k", "__cid"), "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit(null).cast("string").as("last_touch"),
+        col("n_conversions"))
+    credited.groupBy(col("__pt").as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .unionByName(orphans)
+      .filter(col("n_conversions") > 0)
+      .withColumn("share_permille", expr(
+        "(1000 * n_conversions) DIV sum(n_conversions) OVER ()"))
+  }
+
+  /** Welch's unequal-variance t statistic, each group vs the pooled REST
+    * (the [[ksDrift]] contrast pattern): "is this segment's metric level
+    * actually different, given both sides' own variances". Exact
+    * DECIMAL(38,0) sufficient statistics (n, Σx, Σx²) per group; the rest
+    * side is TOTAL − group, so one aggregate pass serves every contrast;
+    * means/variances/t materialize in ONE closing double expression
+    * quantized to integer micros (the [[lagAutocorr]] oracle-parity
+    * posture — no order-dependent float sum anywhere).
+    *
+    * Sample variances (n−1); groups with n < 2 on either side yield NULL.
+    * Scale shape: one partial-combined aggregate over raw rows; the
+    * totals ride a window over the |groups|-row frame. */
+  def welchT(events: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val g = events
+      .select(col(groupCol).as("__g"), col(valCol).as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("__x").cast(dec)).as("__s"),
+        sum((col("__x").cast(dec) * col("__x").cast(dec))).as("__ss"))
+    val wAll = Window.partitionBy()
+    g.withColumn("__nt", sum(col("n_g")).over(wAll))
+      .withColumn("__st", sum(col("__s")).over(wAll))
+      .withColumn("__sst", sum(col("__ss")).over(wAll))
+      .withColumn("n_rest", col("__nt") - col("n_g"))
+      .withColumn("t_micro", expr(
+        """CASE WHEN n_g < 2 OR n_rest < 2 THEN NULL ELSE
+          |CAST(round((CAST(__s AS DOUBLE)/n_g
+          |    - CAST(__st - __s AS DOUBLE)/n_rest) * 1000000 /
+          |  sqrt(
+          |    ((CAST(__ss AS DOUBLE) - CAST(__s AS DOUBLE)
+          |        * CAST(__s AS DOUBLE)/n_g) / (n_g - 1)) / n_g +
+          |    ((CAST(__sst - __ss AS DOUBLE) - CAST(__st - __s AS DOUBLE)
+          |        * CAST(__st - __s AS DOUBLE)/n_rest) / (n_rest - 1))
+          |      / n_rest), 0) AS BIGINT) END""".stripMargin
+          .replace("\n", " ")))
+      .select(col("__g").as(groupCol), col("n_g"), col("n_rest"),
+        col("t_micro"))
+  }
+
   def firstTouchAttribution(events: DataFrame, keyCol: String,
       typeCol: String, orderCols: Seq[Column],
       convType: String): DataFrame = {

@@ -556,6 +556,44 @@ object TextAnalysis {
         (col("__cum") % maxTokens).as("pack_offset"))
   }
 
+  /** A-ES weighted sampling without replacement (Efraimidis–Spirakis
+    * 2006), derandomized: each row draws u from a Knuth multiplicative
+    * hash of its id — u = ((id·2654435761) mod 2³² + 0.5)/2³², the same
+    * plain integer arithmetic on any engine — and the k rows per group
+    * with the largest u^(1/w) win, computed as ln(u)/w (monotone
+    * equivalent) quantized to integer picos so the rank order is
+    * engine-exact. Weight-proportional inclusion with NO sequential scan:
+    * this is how "sample 10k docs per source, proportional to length"
+    * runs distributed — the textbook alternative (cumulative-weight
+    * roulette) needs a prefix sum over the whole corpus per draw.
+    *
+    * Derandomization caveat, stated not hidden: u is a hash of the id,
+    * so re-runs are reproducible BY DESIGN (the sampling-audit
+    * requirement); swap the hash for a salted one to redraw. ids must
+    * stay below 2³¹ or id·2654435761 overflows — salt-fold first at
+    * warehouse scale.
+    *
+    * Scale shape: score is per-row arithmetic on the scan; top-k per
+    * group is the rank ≤ k filter (WindowGroupLimit — per-partition
+    * pre-truncation, the [[sampleStratified]] family's posture). */
+  def weightedSampleAES(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(weightCol).as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__u", expr(
+        "((__id * 2654435761) % 4294967296 + 0.5) / 4294967296"))
+      .withColumn("score_pico",
+        expr("CAST(round(ln(__u) / __w * 1000000000000, 0) AS BIGINT)"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("score_pico").desc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__w").as(weightCol), col("score_pico"), col("rank"))
+  }
+
   /** Zipf rank-frequency slope: the least-squares slope of ln(count) on
     * ln(rank) over the corpus's top-k terms — natural text sits near −1;
     * a corpus drifting toward 0 (flat) or below −1.5 (template spam /
@@ -572,6 +610,72 @@ object TextAnalysis {
     * explode + one partial-combined term count (the only corpus-sized
     * stage); ranking the top k is a k-sized TakeOrdered, and the
     * regression is a single-row aggregate over k rows. */
+  /** Inverted-index head: for the `k` highest-document-frequency terms,
+    * the document frequency and a capped posting list (the `cap` lowest
+    * doc ids, comma-joined) — the IR-shaped "what would a search index's
+    * hottest rows look like" probe, and the exact shape a posting-list
+    * builder materializes per term. Every ordering is total (df desc +
+    * term; doc ids ascending), so the dump is engine-exact.
+    *
+    * Scale shape: DISTINCT (term, doc) is the only corpus-sized stage
+    * (explode + two-phase distinct); term selection is a k-sized
+    * TakeOrdered; the per-term rank ≤ cap filter is the rank-limit form
+    * Spark rewrites to WindowGroupLimit — each partition pre-truncates to
+    * its own top-cap before the term's rows meet, so a stop-word term
+    * with 10⁹ postings never assembles them in one place ([[packSequences]]
+    * / sample_per_group posture). */
+  def postingsHead(df: DataFrame, textCol: String, idCol: String,
+      k: Int, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = df.select(col(idCol).as("__id"),
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .distinct()
+    val top = td.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(k)
+    val wr = Window.partitionBy(col("w")).orderBy(col("__id").asc)
+    td.join(broadcast(top), "w")
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= cap)
+      .groupBy(col("w"), col("df"))
+      .agg(array_join(transform(array_sort(collect_list(col("__id"))),
+        x => x.cast("string")), ",").as("postings"))
+      .select(col("w").as("term"), col("df"), col("postings"))
+  }
+
+  /** Pairwise vocabulary overlap between sources: |Tₐ∩Tᵦ| over |Tₐ∪Tᵦ|
+    * in integer permille for every source pair — the corpus-level
+    * similarity matrix that flags near-mirror domains before any
+    * document-level dedup runs ([[Dedup]] finds duplicate DOCUMENTS;
+    * this finds duplicate COLLECTIONS).
+    *
+    * Scale shape: DISTINCT (source, term) collapses the corpus first;
+    * the intersection is the term self-join — work is Σ_term
+    * |sources(term)|², bounded by |sources|²·|vocab| regardless of
+    * corpus size; per-source vocabulary sizes attach after the pair
+    * collapse (|pairs| ≤ |sources|² rows). The same container-pair
+    * discipline as [[Transforms.basketPairs]], with the term as the
+    * container. */
+  def sourceJaccard(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val st = df.select(col(groupCol).as("__g"),
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .distinct().localCheckpoint()
+    val sizes = st.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = st
+      .join(st.select(col("__g").as("__g2"), col("w")), "w")
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g"), col("__g2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("__g"), col("__n").as("n_a")), "__g")
+      .join(sizes.select(col("__g").as("__g2"), col("__n").as("n_b")),
+        "__g2")
+      .select(col("__g").as("src_a"), col("__g2").as("src_b"),
+        col("n_inter"), col("n_a"), col("n_b"),
+        expr("(1000 * n_inter) DIV (n_a + n_b - n_inter)")
+          .as("jaccard_permille"))
+  }
+
   def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

@@ -1624,6 +1624,46 @@ class OperatorsSpec extends AnyFunSuite {
       s"slope_micro=${got._2} not ≈ -1e6")
   }
 
+  test("postingsHead: df dedups within doc, cap keeps lowest ids") {
+    // token 'a' repeats inside doc 3 — df counts the DOC once
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a a a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.postingsHead(docs, "text", "doc_id",
+        k = 2, cap = 2)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((3L, "1,2")), "b" -> ((2L, "1,2"))))
+  }
+
+  test("sourceJaccard: overlap permille, identical sources hit 1000") {
+    val docs = Seq(("s1", "a b"), ("s2", "b c"), ("s3", "b a"))
+      .toDF("src", "text")
+    val got = TextAnalysis.sourceJaccard(docs, "text", "src")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._6))).toMap
+    assert(got === Map(("s1", "s2") -> ((1L, 333L)),
+      ("s2", "s3") -> ((1L, 333L)), ("s1", "s3") -> ((2L, 1000L))))
+  }
+
+  test("lastTouchAttribution: window credit, tie by id, orphans conserve") {
+    import graft.operators.EventAnalytics
+    // u1: view@5 beats click@1; u2: click@1 outside [100,200) → orphan;
+    // u3: no priors at all → orphan; u4: a@3/b@3 tie → higher id (b)
+    val ev = Seq(
+      (1L, "click", 1L, 11L), (1L, "view", 5L, 12L),
+      (1L, "purchase", 10L, 13L),
+      (2L, "click", 1L, 21L), (2L, "purchase", 200L, 22L),
+      (3L, "purchase", 5L, 31L),
+      (4L, "a", 3L, 41L), (4L, "b", 3L, 42L), (4L, "purchase", 10L, 43L))
+      .toDF("u", "et", "ts", "id")
+    val got = EventAnalytics.lastTouchAttribution(ev, "u", "et", "ts",
+        "id", convType = "purchase", lookbackUs = 100L)
+      .as[(Option[String], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(Some("view") -> ((1L, 250L)),
+      Some("b") -> ((1L, 250L)), None -> ((2L, 500L))))
+  }
+
   test("pcaPower: rank-1 plane recovers exact axis and eigenvalue") {
     import graft.operators.Similarity
     // vectors (2t, t, 0, 0), t ∈ {−3,−1,1,3}: mean 0, C = [[20,10],[10,5]]
