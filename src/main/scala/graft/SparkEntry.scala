@@ -4422,7 +4422,7 @@ object SparkEntry {
         |  FROM e GROUP BY 1),
         |t AS (SELECT *, SUM(n_g) OVER () AS nt, SUM(s) OVER () AS st,
         |    SUM(ss) OVER () AS sst FROM g)
-        |SELECT et, n_g, nt - n_g AS n_rest,
+        |SELECT et, n_g, CAST(nt - n_g AS BIGINT) AS n_rest,
         |  CASE WHEN n_g < 2 OR nt - n_g < 2 THEN NULL ELSE
         |    CAST(round((CAST(s AS DOUBLE)/n_g
         |        - CAST(st - s AS DOUBLE)/(nt - n_g)) * 1000000 /

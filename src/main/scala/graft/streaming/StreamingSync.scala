@@ -133,4 +133,27 @@ class StreamingSync(spark: SparkSession, store: SnapshotStore, sink: GraphSink) 
       .select(col(keyCol), col("w.start").as("session_start"),
         col("n_events"), col("value_cents"))
   }
+
+  /** Stream-stream interval join — the streaming twin of the batch band
+    * join ([[graft.operators.EventAnalytics.lastTouchAttribution]]'s
+    * candidate stage): each left event pairs with right events of the
+    * same key whose timestamp falls in (left − lookback, left]. Both
+    * sides carry watermarks so Spark bounds the buffered state to the
+    * watermark + lookback horizon and evicts behind it — the unbounded-
+    * state trap of an un-watermarked stream join is structurally
+    * impossible here. Works on batch frames too (same plan minus state),
+    * which is what the parity spec compares against. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lTsCol: String, rTsCol: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(lTsCol, watermark)
+      else left
+    val r = if (right.isStreaming) right.withWatermark(rTsCol, watermark)
+      else right
+    l.join(r, l(keyCol) === r(keyCol) &&
+        r(rTsCol) <= l(lTsCol) &&
+        r(rTsCol) > l(lTsCol) - expr(s"INTERVAL $lookback"))
+      .select(l(keyCol).as(keyCol), l(lTsCol).as("l_ts"),
+        r(rTsCol).as("r_ts"))
+  }
 }

@@ -1664,6 +1664,50 @@ class OperatorsSpec extends AnyFunSuite {
       Some("b") -> ((1L, 250L)), None -> ((2L, 500L))))
   }
 
+  test("welchT: equal groups → t = 0; shifted group signs; n<2 → NULL") {
+    import graft.operators.EventAnalytics
+    // a = {0, 10} and b = {0, 10}: means equal → t exactly 0.
+    // c = {100, 110}: vs rest mean 5, var terms hand-checkable; just pin
+    // sign and magnitude ordering here (exact value pinned by oracle).
+    val ev = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L),
+      ("c", 100L), ("c", 110L)).toDF("g", "v")
+    val got = EventAnalytics.welchT(ev, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a vs rest {0,10,100,110}: mean 5 vs 55 → strongly negative
+    assert(got("a")._3.get < -1000000L)
+    assert(got("c")._3.get > 1000000L)
+    assert(got.values.forall(v => v._1 + v._2 === 6L))
+    // singleton group → NULL t (variance undefined)
+    val tiny = Seq(("a", 1L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val t2 = EventAnalytics.welchT(tiny, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(t2("a").isEmpty && t2("b").isEmpty)
+  }
+
+  test("weightedSampleAES: exact A-ES keys, heavier rows rank higher") {
+    // hand-compute the scores: u(id) = ((id·2654435761) % 2³² + 0.5)/2³²
+    def score(id: Long, w: Long): Long =
+      math.round(math.log(((id * 2654435761L) % 4294967296L + 0.5) /
+        4294967296.0) / w * 1e12)
+    val docs = Seq(("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L),
+      ("s", 4L, 10000L), ("z", 9L, 50L), ("z", 10L, 0L))
+      .toDF("src", "id", "w")
+    val got = TextAnalysis.weightedSampleAES(docs, "src", "id", "w", k = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // weight-0 row excluded entirely; z keeps its one positive-weight row
+    assert(!got.contains(("z", 10L)) && got(("z", 9L))._2 === 1L)
+    // every kept score matches the hand formula bit-for-bit
+    val expect = Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 10000L)
+    got.collect { case (("s", id), (sp, _)) =>
+      assert(sp === score(id, expect(id)), s"id=$id") }
+    // the 100× heavier row must be among s's top-2 (|ln u|/w shrinks)
+    assert(got.contains(("s", 4L)))
+  }
+
   test("pcaPower: rank-1 plane recovers exact axis and eigenvalue") {
     import graft.operators.Similarity
     // vectors (2t, t, 0, 0), t ∈ {−3,−1,1,3}: mean 0, C = [[20,10],[10,5]]

@@ -398,4 +398,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair scoring must be the pruned a<b join, not a cartesian:\n$plan")
     assert(plan.contains("HashJoin"), plan)
   }
+
+  test("round-6 pair miners: every join keyed, never a nested loop") {
+    // link_predict (wedge join), source_jaccard (term self-join),
+    // ewma_daily + attribution_last (banded self-joins: equi on the key,
+    // range as residual filter)
+    for (name <- Seq("link_predict", "source_jaccard",
+        "ewma_daily", "attribution_last")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name: candidate join lost its equi key:\n$plan")
+    }
+    // basket_pairs carries ONE legitimate BNLJ: the single-row basket
+    // total riding a broadcast cross (the tfidf n_docs pattern); the
+    // pair-mining joins themselves must stay hash
+    val bp = finalPlan(q("basket_pairs"))
+    assert(!bp.contains("CartesianProduct"), bp)
+    assert(bp.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"basket_pairs: more than the one totals-broadcast BNLJ:\n$bp")
+  }
 }

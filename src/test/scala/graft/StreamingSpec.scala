@@ -271,4 +271,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expect)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: streaming result equals batch result") {
+    val root = Files.createTempDirectory("graft-ij").toString
+    val lDir = s"$root/l"; val rDir = s"$root/r"
+    Files.createDirectories(java.nio.file.Paths.get(lDir))
+    Files.createDirectories(java.nio.file.Paths.get(rDir))
+    // u1: purchase at 01:00 ← clicks at 00:45 (in) and 00:20 (out of the
+    // 30min band); boundary click EXACTLY at 01:00 is in (≤), 00:30 is
+    // out (strict >). u2: click only → no pair.
+    Files.writeString(java.nio.file.Paths.get(s"$lDir/p.json"), Seq(
+      """{"ts": "2024-01-01T01:00:00Z", "u": "u1"}""",
+      """{"ts": "2024-01-01T03:00:00Z", "u": "u3"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$rDir/c.json"), Seq(
+      """{"ts": "2024-01-01T00:45:00Z", "u": "u1"}""",
+      """{"ts": "2024-01-01T01:00:00Z", "u": "u1"}""",
+      """{"ts": "2024-01-01T00:30:00Z", "u": "u1"}""",
+      """{"ts": "2024-01-01T00:20:00Z", "u": "u1"}""",
+      """{"ts": "2024-01-01T00:50:00Z", "u": "u2"}""").mkString("\n"))
+    val schema = "ts TIMESTAMP, u STRING"
+    val sync = new StreamingSync(spark, null, null)
+
+    val lB = spark.read.schema(schema).json(lDir)
+    val rB = spark.read.schema(schema).json(rDir)
+      .withColumnRenamed("ts", "cts")
+    val expect = sync.intervalJoin(lB, rB, "u", "ts", "cts",
+      "30 minutes", "2 hours").collect().map(_.toSeq).toSet
+    assert(expect.size === 2) // 00:45 and the ≤-boundary 01:00
+
+    val lS = spark.readStream.schema(schema).json(lDir)
+    val rS = spark.readStream.schema(schema).json(rDir)
+      .withColumnRenamed("ts", "cts")
+    val q = sync.intervalJoin(lS, rS, "u", "ts", "cts",
+        "30 minutes", "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect().map(_.toSeq).toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
 }
