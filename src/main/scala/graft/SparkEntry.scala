@@ -2095,7 +2095,38 @@ object SparkEntry {
     // pico-quantized ln(u)/w keys, WindowGroupLimit top-k).
     "weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSampleAES(t(s, dir, "documents"),
-        "source", "doc_id", "n_chars", k = 5))
+        "source", "doc_id", "n_chars", k = 5)),
+
+    // significance companion to mutual_info on the same contingency:
+    // chi-square over the COMPLETE et × hour grid (zero cells cost their
+    // expectation — [[EventAnalytics.chiSquare]]).
+    "chi2_independence" -> ((s, dir) =>
+      EventAnalytics.chiSquare(
+        events(s, dir).select(col("event_type").as("et"),
+          expr("((ts DIV 1000) DIV 3600000000) % 24").as("hod")),
+        "et", "hod")),
+
+    // BM25 retrieval for the df-ranks-10..12 query over documents
+    // ([[TextAnalysis.bm25TopK]] — cleared-denominator integer
+    // saturation, one tf relation feeding df/dl/scoring).
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        qRankLo = 10, qRankHi = 12, k = 10)),
+
+    // minimum spanning forest of the mod-300 interaction graph under a
+    // deterministic synthetic weight ([[GraphAlgos.boruvkaMst]] —
+    // lightest-outgoing-edge rounds, lexicographic tie perturbation;
+    // rows-only, Kruskal-pinned in OperatorsSpec).
+    "mst_forest" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+        .withColumn("w", expr("(a * 37 + b * 101) % 997"))
+      GraphAlgos.boruvkaMst(g, "a", "b", "w")
+    })
   )
 
   /** Why each remaining `queries` entry WITHOUT an `oracleSql` twin cannot
@@ -2110,6 +2141,14 @@ object SparkEntry {
       "case exactly instead (axis (2,1)/√5 → loadings 894427/447214 " +
       "micros, λ = 25e6, zero padding dims exactly 0) plus bit-identical " +
       "determinism across recomputation."),
+    "mst_forest" -> ("minimum spanning forest by Borůvka rounds — an " +
+      "iterated contraction fixpoint with no SQL equivalent in DuckDB " +
+      "(Kruskal needs sequential union-find). OperatorsSpec pins a " +
+      "hand-computed cycle-drop case exactly AND cross-checks the full " +
+      "edge set against an independent Kruskal implementation on a " +
+      "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
+      "the forest unique, so the comparison is set-equality, not " +
+      "weight-sum-only."),
     "crc32_hash" -> ("output is CRC-32/Q (polynomial 0x814141AB, the " +
       "reference's hash — SURVEY §2.5 F1); DuckDB has no CRC-32/Q. " +
       "Byte-exact vs the Go implementation's vectors in Crc32QSpec."),
@@ -4433,6 +4472,67 @@ object SparkEntry {
         |            * CAST(st - s AS DOUBLE)/(nt - n_g)) / (nt - n_g - 1))
         |          / (nt - n_g)), 0) AS BIGINT) END AS t_micro
         |FROM t""".stripMargin,
+
+    // complete-grid chi-square: marginal cross join LEFT-joined to the
+    // observed cells so o=0 cells still contribute their expectation
+    "chi2_independence" ->
+      """WITH d AS (SELECT event_type AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
+        |cells AS (SELECT x, y, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+        |nn AS (SELECT SUM(c) AS n FROM cells),
+        |grid AS (
+        |  SELECT mx.x, my.y, mx.cx, my.cy, COALESCE(cells.c, 0) AS o
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+        |q AS (
+        |  SELECT x, y,
+        |    CAST(round(CAST(
+        |      (CAST(o AS HUGEINT) * nn.n - CAST(cx AS HUGEINT) * cy)
+        |      * (CAST(o AS HUGEINT) * nn.n - CAST(cx AS HUGEINT) * cy)
+        |      AS DOUBLE) * 1000000 /
+        |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+        |        * CAST(nn.n AS DOUBLE)), 0) AS BIGINT) AS q
+        |  FROM grid, nn)
+        |SELECT CAST(SUM(q) // 1000 AS BIGINT) AS chi2_milli,
+        |  (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof,
+        |  COUNT(*) AS n_cells
+        |FROM q""".stripMargin,
+
+    // saturation in cleared-denominator integer form — the one double
+    // division takes exact BIGINT operands on both engines
+    "bm25_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+        |       GROUP BY 1),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N
+        |       FROM dl),
+        |q AS (SELECT w, df FROM (
+        |    SELECT w, df, row_number() OVER (ORDER BY df DESC, w ASC)
+        |      AS r FROM dfreq)
+        |  WHERE r BETWEEN 10 AND 12),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      CAST(round(ln((CAST(st.N AS DOUBLE) - q.df + 0.5)
+        |          / (q.df + 0.5)) * 1000000, 0) AS BIGINT)
+        |      * (CAST(44 * tf.tf * st.S AS DOUBLE) /
+        |         CAST(20 * tf.tf * st.S + 6 * st.S + 18 * dl.dl * st.N
+        |           AS DOUBLE)), 0) AS BIGINT) AS contrib
+        |  FROM tf JOIN q ON q.w = tf.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro,
+        |  COUNT(*) AS n_terms_hit
+        |FROM sc GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "weighted_sample" ->
       """WITH s AS (SELECT source, doc_id, n_chars,

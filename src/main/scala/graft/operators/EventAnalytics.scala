@@ -271,6 +271,43 @@ object EventAnalytics {
         max(col("__n")).as("n_events"))
   }
 
+  /** Pearson chi-square independence statistic over the x × y
+    * contingency COMPLETE grid — the [[mutualInformation]] companion
+    * ("are these categoricals dependent" with a significance scale).
+    * Critical difference from MI: zero-count cells CONTRIBUTE (o=0 still
+    * costs e), so the grid is the marginals' cross join, never just the
+    * observed cells. Per-cell contribution uses the cross-multiplied
+    * exact form (o·n − cx·cy)² / (cx·cy·n) — numerator exact in
+    * DECIMAL(38,0), one double division per cell quantized to micros,
+    * integer-summed (the MI quantization posture). Returns chi2 in
+    * millis + degrees of freedom.
+    *
+    * Scale shape: one data-sized aggregate to cells; marginals
+    * re-aggregate from cells and come back broadcast; the grid is
+    * |x|·|y| rows (a cross of two broadcast frames). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    broadcast(mx).crossJoin(broadcast(my))
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("__q", expr(
+        "CAST(round(CAST((CAST(__o AS DECIMAL(38,0)) * __n " +
+          "- CAST(__cx AS DECIMAL(38,0)) * __cy) " +
+          "* (CAST(__o AS DECIMAL(38,0)) * __n " +
+          "- CAST(__cx AS DECIMAL(38,0)) * __cy) AS DOUBLE) * 1000000 / " +
+          "(CAST(__cx AS DOUBLE) * CAST(__cy AS DOUBLE) " +
+          "* CAST(__n AS DOUBLE)), 0) AS BIGINT)"))
+      .agg(expr("SUM(__q) DIV 1000").as("chi2_milli"),
+        expr("(COUNT(DISTINCT __x) - 1) * (COUNT(DISTINCT __y) - 1)")
+          .as("dof"),
+        count(lit(1)).as("n_cells"))
+  }
+
   /** Per-key OLS trend slope from exact integer sufficient statistics:
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with x recentered to the
     * key's minimum so the sums stay in BIGINT range and the cross

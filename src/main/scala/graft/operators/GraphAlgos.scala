@@ -384,6 +384,73 @@ object GraphAlgos {
     * on hub-prone graphs cap the mid-vertex degree upstream (`maxMidDeg`);
     * the cap is explicit, never silently applied (`Int.MaxValue` default).
     */
+  /** Minimum spanning forest by Borůvka's algorithm — the distributed MST
+    * (Kruskal needs a global edge sort + sequential union-find; Borůvka
+    * is "every component grabs its lightest outgoing edge" and halves the
+    * component count per round, so ⌈log₂ V⌉ rounds suffice). Edge order
+    * is the LEXICOGRAPHIC (w, a, b) total order, which perturbs ties
+    * consistently — the forest is therefore unique and engine-exact even
+    * with duplicate weights (the classic MST-uniqueness argument applied
+    * to the perturbed weights).
+    *
+    * Per round: component labels come from [[graft.operators.Dedup
+    * .connectedComponents]] over the forest-so-far (min-label
+    * propagation); each edge picks up both endpoint labels via two
+    * id-keyed joins; per-label lightest outgoing edge is one `min_by`
+    * aggregate. The driver only counts candidates to detect the fixpoint
+    * (a bounded-rounds loop, the [[graft.operators.TextAnalysis
+    * .bpeMerges]] orchestration posture) — edges never leave executors.
+    * Scale: each round is joins + aggregates on (id, label) records;
+    * lineage is cut by the CC checkpoint discipline. */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRounds: Int = 10): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
+    var mst = e.filter(lit(false)).localCheckpoint()
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val lab =
+        if (mst.isEmpty) nodes.select(col("id"), col("id").as("cluster_id"))
+        else nodes.join(
+          graft.operators.Dedup.connectedComponents(mst, "a", "b")
+            .withColumnRenamed("cluster_id", "__cc"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__cc"), col("id")).as("cluster_id"))
+      val tagged = e
+        .join(lab.select(col("id").as("a"), col("cluster_id").as("__ca")), "a")
+        .join(lab.select(col("id").as("b"), col("cluster_id").as("__cb")), "b")
+        .filter(col("__ca") =!= col("__cb"))
+      val picks = tagged
+        .select(explode(array(col("__ca"), col("__cb"))).as("__comp"),
+          struct(col("w"), col("a"), col("b")).as("__e"))
+        .groupBy(col("__comp")).agg(min(col("__e")).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"),
+          col("__e.w").as("w"))
+        .distinct()
+      if (picks.isEmpty) done = true
+      else mst = mst.union(picks).distinct().localCheckpoint()
+      round += 1
+    }
+    require(done || {
+      // one extra fixpoint probe so a forest finishing EXACTLY at the
+      // bound doesn't trip the guard
+      val lab = nodes.join(
+          graft.operators.Dedup.connectedComponents(mst, "a", "b")
+            .withColumnRenamed("cluster_id", "__cc"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("id")).as("cluster_id"))
+      e.join(lab.select(col("id").as("a"), col("cluster_id").as("__ca")), "a")
+        .join(lab.select(col("id").as("b"), col("cluster_id").as("__cb")), "b")
+        .filter(col("__ca") =!= col("__cb")).isEmpty
+    }, s"boruvkaMst did not converge in $maxRounds rounds")
+    mst
+  }
+
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       maxMidDeg: Int = Int.MaxValue): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),

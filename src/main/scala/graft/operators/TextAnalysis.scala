@@ -594,6 +594,61 @@ object TextAnalysis {
         col("__w").as(weightCol), col("score_pico"), col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, k1 = 6/5, b = 3/4)
+    * for a deterministic query — the df-rank window [qRankLo, qRankHi]
+    * of the corpus's own vocabulary (rank 1 = highest df), so the query
+    * needs no out-of-band input and both engines derive it identically.
+    * The saturation term is computed in cleared-denominator integer form:
+    * with S = Σ dl and N docs,
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl·N/S))
+    *     = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)
+    *
+    * — numerator and denominator are exact BIGINTs (< 2⁵³ for S·tf up to
+    * ~10¹¹; cleared fractions, no float avgdl), so the one double
+    * division is bit-identical cross-engine; idf quantizes to micros per
+    * term (single ln, the [[pmiCollocations]] posture) and per-(doc,term)
+    * contributions are integer-summed.
+    *
+    * Scale shape: ONE corpus-sized aggregate (the (doc, term) tf
+    * relation, checkpointed) feeds df, dl AND the scoring join — the
+    * [[tfIdf]] exchange-reuse discipline; the query-term frame is
+    * (qRankHi)-sized via TakeOrdered and broadcasts; the final top-k is
+    * TakeOrderedAndProject. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      qRankLo: Int, qRankHi: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("__id"),
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
+    val qterms = dfreq
+      .orderBy(col("df").desc, col("w").asc).limit(qRankHi)
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("df").desc, col("w").asc)))
+      .filter(col("__r").between(qRankLo, qRankHi))
+      .select(col("w"), col("df"))
+    tf.join(broadcast(qterms), "w")
+      .join(dl, "__id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf_micro", expr(
+        "CAST(round(ln((CAST(N AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+          "* 1000000, 0) AS BIGINT)"))
+      .withColumn("__contrib", expr(
+        "CAST(round(__idf_micro * (CAST(44 * tf * S AS DOUBLE) / " +
+          "CAST(20 * tf * S + 6 * S + 18 * dl * N AS DOUBLE)), 0) " +
+          "AS BIGINT)"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__contrib")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("__id").asc).limit(k)
+      .select(col("__id").as(idCol), col("score_micro"),
+        col("n_terms_hit"))
+  }
+
   /** Zipf rank-frequency slope: the least-squares slope of ln(count) on
     * ln(rank) over the corpus's top-k terms — natural text sits near −1;
     * a corpus drifting toward 0 (flat) or below −1.5 (template spam /

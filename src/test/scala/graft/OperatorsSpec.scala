@@ -1708,6 +1708,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(("s", 4L)))
   }
 
+  test("chiSquare: independent grid → 0, perfect diagonal → n·dof") {
+    import graft.operators.EventAnalytics
+    // uniform 2×2, 5 per cell: o = e everywhere → chi2 exactly 0
+    val indep = (for (x <- Seq("a", "b"); y <- Seq(0L, 1L);
+      _ <- 1 to 5) yield (x, y)).toDF("x", "y")
+    val i = EventAnalytics.chiSquare(indep, "x", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(i === ((0L, 1L, 4L)))
+    // perfect association (diagonal only): chi2 = n = 10, dof 1 — and
+    // the zero cells MUST contribute (dropping them gives 5, not 10)
+    val dep = (for (v <- Seq(("a", 0L), ("b", 1L)); _ <- 1 to 5)
+      yield v).toDF("x", "y")
+    val d = EventAnalytics.chiSquare(dep, "x", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(d === ((10000L, 1L, 4L)))
+  }
+
+  test("boruvkaMst: cycle drops heaviest; set-equal to Kruskal at 40 nodes") {
+    import graft.operators.GraphAlgos
+    // square cycle: MST drops the heaviest edge (2-3, w=5); the
+    // disconnected pair keeps its only edge → a 4-edge forest
+    val square = Seq((1L, 2L, 1L), (2L, 3L, 5L), (3L, 4L, 2L),
+      (4L, 1L, 4L), (9L, 10L, 7L)).toDF("a", "b", "w")
+    val got = GraphAlgos.boruvkaMst(square, "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (3L, 4L, 2L), (1L, 4L, 4L),
+      (9L, 10L, 7L)))
+
+    // pseudo-random 40-node graph vs an independent Kruskal
+    val raw = (0 until 40).flatMap(i => Seq(
+      (i.toLong, ((i * 7 + 3) % 40).toLong),
+      (i.toLong, ((i * 11 + 5) % 40).toLong)))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .filter { case (u, v) => u < v }.distinct
+      .map { case (u, v) => (u, v, (u * 13 + v * 31) % 97) }
+    val dist = GraphAlgos.boruvkaMst(raw.toDF("a", "b", "w"), "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    // Kruskal with the same (w, a, b) tie order + union-find
+    val parent = Array.tabulate(40)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    val kruskal = raw.sortBy { case (a, b, w) => (w, a, b) }
+      .filter { case (a, b, _) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra == rb) false else { parent(ra) = rb; true }
+      }.toSet
+    assert(dist === kruskal)
+  }
+
+  test("bm25TopK: integer saturation matches the closed formula") {
+    // corpus: tf/df/dl all hand-known; query = df-ranks 1..2 (y, z)
+    val docs = Seq((1L, "x x y"), (2L, "x y z"), (3L, "y z z"),
+      (4L, "z w")).toDF("doc_id", "text")
+    val (n, s) = (4L, 11L)
+    def idfMicro(df: Long): Long =
+      math.round(math.log((n.toDouble - df + 0.5) / (df + 0.5)) * 1e6)
+    def contrib(df: Long, tf: Long, dl: Long): Long =
+      math.round(idfMicro(df) * ((44.0 * tf * s) /
+        (20.0 * tf * s + 6.0 * s + 18.0 * dl * n)))
+    // df(y)=3, df(z)=3; per-doc (tf_y, tf_z, dl)
+    val expect = Map(
+      1L -> contrib(3, 1, 3),                      // y only
+      2L -> (contrib(3, 1, 3) + contrib(3, 1, 3)), // y + z
+      3L -> (contrib(3, 1, 3) + contrib(3, 2, 3)), // y + 2z
+      4L -> contrib(3, 1, 2))                      // z in a 2-token doc
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        qRankLo = 1, qRankHi = 2, k = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got === expect)
+  }
+
   test("pcaPower: rank-1 plane recovers exact axis and eigenvalue") {
     import graft.operators.Similarity
     // vectors (2t, t, 0, 0), t ∈ {−3,−1,1,3}: mean 0, C = [[20,10],[10,5]]
