@@ -258,6 +258,35 @@ object SparkEntry {
         nodes.filter(col("id") % 37 === 0), "id", maxHops = 4)
     }),
 
+    // landmark closeness centrality: exact BFS distances from the 4
+    // landmarks (id ≡ 0 mod 75) over the undirected mod-300 graph, all
+    // landmark searches sharing each wave's joins via a (landmark, node)
+    // frontier ([[GraphAlgos.closenessCentrality]]).
+    "closeness_centrality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      GraphAlgos.closenessCentrality(e, "src", "dst",
+        nodes.filter(col("id") % 75 === 0), "id", maxHops = 4)
+    }),
+
+    // deterministic negative-edge sampling for link-prediction training:
+    // k=5 hash-chosen non-edges per node over the link_predict graph —
+    // bucket-probe candidate generation, no |V|² stage
+    // ([[GraphAlgos.negativeSample]]).
+    "negative_sample" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      GraphAlgos.negativeSample(g, "a", "b", k = 5)
+    }),
+
     // Bounded weighted shortest paths (Bellman-Ford, 4 relaxation rounds)
     // over the same directed mod-300 graph with a deterministic per-edge
     // integer weight; sources = node ids ≡ 0 (mod 37). The oracle unrolls
@@ -686,6 +715,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 5, thresholdPermille = 100)),
 
+    // prefix-filtered word-set Jaccard join (PPJoin family): exact same
+    // contract as the inverted-index tier but candidates come only from
+    // RARE-token collisions — high-df tokens never enter the index, so the
+    // quadratic stopword fan-out that caps ngramJaccardPairs at scale is
+    // designed out ([[Dedup.prefixFilterJaccardPairs]]). Oracle = the
+    // plain exact-Jaccard SQL: the prefix filter is lossless.
+    "ppjoin_pairs" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "text",
+        "doc_id", thresholdPermille = 900)),
+
     // pairs → groups: the clustering step that turns "a dups b" pair
     // output into keep/drop decisions (cluster_id = canonical survivor).
     "dedup_clusters" -> ((s, dir) =>
@@ -890,6 +929,20 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // compression-ratio quality signal (Gopher-style): deflate size over
+    // raw UTF-8 size in permille — low = boilerplate/repetition, ~1000 =
+    // high-entropy junk. Native codegen'd expression, pure projection
+    // ([[graft.functions.DeflateSize]]); rows-only (zlib-build-dependent
+    // byte counts — see noOracleReason + DeflateSizeSpec).
+    "compress_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("raw_bytes"),
+          graft.functions.DeflateSize(col("text")).as("deflate_bytes"))
+        .withColumn("ratio_permille",
+          expr("CASE WHEN raw_bytes = 0 THEN 1000 " +
+            "ELSE (deflate_bytes * 1000) DIV raw_bytes END"))),
 
     "rep_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1421,6 +1474,17 @@ object SparkEntry {
           expr("ts DIV 1000000000").as("t_s"),
           cents(col("value")).as("v")),
         "et", "t_s", "v")),
+
+    // robust sibling of trend_slope: Theil–Sen per-user value trend —
+    // lower median of pairwise slopes in integer micro-units; the self-join
+    // fan-out is bounded by events-per-user
+    // ([[EventAnalytics.theilSenSlope]]).
+    "theilsen_slope" -> ((s, dir) =>
+      EventAnalytics.theilSenSlope(
+        events(s, dir).select(col("user_id"),
+          expr("ts DIV 1000000000").as("t_s"),
+          cents(col("value")).as("v")),
+        "user_id", "t_s", "v")),
 
     // watermark-tuning report: per event type, events whose event time
     // regresses behind the running max in event_id arrival order, lateness
@@ -2149,6 +2213,13 @@ object SparkEntry {
       "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
       "the forest unique, so the comparison is set-equality, not " +
       "weight-sum-only."),
+    "compress_ratio" -> ("deflate output size depends on the JVM's zlib " +
+      "build, so the byte counts are not SQL-reproducible in DuckDB " +
+      "(which has no deflate function anyway). DeflateSizeSpec pins the " +
+      "signal semantics: RFC 1951 round-trip (Inflater restores the " +
+      "exact input), repetitive ≪ prose ≪ random ratio ordering, and " +
+      "the raw_bytes column is oracle-covered via token_count's length " +
+      "discipline."),
     "crc32_hash" -> ("output is CRC-32/Q (polynomial 0x814141AB, the " +
       "reference's hash — SURVEY §2.5 F1); DuckDB has no CRC-32/Q. " +
       "Byte-exact vs the Go implementation's vectors in Crc32QSpec."),
@@ -2410,6 +2481,47 @@ object SparkEntry {
         |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
         |  WHERE r.hop < 4)
         |SELECT id, MIN(hop) AS hop FROM r GROUP BY id""".stripMargin,
+
+    "closeness_centrality" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION SELECT dst AS src, src AS dst FROM e0),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r(src, id, hop) AS (
+        |  SELECT id, id, CAST(0 AS BIGINT) FROM n WHERE id % 75 = 0
+        |  UNION
+        |  SELECT r.src, e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.hop < 4),
+        |d AS (SELECT src, id, MIN(hop) AS hop FROM r GROUP BY 1, 2)
+        |SELECT id, COUNT(*) AS n_landmarks,
+        |  CAST(SUM(hop) AS BIGINT) AS total_hops, MIN(hop) AS min_hop
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "negative_sample" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |    greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |      < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |       + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+        |nb AS (SELECT id, (id * 2654435761) % 16 AS bkt FROM n),
+        |pr AS (SELECT id AS u, ((id * 2654435761) % 16 + j) % 16 AS pb
+        |       FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+        |c AS (SELECT pr.u, nb.id AS v FROM pr
+        |      JOIN nb ON pr.pb = nb.bkt WHERE pr.u <> nb.id),
+        |cf AS (SELECT u, v FROM c WHERE NOT EXISTS (
+        |    SELECT 1 FROM e
+        |    WHERE e.a = least(u, v) AND e.b = greatest(u, v))),
+        |r AS (SELECT u, v, row_number() OVER (PARTITION BY u
+        |    ORDER BY ((u * 31 + v) * 2654435761) % 1000000, v) AS rank
+        |  FROM cf)
+        |SELECT u, v, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "hits_scores" ->
       """WITH e AS (
@@ -3105,6 +3217,19 @@ object SparkEntry {
         |        JOIN documents db ON pr.b = db.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
+    "theilsen_slope" ->
+      """WITH e AS (SELECT user_id AS k, epoch(ts)::BIGINT AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+        |s AS (SELECT a.k AS k,
+        |    CAST(round((b.y - a.y) * 1000000.0 / (b.x - a.x), 0)
+        |      AS BIGINT) AS s
+        |  FROM e a JOIN e b ON a.k = b.k AND a.x < b.x),
+        |r AS (SELECT k, s,
+        |    row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY k) AS n_pairs FROM s)
+        |SELECT k AS user_id, n_pairs, s AS slope_micro FROM r
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
     "trend_slope" ->
       """WITH e AS (SELECT event_type AS et, epoch(ts)::BIGINT AS t_s,
         |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
@@ -3559,6 +3684,24 @@ object SparkEntry {
         |  CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) AS jacc_permille
         |FROM p
         |WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100""".stripMargin,
+
+    // the prefix filter is lossless candidate pruning, so the oracle is
+    // the UNPRUNED exact word-set-Jaccard join — any dropped qualifying
+    // pair would surface as a missing row here.
+    "ppjoin_pairs" ->
+      """WITH w AS (SELECT DISTINCT id, w FROM (
+        |    SELECT doc_id AS id, unnest(
+        |      regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)),
+        |sz AS (SELECT id, COUNT(*) AS n FROM w GROUP BY 1),
+        |p AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS common
+        |      FROM w x JOIN w y ON x.w = y.w AND x.id < y.id
+        |      GROUP BY 1, 2)
+        |SELECT a, b, CAST(round(common*1000.0/(sa.n+sb.n-common), 0)
+        |    AS BIGINT) AS jacc_permille
+        |FROM p JOIN sz sa ON sa.id = p.a JOIN sz sb ON sb.id = p.b
+        |WHERE CAST(round(common*1000.0/(sa.n+sb.n-common), 0) AS BIGINT)
+        |  >= 900""".stripMargin,
 
     // word 8-grams via the same list-comprehension idiom; split by the
     "sample_per_group" ->

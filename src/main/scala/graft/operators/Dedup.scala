@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Iterative-fixpoint checkpoint: `localCheckpoint` + origin-stats drop
+    * ([[org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats]]).
+    * REQUIRED wherever a loop's state is derived from its own previous
+    * checkpoint through a join — carried join-stats compound
+    * multiplicatively per round and the driver eventually hangs
+    * multiplying million-digit BigInt size estimates. */
+  private[operators] def ckptLight(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(df)
+
   /** Inverted shingle index: (id, nsh, s) — one row per (doc, distinct
     * shingle), with the doc's distinct-shingle count.
     *
@@ -335,28 +344,45 @@ object Dedup {
     * each iteration is one equi-join of (src,dst) against (id,lab) on the
     * node id plus a min-aggregate — label records only, never payloads —
     * and a checkpoint to truncate lineage (an iterative plan would
-    * otherwise grow without bound). Iterations = graph diameter; dup
-    * components are near-cliques (every member pairs with most others),
-    * so real corpora converge in 2-4 rounds regardless of corpus size.
-    * At cluster scale the same loop runs with reliable checkpointing, and
-    * an adversarial long-chain graph swaps in large-star/small-star on
-    * the identical join primitive (O(log n) rounds).
+    * otherwise grow without bound), plus a label-table self-join that
+    * pointer-jumps each label to its label's label (shortcutting — the
+    * propagation distance doubles per round, so ANY component shape
+    * converges in O(log n) rounds; plain hash-min needs diameter rounds
+    * and a chain-shaped graph, e.g. a Borůvka forest, blows past any
+    * fixed bound). Dup components are near-cliques and still converge in
+    * 2-4 rounds; the shortcut join is over the (id, lab) table only —
+    * label records, never payloads. At cluster scale the same loop runs
+    * with reliable checkpointing.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIter: Int = 25): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    val edges = ckptLight(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = ckptLight(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lab"))
-      val next = labels.union(msgs).groupBy("id").agg(min("lab").as("lab"))
-        .localCheckpoint()
+      // checkpoint before the self-join below: materializes the aggregate
+      // once for both join sides AND detaches the union/aggregate lineage
+      // (whose inferred constraints trip on the self-join otherwise)
+      val prop = ckptLight(
+        labels.union(msgs).groupBy("id").agg(min("lab").as("lab")))
+      // pointer-jump shortcut (path compression): follow each node's label
+      // to THAT node's label in the same round — labels are always node
+      // ids present in the table, so the self-join is total. Plain
+      // hash-min needs diameter rounds (a Borůvka forest or any chainy
+      // dup graph can be O(n) deep); hash-min + shortcutting doubles the
+      // propagation distance per round → O(log n) rounds on any shape.
+      val next = ckptLight(prop
+        .join(prop.select(col("id").as("__pid"), col("lab").as("__plab")),
+          col("lab") === col("__pid"))
+        .select(col("id"), least(col("lab"), col("__plab")).as("lab")))
+      prop.unpersist()
       // min-propagation is monotone: unchanged ⇔ no label decreased
       converged = next.as("n")
         .join(labels.withColumnRenamed("lab", "old"), "id")
@@ -591,5 +617,70 @@ object Dedup {
           (sqrt(col("x.n2")) * sqrt(col("y.n2"))) * lit(1000.0))
           .cast("long").as("cos_permille"))
       .filter(col("cos_permille") >= thresholdPermille)
+  }
+
+  /** Prefix-filtered word-set similarity join (the PPJoin/AllPairs family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public literature): exact
+    * Jaccard-threshold pairs like [[ngramJaccardPairs]], but candidate
+    * generation joins only each document's RAREST few tokens instead of its
+    * whole token set. Under a global rarity order, two sets with
+    * J(x,y) ≥ t must share a token inside each side's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens (the first common token sits at position
+    * ≤ |x| − o + 1 and overlap o ≥ ⌈t·|x|⌉ on BOTH sides), so the prefix
+    * join is lossless — every qualifying pair is generated, and the
+    * verification step (exact intersect on the carried sorted token
+    * arrays) removes false candidates.
+    *
+    * Why this is the 100 TB shape: the all-token inverted index
+    * ([[ngramJaccardPairs]]) fans out quadratically on every high-df
+    * token; here high-df tokens land at the END of the rarity order and
+    * never enter the index — candidate volume is driven by rare-token
+    * collisions, which is exactly the signal. The prefix index is
+    * (1 − t)·|doc| tokens per doc, so a t = 0.3 join indexes ~70% fewer
+    * rows and, more importantly, never pairs two docs on `the`.
+    *
+    * Shapes: tokenize once (hash on id), df aggregate + rank windows reuse
+    * that clustering; the prefix self-join shuffles on the token; the pair
+    * aggregate collapses duplicate candidates (same pair via k shared
+    * prefix tokens) before the array intersect runs once per pair.
+    * Integer-only prefix arithmetic: ⌈t·n⌉ for the rounded-permille
+    * threshold lower bound t = (thr − 0.5)/1000 is
+    * (n·(2·thr − 1) + 1999) DIV 2000 — no float ceil at the boundary. */
+  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      thresholdPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(split(lower(trim(col("__text"))), "\\s+")).as("w"))
+      .dropDuplicates("id", "w")
+    val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("w").asc)
+    val ranked = words.join(dfreq, "w")
+      .select(col("id"), col("w"),
+        row_number().over(byRarity).as("rnk"),
+        count(lit(1)).over(Window.partitionBy("id")).as("n"))
+    val thr = thresholdPermille.toLong
+    val prefix = ranked.filter(col("rnk") <=
+        col("n") - expr(s"(n * ${2 * thr - 1} + 1999) DIV 2000") + lit(1))
+      .select(col("id"), col("n"), col("w"))
+    // sorted distinct-token arrays ride the prefix rows into the join so
+    // verification is a per-pair array intersect, no third join back to
+    // the corpus (the arrays are doc-sized; prefix rows are few).
+    val arr = words.groupBy("id")
+      .agg(sort_array(collect_list(col("w"))).as("arr"))
+    val pre = prefix.join(arr, "id").repartition(col("w"))
+    val cand = pre.as("x").join(pre.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(first(col("x.n")).as("na"), first(col("y.n")).as("nb"),
+        first(col("x.arr")).as("aa"), first(col("y.arr")).as("ab"))
+    cand
+      .withColumn("common", size(array_intersect(col("aa"), col("ab")))
+        .cast("long"))
+      .withColumn("jacc_permille", round(col("common") * lit(1000.0) /
+        (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jacc_permille") >= thresholdPermille)
+      .select("a", "b", "jacc_permille")
   }
 }

@@ -819,4 +819,41 @@ object EventAnalytics {
       .withColumn("conv_permille",
         expr("(1000 * n_converted) DIV n_entities"))
   }
+
+  /** Theil–Sen robust trend per key: the LOWER MEDIAN of all pairwise
+    * slopes (y₂−y₁)/(x₂−x₁) over strictly-increasing x — the
+    * breakdown-point-29% complement of [[trendSlope]]'s least squares (a
+    * single spike day drags OLS arbitrarily; the pairwise-slope median
+    * shrugs it off). Published estimator (Theil 1950 / Sen 1968).
+    *
+    * Exactness: each slope is rounded to integer micro-units
+    * independently (`round((Δy·1e6)/Δx)` — both factors integers, the
+    * double is the same IEEE value on any engine), and the median is
+    * `percentile_disc`-style (element at rank ⌈n/2⌉ of the sorted
+    * multiset), so no float interpolation ever crosses the oracle
+    * boundary. Equal-x pairs carry no slope information and are excluded
+    * on both sides.
+    *
+    * Scale: the self-join is keyed on the entity, so pair fan-out is
+    * per-key O(k²) with k = events per entity — bounded by construction
+    * for behavioral data (and capped upstream by windowing/sampling when
+    * it isn't); the join and both windows share one hash(k) exchange. */
+  def theilSenSlope(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val e = df.select(col(keyCol).as("k"), col(xCol).as("x"),
+        col(yCol).as("y"))
+      .repartition(col("k"))
+    val slopes = e.as("a").join(e.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.x") < col("b.x"))
+      .select(col("a.k").as("k"),
+        round((col("b.y") - col("a.y")).cast("double") * lit(1000000.0) /
+          (col("b.x") - col("a.x")).cast("double")).cast("long").as("s"))
+    slopes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("s"))))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(expr("rn = (n_pairs + 1) DIV 2"))
+      .select(col("k").as(keyCol), col("n_pairs"),
+        col("s").as("slope_micro"))
+  }
 }

@@ -412,7 +412,7 @@ object GraphAlgos {
       .localCheckpoint()
     val nodes = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
-    var mst = e.filter(lit(false)).localCheckpoint()
+    var mst = Dedup.ckptLight(e.filter(lit(false)))
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
@@ -434,7 +434,7 @@ object GraphAlgos {
           col("__e.w").as("w"))
         .distinct()
       if (picks.isEmpty) done = true
-      else mst = mst.union(picks).distinct().localCheckpoint()
+      else mst = Dedup.ckptLight(mst.union(picks).distinct())
       round += 1
     }
     require(done || {
@@ -479,5 +479,96 @@ object GraphAlgos {
         "left_anti")
       .select(col("u"), col("w"), col("common"), col("ra_micro"),
         col("jaccard_permille"))
+  }
+
+  /** Deterministic negative-edge sampling — the counterexample generator a
+    * link-prediction trainer pairs with [[linkPrediction]]'s positives:
+    * for every node, k NON-edges chosen by hash, reproducible across
+    * reruns/engines (no RNG state, same Knuth-multiplicative discipline as
+    * `TextAnalysis.mixtureResample`).
+    *
+    * Shape: nodes land in `buckets` hash buckets; each node probes the
+    * `probes` buckets after its own (mod ring), giving a candidate set of
+    * ~|V|·probes/buckets per node WITHOUT a |V|² cross join — at scale,
+    * `buckets` grows with |V| so per-node candidates stay O(k·c) constant.
+    * Real edges leave via one anti-join on the canonical (lo, hi) pair;
+    * survivors rank by a pair hash and `WindowGroupLimit` caps each
+    * node's output at k map-side.
+    *
+    * Degenerate corners are well-defined: a node whose probed buckets
+    * hold only itself or its true neighbors yields < k negatives (never
+    * padded — padding would need the cross join this exists to avoid). */
+  def negativeSample(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, buckets: Int = 16, probes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes < buckets, s"probes=$probes must be < buckets=$buckets")
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+      .withColumn("bkt", (col("id") * lit(2654435761L)) % lit(buckets.toLong))
+      .localCheckpoint()
+    val probing = nodes.select(col("id").as("u"),
+        explode(sequence(lit(1L), lit(probes.toLong))).as("j"))
+      .select(col("u"), ((col("u") * lit(2654435761L)) % lit(buckets.toLong)
+        + col("j")) % lit(buckets.toLong) as "pb")
+    val cand = probing
+      .join(nodes.select(col("id").as("v"), col("bkt")),
+        col("pb") === col("bkt"))
+      .filter(col("u") =!= col("v"))
+      .withColumn("a", least(col("u"), col("v")))
+      .withColumn("b", greatest(col("u"), col("v")))
+      .join(e, Seq("a", "b"), "left_anti")
+    cand
+      .withColumn("h",
+        ((col("u") * lit(31L) + col("v")) * lit(2654435761L)) % lit(1000000L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("h"), col("v"))))
+      .filter(col("rn") <= k)
+      .select(col("u"), col("v"), col("rn").cast("long").as("rank"))
+  }
+
+  /** Landmark closeness centrality: exact BFS distances from a small fixed
+    * landmark set, aggregated per node — the standard scalable stand-in
+    * for full closeness (all-pairs BFS is |V|·|E| and off the table at any
+    * scale; landmark sampling is the published approximation, e.g.
+    * Eppstein–Wang). Output: (id, n_landmarks reached within `maxHops`,
+    * total_hops, min_hop).
+    *
+    * Shape: one BFS wave per hop with the frontier keyed on
+    * (landmark, node) — the |L| single-source searches share each round's
+    * expand join and anti-join instead of running |L| separate loops; all
+    * exchanges hash on the node id. State is (src, id, hop) triples only.
+    * Iterative-fixpoint checkpointing via [[Dedup.ckptLight]] (stats must
+    * not compound across rounds). */
+  def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = Dedup.ckptLight(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var visited = Dedup.ckptLight(
+      landmarks.select(col(idCol).cast("long").as("src")).distinct()
+        .select(col("src"), col("src").as("id"), lit(0L).as("hop")))
+    var frontier = visited
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val next = Dedup.ckptLight(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(frontier("src").as("src"), e("dst").as("id"))
+          .distinct()
+          .join(visited, Seq("src", "id"), "left_anti")
+          .select(col("src"), col("id"), lit(h.toLong).as("hop")))
+      exhausted = next.isEmpty
+      if (!exhausted) visited = Dedup.ckptLight(visited.union(next))
+      frontier = next
+      h += 1
+    }
+    visited.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_landmarks"), sum(col("hop")).as("total_hops"),
+        min(col("hop")).as("min_hop"))
   }
 }

