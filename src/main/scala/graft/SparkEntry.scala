@@ -725,6 +725,13 @@ object SparkEntry {
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "text",
         "doc_id", thresholdPermille = 900)),
 
+    // inter-document phrase novelty: share of each doc's distinct word
+    // 8-grams that also occur in ≥1 other doc — the corpus-boilerplate /
+    // memorization signal ([[Dedup.gramNovelty]]; intra-doc repetition is
+    // rep_score, cross-split leakage is decontaminate).
+    "gram_novelty" -> ((s, dir) =>
+      Dedup.gramNovelty(t(s, dir, "documents"), "text", "doc_id", n = 8)),
+
     // pairs → groups: the clustering step that turns "a dups b" pair
     // output into keep/drop decisions (cluster_id = canonical survivor).
     "dedup_clusters" -> ((s, dir) =>
@@ -2005,6 +2012,53 @@ object SparkEntry {
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           coalesce(col("n"), lit(0L)).as("n"))
     }),
+
+    // forward-fill (LOCF) sibling of gapfill_hours: each hour of the grid
+    // carries the last observed value-close at or before it — the gap
+    // treatment for rolling/lag features ([[EventAnalytics.gapfillLocf]]).
+    "gapfill_locf" -> ((s, dir) =>
+      EventAnalytics.gapfillLocf(
+          events(s, dir).select(col("event_type"),
+            timestamp_micros(expr("ts DIV 1000")).as("tsm"),
+            col("event_id"), cents(col("value")).as("v")),
+          "event_type", "tsm", "v", "event_id")
+        .select(col("k").as("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("observed"), col("close_filled").as("close_cents"))),
+
+    // survival analysis: per-user activity span in hours, right-censored
+    // when the user is still active in the corpus's final 24h; output is
+    // the exact-integer Kaplan–Meier risk table (n at risk, events at t)
+    // ([[EventAnalytics.kaplanMeierTable]]).
+    "kaplan_meier" -> ((s, dir) => {
+      val per = events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val gmax = broadcast(per.agg(max(col("t1")).as("gm")))
+      val durs = per.crossJoin(gmax)
+        .select(expr("(t1 - t0) DIV 3600000000000").as("dur_h"),
+          (col("t1") < col("gm") - lit(86400000000000L)).as("obs"))
+      EventAnalytics.kaplanMeierTable(durs, "dur_h", "obs")
+    }),
+
+    // self-join cardinality estimate from per-key histograms — the exact
+    // Σ n² a planner prices before a pairwise operator (theilsen_slope's
+    // fan-out bound, in one aggregate pass; counts collapse first).
+    "join_cardinality" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("__n") * col("__n")).as("selfjoin_rows"),
+          max(col("__n")).as("max_key_rows"))),
+
+    // quantile normalization: event values re-expressed as the pooled
+    // distribution's value at the same within-type percentile — exact
+    // rank lookups, integer permille percentiles
+    // ([[Transforms.quantileNormalize]]).
+    "quantile_normalize" -> ((s, dir) =>
+      Transforms.quantileNormalize(
+        events(s, dir).select(col("event_type"),
+          cents(col("value")).as("v"), col("event_id")),
+        "event_type", "v", "event_id")),
 
     // per-user inter-arrival gap (LAG) in exact integer micros; ties are
     // broken by event_id so the window order is total and the result
@@ -3517,6 +3571,87 @@ object SparkEntry {
         |  COALESCE(c.n, CAST(0 AS BIGINT)) AS n
         |FROM grid g
         |LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
+
+    "gapfill_locf" ->
+      """WITH e AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    ts, event_id, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |hr AS (SELECT k, h, v AS close FROM (
+        |    SELECT k, h, v, row_number() OVER (PARTITION BY k, h
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |sp AS (SELECT k, MIN(h) AS h0, MAX(h) AS h1 FROM hr GROUP BY 1),
+        |grid AS (SELECT k,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp),
+        |j AS (SELECT g.k, g.h, hr.close,
+        |    CASE WHEN hr.close IS NULL THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) END AS observed
+        |  FROM grid g LEFT JOIN hr ON hr.k = g.k AND hr.h = g.h)
+        |SELECT k AS event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  observed,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY k ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS close_cents
+        |FROM j""".stripMargin,
+
+    "kaplan_meier" ->
+      """WITH per AS (SELECT user_id, epoch_us(MIN(ts)) AS t0,
+        |    epoch_us(MAX(ts)) AS t1 FROM events GROUP BY 1),
+        |g AS (SELECT MAX(t1) AS gm FROM per),
+        |d AS (SELECT (t1 - t0) // 3600000000 AS t,
+        |    (t1 < gm - 86400000000) AS obs FROM per CROSS JOIN g),
+        |c AS (SELECT t, COUNT(*) AS m,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT t, n_events,
+        |    CAST(SUM(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM c)
+        |SELECT t, n_risk, n_events FROM r WHERE n_events > 0""".stripMargin,
+
+    "join_cardinality" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(n * n) AS BIGINT) AS selfjoin_rows,
+        |  MAX(n) AS max_key_rows FROM c""".stripMargin,
+
+    "quantile_normalize" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v, event_id AS tie
+        |  FROM events),
+        |r AS (SELECT g, v, tie,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, tie)
+        |      AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+        |p AS (SELECT v AS pooled_v,
+        |    CAST(row_number() OVER (ORDER BY v, tie) AS BIGINT) AS prn
+        |  FROM v),
+        |t AS (SELECT MAX(prn) AS N FROM p),
+        |rr AS (SELECT g, v, tie,
+        |    CASE WHEN n = 1 THEN CAST(500 AS BIGINT)
+        |         ELSE ((rn - 1) * 1000) // (n - 1) END AS pct FROM r)
+        |SELECT rr.g AS event_type, rr.tie AS event_id, rr.v AS v,
+        |  p.pooled_v AS norm_v
+        |FROM rr CROSS JOIN t
+        |JOIN p ON p.prn = 1 + (rr.pct * (t.N - 1)) // 1000""".stripMargin,
+
+    "gram_novelty" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |      ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |     for i in range(1, greatest(len(w)-6, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS nsh,
+        |    unnest(shs) AS s FROM sh WHERE len(shs) > 0),
+        |gdf AS (SELECT s, COUNT(*) AS docs FROM inv GROUP BY 1)
+        |SELECT inv.doc_id AS doc_id, MAX(inv.nsh) AS n_grams,
+        |  (1000 * CAST(SUM(CASE WHEN gdf.docs >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // MAX(inv.nsh) AS shared_permille
+        |FROM inv JOIN gdf USING (s) GROUP BY 1""".stripMargin,
 
     "event_lag" ->
       """SELECT event_id, user_id, delta_us FROM (

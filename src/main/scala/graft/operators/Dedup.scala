@@ -619,6 +619,35 @@ object Dedup {
       .filter(col("cos_permille") >= thresholdPermille)
   }
 
+  /** Per-document n-gram novelty: of a doc's distinct word n-grams, how
+    * many also appear in at least one OTHER document (permille). The
+    * inter-document memorization/boilerplate signal — complements
+    * `TextAnalysis.dupTokenPermille` (intra-doc repetition) and
+    * [[benchmarkContamination]] (cross-split leakage): a doc scoring high
+    * here is made of corpus-common phrasing even if no single pair-wise
+    * near-dup exists.
+    *
+    * Shape: the [[shingleInv]] inverted index feeds a gram-frequency
+    * aggregate, and the shared-count join keys on the gram via the same
+    * reused-exchange posture as the Jaccard tier — `repartition(s)` feeds
+    * both the frequency aggregate and the join's probe side, so the
+    * corpus-sized index shuffles once. Output: (id, n_grams,
+    * shared_permille); docs shorter than n tokens have no grams and are
+    * absent. */
+  def gramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    // (id, s) is distinct, so count(*) per gram == docs containing it
+    val gdf = inv.groupBy("s").agg(count(lit(1)).as("__docs"))
+    inv.join(gdf, "s")
+      .groupBy(col("id").as(idCol))
+      .agg(max(col("nsh")).as("n_grams"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("__shared"))
+      .withColumn("shared_permille",
+        expr("(1000 * __shared) DIV n_grams"))
+      .select(idCol, "n_grams", "shared_permille")
+  }
+
   /** Prefix-filtered word-set similarity join (the PPJoin/AllPairs family,
     * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public literature): exact
     * Jaccard-threshold pairs like [[ngramJaccardPairs]], but candidate

@@ -820,6 +820,75 @@ object EventAnalytics {
         expr("(1000 * n_converted) DIV n_entities"))
   }
 
+  /** Kaplan–Meier risk table — the survival-analysis sufficient statistic
+    * for retention/churn work (Kaplan & Meier 1958, public literature):
+    * one row per event time t with the number at risk (entities whose
+    * observed duration ≥ t) and the number of events AT t. The survival
+    * product Ŝ(t) = Π (1 − d/n) derives row-by-row downstream; emitting
+    * the (n, d) table instead of the product keeps every column an exact
+    * integer (a float product column would be engine-order-dependent).
+    *
+    * `durations` rows: (duration, observed) per entity — observed=false
+    * = right-censored (still alive at cutoff); censored rows extend the
+    * risk set but never count as events, which is the entire point of KM
+    * over a naive histogram.
+    *
+    * Shape: entities collapse to (duration, m, d) counts FIRST (one hash
+    * aggregate), then one unpartitioned window over the |distinct
+    * durations| rows — the counts-collapse-first posture every
+    * distribution query here uses; the single-partition window frame is
+    * duration-grid-sized, not data-sized. */
+  def kaplanMeierTable(durations: DataFrame, durCol: String,
+      observedCol: String): DataFrame = {
+    val counts = durations
+      .groupBy(col(durCol).as("t"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col(observedCol), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("n_risk", sum(col("__m")).over(wDesc))
+      .filter(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"))
+  }
+
+  /** Forward-fill (LOCF) resampling onto an hourly grid: per key, each
+    * hour carries the LAST observed value at or before it — the standard
+    * "carry the close forward" gap treatment a feature pipeline applies
+    * before lag/rolling features (a zero-filled gap would fabricate
+    * drops). Companion to the count-grid gapfill: same sequence-explode
+    * grid, but value-carrying.
+    *
+    * Per-hour "close" is the value of the LAST event in the hour under
+    * the (ts, tiebreak) total order via one `max_by(struct)` aggregate;
+    * the fill is `last(ignoreNulls)` over the grid ordered by hour — all
+    * windows partition on the key, and the grid is |keys|·|hours| rows,
+    * collapsed counts not raw events. The grid spans each key's own
+    * [first, last] hour, so there are no leading nulls to fill. */
+  def gapfillLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val ev = events.select(col(keyCol).as("k"),
+      date_trunc("hour", col(tsCol)).as("h"),
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"), col(valCol).as("v"))
+    val hourly = ev.groupBy(col("k"), col("h"))
+      .agg(max(struct(col("__ts"), col("__tie"), col("v"))).as("__last"))
+      .select(col("k"), col("h"), col("__last.v").as("close"),
+        lit(1L).as("has_data"))
+    val grid = hourly.groupBy("k")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("k"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    val wFill = Window.partitionBy("k").orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("k", "h"), "left")
+      .withColumn("close_filled", last(col("close"), ignoreNulls = true)
+        .over(wFill))
+      .select(col("k"), col("h"),
+        coalesce(col("has_data"), lit(0L)).as("observed"),
+        col("close_filled"))
+  }
+
   /** Theil–Sen robust trend per key: the LOWER MEDIAN of all pairwise
     * slopes (y₂−y₁)/(x₂−x₁) over strictly-increasing x — the
     * breakdown-point-29% complement of [[trendSlope]]'s least squares (a

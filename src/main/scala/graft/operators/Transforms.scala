@@ -551,4 +551,47 @@ object Transforms {
         expr("(1000 * n_ab) DIV c_a").as("conf_ab_permille"),
         expr("(1000 * n_ab) DIV c_b").as("conf_ba_permille"))
   }
+
+  /** Quantile normalization: map each group's value distribution onto the
+    * POOLED distribution (the cross-source feature alignment used when
+    * per-source scales drift — the genomics-standard technique, public
+    * literature). Each row's within-group rank becomes a permille
+    * percentile, and the normalized value is the pooled value at that
+    * percentile — rank lookups only, no float interpolation, so every
+    * output is an exact member of the pooled value set.
+    *
+    * Determinism: both rankings order by (value, tiebreak) — `tieCol`
+    * must be a per-row unique key — so equal values rank identically on
+    * any engine. Percentile→pooled-index arithmetic is pure BIGINT:
+    * pct = ((rn−1)·1000) DIV (n−1), pooled idx = 1 + (pct·(N−1)) DIV 1000
+    * (singleton groups pin pct = 500).
+    *
+    * Shape: one window per side (group-partitioned; pooled via the
+    * counts-collapse... no — pooled ranks ARE data-sized, one
+    * unpartitioned window pass, the documented single-partition cost of
+    * exact pooled ranking at this tier; at 100 TB swap the pooled rank
+    * for the range-partitioned sort rank, same join), then one equi-join
+    * on the pooled index — no per-row search. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("g"), col(valCol).as("v"),
+      col(tieCol).as("tie"))
+    val wg = Window.partitionBy("g").orderBy(col("v"), col("tie"))
+    val wgAll = Window.partitionBy("g")
+    val ranked = v
+      .withColumn("rn", row_number().over(wg).cast("long"))
+      .withColumn("n", count(lit(1)).over(wgAll))
+      .withColumn("pct", when(col("n") === 1L, 500L)
+        .otherwise(expr("((rn - 1) * 1000) DIV (n - 1)")))
+    val pooled = v
+      .withColumn("prn", row_number().over(
+        Window.orderBy(col("v"), col("tie"))).cast("long"))
+      .select(col("v").as("pooled_v"), col("prn"))
+    val total = pooled.agg(max(col("prn")).as("__ptot"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("pidx", lit(1L) + expr("(pct * (__ptot - 1)) DIV 1000"))
+      .join(pooled, col("pidx") === col("prn"))
+      .select(col("g").as(groupCol), col("tie").as(tieCol),
+        col("v").as(valCol), col("pooled_v").as("norm_" + valCol))
+  }
 }

@@ -62,6 +62,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(GraphAlgos.kCore(g, "s", "d", k = 10, rounds = 2).isEmpty)
   }
 
+  test("closenessCentrality: path distances from two landmarks, hop cap") {
+    import graft.operators.GraphAlgos
+    // path 0-1-2-3-4-5-6 (directed input, treated undirected), landmarks
+    // {0, 6}, maxHops 4. Node 2: hops 2 (from 0) + 4 (from 6) = 6 from
+    // both; node 3: 3+3; node 5 is 5 hops from 0 — only landmark 6
+    // reaches it (hop 1). Node 0 itself: 0 from 0, 6 > cap from 6.
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("s", "d")
+    val lms = Seq(0L, 6L).toDF("id")
+    val got = GraphAlgos.closenessCentrality(path, "s", "d", lms, "id", 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(2L) === ((2L, 6L, 2L)))
+    assert(got(3L) === ((2L, 6L, 3L)))
+    assert(got(5L) === ((1L, 1L, 1L)))
+    assert(got(0L) === ((1L, 0L, 0L)))
+    assert(got(6L) === ((1L, 0L, 0L)))
+    assert(got(1L) === ((1L, 1L, 1L))) // landmark 6 is 5 hops away: cut
+  }
+
+  test("negativeSample: no true edges, deterministic, brute-force parity") {
+    import graft.operators.GraphAlgos
+    // ring 0-1-...-9-0: every node has 2 true neighbors out of 9 others.
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("s", "d")
+    val edgeSet = (0L until 10L).map(i =>
+      (math.min(i, (i + 1) % 10), math.max(i, (i + 1) % 10))).toSet
+    val got = GraphAlgos.negativeSample(ring, "s", "d",
+        k = 3, buckets = 4, probes = 2)
+      .as[(Long, Long, Long)].collect()
+    // (a) nothing sampled is a real edge, no self-pairs
+    got.foreach { case (u, v, _) =>
+      assert(u !== v)
+      assert(!edgeSet.contains((math.min(u, v), math.max(u, v))), s"($u,$v)")
+    }
+    // (b) ranks contiguous from 1, at most k per node
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.length <= 3)
+    }
+    // (c) exact parity with an independent in-memory reimplementation
+    val K = 2654435761L
+    val expect = (for {
+      u <- 0L until 10L; j <- 1L to 2L
+      pb = ((u * K) % 4 + j) % 4
+      v <- 0L until 10L
+      if (v * K) % 4 == pb && v != u
+      if !edgeSet.contains((math.min(u, v), math.max(u, v)))
+    } yield (u, v, ((u * 31 + v) * K) % 1000000L))
+      .groupBy(_._1).flatMap { case (u, cs) =>
+        cs.sortBy(c => (c._3, c._2)).take(3).zipWithIndex
+          .map { case ((_, v, _), i) => (u, v, i + 1L) }
+      }.toSet
+    assert(got.toSet === expect)
+    // (d) rerun-stable
+    val again = GraphAlgos.negativeSample(ring, "s", "d",
+        k = 3, buckets = 4, probes = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === got.toSet)
+  }
+
   test("clusteringCoefficients: triangle=1000, star center=0, pendant=0") {
     import graft.operators.GraphAlgos
     // Triangle {1,2,3} with a pendant 3-4: nodes 1,2 have deg 2 and one
@@ -1278,6 +1337,74 @@ class OperatorsSpec extends AnyFunSuite {
     // (1a→2) -8e6, (1b→2) -18e6; sorted: -18e6,-8e6,1e6,10e6,20e6 —
     // median (rank 3 of 5) = 1e6; the x=1 pair contributes nothing
     assert(got === (("k", 5L, 1000000L)))
+  }
+
+  test("kaplanMeierTable: censored rows extend risk set, never count as events") {
+    import graft.operators.EventAnalytics
+    // durations: 2(obs), 2(obs), 2(censored), 5(obs), 7(censored).
+    // risk sets: t=2 → all 5; t=5 → {5,7} = 2; t=7 → 1 (no event row).
+    val d = Seq((2L, true), (2L, true), (2L, false), (5L, true),
+      (7L, false)).toDF("dur", "obs")
+    val got = EventAnalytics.kaplanMeierTable(d, "dur", "obs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((2L, 5L, 2L), (5L, 2L, 1L)))
+    // all-censored input → empty table (no event times)
+    val cens = Seq((3L, false)).toDF("dur", "obs")
+    assert(EventAnalytics.kaplanMeierTable(cens, "dur", "obs").isEmpty)
+  }
+
+  test("gapfillLocf: gap hours carry the last close; in-hour last wins by (ts, tie)") {
+    import graft.operators.EventAnalytics
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // key a: 00h has two events (later one wins), 01h empty, 02h one event
+    // — the 01h grid row must carry 00h's close with observed=0.
+    val ev = Seq(
+      ("a", ts(10), 1L, 100L), ("a", ts(40), 2L, 200L),
+      ("a", ts(130), 3L, 300L),
+      ("b", ts(5), 4L, 7L)).toDF("k", "t", "id", "v")
+    val got = EventAnalytics.gapfillLocf(ev, "k", "t", "v", "id")
+      .select(col("k"), hour(col("h")).as("hh"), col("observed"),
+        col("close_filled"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 0, 1L, 200L), ("a", 1, 0L, 200L), ("a", 2, 1L, 300L),
+      ("b", 0, 1L, 7L)))
+    // same-ts tie broken by the tie column (higher id wins)
+    val tie = Seq(("c", ts(0), 1L, 10L), ("c", ts(0), 2L, 20L))
+      .toDF("k", "t", "id", "v")
+    val g2 = EventAnalytics.gapfillLocf(tie, "k", "t", "v", "id")
+      .select(col("close_filled")).as[Long].collect().toList
+    assert(g2 === List(20L))
+  }
+
+  test("quantileNormalize: rank lookup onto pooled values, singleton → median") {
+    // group x: values 0, 10, 20 (pcts 0, 500, 1000); group y: single 5
+    // (pct 500). pooled sorted: 0, 5, 10, 20 (N=4) → idx = 1 + pct·3/1000:
+    // pct0 → 1 (0), pct500 → 2 (5), pct1000 → 4 (20).
+    val df = Seq(("x", 0L, 1L), ("x", 10L, 2L), ("x", 20L, 3L),
+      ("y", 5L, 4L)).toDF("g", "v", "id")
+    val got = Transforms.quantileNormalize(df, "g", "v", "id")
+      .select(col("id"), col("norm_v")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 20L, 4L -> 5L))
+    // outputs are always members of the pooled value set
+    assert(got.values.toSet.subsetOf(Set(0L, 5L, 10L, 20L)))
+  }
+
+  test("gramNovelty: shared 8-grams counted, short docs absent") {
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (1L, eight + " unique1 tail1"),   // grams: 3; shares the first with 2
+      (2L, eight + " other2"),          // grams: 2; shares the first with 1
+      (3L, "w x y z p q r s t"),        // 2 grams, nobody shares
+      (4L, "too short")                 // < 8 tokens → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(docs, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, 333L))) // 1 of 3 grams shared
+    assert(got(2L) === ((2L, 500L))) // 1 of 2 shared
+    assert(got(3L) === ((2L, 0L)))
+    assert(!got.contains(4L))
   }
 
   test("disorderCensus: running high-water mark in arrival order") {
