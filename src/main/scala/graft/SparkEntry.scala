@@ -732,6 +732,78 @@ object SparkEntry {
     "gram_novelty" -> ((s, dir) =>
       Dedup.gramNovelty(t(s, dir, "documents"), "text", "doc_id", n = 8)),
 
+    // tokenizer APPLY half of the BPE story: train 10 merges on the corpus
+    // (bpe_merges' driver loop — vocabulary-sized rounds), then price every
+    // document under the trained tokenizer with the native replay
+    // expression ([[graft.functions.BpeEncode]]) in one projection pass.
+    // Rows-only: the iterated merge replay has no SQL twin (see
+    // noOracleReason + BpeEncodeSpec).
+    "bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", iters = 10)
+        .orderBy(col("iter")).collect()
+        .map { r =>
+          val p = r.getString(1).split(" ")
+          (p(0), p(1))
+        }.toSeq
+      docs.select(col("doc_id"),
+        graft.functions.BpeEncode(col("text"), merges).as("n_bpe"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+    }),
+
+    // calibration table (reliability diagram) for the quality scorer:
+    // score-decile bins vs the realized unique-content rate — does a
+    // higher quality score actually predict non-duplicate content. Bodies
+    // never shuffle: the outcome window partitions on the exactSurvivors
+    // hash-key triple, not the text.
+    "calibration_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("__score"),
+        xxhash64(col("text")).as("__h1"),
+        crc32(encode(col("text"), "UTF-8")).as("__h2"),
+        length(encode(col("text"), "UTF-8")).as("__len"))
+      val w = Window.partitionBy("__h1", "__h2", "__len")
+      scored
+        .withColumn("bin", expr("__score DIV 100"))
+        .withColumn("__pos",
+          (col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"))
+        .withColumn("rate_permille", expr("(1000 * n_pos) DIV n"))
+    }),
+
+    // k-anonymity risk census over quasi-identifiers (nation, segment,
+    // $1000 balance band): groups below k=5 and the rows they expose —
+    // the governance pre-check before publishing a slice.
+    "kanon_risk" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("bal_band",
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) DIV 100000"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("__cnt"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__cnt") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("__cnt") < 5, col("__cnt")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("__cnt")).as("min_group"))),
+
+    // most-frequent-value imputation dictionary: per nation the modal
+    // market segment (counts collapse first; ties to the smallest
+    // segment so the dictionary is rerun-stable).
+    "group_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("n").desc, col("c_mktsegment").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+          col("n"))
+    }),
+
     // pairs → groups: the clustering step that turns "a dups b" pair
     // output into keep/drop decisions (cluster_id = canonical survivor).
     "dedup_clusters" -> ((s, dir) =>
@@ -2267,6 +2339,14 @@ object SparkEntry {
       "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
       "the forest unique, so the comparison is set-equality, not " +
       "weight-sum-only."),
+    "bpe_apply" -> ("token counts under the trained BPE merges require " +
+      "replaying an ordered merge list over each word's symbol sequence " +
+      "— an iterated rewrite with no SQL equivalent in DuckDB (the same " +
+      "fixpoint argument as bpe_merges' rows-only training half). " +
+      "BpeEncodeSpec pins hand-replayable vectors (trained merges on a " +
+      "known corpus, exact token counts), trainer-consistency, and the " +
+      "wordcount ≤ n_bpe ≤ charcount envelope; n_ws is oracle-covered " +
+      "via token_count."),
     "compress_ratio" -> ("deflate output size depends on the JVM's zlib " +
       "build, so the byte counts are not SQL-reproducible in DuckDB " +
       "(which has no deflate function anyway). DeflateSizeSpec pins the " +
@@ -3636,6 +3716,36 @@ object SparkEntry {
         |  p.pooled_v AS norm_v
         |FROM rr CROSS JOIN t
         |JOIN p ON p.prn = 1 + (rr.pct * (t.N - 1)) // 1000""".stripMargin,
+
+    "calibration_bins" ->
+      s"""WITH s AS (SELECT doc_id, ($qualityExpr) // 100 AS bin,
+        |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+        |      THEN 1 ELSE 0 END AS pos
+        |  FROM documents)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  (1000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS rate_permille
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "kanon_risk" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000
+        |      AS bal_band, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  MIN(cnt) AS min_group
+        |FROM g""".stripMargin,
+
+    "group_mode" ->
+      """SELECT c_nationkey, c_mktsegment AS mode_segment, n FROM (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+        |  FROM customer GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
 
     "gram_novelty" ->
       """WITH sh AS (SELECT doc_id, list_distinct(
