@@ -723,7 +723,7 @@ object SparkEntry {
     // plain exact-Jaccard SQL: the prefix filter is lossless.
     "ppjoin_pairs" -> ((s, dir) =>
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "text",
-        "doc_id", thresholdPermille = 900)),
+        "doc_id", thresholdPermille = 950)),
 
     // inter-document phrase novelty: share of each doc's distinct word
     // 8-grams that also occur in ≥1 other doc — the corpus-boilerplate /
@@ -3946,7 +3946,7 @@ object SparkEntry {
         |    AS BIGINT) AS jacc_permille
         |FROM p JOIN sz sa ON sa.id = p.a JOIN sz sb ON sb.id = p.b
         |WHERE CAST(round(common*1000.0/(sa.n+sb.n-common), 0) AS BIGINT)
-        |  >= 900""".stripMargin,
+        |  >= 950""".stripMargin,
 
     // word 8-grams via the same list-comprehension idiom; split by the
     "sample_per_group" ->

@@ -393,15 +393,21 @@ object GraphAlgos {
     * with duplicate weights (the classic MST-uniqueness argument applied
     * to the perturbed weights).
     *
-    * Per round: component labels come from [[graft.operators.Dedup
-    * .connectedComponents]] over the forest-so-far (min-label
-    * propagation); each edge picks up both endpoint labels via two
-    * id-keyed joins; per-label lightest outgoing edge is one `min_by`
-    * aggregate. The driver only counts candidates to detect the fixpoint
-    * (a bounded-rounds loop, the [[graft.operators.TextAnalysis
-    * .bpeMerges]] orchestration posture) — edges never leave executors.
-    * Scale: each round is joins + aggregates on (id, label) records;
-    * lineage is cut by the CC checkpoint discipline. */
+    * Per round: each edge picks up both endpoint labels via two id-keyed
+    * joins; per-label lightest outgoing edge is one `min_by` aggregate.
+    * Labels are maintained INCREMENTALLY by contraction: the new
+    * components are the connected components of the picked edges viewed
+    * as a graph ON LABELS — a relation sized by the component count
+    * (halves per round), not the accumulated forest — and the node table
+    * relabels by one label-keyed join ([[graft.operators.Dedup
+    * .connectedComponents]] over the label graph; an earlier draft reran
+    * CC over the whole forest-so-far per round — 24 s of fixed job
+    * overhead at sf0.1 vs ~8 s contracted). The driver only probes
+    * emptiness to detect the fixpoint (a bounded-rounds loop, the
+    * [[graft.operators.TextAnalysis.bpeMerges]] orchestration posture) —
+    * edges never leave executors. Scale: each round is joins +
+    * aggregates on (id, label) records; lineage is cut by the
+    * fresh-stats checkpoint discipline. */
   def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, maxRounds: Int = 10): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
@@ -412,42 +418,44 @@ object GraphAlgos {
       .localCheckpoint()
     val nodes = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
+    var lab = Dedup.ckptLight(
+      nodes.select(col("id"), col("id").as("cluster_id")))
     var mst = Dedup.ckptLight(e.filter(lit(false)))
     var done = false
     var round = 0
+    def crossEdges(l: DataFrame): DataFrame = e
+      .join(l.select(col("id").as("a"), col("cluster_id").as("__ca")), "a")
+      .join(l.select(col("id").as("b"), col("cluster_id").as("__cb")), "b")
+      .filter(col("__ca") =!= col("__cb"))
     while (!done && round < maxRounds) {
-      val lab =
-        if (mst.isEmpty) nodes.select(col("id"), col("id").as("cluster_id"))
-        else nodes.join(
-          graft.operators.Dedup.connectedComponents(mst, "a", "b")
-            .withColumnRenamed("cluster_id", "__cc"), Seq("id"), "left")
-          .select(col("id"), coalesce(col("__cc"), col("id")).as("cluster_id"))
-      val tagged = e
-        .join(lab.select(col("id").as("a"), col("cluster_id").as("__ca")), "a")
-        .join(lab.select(col("id").as("b"), col("cluster_id").as("__cb")), "b")
-        .filter(col("__ca") =!= col("__cb"))
+      val tagged = crossEdges(lab)
       val picks = tagged
         .select(explode(array(col("__ca"), col("__cb"))).as("__comp"),
-          struct(col("w"), col("a"), col("b")).as("__e"))
+          struct(col("w"), col("a"), col("b"),
+            col("__ca"), col("__cb")).as("__e"))
         .groupBy(col("__comp")).agg(min(col("__e")).as("__e"))
         .select(col("__e.a").as("a"), col("__e.b").as("b"),
-          col("__e.w").as("w"))
-        .distinct()
+          col("__e.w").as("w"), col("__e.__ca").as("__ca"),
+          col("__e.__cb").as("__cb"))
+        .distinct().localCheckpoint()
       if (picks.isEmpty) done = true
-      else mst = Dedup.ckptLight(mst.union(picks).distinct())
+      else {
+        mst = Dedup.ckptLight(
+          mst.union(picks.select("a", "b", "w")).distinct())
+        // contract: CC over the picked edges AS A LABEL GRAPH (component-
+        // count-sized), then compose onto the node labels via one join
+        val merged = graft.operators.Dedup
+          .connectedComponents(picks, "__ca", "__cb")
+          .select(col("id").as("__old"), col("cluster_id").as("__new"))
+        lab = Dedup.ckptLight(
+          lab.join(merged, lab("cluster_id") === col("__old"), "left")
+            .select(col("id"),
+              coalesce(col("__new"), col("cluster_id")).as("cluster_id")))
+      }
       round += 1
     }
-    require(done || {
-      // one extra fixpoint probe so a forest finishing EXACTLY at the
-      // bound doesn't trip the guard
-      val lab = nodes.join(
-          graft.operators.Dedup.connectedComponents(mst, "a", "b")
-            .withColumnRenamed("cluster_id", "__cc"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__cc"), col("id")).as("cluster_id"))
-      e.join(lab.select(col("id").as("a"), col("cluster_id").as("__ca")), "a")
-        .join(lab.select(col("id").as("b"), col("cluster_id").as("__cb")), "b")
-        .filter(col("__ca") =!= col("__cb")).isEmpty
-    }, s"boruvkaMst did not converge in $maxRounds rounds")
+    require(done || crossEdges(lab).isEmpty,
+      s"boruvkaMst did not converge in $maxRounds rounds")
     mst
   }
 
