@@ -184,6 +184,26 @@ object SparkEntry {
       graft.operators.GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // personalized PageRank: random walk with restart to the sparse
+    // supplier seed set over the same 4-strata graph — proximity-to-seeds
+    // scoring, same integer-micro discipline as pagerank
+    // ([[GraphAlgos.personalizedPageRank]]).
+    "ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val edges = li.select((col("l_suppkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .union(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_orderkey") * 4 + 2).as("dst")))
+        .union(ord.select((col("o_orderkey") * 4 + 2).as("src"),
+          (col("o_custkey") * 4 + 3).as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 50 === 0)
+        .select((col("s_suppkey") * 4).as("id"))
+      GraphAlgos.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iters = 3)
+    }),
+
     // Per-node triangle counts over a bounded "interaction" graph derived
     // from lineitem: nodes are part/supplier residues mod 300 (one shared
     // id space), and a deterministic arithmetic keep-filter
@@ -810,6 +830,47 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 5, thresholdPermille = 100))),
+
+    // golden-record fusion: the field-merge step AFTER clustering — per
+    // duplicate cluster, the canonical id, the best-quality member's
+    // source (deterministic ties via the (q, −id) struct order), and the
+    // cluster's pooled stats. The MDM composition of the dedup and
+    // curation families.
+    "golden_record" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 5, thresholdPermille = 100))
+      docs.join(clusters, docs("doc_id") === clusters("id"))
+        .select(col("cluster_id"), col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_id"),
+          max(col("q")).as("best_quality"),
+          max(struct(col("q"), (-col("doc_id")).as("negid"),
+            col("source"))).getField("source").as("best_source"),
+          sum(col("nt")).as("total_tokens"))
+    }),
+
+    // HLL set-algebra tier: approximate per-pair audience overlap between
+    // event types via inclusion–exclusion over mergeable sketches
+    // (|A∩B| ≈ |A| + |B| − |A∪B|) — the sketch-only path to overlap
+    // matrices at 100 TB. Rows-only (sketch estimates; exact-tier parity
+    // and error bounds in OperatorsSpec).
+    "hll_intersect" -> ((s, dir) => {
+      val sk = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      sk.as("x").join(sk.as("y"),
+          col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("et_a"),
+          col("y.event_type").as("et_b"),
+          (expr("hll_sketch_estimate(x.sk)")
+            + expr("hll_sketch_estimate(y.sk)")
+            - expr("hll_sketch_estimate(hll_union(x.sk, y.sk))"))
+            .as("est_common_users"))
+    }),
 
     // asymmetric containment pairs: quote/subset detection with a low bar
     // (≥300 permille either direction exercises both the filter's OR and
@@ -2339,6 +2400,11 @@ object SparkEntry {
       "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
       "the forest unique, so the comparison is set-equality, not " +
       "weight-sum-only."),
+    "hll_intersect" -> ("pairwise audience overlap by inclusion–exclusion " +
+      "over DataSketches HLL sketches — the estimates are sketch-valued " +
+      "with no DuckDB twin (same argument as hll_rollup/distinct_approx). " +
+      "OperatorsSpec pins every pair's estimate within 5% of the exact " +
+      "distinct-intersection tier computed by join on the same fixture."),
     "bpe_apply" -> ("token counts under the trained BPE merges require " +
       "replaying an ordered merge list over each word's symbol sequence " +
       "— an iterated rewrite with no SQL equivalent in DuckDB (the same " +
@@ -2468,6 +2534,45 @@ object SparkEntry {
         |         CAST(150000 + COALESCE((850 * c.s) // 1000, 0) AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
         |SELECT id, r AS rank_micro FROM r3""".stripMargin,
+
+    "ppr" ->
+      """WITH edges AS (
+        |  SELECT l_suppkey*4 AS src, l_partkey*4+1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT l_partkey*4+1, l_orderkey*4+2 FROM lineitem
+        |  UNION
+        |  SELECT o_orderkey*4+2, o_custkey*4+3 FROM orders),
+        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM edges
+        |          UNION SELECT dst FROM edges),
+        |sd AS (SELECT DISTINCT s_suppkey*4 AS id FROM supplier
+        |       WHERE s_suppkey % 50 = 0),
+        |nz AS (SELECT n.id,
+        |         CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS sf
+        |       FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+        |r0 AS (SELECT id, CAST(sf * 1000000 AS BIGINT) AS r FROM nz),
+        |c1 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r0 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.id,
+        |         CAST(n.sf * 150000 + COALESCE((850 * c.s) // 1000, 0)
+        |           AS BIGINT) AS r
+        |       FROM nz n LEFT JOIN c1 c ON n.id = c.id),
+        |c2 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r1 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.id,
+        |         CAST(n.sf * 150000 + COALESCE((850 * c.s) // 1000, 0)
+        |           AS BIGINT) AS r
+        |       FROM nz n LEFT JOIN c2 c ON n.id = c.id),
+        |c3 AS (SELECT e.dst AS id, SUM(r.r // o.od) AS s FROM edges e
+        |       JOIN r2 r ON e.src = r.id JOIN outd o ON e.src = o.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |         CAST(n.sf * 150000 + COALESCE((850 * c.s) // 1000, 0)
+        |           AS BIGINT) AS r
+        |       FROM nz n LEFT JOIN c3 c ON n.id = c.id)
+        |SELECT id, r AS ppr_micro FROM r3""".stripMargin,
 
     "triangle_count" ->
       """WITH g AS (
@@ -4023,6 +4128,43 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS id,
         |  CAST(MIN(lab) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "golden_record" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |ed AS (SELECT a AS src, b AS dst FROM pr
+        |       UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.id),
+        |cl AS (SELECT CAST(id AS BIGINT) AS id,
+        |    CAST(MIN(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |m AS (SELECT cl.cluster_id, d.doc_id, d.source, $qualityExpr AS q,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+        |      AS BIGINT) AS nt
+        |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+        |best AS (SELECT cluster_id, source AS best_source FROM (
+        |    SELECT cluster_id, source, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+        |    FROM m) WHERE rn = 1)
+        |SELECT m.cluster_id, COUNT(*) AS n_members,
+        |  MIN(m.doc_id) AS canonical_id, MAX(m.q) AS best_quality,
+        |  b.best_source, CAST(SUM(m.nt) AS BIGINT) AS total_tokens
+        |FROM m JOIN best b USING (cluster_id)
+        |GROUP BY m.cluster_id, b.best_source""".stripMargin,
 
     // same clustering CTE as dedup_clusters (on the even-id half), plus
     // the representative pick

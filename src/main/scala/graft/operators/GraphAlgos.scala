@@ -71,6 +71,52 @@ object GraphAlgos {
     r.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set) — the
+    * recommender/expansion scoring variant of [[pageRank]]: teleport mass
+    * lands only on seeds, so ranks measure proximity to the seed set
+    * rather than global centrality. Identical integer-micro discipline
+    * (floor divisions, engine-exact) and identical per-iteration shape
+    * (edge⋈rank join + aggregate, lineage cut on a cadence); the seed
+    * flag rides the node table so the base term is a projection, never a
+    * per-iteration join against the seed list. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, iters: Int,
+      dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
+      s"iters=$iters dampingPermille=$dampingPermille out of range")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val e = e0.withColumn("od", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val sd = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("__s", lit(1L))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val base = col("__seed") * lit((1000L - dampingPermille) * 1000L)
+    var r = nodes.select(col("id"), (col("__seed") * lit(1000000L)).as("r"))
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("id"))
+        .select(col("dst").as("id"), expr("r DIV od").as("share"))
+        .groupBy("id").agg(sum(col("share")).as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (base + coalesce(expr(s"($dampingPermille * s) DIV 1000"),
+            lit(0L))).as("r"))
+      r = if (i % checkpointEvery == 0 && i < iters) {
+        val c = next.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist()
+        lastCkpt = c
+        c
+      } else next
+    }
+    r.select(col("id"), col("r").as("ppr_micro"))
+  }
+
   /** Multi-source BFS: minimum hop count from any source node, bounded at
     * `maxHops` (the bounded form is what both a feature pipeline and a
     * recursive-SQL oracle can express — an unbounded fixpoint over a cyclic

@@ -62,6 +62,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(GraphAlgos.kCore(g, "s", "d", k = 10, rounds = 2).isEmpty)
   }
 
+  test("personalizedPageRank: mass concentrates near seeds, integer-exact") {
+    import graft.operators.GraphAlgos
+    // star: seed 1 → {2, 3}; far chain 4 → 5 (no seed). After 1 iter:
+    // 1: base 150000; 2,3: 850·(1000000/2)/1000 = 425000; 4,5: 0 — the
+    // restart term lands ONLY on seeds.
+    val g = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val got1 = GraphAlgos.personalizedPageRank(g, "s", "d", seeds, "id",
+        iters = 1).as[(Long, Long)].collect().toMap
+    assert(got1 === Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L,
+      4L -> 0L, 5L -> 0L))
+    // iter 2: seed keeps its base; 2,3 get 850·(150000/2)/1000 = 63750;
+    // node 5 still 0 (4 has no mass to push)
+    val got2 = GraphAlgos.personalizedPageRank(g, "s", "d", seeds, "id",
+        iters = 2).as[(Long, Long)].collect().toMap
+    assert(got2(1L) === 150000L)
+    assert(got2(2L) === 63750L && got2(3L) === 63750L)
+    assert(got2(5L) === 0L)
+    // global pagerank on the same graph gives 4 and 5 nonzero rank —
+    // the personalization is what zeroes them
+    val pr = GraphAlgos.pageRank(g, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(5L) > 0L)
+  }
+
+  test("golden-record pick idiom: highest quality wins, ties to smallest id") {
+    // the max(struct(q, -id, field)) aggregate the golden_record query
+    // fuses: deterministic best-member field selection without a window.
+    val m = Seq((1L, 10L, 700L, "web"), (1L, 11L, 900L, "mail"),
+      (1L, 12L, 900L, "feed"), // q tie with 11 → smaller id (11) wins
+      (2L, 20L, 100L, "arch")).toDF("cluster_id", "doc_id", "q", "source")
+    val got = m.groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("negid"),
+        col("source"))).getField("source").as("best_source"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "mail", 2L -> "arch"))
+  }
+
+  test("hll_intersect estimates within 5% of exact pairwise overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("hll_intersect")(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    val exact = events.as("x").join(events.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .agg(countDistinct(col("x.user_id")).as("n"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (a, b, est) =>
+      val ex = exact.getOrElse((a, b), 0L)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 20),
+        s"pair ($a,$b): est $est vs exact $ex")
+    }
+  }
+
   test("closenessCentrality: path distances from two landmarks, hop cap") {
     import graft.operators.GraphAlgos
     // path 0-1-2-3-4-5-6 (directed input, treated undirected), landmarks
