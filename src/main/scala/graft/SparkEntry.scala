@@ -594,6 +594,27 @@ object SparkEntry {
           cents(col("o_totalprice")).as("total_cents"))
     }),
 
+    // join-consistent sampling: both fact tables sampled by the SAME
+    // md5 rule on the JOIN KEY, so a ~1/16 sample of orders keeps ALL of
+    // each sampled order's lineitems — the correlated-sampling property
+    // that makes downstream join/agg estimates unbiased (independent
+    // per-table sampling would keep ~1/256 of join rows and break every
+    // per-order aggregate). Output: sampled counts + the join-complete
+    // proof term (orders with a missing lineitem = 0 by construction,
+    // asserted in the oracle twin too).
+    "consistent_sample" -> ((s, dir) => {
+      val keep = (c: Column) => substring(md5(c.cast("string")), 1, 1) === "a"
+      val o = t(s, dir, "orders").filter(keep(col("o_orderkey")))
+      val li = t(s, dir, "lineitem").filter(keep(col("l_orderkey")))
+      val j = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      o.agg(count(lit(1)).as("n_orders")).crossJoin(
+          li.agg(count(lit(1)).as("n_lineitems")))
+        .crossJoin(j.agg(count(lit(1)).as("n_join_rows")))
+        .crossJoin(li.join(o, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphan_lineitems")))
+    }),
+
     // customer order-count distribution (TPC-H Q13): LEFT join so
     // zero-order customers survive, count the non-null side, then the
     // second aggregation runs on the already-tiny (custkey, n) relation.
@@ -3795,6 +3816,19 @@ object SparkEntry {
         |      AS n_risk
         |  FROM c)
         |SELECT t, n_risk, n_events FROM r WHERE n_events > 0""".stripMargin,
+
+    "consistent_sample" ->
+      """WITH o AS (SELECT o_orderkey FROM orders
+        |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'),
+        |li AS (SELECT l_orderkey FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = 'a')
+        |SELECT (SELECT COUNT(*) FROM o) AS n_orders,
+        |  (SELECT COUNT(*) FROM li) AS n_lineitems,
+        |  (SELECT COUNT(*) FROM o JOIN li ON o_orderkey = l_orderkey)
+        |    AS n_join_rows,
+        |  (SELECT COUNT(*) FROM li WHERE NOT EXISTS (
+        |     SELECT 1 FROM o WHERE o_orderkey = l_orderkey))
+        |    AS n_orphan_lineitems""".stripMargin,
 
     "join_cardinality" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
