@@ -2242,6 +2242,30 @@ object SparkEntry {
         .agg(sum(round(col("v").cast("double") * 1000000).cast("long"))
           .as("sum_micro"), count(lit(1)).as("n"))),
 
+    // split-drift of per-label embedding centroids: cosine between the
+    // even-id and odd-id halves' centroids — the training/eval embedding
+    // drift check. Cosine is scale-invariant, so it runs on the exact
+    // integer SUM vectors (one pass, when-split sums, zero joins); the
+    // only float is the one closing division.
+    "centroid_drift" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2).as("sp"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("m", round(col("v").cast("double") * 1000000)
+          .cast("long"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("sp") === 0, col("m")).otherwise(0L)).as("sa"),
+          sum(when(col("sp") === 1, col("m")).otherwise(0L)).as("sb"))
+        .groupBy(col("label"))
+        .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("na"),
+          sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("nb"))
+        .select(col("label"), expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * " +
+            "sqrt(CAST(nb AS DOUBLE))) * 1000, 0) AS BIGINT)")
+          .as("cos_permille"))),
+
     "sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -2352,6 +2376,33 @@ object SparkEntry {
           expr("ts DIV 1000").as("ts_us"), col("event_id")),
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
+
+    // U-shaped multi-touch attribution: 400/200/400 permille credit split
+    // across each conversion's in-window touches, exact-integer with
+    // largest-remainder middles; credit conserved incl. orphan
+    // conversions ([[EventAnalytics.positionAttribution]]).
+    "attribution_position" -> ((s, dir) =>
+      EventAnalytics.positionAttribution(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id")),
+        "user_id", "event_type", "ts_us", "event_id",
+        convType = "purchase", lookbackUs = 604800000000L)),
+
+    // stage-to-stage conversion latency: first view → first subsequent
+    // purchase per user; exact n plus interpolated p50/p90 seconds (the
+    // group_quartiles percentile↔quantile_cont parity discipline).
+    "funnel_latency" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      p.select(expr("(t2 - t1) DIV 1000000000").as("delta_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(delta_s, 0.5)")).cast("long").as("p50_s"),
+          round(expr("percentile(delta_s, 0.9)")).cast("long").as("p90_s"))
+    }),
 
     // segment-level significance: Welch's t for each event type's spend
     // vs the pooled rest ([[EventAnalytics.welchT]] — one aggregate pass,
@@ -3885,6 +3936,64 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "attribution_position" ->
+      """WITH c AS (SELECT user_id AS k, epoch_us(ts) AS ct,
+        |    event_id AS cid FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id AS k, event_type AS pt, epoch_us(ts) AS pts,
+        |    event_id AS pid FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT c.k, c.cid, p.pt, p.pts, p.pid FROM c JOIN p
+        |    ON c.k = p.k
+        |  WHERE p.pts < c.ct AND p.pts >= c.ct - 604800000000),
+        |r AS (SELECT k, cid, pt,
+        |    CAST(row_number() OVER (PARTITION BY k, cid
+        |      ORDER BY pts ASC, pid ASC) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY k, cid) AS n FROM j),
+        |cr AS (SELECT pt AS touch,
+        |    CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+        |         WHEN rn = 1 OR rn = n THEN 400
+        |         ELSE 200 // (n - 2) +
+        |           CASE WHEN rn - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END
+        |    END AS credit
+        |  FROM r)
+        |SELECT touch, CAST(SUM(credit) AS BIGINT) AS credit_permille
+        |FROM cr GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR) AS touch,
+        |  CAST(COUNT(*) * 1000 AS BIGINT) AS credit_permille
+        |FROM c WHERE NOT EXISTS (SELECT 1 FROM j
+        |  WHERE j.k = c.k AND j.cid = c.cid)
+        |HAVING COUNT(*) > 0""".stripMargin,
+
+    "funnel_latency" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.t1, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t1
+        |  GROUP BY 1, 2),
+        |d AS (SELECT (t2 - t1) // 1000000 AS delta_s FROM p)
+        |SELECT COUNT(*) AS n_converted,
+        |  CAST(round(quantile_cont(delta_s, 0.5)) AS BIGINT) AS p50_s,
+        |  CAST(round(quantile_cont(delta_s, 0.9)) AS BIGINT) AS p90_s
+        |FROM d""".stripMargin,
+
+    "centroid_drift" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS sp, pos,
+        |    CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS m
+        |  FROM (SELECT label, vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+        |s AS (SELECT label, pos,
+        |    SUM(CASE WHEN sp = 0 THEN m ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN sp = 1 THEN m ELSE 0 END) AS sb
+        |  FROM x GROUP BY 1, 2),
+        |g AS (SELECT label, SUM(sa * sb) AS dot, SUM(sa * sa) AS na,
+        |    SUM(sb * sb) AS nb FROM s GROUP BY 1)
+        |SELECT label, CAST(round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000,
+        |    0) AS BIGINT) AS cos_permille
+        |FROM g""".stripMargin,
 
     "gram_novelty" ->
       """WITH sh AS (SELECT doc_id, list_distinct(

@@ -820,6 +820,55 @@ object EventAnalytics {
         expr("(1000 * n_converted) DIV n_entities"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
+    * split between [[firstTouchAttribution]] and [[lastTouchAttribution]]:
+    * per conversion, the first and last in-window touches take 400‰ each
+    * and the middles share the remaining 200‰. All credit is integer
+    * permille and each conversion's credits sum to EXACTLY 1000: middles
+    * get ⌊200/(n−2)⌋ with the remainder distributed to the earliest
+    * middles (largest-remainder discipline, [[graft.operators.Transforms
+    * .largestRemainderApportion]]); n=1 → 1000, n=2 → 500/500.
+    * Conversions with an empty window keep their 1000 on a NULL touch —
+    * credit is conserved, never silently dropped (the orphan anti-join
+    * posture of last-touch).
+    *
+    * Scale shape: one banded join of conversions to prior events on the
+    * entity key, one window pass per (entity, conversion) frame for rank
+    * and count, then the credit column collapses to |touch types| rows. */
+  def positionAttribution(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, tieCol: String, convType: String,
+      lookbackUs: Long): DataFrame = {
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ct"),
+        col(tieCol).as("__cid"))
+    val prior = events.filter(col(typeCol) =!= convType)
+      .select(col(keyCol).as("__k"), col(typeCol).as("__pt"),
+        col(tsCol).as("__pts"), col(tieCol).as("__pid"))
+    val frame = Window.partitionBy(col("__k"), col("__cid"))
+    val w = frame.orderBy(col("__pts").asc, col("__pid").asc)
+    val credited = convs.join(prior, Seq("__k"))
+      .filter(col("__pts") < col("__ct") &&
+        col("__pts") >= col("__ct") - lookbackUs)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("credit", expr(
+        """CASE WHEN __n = 1 THEN 1000
+          |     WHEN __n = 2 THEN 500
+          |     WHEN __rn = 1 OR __rn = __n THEN 400
+          |     ELSE 200 DIV (__n - 2) +
+          |       CASE WHEN __rn - 1 <= 200 % (__n - 2) THEN 1 ELSE 0 END
+          |END""".stripMargin))
+    val orphans = convs.join(
+        credited.select(col("__k"), col("__cid")).distinct(),
+        Seq("__k", "__cid"), "left_anti")
+      .agg((count(lit(1)) * 1000L).as("credit_permille"))
+      .select(lit(null).cast("string").as("touch"), col("credit_permille"))
+    credited.groupBy(col("__pt").as("touch"))
+      .agg(sum(col("credit")).as("credit_permille"))
+      .unionByName(orphans)
+      .filter(col("credit_permille") > 0)
+  }
+
   /** Kaplan–Meier risk table — the survival-analysis sufficient statistic
     * for retention/churn work (Kaplan & Meier 1958, public literature):
     * one row per event time t with the number at risk (entities whose

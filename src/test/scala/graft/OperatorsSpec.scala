@@ -1398,6 +1398,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === (("k", 5L, 1000000L)))
   }
 
+  test("positionAttribution: U-split sums to exactly 1000 per conversion") {
+    import graft.operators.EventAnalytics
+    // user A: 5 touches (a,b,c,d,e) then purchase → 400/67/67/66/400
+    // (200 DIV 3 = 66, remainder 2 → earliest two middles get +1).
+    // user B: 1 touch → 1000. user C: purchase with no touches → orphan.
+    val ev = Seq(
+      ("A", "a", 10L, 1L), ("A", "b", 20L, 2L), ("A", "c", 30L, 3L),
+      ("A", "d", 40L, 4L), ("A", "e", 50L, 5L), ("A", "purchase", 60L, 6L),
+      ("B", "x", 10L, 7L), ("B", "purchase", 20L, 8L),
+      ("C", "purchase", 99L, 9L))
+      .toDF("k", "et", "t", "id")
+    val got = EventAnalytics.positionAttribution(ev, "k", "et", "t", "id",
+        "purchase", lookbackUs = 1000L)
+      .as[(Option[String], Long)].collect().toMap
+    assert(got === Map(Some("a") -> 400L, Some("b") -> 67L,
+      Some("c") -> 67L, Some("d") -> 66L, Some("e") -> 400L,
+      Some("x") -> 1000L, None -> 1000L))
+    // conservation: total credit == 1000 × conversions
+    assert(got.values.sum === 3000L)
+    // n=2 and n=3 arms
+    val ev2 = Seq(("D", "p1", 1L, 1L), ("D", "p2", 2L, 2L),
+      ("D", "purchase", 3L, 3L),
+      ("E", "q1", 1L, 4L), ("E", "q2", 2L, 5L), ("E", "q3", 3L, 6L),
+      ("E", "purchase", 4L, 7L)).toDF("k", "et", "t", "id")
+    val got2 = EventAnalytics.positionAttribution(ev2, "k", "et", "t", "id",
+        "purchase", 1000L)
+      .as[(Option[String], Long)].collect().toMap
+    assert(got2 === Map(Some("p1") -> 500L, Some("p2") -> 500L,
+      Some("q1") -> 400L, Some("q2") -> 200L, Some("q3") -> 400L))
+  }
+
   test("kaplanMeierTable: censored rows extend risk set, never count as events") {
     import graft.operators.EventAnalytics
     // durations: 2(obs), 2(obs), 2(censored), 5(obs), 7(censored).
