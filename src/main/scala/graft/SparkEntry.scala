@@ -2377,6 +2377,53 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // ingestion rate limiting: keep the first 3 events per (user, hour)
+    // under the (ts, id) total order — the WindowGroupLimit shape pushes
+    // the cap map-side, so the shuffle moves at most 3 rows per frame.
+    "rate_limit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(col("user_id"), expr("ts DIV 3600000000000").as("hr"),
+          col("event_id"), col("ts"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("user_id", "hr")
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("hr"), col("event_id"), col("rn"))
+    }),
+
+    // correlated-subquery shape: orders strictly above their customer's
+    // average order value — cleared-denominator compare
+    // (cents·n > Σcents, all BIGINT) so no float average exists; the
+    // oracle twin runs the same predicate as correlated subqueries.
+    "over_avg_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__s", sum(col("cents")).over(w))
+        .filter(col("cents") * col("__n") > col("__s"))
+        .select(col("o_orderkey"), col("cents"))
+    }),
+
+    // cohort lifetime-value curve: cumulative revenue per (first-day
+    // cohort, age) — the retention grid's revenue sibling; cells collapse
+    // before the prefix-sum window runs over the grid.
+    "cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts DIV 86400000000000").as("day"), cents(col("value")).as("v"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+        .agg(sum(col("v")).as("rev_cents"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(Window
+          .partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // U-shaped multi-touch attribution: 400/200/400 permille credit split
     // across each conversion's in-window touches, exact-integer with
     // largest-remainder middles; credit conserved incl. orphan
@@ -3936,6 +3983,38 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "rate_limit" ->
+      """SELECT user_id, hr, event_id, rn FROM (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id,
+        |        epoch_us(ts) // 3600000000
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "over_avg_orders" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT a.o_orderkey, a.cents FROM o a
+        |WHERE a.cents * (SELECT COUNT(*) FROM o b
+        |    WHERE b.o_custkey = a.o_custkey)
+        |  > (SELECT SUM(cents) FROM o b
+        |    WHERE b.o_custkey = a.o_custkey)""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+        |cell AS (SELECT f.cohort, e.day - f.cohort AS age,
+        |    CAST(SUM(e.v) AS BIGINT) AS rev_cents
+        |  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT cohort, age, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_cents
+        |FROM cell""".stripMargin,
 
     "attribution_position" ->
       """WITH c AS (SELECT user_id AS k, epoch_us(ts) AS ct,

@@ -190,6 +190,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bsemi === 2, s"expected 2 broadcast semi joins:\n$plan")
   }
 
+  test("rate_limit: rank filter runs as WindowGroupLimit before the exchange") {
+    val plan = finalPlan(q("rate_limit"))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // partial mode = the cap applies map-side, pre-shuffle
+    assert(plan.contains("Partial") || plan.split("WindowGroupLimit").length > 2,
+      s"no map-side cap:\n$plan")
+  }
+
+  test("ppjoin_pairs: candidate join moves no arrays; verify joins arrays by id") {
+    val plan = finalPlan(q("ppjoin_pairs"))
+    // the token self-join's exchanges must not carry the array column —
+    // collect_list appears only in the post-candidate verification joins
+    val candidateSide = plan.split("SortMergeJoin|ShuffledHashJoin").head
+    assert(!candidateSide.contains("collect_list"), plan)
+    assert(plan.contains("array_intersect"), plan)
+  }
+
   test("vocab_topk: top-k is TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(q("vocab_topk"))
     assert(plan.contains("TakeOrderedAndProject"), plan)
