@@ -2123,6 +2123,44 @@ object SparkEntry {
     // sign-extension — [[Multimodal.pcmWindowEnergy]]); the oracle
     // regenerates the expected energies from the generator's closed form
     // without parsing binary, so a hash match proves the byte decode.
+    // shot segmentation over a synthetic 10-frame "video" per asset:
+    // frame seeds change every 4 frames, so scene cuts land at f=4 and
+    // f=8 (hamming 0 within a scene, large across); lag-hamming over the
+    // per-frame aHashes finds them ([[Multimodal.sceneChanges]] — real
+    // per-frame BMP decode, consecutive-frame windows, no pairwise join).
+    "mm_scenes" -> ((s, dir) => {
+      val frames = Transforms.rebalanceIfNarrow(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 2),
+          col("doc_id"))
+        .select(col("doc_id").cast("long").as("asset_id"),
+          explode(expr("sequence(0L, 9L)")).as("f"))
+        .withColumn("content", Multimodal.bmpPixelContent(
+          col("asset_id") * 7 + expr("f DIV 4"), lit(16L), lit(12L)))
+        .withColumn("fid", col("asset_id") * 16 + col("f"))
+      val hashes = Multimodal.imageAHash(frames, "fid", "content")
+      Multimodal.sceneChanges(
+        hashes.select(expr("fid DIV 16").as("asset_id"),
+          expr("fid % 16").as("f"), col("ahash_hex")),
+        "asset_id", "f", "ahash_hex", cutHamming = 10)
+    }),
+
+    // VAD-style silence segmentation: per-frame PCM energy below the
+    // per-sample mean threshold → rank-difference islands
+    // ([[Multimodal.silenceRuns]] over the real s16le decode).
+    "mm_silence" -> ((s, dir) => {
+      val len = length(encode(col("text"), "UTF-8"))
+      val assets = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 3),
+        col("doc_id"))
+        .select(col("doc_id").cast("long").as("asset_id"),
+          Multimodal.wavPcmContent(col("doc_id").cast("long"),
+            (len % 256 + 512).cast("long")).as("content"))
+      Multimodal.silenceRuns(
+        Multimodal.pcmWindowEnergy(assets, "asset_id", "content", 64),
+        "asset_id", "frame", "energy", "n_samples",
+        meanThreshold = 358000000L)
+    }),
+
     "mm_energy" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8"))
       val assets = Transforms.rebalanceIfNarrow(
@@ -3483,6 +3521,74 @@ object SparkEntry {
         |FROM hl x JOIN hl y ON x.asset_id < y.asset_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
         |  <= 7""".stripMargin,
+
+    "mm_scenes" ->
+      """WITH a AS (SELECT doc_id AS asset_id FROM documents
+        |  WHERE doc_id % 5 = 2),
+        |fr AS (SELECT asset_id, f, asset_id*7 + f // 4 AS seed
+        |  FROM a, unnest(generate_series(0, 9)) AS t(f)),
+        |c AS (SELECT asset_id, f, seed, cell % 8 AS cx, cell // 8 AS cy
+        |  FROM fr, unnest(generate_series(0, 63)) AS t(cell)),
+        |c2 AS (SELECT asset_id, f, seed, cx, cy,
+        |    (12 - 1 - ((2*cy + 1) * 12) // 16) * 48 + 3 * (2*cx + 1) AS k
+        |  FROM c),
+        |l AS (SELECT asset_id, f, cx, cy,
+        |    (299 * ((seed*31 + (k+2)*2654435761) % 256)
+        |   + 587 * ((seed*31 + (k+1)*2654435761) % 256)
+        |   + 114 * ((seed*31 + k*2654435761) % 256)) // 1000 AS luma
+        |  FROM c2),
+        |s AS (SELECT asset_id, f, SUM(luma) AS tot FROM l GROUP BY 1, 2),
+        |b AS (SELECT l.asset_id, l.f, l.cy,
+        |    SUM(CASE WHEN l.luma * 64 > s.tot THEN 1 << l.cx ELSE 0 END)
+        |      AS rb
+        |  FROM l JOIN s USING (asset_id, f) GROUP BY 1, 2, 3),
+        |hl AS (SELECT asset_id, f,
+        |    CAST(SUM(CASE WHEN cy < 4 THEN rb << (8*(3-cy)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN cy >= 4 THEN rb << (8*(7-cy)) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY 1, 2),
+        |lg AS (SELECT asset_id, hi, lo,
+        |    lag(hi) OVER (PARTITION BY asset_id ORDER BY f) AS phi,
+        |    lag(lo) OVER (PARTITION BY asset_id ORDER BY f) AS plo
+        |  FROM hl),
+        |hm AS (SELECT asset_id,
+        |    CAST(bit_count(xor(hi, phi)) + bit_count(xor(lo, plo))
+        |      AS BIGINT) AS ham
+        |  FROM lg)
+        |SELECT asset_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN ham > 10 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS n_scenes,
+        |  MAX(COALESCE(ham, 0)) AS max_cut_hamming
+        |FROM hm GROUP BY 1""".stripMargin,
+
+    "mm_silence" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    octet_length(encode(text)) % 256 + 512 AS n
+        |  FROM documents WHERE doc_id % 5 = 3),
+        |sm AS (SELECT asset_id,
+        |    unnest(generate_series(0, n - 1)) AS i FROM a),
+        |v AS (SELECT asset_id, i // 64 AS frame,
+        |    CASE WHEN (asset_id*31 + i*2654435761) % 65536 >= 32768
+        |      THEN (asset_id*31 + i*2654435761) % 65536 - 65536
+        |      ELSE (asset_id*31 + i*2654435761) % 65536 END AS s
+        |  FROM sm),
+        |e AS (SELECT asset_id, frame, COUNT(*) AS n_samples,
+        |    SUM(s*s) AS energy FROM v GROUP BY 1, 2),
+        |sil AS (SELECT asset_id, frame, frame - row_number() OVER (
+        |      PARTITION BY asset_id ORDER BY frame) AS isl
+        |  FROM e WHERE energy < 358000000 * n_samples),
+        |r1 AS (SELECT asset_id, isl, COUNT(*) AS len FROM sil
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(SUM(len) AS BIGINT) AS n_silent,
+        |    CAST(MAX(len) AS BIGINT) AS max_run FROM r1 GROUP BY 1),
+        |t AS (SELECT asset_id, COUNT(*) AS n_frames FROM e GROUP BY 1)
+        |SELECT t.asset_id, t.n_frames,
+        |  CAST(COALESCE(r2.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(COALESCE(r2.n_silent, 0) AS BIGINT) AS n_silent,
+        |  CAST(COALESCE(r2.max_run, 0) AS BIGINT) AS max_run
+        |FROM t LEFT JOIN r2 USING (asset_id)""".stripMargin,
 
     "mm_energy" ->
       """WITH a AS (SELECT doc_id AS asset_id,

@@ -495,6 +495,64 @@ object Multimodal {
       .dropDuplicates("a", "b")
   }
 
+  /** Scene-change detection over per-frame perceptual hashes — the video
+    * shot-segmentation pass: consecutive frames whose aHash Hamming
+    * distance exceeds `cutHamming` mark a cut; output per asset is the
+    * frame count, scene count (cuts + 1) and the strongest cut. One
+    * window pass per asset ordered by frame index (frame counts per
+    * asset are bounded — the sampled-frames contract of
+    * [[sampleFrames]]), XOR-popcount on the packed 32-bit hash halves —
+    * no UDF, no pairwise join (consecutive frames only, unlike the
+    * all-pairs [[ahashHammingPairs]] tier). */
+  def sceneChanges(hashes: DataFrame, assetCol: String, frameCol: String,
+      hexCol: String, cutHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = hashes.select(col(assetCol).as("aid"), col(frameCol).as("f"),
+      expr(s"CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT)")
+        .as("hi"),
+      expr(s"CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)")
+        .as("lo"))
+    val w = Window.partitionBy("aid").orderBy("f")
+    v.withColumn("__phi", lag(col("hi"), 1).over(w))
+      .withColumn("__plo", lag(col("lo"), 1).over(w))
+      .withColumn("__ham", expr(
+        "CAST(bit_count(hi ^ __phi) + bit_count(lo ^ __plo) AS BIGINT)"))
+      .groupBy(col("aid").as(assetCol))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(when(col("__ham") > cutHamming, 1L).otherwise(0L)) + lit(1L))
+          .as("n_scenes"),
+        max(coalesce(col("__ham"), lit(0L))).as("max_cut_hamming"))
+  }
+
+  /** Silence-run segmentation over [[pcmWindowEnergy]] frames — the VAD /
+    * silence-trim report: frames whose MEAN energy per sample falls below
+    * `meanThreshold` (cleared-denominator compare: Σs² < thr·n, all
+    * BIGINT) form runs; output per asset = frame count, silent-run count,
+    * total silent frames, longest run. Runs via the rank-difference
+    * island identity (the [[EventAnalytics.streakCensus]] shape) — one
+    * window pass over the per-asset frame grid, counts collapse before
+    * the final aggregate. */
+  def silenceRuns(energies: DataFrame, idCol: String, frameCol: String,
+      energyCol: String, nSamplesCol: String,
+      meanThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
+    val runs = energies
+      .filter(col(energyCol) < lit(meanThreshold) * col(nSamplesCol))
+      .withColumn("__isl", col(frameCol) - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_runs"), sum(col("__len")).as("n_silent"),
+        max(col("__len")).as("max_run"))
+    energies.groupBy(col(idCol)).agg(count(lit(1)).as("n_frames"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_frames"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** ===== STUB feature extraction =====
     * Deterministic fake feature vector from content bytes (real impl: model
     * inference per partition-batch). Demonstrates the wide-row (id, vec)
