@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CountInSetExpression, Crc32QExpression,
-  DotProductExpression, JaroWinklerExpression, MinhashAggExpression,
-  SimhashAggExpression, TokenSetCountExpression}
+import graft.functions.{BpeEncodeExpression, CountInSetExpression,
+  Crc32QExpression, DeflateSizeExpression, DotProductExpression,
+  JaroWinklerExpression, MinhashAggExpression, SimhashAggExpression,
+  TokenSetCountExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use.
@@ -17,6 +18,8 @@ import graft.functions.{CountInSetExpression, Crc32QExpression,
   *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
   *   .getOrCreate()
   * spark.sql("SELECT crc32q(token) FROM batch")
+  * spark.sql("SELECT deflate_size(text) * 1000 DIV octet_length(text) ...")
+  * spark.sql("SELECT bpe_encode(text, 'l o', 'lo w') FROM docs")
   * spark.sql("SELECT dot_product(a.vec, b.vec) FROM ...")
   * spark.sql("SELECT jaro_winkler(x.name, y.name) FROM ...")
   * spark.sql("SELECT id, minhash_agg(shingle, 64) FROM inv GROUP BY id")
@@ -39,6 +42,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("crc32q", 1)(children)
       Crc32QExpression(children.head)
     }, classOf[Crc32QExpression])
+
+    register(e, "deflate_size", { children =>
+      arity("deflate_size", 1)(children)
+      DeflateSizeExpression(children.head)
+    }, classOf[DeflateSizeExpression])
+
+    // bpe_encode(text, 'x y', 'xy z', ...): trailing literals are the
+    // rank-ordered merge pairs ("left right")
+    register(e, "bpe_encode", { children =>
+      require(children.size >= 1,
+        s"bpe_encode(text, merge, ...) expects at least 1 argument")
+      val merges = children.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          val p = s.toString.split(" ")
+          require(p.length == 2, s"merge literal must be 'left right': $s")
+          (p(0), p(1))
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode merges must be STRING literals, got $other")
+      }
+      BpeEncodeExpression(children.head, merges)
+    }, classOf[BpeEncodeExpression])
 
     register(e, "dot_product", { children =>
       arity("dot_product", 2)(children)

@@ -615,6 +615,54 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_orphan_lineitems")))
     }),
 
+    // bilateral trade volume (TPC-H Q7): revenue between the NATION_0 ↔
+    // NATION_3 pair by supplier/customer direction and year — the
+    // two-dimension-role join (nation joins TWICE under different roles,
+    // both broadcast), pair filter keeps both directions.
+    "q7_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .filter((col("supp_nation") === "NATION_0" &&
+            col("cust_nation") === "NATION_3") ||
+          (col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_0"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+    }),
+
+    // returned-item losses (TPC-H Q10): top 20 customers by revenue on
+    // 'R'-flagged lineitems in one quarter — date+flag filters reach the
+    // scans, dims broadcast, top-k via TakeOrderedAndProject.
+    "q10_returns" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // customer order-count distribution (TPC-H Q13): LEFT join so
     // zero-order customers survive, count the non-null side, then the
     // second aggregation runs on the already-tiny (custkey, n) relation.
@@ -4227,6 +4275,36 @@ object SparkEntry {
         |   AS statuses,
         | COUNT(*) AS n
         | FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_3')
+        |   OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_0')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
 
     "q3_revenue" ->
       """SELECT l_orderkey,
