@@ -862,6 +862,65 @@ object SparkEntry {
         .withColumn("rate_permille", expr("(1000 * n_pos) DIV n"))
     }),
 
+    // smoothed target encoding (the ML-prep categorical encoder): per
+    // segment, (Σv + k·prior)/(n + k) with prior = global mean — cleared
+    // to the single rational (Σv·N + k·T)/(N·(n+k)), exact integers up
+    // to ONE closing float division mirrored in the twin.
+    "target_encode" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("v"))
+      val g = broadcast(c.agg(count(lit(1)).as("__gn"),
+        sum(col("v")).as("__gt")))
+      c.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("__s"))
+        .crossJoin(g)
+        .select(col("seg"), col("n"), expr(
+          "CAST(round(CAST(__s * __gn + 10 * __gt AS DOUBLE) / " +
+            "CAST(__gn * (n + 10) AS DOUBLE) * 1000, 0) AS BIGINT)")
+          .as("encoded_millicents"))
+    }),
+
+    // seasonal-naive forecast backtest: predict each (type, day)'s event
+    // count with the count 7 days earlier, score MAE (milli) and bias on
+    // the days where both sides exist — the baseline every forecasting
+    // pipeline must beat, evaluated entirely in integers.
+    "forecast_backtest" -> ((s, dir) => {
+      val d = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.as("a").join(d.as("f").hint("shuffle_hash"),
+          col("a.event_type") === col("f.event_type") &&
+            col("a.day") === col("f.day") + 7)
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("a.n") - col("f.n"))).as("__sa"),
+          sum(col("a.n") - col("f.n")).as("bias"))
+        .withColumn("mae_milli", expr("(1000 * __sa) DIV n_days"))
+        .select("event_type", "n_days", "mae_milli", "bias")
+    }),
+
+    // hashing-trick feature crosses: (segment × nation) crossed, hashed
+    // into 64 buckets via md5-hex arithmetic both engines can evaluate
+    // identically; output = bucket load + collision census (distinct
+    // crosses per bucket) — the dimensionality/collision trade every
+    // hashed featurizer prices.
+    "feature_hash" -> ((s, dir) => {
+      val hx = "0123456789abcdef"
+      val h = md5(concat(col("c_mktsegment"), lit("#"),
+        col("c_nationkey").cast("string")))
+      val bucket = ((instr(lit(hx), substring(h, 1, 1)) - 1) * 16 +
+        (instr(lit(hx), substring(h, 2, 1)) - 1)) % 64
+      t(s, dir, "customer")
+        .select(bucket.cast("long").as("bucket"),
+          concat(col("c_mktsegment"), lit("#"),
+            col("c_nationkey").cast("string")).as("__cross"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("__cross")).as("n_crosses"))
+    }),
+
     // k-anonymity risk census over quasi-identifiers (nation, segment,
     // $1000 balance band): groups below k=5 and the rows they expose —
     // the governance pre-check before publishing a slice.
@@ -4116,6 +4175,44 @@ object SparkEntry {
         |SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
         |  (1000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS rate_permille
         |FROM s GROUP BY 1""".stripMargin,
+
+    "target_encode" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v FROM customer),
+        |g AS (SELECT COUNT(*) AS gn, CAST(SUM(v) AS BIGINT) AS gt
+        |  FROM c),
+        |s AS (SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM c GROUP BY 1)
+        |SELECT seg, n,
+        |  CAST(round(CAST(sv * gn + 10 * gt AS DOUBLE) /
+        |    CAST(gn * (n + 10) AS DOUBLE) * 1000, 0) AS BIGINT)
+        |    AS encoded_millicents
+        |FROM s CROSS JOIN g""".stripMargin,
+
+    "forecast_backtest" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, COUNT(*) AS n_days,
+        |  (1000 * CAST(SUM(abs(a.n - f.n)) AS BIGINT)) // COUNT(*)
+        |    AS mae_milli,
+        |  CAST(SUM(a.n - f.n) AS BIGINT) AS bias
+        |FROM d a JOIN d f ON a.event_type = f.event_type
+        |  AND a.day = f.day + 7
+        |GROUP BY 1""".stripMargin,
+
+    "feature_hash" ->
+      """WITH x AS (SELECT
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |    cross_key
+        |  FROM (SELECT md5(c_mktsegment || '#' || CAST(c_nationkey
+        |      AS VARCHAR)) AS h,
+        |    c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR)
+        |      AS cross_key FROM customer))
+        |SELECT CAST(bucket % 64 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT cross_key) AS BIGINT) AS n_crosses
+        |FROM x GROUP BY 1""".stripMargin,
 
     "kanon_risk" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
