@@ -1058,6 +1058,54 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
+    // blocking-strategy evaluation: recall of the brand-blocked fuzzy
+    // matcher against ground truth (all-pairs edit distance on a bounded
+    // slice — the deliberate exception to the no-all-pairs rule: an
+    // evaluation tier MUST enumerate truth, so the slice is keyed down
+    // to stay quadratic-in-small). Output: truth size, blocked-found
+    // size, recall permille — the number that justifies (or indicts)
+    // the blocking key.
+    "blocking_recall" -> ((s, dir) => {
+      val sliceA = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_brand"), col("p_name"), col("p_partkey"))
+      val found = Dedup.blockedEditDistance(sliceA, "p_brand", "p_name",
+        "p_partkey", maxDist = 4).select(col("a"), col("b"))
+      val v = sliceA.select(col("p_name").as("s"), col("p_partkey").as("id"))
+      val truth = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+        .filter(levenshtein(col("x.s"), col("y.s")) <= 4)
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          truth.join(found, Seq("a", "b"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+        .withColumn("recall_permille",
+          expr("CASE WHEN n_truth = 0 THEN 1000 " +
+            "ELSE (1000 * n_found) DIV n_truth END"))
+    }),
+
+    // smoothed bigram LM score per doc (the LM-quality signal one level
+    // above unigram_logprob): add-1-smoothed P(w₂|w₁) from corpus bigram
+    // and unigram counts, per-token log quantized to micros (engine-exact
+    // sums), mean log-prob permille per doc.
+    "bigram_logprob" -> ((s, dir) => {
+      val tok = Dedup.shingleStream(t(s, dir, "documents"), "text",
+        "doc_id", n = 2).select(col("id"), col("s"))
+      val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
+      val uni = tok.select(col("id"),
+          substring_index(col("s"), " ", 1).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = broadcast(uni.agg(count(lit(1)).as("__v")))
+      tok.withColumn("w1", substring_index(col("s"), " ", 1))
+        .join(big, "s").join(uni, "w1").crossJoin(vocab)
+        .select(col("id"),
+          round(log((col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("__v")).cast("double")) * lit(1000000))
+            .cast("long").as("lp"))
+        .groupBy(col("id"))
+        .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))
+          .cast("long").as("lp_permille"))
+        .select(col("id").as("doc_id"), col("lp_permille"))
+    }),
+
     // domain-distinctive vocabulary: top-5 tokens per source by integer
     // rate-ratio lift, tf floor 5 ([[TextAnalysis.sourceKeyness]]).
     "keyness" -> ((s, dir) =>
@@ -5059,6 +5107,45 @@ object SparkEntry {
     // per-token integer-micro rounding makes the doc sum order-free, so
     // the only cross-engine float ops are ln() on identical integer
     // ratios and two end divisions — ulp drift cannot cross a boundary.
+    "blocking_recall" ->
+      """WITH sl AS (SELECT p_brand, p_name, p_partkey FROM part
+        |  WHERE p_partkey % 10 = 0),
+        |truth AS (SELECT x.p_partkey AS a, y.p_partkey AS b
+        |  FROM sl x JOIN sl y ON x.p_partkey < y.p_partkey
+        |  WHERE levenshtein(x.p_name, y.p_name) <= 4),
+        |found AS (SELECT x.p_partkey AS a, y.p_partkey AS b
+        |  FROM sl x JOIN sl y ON x.p_brand = y.p_brand
+        |    AND x.p_partkey < y.p_partkey
+        |  WHERE levenshtein(x.p_name, y.p_name) <= 4),
+        |n1 AS (SELECT COUNT(*) AS n_truth FROM truth),
+        |n2 AS (SELECT COUNT(*) AS n_found FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM found f
+        |    WHERE f.a = t.a AND f.b = t.b))
+        |SELECT n_truth, n_found,
+        |  CASE WHEN n_truth = 0 THEN 1000
+        |       ELSE (1000 * n_found) // n_truth END AS recall_permille
+        |FROM n1 CROSS JOIN n2""".stripMargin,
+
+    "bigram_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, COUNT(*) AS c12 FROM t GROUP BY 1),
+        |u AS (SELECT split_part(s, ' ', 1) AS w1, COUNT(*) AS c1
+        |  FROM t GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS vv FROM u),
+        |l AS (SELECT doc_id, CAST(round(ln(
+        |      CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + v.vv AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS lp
+        |  FROM t JOIN b USING (s)
+        |  JOIN u ON split_part(t.s, ' ', 1) = u.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin,
+
     "unigram_logprob" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
