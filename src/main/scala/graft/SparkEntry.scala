@@ -1725,6 +1725,68 @@ object SparkEntry {
           expr("(ts DIV 1000) DIV 3600000000").as("h"), col("user_id")),
         "et", "h", "user_id", lookback = 2)),
 
+    // approximate tier of sliding_distinct: per-day HLL sketches merged
+    // over the trailing-3-hour window frame by hll_union_agg — the
+    // mergeable-sketch-over-window pattern that replaces exact sliding
+    // distinct at 100 TB (state per (key, bucket) is one constant-size
+    // sketch, reused by every window it falls in). Rows-only; error vs
+    // the exact tier pinned in OperatorsSpec.
+    "sliding_distinct_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sk = events(s, dir)
+        .select(col("event_type").as("et"),
+          expr("(ts DIV 1000) DIV 3600000000").as("h"), col("user_id"))
+        .groupBy(col("et"), col("h"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      sk.withColumn("wsk", expr("hll_union_agg(sk)").over(Window
+          .partitionBy("et").orderBy("h").rangeBetween(-2, 0)))
+        .select(col("et"), col("h"),
+          expr("hll_sketch_estimate(wsk)").as("approx_users"))
+    }),
+
+    // per-user ML feature vector (the feature-store materialization): one
+    // wide partial-combined aggregate + the struct-max modal event type —
+    // every feature an exact integer, no window over raw events.
+    "user_features" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV 86400000000000").as("day"), cents(col("value")).as("v"))
+      val base = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("days_active"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+          sum(col("v")).as("total_cents"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+      val mode = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("user_id"))
+        // min over (−count, type): highest count, ties to the
+        // lexicographically smallest type — deterministic without a window
+        .agg(min(struct((-col("__c")).as("negc"), col("event_type")))
+          .getField("event_type").as("mode_et"))
+      base.join(mode, "user_id")
+    }),
+
+    // duplicate-aware training weights (soft dedup): every doc keeps its
+    // row but weighted 1e6/cluster_size ppm — cluster members share unit
+    // mass, singletons keep full weight. The loss-weighting alternative
+    // to dropping near-dups outright.
+    "dup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 5, thresholdPermille = 100))
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+      docs.select(col("doc_id"))
+        .join(clusters.join(sizes, "cluster_id")
+          .select(col("id").as("doc_id"), col("__sz")), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+          expr("1000000 DIV coalesce(__sz, 1)").as("weight_ppm"))
+    }),
+
     // referential-integrity audit across the schema's FK relations in one
     // report ([[Transforms.fkAudit]]); events.user_id→customer is the
     // deliberately unconstrained relation (real orphans).
@@ -2712,6 +2774,11 @@ object SparkEntry {
       "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
       "the forest unique, so the comparison is set-equality, not " +
       "weight-sum-only."),
+    "sliding_distinct_approx" -> ("trailing-window distinct users from " +
+      "hll_union_agg over per-bucket sketches — sketch-valued, no DuckDB " +
+      "twin (the hll_rollup argument applied to window frames). " +
+      "OperatorsSpec pins every (type, hour) estimate within 5% of the " +
+      "exact sliding_distinct tier on the same fixture."),
     "hll_intersect" -> ("pairwise audience overlap by inclusion–exclusion " +
       "over DataSketches HLL sketches — the estimates are sketch-valued " +
       "with no DuckDB twin (same argument as hll_rollup/distinct_approx). " +
@@ -4679,6 +4746,57 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS id,
         |  CAST(MIN(lab) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "user_features" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |b AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(COUNT(DISTINCT day) AS BIGINT) AS days_active,
+        |    MIN(day) AS first_day, MAX(day) AS last_day,
+        |    CAST(SUM(v) AS BIGINT) AS total_cents,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT user_id, event_type AS mode_et FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY COUNT(*) DESC,
+        |      event_type ASC) AS rn
+        |    FROM e GROUP BY user_id, event_type) WHERE rn = 1)
+        |SELECT b.user_id, b.n_events, b.days_active, b.first_day,
+        |  b.last_day, b.total_cents, b.n_purchases, m.mode_et
+        |FROM b JOIN m USING (user_id)""".stripMargin,
+
+    "dup_weights" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |ed AS (SELECT a AS src, b AS dst FROM pr
+        |       UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.id),
+        |cl AS (SELECT CAST(id AS BIGINT) AS id,
+        |    CAST(MIN(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1),
+        |j AS (SELECT cl.id AS doc_id, sz.sz FROM cl
+        |  JOIN sz USING (cluster_id))
+        |SELECT d.doc_id, CAST(COALESCE(j.sz, 1) AS BIGINT)
+        |    AS cluster_size,
+        |  CAST(1000000 // COALESCE(j.sz, 1) AS BIGINT) AS weight_ppm
+        |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id""".stripMargin,
 
     "golden_record" ->
       s"""WITH RECURSIVE sh AS (

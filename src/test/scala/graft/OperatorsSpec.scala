@@ -100,6 +100,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "mail", 2L -> "arch"))
   }
 
+  test("sliding_distinct_approx within 5% of the exact sliding tier") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("sliding_distinct_approx")(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = SparkEntry.queries("sliding_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(approx.nonEmpty && approx.keySet === exact.keySet)
+    approx.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 20),
+        s"$k: est $est vs exact $ex")
+    }
+  }
+
   test("hll_intersect estimates within 5% of exact pairwise overlap") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("hll_intersect")(spark, dir)
