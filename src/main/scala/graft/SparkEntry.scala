@@ -2632,6 +2632,51 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // activity heatmap: events per (day-of-week, hour-of-day) per type —
+    // the universal "when do users show up" matrix, derived entirely in
+    // integer epoch arithmetic (day 0 = Thursday, so dow =
+    // (days + 4) % 7 puts Sunday at 0 — documented, engine-exact).
+    "hourly_heatmap" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("((ts DIV 86400000000000) + 4) % 7").as("dow"),
+          expr("(ts DIV 3600000000000) % 24").as("hod"))
+        .groupBy("event_type", "dow", "hod")
+        .agg(count(lit(1)).as("n"))),
+
+    // context-length truncation report: what a max_len=256 cut costs per
+    // source — docs over budget, tokens lost, loss permille. The decision
+    // metric a packing/chunking stage (pack_sequences, chunk_docs) is
+    // tuned against.
+    "truncation_loss" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(when(col("n") > 256, 1L).otherwise(0L)).as("docs_truncated"),
+          sum(greatest(col("n") - 256, lit(0L))).as("tokens_lost"))
+        .withColumn("lost_permille",
+          expr("(1000 * tokens_lost) DIV total_tokens"))),
+
+    // keyword-in-context (KWIC) concordance for a fixed pivot term: each
+    // occurrence with its one-word left/right context, straight off the
+    // positional token array (element_at — no self-join, no window).
+    "kwic" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("__w"))
+        .select(col("doc_id"), col("__w"),
+          posexplode(col("__w")).as(Seq("pos", "w")))
+        .filter(col("w") === "the")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("CASE WHEN pos = 0 THEN NULL " +
+            "ELSE try_element_at(__w, CAST(pos AS INT)) END")
+            .as("left_ctx"),
+          expr("try_element_at(__w, CAST(pos + 2 AS INT))")
+            .as("right_ctx"))),
+
     // ingestion rate limiting: keep the first 3 events per (user, hour)
     // under the (ts, id) total order — the WindowGroupLimit shape pushes
     // the cap map-side, so the shuffle moves at most 3 rows per frame.
@@ -4349,6 +4394,37 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "hourly_heatmap" ->
+      """SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "truncation_loss" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_truncated,
+        |  CAST(SUM(greatest(n - 256, 0)) AS BIGINT) AS tokens_lost,
+        |  (1000 * CAST(SUM(greatest(n - 256, 0)) AS BIGINT))
+        |    // CAST(SUM(n) AS BIGINT) AS lost_permille
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "kwic" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, unnest(w) AS tok,
+        |    generate_subscripts(w, 1) AS i FROM d)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  CASE WHEN i = 1 THEN NULL ELSE w[i-1] END AS left_ctx,
+        |  w[i+1] AS right_ctx
+        |FROM t WHERE tok = 'the'""".stripMargin,
 
     "rate_limit" ->
       """SELECT user_id, hr, event_id, rn FROM (
