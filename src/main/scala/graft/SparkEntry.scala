@@ -278,6 +278,72 @@ object SparkEntry {
         nodes.filter(col("id") % 37 === 0), "id", maxHops = 4)
     }),
 
+    // node2vec/DeepWalk preprocessing: a deterministic length-4 walk from
+    // every node of the mod-300 graph — Knuth-hash neighbor choice over
+    // per-node neighbor ranks, so the walk corpus is engine-exact
+    // ([[GraphAlgos.randomWalks]]).
+    "random_walks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      GraphAlgos.randomWalks(e, "src", "dst", steps = 4)
+    }),
+
+    // difference-in-differences table: treat = odd users, post = days
+    // past the (min+max)/2 midpoint; cell means in milli-cents rounded
+    // once, DiD from the ROUNDED means so the headline number is exact
+    // integer arithmetic over four audited cells.
+    "did_table" -> ((s, dir) => {
+      val ev = events(s, dir).select((col("user_id") % 2).as("treat"),
+        expr("ts DIV 86400000000000").as("day"), cents(col("value")).as("v"))
+      val cut = broadcast(ev.agg(
+        expr("(MIN(day) + MAX(day)) DIV 2").as("__cut")))
+      def cell(t: Int, p: Int, f: Column) = sum(
+        when(col("treat") === t && col("post") === p, f).otherwise(0L))
+      val g = ev.crossJoin(cut)
+        .withColumn("post", (col("day") >= col("__cut")).cast("long"))
+        .agg(cell(1, 0, lit(1L)).as("n_t0"), cell(1, 1, lit(1L)).as("n_t1"),
+          cell(0, 0, lit(1L)).as("n_c0"), cell(0, 1, lit(1L)).as("n_c1"),
+          cell(1, 0, col("v")).as("__st0"), cell(1, 1, col("v")).as("__st1"),
+          cell(0, 0, col("v")).as("__sc0"), cell(0, 1, col("v")).as("__sc1"))
+      Seq("t0", "t1", "c0", "c1").foldLeft(g) { (acc, c) =>
+          acc.withColumn(s"m_$c", expr(
+            s"CAST(round(__s$c * 1000.0 / n_$c, 0) AS BIGINT)"))
+        }
+        .withColumn("did_millicents",
+          expr("(m_t1 - m_t0) - (m_c1 - m_c0)"))
+        .select("n_t0", "n_t1", "n_c0", "n_c1",
+          "m_t0", "m_t1", "m_c0", "m_c1", "did_millicents")
+    }),
+
+    // STL-lite decomposition of the daily count series per type: trend =
+    // centered ±3-day RANGE mean (gap-safe), seasonal = per-day-of-week
+    // mean deviation, residual = the rest — every component integer
+    // milli with one mirrored rounding per level.
+    "ts_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir)
+        .groupBy(col("event_type").as("et"),
+          expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy("et").orderBy("day").rangeBetween(-3, 3)
+      val wS = Window.partitionBy(col("et"), expr("(day + 4) % 7"))
+      d.withColumn("__ts", sum(col("n")).over(wT))
+        .withColumn("__tc", count(lit(1)).over(wT))
+        .withColumn("trend_milli",
+          expr("CAST(round(__ts * 1000.0 / __tc, 0) AS BIGINT)"))
+        .withColumn("__dev", col("n") * 1000L - col("trend_milli"))
+        .withColumn("__ss", sum(col("__dev")).over(wS))
+        .withColumn("__sc", count(lit(1)).over(wS))
+        .withColumn("seasonal_milli",
+          expr("CAST(round(CAST(__ss AS DOUBLE) / __sc, 0) AS BIGINT)"))
+        .withColumn("resid_milli",
+          expr("n * 1000 - trend_milli - seasonal_milli"))
+        .select("et", "day", "n", "trend_milli", "seasonal_milli",
+          "resid_milli")
+    }),
+
     // landmark closeness centrality: exact BFS distances from the 4
     // landmarks (id ≡ 0 mod 75) over the undirected mod-300 graph, all
     // landmark searches sharing each wave's joins via a (landmark, node)
@@ -3144,6 +3210,91 @@ object SparkEntry {
         |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
         |  WHERE r.hop < 4)
         |SELECT id, MIN(hop) AS hop FROM r GROUP BY id""".stripMargin,
+
+    "random_walks" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_partkey % 300 AS id, l_suppkey % 300 AS nb
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0),
+        |adj0 AS (SELECT id, nb FROM e0 UNION SELECT nb, id FROM e0),
+        |adj AS (SELECT id, nb,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY nb)
+        |      AS BIGINT) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY id) AS deg FROM adj0),
+        |w0 AS (SELECT DISTINCT id AS start, CAST(0 AS BIGINT) AS step,
+        |    id AS node FROM adj),
+        |w1 AS (SELECT w.start, CAST(1 AS BIGINT) AS step, a.nb AS node
+        |  FROM w0 w JOIN adj a ON a.id = w.node
+        |    AND a.rnk = (w.start * 2654435761 + 97) % a.deg + 1),
+        |w2 AS (SELECT w.start, CAST(2 AS BIGINT) AS step, a.nb AS node
+        |  FROM w1 w JOIN adj a ON a.id = w.node
+        |    AND a.rnk = (w.start * 2654435761 + 194) % a.deg + 1),
+        |w3 AS (SELECT w.start, CAST(3 AS BIGINT) AS step, a.nb AS node
+        |  FROM w2 w JOIN adj a ON a.id = w.node
+        |    AND a.rnk = (w.start * 2654435761 + 291) % a.deg + 1),
+        |w4 AS (SELECT w.start, CAST(4 AS BIGINT) AS step, a.nb AS node
+        |  FROM w3 w JOIN adj a ON a.id = w.node
+        |    AND a.rnk = (w.start * 2654435761 + 388) % a.deg + 1)
+        |SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        |UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+        |UNION ALL SELECT * FROM w4""".stripMargin,
+
+    "did_table" ->
+      """WITH e AS (SELECT user_id % 2 AS treat,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |cut AS (SELECT (MIN(day) + MAX(day)) // 2 AS c FROM e),
+        |p AS (SELECT treat, CASE WHEN day >= cut.c THEN 1 ELSE 0 END
+        |    AS post, v FROM e CROSS JOIN cut),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t0,
+        |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t1,
+        |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c0,
+        |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c1,
+        |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN v ELSE 0 END)
+        |      AS BIGINT) AS st0,
+        |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN v ELSE 0 END)
+        |      AS BIGINT) AS st1,
+        |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN v ELSE 0 END)
+        |      AS BIGINT) AS sc0,
+        |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN v ELSE 0 END)
+        |      AS BIGINT) AS sc1
+        |  FROM p),
+        |m AS (SELECT n_t0, n_t1, n_c0, n_c1,
+        |    CAST(round(st0 * 1000.0 / n_t0, 0) AS BIGINT) AS m_t0,
+        |    CAST(round(st1 * 1000.0 / n_t1, 0) AS BIGINT) AS m_t1,
+        |    CAST(round(sc0 * 1000.0 / n_c0, 0) AS BIGINT) AS m_c0,
+        |    CAST(round(sc1 * 1000.0 / n_c1, 0) AS BIGINT) AS m_c1
+        |  FROM g)
+        |SELECT n_t0, n_t1, n_c0, n_c1, m_t0, m_t1, m_c0, m_c1,
+        |  (m_t1 - m_t0) - (m_c1 - m_c0) AS did_millicents
+        |FROM m""".stripMargin,
+
+    "ts_decompose" ->
+      """WITH d AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT et, day, n,
+        |    SUM(n) OVER w AS ts2, COUNT(*) OVER w AS tc
+        |  FROM d WINDOW w AS (PARTITION BY et ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (SELECT et, day, n,
+        |    CAST(round(ts2 * 1000.0 / tc, 0) AS BIGINT) AS trend_milli
+        |  FROM t),
+        |dv AS (SELECT et, day, n, trend_milli,
+        |    n * 1000 - trend_milli AS dev FROM tr),
+        |se AS (SELECT et, day, n, trend_milli,
+        |    CAST(round(CAST(SUM(dev) OVER s AS DOUBLE) /
+        |      (COUNT(*) OVER s), 0) AS BIGINT) AS seasonal_milli
+        |  FROM dv WINDOW s AS (PARTITION BY et, (day + 4) % 7))
+        |SELECT et, day, CAST(n AS BIGINT) AS n, trend_milli,
+        |  seasonal_milli,
+        |  n * 1000 - trend_milli - seasonal_milli AS resid_milli
+        |FROM se""".stripMargin,
 
     "closeness_centrality" ->
       """WITH RECURSIVE e0 AS (

@@ -117,6 +117,49 @@ object GraphAlgos {
     r.select(col("id"), col("r").as("ppr_micro"))
   }
 
+  /** Deterministic random-walk corpus — the node2vec/DeepWalk
+    * preprocessing stage (Perozzi et al. 2014, public literature): for
+    * every start node, a length-`steps` walk whose step-i choice is the
+    * neighbor at rank `(start·K + i·97) mod degree` under the per-node
+    * (id, neighbor) rank order — Knuth-multiplicative derandomization,
+    * identical on any engine/partitioning, so the walk table is
+    * oracle-comparable (a seeded RNG walk never would be).
+    *
+    * Shape: adjacency is ranked ONCE (row_number + count over hash(id) —
+    * one exchange) and checkpointed; each step is one equi-join of the
+    * frontier on (node, chosen-rank) — (walk, step) records only.
+    * `steps` is a small constant, so no lineage management is needed;
+    * output is the (start, step, node) corpus an embedding trainer
+    * consumes as "sentences". */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, s"steps=$steps")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("long").as("id"),
+      col(dstCol).cast("long").as("nb"))
+    val adj = e0.union(e0.select(col("nb").as("id"), col("id").as("nb")))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy("nb")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("id")))
+      .localCheckpoint()
+    var walk = adj.select(col("id").as("start")).distinct()
+      .select(col("start"), lit(0L).as("step"), col("start").as("node"))
+    val segments = Seq.newBuilder[DataFrame]
+    segments += walk
+    for (i <- 1 to steps) {
+      val pick = walk.select(col("start"), col("node").as("__cur"))
+        .withColumn("__r",
+          (col("start") * lit(2654435761L) + lit(i.toLong * 97L)))
+      walk = pick.join(adj, col("__cur") === adj("id") &&
+          adj("rnk") === pmod(col("__r"), adj("deg")) + lit(1L))
+        .select(col("start"), lit(i.toLong).as("step"),
+          col("nb").as("node"))
+      segments += walk
+    }
+    segments.result().reduce(_ unionByName _)
+  }
+
   /** Multi-source BFS: minimum hop count from any source node, bounded at
     * `maxHops` (the bounded form is what both a feature pipeline and a
     * recursive-SQL oracle can express — an unbounded fixpoint over a cyclic
