@@ -2698,6 +2698,59 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // SLO percentile bands: daily p50/p90/p99 of event value — the
+    // latency-dashboard time series, exact percentiles under the
+    // percentile↔quantile_cont parity discipline.
+    "percentile_bands" -> ((s, dir) =>
+      events(s, dir)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          cents(col("value")).as("v"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(v, 0.5)")).cast("long").as("p50_cents"),
+          round(expr("percentile(v, 0.9)")).cast("long").as("p90_cents"),
+          round(expr("percentile(v, 0.99)")).cast("long").as("p99_cents"))),
+
+    // dedup survivorship report: what exact dedup keeps vs drops, by
+    // source — docs/tokens/bytes on both sides of the cut in ONE pass
+    // (survivor flag joined back by id, then a single aggregate).
+    "dedup_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exactSurvivors(docs, "text", "doc_id")
+        .withColumn("__keep", lit(1L))
+      docs.join(keep, Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("__keep"), lit(0L)).as("k"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k")).as("n_kept"),
+          sum(col("k") * col("nt")).as("tokens_kept"),
+          sum((lit(1L) - col("k")) * col("nt")).as("tokens_dropped"),
+          sum((lit(1L) - col("k")) * col("nb")).as("bytes_dropped"))
+    }),
+
+    // embedding norm audit: per-label min/mean/max L2 norm in micros —
+    // the sanity gate before any cosine-based stage (a zero-norm or
+    // wildly-scaled vector poisons every similarity downstream). Sums
+    // are exact integer micro²; the only floats are the per-row sqrt and
+    // one mean division, both mirrored.
+    "embed_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          graft.operators.Similarity.dot(
+            col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>")).as("__n2"))
+        .withColumn("__norm_micro",
+          round(sqrt(col("__n2")) * lit(1000000)).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("__norm_micro")).as("min_norm_micro"),
+          max(col("__norm_micro")).as("max_norm_micro"),
+          expr("CAST(round(CAST(SUM(__norm_micro) AS DOUBLE) / " +
+            "COUNT(*), 0) AS BIGINT)").as("mean_norm_micro"))),
+
     // activity heatmap: events per (day-of-week, hour-of-day) per type —
     // the universal "when do users show up" matrix, derived entirely in
     // integer epoch arithmetic (day 0 = Thursday, so dow =
@@ -4545,6 +4598,42 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "percentile_bands" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events)
+        |SELECT day, COUNT(*) AS n,
+        |  CAST(round(quantile_cont(v, 0.5)) AS BIGINT) AS p50_cents,
+        |  CAST(round(quantile_cont(v, 0.9)) AS BIGINT) AS p90_cents,
+        |  CAST(round(quantile_cont(v, 0.99)) AS BIGINT) AS p99_cents
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "dedup_report" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+        |      THEN 1 ELSE 0 END AS k,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(k) AS BIGINT) AS n_kept,
+        |  CAST(SUM(k * nt) AS BIGINT) AS tokens_kept,
+        |  CAST(SUM((1 - k) * nt) AS BIGINT) AS tokens_dropped,
+        |  CAST(SUM((1 - k) * nb) AS BIGINT) AS bytes_dropped
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "embed_norms" ->
+      """WITH b AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[])) AS n2 FROM embeddings),
+        |nm AS (SELECT label,
+        |    CAST(round(sqrt(n2) * 1000000, 0) AS BIGINT) AS v FROM b)
+        |SELECT label, COUNT(*) AS n, MIN(v) AS min_norm_micro,
+        |  MAX(v) AS max_norm_micro,
+        |  CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+        |    AS mean_norm_micro
+        |FROM nm GROUP BY 1""".stripMargin,
 
     "hourly_heatmap" ->
       """SELECT event_type,

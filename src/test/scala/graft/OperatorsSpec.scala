@@ -137,6 +137,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomWalks: every step follows an edge, deterministic, full coverage") {
+    import graft.operators.GraphAlgos
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "d")
+    val walks = GraphAlgos.randomWalks(g, "s", "d", steps = 3)
+      .as[(Long, Long, Long)].collect()
+    // one walk per node, steps 0..3 all present
+    assert(walks.count(_._2 == 0L) === 4)
+    assert(walks.length === 16)
+    val adj = Set((1L,2L),(2L,3L),(3L,4L),(4L,1L),(1L,3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val byWalk = walks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toList)
+    byWalk.foreach { case (start, path) =>
+      assert(path.head === start)
+      path.sliding(2).foreach { case List(a, b) =>
+        assert(adj.contains((a, b)), s"walk $start: $a -> $b not an edge")
+      }
+    }
+    // rerun-stable (the whole point of derandomization)
+    val again = GraphAlgos.randomWalks(g, "s", "d", steps = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === walks.toSet)
+  }
+
   test("closenessCentrality: path distances from two landmarks, hop cap") {
     import graft.operators.GraphAlgos
     // path 0-1-2-3-4-5-6 (directed input, treated undirected), landmarks
