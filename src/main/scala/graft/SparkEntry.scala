@@ -2698,6 +2698,73 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // bigram autocomplete table: top-3 next words per left word (count
+    // desc, word asc ties) — the suggestion dictionary an input-method /
+    // query-completion pipeline materializes; WindowGroupLimit caps each
+    // left word's candidates map-side.
+    "ngram_suggest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Dedup.shingleStream(t(s, dir, "documents"), "text",
+          "doc_id", n = 2)
+        .select(substring_index(col("s"), " ", 1).as("w1"),
+          substring_index(col("s"), " ", -1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+      counts.withColumn("rnk", row_number().over(Window.partitionBy("w1")
+          .orderBy(col("n").desc, col("w2").asc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("w1", "w2", "n", "rnk")
+    }),
+
+    // sequence-completeness census: per order, linenumbers should run
+    // 1..max — report orders with holes (the CDC-loss / partial-write
+    // detector for sequenced data).
+    "order_gaps" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_linenumber")).cast("long").as("__maxl"),
+          countDistinct(col("l_linenumber")).as("__nl"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("__maxl") > col("__nl"), 1L).otherwise(0L))
+            .as("n_orders_with_gaps"),
+          sum(col("__maxl") - col("__nl")).as("total_missing"))),
+
+    // revenue concentration: the top-1% spenders' share of total spend
+    // in exact permille (⌈N/100⌉ whales by (spend desc, id asc) — the
+    // deterministic cut) — the whale diagnostic beside gini_revenue.
+    "whale_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val ranked = spend
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("v").desc, col("o_custkey").asc)).cast("long"))
+        .withColumn("N", count(lit(1)).over(Window.partitionBy()))
+      ranked
+        .agg(max(col("N")).as("n_customers"),
+          sum(when(col("rnk") * 100L <= col("N") + 99L, col("v"))
+            .otherwise(0L)).as("whale_cents"),
+          sum(col("v")).as("total_cents"))
+        .withColumn("n_whales", expr("(n_customers + 99) DIV 100"))
+        .withColumn("whale_share_permille",
+          expr("(1000 * whale_cents) DIV total_cents"))
+        .select("n_customers", "n_whales", "whale_cents", "total_cents",
+          "whale_share_permille")
+    }),
+
+    // freshness dashboard: per event type, last event age in hours
+    // against the corpus high-water mark — the staleness alarm feeding
+    // ingestion SLOs.
+    "freshness_report" -> ((s, dir) => {
+      val m = events(s, dir).groupBy(col("event_type"))
+        .agg(max(col("ts")).as("__last"), count(lit(1)).as("n"))
+      val hwm = broadcast(m.agg(max(col("__last")).as("__hwm")))
+      m.crossJoin(hwm)
+        .select(col("event_type"), col("n"),
+          expr("(__hwm - __last) DIV 3600000000000").as("age_hours"))
+    }),
+
     // SLO percentile bands: daily p50/p90/p99 of event value — the
     // latency-dashboard time series, exact percentiles under the
     // percentile↔quantile_cont parity discipline.
@@ -4598,6 +4665,55 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "ngram_suggest" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)),
+        |    '\s+') AS w FROM documents),
+        |t AS (SELECT unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |c AS (SELECT split_part(s, ' ', 1) AS w1,
+        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS n
+        |  FROM t GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, n, rnk FROM (
+        |  SELECT w1, w2, n, CAST(row_number() OVER (PARTITION BY w1
+        |    ORDER BY n DESC, w2 ASC) AS BIGINT) AS rnk FROM c)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "order_gaps" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    CAST(MAX(l_linenumber) AS BIGINT) AS maxl,
+        |    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nl
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN maxl > nl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orders_with_gaps,
+        |  CAST(SUM(maxl - nl) AS BIGINT) AS total_missing
+        |FROM g""".stripMargin,
+
+    "whale_report" ->
+      """WITH s AS (SELECT o_custkey, CAST(SUM(CAST(round(
+        |      o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v DESC,
+        |    o_custkey ASC) AS BIGINT) AS rnk, COUNT(*) OVER () AS nn
+        |  FROM s)
+        |SELECT MAX(nn) AS n_customers,
+        |  (MAX(nn) + 99) // 100 AS n_whales,
+        |  CAST(SUM(CASE WHEN rnk * 100 <= nn + 99 THEN v ELSE 0 END)
+        |    AS BIGINT) AS whale_cents,
+        |  CAST(SUM(v) AS BIGINT) AS total_cents,
+        |  (1000 * CAST(SUM(CASE WHEN rnk * 100 <= nn + 99 THEN v
+        |    ELSE 0 END) AS BIGINT)) // CAST(SUM(v) AS BIGINT)
+        |    AS whale_share_permille
+        |FROM r""".stripMargin,
+
+    "freshness_report" ->
+      """WITH m AS (SELECT event_type, epoch_us(MAX(ts)) AS lastu,
+        |    COUNT(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT MAX(lastu) AS hwm FROM m)
+        |SELECT event_type, n, (hwm - lastu) // 3600000000 AS age_hours
+        |FROM m CROSS JOIN h""".stripMargin,
 
     "percentile_bands" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
