@@ -1096,6 +1096,18 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")),
 
+    // banded-Hamming SimHash pair tier: the text-side sibling of
+    // mm_phash_pairs — 8-band pigeonhole join over the 64-bit simhash
+    // (lossless for d ≤ 7), exact XOR-popcount verify inside the join.
+    // Rows-only (xxhash-based hashes, same reason as dedup_simhash);
+    // DedupSimilaritySpec pins parity with the direct all-pairs form.
+    "simhash_pairs" -> ((s, dir) => {
+      val hashes = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          lpad(hex(col("simhash")), 16, "0").as("hx"))
+      Multimodal.ahashHammingPairs(hashes, "doc_id", "hx", maxDist = 4)
+    }),
+
     "dedup_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
@@ -2698,6 +2710,45 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // SaaS-style revenue bridge: period-over-period per-customer revenue
+    // classified new / churned / expanded / contracted / flat, with the
+    // exact delta each class contributes — the decomposition behind
+    // every "why did revenue move" review.
+    "revenue_bridge" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("v"),
+          col("o_orderdate"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("o_orderdate") < "1998-01-01", col("v"))
+            .otherwise(0L)).as("v1"),
+          sum(when(col("o_orderdate") >= "1998-01-01", col("v"))
+            .otherwise(0L)).as("v2"))
+        .withColumn("cls", expr(
+          """CASE WHEN v1 = 0 AND v2 > 0 THEN 'new'
+            |     WHEN v1 > 0 AND v2 = 0 THEN 'churned'
+            |     WHEN v2 > v1 THEN 'expanded'
+            |     WHEN v2 < v1 THEN 'contracted'
+            |     ELSE 'flat' END""".stripMargin))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("v2") - col("v1")).as("delta_cents"),
+          sum(col("v2")).as("p2_cents"))),
+
+    // path-to-purchase depth: how many events a user fires before their
+    // first purchase, bucketed by 5 — the activation-funnel depth
+    // histogram (users who never purchase are excluded by definition).
+    "prepurchase_depth" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__fp"))
+      ev.join(fp, "user_id")
+        .filter(col("ts") < col("__fp"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__d"))
+        .groupBy(expr("least(__d DIV 5, 10)").as("depth_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // bigram autocomplete table: top-3 next words per left word (count
     // desc, word asc ties) — the suggestion dictionary an input-method /
     // query-completion pipeline materializes; WindowGroupLimit caps each
@@ -3042,6 +3093,11 @@ object SparkEntry {
       "verify-subset semantics are asserted in DedupSimilaritySpec; the " +
       "exact tier it feeds (verifyCandidates ∘ ngramJaccardPairs) IS " +
       "oracle-green as dedup_ngram_jaccard."),
+    "simhash_pairs" -> ("candidate pairs over xxhash64-derived simhashes " +
+      "— not SQL-reproducible for the same reason as dedup_simhash. " +
+      "DedupSimilaritySpec pins set-equality with the direct all-pairs " +
+      "XOR-popcount form at the same distance bound on the sf0.001 " +
+      "fixture (the 8-band pigeonhole is lossless for d ≤ 7)."),
     "dedup_simhash" -> ("64-bit simhash over xxhash64 token hashes — no " +
       "xxhash64 in DuckDB. Sign-vote semantics and near/far Hamming " +
       "ordering asserted in DedupSimilaritySpec and OperatorsSpec; the " +
@@ -4665,6 +4721,35 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "revenue_bridge" ->
+      """WITH p AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS v2
+        |  FROM orders GROUP BY 1)
+        |SELECT CASE WHEN v1 = 0 AND v2 > 0 THEN 'new'
+        |    WHEN v1 > 0 AND v2 = 0 THEN 'churned'
+        |    WHEN v2 > v1 THEN 'expanded'
+        |    WHEN v2 < v1 THEN 'contracted'
+        |    ELSE 'flat' END AS cls,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(v2 - v1) AS BIGINT) AS delta_cents,
+        |  CAST(SUM(v2) AS BIGINT) AS p2_cents
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "prepurchase_depth" ->
+      """WITH fp AS (SELECT user_id, MIN(ts) AS f FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT e.user_id, COUNT(*) AS depth FROM events e
+        |  JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.ts < fp.f GROUP BY 1)
+        |SELECT least(depth // 5, 10) AS depth_bucket,
+        |  COUNT(*) AS n_users
+        |FROM dd GROUP BY 1""".stripMargin,
 
     "ngram_suggest" ->
       """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)),

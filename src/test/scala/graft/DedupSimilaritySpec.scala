@@ -106,6 +106,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_pairs banding == direct all-pairs hamming at d<=4") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val dir = "/root/testdata/sf0.001"
+    val banded = SparkEntry.queries("simhash_pairs")(spark, dir)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val h = Dedup.simhash(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    val direct = h.as("x").join(h.as("y"),
+        col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 4).toSet
+    assert(banded === direct)
+    assert(direct.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
   test("connectedComponents: 200-node chain converges (pointer jumping)") {
     // plain hash-min needs diameter rounds (200 here — over any sane
     // bound); the shortcut self-join must close this in O(log n) rounds.
