@@ -2710,6 +2710,52 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // fulfillment latency: order date → LAST line shipment, day-lag
+    // stats per priority — the cross-table temporal ops metric (one
+    // per-order collapse, then a priority-sized aggregate; the mean is
+    // the one mirrored rounding).
+    "fulfillment_lag" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("__last"))
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("__last"), col("o_orderdate")).cast("long")
+            .as("__lag"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("__lag")).as("max_lag_days"),
+          expr("CAST(round(CAST(SUM(__lag) AS DOUBLE) / COUNT(*), 0) " +
+            "AS BIGINT)").as("mean_lag_days"))),
+
+    // normalization effectiveness A/B: exact-dup groups before vs after
+    // canonical text normalization — how many extra merges the
+    // normalizer buys (the number that justifies it in the dedup chain).
+    "normalize_gain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val raw = docs.agg(
+        countDistinct(col("text")).as("n_raw_distinct"))
+      val norm = docs.select(
+          TextAnalysis.normalizeText(col("text")).as("nt"))
+        .agg(countDistinct(col("nt")).as("n_norm_distinct"))
+      raw.crossJoin(norm)
+        .withColumn("extra_merges",
+          col("n_raw_distinct") - col("n_norm_distinct"))
+    }),
+
+    // 2-D histogram: (quantity decile-band × price $500-band) counts per
+    // returnflag — the joint-distribution binning a BI tool renders as a
+    // heatmap; pure integer bucket arithmetic, one aggregate.
+    "histogram2d" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(l_quantity AS BIGINT) DIV 10").as("qty_band"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) " +
+            "DIV 5000000").as("price_band"))
+        .groupBy("flag", "qty_band", "price_band")
+        .agg(count(lit(1)).as("n"))),
+
     // SaaS-style revenue bridge: period-over-period per-customer revenue
     // classified new / churned / expanded / contracted / flat, with the
     // exact delta each class contributes — the decomposition behind
@@ -4721,6 +4767,34 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "fulfillment_lag" ->
+      """WITH lo AS (SELECT l_orderkey, MAX(l_shipdate) AS lastship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+        |  CAST(MAX(date_diff('day', o_orderdate, lastship)) AS BIGINT)
+        |    AS max_lag_days,
+        |  CAST(round(CAST(SUM(date_diff('day', o_orderdate, lastship))
+        |    AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mean_lag_days
+        |FROM lo JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "normalize_gain" ->
+      """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+        |  CAST(COUNT(DISTINCT trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_norm_distinct,
+        |  CAST(COUNT(DISTINCT text) - COUNT(DISTINCT
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS BIGINT) AS extra_merges
+        |FROM documents""".stripMargin,
+
+    "histogram2d" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(l_quantity AS BIGINT) // 10 AS qty_band,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 5000000
+        |    AS price_band,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
 
     "revenue_bridge" ->
       """WITH p AS (SELECT o_custkey,
