@@ -2710,6 +2710,41 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // discount elasticity: mean quantity (milli) by discount band — the
+    // "does discounting move volume" curve, integer bands + one
+    // mirrored mean rounding.
+    "discount_elasticity" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 100, 0) AS BIGINT)")
+            .as("disc_pct"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(CAST(SUM(q) AS DOUBLE) * 1000 / COUNT(*), 0)" +
+            " AS BIGINT)").as("mean_qty_milli"))),
+
+    // metadata-integrity audit: the fixture's materialized n_chars column
+    // vs the recomputed length — stale-derived-column detection, the
+    // check every cached-feature table needs.
+    "nchars_audit" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("n_chars").cast("long").as("claimed"),
+          length(col("text")).cast("long").as("actual"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("claimed") === col("actual"), 1L).otherwise(0L))
+            .as("n_consistent"),
+          max(abs(col("claimed") - col("actual"))).as("max_drift"))),
+
+    // corpus composition matrix: docs per (source, lang) with the
+    // within-source share in permille — the mixture dashboard behind
+    // mixture_sample's targets.
+    "source_lang_matrix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_permille",
+          expr("(1000 * n) DIV sum(n) OVER (PARTITION BY source)"))),
+
     // fulfillment latency: order date → LAST line shipment, day-lag
     // stats per priority — the cross-table temporal ops metric (one
     // per-order collapse, then a priority-sized aggregate; the mean is
@@ -4767,6 +4802,28 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "discount_elasticity" ->
+      """SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+        |  COUNT(*) AS n,
+        |  CAST(round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    * 1000 / COUNT(*), 0) AS BIGINT) AS mean_qty_milli
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "nchars_audit" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_consistent,
+        |  CAST(MAX(abs(n_chars - length(text))) AS BIGINT) AS max_drift
+        |FROM documents""".stripMargin,
+
+    "source_lang_matrix" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+        |  GROUP BY 1, 2)
+        |SELECT source, lang, n,
+        |  (1000 * n) // CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT)
+        |    AS share_permille
+        |FROM c""".stripMargin,
 
     "fulfillment_lag" ->
       """WITH lo AS (SELECT l_orderkey, MAX(l_shipdate) AS lastship
