@@ -2710,6 +2710,43 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // part movement ranking: top-50 SKUs by order count with quantity
+    // mass and recency — the inventory-velocity table (TakeOrdered cut
+    // under a deterministic (n, key) order).
+    "part_velocity" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("total_qty"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("n_orders").desc, col("l_partkey").asc)
+        .limit(50)),
+
+    // seasonality index: each (year, month) revenue as permille of that
+    // year's monthly mean — cleared denominators (12·month vs year
+    // total), exact integers end to end.
+    "seasonal_index" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      import org.apache.spark.sql.expressions.Window
+      m.withColumn("__ytot", sum(col("rev")).over(
+          Window.partitionBy("yr")))
+        .withColumn("index_permille",
+          expr("(1000 * rev * 12) DIV __ytot"))
+        .select("yr", "mo", "rev", "index_permille")
+    }),
+
+    // basket-size distribution: lines-per-order histogram — the fact-
+    // table fan-out profile that sizes every order-grain join.
+    "basket_size_dist" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__n").as("n_lines"))
+        .agg(count(lit(1)).as("n_orders"))),
+
     // discount elasticity: mean quantity (milli) by discount band — the
     // "does discounting move volume" curve, integer bands + one
     // mirrored mean rounding.
@@ -4802,6 +4839,30 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "part_velocity" ->
+      """SELECT l_partkey,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_orders DESC, l_partkey ASC LIMIT 50""".stripMargin,
+
+    "seasonal_index" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(month(o_orderdate) AS INT) AS mo,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, mo, rev,
+        |  (1000 * rev * 12) // CAST(SUM(rev) OVER (PARTITION BY yr)
+        |    AS BIGINT) AS index_permille
+        |FROM m""".stripMargin,
+
+    "basket_size_dist" ->
+      """WITH b AS (SELECT l_orderkey, COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, COUNT(*) AS n_orders FROM b GROUP BY 1""".stripMargin,
 
     "discount_elasticity" ->
       """SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
