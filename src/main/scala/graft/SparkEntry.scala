@@ -2710,6 +2710,29 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // language-ID confusion matrix: the heuristic's predictions vs the
+    // fixture's ground-truth label — the honest-evaluation table that
+    // prices the classifier feeding curate_docs (diagonal = hits).
+    "lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang").as("true_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))),
+
+    // split audit: per hash_split partition — sizes, token mass, mean
+    // quality permille — the balance check a training run signs off on
+    // before consuming the splits.
+    "split_balance" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.hashSplit(col("text")).as("split"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+          expr("CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 0) " +
+            "AS BIGINT)").as("mean_quality_permille"))),
+
     // part movement ranking: top-50 SKUs by order count with quantity
     // mass and recency — the inventory-velocity table (TakeOrdered cut
     // under a deterministic (n, key) order).
@@ -4839,6 +4862,25 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "lang_confusion" ->
+      s"""SELECT lang AS true_lang, $langIdCaseExpr AS pred_lang,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "split_balance" ->
+      s"""WITH d AS (SELECT
+        |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST($wsCountExpr AS BIGINT) AS nt,
+        |    $qualityExpr AS q
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+        |    AS mean_quality_permille
+        |FROM d GROUP BY 1""".stripMargin,
 
     "part_velocity" ->
       """SELECT l_partkey,
