@@ -2710,6 +2710,30 @@ object SparkEntry {
         "user_id", "event_type", "ts_us", "event_id",
         convType = "purchase", lookbackUs = 604800000000L)),
 
+    // product-quality lens: return-flag share per brand in permille —
+    // which brands come back (lineitem ⋈ broadcast part, counts collapse
+    // to |brands| before the share division).
+    "returns_by_brand" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+        .withColumn("return_permille",
+          expr("(1000 * n_returned) DIV n_lines"))),
+
+    // order-priority mix drift by year: each priority's share of the
+    // year's orders in permille — the composition-trend report.
+    "priority_mix" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_permille",
+          expr("(1000 * n) DIV sum(n) OVER (PARTITION BY yr)"))),
+
     // language-ID confusion matrix: the heuristic's predictions vs the
     // fixture's ground-truth label — the honest-evaluation table that
     // prices the classifier feeding curate_docs (diagonal = hits).
@@ -4862,6 +4886,24 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
         |  FROM customer GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin,
+
+    "returns_by_brand" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned,
+        |  (1000 * CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+        |    ELSE 0 END) AS BIGINT)) // COUNT(*) AS return_permille
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "priority_mix" ->
+      """WITH c AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    o_orderpriority AS priority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, priority, n,
+        |  (1000 * n) // CAST(SUM(n) OVER (PARTITION BY yr) AS BIGINT)
+        |    AS share_permille
+        |FROM c""".stripMargin,
 
     "lang_confusion" ->
       s"""SELECT lang AS true_lang, $langIdCaseExpr AS pred_lang,
