@@ -660,6 +660,181 @@ object SparkEntry {
           cents(col("o_totalprice")).as("total_cents"))
     }),
 
+    // order-priority check (TPC-H Q4): EXISTS decorrelates to a LEFT SEMI
+    // hash join — the extra lateness predicate (l_shipdate more than 75
+    // days after o_orderdate; the fixture has no commit/receipt dates)
+    // rides the equi-key join as a residual condition, never a
+    // nested-loop. Counts collapse per priority after the semi join.
+    "q4_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("lk"), col("l_shipdate"))
+      o.join(li, col("lk") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // forecasting-revenue change (TPC-H Q6): the single-table banded
+    // filter — date range + discount band + quantity cap all push to the
+    // parquet scan, then one partial-combined aggregate. The canonical
+    // "does predicate pushdown reach the scan" probe.
+    "q6_banded_rev" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"), count(lit(1)).as("n_lines"))),
+
+    // shipping-priority mix (TPC-H Q12): one fact join + conditional
+    // CASE-sums per category (l_linestatus stands in for the fixture's
+    // missing shipmode) — both counts come out of ONE aggregate pass, not
+    // two filtered scans.
+    "q12_priority_mode" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_lines"))
+    }),
+
+    // promotion revenue share (TPC-H Q14): revenue split by a dimension
+    // attribute in one month, share emitted as integer permille via FLOOR
+    // division of exact cent sums (a rounded double division would ride
+    // the Spark-vs-DuckDB .5-boundary difference; x*1000 DIV y cannot).
+    "q14_promo_share" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(0L)).as("promo_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_cents"))
+        .withColumn("promo_permille",
+          expr("promo_cents * 1000 DIV total_cents"))),
+
+    // top supplier (TPC-H Q15): revenue per supplier in a quarter, keep
+    // the max — the 1-row max aggregate is BROADCAST back against the
+    // per-supplier aggregate (never a global sort, never a window over
+    // one partition), then the tiny winner set probes supplier.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_cents"))
+      rev.join(broadcast(rev.agg(max(col("rev_cents")).as("mx"))),
+          col("rev_cents") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+    }),
+
+    // small-quantity-order revenue (TPC-H Q17): the correlated-average
+    // subquery decorrelates to a per-part aggregate joined back to the
+    // fact; the `l_quantity < 0.2 * avg(l_quantity)` test is done in
+    // EXACT integers — 5 * qty_cents * n < sum_qty_cents — so no float
+    // average ever materializes on either side.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      li.join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#11")),
+          col("l_partkey") === col("p_partkey"))
+        .join(pa, col("pk") === col("l_partkey"))
+        .filter(cents(col("l_quantity")) * col("n_li") * 5 <
+          col("sum_qty_cents"))
+        .agg(sum(cents(col("l_extendedprice"))).as("small_rev_cents"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // discounted-revenue disjunction (TPC-H Q19): an OR of three
+    // conjunctive (brand, size, quantity) bands — Catalyst keeps the
+    // common `l_partkey = p_partkey` conjunct as the hash-join key and
+    // evaluates the disjunction as a post-join filter; part is broadcast.
+    "q19_disjunct" -> ((s, dir) => {
+      val band = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 1, 15, 1, 11) ||
+          band("Brand#23", 1, 25, 10, 20) ||
+          band("Brand#34", 1, 35, 20, 30))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n_lines"))
+    }),
+
+    // suppliers who kept orders waiting (TPC-H Q21): the EXISTS /
+    // NOT-EXISTS pair over the SAME fact — one lineitem×orders lateness
+    // base is built once and reused three ways: late rows (l1), a LEFT
+    // SEMI probe for "some other supplier on the order" (l2), a LEFT
+    // ANTI probe for "no other supplier was late" (l3). All three hang
+    // off the orderkey hash — no nested-loop anywhere. Lateness =
+    // shipped >90 days after order date (no receipt/commit dates in the
+    // fixture); finished orders only.
+    "q21_waiting" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val l1 = base.filter(col("late"))
+      l1.join(base.select(col("l_orderkey").as("ok2"),
+            col("l_suppkey").as("sk2")),
+          col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l1.select(col("l_orderkey").as("ok3"),
+            col("l_suppkey").as("sk3")),
+          col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // dormant high-balance customers (TPC-H Q22): the anti-join +
+    // scalar-aggregate pair — segment customers above their segments'
+    // positive-balance average (exact integers: cents(c)*n > sum_cents,
+    // no float avg) with NO order since 2000-01-01. The 1-row stats
+    // aggregate is broadcast; the recent-orders anti probe is a hash
+    // join on custkey.
+    "q22_idle_cust" -> ((s, dir) => {
+      val segs = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment").isin(segs: _*))
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(cents(col("c_acctbal"))).as("sum_pos_cents"))
+      c.crossJoin(broadcast(stats))
+        .filter(cents(col("c_acctbal")) * col("n_pos") >
+          col("sum_pos_cents"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }),
+
     // join-consistent sampling: both fact tables sampled by the SAME
     // md5 rule on the JOIN KEY, so a ~1/16 sample of orders keeps ALL of
     // each sampled order's lineitems — the correlated-sampling property
@@ -5377,6 +5552,128 @@ object SparkEntry {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q6_banded_rev" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*l_discount*100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_priority_mode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_cents, total_cents,
+        |  promo_cents * 1000 // total_cents AS promo_permille FROM a""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS n_li,
+        |    CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS small_rev_cents,
+        |  COUNT(*) AS n_small
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON pk = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND CAST(round(l_quantity*100, 0) AS BIGINT) * n_li * 5
+        |      < sum_qty_cents""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*(1 - l_discount)*100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |l1 AS (SELECT * FROM base WHERE late)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM base b2
+        |    WHERE b2.l_orderkey = l1.l_orderkey
+        |      AND b2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q22_idle_cust" ->
+      """WITH c AS (SELECT * FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+        |stats AS (SELECT COUNT(*) AS n_pos,
+        |    CAST(SUM(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_pos_cents
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM c, stats
+        |WHERE CAST(round(c_acctbal*100, 0) AS BIGINT) * n_pos > sum_pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "custdist" ->
       """WITH pc AS (
