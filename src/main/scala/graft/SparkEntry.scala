@@ -235,6 +235,53 @@ object SparkEntry {
       graft.operators.GraphAlgos.kCore(g, "a", "b", k = 15, rounds = 4)
     }),
 
+    // exact 2-hop reachability census: per node of the undirected mod-300
+    // interaction graph, |ball(v, 2)| (self + neighbors + 2-hop) via pair
+    // expansion — one self-join + distinct, the exact tier that witnesses
+    // the HLL sketch tier (`reach_hll`) below. Quadratic in ball size by
+    // construction, which is exactly why the sketch tier exists.
+    "reach_2hop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+        .distinct()
+      val e = g.select(col("a").as("src"), col("b").as("dst"))
+        .union(g.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val self = e.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))
+      val two = e.as("e1").join(e.as("e2"),
+          col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      self.union(e).union(two).distinct()
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("n_reach2"))
+    }),
+
+    // approximate neighborhood function (HyperBall): per hop 0..3, the
+    // estimated Σ_v |ball(v, hop)| over the same graph via per-node HLL
+    // registers propagated by element-wise max
+    // ([[GraphAlgos.neighborhoodFunction]], native regmax_agg). The 100 TB
+    // path for distance statistics — constant state per node where the
+    // exact tier above is quadratic. Rows-only: the sketch fixpoint has no
+    // SQL twin; OperatorsSpec bounds hop-2 error vs `reach_2hop`'s exact
+    // counts.
+    "reach_hll" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val e = g.select(col("a").as("src"), col("b").as("dst"))
+        .union(g.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.GraphAlgos.neighborhoodFunction(
+        e, "src", "dst", maxHops = 3, p = 8)
+    }),
+
     // hub-mixing diagnostic: degree assortativity (Pearson r over edge
     // endpoint degrees, both orientations) of the same graph, integer
     // micros ([[GraphAlgos.degreeAssortativity]]).
@@ -1176,6 +1223,34 @@ object SparkEntry {
           sum(when(col("__cnt") < 5, col("__cnt")).otherwise(0L))
             .as("rows_at_risk"),
           min(col("__cnt")).as("min_group"))),
+
+    // l-diversity census — kanon_risk's sibling on the SENSITIVE axis:
+    // within each (nation, segment) quasi-identifier group, how many
+    // distinct $1000 balance bands appear; groups with l < 3 would let an
+    // attacker who locates a person's group infer their balance band.
+    "l_diversity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("bal_band",
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) DIV 100000"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(col("bal_band")).as("__l"),
+          count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__l") < 3, 1L).otherwise(0L)).as("n_low_l"),
+          sum(when(col("__l") < 3, col("__n")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("__l")).as("min_l"))),
+
+    // greedy maximum-coverage document selection (Nemhauser-Wolsey-Fisher
+    // greedy): the 4 documents that together cover the most distinct word
+    // BIGRAMS (the fixture's word vocabulary is 31 tokens — one doc
+    // saturates it; bigram sets still discriminate), with each pick's
+    // marginal gain ([[TextAnalysis.greedyCoverage]] — tokenize once, K
+    // bounded rounds of broadcast anti-join + count, only the argmax row
+    // reaches the driver; oracle = the rounds unrolled as CTEs).
+    "coverage_select" -> ((s, dir) =>
+      TextAnalysis.greedyCoverage(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, gram = 2)),
 
     // most-frequent-value imputation dictionary: per nation the modal
     // market segment (counts collapse first; ties to the smallest
@@ -3382,6 +3457,12 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
+    "reach_hll" -> ("HyperBall approximate neighborhood function — an " +
+      "iterated HLL-register fixpoint (element-wise max propagation) " +
+      "with no SQL equivalent in DuckDB. OperatorsSpec bounds the hop-2 " +
+      "estimate within 15% of the exact pair-expansion counts that " +
+      "`reach_2hop` oracle-verifies on the same graph, pins hop-0 ≈ node " +
+      "count, monotonicity across hops, and bit-identical determinism."),
     "pca_power" -> ("top eigenvector of the embedding covariance via " +
       "power iteration — an iterated matrix fixpoint with no SQL " +
       "equivalent in DuckDB. OperatorsSpec pins a hand-computable rank-1 " +
@@ -5053,6 +5134,67 @@ object SparkEntry {
         |    AS rows_at_risk,
         |  MIN(cnt) AS min_group
         |FROM g""".stripMargin,
+
+    "l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    COUNT(DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |      // 100000) AS l,
+        |    COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_l,
+        |  CAST(SUM(CASE WHEN l < 3 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  MIN(l) AS min_l
+        |FROM g""".stripMargin,
+
+    "coverage_select" ->
+      """WITH sp AS (SELECT doc_id AS id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents),
+        |tok AS (SELECT id, unnest(list_distinct(
+        |    [a[i]||' '||a[i+1] for i in range(1, greatest(len(a), 1))]))
+        |    AS w
+        |  FROM sp),
+        |w1 AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1
+        |  ORDER BY n DESC, id ASC LIMIT 1),
+        |c1 AS (SELECT DISTINCT w FROM tok WHERE id IN (SELECT id FROM w1)),
+        |w2 AS (SELECT id, COUNT(*) AS n FROM tok
+        |  WHERE w NOT IN (SELECT w FROM c1) GROUP BY 1
+        |  ORDER BY n DESC, id ASC LIMIT 1),
+        |c2 AS (SELECT w FROM c1 UNION
+        |  SELECT w FROM tok WHERE id IN (SELECT id FROM w2)),
+        |w3 AS (SELECT id, COUNT(*) AS n FROM tok
+        |  WHERE w NOT IN (SELECT w FROM c2) GROUP BY 1
+        |  ORDER BY n DESC, id ASC LIMIT 1),
+        |c3 AS (SELECT w FROM c2 UNION
+        |  SELECT w FROM tok WHERE id IN (SELECT id FROM w3)),
+        |w4 AS (SELECT id, COUNT(*) AS n FROM tok
+        |  WHERE w NOT IN (SELECT w FROM c3) GROUP BY 1
+        |  ORDER BY n DESC, id ASC LIMIT 1)
+        |SELECT 1 AS round, id AS doc_id, n AS gain FROM w1
+        |UNION ALL SELECT 2, id, n FROM w2
+        |UNION ALL SELECT 3, id, n FROM w3
+        |UNION ALL SELECT 4, id, n FROM w4""".stripMargin,
+
+    "reach_2hop" ->
+      """WITH g AS (SELECT DISTINCT
+        |    least(l_partkey % 300, l_suppkey % 300) AS a,
+        |    greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |      < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |      + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |e AS (SELECT a AS src, b AS dst FROM g
+        |  UNION SELECT b, a FROM g),
+        |ball AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, src AS dst FROM e
+        |    UNION ALL SELECT src, dst FROM e
+        |    UNION ALL SELECT e1.src, e2.dst
+        |      FROM e e1 JOIN e e2 ON e1.dst = e2.src))
+        |SELECT src AS node, COUNT(*) AS n_reach2 FROM ball GROUP BY 1""".stripMargin,
 
     "group_mode" ->
       """SELECT c_nationkey, c_mktsegment AS mode_segment, n FROM (

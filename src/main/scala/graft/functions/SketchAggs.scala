@@ -48,6 +48,18 @@ object SketchAggs {
       SimhashAggExpression(GraftSqlBridge.expression(tokenHash))
         .toAggregateExpression())
 
+  /** Element-wise MAX of fixed-width `array<long>` register vectors — the
+    * HyperLogLog-register union that HyperBall-style iterated sketch
+    * propagation needs per round (max of rho values is exactly HLL union).
+    * Same engineering rationale as the sketches above: one imperative
+    * aggregate with a primitive buffer instead of m parallel `max(regs[i])`
+    * aggregate columns, so the codegen class stays tiny and only m-long
+    * buffers shuffle per key. */
+  def regMax(regs: Column, m: Int): Column =
+    GraftSqlBridge.column(
+      RegMaxAggExpression(GraftSqlBridge.expression(regs), m)
+        .toAggregateExpression())
+
   private[functions] def serializeLongs(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)
     var i = 0
@@ -122,6 +134,65 @@ case class MinhashAggExpression(
   override def withNewInputAggBufferOffset(o: Int): MinhashAggExpression =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): MinhashAggExpression =
+    copy(child = c)
+}
+
+case class RegMaxAggExpression(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (m <= 0) TypeCheckResult.TypeCheckFailure(
+      s"regmax_agg m must be positive, got $m")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"regmax_agg requires ARRAY<BIGINT> input, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "regmax_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements == m,
+        s"regmax_agg: expected $m registers, got ${arr.numElements}")
+      var i = 0
+      while (i < m) {
+        val r = arr.getLong(i)
+        if (r > buf(i)) buf(i) = r
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    SketchAggs.serializeLongs(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    SketchAggs.deserializeLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): RegMaxAggExpression =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RegMaxAggExpression =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): RegMaxAggExpression =
     copy(child = c)
 }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the synced graph — the analysis layer a
@@ -667,5 +667,82 @@ object GraphAlgos {
     visited.groupBy(col("id"))
       .agg(count(lit(1)).as("n_landmarks"), sum(col("hop")).as("total_hops"),
         min(col("hop")).as("min_hop"))
+  }
+
+  /** Approximate neighborhood function (HyperBall; Boldi & Vigna 2013):
+    * per hop t, the estimated total number of (node, reachable-node) pairs
+    * within distance ≤ t — the sketch-propagation form of graph distance
+    * analysis (effective diameter, average distance, centrality screens).
+    *
+    * Each node carries m = 2^p HyperLogLog registers seeded with its own
+    * hashed id; each round every node element-wise-MAXes its registers with
+    * its out-neighbors' ([[graft.functions.SketchAggs.regMax]] — register
+    * max IS HLL set union), so after t rounds node v's sketch estimates
+    * |ball(v, t)| exactly as an HLL would estimate the materialized set.
+    *
+    * Scale: this is THE neighborhood-size algorithm for graphs where exact
+    * per-node reachability sets are quadratic — state is m longs per node
+    * (constant), each round is one hash join on the node id plus one
+    * map-side-combined register-max aggregate, and rounds are bounded.
+    * The exact pair-expansion tier (`reach_2hop`) is its correctness
+    * witness at test scale. Register init needs no float log: the rho of
+    * the (64-p)-bit suffix is derived from `bin()`'s exact MSB position.
+    *
+    * Returns one row per hop 0..maxHops: (hop, n_nodes, nf_est) with
+    * nf_est = Σ_v round(HLL_estimate(sketch_v)). Spark-side only (the
+    * sketch fixpoint has no SQL twin) — OperatorsSpec bounds the error
+    * against the exact pair expansion. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p=$p out of range")
+    require(maxHops >= 0, s"maxHops=$maxHops out of range")
+    val m = 1 << p
+    val e = Dedup.ckptLight(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // register init: bucket j = low p bits of xxhash64(id); rho = leading
+    // zeros of the remaining 64-p bits + 1, computed EXACTLY via bin()'s
+    // MSB position (no float log2 of a >2^53 long).
+    val h = xxhash64(col("id"))
+    val w = shiftrightunsigned(h, p)
+    val rho = when(w === 0L, lit((64 - p + 1).toLong))
+      .otherwise(lit((64 - p + 1).toLong) - length(bin(w)).cast("long"))
+    var sk = Dedup.ckptLight(nodes
+      .withColumn("__j", pmod(h, lit(m.toLong)))
+      .withColumn("__rho", rho)
+      .select(col("id"), expr(
+        s"transform(sequence(0L, ${m - 1}L), i -> IF(i = __j, __rho, 0L))")
+        .as("regs")))
+    // HLL estimate of one sketch, with the standard small-range
+    // (linear-counting) correction; double math is confined to this final
+    // read-out — the propagated state itself is exact integer registers.
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    def estimate(regs: Column): Column = {
+      val invSum = aggregate(regs, lit(0.0d),
+        (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
+      val zeros = size(filter(regs, _ === 0L)).cast("double")
+      val raw = lit(alpha * m * m) / invSum
+      round(when(raw <= lit(2.5 * m) && zeros > 0d,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        .otherwise(raw)).cast("long")
+    }
+    def nfRow(hop: Int, s: DataFrame): DataFrame =
+      s.agg(count(lit(1)).as("n_nodes"),
+        sum(estimate(col("regs"))).as("nf_est"))
+        .select(lit(hop).as("hop"), col("n_nodes"), col("nf_est"))
+    var out = nfRow(0, sk)
+    var t = 1
+    while (t <= maxHops) {
+      val nb = e.join(sk, e("dst") === sk("id"))
+        .select(e("src").as("id"), col("regs"))
+      sk = Dedup.ckptLight(nb.union(sk.select(col("id"), col("regs")))
+        .groupBy(col("id"))
+        .agg(graft.functions.SketchAggs.regMax(col("regs"), m).as("regs")))
+      out = out.union(nfRow(t, sk))
+      t += 1
+    }
+    out
   }
 }

@@ -760,4 +760,66 @@ object TextAnalysis {
           "CAST(CAST(n_terms AS DECIMAL(38,0)) * __sxx - __sx * __sx " +
           "AS DOUBLE), 0) AS BIGINT)").as("slope_micro"))
   }
+
+  /** Greedy maximum-coverage document selection — the submodular
+    * data-subset step of a training-data pipeline ("pick the K documents
+    * that together cover the most distinct vocabulary"). The greedy
+    * algorithm's (1 − 1/e) guarantee is the published bound (Nemhauser,
+    * Wolsey & Fisher 1978); this is its standard distributed form: the
+    * corpus tokenizes ONCE into a checkpointed (doc, distinct-token)
+    * table, then each of the K rounds is one anti-join against the
+    * covered-token set (small by construction — ≤ K docs' vocabularies,
+    * so it broadcasts) plus one count aggregate, and only the single
+    * argmax row ever reaches the driver. Ties break to the smallest doc
+    * id so reruns and the SQL twin agree.
+    *
+    * Scale: per round the corpus-side work is one broadcast anti-join and
+    * one map-side-combined count — no shuffle of token payloads beyond
+    * the initial tokenize; K is small (it is the OUTPUT size).
+    *
+    * Returns (round, doc_id, gain): the pick order and each pick's
+    * marginal new-token coverage. Docs whose tokens are fully covered
+    * drop out of the candidate aggregate on both sides identically.
+    *
+    * `gram` sets the coverage unit: 1 = distinct words, n = distinct
+    * word n-grams (the vocabulary-coverage vs phrase-coverage choice —
+    * tiny-vocab corpora saturate word coverage after one pick, where
+    * n-gram sets still discriminate). */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, gram: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of range")
+    require(gram >= 1 && gram <= 8, s"gram=$gram out of range")
+    val spark = df.sparkSession
+    val units =
+      if (gram <= 1) col("__w")
+      else expr(("CASE WHEN size(__w) < GRAM THEN array() " +
+        "ELSE transform(sequence(0, size(__w) - GRAM), " +
+        "i -> concat_ws(' ', slice(__w, i + 1, GRAM))) END")
+        .replace("GRAM", gram.toString))
+    val toks = Dedup.ckptLight(
+      df.select(col(idCol).cast("long").as("id"),
+          wsTokens(lower(col(textCol))).as("__w"))
+        .select(col("id"), explode(array_distinct(units)).as("w")))
+    var covered = toks.select(col("w")).filter(lit(false))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = toks.join(broadcast(covered), Seq("w"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        picks += ((r, id, top(0).getLong(1)))
+        covered = Dedup.ckptLight(
+          covered.union(toks.filter(col("id") === id).select(col("w")))
+            .distinct())
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", "doc_id", "gain")
+  }
 }

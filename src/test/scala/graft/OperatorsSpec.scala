@@ -2099,4 +2099,71 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(again.toSeq === got.toSeq)
   }
+
+  test("neighborhoodFunction: HLL estimates track exact reach, hop by hop") {
+    import graft.operators.GraphAlgos
+    // pseudo-random sparse digraph on 120 nodes, made undirected — large
+    // enough that HLL error (m=256 → σ≈6.5% per node) averages out in the
+    // per-hop SUM, small enough to expand exactly.
+    val n = 120
+    val base = for (i <- 0L until n; j <- 0L until n
+      if i != j && (i * 37 + j * 101) % 17 == 0) yield (i, j)
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = GraphAlgos.neighborhoodFunction(edges, "src", "dst",
+        maxHops = 2, p = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // exact neighborhood function by pair expansion
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet
+    var balls: Map[Long, Set[Long]] = nodes.map(v => v -> Set(v)).toMap
+    val exact = scala.collection.mutable.ArrayBuffer(
+      balls.values.map(_.size).sum.toLong)
+    for (_ <- 1 to 2) {
+      balls = balls.map { case (v, s) =>
+        v -> (s ++ s.flatMap(u => adj.getOrElse(u, Set.empty[Long])))
+      }
+      exact += balls.values.map(_.size).sum.toLong
+    }
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(got.forall(_._2 === nodes.size.toLong))
+    got.zip(exact).foreach { case ((hop, _, est), ex) =>
+      assert(math.abs(est - ex).toDouble / ex <= 0.15,
+        s"hop $hop: est $est vs exact $ex")
+    }
+    // estimates are monotone in hops (register max is monotone)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    // determinism: a second run is bit-identical
+    val again = GraphAlgos.neighborhoodFunction(edges, "src", "dst",
+        maxHops = 2, p = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("greedyCoverage: hand corpus — argmax order, marginal gains, ties") {
+    // doc 1 covers {a b c d}, doc 2 {c d e}, doc 3 {e f}, doc 4 {a b}.
+    // Greedy: pick 1 (gain 4); then 2 and 3 both add 2 new — tie breaks
+    // to smaller id (2, gain {e}+... = 2: c,d covered → e only? {c d e}
+    // minus {a b c d} = {e} → gain 1; doc 3 adds {e f} → gain 2. So pick
+    // 3 (gain 2); then doc 2 adds nothing new (c,d,e covered) and doc 4
+    // adds nothing — candidates with zero gain drop out → exhausted.
+    val docs = Seq((1L, "a b c d"), (2L, "c d e"), (3L, "e f"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.greedyCoverage(docs, "doc_id", "text", k = 4)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, 1L, 4L), (2, 3L, 2L)))
+    // duplicate tokens inside a doc count once
+    val dup = Seq((7L, "x x x y"), (8L, "z")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.greedyCoverage(dup, "doc_id", "text", k = 2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq === Seq((1, 7L, 2L), (2, 8L, 1L)))
+    // gram=2: units are word bigrams; "x x x y" → {"x x","x y"} (distinct),
+    // single-word docs contribute no unit at all
+    val bg = Seq((7L, "x x x y"), (8L, "z"), (9L, "x y"))
+      .toDF("doc_id", "text")
+    val got3 = TextAnalysis.greedyCoverage(bg, "doc_id", "text",
+        k = 3, gram = 2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got3.toSeq === Seq((1, 7L, 2L)))
+  }
 }
