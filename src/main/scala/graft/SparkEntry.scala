@@ -1450,6 +1450,50 @@ object SparkEntry {
           expr("((ts DIV 1000) DIV 3600000000) % 24").as("hod")),
         "et", "hod")),
 
+    // feature-selection report: information gain (= mutual information)
+    // of each candidate categorical feature against the order-priority
+    // target, ranked from ONE unpivoted scan
+    // ([[Transforms.infoGainRanking]] — stack → cell counts, broadcast
+    // marginals, micro-quantized log terms identical to the twin).
+    "info_gain" -> ((s, dir) =>
+      Transforms.infoGainRanking(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("order_year", year(col("o_orderdate"))),
+        Seq("c_nationkey", "c_mktsegment", "o_orderstatus", "order_year"),
+        "o_orderpriority")),
+
+    // time-respecting reachability (temporal 2-hop paths): over the
+    // customer/supplier residue graph with edges stamped by order day,
+    // count paths a→m→w where the second edge departs WITHIN (0, 7] days
+    // AFTER the first arrives — the temporal-network constraint that
+    // static reach_2hop ignores. The follow-up-edge probe runs through
+    // [[RangeJoin.pointInInterval]] (week-binned equi-join on the middle
+    // node + day bin, residual BETWEEN) — never an unbinned per-node
+    // cross product, which is quadratic in per-node degree at scale.
+    "temporal_reach" -> ((s, dir) => {
+      val raw = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") % 150).as("x"),
+          (col("l_suppkey") % 150).as("y"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+            .cast("long").as("d"))
+      val e = raw.union(raw.select(col("y").as("x"), col("x").as("y"),
+          col("d")))
+        .filter(col("x") =!= col("y")).distinct()
+      val intervals = e.select(col("x").as("a"), col("y").as("m"),
+        (col("d") + 1).as("lo"), (col("d") + 7).as("hi"))
+      val points = e.select(col("x").as("m"), col("y").as("w"),
+        col("d").as("d2"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          "d2", "lo", "hi", binWidth = 7L, keys = Seq("m"))
+        .filter(col("w") =!= col("a"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("a") * 1000 + col("w")).as("n_pairs"),
+          countDistinct(col("a")).as("n_sources"))
+    }),
+
     // hierarchical ratio-to-parent: each nation's revenue as a permille
     // share of its region (two-level agg + a window over ≤|nations| rows).
     "share_of_region" -> ((s, dir) => {
@@ -1486,6 +1530,26 @@ object SparkEntry {
         t(s, dir, "part").filter(col("p_partkey") % 10 === 1)
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", minPermille = 800)),
+
+    // probabilistic record linkage (Fellegi–Sunter): brand-blocked part
+    // pairs scored by summed log-likelihood-ratio field weights — name
+    // Jaro-Winkler ≥ 0.85, exact type, size decade — with the m/u weights
+    // computed ONCE on the driver in integer micros
+    // ([[Dedup.fellegiSunter]]); the oracle embeds the identical weight
+    // literals (the planeLit pattern), so no float log runs on either
+    // distributed side.
+    "fs_linkage" -> ((s, dir) => {
+      val slice = t(s, dir, "part").filter(col("p_partkey") % 10 === 2)
+        .select(col("p_brand"), col("p_name"), col("p_type"),
+          expr("p_size DIV 10").as("size_band"), col("p_partkey"))
+      Dedup.fellegiSunter(slice, "p_brand", "p_partkey", Seq(
+        (round(graft.functions.JaroWinkler(
+            col("x.p_name"), col("y.p_name")) * 1000)
+          .cast("long") >= 850, 0.9, 0.1),
+        (col("x.p_type") === col("y.p_type"), 0.95, 0.2),
+        (col("x.size_band") === col("y.size_band"), 0.9, 0.2)),
+        minScoreMicro = 0L)
+    }),
 
     // sorted-neighborhood dedup: sort part names within a 1-char prefix
     // block, pair each with its next 3 neighbors in sort order, verify
@@ -6331,6 +6395,48 @@ object SparkEntry {
         |  CAST(MAX(n) AS BIGINT) AS n_events
         |FROM q""".stripMargin,
 
+    "info_gain" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment, o_orderstatus,
+        |    year(o_orderdate) AS order_year, o_orderpriority AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |u AS (
+        |  SELECT 'c_nationkey' AS f, CAST(c_nationkey AS VARCHAR) AS v, t
+        |    FROM base
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment, t FROM base
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus, t FROM base
+        |  UNION ALL SELECT 'order_year', CAST(order_year AS VARCHAR), t
+        |    FROM base),
+        |cells AS (SELECT f, v, t, COUNT(*) AS c FROM u GROUP BY 1, 2, 3),
+        |mv AS (SELECT f, v, SUM(c) AS cv FROM cells GROUP BY 1, 2),
+        |mt AS (SELECT f, t, SUM(c) AS ct FROM cells GROUP BY 1, 2),
+        |n AS (SELECT f, SUM(c) AS n FROM cells GROUP BY 1),
+        |q AS (SELECT cells.f, cells.c,
+        |    CAST(round(ln((CAST(cells.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |      / (CAST(mv.cv AS DOUBLE) * CAST(mt.ct AS DOUBLE)))
+        |      * 1000000, 0) AS BIGINT) AS q, n.n
+        |  FROM cells JOIN mv USING (f, v) JOIN mt USING (f, t)
+        |    JOIN n USING (f))
+        |SELECT f AS feature,
+        |  CAST(round(SUM(q * c) / (MAX(n) * 1000.0), 0) AS BIGINT)
+        |    AS ig_permille,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "temporal_reach" ->
+      """WITH raw AS (SELECT o_custkey % 150 AS x, l_suppkey % 150 AS y,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT x, y, d FROM (
+        |    SELECT x, y, d FROM raw UNION ALL SELECT y, x, d FROM raw)
+        |  WHERE x <> y)
+        |SELECT COUNT(*) AS n_paths,
+        |  COUNT(DISTINCT e1.x * 1000 + e2.y) AS n_pairs,
+        |  COUNT(DISTINCT e1.x) AS n_sources
+        |FROM e e1 JOIN e e2
+        |  ON e1.y = e2.x AND e2.d > e1.d AND e2.d <= e1.d + 7
+        |    AND e2.y <> e1.x""".stripMargin,
+
     "share_of_region" ->
       """WITH rn AS (SELECT r_name, n_name,
         |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
@@ -6411,6 +6517,34 @@ object SparkEntry {
         |      AS BIGINT) AS jw_permille
         |  FROM v x JOIN v y ON x.blk = y.blk AND x.id < y.id)
         |WHERE jw_permille >= 800""".stripMargin,
+
+    "fs_linkage" -> {
+      val (waN, wdN) = Dedup.fsWeightsMicro(0.9, 0.1)
+      val (waT, wdT) = Dedup.fsWeightsMicro(0.95, 0.2)
+      val (waS, wdS) = Dedup.fsWeightsMicro(0.9, 0.2)
+      s"""WITH v AS (SELECT p_brand, p_name, p_type,
+        |    p_size // 10 AS size_band, p_partkey
+        |  FROM part WHERE p_partkey % 10 = 2),
+        |cand AS (SELECT x.p_partkey AS a, y.p_partkey AS b,
+        |    CAST(round(jaro_winkler_similarity(x.p_name, y.p_name) * 1000,
+        |      0) AS BIGINT) >= 850 AS ag_name,
+        |    x.p_type = y.p_type AS ag_type,
+        |    x.size_band = y.size_band AS ag_size
+        |  FROM v x JOIN v y
+        |    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey)
+        |SELECT a, b, score_micro, n_agree FROM (
+        |  SELECT a, b,
+        |    CAST((CASE WHEN ag_name THEN $waN ELSE $wdN END)
+        |      + (CASE WHEN ag_type THEN $waT ELSE $wdT END)
+        |      + (CASE WHEN ag_size THEN $waS ELSE $wdS END) AS BIGINT)
+        |      AS score_micro,
+        |    CAST((CASE WHEN ag_name THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ag_type THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ag_size THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cand)
+        |WHERE score_micro >= 0""".stripMargin
+    },
 
     "fuzzy_pairs" ->
       """SELECT x.p_partkey AS a, y.p_partkey AS b,

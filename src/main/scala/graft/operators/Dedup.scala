@@ -722,4 +722,48 @@ object Dedup {
       .filter(col("jacc_permille") >= thresholdPermille)
       .select("a", "b", "jacc_permille")
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    * Sunter 1969) over blocked candidate pairs: each comparison field
+    * contributes its log-likelihood-ratio weight — ln(m/u) on agreement,
+    * ln((1−m)/(1−u)) on disagreement, where m = P(agree | match) and
+    * u = P(agree | non-match) — and the pair's score is the sum. Weights
+    * are precomputed in INTEGER MICROS on the driver ([[fsWeightsMicro]])
+    * so the distributed side never touches a float log and the SQL twin
+    * can embed the identical literals.
+    *
+    * Blocking keeps this linear-ish: candidates come from an equi-join on
+    * the blocking key (never all-pairs), agreement predicates evaluate
+    * per candidate in codegen, and the score filter prunes before any
+    * downstream clustering. `fields` are (agreement-predicate, m, u)
+    * with predicates over the `x`/`y` self-join aliases. */
+  def fellegiSunter(df: DataFrame, blockCol: String, idCol: String,
+      fields: Seq[(Column, Double, Double)],
+      minScoreMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val v = Transforms.rebalanceIfNarrow(df, col(idCol))
+    val score = fields.map { case (agree, m, u) =>
+      val (wa, wd) = fsWeightsMicro(m, u)
+      when(agree, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val nAgree = fields.map { case (agree, _, _) =>
+      when(agree, lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    v.as("x").join(v.as("y"),
+        col(s"x.$blockCol") === col(s"y.$blockCol") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        score.as("score_micro"), nAgree.as("n_agree"))
+      .filter(col("score_micro") >= minScoreMicro)
+  }
+
+  /** (agreement, disagreement) Fellegi–Sunter weights in integer micros
+    * for match/non-match agreement rates (m, u) — computed ONCE on the
+    * driver; both the engine and the SQL oracle consume these longs. */
+  def fsWeightsMicro(m: Double, u: Double): (Long, Long) = {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1, got m=$m u=$u")
+    (math.round(math.log(m / u) * 1e6),
+      math.round(math.log((1 - m) / (1 - u)) * 1e6))
+  }
 }

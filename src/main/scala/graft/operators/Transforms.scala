@@ -594,4 +594,45 @@ object Transforms {
       .select(col("g").as(groupCol), col("tie").as(tieCol),
         col("v").as(valCol), col("pooled_v").as("norm_" + valCol))
   }
+
+  /** Information-gain feature ranking: mutual information between EACH
+    * candidate categorical feature and the target, from ONE unpivoted
+    * scan — the feature-selection report run before training a model
+    * ("which columns actually predict the label"). Information gain of a
+    * feature IS I(F;T), so this generalizes the pairwise mutual-information
+    * operator to a per-feature ranking: `stack` unpivots the feature
+    * columns (rows ×|features| before the first aggregate, map-side
+    * combined), marginals re-aggregate from the cell counts and come back
+    * broadcast, each cell's log term is quantized to micros exactly as the
+    * DuckDB twin does, and the permille MI collapses per feature.
+    *
+    * Scale shape: one data-sized aggregate to (feature, value, target)
+    * cells; everything after is |cells|-sized with broadcast joins. */
+  def infoGainRanking(df: DataFrame, features: Seq[String],
+      targetCol: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val stackArgs = features
+      .map(f => s"'$f', CAST(`$f` AS STRING)").mkString(", ")
+    val stacked = df.select(
+      expr(s"stack(${features.size}, $stackArgs) AS (__f, __v)"),
+      col(targetCol).cast("string").as("__t"))
+    val cells = stacked.groupBy(col("__f"), col("__v"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val mv = cells.groupBy(col("__f"), col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+    val mt = cells.groupBy(col("__f"), col("__t"))
+      .agg(sum(col("__c")).as("__ct"))
+    val n = cells.groupBy(col("__f")).agg(sum(col("__c")).as("__n"))
+    cells.join(broadcast(mv), Seq("__f", "__v"))
+      .join(broadcast(mt), Seq("__f", "__t"))
+      .join(broadcast(n), Seq("__f"))
+      .withColumn("__q", expr(
+        "CAST(round(ln((CAST(__c AS DOUBLE) * CAST(__n AS DOUBLE)) / " +
+          "(CAST(__cv AS DOUBLE) * CAST(__ct AS DOUBLE))) * 1000000, 0) " +
+          "AS BIGINT)"))
+      .groupBy(col("__f").as("feature"))
+      .agg(expr("CAST(round(SUM(__q * __c) / (MAX(__n) * 1000.0), 0) " +
+          "AS BIGINT)").as("ig_permille"),
+        count(lit(1)).as("n_cells"))
+  }
 }

@@ -2166,4 +2166,53 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
+
+  test("infoGainRanking: perfect predictor = H(T); independent = 0") {
+    // 8 rows, target t ∈ {p, q} balanced. `copy` mirrors t exactly →
+    // IG = H(T) = ln 2 ≈ 0.693 nats → 693 permille. `noise` is constant →
+    // IG = 0. `half` splits t perfectly too but via 4 values.
+    val rows = Seq(
+      ("p", "P", "k", "a"), ("p", "P", "k", "b"),
+      ("p", "P", "k", "a"), ("p", "P", "k", "b"),
+      ("q", "Q", "k", "c"), ("q", "Q", "k", "d"),
+      ("q", "Q", "k", "c"), ("q", "Q", "k", "d"))
+      .toDF("t", "copy", "noise", "half")
+    val got = Transforms.infoGainRanking(rows,
+        Seq("copy", "noise", "half"), "t")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got("copy") === ((693L, 2L)))
+    assert(got("noise") === ((0L, 2L)))
+    assert(got("half") === ((693L, 4L)))
+  }
+
+  test("fellegiSunter: hand pairs — exact weight sums, blocking, filter") {
+    // one block 'B': ids 1,2,3. Fields: name equal (m=.9,u=.1 →
+    // wa=ln(9)=+2197225 micros, wd=ln(1/9)=-2197225), size equal
+    // (m=.9,u=.2 → wa=ln(4.5)=+1504077, wd=ln(.125)=-2079442).
+    // Pair (1,2): both agree → 3701302, n_agree 2. Pair (1,3)/(2,3):
+    // name disagrees, size agrees → -693148 → filtered by minScore 0.
+    // Block 'C' id 4 pairs with nobody.
+    val (waN, wdN) = Dedup.fsWeightsMicro(0.9, 0.1)
+    val (waS, wdS) = Dedup.fsWeightsMicro(0.9, 0.2)
+    assert((waN, wdN) === ((2197225L, -2197225L)))
+    assert((waS, wdS) === ((1504077L, -2079442L)))
+    val recs = Seq((1L, "B", "acme", 10), (2L, "B", "acme", 10),
+      (3L, "B", "zeta", 10), (4L, "C", "acme", 10))
+      .toDF("id", "blk", "nm", "sz")
+    val got = Dedup.fellegiSunter(recs, "blk", "id", Seq(
+        (col("x.nm") === col("y.nm"), 0.9, 0.1),
+        (col("x.sz") === col("y.sz"), 0.9, 0.2)),
+        minScoreMicro = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 2L, waN + waS, 2L)))
+    // lowering the floor admits the half-agreeing pairs at exact scores
+    val all = Dedup.fellegiSunter(recs, "blk", "id", Seq(
+        (col("x.nm") === col("y.nm"), 0.9, 0.1),
+        (col("x.sz") === col("y.sz"), 0.9, 0.2)),
+        minScoreMicro = Long.MinValue)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(all === Seq((1L, 2L, waN + waS, 2L),
+      (1L, 3L, wdN + waS, 1L), (2L, 3L, wdN + waS, 1L)))
+  }
 }
