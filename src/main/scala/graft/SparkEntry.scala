@@ -2948,6 +2948,41 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Apriori level 3: part-category triples co-ordered in ≥2 orders
+    // ([[Transforms.basketTriples]] — per-basket 3-way self-join bounded
+    // by basket SIZE (≤7 lines, scale-invariant), frequent-pair semi-join
+    // prunes candidates first per the Apriori property).
+    "basket_triples" -> ((s, dir) =>
+      Transforms.basketTriples(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat")),
+        "l_orderkey", "cat", minCount = 2)),
+
+    // Poisson bootstrap: 32 deterministic replicate (n_eff, Σcents) pairs
+    // for order totals — the scalable bootstrap (per-row Poisson(1)
+    // multiplicity instead of resampling), draws from md5 so the twin
+    // reproduces them bit-for-bit; SE/CI derive downstream from the 32
+    // exact-integer rows ([[Transforms.poissonBootstrap]]).
+    "bootstrap_reps" -> ((s, dir) =>
+      Transforms.poissonBootstrap(t(s, dir, "orders"),
+        col("o_orderkey"), cents(col("o_totalprice")), reps = 32)
+        .withColumnRenamed("sum_v", "sum_cents")),
+
+    // calibration-curve fit: isotonic (nondecreasing) regression of mean
+    // event value over hour-of-day per event type, by exact-integer PAV
+    // ([[Transforms.isotonicFit]] — the one legitimately-sequential-in-x
+    // fit, run per group via the typed API over ≤24 pre-aggregated
+    // points; rows-only, OperatorsSpec pins hand-computed pools).
+    "isotonic_fit" -> ((s, dir) => {
+      val pts = events(s, dir)
+        .select(col("event_type").as("et"),
+          expr("((ts DIV 1000) DIV 3600000000) % 24").as("hod"),
+          cents(col("value")).as("vc"))
+        .groupBy(col("et"), col("hod"))
+        .agg(sum(col("vc")).as("s"), count(lit(1)).as("n"))
+      Transforms.isotonicFit(pts, "et", "hod", "s", "n")
+    }),
+
     // association rules: part pairs co-ordered in ≥2 orders, with integer
     // support/confidence ([[Transforms.basketPairs]] — distinct-collapse
     // first, self-join bounded by TPC-H's ≤7-line orders).
@@ -3521,6 +3556,13 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
+    "isotonic_fit" -> ("pool-adjacent-violators isotonic regression — a " +
+      "sequential stack pass over each group's x-ordered points with no " +
+      "SQL equivalent in DuckDB (pool merges cascade backward). " +
+      "OperatorsSpec pins hand-computed pool structures exactly — the " +
+      "[1,3,2,4] violation collapse, a weighted merge, the already- " +
+      "monotone identity case — plus determinism; the input aggregate " +
+      "feeding it is the oracle-verified hourly_heatmap family shape."),
     "reach_hll" -> ("HyperBall approximate neighborhood function — an " +
       "iterated HLL-register fixpoint (element-wise max propagation) " +
       "with no SQL equivalent in DuckDB. OperatorsSpec bounds the hop-2 " +
@@ -6865,6 +6907,33 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.a = c.u AND g.b = c.w))
         |SELECT * FROM sc
         |ORDER BY ra_micro DESC, u ASC, w ASC LIMIT 50""".stripMargin,
+
+    "basket_triples" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+        |  FROM lineitem)
+        |SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+        |  COUNT(*) AS n_abc
+        |FROM bi x
+        |JOIN bi y ON x.b = y.b AND x.i < y.i
+        |JOIN bi z ON x.b = z.b AND z.i > y.i
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "bootstrap_reps" -> {
+      val th = Transforms.poissonHexThresholds
+      s"""WITH r AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS v, t.b AS b
+        |  FROM orders, range(0, 32) t(b)),
+        |w AS (SELECT b,
+        |    CASE WHEN substr(md5(k||':'||b), 1, 5) < '${th(0)}' THEN 0
+        |         WHEN substr(md5(k||':'||b), 1, 5) < '${th(1)}' THEN 1
+        |         WHEN substr(md5(k||':'||b), 1, 5) < '${th(2)}' THEN 2
+        |         WHEN substr(md5(k||':'||b), 1, 5) < '${th(3)}' THEN 3
+        |         ELSE 4 END AS w, v
+        |  FROM r)
+        |SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * v) AS BIGINT) AS sum_cents
+        |FROM w GROUP BY 1""".stripMargin
+    },
 
     "basket_pairs" ->
       """WITH bi AS (

@@ -595,6 +595,124 @@ object Transforms {
         col("v").as(valCol), col("pooled_v").as("norm_" + valCol))
   }
 
+  /** Poisson bootstrap replicate statistics (the scalable bootstrap:
+    * instead of resampling n rows B times — impossible distributed — each
+    * row independently joins replicate b with a Poisson(1) multiplicity,
+    * which converges to the multinomial bootstrap for large n). The
+    * multiplicity is DETERMINISTIC: a 20-bit md5 draw per (row-key,
+    * replicate) inverted through the Poisson(1) CDF — md5 so an external
+    * SQL engine reproduces the draws bit-for-bit
+    * ([[poissonHexThresholds]] embeds the inverse-CDF cut points as hex
+    * literals on both sides). Output per replicate: effective row count
+    * and weighted sum — exact integers; the consumer derives SE/CI from
+    * the B sums without this operator ever touching a float.
+    *
+    * Scale: one projection (rows × B, codegen'd) into one
+    * map-side-combined aggregate over B groups — no resampling shuffle,
+    * no driver state. B is the output size, not a data multiplier that
+    * shuffles. */
+  def poissonBootstrap(df: DataFrame, keyCol: Column, valueCol: Column,
+      reps: Int): DataFrame = {
+    require(reps >= 2 && reps <= 256, s"reps=$reps out of range")
+    val th = poissonHexThresholds
+    val w = when(col("__h") < th(0), 0L).when(col("__h") < th(1), 1L)
+      .when(col("__h") < th(2), 2L).when(col("__h") < th(3), 3L)
+      .otherwise(4L)
+    df.select(keyCol.cast("string").as("__k"), valueCol.as("__v"))
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0L), lit((reps - 1).toLong))).as("b"))
+      .withColumn("__h",
+        substring(md5(concat(col("__k"), lit(":"), col("b").cast("string"))),
+          1, 5))
+      .groupBy(col("b"))
+      .agg(sum(w).as("n_eff"), sum(w * col("__v")).as("sum_v"))
+  }
+
+  /** Poisson(1) inverse-CDF cut points over the first 5 md5 hex chars
+    * (20 bits): multiplicity k for draws in [threshold(k-1),
+    * threshold(k)), k = 4 beyond the last (P ≈ 1.9%, capped — bias
+    * < 0.004 on the mean, irrelevant next to bootstrap noise). Driver-
+    * computed once; the SQL twin embeds the same literals. */
+  def poissonHexThresholds: Seq[String] = {
+    val e = math.exp(-1.0)
+    Seq(e, 2 * e, 2.5 * e, 8.0 / 3 * e)
+      .map(c => f"${math.floor(c * (1L << 20)).toLong}%05x")
+  }
+
+  /** Frequent item TRIPLES (one Apriori level above [[basketPairs]]):
+    * item triples co-occurring in ≥ `minCount` baskets. Candidates come
+    * from the per-basket 3-way self-join — bounded because basket SIZE is
+    * bounded by the domain (an order has ≤7 lines), not by scale — and
+    * the Apriori property prunes first: a triple can only be frequent if
+    * its (a,b) pair is, so candidates semi-join the frequent-pair set
+    * before the counting aggregate sees them. */
+  def basketTriples(items: DataFrame, basketCol: String, itemCol: String,
+      minCount: Int): DataFrame = {
+    val bi = items.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().localCheckpoint()
+    val freqPairs = bi
+      .join(bi.select(col("__b"), col("__i").as("__j")), "__b")
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__i"), col("__j"))
+    bi.join(bi.select(col("__b"), col("__i").as("__j")), "__b")
+      .filter(col("__i") < col("__j"))
+      .join(freqPairs, Seq("__i", "__j"), "left_semi")
+      .join(bi.select(col("__b"), col("__i").as("__k")), "__b")
+      .filter(col("__k") > col("__j"))
+      .groupBy(col("__i"), col("__j"), col("__k"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minCount)
+      .select(col("__i").as("item_a"), col("__j").as("item_b"),
+        col("__k").as("item_c"), col("n_abc"))
+  }
+
+  /** Isotonic regression by pool-adjacent-violators (PAV), fitted per
+    * group over pre-aggregated (x, Σv, n) points — the calibration-curve
+    * fit ("enforce that the estimated mean is nondecreasing in x"). PAV
+    * is inherently sequential IN X, so this is the one operator family
+    * that legitimately drops to the typed API: groups are independent
+    * (trivially parallel), each group's point set is bounded by the x
+    * domain (e.g. 24 hours), and `flatMapGroups` runs the exact
+    * integer-arithmetic stack pass per group — pool means compare by
+    * cross-multiplication (`sumL·nR > sumR·nL`), so no float enters the
+    * fit. Emits one row per input point with its pool's (Σv, n); equal
+    * fitted means share a pool id. */
+  def isotonicFit(points: DataFrame, groupCol: String, xCol: String,
+      sumCol: String, nCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col(groupCol).cast("string").as("g"),
+        col(xCol).cast("long").as("x"), col(sumCol).cast("long").as("s"),
+        col(nCol).cast("long").as("n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        require(pts.length <= 100000, s"group $g too wide for PAV")
+        // pool stack: (firstX, sum, n); merge while means decrease
+        val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        pts.foreach { case (_, x, s, n) =>
+          var cur = (x, s, n)
+          while (stack.nonEmpty &&
+            stack.last._2 * cur._3 > cur._2 * stack.last._3) {
+            val p = stack.remove(stack.length - 1)
+            cur = (p._1, p._2 + cur._2, p._3 + cur._3)
+          }
+          stack += cur
+        }
+        // re-emit one row per point, tagged with its pool's stats
+        val pools = stack.toArray
+        pts.iterator.map { case (_, x, _, _) =>
+          val pi = pools.lastIndexWhere(_._1 <= x)
+          (g, x, pools(pi)._1, pools(pi)._2, pools(pi)._3)
+        }
+      }
+      .toDF(groupCol, xCol, "pool_x", "pool_sum", "pool_n")
+  }
+
   /** Information-gain feature ranking: mutual information between EACH
     * candidate categorical feature and the target, from ONE unpivoted
     * scan — the feature-selection report run before training a model

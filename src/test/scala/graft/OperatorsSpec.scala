@@ -2167,6 +2167,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
 
+  test("isotonicFit: PAV pools — violation collapse, weights, identity") {
+    // [1,3,2,4] at n=1 each: 3>2 violates → pool {3,2} at mean 2.5;
+    // pools (x=0: 1/1), (x=1: 5/2), (x=3: 4/1)
+    val a = Seq(("g", 0, 1, 1), ("g", 1, 3, 1), ("g", 2, 2, 1),
+      ("g", 3, 4, 1)).toDF("g", "x", "s", "n")
+    val gotA = Transforms.isotonicFit(a, "g", "x", "s", "n")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(gotA.map(t => (t._2, t._3, t._4, t._5)).toSeq === Seq(
+      (0L, 0L, 1L, 1L), (1L, 1L, 5L, 2L), (2L, 1L, 5L, 2L),
+      (3L, 3L, 4L, 1L)))
+    // weighted merge: mean 10 then mean 1 (weight 2) → one pool 12/3;
+    // cascade must reach all the way back
+    val b = Seq(("g", 0, 10, 1), ("g", 1, 2, 2)).toDF("g", "x", "s", "n")
+    val gotB = Transforms.isotonicFit(b, "g", "x", "s", "n")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(gotB.map(t => (t._4, t._5)).toSeq === Seq((12L, 3L), (12L, 3L)))
+    // already monotone: identity, one pool per point; groups independent
+    val c = Seq(("g1", 0, 1, 1), ("g1", 1, 2, 1), ("g2", 0, 9, 1))
+      .toDF("g", "x", "s", "n")
+    val gotC = Transforms.isotonicFit(c, "g", "x", "s", "n")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(gotC.map(t => (t._1, t._4, t._5)).toSeq ===
+      Seq(("g1", 1L, 1L), ("g1", 2L, 1L), ("g2", 9L, 1L)))
+  }
+
+  test("poissonBootstrap: pinned thresholds, mean multiplicity ≈ 1") {
+    // the inverse-CDF cut points are driver-computed constants shared
+    // with the SQL twin — pin them so a drift breaks loudly
+    assert(Transforms.poissonHexThresholds ===
+      Seq("5e2d5", "bc5ab", "eb715", "fb239"))
+    val df = (1L to 2000L).toDF("id")
+    val got = Transforms.poissonBootstrap(df, col("id"), lit(1L), reps = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 8)
+    // E[multiplicity] = 1 (capped at 4: bias < 0.4%) → n_eff ≈ 2000/rep
+    val mean = got.map(_._2).sum.toDouble / (8 * 2000)
+    assert(math.abs(mean - 1.0) <= 0.03, s"mean multiplicity $mean")
+    // weighted sum of a constant 1 equals n_eff
+    assert(got.forall(r => r._2 === r._3))
+    // determinism
+    val again = Transforms.poissonBootstrap(df, col("id"), lit(1L), reps = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("infoGainRanking: perfect predictor = H(T); independent = 0") {
     // 8 rows, target t ∈ {p, q} balanced. `copy` mirrors t exactly →
     // IG = H(T) = ln 2 ≈ 0.693 nats → 693 permille. `noise` is constant →
