@@ -734,8 +734,13 @@ object Transforms {
     val stacked = df.select(
       expr(s"stack(${features.size}, $stackArgs) AS (__f, __v)"),
       col(targetCol).cast("string").as("__t"))
-    val cells = stacked.groupBy(col("__f"), col("__v"), col("__t"))
-      .agg(count(lit(1)).as("__c"))
+    // cells are |features|·|values|·|targets|-sized — materialize so the
+    // three marginal re-aggregations read THEM, not the data-sized scan
+    // (un-checkpointed, each broadcast side re-plans the full scan: 4
+    // reads of the fact table for one report)
+    val cells = Dedup.ckptLight(
+      stacked.groupBy(col("__f"), col("__v"), col("__t"))
+        .agg(count(lit(1)).as("__c")))
     val mv = cells.groupBy(col("__f"), col("__v"))
       .agg(sum(col("__c")).as("__cv"))
     val mt = cells.groupBy(col("__f"), col("__t"))

@@ -435,4 +435,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bp.split("BroadcastNestedLoopJoin").length - 1 <= 1,
       s"basket_pairs: more than the one totals-broadcast BNLJ:\n$bp")
   }
+
+  test("q21/q4: EXISTS and NOT-EXISTS stay hash semi/anti joins") {
+    for (name <- Seq("q21_waiting", "q4_priority")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name: the lateness residual demoted an equi join:\n$plan")
+      assert(plan.contains("LeftSemi"), s"$name: no semi join in:\n$plan")
+    }
+    val p21 = finalPlan(q("q21_waiting"))
+    assert(p21.contains("LeftAnti"), s"q21: NOT EXISTS lost its anti join")
+  }
+
+  test("temporal_reach: follow-up probe is the binned equi join, no BNLJ") {
+    val plan = finalPlan(q("temporal_reach"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"temporal window fell back to a non-equi join:\n$plan")
+  }
+
+  test("fs_linkage: candidates key on the block, JW only post-join") {
+    val plan = finalPlan(q("fs_linkage"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fs_linkage lost its blocking equi key:\n$plan")
+  }
+
+  test("q15/q22: max-row and stats sides come back as broadcasts") {
+    for (name <- Seq("q15_top_supplier", "q22_idle_cust")) {
+      val plan = finalPlan(q(name))
+      assert(plan.contains("BroadcastExchange"),
+        s"$name: 1-row aggregate side not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("info_gain: one unpivoted scan — marginals re-aggregate, broadcast") {
+    val plan = finalPlan(q("info_gain"))
+    // one Expand (stack) over one orders scan; marginal joins broadcast
+    assert(plan.linesIterator.count(_.trim.startsWith("Expand")) <= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // cells are checkpointed: the final plan reads the materialized cell
+    // RDD, never the fact scan (0 file scans here; the one real scan ran
+    // at checkpoint time)
+    val ordersScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("orders")).size
+    assert(ordersScans <= 1, s"info_gain re-scans orders:\n$plan")
+  }
 }
