@@ -235,6 +235,45 @@ object SparkEntry {
       graft.operators.GraphAlgos.kCore(g, "a", "b", k = 15, rounds = 4)
     }),
 
+    // cohesive-subgraph refinement: bounded k-truss peeling (k=3,
+    // 2 rounds) over the mod-300 interaction graph — edges in zero
+    // triangles peel away, survivors carry their final-graph triangle
+    // support ([[GraphAlgos.kTruss]]; oracle = the rounds unrolled, same
+    // contract as kcore).
+    "ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      graft.operators.GraphAlgos.kTruss(g, "a", "b", k = 3, rounds = 2)
+    }),
+
+    // incremental join-view maintenance: the orders⋈lineitem view
+    // refreshed from stored sides + insert deltas by the delta algebra
+    // ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB ([[Reconcile.maintainJoinView]]) — the
+    // oracle is the MONOLITHIC join of the unioned sides, so the
+    // incremental result must reproduce it exactly (each delta row
+    // matched once, no cross-term double count).
+    "ivm_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("ext_cents"))
+      val aOld = o.filter(col("o_orderkey") % 4 =!= 0)
+      val dA = o.filter(col("o_orderkey") % 4 === 0)
+      val bOld = li.filter((col("l_orderkey") * 7 + col("l_linenumber"))
+        % 3 =!= 0).drop("l_linenumber")
+      val dB = li.filter((col("l_orderkey") * 7 + col("l_linenumber"))
+        % 3 === 0).drop("l_linenumber")
+      Reconcile.maintainJoinView(aOld, dA, bOld, dB,
+          "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("ext_cents")).as("rev_cents"))
+    }),
+
     // exact 2-hop reachability census: per node of the undirected mod-300
     // interaction graph, |ball(v, 2)| (self + neighbors + 2-hop) via pair
     // expansion — one self-join + distinct, the exact tier that witnesses
@@ -5282,6 +5321,50 @@ object SparkEntry {
         |UNION ALL SELECT 2, id, n FROM w2
         |UNION ALL SELECT 3, id, n FROM w3
         |UNION ALL SELECT 4, id, n FROM w4""".stripMargin,
+
+    "ktruss" ->
+      """WITH g1 AS (
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS b
+        |  FROM lineitem
+        |  WHERE least(l_partkey % 300, l_suppkey % 300)
+        |          < greatest(l_partkey % 300, l_suppkey % 300)
+        |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+        |         + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
+        |t1 AS (SELECT x.a AS x, x.b AS y, y.b AS z FROM g1 x
+        |  JOIN g1 y ON x.b = y.a
+        |  JOIN g1 z ON z.a = x.a AND z.b = y.b),
+        |s1 AS (SELECT a, b, COUNT(*) AS n FROM (
+        |    SELECT x AS a, y AS b FROM t1
+        |    UNION ALL SELECT y, z FROM t1
+        |    UNION ALL SELECT x, z FROM t1) GROUP BY 1, 2),
+        |g2 AS (SELECT g1.a, g1.b FROM g1 JOIN s1 USING (a, b)
+        |  WHERE s1.n >= 1),
+        |t2 AS (SELECT x.a AS x, x.b AS y, y.b AS z FROM g2 x
+        |  JOIN g2 y ON x.b = y.a
+        |  JOIN g2 z ON z.a = x.a AND z.b = y.b),
+        |s2 AS (SELECT a, b, COUNT(*) AS n FROM (
+        |    SELECT x AS a, y AS b FROM t2
+        |    UNION ALL SELECT y, z FROM t2
+        |    UNION ALL SELECT x, z FROM t2) GROUP BY 1, 2),
+        |g3 AS (SELECT g2.a, g2.b FROM g2 JOIN s2 USING (a, b)
+        |  WHERE s2.n >= 1),
+        |t3 AS (SELECT x.a AS x, x.b AS y, y.b AS z FROM g3 x
+        |  JOIN g3 y ON x.b = y.a
+        |  JOIN g3 z ON z.a = x.a AND z.b = y.b),
+        |s3 AS (SELECT a, b, COUNT(*) AS n FROM (
+        |    SELECT x AS a, y AS b FROM t3
+        |    UNION ALL SELECT y, z FROM t3
+        |    UNION ALL SELECT x, z FROM t3) GROUP BY 1, 2)
+        |SELECT g3.a, g3.b, CAST(COALESCE(s3.n, 0) AS BIGINT) AS n_tri
+        |FROM g3 LEFT JOIN s3 USING (a, b)""".stripMargin,
+
+    "ivm_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "reach_2hop" ->
       """WITH g AS (SELECT DISTINCT

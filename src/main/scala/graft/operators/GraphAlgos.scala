@@ -669,6 +669,54 @@ object GraphAlgos {
         min(col("hop")).as("min_hop"))
   }
 
+  /** Bounded k-truss peeling (the edge-support sibling of [[kCore]]):
+    * repeatedly delete edges in fewer than k−2 triangles, `rounds` times
+    * — the cohesive-subgraph extraction that survives the star/hub
+    * false-positives k-core admits (a hub with many degree-1 neighbors
+    * has high degree but zero triangles). Each round enumerates
+    * triangles once via the ordered wedge join (a<b<c, every triangle
+    * counted exactly once — the [[triangleCounts]] shape), explodes each
+    * triangle to its three edges for the support aggregate, and
+    * semi-joins survivors; edge tables are checkpointed per round so
+    * lineage and join stats stay flat. Returns surviving edges with
+    * their support in the FINAL surviving graph (0 if the last deletions
+    * stranded them — bounded rounds, same contract as kCore; the oracle
+    * unrolls the identical rounds). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k=$k out of range")
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of range")
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("e1")
+        .join(e.select(col("a").as("__ya"), col("b").as("__zb")),
+          col("e1.b") === col("__ya"))
+        .join(e.select(col("a").as("__xa"), col("b").as("__xb")),
+          col("e1.a") === col("__xa") && col("__zb") === col("__xb"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("__zb").as("z"))
+      tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_tri"))
+    }
+    var e = Dedup.ckptLight(
+      edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct())
+    var r = 0
+    while (r < rounds) {
+      val surv = support(e).filter(col("n_tri") >= k - 2)
+        .select(col("a"), col("b"))
+      e = Dedup.ckptLight(e.join(surv, Seq("a", "b"), "left_semi"))
+      r += 1
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** Approximate neighborhood function (HyperBall; Boldi & Vigna 2013):
     * per hop t, the estimated total number of (node, reachable-node) pairs
     * within distance ≤ t — the sketch-propagation form of graph distance

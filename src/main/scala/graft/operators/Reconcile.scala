@@ -185,4 +185,28 @@ object Reconcile {
     val cls = classified(batch, committedState)
     cls.filter(col("op") =!= OpUnchanged).count()
   }
+
+  /** Incremental JOIN view maintenance (the join sibling of
+    * [[maintainAggState]]): given the stored sides (aOld, bOld) and
+    * insert deltas (dA, dB), the maintained view is
+    *
+    *   J_new = J_old ∪ ΔJ,   ΔJ = ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB
+    *
+    * — the standard delta algebra with the ΔA⋈ΔB cross term folded into
+    * the first join, so each delta row is matched exactly once. The
+    * incremental cost is the two DELTA-sided joins: at scale J_old is a
+    * stored materialization and never recomputed, deltas are
+    * batch-sized, and every join hashes on the same view key, so a
+    * bucketed J_old co-partitions with its own refresh. Here J_old is
+    * computed too (there is no store between bench runs), which makes
+    * the algebra CHECKABLE: the result must equal the monolithic join of
+    * the unioned sides — that equation is the oracle. */
+  def maintainJoinView(aOld: DataFrame, dA: DataFrame,
+      bOld: DataFrame, dB: DataFrame,
+      aKey: String, bKey: String): DataFrame = {
+    val jOld = aOld.join(bOld, col(aKey) === col(bKey))
+    val deltaA = dA.join(bOld.union(dB), col(aKey) === col(bKey))
+    val deltaB = aOld.join(dB, col(aKey) === col(bKey))
+    jOld.union(deltaA).union(deltaB)
+  }
 }

@@ -2167,6 +2167,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
 
+  test("kTruss: K4 survives, pendants peel, deletions cascade across rounds") {
+    import graft.operators.GraphAlgos
+    // K4 (every edge in 2 triangles) + pendant 4-5: k=3 keeps K4 with
+    // support 2, drops the pendant in round 1
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) :+
+      ((4L, 5L))
+    val got = GraphAlgos.kTruss(k4.toDF("s", "d"), "s", "d", k = 3,
+        rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toSeq)
+    assert(got.forall(_._3 === 2L))
+    // cascade: two triangles sharing edge (2,3) — at k=4 only (2,3) has
+    // support 2, survives round 1, then its triangles are gone → round 2
+    // deletes it too: empty truss (a 1-round bound would miss this)
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+    assert(GraphAlgos.kTruss(chain.toDF("s", "d"), "s", "d", k = 4,
+      rounds = 2).count() === 0L)
+    assert(GraphAlgos.kTruss(chain.toDF("s", "d"), "s", "d", k = 4,
+      rounds = 1).count() === 1L)
+  }
+
+  test("maintainJoinView: delta algebra equals the monolithic join") {
+    import graft.operators.Reconcile
+    val aOld = Seq((1L, "p1"), (2L, "p2")).toDF("ak", "attr")
+    val dA = Seq((3L, "p3")).toDF("ak", "attr")
+    val bOld = Seq((1L, 10L), (3L, 30L)).toDF("bk", "v")
+    val dB = Seq((2L, 20L), (3L, 31L)).toDF("bk", "v")
+    val inc = Reconcile.maintainJoinView(aOld, dA, bOld, dB, "ak", "bk")
+      .select("ak", "attr", "v").as[(Long, String, Long)].collect().sorted
+    val mono = aOld.union(dA).join(bOld.union(dB), col("ak") === col("bk"))
+      .select("ak", "attr", "v").as[(Long, String, Long)].collect().sorted
+    assert(inc.toSeq === mono.toSeq)
+    assert(inc.length === 4) // (1,10) (2,20) (3,30) (3,31) — no dup, no loss
+  }
+
   test("isotonicFit: PAV pools — violation collapse, weights, identity") {
     // [1,3,2,4] at n=1 each: 3>2 violates → pool {3,2} at mean 2.5;
     // pools (x=0: 1/1), (x=1: 5/2), (x=3: 4/1)
