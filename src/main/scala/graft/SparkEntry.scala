@@ -1263,6 +1263,22 @@ object SparkEntry {
             .as("rows_at_risk"),
           min(col("__cnt")).as("min_group"))),
 
+    // robust two-way decomposition: Tukey median polish (2 rounds) of the
+    // nation × segment revenue grid — alternating LOWER-median sweeps
+    // isolate outlier cells in the residual term instead of smearing them
+    // across row/column means ([[Transforms.medianPolish]] — exact
+    // integer rank-pick medians, grid-sized windows, oracle = the sweeps
+    // unrolled).
+    "median_polish" -> ((s, dir) => {
+      val grid = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      Transforms.medianPolish(grid, "c_nationkey", "c_mktsegment",
+        "rev_cents", rounds = 2)
+    }),
+
     // l-diversity census — kanon_risk's sibling on the SENSITIVE axis:
     // within each (nation, segment) quasi-identifier group, how many
     // distinct $1000 balance bands appear; groups with l < 3 would let an
@@ -5279,6 +5295,40 @@ object SparkEntry {
         |    AS rows_at_risk,
         |  MIN(cnt) AS min_group
         |FROM g""".stripMargin,
+
+    "median_polish" ->
+      """WITH g0 AS (SELECT c_nationkey AS r, c_mktsegment AS c,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rm1 AS (SELECT r, v AS m FROM (
+        |    SELECT r, v, ROW_NUMBER() OVER (PARTITION BY r ORDER BY v, c)
+        |      AS rn, COUNT(*) OVER (PARTITION BY r) AS n FROM g0)
+        |  WHERE rn = (n + 1) // 2),
+        |g1 AS (SELECT g0.r, g0.c, g0.v - rm1.m AS v, rm1.m AS re,
+        |    CAST(0 AS BIGINT) AS ce FROM g0 JOIN rm1 USING (r)),
+        |cm1 AS (SELECT c, v AS m FROM (
+        |    SELECT c, v, ROW_NUMBER() OVER (PARTITION BY c ORDER BY v, r)
+        |      AS rn, COUNT(*) OVER (PARTITION BY c) AS n FROM g1)
+        |  WHERE rn = (n + 1) // 2),
+        |g2 AS (SELECT g1.r, g1.c, g1.v - cm1.m AS v, g1.re,
+        |    g1.ce + cm1.m AS ce FROM g1 JOIN cm1 USING (c)),
+        |rm2 AS (SELECT r, v AS m FROM (
+        |    SELECT r, v, ROW_NUMBER() OVER (PARTITION BY r ORDER BY v, c)
+        |      AS rn, COUNT(*) OVER (PARTITION BY r) AS n FROM g2)
+        |  WHERE rn = (n + 1) // 2),
+        |g3 AS (SELECT g2.r, g2.c, g2.v - rm2.m AS v, g2.re + rm2.m AS re,
+        |    g2.ce FROM g2 JOIN rm2 USING (r)),
+        |cm2 AS (SELECT c, v AS m FROM (
+        |    SELECT c, v, ROW_NUMBER() OVER (PARTITION BY c ORDER BY v, r)
+        |      AS rn, COUNT(*) OVER (PARTITION BY c) AS n FROM g3)
+        |  WHERE rn = (n + 1) // 2),
+        |g4 AS (SELECT g3.r, g3.c, g3.v - cm2.m AS v, g3.re,
+        |    g3.ce + cm2.m AS ce FROM g3 JOIN cm2 USING (c))
+        |SELECT r AS c_nationkey, c AS c_mktsegment,
+        |  CAST(v AS BIGINT) AS resid, CAST(re AS BIGINT) AS row_eff,
+        |  CAST(ce AS BIGINT) AS col_eff
+        |FROM g4""".stripMargin,
 
     "l_diversity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,

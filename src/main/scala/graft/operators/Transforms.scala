@@ -595,6 +595,57 @@ object Transforms {
         col("v").as(valCol), col("pooled_v").as("norm_" + valCol))
   }
 
+  /** Tukey median polish (bounded rounds): the robust two-way
+    * decomposition x_ij ≈ overall + row_i + col_j + resid_ij, fitted by
+    * alternately sweeping out row and column LOWER medians — outlier
+    * cells perturb the additive fit not at all, where the mean-based
+    * two-way ANOVA fit smears them across a whole row and column. The
+    * classic EDA screen before trusting any (dimension × dimension)
+    * aggregate table.
+    *
+    * All arithmetic is exact integers: the lower median is a rank pick
+    * (row_number = (n+1) DIV 2 under the (value, crossing-key) total
+    * order — n odd → true middle, n even → lower middle), never an
+    * interpolated float, so the unrolled-CTE oracle reproduces every
+    * subtraction bit-for-bit.
+    *
+    * Scale shape: this runs on an ALREADY-AGGREGATED |rows|×|cols| grid
+    * (the data-sized work happened in the feeding aggregate); each round
+    * is two window passes + two broadcast joins over grid-sized frames.
+    * Returns one row per cell: (row, col, resid, row_eff, col_eff) with
+    * effects accumulated across rounds. */
+  def medianPolish(grid: DataFrame, rowCol: String, colCol: String,
+      valCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, s"rounds=$rounds out of range")
+    def lowerMedian(df: DataFrame, part: String, tie: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("__v").asc, col(tie).asc)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(part))))
+        .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+        .select(col(part), col("__v").as(out))
+    }
+    var cur = grid.select(col(rowCol).as("__r"), col(colCol).as("__c"),
+      col(valCol).cast("long").as("__v"))
+      .withColumn("__re", lit(0L)).withColumn("__ce", lit(0L))
+    var i = 0
+    while (i < rounds) {
+      val rm = lowerMedian(cur, "__r", "__c", "__rm")
+      cur = cur.join(broadcast(rm), "__r")
+        .select(col("__r"), col("__c"), (col("__v") - col("__rm")).as("__v"),
+          (col("__re") + col("__rm")).as("__re"), col("__ce"))
+      val cm = lowerMedian(cur, "__c", "__r", "__cm")
+      cur = cur.join(broadcast(cm), "__c")
+        .select(col("__r"), col("__c"), (col("__v") - col("__cm")).as("__v"),
+          col("__re"), (col("__ce") + col("__cm")).as("__ce"))
+      i += 1
+    }
+    cur.select(col("__r").as(rowCol), col("__c").as(colCol),
+      col("__v").as("resid"), col("__re").as("row_eff"),
+      col("__ce").as("col_eff"))
+  }
+
   /** Poisson bootstrap replicate statistics (the scalable bootstrap:
     * instead of resampling n rows B times — impossible distributed — each
     * row independently joins replicate b with a Poisson(1) multiplicity,

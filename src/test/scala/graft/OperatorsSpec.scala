@@ -2167,6 +2167,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
 
+  test("medianPolish: outlier isolated in one residual cell") {
+    // 2×2 grid [[1,2],[3,40]]: row lower-medians (1,3) sweep out, then
+    // col (0,1) — the 40 outlier lands ENTIRELY in its own residual
+    // (r2,cB → 36); round 2 is a no-op on this grid (fixpoint)
+    val g = Seq(("r1", "cA", 1L), ("r1", "cB", 2L),
+      ("r2", "cA", 3L), ("r2", "cB", 40L)).toDF("r", "c", "v")
+    val got = Transforms.medianPolish(g, "r", "c", "v", rounds = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      ("r1", "cA", 0L, 1L, 0L), ("r1", "cB", 0L, 1L, 1L),
+      ("r2", "cA", 0L, 3L, 0L), ("r2", "cB", 36L, 3L, 1L)))
+    // decomposition invariant: v = row_eff + col_eff + resid, every cell
+    got.foreach { case (r, c, resid, re, ce) =>
+      val orig = Map(("r1", "cA") -> 1L, ("r1", "cB") -> 2L,
+        ("r2", "cA") -> 3L, ("r2", "cB") -> 40L)((r, c))
+      assert(orig === re + ce + resid, s"cell ($r,$c)")
+    }
+  }
+
   test("kTruss: K4 survives, pendants peel, deletions cascade across rounds") {
     import graft.operators.GraphAlgos
     // K4 (every edge in 2 triangles) + pendant 4-5: k=3 keeps K4 with
