@@ -1279,6 +1279,28 @@ object SparkEntry {
         "rev_cents", rounds = 2)
     }),
 
+    // threshold-free scorer evaluation: exact ROC-AUC of the quality
+    // score as an English-document ranker, by integer rank sums with
+    // midrank ties ([[Transforms.rankAuc]] — histogram collapse first,
+    // rank math over |distinct scores| rows).
+    "auc_quality" -> ((s, dir) =>
+      Transforms.rankAuc(t(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")), col("lang") === "en")),
+
+    // contamination span forensics: for train×test 8-gram-sharing pairs
+    // (decontaminate's split), the LONGEST shared consecutive token run
+    // via the diagonal-islands construction
+    // ([[Dedup.contaminationSpans]] — one n-gram equi-join, islands from
+    // pos − row_number, no pairwise alignment).
+    "overlap_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = substring(md5(col("text")), 1, 1)
+      Dedup.contaminationSpans(
+        d.filter(h < "c").select(col("doc_id"), col("text")),
+        d.filter(h >= "e").select(col("doc_id"), col("text")),
+        "text", "doc_id", n = 8)
+    }),
+
     // l-diversity census — kanon_risk's sibling on the SENSITIVE axis:
     // within each (nation, segment) quasi-identifier group, how many
     // distinct $1000 balance bands appear; groups with l < 3 would let an
@@ -5295,6 +5317,46 @@ object SparkEntry {
         |    AS rows_at_risk,
         |  MIN(cnt) AS min_group
         |FROM g""".stripMargin,
+
+    "auc_quality" ->
+      s"""WITH sc AS (SELECT $qualityExpr AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+        |h AS (SELECT s, CAST(SUM(p) AS BIGINT) AS np,
+        |    CAST(SUM(1 - p) AS BIGINT) AS nn FROM sc GROUP BY 1),
+        |c AS (SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumneg FROM h)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * (2 * cumneg + nn)) * 1000000
+        |    // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_ppm
+        |FROM c""".stripMargin,
+
+    "overlap_spans" ->
+      """WITH sp AS (SELECT doc_id, substr(md5(text), 1, 1) AS h,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, h, unnest(
+        |    [{'p': i, 's': w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+        |      ||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]}
+        |     for i in range(1, greatest(len(w) - 6, 1))]) AS u
+        |  FROM sp),
+        |tr AS (SELECT doc_id AS train_id, u.p AS ti, u.s AS s
+        |  FROM g WHERE h < 'c'),
+        |be AS (SELECT doc_id AS bench_id, u.p AS bi, u.s AS s
+        |  FROM g WHERE h >= 'e'),
+        |m AS (SELECT train_id, bench_id, ti, ti - bi AS diag
+        |  FROM tr JOIN be USING (s)),
+        |runs AS (SELECT train_id, bench_id, diag, grp, COUNT(*) AS run
+        |  FROM (SELECT train_id, bench_id, diag, ti,
+        |      ti - ROW_NUMBER() OVER (PARTITION BY train_id, bench_id,
+        |        diag ORDER BY ti) AS grp FROM m)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT train_id, bench_id,
+        |  CAST(MAX(run) + 7 AS BIGINT) AS max_overlap_tokens,
+        |  CAST(SUM(run) AS BIGINT) AS n_matched_shingles,
+        |  COUNT(*) AS n_runs
+        |FROM runs GROUP BY 1, 2""".stripMargin,
 
     "median_polish" ->
       """WITH g0 AS (SELECT c_nationkey AS r, c_mktsegment AS c,

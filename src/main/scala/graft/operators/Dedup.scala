@@ -723,6 +723,56 @@ object Dedup {
       .select("a", "b", "jacc_permille")
   }
 
+  /** Contamination SPAN forensics — the follow-up to
+    * [[benchmarkContamination]]'s "which pairs share an n-gram": HOW MUCH
+    * is shared, as the longest consecutive token run per (train, bench)
+    * pair. Classic diagonal-islands construction: positioned n-grams
+    * matched across the pair lie on diagonal d = trainPos − benchPos, and
+    * a run of L consecutive matched n-grams on one diagonal is a shared
+    * span of L + n − 1 tokens; islands fall out of the
+    * `pos − row_number()` grouping trick, so the whole thing is one
+    * equi-join on the n-gram plus two bounded aggregates — no pairwise
+    * alignment, no quadratic stage.
+    *
+    * Scale: the join keys on the n-gram string, and only MATCHED
+    * positions flow past it (benchmark contamination is sparse by
+    * construction); the islands window partitions by (pair, diagonal) —
+    * span-sized partitions. */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def posShingles(df: DataFrame): DataFrame = {
+      val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(col("id"))
+        .select(col("id"),
+          posexplode(split(lower(trim(col("__text"))), "\\s+"))
+            .as(Seq("pos", "w0")))
+      val wspec = Window.partitionBy("id").orderBy("pos")
+      val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
+      tok.select(col("id") +: col("pos") +: (col("w0") +: leads): _*)
+        .filter(col(s"w${n - 1}").isNotNull)
+        .select(col("id"), col("pos"),
+          concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"))
+    }
+    val tr = posShingles(train).select(col("id").as("train_id"),
+      col("pos").as("ti"), col("s"))
+    val be = posShingles(bench).select(col("id").as("bench_id"),
+      col("pos").as("bi"), col("s"))
+    val m = tr.join(be, "s")
+      .select(col("train_id"), col("bench_id"), col("ti"),
+        (col("ti") - col("bi")).as("diag"))
+    val w = Window.partitionBy("train_id", "bench_id", "diag")
+      .orderBy("ti")
+    m.withColumn("__grp", col("ti") - row_number().over(w))
+      .groupBy(col("train_id"), col("bench_id"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg((max(col("__run")) + lit((n - 1).toLong))
+          .as("max_overlap_tokens"),
+        sum(col("__run")).as("n_matched_shingles"),
+        count(lit(1)).as("n_runs"))
+  }
+
   /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
     * Sunter 1969) over blocked candidate pairs: each comparison field
     * contributes its log-likelihood-ratio weight — ln(m/u) on agreement,

@@ -595,6 +595,32 @@ object Transforms {
         col("v").as(valCol), col("pooled_v").as("norm_" + valCol))
   }
 
+  /** Exact ROC-AUC by rank sums (Mann–Whitney U with midrank tie
+    * handling), in pure integers — the threshold-free "does this score
+    * actually rank positives above negatives" check run on every quality
+    * scorer before its cutoffs are trusted. Works from the per-score
+    * HISTOGRAM, so the data-sized pass is one map-side-combined count
+    * aggregate; the rank math runs over |distinct scores| rows (the ONE
+    * unpartitioned window, on a domain-bounded frame — documented
+    * single-partition cost, same posture as quantile_normalize). Ties
+    * contribute the standard ½ via doubled numerators: 2·Σ np(s)·(2·
+    * negBelow(s) + nn(s)) stays integral, and AUC emits as ppm FLOOR
+    * division — no float ever forms. */
+  def rankAuc(df: DataFrame, score: Column, isPos: Column): DataFrame = {
+    val hist = df.select(score.as("__s"),
+        when(isPos, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__p")).as("np"), sum(lit(1L) - col("__p")).as("nn"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("__cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("__cumneg") + col("nn")))
+          .as("__num2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("1000000 * __num2 DIV (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
   /** Tukey median polish (bounded rounds): the robust two-way
     * decomposition x_ij ≈ overall + row_i + col_j + resid_ij, fitted by
     * alternately sweeping out row and column LOWER medians — outlier

@@ -2167,6 +2167,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
 
+  test("contaminationSpans: diagonal islands find the exact shared run") {
+    // train "a b c d e f" vs bench "x b c d e y" share "b c d e": three
+    // consecutive matched bigrams on one diagonal → span 3 + (2-1) = 4
+    val train = Seq((1L, "a b c d e f"), (2L, "p q")).toDF("doc_id", "text")
+    val bench = Seq((10L, "x b c d e y")).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, bench, "text", "doc_id", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 10L, 4L, 3L, 1L)))
+    // two separate runs: shared "a b" and (later, different offset)
+    // "e f" → two islands, max span 2, 2 matched bigrams
+    val t2 = Seq((3L, "a b z z z e f")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "a b q e f")).toDF("doc_id", "text")
+    val got2 = Dedup.contaminationSpans(t2, b2, "text", "doc_id", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got2.toSeq === Seq((3L, 20L, 2L, 2L, 2L)))
+    // disjoint texts → no row at all
+    assert(Dedup.contaminationSpans(
+      Seq((4L, "m n o")).toDF("doc_id", "text"),
+      Seq((30L, "u v w")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 2).count() === 0L)
+  }
+
+  test("rankAuc: perfect / reversed / all-tied orderings, exact ppm") {
+    val mk = (rows: Seq[(Long, Boolean)]) =>
+      Transforms.rankAuc(rows.toDF("s", "pos"), col("s"), col("pos"))
+        .as[(Long, Long, Long)].collect().head
+    // perfect separation → 1.0
+    assert(mk(Seq((3L, true), (4L, true), (1L, false), (2L, false))) ===
+      ((2L, 2L, 1000000L)))
+    // reversed → 0.0
+    assert(mk(Seq((1L, true), (2L, false))) === ((1L, 1L, 0L)))
+    // everything tied → exactly 0.5 (midrank convention)
+    assert(mk(Seq((5L, true), (5L, true), (5L, false), (5L, false))) ===
+      ((2L, 2L, 500000L)))
+    // mixed with a tie: pos {2,3}, neg {1,2} → U = 1·(pos2 vs neg1) +
+    // ½·(pos2 vs neg2) + 2·(pos3 above both)/… = (2·1+1 + 2·2+0)/?
+    // exact: num2 = np(2)*1·(2·1+1) + np(3)*1·(2·2+0) = 3 + 4 = 7 →
+    // 7·1e6 // 8 = 875000
+    assert(mk(Seq((2L, true), (3L, true), (1L, false), (2L, false))) ===
+      ((2L, 2L, 875000L)))
+  }
+
   test("medianPolish: outlier isolated in one residual cell") {
     // 2×2 grid [[1,2],[3,40]]: row lower-medians (1,3) sweep out, then
     // col (0,1) — the 40 outlier lands ENTIRELY in its own residual
