@@ -1652,6 +1652,34 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // ANN ranking quality: NDCG@5 of the LSH tier against brute-force
+    // ground truth (binary relevance, rank discounts 1/log2(i+1) as
+    // DRIVER-computed micro literals shared with the twin — no log runs
+    // on either engine). The evaluation that justifies shipping the
+    // approximate tier: blocking_recall's question, asked of ANN.
+    "ann_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 10)
+      val c = emb.filter(col("id") >= 10)
+      val truth = Similarity.bruteForceTopK(q, c, 5)
+        .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_permille").desc, col("nid").asc)
+      val ranked = Similarity.annTopK(q, c, 5)
+        .withColumn("rk", row_number().over(w))
+      val d = ndcgDiscountsMicro
+      val disc = (1 to 5).map(i =>
+        when(col("rk") === i && (col("__hit") <=> 1L), lit(d(i - 1)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      ranked.join(truth, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(disc).as("dcg_micro"))
+        .withColumn("ndcg_ppm",
+          expr(s"dcg_micro * 1000000 DIV ${d.sum}"))
+    }),
+
     // mutual (reciprocal) top-3 cosine neighbors within a mod-4 vector
     // subset — the high-precision near-dup filter
     // ([[Similarity.reciprocalTopK]]; each unordered pair scored once,
@@ -6452,6 +6480,8 @@ object SparkEntry {
 
     "ann_lsh" -> annLshSql,
 
+    "ann_ndcg" -> annNdcgSql,
+
     "dedup_embed_lsh" -> dedupEmbedLshSql,
 
     "lang_id" -> langIdSql,
@@ -7516,6 +7546,56 @@ object SparkEntry {
   /** DuckDB oracle for `ann_lsh` ([[Similarity.annTopK]]): corpus bucket
     * equi-join against the query's own bucket plus its 6 Hamming-1 probes
     * (bucket XOR 1<<p), then per-query top-5. */
+  /** NDCG rank discounts 1/log2(i+1) for ranks 1..5, in micros — computed
+    * ONCE here; both the engine and the SQL twin consume the literals. */
+  private[graft] def ndcgDiscountsMicro: Seq[Long] =
+    (1 to 5).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2))))
+
+  /** Oracle twin of `ann_ndcg`: both pipelines (brute-force truth, LSH
+    * ranking) restated in SQL, hits discounted by the shared literals. */
+  private def annNdcgSql: String = {
+    val d = ndcgDiscountsMicro
+    val caseD = s"""CASE r.rn WHEN 1 THEN ${d(0)} WHEN 2 THEN ${d(1)}
+      | WHEN 3 THEN ${d(2)} WHEN 4 THEN ${d(3)} WHEN 5 THEN ${d(4)}
+      | ELSE 0 END""".stripMargin
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      |tq AS (SELECT id AS qid, v AS qv FROM base WHERE id < 10),
+      |tc AS (SELECT id AS nid, v AS nv FROM base WHERE id >= 10),
+      |bscored AS (SELECT qid, nid,
+      |  CAST(round(list_dot_product(qv, nv) /
+      |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))
+      |    * 1000.0, 0) AS BIGINT) AS cos_permille
+      |  FROM tc, tq),
+      |truth AS (SELECT qid, nid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM bscored)
+      |  WHERE rn <= 5),
+      |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2,
+      |   ${bucketExpr("v")} AS qb FROM base WHERE id < 10),
+      |qp AS (SELECT qid, qv, qn2, xor(qb, m) AS bucket
+      |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m)),
+      |c AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2,
+      |   ${bucketExpr("v")} AS bucket FROM base WHERE id >= 10),
+      |ascored AS (SELECT qid, nid,
+      |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+      |    * 1000.0, 0) AS BIGINT) AS cos_permille
+      |  FROM c JOIN qp USING (bucket) WHERE qid <> nid),
+      |ranked AS (SELECT qid, nid, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM ascored)
+      |  WHERE rn <= 5),
+      |dcg AS (SELECT r.qid AS qid,
+      |  CAST(SUM(CASE WHEN t.nid IS NOT NULL THEN $caseD ELSE 0 END)
+      |    AS BIGINT) AS dcg_micro
+      |  FROM ranked r LEFT JOIN truth t
+      |    ON r.qid = t.qid AND r.nid = t.nid
+      |  GROUP BY 1)
+      |SELECT qid, dcg_micro,
+      |  CAST(dcg_micro * 1000000 // ${d.sum} AS BIGINT) AS ndcg_ppm
+      |FROM dcg""".stripMargin
+  }
+
   private def annLshSql: String =
     s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
