@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects exactly $n argument(s), got ${children.size}")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: point-in-interval theta joins → binned equi-joins
+    // (OFF unless spark.graft.rangeJoin.binWidth is set; see
+    // [[graft.plans.RangeJoinBinning]])
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+
     register(e, "crc32q", { children =>
       arity("crc32q", 1)(children)
       Crc32QExpression(children.head)
