@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Transforms}
+
+/** Property-style adversarial checks: operators vs INDEPENDENT naive
+  * reference implementations on randomized inputs. ScalaCheck drives the
+  * pure-expression properties (fixed initial seed — deterministic);
+  * Spark-backed operators get seeded-Random batches folded into ONE
+  * operator call so the suite stays fast. */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def checkProp(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(Seed(0xC0FFEE42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("crc32q: table-driven implementation == bit-serial reference") {
+    // independent reference: no table, one bit at a time (reflected
+    // CRC, poly 0xD5828281, init/xorout 0xFFFFFFFF)
+    def bitSerial(bytes: Array[Byte]): Long = {
+      var crc = 0xFFFFFFFF
+      bytes.foreach { b =>
+        crc ^= (b & 0xFF)
+        var j = 0
+        while (j < 8) {
+          crc = if ((crc & 1) != 0) (crc >>> 1) ^ 0xD5828281 else crc >>> 1
+          j += 1
+        }
+      }
+      (crc ^ 0xFFFFFFFF).toLong & 0xFFFFFFFFL
+    }
+    checkProp(Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) {
+      bs =>
+        val arr = bs.toArray
+        graft.functions.Crc32Q.compute(arr) == bitSerial(arr)
+    }, n = 300)
+  }
+
+  test("rankAuc == quadratic pair count with midrank ties, random inputs") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 12).foreach { _ =>
+      val n = 4 + rnd.nextInt(20)
+      // small score domain → plenty of ties
+      val rows = (0 until n).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // naive doubled numerator: 2·[s+ > s−] + 1·[s+ = s−]
+        val num2 = (for (p <- pos; q <- neg) yield {
+          if (p > q) 2L else if (p == q) 1L else 0L
+        }).sum
+        val expect = num2 * 1000000L / (2L * pos.length * neg.length)
+        val got = Transforms.rankAuc(rows.toDF("s", "pos"),
+            col("s"), col("pos"))
+          .as[(Long, Long, Long)].collect().head
+        assert(got === ((pos.length.toLong, neg.length.toLong, expect)),
+          s"rows=$rows")
+      }
+    }
+  }
+
+  test("isotonicFit: monotone pool means, mass preserved, pools maximal") {
+    val rnd = new scala.util.Random(7L)
+    val pts = (0 until 30).flatMap { g =>
+      val k = 2 + rnd.nextInt(18)
+      (0 until k).map(x =>
+        (s"g$g", x.toLong, (rnd.nextInt(2001) - 1000).toLong,
+          1L + rnd.nextInt(5)))
+    }
+    val got = Transforms.isotonicFit(pts.toDF("g", "x", "s", "n"),
+        "g", "x", "s", "n")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byG = got.groupBy(_._1)
+    val inByG = pts.groupBy(_._1)
+    byG.foreach { case (g, rows) =>
+      val pools = rows.map(r => (r._3, r._4, r._5)).distinct
+        .sortBy(_._1) // (pool_x, sum, n)
+      // adjacent pool means STRICTLY increasing (else PAV would merge)
+      pools.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, n2)) =>
+          assert(s1 * n2 < s2 * n1, s"$g: non-maximal pools $pools")
+        case _ =>
+      }
+      // mass preservation: pool (sum, n) equals its members' totals
+      val in = inByG(g)
+      assert(pools.map(_._2).sum === in.map(_._3).sum, s"$g sum")
+      assert(pools.map(_._3).sum === in.map(_._4).sum, s"$g n")
+      // every input x appears exactly once
+      assert(rows.map(_._2).sorted.toSeq === in.map(_._2).sorted.toSeq)
+    }
+  }
+
+  test("contaminationSpans == naive quadratic longest-run, random docs") {
+    val rnd = new scala.util.Random(99L)
+    val alpha = Vector("a", "b", "c", "d")
+    def doc(len: Int): String =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" ")
+    val trains = (1L to 8L).map(i => (i, doc(6 + rnd.nextInt(20))))
+    val benches = (101L to 106L).map(i => (i, doc(6 + rnd.nextInt(20))))
+    val n = 3
+    val got = Dedup.contaminationSpans(trains.toDF("doc_id", "text"),
+        benches.toDF("doc_id", "text"), "text", "doc_id", n)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // naive: all (i, j) n-gram matches, longest run scanned per diagonal
+    def grams(s: String): Vector[String] = {
+      val w = s.split("\\s+").toVector
+      (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toVector
+    }
+    for ((tid, ttext) <- trains; (bid, btext) <- benches) {
+      val tg = grams(ttext); val bg = grams(btext)
+      val matches = for {
+        i <- tg.indices; j <- bg.indices if tg(i) == bg(j)
+      } yield (i, j)
+      if (matches.isEmpty) assert(!got.contains((tid, bid)))
+      else {
+        val runs = matches.groupBy { case (i, j) => i - j }.values.map {
+          ms =>
+            val is = ms.map(_._1).sorted
+            // longest consecutive i stretch on this diagonal
+            is.foldLeft((0, 0, -99)) { case ((best, cur, prev), i) =>
+              val c = if (i == prev + 1) cur + 1 else 1
+              (math.max(best, c), c, i)
+            }._1
+        }
+        val naive = (runs.max.toLong + (n - 1),
+          matches.length.toLong,
+          matches.groupBy { case (i, j) => i - j }.values
+            .map { ms =>
+              val is = ms.map(_._1).sorted
+              is.zipWithIndex.map { case (i, k) => i - k }.distinct.length
+            }.sum.toLong)
+        assert(got((tid, bid)) === naive, s"pair ($tid,$bid)")
+      }
+    }
+  }
+}
