@@ -1301,6 +1301,22 @@ object SparkEntry {
         "text", "doc_id", n = 8)
     }),
 
+    // set-operator surface: INTERSECT / EXCEPT (distinct semantics) over
+    // per-segment (nation, $2000-balance-band) profiles — Spark plans
+    // both as aggregated semi/anti joins; the twin uses the SQL operators
+    // directly.
+    "set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val prof = (m: String) => c.filter(col("c_mktsegment") === m)
+        .select(col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) DIV 200000")
+            .as("bal_band"))
+      prof("BUILDING").intersect(prof("MACHINERY"))
+        .withColumn("op", lit("intersect"))
+        .union(prof("BUILDING").except(prof("MACHINERY"))
+          .withColumn("op", lit("except")))
+    }),
+
     // l-diversity census — kanon_risk's sibling on the SENSITIVE axis:
     // within each (nation, segment) quasi-identifier group, how many
     // distinct $1000 balance bands appear; groups with l < 3 would let an
@@ -5419,6 +5435,19 @@ object SparkEntry {
         |  CAST(v AS BIGINT) AS resid, CAST(re AS BIGINT) AS row_eff,
         |  CAST(ce AS BIGINT) AS col_eff
         |FROM g4""".stripMargin,
+
+    "set_ops" ->
+      """WITH b AS (SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) // 200000 AS bal_band
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |m AS (SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) // 200000 AS bal_band
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_nationkey, bal_band, 'intersect' AS op
+        |  FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+        |UNION ALL
+        |SELECT c_nationkey, bal_band, 'except' AS op
+        |  FROM (SELECT * FROM b EXCEPT SELECT * FROM m)""".stripMargin,
 
     "l_diversity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
