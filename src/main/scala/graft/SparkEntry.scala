@@ -1301,6 +1301,22 @@ object SparkEntry {
         "text", "doc_id", n = 8)
     }),
 
+    // heap-aggregate top-k: top-3 orders per priority via the native
+    // bounded-buffer aggregate ([[graft.functions.TopKAgg]]) — the
+    // scale-side twin of `topk_per_group`: state is k pairs per group,
+    // so the exchange moves buffers, not rows (plan-pinned: no Window,
+    // no sort before the shuffle).
+    "topk_heap" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(
+          cents(col("o_totalprice")), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("rk0", "e")))
+        .select(col("o_orderpriority"),
+          (col("rk0") + 1).cast("long").as("rk"),
+          col("e.v").as("total_cents"), col("e.id").as("o_orderkey"))),
+
     // set-operator surface: INTERSECT / EXCEPT (distinct semantics) over
     // per-segment (nation, $2000-balance-band) profiles — Spark plans
     // both as aggregated semi/anti joins; the twin uses the SQL operators
@@ -5435,6 +5451,17 @@ object SparkEntry {
         |  CAST(v AS BIGINT) AS resid, CAST(re AS BIGINT) AS row_eff,
         |  CAST(ce AS BIGINT) AS col_eff
         |FROM g4""".stripMargin,
+
+    "topk_heap" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk,
+        |  v AS total_cents, o_orderkey
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*100, 0) AS BIGINT) DESC,
+        |        o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3""".stripMargin,
 
     "set_ops" ->
       """WITH b AS (SELECT c_nationkey,

@@ -2167,6 +2167,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got3.toSeq === Seq((1, 7L, 2L)))
   }
 
+  test("TopKAgg: ties, k>n, partial-merge stability across partitions") {
+    import graft.functions.TopKAgg
+    // (v desc, id asc): ties at v=5 keep the SMALLER id first; group B
+    // has fewer rows than k
+    val df = Seq(("A", 5L, 2L), ("A", 5L, 1L), ("A", 7L, 9L),
+      ("A", 3L, 0L), ("A", 7L, 10L), ("B", 1L, 4L))
+      .toDF("g", "v", "id").repartition(4) // force partial buffers + merge
+    val got = df.groupBy("g")
+      .agg(TopKAgg.topK(col("v"), col("id"), 3).as("t"))
+      .select(col("g"), expr("t.v").as("vs"), expr("t.id").as("ids"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("A") === ((Seq(7L, 7L, 5L), Seq(9L, 10L, 1L))))
+    assert(got("B") === ((Seq(1L), Seq(4L))))
+    // determinism under re-run (merge order must not matter)
+    val again = df.groupBy("g")
+      .agg(TopKAgg.topK(col("v"), col("id"), 3).as("t"))
+      .select(col("g"), expr("t.v"), expr("t.id"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again === got)
+    // random cross-check vs sort-take, with k smaller than every group
+    val rnd = new scala.util.Random(5L)
+    val rows = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong, rnd.nextLong().abs))
+    val big = rows.toDF("g", "v", "id").repartition(8)
+    val heap = big.groupBy("g")
+      .agg(TopKAgg.topK(col("v"), col("id"), 5).as("t"))
+      .select(col("g"), expr("t.v").as("vs"), expr("t.id").as("ids"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> r._2.zip(r._3)).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val expect = grp.map(t => (t._2, t._3))
+        .sortBy { case (v, id) => (-v, id) }.take(5)
+      assert(heap(g).toSeq === expect, s"group $g")
+    }
+  }
+
   test("contaminationSpans: diagonal islands find the exact shared run") {
     // train "a b c d e f" vs bench "x b c d e y" share "b c d e": three
     // consecutive matched bigrams on one diagonal → span 3 + (2-1) = 4

@@ -471,6 +471,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_heap: buffer aggregate, no window and no pre-shuffle sort") {
+    val plan = finalPlan(q("topk_heap"))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"topk_agg lost its imperative-aggregate plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"topk_heap must not fall back to a window rank:\n$plan")
+    // partial aggregate runs BEFORE the exchange: only k-pair buffers
+    // shuffle (the whole point vs topk_per_group)
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val aggIdx = plan.lastIndexOf("ObjectHashAggregate")
+    assert(exIdx >= 0 && aggIdx > exIdx,
+      s"no map-side partial aggregate below the exchange:\n$plan")
+  }
+
   test("info_gain: one unpivoted scan — marginals re-aggregate, broadcast") {
     val plan = finalPlan(q("info_gain"))
     // one Expand (stack) over one orders scan; marginal joins broadcast
