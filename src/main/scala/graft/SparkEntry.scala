@@ -1301,6 +1301,29 @@ object SparkEntry {
         "text", "doc_id", n = 8)
     }),
 
+    // chance-corrected classifier agreement: Cohen's kappa of the
+    // language-ID heuristic against ground truth — exact integers with
+    // cleared denominators (kappa = (N·po − Σ m·n) / (N² − Σ m·n), ppm
+    // floor), marginal products from the tiny confusion cells.
+    "kappa_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang").as("t"),
+          TextAnalysis.langId(col("text")).as("p"))
+      val cells = d.groupBy(col("t"), col("p"))
+        .agg(count(lit(1)).as("c"))
+      val mt = cells.groupBy(col("t").as("l")).agg(sum(col("c")).as("nt"))
+      val mp = cells.groupBy(col("p").as("l")).agg(sum(col("c")).as("np"))
+      val pe = mt.join(mp, "l")
+        .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pe_n2"))
+      cells.agg(sum(col("c")).as("n"),
+          sum(when(col("t") === col("p"), col("c")).otherwise(0L))
+            .as("po_n"))
+        .crossJoin(broadcast(pe))
+        .select(col("n"), col("po_n"), col("pe_n2"),
+          expr("1000000 * (n * po_n - pe_n2) DIV (n * n - pe_n2)")
+            .as("kappa_ppm"))
+    }),
+
     // heap-aggregate top-k: top-3 orders per priority via the native
     // bounded-buffer aggregate ([[graft.functions.TopKAgg]]) — the
     // scale-side twin of `topk_per_group`: state is k pairs per group,
@@ -5451,6 +5474,23 @@ object SparkEntry {
         |  CAST(v AS BIGINT) AS resid, CAST(re AS BIGINT) AS row_eff,
         |  CAST(ce AS BIGINT) AS col_eff
         |FROM g4""".stripMargin,
+
+    "kappa_langid" ->
+      s"""WITH d AS (SELECT lang AS t, $langIdCaseExpr AS p FROM documents),
+        |cells AS (SELECT t, p, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |mt AS (SELECT t AS l, CAST(SUM(c) AS BIGINT) AS nt
+        |  FROM cells GROUP BY 1),
+        |mp AS (SELECT p AS l, CAST(SUM(c) AS BIGINT) AS np
+        |  FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(nt * np), 0) AS BIGINT) AS pe_n2
+        |  FROM mt JOIN mp USING (l)),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT) AS po_n
+        |  FROM cells)
+        |SELECT n, po_n, pe_n2,
+        |  CAST(1000000 * (n * po_n - pe_n2) // (n * n - pe_n2) AS BIGINT)
+        |    AS kappa_ppm
+        |FROM a, pe""".stripMargin,
 
     "topk_heap" ->
       """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk,
