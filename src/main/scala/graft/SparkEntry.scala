@@ -1287,6 +1287,27 @@ object SparkEntry {
       Transforms.rankAuc(t(s, dir, "documents"),
         TextAnalysis.qualityScore(col("text")), col("lang") === "en")),
 
+    // threshold sweep companion to auc_quality: precision/recall at
+    // EVERY distinct score cut ("predict English when score ≥ t") — the
+    // PR curve as integer permille from one histogram pass + one
+    // descending cumulative window over |distinct scores| rows.
+    "pr_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, dir, "documents")
+        .select(TextAnalysis.qualityScore(col("text")).as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+        .groupBy(col("s"))
+        .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nn"))
+      val w = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("tp", sum(col("np")).over(w))
+        .withColumn("fp", sum(col("nn")).over(w))
+        .crossJoin(broadcast(hist.agg(sum(col("np")).as("np_tot"))))
+        .select(col("s").as("threshold"), col("tp"), col("fp"),
+          expr("1000 * tp DIV (tp + fp)").as("precision_permille"),
+          expr("1000 * tp DIV np_tot").as("recall_permille"))
+    }),
+
     // contamination span forensics: for train×test 8-gram-sharing pairs
     // (decontaminate's split), the LONGEST shared consecutive token run
     // via the diagonal-islands construction
@@ -1940,6 +1961,37 @@ object SparkEntry {
           col("eff_from"),
           coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
           col("is_current"))),
+
+    // SCD2 LOOKUP — the consumer side of scd2_build: each shipped line
+    // item joins the customer-state VERSION current at ship time (equi
+    // key on the customer + the validity BETWEEN as a hash-join
+    // residual, never a nested loop), with unmatched facts (shipped
+    // before any version) kept visible under version_state = -1.
+    "scd2_lookup" -> ((s, dir) => {
+      val dim = Transforms.scdType2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          cents(col("o_totalprice")).as("price_cents")),
+        Seq(col("o_custkey")), Seq(col("od"), col("o_orderkey")), col("od"))
+        .select(col("o_custkey"), col("eff_from"),
+          coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
+          col("is_current"))
+      val facts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey").as("fk_ok"),
+              col("o_custkey").as("fk_ck")),
+          col("l_orderkey") === col("fk_ok"))
+        .select(col("fk_ck"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_od"),
+          cents(col("l_extendedprice")).as("ext_cents"))
+      facts.join(dim, col("fk_ck") === col("o_custkey") &&
+          col("ship_od") >= col("eff_from") &&
+          col("ship_od") < col("eff_to"), "left")
+        .groupBy(coalesce(col("is_current"), lit(-1L))
+          .as("version_state"))
+        .agg(count(lit(1)).as("n_facts"),
+          sum(col("ext_cents")).as("ext_cents_sum"))
+    }),
 
     // winsorized robust sum: per-group exact [p05, p95] clamp then an
     // integer-exact sum ([[Transforms.winsorizedSum]] — the |groups|-row
@@ -4440,6 +4492,28 @@ object SparkEntry {
         |FROM v WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY od, o_orderkey)""".stripMargin,
 
+    "scd2_lookup" ->
+      """WITH v AS (SELECT o_custkey, o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |d AS (SELECT o_custkey, od AS eff_from,
+        |    COALESCE(LEAD(od) OVER w, '9999-12-31') AS eff_to,
+        |    CAST(CASE WHEN LEAD(od) OVER w IS NULL THEN 1 ELSE 0 END
+        |      AS BIGINT) AS is_current
+        |  FROM v WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY od, o_orderkey)),
+        |f AS (SELECT o_custkey AS fk_ck,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS ship_od,
+        |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS ext_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT COALESCE(d.is_current, -1) AS version_state,
+        |  COUNT(*) AS n_facts,
+        |  CAST(SUM(ext_cents) AS BIGINT) AS ext_cents_sum
+        |FROM f LEFT JOIN d ON fk_ck = d.o_custkey
+        |  AND ship_od >= eff_from AND ship_od < eff_to
+        |GROUP BY 1""".stripMargin,
+
     "winsorize" ->
       """WITH f AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
@@ -5474,6 +5548,25 @@ object SparkEntry {
         |  CAST(v AS BIGINT) AS resid, CAST(re AS BIGINT) AS row_eff,
         |  CAST(ce AS BIGINT) AS col_eff
         |FROM g4""".stripMargin,
+
+    "pr_curve" ->
+      s"""WITH sc AS (SELECT $qualityExpr AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+        |h AS (SELECT s, CAST(SUM(p) AS BIGINT) AS np,
+        |    CAST(SUM(1 - p) AS BIGINT) AS nn FROM sc GROUP BY 1),
+        |c AS (SELECT s, np, nn,
+        |    CAST(SUM(np) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fp
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS np_tot FROM h)
+        |SELECT s AS threshold, tp, fp,
+        |  CAST(1000 * tp // (tp + fp) AS BIGINT) AS precision_permille,
+        |  CAST(1000 * tp // np_tot AS BIGINT) AS recall_permille
+        |FROM c, tot""".stripMargin,
 
     "kappa_langid" ->
       s"""WITH d AS (SELECT lang AS t, $langIdCaseExpr AS p FROM documents),
