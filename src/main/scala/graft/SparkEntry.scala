@@ -1428,6 +1428,37 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 5, thresholdPermille = 100))),
 
+    // dedup-pipeline quality: pairwise precision/recall of the
+    // ngram-Jaccard cluster pipeline against EXACT-duplicate truth, by
+    // contingency pair-counting (Σ C(n,2) per cluster / truth-group /
+    // cell) — no pair set is ever materialized, so the metric costs one
+    // label join + three tiny aggregates on top of the pipeline.
+    // Precision < 1000 is the expected reading: near-dup clusters
+    // legitimately contain non-identical members.
+    "cluster_prf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 5, thresholdPermille = 100))
+      val lab = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+        .join(clusters, col("doc_id") === col("id"), "left")
+        .select(col("tkey"),
+          coalesce(col("cluster_id"), col("doc_id")).as("ckey"))
+      val cells = lab.groupBy(col("ckey"), col("tkey"))
+        .agg(count(lit(1)).as("nij"))
+      val pred = cells.groupBy(col("ckey")).agg(sum(col("nij")).as("a"))
+        .agg(sum(expr("a * (a - 1) DIV 2")).as("pred_pairs"))
+      val truth = lab.groupBy(col("tkey")).agg(count(lit(1)).as("b"))
+        .agg(sum(expr("b * (b - 1) DIV 2")).as("truth_pairs"))
+      cells.agg(sum(expr("nij * (nij - 1) DIV 2")).as("both_pairs"))
+        .crossJoin(broadcast(pred)).crossJoin(broadcast(truth))
+        .select(col("both_pairs"), col("pred_pairs"), col("truth_pairs"),
+          expr("1000 * both_pairs DIV nullif(pred_pairs, 0)")
+            .as("precision_permille"),
+          expr("1000 * both_pairs DIV nullif(truth_pairs, 0)")
+            .as("recall_permille"))
+    }),
+
     // golden-record fusion: the field-merge step AFTER clustering — per
     // duplicate cluster, the canonical id, the best-quality member's
     // source (deterministic ties via the (q, −id) struct order), and the
@@ -6496,6 +6527,48 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS id,
         |  CAST(MIN(lab) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "cluster_prf" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT) >= 100),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT CAST(id AS BIGINT) AS id,
+        |    CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |lab2 AS (SELECT md5(d.text) AS tkey,
+        |    COALESCE(cl.cluster_id, d.doc_id) AS ckey
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |cells AS (SELECT ckey, tkey, COUNT(*) AS nij
+        |  FROM lab2 GROUP BY 1, 2),
+        |pp AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS pred_pairs
+        |  FROM (SELECT SUM(nij) AS a FROM cells GROUP BY ckey)),
+        |tp AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS truth_pairs
+        |  FROM (SELECT COUNT(*) AS b FROM lab2 GROUP BY tkey)),
+        |bp AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT)
+        |    AS both_pairs FROM cells)
+        |SELECT both_pairs, pred_pairs, truth_pairs,
+        |  CAST(1000 * both_pairs // NULLIF(pred_pairs, 0) AS BIGINT)
+        |    AS precision_permille,
+        |  CAST(1000 * both_pairs // NULLIF(truth_pairs, 0) AS BIGINT)
+        |    AS recall_permille
+        |FROM bp, pp, tp""".stripMargin,
 
     "user_features" ->
       """WITH e AS (SELECT user_id, event_type,
