@@ -1428,6 +1428,30 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 5, thresholdPermille = 100))),
 
+    // cross-modal dedup agreement: the TEXT near-dup tier (ngram-Jaccard)
+    // vs the EMBEDDING near-dup tier (bucketed cosine) over the SAME id
+    // space — pair-set overlap counts + Jaccard permille. The census a
+    // pipeline runs before trusting either signal alone: both-tier pairs
+    // are high-precision merges, single-tier pairs are the review queue.
+    "dedup_agreement" -> ((s, dir) => {
+      val textPairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "text", "doc_id", n = 5, thresholdPermille = 100)
+        .select(col("a"), col("b"), lit(1L).as("tp"))
+      val embPairs = Dedup.embeddingCosineLsh(
+          t(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          "vec", "id", thresholdPermille = 400)
+        .select(col("a"), col("b"), lit(1L).as("ep"))
+      textPairs.join(embPairs, Seq("a", "b"), "full_outer")
+        .agg(sum(coalesce(col("tp"), lit(0L))).as("n_text_pairs"),
+          sum(coalesce(col("ep"), lit(0L))).as("n_embed_pairs"),
+          sum(when(col("tp").isNotNull && col("ep").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .withColumn("agree_permille",
+          expr("1000 * n_both DIV nullif(n_union, 0)"))
+    }),
+
     // dedup-pipeline quality: pairwise precision/recall of the
     // ngram-Jaccard cluster pipeline against EXACT-duplicate truth, by
     // contingency pair-counting (Σ C(n,2) per cluster / truth-group /
@@ -6528,6 +6552,8 @@ object SparkEntry {
         |  CAST(MIN(lab) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
 
+    "dedup_agreement" -> dedupAgreementSql,
+
     "cluster_prf" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(
@@ -7891,6 +7917,46 @@ object SparkEntry {
       |WHERE CAST(round(list_dot_product(x.e, y.e) /
       |    (sqrt(list_dot_product(x.e, x.e)) *
       |     sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT) >= 300""".stripMargin
+
+  /** Oracle twin of `dedup_agreement`: the text tier's inverted-index
+    * Jaccard pairs and the embedding tier's same-bucket cosine pairs,
+    * full-outer joined for the overlap census. */
+  private def dedupAgreementSql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+      |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+      |  FROM (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      |    FROM documents)),
+      |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+      |        COUNT(*) AS common
+      |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pr AS (SELECT a, b FROM p
+      |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT)
+      |         >= 100),
+      |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+      |   ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+      |   FROM embeddings),
+      |epr AS (SELECT x.id AS a, y.id AS b
+      |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.id < y.id
+      |  WHERE CAST(round(list_dot_product(x.e, y.e) /
+      |      (sqrt(list_dot_product(x.e, x.e)) *
+      |       sqrt(list_dot_product(y.e, y.e))) * 1000.0, 0) AS BIGINT)
+      |    >= 400),
+      |u AS (SELECT
+      |    CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS tp,
+      |    CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS ep
+      |  FROM pr t FULL OUTER JOIN epr e ON t.a = e.a AND t.b = e.b)
+      |SELECT CAST(SUM(tp) AS BIGINT) AS n_text_pairs,
+      |  CAST(SUM(ep) AS BIGINT) AS n_embed_pairs,
+      |  CAST(SUM(tp * ep) AS BIGINT) AS n_both,
+      |  COUNT(*) AS n_union,
+      |  CAST(1000 * SUM(tp * ep) // NULLIF(COUNT(*), 0) AS BIGINT)
+      |    AS agree_permille
+      |FROM u""".stripMargin
 
   /** Oracle twin of the `curate_docs` composite: filters mirrored from the
     * standalone lang/quality/token oracles, then exact-dedup survivors. */
