@@ -3142,6 +3142,30 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("delta_us"))
     }),
 
+    // local-maxima census (signal-shape screen): per event type, how
+    // many points are STRICT peaks (v > both neighbors under the
+    // (t, id) total order — plateaus don't count), plus the mean
+    // peak-to-peak spacing, exactly: Σ consecutive-peak gaps telescopes
+    // to (last peak − first peak), so spacing = span DIV (n−1) with no
+    // second window pass.
+    "peak_census" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("et").orderBy(col("t_us"), col("eid"))
+      val pts = events(s, dir)
+        .select(col("event_type").as("et"), col("event_id").as("eid"),
+          expr("ts DIV 1000").as("t_us"), cents(col("value")).as("v"))
+        .withColumn("pk",
+          (col("v") > lag(col("v"), 1).over(w)) &&
+            (col("v") > lead(col("v"), 1).over(w)))
+      pts.groupBy(col("et"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("pk"), 1L).otherwise(0L)).as("n_peaks"),
+          min(when(col("pk"), col("t_us"))).as("first_peak_us"),
+          max(when(col("pk"), col("t_us"))).as("last_peak_us"))
+        .withColumn("mean_spacing_us",
+          expr("(last_peak_us - first_peak_us) DIV nullif(n_peaks - 1, 0)"))
+    }),
+
     // per-label embedding centroid, exactly: element-wise SUM of
     // integer-micro components plus the member count (centroid = sum/n,
     // kept unreduced so the comparison is integer-exact). posexplode →
@@ -6147,6 +6171,23 @@ object SparkEntry {
         |      AS delta_us
         |  FROM events)
         |WHERE delta_us IS NOT NULL""".stripMargin,
+
+    "peak_census" ->
+      """WITH p AS (SELECT event_type AS et, event_id AS eid,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |q AS (SELECT et, t_us,
+        |    v > LAG(v) OVER w AND v > LEAD(v) OVER w AS pk
+        |  FROM p WINDOW w AS (PARTITION BY et ORDER BY t_us, eid))
+        |SELECT et, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN pk THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+        |  MIN(CASE WHEN pk THEN t_us END) AS first_peak_us,
+        |  MAX(CASE WHEN pk THEN t_us END) AS last_peak_us,
+        |  CAST((MAX(CASE WHEN pk THEN t_us END)
+        |      - MIN(CASE WHEN pk THEN t_us END))
+        |    // NULLIF(SUM(CASE WHEN pk THEN 1 ELSE 0 END) - 1, 0)
+        |    AS BIGINT) AS mean_spacing_us
+        |FROM q GROUP BY 1""".stripMargin,
 
     "embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, pos - 1 AS pos,
