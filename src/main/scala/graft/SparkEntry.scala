@@ -3142,6 +3142,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("delta_us"))
     }),
 
+    // log-domain aggregate: exact geometric mean machinery — per return
+    // flag, the ln(price) sum in integer micros (each row's log quantized
+    // ONCE, the mutual_info discipline) plus the one mirrored closing
+    // exp; the multiplicative-average twin of the arithmetic moment
+    // family, used for ratio-like metrics where outliers multiply.
+    "geo_mean" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(ln(CAST(round(l_extendedprice * 100, 0) " +
+            "AS BIGINT)) * 1000000, 0) AS BIGINT)").as("ln_micro"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("ln_micro")).as("sum_ln_micro"))
+        .withColumn("gm_cents", expr(
+          "CAST(round(exp(CAST(sum_ln_micro AS DOUBLE) / " +
+            "(CAST(n AS DOUBLE) * 1000000.0)), 0) AS BIGINT)"))),
+
     // local-maxima census (signal-shape screen): per event type, how
     // many points are STRICT peaks (v > both neighbors under the
     // (t, id) total order — plateaus don't count), plus the mean
@@ -6171,6 +6187,18 @@ object SparkEntry {
         |      AS delta_us
         |  FROM events)
         |WHERE delta_us IS NOT NULL""".stripMargin,
+
+    "geo_mean" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(ln(CAST(round(l_extendedprice * 100, 0)
+        |    AS BIGINT)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_ln_micro,
+        |  CAST(round(exp(CAST(SUM(CAST(round(ln(CAST(round(
+        |      l_extendedprice * 100, 0) AS BIGINT)) * 1000000, 0)
+        |      AS BIGINT)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)), 0) AS BIGINT)
+        |    AS gm_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "peak_census" ->
       """WITH p AS (SELECT event_type AS et, event_id AS eid,
