@@ -1783,6 +1783,47 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // embedding-truncation quality (the Matryoshka question): how much
+    // cosine fidelity and top-5 retention survive keeping only the first
+    // 16 / 32 of 64 dims — Σ|cosᵈ − cos⁶⁴| permille and true-top-5 hits
+    // per truncation, over the 10-query evaluation cross (bounded side,
+    // the documented evaluation-tier exception).
+    "embed_truncation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def cosP(a: Column, b: Column): Column =
+        round(graft.functions.DotProduct(a, b) /
+          (sqrt(graft.functions.DotProduct(a, a)) *
+            sqrt(graft.functions.DotProduct(b, b))) * 1000)
+          .cast("long")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val c = emb.filter(col("id") >= 10)
+        .select(col("id").as("nid"), col("v").as("nv"))
+      val scored = q.crossJoin(c).select(col("qid"), col("nid"),
+        cosP(col("qv"), col("nv")).as("cf"),
+        cosP(slice(col("qv"), 1, 16), slice(col("nv"), 1, 16)).as("c16"),
+        cosP(slice(col("qv"), 1, 32), slice(col("nv"), 1, 32)).as("c32"))
+      val longf = scored.select(col("qid"), col("nid"), col("cf"),
+        expr("stack(2, 16L, c16, 32L, c32) AS (trunc_dim, cd)"))
+      val fullTop = scored.withColumn("rkf", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cf").desc, col("nid").asc)))
+        .filter(col("rkf") <= 5).select(col("qid"), col("nid"))
+      val hits = longf.withColumn("rkd", row_number().over(
+          Window.partitionBy(col("trunc_dim"), col("qid"))
+            .orderBy(col("cd").desc, col("nid").asc)))
+        .filter(col("rkd") <= 5)
+        .join(fullTop, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("trunc_dim")).agg(count(lit(1)).as("top5_hits"))
+      longf.groupBy(col("trunc_dim"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("cd") - col("cf"))).as("sum_absdelta_permille"))
+        .join(hits, Seq("trunc_dim"))
+    }),
+
     // ANN ranking quality: NDCG@5 of the LSH tier against brute-force
     // ground truth (binary relevance, rank discounts 1/log2(i+1) as
     // DRIVER-computed micro literals shared with the twin — no log runs
@@ -3140,6 +3181,29 @@ object SparkEntry {
         .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(w))
         .filter(col("delta_us").isNotNull)
         .select(col("event_id"), col("user_id"), col("delta_us"))
+    }),
+
+    // lagged cross-correlation machinery: purchase-vs-view daily spend at
+    // lags −3..+3 days, as EXACT integer sufficient statistics per lag
+    // (n, Σa, Σb, Σab, Σa², Σb²) — the corr_stats discipline over a
+    // lag-exploded day join; the correlation itself derives downstream
+    // with no float on either engine.
+    "xcorr_lags" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val a = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("da"), col("v").as("va"))
+      val b = daily.filter(col("event_type") === "view")
+        .select(col("day").as("db"), col("v").as("vb"))
+      a.withColumn("lag", explode(sequence(lit(-3L), lit(3L))))
+        .join(b, col("db") === col("da") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("va")).as("sum_a"),
+          sum(col("vb")).as("sum_b"),
+          sum(col("va") * col("vb")).as("sum_ab"),
+          sum(col("va") * col("va")).as("sum_a2"),
+          sum(col("vb") * col("vb")).as("sum_b2"))
     }),
 
     // log-domain aggregate: exact geometric mean machinery — per return
@@ -6188,6 +6252,27 @@ object SparkEntry {
         |  FROM events)
         |WHERE delta_us IS NOT NULL""".stripMargin,
 
+    "xcorr_lags" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT day AS da, v AS va FROM daily
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT day AS db, v AS vb FROM daily
+        |  WHERE event_type = 'view'),
+        |x AS (SELECT t.lag, va, vb
+        |  FROM a CROSS JOIN (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag) t
+        |  JOIN b ON db = da + t.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, COUNT(*) AS n,
+        |  CAST(SUM(va) AS BIGINT) AS sum_a,
+        |  CAST(SUM(vb) AS BIGINT) AS sum_b,
+        |  CAST(SUM(va * vb) AS BIGINT) AS sum_ab,
+        |  CAST(SUM(va * va) AS BIGINT) AS sum_a2,
+        |  CAST(SUM(vb * vb) AS BIGINT) AS sum_b2
+        |FROM x GROUP BY 1""".stripMargin,
+
     "geo_mean" ->
       """SELECT l_returnflag AS flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(ln(CAST(round(l_extendedprice * 100, 0)
@@ -6838,6 +6923,43 @@ object SparkEntry {
     "ann_lsh" -> annLshSql,
 
     "ann_ndcg" -> annNdcgSql,
+
+    "embed_truncation" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        |q AS (SELECT id AS qid, v AS qv FROM base WHERE id < 10),
+        |c AS (SELECT id AS nid, v AS nv FROM base WHERE id >= 10),
+        |sc AS (SELECT qid, nid,
+        |  CAST(round(list_dot_product(qv, nv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))
+        |    * 1000.0, 0) AS BIGINT) AS cf,
+        |  CAST(round(list_dot_product(qv[1:16], nv[1:16]) /
+        |    (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+        |     * sqrt(list_dot_product(nv[1:16], nv[1:16])))
+        |    * 1000.0, 0) AS BIGINT) AS c16,
+        |  CAST(round(list_dot_product(qv[1:32], nv[1:32]) /
+        |    (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+        |     * sqrt(list_dot_product(nv[1:32], nv[1:32])))
+        |    * 1000.0, 0) AS BIGINT) AS c32
+        |  FROM q CROSS JOIN c),
+        |lf AS (SELECT qid, nid, cf, 16 AS trunc_dim, c16 AS cd FROM sc
+        |  UNION ALL SELECT qid, nid, cf, 32, c32 FROM sc),
+        |ft AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cf DESC, nid ASC) AS rkf FROM sc) WHERE rkf <= 5),
+        |ht AS (SELECT trunc_dim, COUNT(*) AS top5_hits FROM (
+        |    SELECT l.trunc_dim, l.qid, l.nid,
+        |      ROW_NUMBER() OVER (PARTITION BY l.trunc_dim, l.qid
+        |        ORDER BY l.cd DESC, l.nid ASC) AS rkd
+        |    FROM lf l) r
+        |  JOIN ft ON r.qid = ft.qid AND r.nid = ft.nid
+        |  WHERE r.rkd <= 5 GROUP BY 1)
+        |SELECT CAST(l.trunc_dim AS BIGINT) AS trunc_dim,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(abs(cd - cf)) AS BIGINT) AS sum_absdelta_permille,
+        |  CAST(MAX(ht.top5_hits) AS BIGINT) AS top5_hits
+        |FROM lf l JOIN ht ON l.trunc_dim = ht.trunc_dim
+        |GROUP BY 1""".stripMargin,
 
     "dedup_embed_lsh" -> dedupEmbedLshSql,
 
