@@ -3183,6 +3183,34 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("delta_us"))
     }),
 
+    // co-visitation mining (the recsys primitive behind "people also
+    // viewed"): item pairs seen within the SAME 30-minute behavioral
+    // session, counted across sessions — gap-based session ids from one
+    // lag+cumsum window pass, then the bounded within-session pair join
+    // (sessions are small by construction; this is basket_pairs' shape
+    // on behavioral rather than transactional baskets).
+    "covisit_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id").as("eid"),
+          expr("ts DIV 1000").as("t_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .withColumn("__new", when(
+          col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L ||
+            lag(col("t_us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("sid"), col("item")).distinct()
+      sess.as("x").join(sess.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.sid") === col("y.sid") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 2)
+    }),
+
     // lagged cross-correlation machinery: purchase-vs-view daily spend at
     // lags −3..+3 days, as EXACT integer sufficient statistics per lag
     // (n, Σa, Σb, Σab, Σa², Σb²) — the corr_stats discipline over a
@@ -6251,6 +6279,25 @@ object SparkEntry {
         |      AS delta_us
         |  FROM events)
         |WHERE delta_us IS NOT NULL""".stripMargin,
+
+    "covisit_pairs" ->
+      """WITH e AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS t_us,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events),
+        |f AS (SELECT user_id, eid, t_us, item,
+        |    CASE WHEN t_us - LAG(t_us) OVER w > 1800000000
+        |      OR LAG(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, eid)),
+        |s AS (SELECT user_id, item,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY t_us, eid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |d AS (SELECT DISTINCT user_id, sid, item FROM s)
+        |SELECT x.item AS item_a, y.item AS item_b,
+        |  COUNT(*) AS n_sessions
+        |FROM d x JOIN d y ON x.user_id = y.user_id AND x.sid = y.sid
+        |  AND x.item < y.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     "xcorr_lags" ->
       """WITH daily AS (SELECT event_type,
