@@ -3183,6 +3183,66 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("delta_us"))
     }),
 
+    // first-order Markov next-event model, trained AND evaluated
+    // in-engine: per event type the argmax next type from the transition
+    // counts (ties to the lexicographically smallest), then the
+    // in-sample hit rate of that prediction — the baseline every fancier
+    // sequence model must beat.
+    "markov_hitrate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
+      val steps = events(s, dir)
+        .select(col("user_id"), col("event_id").as("eid"),
+          expr("ts DIV 1000").as("t_us"), col("event_type").as("et"))
+        .withColumn("next_et", lead(col("et"), 1).over(w))
+        .filter(col("next_et").isNotNull)
+        .select(col("et"), col("next_et"))
+      val pred = steps.groupBy(col("et"), col("next_et"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("et")
+          .orderBy(col("c").desc, col("next_et").asc)))
+        .filter(col("rk") === 1)
+        .select(col("et"), col("next_et").as("pred_next"))
+      steps.join(broadcast(pred), Seq("et"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("next_et") === col("pred_next"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .withColumn("hit_permille",
+          expr("1000 * n_hits DIV n_steps"))
+    }),
+
+    // distribution-drift monitoring by POPULATION STABILITY INDEX: order
+    // totals 1997 vs 1998 over fixed $5k bins, PSI = Σ (pa − pb)·ln(pa/pb)
+    // in PURE integers — proportions as exact ppm floor divisions, the
+    // log ratio micro-quantized from exact integer cross-products (the
+    // mutual_info discipline), bins missing on either side reported but
+    // excluded from the sum (the standard PSI practice).
+    "psi_drift" -> ((s, dir) => {
+      val priced = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) DIV 500000")
+            .as("bin"))
+        .filter(col("yr").isin(1997, 1998))
+      val cells = priced.groupBy(col("bin"))
+        .agg(sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("na_i"),
+          sum(when(col("yr") === 1998, 1L).otherwise(0L)).as("nb_i"))
+      val tot = cells.agg(sum(col("na_i")).as("na"),
+        sum(col("nb_i")).as("nb"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("used", col("na_i") > 0 && col("nb_i") > 0)
+        .withColumn("q_micro", when(col("used"), expr(
+          "CAST(round(ln((CAST(na_i AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
+            "(CAST(nb_i AS DOUBLE) * CAST(na AS DOUBLE))) * 1000000, 0) " +
+            "AS BIGINT)")).otherwise(lit(0L)))
+        .withColumn("dppm", expr(
+          "1000000 * na_i DIV na - 1000000 * nb_i DIV nb"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("used"), 1L).otherwise(0L)).as("n_bins_used"),
+          sum(when(col("used"), col("dppm") * col("q_micro"))
+            .otherwise(0L)).as("__s"))
+        .withColumn("psi_micro", expr("__s DIV 1000000")).drop("__s")
+    }),
+
     // co-visitation mining (the recsys primitive behind "people also
     // viewed"): item pairs seen within the SAME 30-minute behavioral
     // session, counted across sessions — gap-based session ids from one
@@ -6279,6 +6339,49 @@ object SparkEntry {
         |      AS delta_us
         |  FROM events)
         |WHERE delta_us IS NOT NULL""".stripMargin,
+
+    "markov_hitrate" ->
+      """WITH st AS (SELECT event_type AS et,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_et
+        |  FROM events),
+        |steps AS (SELECT et, next_et FROM st WHERE next_et IS NOT NULL),
+        |pred AS (SELECT et, next_et AS pred_next FROM (
+        |    SELECT et, next_et, ROW_NUMBER() OVER (PARTITION BY et
+        |      ORDER BY COUNT(*) DESC, next_et ASC) AS rk
+        |    FROM steps GROUP BY et, next_et) WHERE rk = 1)
+        |SELECT COUNT(*) AS n_steps,
+        |  CAST(SUM(CASE WHEN s.next_et = p.pred_next THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(1000 * SUM(CASE WHEN s.next_et = p.pred_next
+        |    THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS hit_permille
+        |FROM steps s JOIN pred p USING (et)""".stripMargin,
+
+    "psi_drift" ->
+      """WITH pr AS (SELECT year(o_orderdate) AS yr,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) // 500000 AS bin
+        |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+        |cells AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na_i,
+        |    CAST(SUM(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb_i
+        |  FROM pr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(na_i) AS BIGINT) AS na,
+        |    CAST(SUM(nb_i) AS BIGINT) AS nb FROM cells),
+        |x AS (SELECT na_i > 0 AND nb_i > 0 AS used,
+        |    CASE WHEN na_i > 0 AND nb_i > 0 THEN
+        |      CAST(round(ln((CAST(na_i AS DOUBLE) * CAST(nb AS DOUBLE))
+        |        / (CAST(nb_i AS DOUBLE) * CAST(na AS DOUBLE)))
+        |        * 1000000, 0) AS BIGINT) ELSE 0 END AS q_micro,
+        |    1000000 * na_i // na - 1000000 * nb_i // nb AS dppm
+        |  FROM cells, tot)
+        |SELECT COUNT(*) AS n_bins,
+        |  CAST(SUM(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bins_used,
+        |  CAST(SUM(CASE WHEN used THEN dppm * q_micro ELSE 0 END)
+        |    // 1000000 AS BIGINT) AS psi_micro
+        |FROM x""".stripMargin,
 
     "covisit_pairs" ->
       """WITH e AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS t_us,
