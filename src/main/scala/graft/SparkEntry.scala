@@ -1452,6 +1452,31 @@ object SparkEntry {
           expr("1000 * n_both DIV nullif(n_union, 0)"))
     }),
 
+    // dedup×split interaction — the LEAKAGE check that motivates
+    // dedup-before-split: near-dup clusters whose members land in
+    // DIFFERENT content-hash splits leak evaluation signal into
+    // training. Reports clusters spanning >1 split and the documents at
+    // risk (cluster map ⋈ split labels, two tiny aggregates).
+    "cluster_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 5, thresholdPermille = 100))
+      // inner join: only clustered (near-dup) docs can leak
+      val labeled = docs
+        .select(col("doc_id"), TextAnalysis.hashSplit(col("text")).as("sp"))
+        .join(clusters, col("doc_id") === col("id"))
+        .select(col("cluster_id"), col("sp"))
+      labeled.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("sp")).as("n_splits"),
+          count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+            .as("n_leaky_clusters"),
+          sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L))
+            .as("docs_at_risk"))
+    }),
+
     // dedup-pipeline quality: pairwise precision/recall of the
     // ngram-Jaccard cluster pipeline against EXACT-duplicate truth, by
     // contingency pair-counting (Σ C(n,2) per cluster / truth-group /
@@ -3309,6 +3334,27 @@ object SparkEntry {
         .withColumn("gm_cents", expr(
           "CAST(round(exp(CAST(sum_ln_micro AS DOUBLE) / " +
             "(CAST(n AS DOUBLE) * 1000000.0)), 0) AS BIGINT)"))),
+
+    // inter-arrival dispersion (burstiness screen): per event type, the
+    // exact sufficient statistics of per-user inter-arrival gaps
+    // (n, Σd, Σd² in whole SECONDS — seconds, not micros, so Σd² stays
+    // inside BIGINT for both engines and the driver compare; the
+    // moment_stats discipline); the coefficient of variation /
+    // burstiness index derives downstream, no float on either engine.
+    "burstiness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("et", "user_id")
+        .orderBy(col("t_us"), col("eid"))
+      events(s, dir)
+        .select(col("event_type").as("et"), col("user_id"),
+          col("event_id").as("eid"), expr("ts DIV 1000").as("t_us"))
+        .withColumn("d_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .filter(col("d_us").isNotNull)
+        .select(col("et"), expr("d_us DIV 1000000").as("d_s"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("d_s")).as("sum_s"),
+          sum(col("d_s") * col("d_s")).as("sum_sq_s"))
+    }),
 
     // local-maxima census (signal-shape screen): per event type, how
     // many points are STRICT peaks (v > both neighbors under the
@@ -6857,6 +6903,56 @@ object SparkEntry {
         |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_agreement" -> dedupAgreementSql,
+
+    "burstiness" ->
+      """WITH e AS (SELECT event_type AS et, user_id, event_id AS eid,
+        |    epoch_us(ts) AS t_us FROM events),
+        |g AS (SELECT et, (t_us - LAG(t_us) OVER (PARTITION BY et, user_id
+        |    ORDER BY t_us, eid)) // 1000000 AS d_s FROM e)
+        |SELECT et, COUNT(*) AS n_gaps,
+        |  CAST(SUM(d_s) AS BIGINT) AS sum_s,
+        |  CAST(SUM(d_s * d_s) AS BIGINT) AS sum_sq_s
+        |FROM g WHERE d_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "cluster_leakage" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |     for i in range(1, greatest(len(w)-3, 1))]) AS shs
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |    FROM documents)),
+        |inv AS (SELECT doc_id, len(shs) AS nsh, unnest(shs) AS s FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |        COUNT(*) AS common
+        |      FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM p
+        |       WHERE CAST(round(common*1000.0/(na+nb-common), 0) AS BIGINT)
+        |         >= 100),
+        |edges AS (SELECT a AS src, b AS dst FROM pr
+        |          UNION SELECT b, a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT CAST(id AS BIGINT) AS id,
+        |    CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |lab AS (SELECT cl.cluster_id,
+        |    CASE WHEN substr(md5(d.text), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(d.text), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS sp
+        |  FROM documents d JOIN cl ON d.doc_id = cl.id),
+        |g AS (SELECT cluster_id, COUNT(DISTINCT sp) AS n_splits,
+        |    COUNT(*) AS n_docs
+        |  FROM lab GROUP BY 1)
+        |SELECT COUNT(*) AS n_clusters,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_clusters,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)
+        |    AS BIGINT) AS docs_at_risk
+        |FROM g""".stripMargin,
 
     "cluster_prf" ->
       """WITH RECURSIVE sh AS (
