@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Transforms}
+
+/** Scale-headroom evidence: key operators driven on synthetically
+  * MULTIPLIED fixture data (re-keyed unions — 16× documents, 8×
+  * lineitem/events) with invariants that only hold if the operator's
+  * scaling story is real: exact-dup survivors scale linearly, LSH
+  * candidate volume stays bucket-bounded (never quadratic), the heap
+  * top-k returns the same winners as the 1× run shifted into each copy,
+  * and the windowed rolling sum never crosses copy boundaries. local[4]
+  * wall-times are printed for the ledger but not asserted (host drift);
+  * correctness invariants are the gate. */
+class ScaleStressSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    info(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  test("16x documents: exact dedup linear, LSH candidates bucket-bounded") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n1 = docs.count()
+    val big = (0 until 16).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        // rename EVERY token per copy: shingle vocabularies become
+        // copy-disjoint, so all dup/near-dup structure stays WITHIN a
+        // copy (a single prefixed tag would leave interior n-grams
+        // shared and make copies near-dups of each other)
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
+      .reduce(_ union _)
+    assert(big.count() === 16 * n1)
+    val surv1 = Dedup.exactSurvivors(docs, "text", "doc_id").count()
+    val survN = timed("16x exactSurvivors") {
+      Dedup.exactSurvivors(big, "text", "doc_id").count()
+    }
+    // each copy's internal dup structure is preserved → exactly 16×
+    assert(survN === 16 * surv1)
+    // near-dup pairs: copy-disjoint shingle vocabularies keep pairs
+    // WITHIN copies → exactly 16× the 1× pair count; any cross-copy
+    // explosion (the quadratic failure) would break this equality
+    val pairs1 = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 5, thresholdPermille = 100).count()
+    val pairsN = timed("16x ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(big, "text", "doc_id",
+        n = 5, thresholdPermille = 100).count()
+    }
+    assert(pairsN === 16 * pairs1,
+      s"near-dup pair volume not copy-local: $pairsN vs 16*$pairs1")
+  }
+
+  test("8x lineitem: heap top-k winners identical per copy shard") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val big = (0 until 8).map(i =>
+      li.select((col("l_orderkey") + lit(i * 100000000L)).as("k"),
+        col("l_extendedprice").as("p"), lit(i.toLong).as("shard")))
+      .reduce(_ union _)
+    val got = timed("8x topk_agg") {
+      big.groupBy(col("shard"))
+        .agg(graft.functions.TopKAgg.topK(
+          round(col("p") * 100).cast("long"), col("k"), 3).as("t"))
+        .select(col("shard"), expr("t.v").as("vs"))
+        .as[(Long, Seq[Long])].collect()
+    }
+    val expect = li.select(round(col("l_extendedprice") * 100)
+        .cast("long").as("v"))
+      .orderBy(col("v").desc).limit(3).as[Long].collect().toSeq
+    assert(got.length === 8)
+    got.foreach { case (shard, vs) =>
+      assert(vs === expect, s"shard $shard winners drifted")
+    }
+  }
+
+  test("8x events: rolling window sums never cross copy boundaries") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").as("t"),
+        round(col("value") * 100).cast("long").as("v"))
+    val one = Transforms.rollingSum(
+      ev.select(col("user_id").as("k"), col("t"), col("v")),
+      "k", "t", "v", lookback = 3600L * 1000000L, as = "rs")
+      .agg(sum(col("rs")).as("s")).as[Long].collect().head
+    val big = (0 until 8).map(i =>
+      ev.select((col("user_id") + lit(i * 10000000L)).as("k"),
+        col("t"), col("v")))
+      .reduce(_ union _)
+    val bigSum = timed("8x rollingSum") {
+      Transforms.rollingSum(big, "k", "t", "v",
+          lookback = 3600L * 1000000L, as = "rs")
+        .agg(sum(col("rs")).as("s")).as[Long].collect().head
+    }
+    // copies are key-disjoint with identical series → exactly 8×
+    assert(bigSum === 8 * one)
+  }
+}
