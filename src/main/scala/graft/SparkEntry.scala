@@ -3335,6 +3335,36 @@ object SparkEntry {
           "CAST(round(exp(CAST(sum_ln_micro AS DOUBLE) / " +
             "(CAST(n AS DOUBLE) * 1000000.0)), 0) AS BIGINT)"))),
 
+    // Simpson's-paradox screen: does the pooled quantity↔price
+    // association direction survive stratifying by brand? Sign of the
+    // EXACT integer covariance numerator (n·Σxy − Σx·Σy, DECIMAL(38,0))
+    // pooled and per stratum; strata disagreeing with the pooled sign
+    // are the aggregation-reversal risk the census reports.
+    "simpson_check" -> ((s, dir) => {
+      val rows = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("g"),
+          round(col("l_quantity")).cast("long").as("x"),
+          cents(col("l_extendedprice")).as("y"))
+      val covSign: Column =
+        signum(expr("CAST(n AS DECIMAL(38,0)) * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * sy")).cast("long")
+      val strata = rows.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        .withColumn("sgn", covSign)
+      val pooled = rows
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        .select(covSign.as("pooled_sign"))
+      strata.crossJoin(broadcast(pooled))
+        .agg(max(col("pooled_sign")).as("pooled_sign"),
+          count(lit(1)).as("n_strata"),
+          sum(when(col("sgn") =!= col("pooled_sign"), 1L).otherwise(0L))
+            .as("n_disagree"))
+    }),
+
     // inter-arrival dispersion (burstiness screen): per event type, the
     // exact sufficient statistics of per-user inter-arrival gaps
     // (n, Σd, Σd² in whole SECONDS — seconds, not micros, so Σd² stays
@@ -6903,6 +6933,24 @@ object SparkEntry {
         |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_agreement" -> dedupAgreementSql,
+
+    "simpson_check" ->
+      """WITH r AS (SELECT p_brand AS g,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy FROM r GROUP BY 1),
+        |ss AS (SELECT g, CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy
+        |    - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT) AS sgn FROM st),
+        |pl AS (SELECT CAST(sign(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(x*y)
+        |    - CAST(SUM(x) AS DECIMAL(38,0)) * SUM(y)) AS BIGINT)
+        |    AS pooled_sign FROM r)
+        |SELECT MAX(pl.pooled_sign) AS pooled_sign,
+        |  COUNT(*) AS n_strata,
+        |  CAST(SUM(CASE WHEN ss.sgn <> pl.pooled_sign THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree
+        |FROM ss, pl""".stripMargin,
 
     "burstiness" ->
       """WITH e AS (SELECT event_type AS et, user_id, event_id AS eid,
