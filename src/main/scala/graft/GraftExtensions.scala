@@ -96,6 +96,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimhashAggExpression(children.head).toAggregateExpression()
     }, classOf[SimhashAggExpression])
 
+    // regmax_agg(regs, m): element-wise max of m-long register vectors
+    register(e, "regmax_agg", { children =>
+      arity("regmax_agg", 2)(children)
+      val m = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"regmax_agg m must be an INT literal, got $other")
+      }
+      graft.functions.RegMaxAggExpression(children.head, m)
+        .toAggregateExpression()
+    }, classOf[graft.functions.RegMaxAggExpression])
+
+    // topk_agg(struct(v, id), k): top-k (value, id) pairs per group
+    register(e, "topk_agg", { children =>
+      arity("topk_agg", 2)(children)
+      val k = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"topk_agg k must be an INT literal, got $other")
+      }
+      graft.functions.TopKAggExpression(children.head, k)
+        .toAggregateExpression()
+    }, classOf[graft.functions.TopKAggExpression])
+
     // word-set arguments arrive as trailing STRING literals:
     //   token_set_count(text, 'the', 'and', 'of')
     //   count_in_set(tokens, 'the', 'and', 'of')

@@ -3335,6 +3335,74 @@ object SparkEntry {
           "CAST(round(exp(CAST(sum_ln_micro AS DOUBLE) / " +
             "(CAST(n AS DOUBLE) * 1000000.0)), 0) AS BIGINT)"))),
 
+    // month-over-month churn: customers ordering in month M with NO
+    // order in M+1 — the presence anti-join per month (the inverse of
+    // retention_cohorts' diagonal), last month excluded (no M+1 data).
+    "churn_rate" -> ((s, dir) => {
+      val om = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"))
+        .distinct()
+      val nxt = om.select(col("ck").as("ck2"), (col("m") - 1).as("m2"))
+      val churned = om.join(nxt,
+          col("ck") === col("ck2") && col("m") === col("m2"), "left_anti")
+      val active = om.groupBy(col("m")).agg(count(lit(1)).as("n_active"))
+      val mx = om.agg(max(col("m")).as("mx"))
+      active.join(churned.groupBy(col("m")).agg(count(lit(1)).as("n_churned")),
+          Seq("m"), "left")
+        .crossJoin(broadcast(mx))
+        .filter(col("m") < col("mx")).drop("mx")
+        .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+        .withColumn("churn_permille",
+          expr("1000 * n_churned DIV n_active"))
+    }),
+
+    // Apdex (the SRE satisfaction index) on inter-event gaps: satisfied
+    // ≤ 1h, tolerating ≤ 4h, score = (2·sat + tol) / 2n as exact
+    // permille (doubling keeps the half-credit integral, the rank-sum
+    // AUC discipline).
+    "apdex" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("et", "user_id")
+        .orderBy(col("t_us"), col("eid"))
+      events(s, dir)
+        .select(col("event_type").as("et"), col("user_id"),
+          col("event_id").as("eid"), expr("ts DIV 1000").as("t_us"))
+        .withColumn("d_us", col("t_us") - lag(col("t_us"), 1).over(w))
+        .filter(col("d_us").isNotNull)
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("d_us") <= 3600000000L, 1L).otherwise(0L))
+            .as("n_satisfied"),
+          sum(when(col("d_us") > 3600000000L &&
+            col("d_us") <= 14400000000L, 1L).otherwise(0L))
+            .as("n_tolerating"))
+        .withColumn("apdex_permille", expr(
+          "1000 * (2 * n_satisfied + n_tolerating) DIV (2 * n_gaps)"))
+    }),
+
+    // Lorenz curve points: cumulative revenue share at each customer
+    // decile (deciles under the deterministic (revenue, custkey) total
+    // order) — the curve behind gini_revenue, as integer permille.
+    "lorenz_points" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+      val dec = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rc").asc, col("o_custkey").asc)))
+      val byDec = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rc")).as("rev_cents"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDec.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .crossJoin(broadcast(byDec.agg(sum(col("rev_cents")).as("tot"))))
+        .select(col("decile").cast("long").as("decile"), col("n_cust"),
+          col("rev_cents"),
+          expr("1000 * cum_cents DIV tot").as("cum_share_permille"))
+    }),
+
     // Simpson's-paradox screen: does the pooled quantity↔price
     // association direction survive stratifying by brand? Sign of the
     // EXACT integer covariance numerator (n·Σxy − Σx·Σy, DECIMAL(38,0))
@@ -6933,6 +7001,61 @@ object SparkEntry {
         |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_agreement" -> dedupAgreementSql,
+
+    "churn_rate" ->
+      """WITH om AS (SELECT DISTINCT o_custkey AS ck,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders),
+        |act AS (SELECT m, COUNT(*) AS n_active FROM om GROUP BY 1),
+        |ch AS (SELECT a.m, COUNT(*) AS n_churned
+        |  FROM om a WHERE NOT EXISTS (SELECT 1 FROM om b
+        |    WHERE b.ck = a.ck AND b.m = a.m + 1)
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(m) AS mx FROM om)
+        |SELECT CAST(act.m AS BIGINT) AS m, act.n_active,
+        |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(1000 * COALESCE(ch.n_churned, 0) // act.n_active AS BIGINT)
+        |    AS churn_permille
+        |FROM act LEFT JOIN ch ON act.m = ch.m CROSS JOIN mx
+        |WHERE act.m < mx.mx""".stripMargin,
+
+    "apdex" ->
+      """WITH e AS (SELECT event_type AS et, user_id, event_id AS eid,
+        |    epoch_us(ts) AS t_us FROM events),
+        |g AS (SELECT et, t_us - LAG(t_us) OVER (PARTITION BY et, user_id
+        |    ORDER BY t_us, eid) AS d_us FROM e),
+        |f AS (SELECT et, d_us FROM g WHERE d_us IS NOT NULL)
+        |SELECT et, COUNT(*) AS n_gaps,
+        |  CAST(SUM(CASE WHEN d_us <= 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_satisfied,
+        |  CAST(SUM(CASE WHEN d_us > 3600000000 AND d_us <= 14400000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        |  CAST(1000 * (2 * SUM(CASE WHEN d_us <= 3600000000
+        |      THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN d_us > 3600000000 AND d_us <= 14400000000
+        |      THEN 1 ELSE 0 END)) // (2 * COUNT(*)) AS BIGINT)
+        |    AS apdex_permille
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "lorenz_points" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rc
+        |  FROM orders GROUP BY 1),
+        |dec AS (SELECT rc, NTILE(10) OVER (ORDER BY rc, o_custkey)
+        |    AS decile FROM rev),
+        |bd AS (SELECT decile, COUNT(*) AS n_cust,
+        |    CAST(SUM(rc) AS BIGINT) AS rev_cents
+        |  FROM dec GROUP BY 1),
+        |c AS (SELECT decile, n_cust, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM bd),
+        |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM bd)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_cust, rev_cents,
+        |  CAST(1000 * cum_cents // tot AS BIGINT) AS cum_share_permille
+        |FROM c, t""".stripMargin,
 
     "simpson_check" ->
       """WITH r AS (SELECT p_brand AS g,
