@@ -471,6 +471,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2_lookup/covisit/churn: residual-carrying joins stay hash") {
+    for (name <- Seq("scd2_lookup", "covisit_pairs")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name: lost its equi key:\n$plan")
+    }
+    // churn carries exactly ONE BNLJ — the legitimate 1-row max-month
+    // cross (audit family 1); the presence probe itself must stay an
+    // ANTI hash join
+    val churn = finalPlan(q("churn_rate"))
+    assert(churn.split("BroadcastNestedLoopJoin").length - 1 <= 1, churn)
+    assert(churn.contains("LeftAnti"), churn)
+    assert(!churn.contains("CartesianProduct"), churn)
+  }
+
   test("topk_heap: buffer aggregate, no window and no pre-shuffle sort") {
     val plan = finalPlan(q("topk_heap"))
     assert(plan.contains("ObjectHashAggregate"),
