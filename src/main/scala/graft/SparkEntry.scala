@@ -1322,6 +1322,43 @@ object SparkEntry {
         "text", "doc_id", n = 8)
     }),
 
+    // trainable language ID, entirely in-engine: per-language top-40
+    // char-trigram profiles learned from the TRAIN split, test docs
+    // classified by profile-hit count (argmax, ties to the smallest
+    // lang) — the train/eval ML loop as three aggregates and one
+    // broadcast join (profiles are |langs|·40 rows). Fixture finding:
+    // ~15% test accuracy ≈ 5-class chance — corroborating kappa_langid
+    // that the synthetic corpus's lang labels are independent of its
+    // text; the machinery (not the fixture's signal) is what the oracle
+    // certifies.
+    "chargram_langid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("tx"),
+          TextAnalysis.hashSplit(col("text")).as("sp"))
+      val grams = d.select(col("doc_id"), col("lang"), col("sp"),
+        explode(expr("CASE WHEN length(tx) < 3 THEN array() " +
+          "ELSE transform(sequence(1, length(tx) - 2), " +
+          "i -> substring(tx, i, 3)) END")).as("g"))
+      val profiles = grams.filter(col("sp") === "train")
+        .groupBy(col("lang").as("plang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("plang")
+          .orderBy(col("c").desc, col("g").asc)))
+        .filter(col("rk") <= 40).select(col("plang"), col("g"))
+      val pred = grams.filter(col("sp") === "test")
+        .join(broadcast(profiles), Seq("g"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("plang").asc)))
+        .filter(col("rk") === 1)
+      pred.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("plang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_permille", expr("1000 * n_correct DIV n_docs"))
+    }),
+
     // chance-corrected classifier agreement: Cohen's kappa of the
     // language-ID heuristic against ground truth — exact integers with
     // cleared denominators (kappa = (N·po − Σ m·n) / (N² − Σ m·n), ppm
@@ -5958,6 +5995,34 @@ object SparkEntry {
         |  CAST(1000 * tp // (tp + fp) AS BIGINT) AS precision_permille,
         |  CAST(1000 * tp // np_tot AS BIGINT) AS recall_permille
         |FROM c, tot""".stripMargin,
+
+    "chargram_langid" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS tx,
+        |    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS sp
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, sp,
+        |    unnest([substr(tx, i, 3)
+        |      for i in range(1, greatest(len(tx) - 1, 1))]) AS g
+        |  FROM d),
+        |prof AS (SELECT plang, g FROM (
+        |    SELECT lang AS plang, g, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, g ASC) AS rk
+        |    FROM g WHERE sp = 'train' GROUP BY lang, g)
+        |  WHERE rk <= 40),
+        |sc AS (SELECT doc_id, lang, plang, COUNT(*) AS score
+        |  FROM g JOIN prof USING (g) WHERE sp = 'test' GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plang ASC) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN lang = plang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(1000 * SUM(CASE WHEN lang = plang THEN 1 ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS acc_permille
+        |FROM pred""".stripMargin,
 
     "kappa_langid" ->
       s"""WITH d AS (SELECT lang AS t, $langIdCaseExpr AS p FROM documents),
