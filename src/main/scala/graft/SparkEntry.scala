@@ -3305,6 +3305,33 @@ object SparkEntry {
         .withColumn("psi_micro", expr("__s DIV 1000000")).drop("__s")
     }),
 
+    // per-item view→purchase conversion: the item-level funnel — a view
+    // converts if the SAME user purchases the SAME item within 7 days
+    // (hash semi-join on (user, item) with the time window as residual,
+    // so each view counts once no matter how many later purchases).
+    // Top-20 items by view volume with conversion permille.
+    "view_to_buy" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("event_type").as("et"), expr("ts DIV 1000").as("t_us"))
+      val views = ev.filter(col("et") === "view")
+        .select(col("user_id"), col("item"), col("t_us"))
+      val buys = ev.filter(col("et") === "purchase")
+        .select(col("user_id").as("bu"), col("item").as("bi"),
+          col("t_us").as("bt"))
+      val conv = views.join(buys,
+        col("bu") === col("user_id") && col("bi") === col("item") &&
+          col("bt") > col("t_us") &&
+          col("bt") <= col("t_us") + 604800000000L, "left_semi")
+      views.groupBy(col("item")).agg(count(lit(1)).as("n_views"))
+        .join(conv.groupBy(col("item")).agg(count(lit(1)).as("n_conv")),
+          Seq("item"), "left")
+        .withColumn("n_conv", coalesce(col("n_conv"), lit(0L)))
+        .withColumn("conv_permille", expr("1000 * n_conv DIV n_views"))
+        .orderBy(col("n_views").desc, col("item").asc)
+        .limit(20)
+    }),
+
     // co-visitation mining (the recsys primitive behind "people also
     // viewed"): item pairs seen within the SAME 30-minute behavioral
     // session, counted across sessions — gap-based session ids from one
@@ -6591,6 +6618,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN used THEN dppm * q_micro ELSE 0 END)
         |    // 1000000 AS BIGINT) AS psi_micro
         |FROM x""".stripMargin,
+
+    "view_to_buy" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |    event_type AS et, epoch_us(ts) AS t_us FROM events),
+        |v AS (SELECT user_id, item, t_us FROM e WHERE et = 'view'),
+        |c AS (SELECT item, COUNT(*) AS n_conv FROM v
+        |  WHERE EXISTS (SELECT 1 FROM e b
+        |    WHERE b.et = 'purchase' AND b.user_id = v.user_id
+        |      AND b.item = v.item AND b.t_us > v.t_us
+        |      AND b.t_us <= v.t_us + 604800000000)
+        |  GROUP BY 1),
+        |a AS (SELECT item, COUNT(*) AS n_views FROM v GROUP BY 1)
+        |SELECT a.item, a.n_views,
+        |  CAST(COALESCE(c.n_conv, 0) AS BIGINT) AS n_conv,
+        |  CAST(1000 * COALESCE(c.n_conv, 0) // a.n_views AS BIGINT)
+        |    AS conv_permille
+        |FROM a LEFT JOIN c USING (item)
+        |ORDER BY n_views DESC, item ASC LIMIT 20""".stripMargin,
 
     "covisit_pairs" ->
       """WITH e AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS t_us,
