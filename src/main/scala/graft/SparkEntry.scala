@@ -3305,6 +3305,42 @@ object SparkEntry {
         .withColumn("psi_micro", expr("__s DIV 1000000")).drop("__s")
     }),
 
+    // association strength over the co-visitation space: lift of item
+    // pairs (observed co-sessions vs independence) in exact integer ppm —
+    // lift = n_ab·N / (n_a·n_b), floor ppm with marginals from the same
+    // distinct (user, session, item) table the pair join uses.
+    "covisit_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id").as("eid"),
+          expr("ts DIV 1000").as("t_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .withColumn("__new", when(
+          col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L ||
+            lag(col("t_us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("sid"), col("item")).distinct()
+        .localCheckpoint()
+      val n = sess.select(col("user_id"), col("sid")).distinct().count()
+      val marg = sess.groupBy(col("item")).agg(count(lit(1)).as("m"))
+      sess.as("x").join(sess.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.sid") === col("y.sid") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(broadcast(marg.select(col("item").as("item_a"),
+          col("m").as("m_a"))), Seq("item_a"))
+        .join(broadcast(marg.select(col("item").as("item_b"),
+          col("m").as("m_b"))), Seq("item_b"))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          expr(s"1000000 * n_ab * ${n}L DIV (m_a * m_b)")
+            .as("lift_ppm"))
+    }),
+
     // per-item view→purchase conversion: the item-level funnel — a view
     // converts if the SAME user purchases the SAME item within 7 days
     // (hash semi-join on (user, item) with the time window as residual,
@@ -6618,6 +6654,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN used THEN dppm * q_micro ELSE 0 END)
         |    // 1000000 AS BIGINT) AS psi_micro
         |FROM x""".stripMargin,
+
+    "covisit_lift" ->
+      """WITH e AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS t_us,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events),
+        |f AS (SELECT user_id, eid, t_us, item,
+        |    CASE WHEN t_us - LAG(t_us) OVER w > 1800000000
+        |      OR LAG(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, eid)),
+        |s AS (SELECT user_id, item,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY t_us, eid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |d AS (SELECT DISTINCT user_id, sid, item FROM s),
+        |ns AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT DISTINCT user_id, sid FROM d)),
+        |m AS (SELECT item, COUNT(*) AS m FROM d GROUP BY 1),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    COUNT(*) AS n_ab
+        |  FROM d x JOIN d y ON x.user_id = y.user_id AND x.sid = y.sid
+        |    AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, n_ab,
+        |  CAST(1000000 * n_ab * ns.n // (ma.m * mb.m) AS BIGINT)
+        |    AS lift_ppm
+        |FROM p JOIN m ma ON ma.item = p.item_a
+        |  JOIN m mb ON mb.item = p.item_b CROSS JOIN ns""".stripMargin,
 
     "view_to_buy" ->
       """WITH e AS (SELECT user_id,
