@@ -274,6 +274,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("ext_cents")).as("rev_cents"))
     }),
 
+    // DIRECTED strongly-connected components (the directed sibling of
+    // dedup_clusters' undirected CC): transitive closure by path
+    // DOUBLING to fixpoint (count-stable, ≤8 rounds — each round
+    // squares reachable path length), SCC membership = mutual
+    // reachability, id = min mutual partner. Closure state is the
+    // bounded pair table (≤ |V|² on the mod-300 graph) — the exact tier
+    // by design; census: component count, largest, singletons.
+    "scc_census" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst") &&
+          (col("src") * 31 + col("dst")) % 7 === 0)
+        .distinct().localCheckpoint()
+      var r = e
+      var n = r.count()
+      var iter = 0
+      var done = false
+      while (!done && iter < 8) {
+        val r2 = r.union(r.as("a")
+            .join(r.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+          .distinct().localCheckpoint()
+        val n2 = r2.count()
+        done = n2 == n
+        r = r2; n = n2; iter += 1
+      }
+      val mutual = r.as("f").join(
+        r.select(col("src").as("rsrc"), col("dst").as("rdst")),
+        col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
+        "left_semi")
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val sid = nodes.join(
+          mutual.select(col("src").as("id"), col("dst").as("m")),
+          Seq("id"), "left")
+        .groupBy(col("id"))
+        .agg(least(first(col("id")), coalesce(min(col("m")),
+          first(col("id")))).as("scc"))
+      sid.groupBy(col("scc")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_sccs"), max(col("sz")).as("max_scc"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    }),
+
     // exact 2-hop reachability census: per node of the undirected mod-300
     // interaction graph, |ball(v, 2)| (self + neighbors + 2-hop) via pair
     // expansion — one self-join + distinct, the exact tier that witnesses
@@ -6213,6 +6257,29 @@ object SparkEntry {
         |    AS BIGINT) AS rev_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "scc_census" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE l_partkey % 300 <> l_suppkey % 300
+        |    AND ((l_partkey % 300) * 31 + l_suppkey % 300) % 7 = 0),
+        |r(src, dst) AS (
+        |  SELECT src, dst FROM g
+        |  UNION
+        |  SELECT r.src, g.dst FROM r JOIN g ON r.dst = g.src),
+        |mut AS (SELECT r1.src AS u, r1.dst AS v
+        |  FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM g
+        |  UNION SELECT dst FROM g),
+        |sid AS (SELECT n.id,
+        |    LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mut m ON m.u = n.id GROUP BY n.id),
+        |sz AS (SELECT scc, COUNT(*) AS n FROM sid GROUP BY 1)
+        |SELECT COUNT(*) AS n_sccs, CAST(MAX(n) AS BIGINT) AS max_scc,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons
+        |FROM sz""".stripMargin,
 
     "reach_2hop" ->
       """WITH g AS (SELECT DISTINCT
