@@ -274,6 +274,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("ext_cents")).as("rev_cents"))
     }),
 
+    // effective diameter (the canonical HyperBall read-out): smallest
+    // hop t where the approximate neighborhood function reaches 90% of
+    // its horizon value — derived from the same sketch fixpoint as
+    // reach_hll (rows-only for the same reason; the spec's error bound
+    // transfers).
+    "eff_diameter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val e = g.select(col("a").as("src"), col("b").as("dst"))
+        .union(g.select(col("b").as("src"), col("a").as("dst")))
+      val nf = graft.operators.GraphAlgos.neighborhoodFunction(
+        e, "src", "dst", maxHops = 4, p = 8)
+      val horizon = nf.agg(max(col("nf_est")).as("nf_max"))
+      nf.crossJoin(broadcast(horizon))
+        .filter(col("nf_est") * 10 >= col("nf_max") * 9)
+        .agg(min(col("hop")).as("eff_diameter_hop"),
+          max(col("nf_max")).as("nf_max"))
+    }),
+
     // DIRECTED strongly-connected components (the directed sibling of
     // dedup_clusters' undirected CC): transitive closure by path
     // DOUBLING to fixpoint (count-stable, ≤8 rounds — each round
@@ -1441,6 +1464,21 @@ object SparkEntry {
         .select(col("o_orderpriority"),
           (col("rk0") + 1).cast("long").as("rk"),
           col("e.v").as("total_cents"), col("e.id").as("o_orderkey"))),
+
+    // null-preserving explode (OUTER semantics): per document, its
+    // long tokens (≥ 8 chars) via explode_outer — documents with NO
+    // qualifying token keep a row with a NULL token instead of
+    // vanishing, the left-join-like generate variant plain explode
+    // silently drops.
+    "outer_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(expr(
+            "filter(split(trim(lower(text)), '\\\\s+'), " +
+              "w -> length(w) >= 8)")).as("long_tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("long_tok")).as("n_long"),
+          max(col("long_tok")).as("max_tok"))),
 
     // set-operator surface: INTERSECT / EXCEPT (distinct semantics) over
     // per-segment (nation, $2000-balance-band) profiles — Spark plans
@@ -4303,6 +4341,11 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
+    "eff_diameter" -> ("derived from the same HyperBall HLL-register " +
+      "fixpoint as reach_hll (smallest hop reaching 90% of the horizon " +
+      "neighborhood function) — no SQL twin for the sketch iteration; " +
+      "the reach_hll error-bound spec vs exact pair expansion covers " +
+      "the underlying estimates."),
     "isotonic_fit" -> ("pool-adjacent-violators isotonic regression — a " +
       "sequential stack pass over each group's x-ordered points with no " +
       "SQL equivalent in DuckDB (pool merges cascade backward). " +
@@ -6158,6 +6201,16 @@ object SparkEntry {
         |        o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "outer_explode" ->
+      """SELECT doc_id, COUNT(tok) AS n_long, MAX(tok) AS max_tok
+        |FROM (SELECT doc_id, unnest(CASE WHEN len(lt) = 0
+        |    THEN [NULL] ELSE lt END) AS tok
+        |  FROM (SELECT doc_id, list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> len(w) >= 8) AS lt
+        |    FROM documents))
+        |GROUP BY 1""".stripMargin,
 
     "set_ops" ->
       """WITH b AS (SELECT c_nationkey,
