@@ -341,6 +341,59 @@ object SparkEntry {
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
     }),
 
+    // SCC condensation: collapse the directed graph to its component
+    // DAG — distinct inter-SCC edges, plus a SELF-VERIFYING invariant
+    // column: mutual inter-SCC edge pairs must be ZERO (two mutually
+    // reachable components would be one component; a nonzero value
+    // falsifies the SCC computation itself).
+    "condensation_dag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst") &&
+          (col("src") * 31 + col("dst")) % 7 === 0)
+        .distinct().localCheckpoint()
+      var r = e
+      var n = r.count()
+      var iter = 0
+      var done = false
+      while (!done && iter < 8) {
+        val r2 = r.union(r.as("a")
+            .join(r.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+          .distinct().localCheckpoint()
+        val n2 = r2.count()
+        done = n2 == n
+        r = r2; n = n2; iter += 1
+      }
+      val mutual = r.as("f").join(
+        r.select(col("src").as("rsrc"), col("dst").as("rdst")),
+        col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
+        "left_semi")
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val sid = nodes.join(
+          mutual.select(col("src").as("id"), col("dst").as("m")),
+          Seq("id"), "left")
+        .groupBy(col("id"))
+        .agg(least(first(col("id")), coalesce(min(col("m")),
+          first(col("id")))).as("scc"))
+        .localCheckpoint()
+      val dag = e.join(sid.select(col("id").as("src"),
+            col("scc").as("scc_u")), Seq("src"))
+        .join(sid.select(col("id").as("dst"), col("scc").as("scc_v")),
+          Seq("dst"))
+        .filter(col("scc_u") =!= col("scc_v"))
+        .select(col("scc_u"), col("scc_v")).distinct()
+        .localCheckpoint()
+      dag.agg(count(lit(1)).as("n_dag_edges"),
+          countDistinct(col("scc_u")).as("n_source_sccs"))
+        .crossJoin(broadcast(dag.as("x").join(
+            dag.select(col("scc_u").as("ru"), col("scc_v").as("rv")),
+            col("x.scc_u") === col("rv") && col("x.scc_v") === col("ru"))
+          .agg(count(lit(1)).as("n_mutual_must_be_zero"))))
+    }),
+
     // exact 2-hop reachability census: per node of the undirected mod-300
     // interaction graph, |ball(v, 2)| (self + neighbors + 2-hop) via pair
     // expansion — one self-join + distinct, the exact tier that witnesses
@@ -3585,6 +3638,31 @@ object SparkEntry {
           expr("1000 * cum_cents DIV tot").as("cum_share_permille"))
     }),
 
+    // Spearman rank correlation: revenue rank vs order-count rank per
+    // customer via the exact Σd² formula — ranks are row_number under a
+    // deterministic (value, key) total order (tie policy mirrored in the
+    // twin), everything integer until one mirrored closing division.
+    // The rank windows are unpartitioned over the customer dimension —
+    // the documented single-partition posture (quantile_normalize); at
+    // warehouse scale they become range-partitioned sort ranks.
+    "spearman_rho" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"),
+          count(lit(1)).as("cnt"))
+      val ranked = cust
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("rev").asc, col("o_custkey").asc)))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("cnt").asc, col("o_custkey").asc)))
+      ranked.select((col("rx") - col("ry")).as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+        .withColumn("rho_micro", expr(
+          "CAST(round(1000000.0 * (1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) " +
+            "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * " +
+            "CAST(n AS DOUBLE) - 1.0))), 0) AS BIGINT)"))
+    }),
+
     // Simpson's-paradox screen: does the pooled quantity↔price
     // association direction survive stratifying by brand? Sign of the
     // EXACT integer covariance numerator (n·Σxy − Σx·Σy, DECIMAL(38,0))
@@ -6311,6 +6389,36 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
 
+    "condensation_dag" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE l_partkey % 300 <> l_suppkey % 300
+        |    AND ((l_partkey % 300) * 31 + l_suppkey % 300) % 7 = 0),
+        |r(src, dst) AS (
+        |  SELECT src, dst FROM g
+        |  UNION
+        |  SELECT r.src, g.dst FROM r JOIN g ON r.dst = g.src),
+        |mut AS (SELECT r1.src AS u, r1.dst AS v
+        |  FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM g
+        |  UNION SELECT dst FROM g),
+        |sid AS (SELECT n.id,
+        |    LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mut m ON m.u = n.id GROUP BY n.id),
+        |dag AS (SELECT DISTINCT su.scc AS scc_u, sv.scc AS scc_v
+        |  FROM g JOIN sid su ON g.src = su.id
+        |    JOIN sid sv ON g.dst = sv.id
+        |  WHERE su.scc <> sv.scc),
+        |mu AS (SELECT COUNT(*) AS n_mutual_must_be_zero
+        |  FROM dag x JOIN dag y
+        |    ON x.scc_u = y.scc_v AND x.scc_v = y.scc_u)
+        |SELECT COUNT(*) AS n_dag_edges,
+        |  CAST(COUNT(DISTINCT scc_u) AS BIGINT) AS n_source_sccs,
+        |  CAST(MAX(mu.n_mutual_must_be_zero) AS BIGINT)
+        |    AS n_mutual_must_be_zero
+        |FROM dag, mu""".stripMargin,
+
     "scc_census" ->
       """WITH RECURSIVE g AS (
         |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
@@ -7350,6 +7458,25 @@ object SparkEntry {
         |SELECT CAST(decile AS BIGINT) AS decile, n_cust, rev_cents,
         |  CAST(1000 * cum_cents // tot AS BIGINT) AS cum_share_permille
         |FROM c, t""".stripMargin,
+
+    "spearman_rho" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT
+        |    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rx,
+        |    ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) AS ry
+        |  FROM c)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |  CAST(round(1000000.0 * (1.0 - 6.0 *
+        |      CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE)
+        |      * CAST(COUNT(*) AS DOUBLE) - 1.0))), 0) AS BIGINT)
+        |    AS rho_micro
+        |FROM rk""".stripMargin,
 
     "simpson_check" ->
       """WITH r AS (SELECT p_brand AS g,
