@@ -1936,6 +1936,32 @@ object SparkEntry {
           .select(col("p_brand"), col("p_name"), col("p_partkey")),
         "p_brand", "p_name", "p_partkey", minPermille = 800)),
 
+    // the Fellegi–Sunter THREE-WAY DECISION (the model's actual
+    // contribution beyond scoring): candidate pairs banded into
+    // link / clerical-review / non-link by upper/lower score
+    // thresholds, with band counts and exact score extrema — the
+    // operating table an ER deployment tunes.
+    "fs_bands" -> ((s, dir) => {
+      val slice = t(s, dir, "part").filter(col("p_partkey") % 10 === 2)
+        .select(col("p_brand"), col("p_name"), col("p_type"),
+          expr("p_size DIV 10").as("size_band"), col("p_partkey"))
+      val scored = Dedup.fellegiSunter(slice, "p_brand", "p_partkey", Seq(
+        (round(graft.functions.JaroWinkler(
+            col("x.p_name"), col("y.p_name")) * 1000)
+          .cast("long") >= 850, 0.9, 0.1),
+        (col("x.p_type") === col("y.p_type"), 0.95, 0.2),
+        (col("x.size_band") === col("y.size_band"), 0.9, 0.2)),
+        minScoreMicro = Long.MinValue)
+      scored.withColumn("band",
+          when(col("score_micro") >= 2000000L, "link")
+            .when(col("score_micro") >= 0L, "review")
+            .otherwise("non-link"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("score_micro")).as("min_score"),
+          max(col("score_micro")).as("max_score"))
+    }),
+
     // probabilistic record linkage (Fellegi–Sunter): brand-blocked part
     // pairs scored by summed log-likelihood-ratio field weights — name
     // Jaro-Winkler ≥ 0.85, exact type, size decade — with the m/u weights
@@ -8101,6 +8127,30 @@ object SparkEntry {
         |      AS BIGINT) AS jw_permille
         |  FROM v x JOIN v y ON x.blk = y.blk AND x.id < y.id)
         |WHERE jw_permille >= 800""".stripMargin,
+
+    "fs_bands" -> {
+      val (waN, wdN) = Dedup.fsWeightsMicro(0.9, 0.1)
+      val (waT, wdT) = Dedup.fsWeightsMicro(0.95, 0.2)
+      val (waS, wdS) = Dedup.fsWeightsMicro(0.9, 0.2)
+      s"""WITH v AS (SELECT p_brand, p_name, p_type,
+        |    p_size // 10 AS size_band, p_partkey
+        |  FROM part WHERE p_partkey % 10 = 2),
+        |sc AS (SELECT
+        |    CAST((CASE WHEN CAST(round(jaro_winkler_similarity(x.p_name,
+        |        y.p_name) * 1000, 0) AS BIGINT) >= 850
+        |      THEN $waN ELSE $wdN END)
+        |      + (CASE WHEN x.p_type = y.p_type THEN $waT ELSE $wdT END)
+        |      + (CASE WHEN x.size_band = y.size_band
+        |        THEN $waS ELSE $wdS END) AS BIGINT) AS score_micro
+        |  FROM v x JOIN v y
+        |    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey)
+        |SELECT CASE WHEN score_micro >= 2000000 THEN 'link'
+        |    WHEN score_micro >= 0 THEN 'review'
+        |    ELSE 'non-link' END AS band,
+        |  COUNT(*) AS n_pairs,
+        |  MIN(score_micro) AS min_score, MAX(score_micro) AS max_score
+        |FROM sc GROUP BY 1""".stripMargin
+    },
 
     "fs_linkage" -> {
       val (waN, wdN) = Dedup.fsWeightsMicro(0.9, 0.1)
