@@ -105,6 +105,55 @@ object SparkEntry {
     """SELECT CAST(o_orderkey AS VARCHAR) AS external_id, 'v1' AS tok
       | FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin
 
+  /** Shared SCC machinery for the directed-graph family (`scc_census`,
+    * `condensation_dag`, `dag_longest`): directed residue edges, the
+    * path-doubling transitive closure (count-stable fixpoint, ≤8 rounds),
+    * per-node SCC ids (min mutual partner), and the condensation DAG.
+    * Closure state is the bounded pair table — the exact tier by design. */
+  private def sccDag(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val li = t(s, dir, "lineitem")
+    val e = li.select((col("l_partkey") % 300).as("src"),
+        (col("l_suppkey") % 300).as("dst"))
+      .filter(col("src") =!= col("dst") &&
+        (col("src") * 31 + col("dst")) % 7 === 0)
+      .distinct().localCheckpoint()
+    var r = e
+    var n = r.count()
+    var iter = 0
+    var done = false
+    while (!done && iter < 8) {
+      val r2 = r.union(r.as("a")
+          .join(r.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        .distinct().localCheckpoint()
+      val n2 = r2.count()
+      done = n2 == n
+      r = r2; n = n2; iter += 1
+    }
+    val mutual = r.as("f").join(
+      r.select(col("src").as("rsrc"), col("dst").as("rdst")),
+      col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
+      "left_semi")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val sid = nodes.join(
+        mutual.select(col("src").as("id"), col("dst").as("m")),
+        Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(least(first(col("id")), coalesce(min(col("m")),
+        first(col("id")))).as("scc"))
+      .localCheckpoint()
+    val dag = e.join(sid.select(col("id").as("src"),
+          col("scc").as("scc_u")), Seq("src"))
+      .join(sid.select(col("id").as("dst"), col("scc").as("scc_v")),
+        Seq("dst"))
+      .filter(col("scc_u") =!= col("scc_v"))
+      .select(col("scc_u"), col("scc_v")).distinct()
+      .localCheckpoint()
+    (e, sid, dag)
+  }
+
   /** Flagship: the engine's novel operator — classified snapshot diff
     * (incremental sync delta) on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -305,37 +354,7 @@ object SparkEntry {
     // bounded pair table (≤ |V|² on the mod-300 graph) — the exact tier
     // by design; census: component count, largest, singletons.
     "scc_census" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter(col("src") =!= col("dst") &&
-          (col("src") * 31 + col("dst")) % 7 === 0)
-        .distinct().localCheckpoint()
-      var r = e
-      var n = r.count()
-      var iter = 0
-      var done = false
-      while (!done && iter < 8) {
-        val r2 = r.union(r.as("a")
-            .join(r.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst")))
-          .distinct().localCheckpoint()
-        val n2 = r2.count()
-        done = n2 == n
-        r = r2; n = n2; iter += 1
-      }
-      val mutual = r.as("f").join(
-        r.select(col("src").as("rsrc"), col("dst").as("rdst")),
-        col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
-        "left_semi")
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
-      val sid = nodes.join(
-          mutual.select(col("src").as("id"), col("dst").as("m")),
-          Seq("id"), "left")
-        .groupBy(col("id"))
-        .agg(least(first(col("id")), coalesce(min(col("m")),
-          first(col("id")))).as("scc"))
+      val (_, sid, _) = sccDag(s, dir)
       sid.groupBy(col("scc")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_sccs"), max(col("sz")).as("max_scc"),
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
@@ -347,51 +366,36 @@ object SparkEntry {
     // reachable components would be one component; a nonzero value
     // falsifies the SCC computation itself).
     "condensation_dag" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter(col("src") =!= col("dst") &&
-          (col("src") * 31 + col("dst")) % 7 === 0)
-        .distinct().localCheckpoint()
-      var r = e
-      var n = r.count()
-      var iter = 0
-      var done = false
-      while (!done && iter < 8) {
-        val r2 = r.union(r.as("a")
-            .join(r.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst")))
-          .distinct().localCheckpoint()
-        val n2 = r2.count()
-        done = n2 == n
-        r = r2; n = n2; iter += 1
-      }
-      val mutual = r.as("f").join(
-        r.select(col("src").as("rsrc"), col("dst").as("rdst")),
-        col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
-        "left_semi")
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
-      val sid = nodes.join(
-          mutual.select(col("src").as("id"), col("dst").as("m")),
-          Seq("id"), "left")
-        .groupBy(col("id"))
-        .agg(least(first(col("id")), coalesce(min(col("m")),
-          first(col("id")))).as("scc"))
-        .localCheckpoint()
-      val dag = e.join(sid.select(col("id").as("src"),
-            col("scc").as("scc_u")), Seq("src"))
-        .join(sid.select(col("id").as("dst"), col("scc").as("scc_v")),
-          Seq("dst"))
-        .filter(col("scc_u") =!= col("scc_v"))
-        .select(col("scc_u"), col("scc_v")).distinct()
-        .localCheckpoint()
+      val (_, _, dag) = sccDag(s, dir)
       dag.agg(count(lit(1)).as("n_dag_edges"),
           countDistinct(col("scc_u")).as("n_source_sccs"))
         .crossJoin(broadcast(dag.as("x").join(
             dag.select(col("scc_u").as("ru"), col("scc_v").as("rv")),
             col("x.scc_u") === col("rv") && col("x.scc_v") === col("ru"))
           .agg(count(lit(1)).as("n_mutual_must_be_zero"))))
+    }),
+
+    // critical path over the condensation DAG: longest path length by
+    // (node, length) fixpoint enumeration — finite BECAUSE the DAG is
+    // acyclic (condensation_dag's invariant), bounded by depth; the
+    // scheduling-analytics read of the component structure.
+    "dag_longest" -> ((s, dir) => {
+      val (_, _, dag) = sccDag(s, dir)
+      var pl = dag.select(col("scc_v").as("v"), lit(1L).as("len"))
+        .distinct().localCheckpoint()
+      var n = pl.count()
+      var iter = 0
+      var done = false
+      while (!done && iter < 16) {
+        val p2 = pl.union(pl.join(dag, col("v") === col("scc_u"))
+            .select(col("scc_v").as("v"), (col("len") + 1).as("len")))
+          .distinct().localCheckpoint()
+        val n2 = p2.count()
+        done = n2 == n
+        pl = p2; n = n2; iter += 1
+      }
+      pl.agg(max(col("len")).as("longest_path_edges"),
+        countDistinct(col("v")).as("n_reachable_nodes"))
     }),
 
     // exact 2-hop reachability census: per node of the undirected mod-300
@@ -6444,6 +6448,35 @@ object SparkEntry {
         |  CAST(MAX(mu.n_mutual_must_be_zero) AS BIGINT)
         |    AS n_mutual_must_be_zero
         |FROM dag, mu""".stripMargin,
+
+    "dag_longest" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem
+        |  WHERE l_partkey % 300 <> l_suppkey % 300
+        |    AND ((l_partkey % 300) * 31 + l_suppkey % 300) % 7 = 0),
+        |r(src, dst) AS (
+        |  SELECT src, dst FROM g
+        |  UNION
+        |  SELECT r.src, g.dst FROM r JOIN g ON r.dst = g.src),
+        |mut AS (SELECT r1.src AS u, r1.dst AS v
+        |  FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM g
+        |  UNION SELECT dst FROM g),
+        |sid AS (SELECT n.id,
+        |    LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mut m ON m.u = n.id GROUP BY n.id),
+        |dag AS (SELECT DISTINCT su.scc AS scc_u, sv.scc AS scc_v
+        |  FROM g JOIN sid su ON g.src = su.id
+        |    JOIN sid sv ON g.dst = sv.id
+        |  WHERE su.scc <> sv.scc),
+        |pl(v, len) AS (
+        |  SELECT scc_v, 1 FROM dag
+        |  UNION
+        |  SELECT d.scc_v, p.len + 1 FROM pl p JOIN dag d ON d.scc_u = p.v)
+        |SELECT CAST(MAX(len) AS BIGINT) AS longest_path_edges,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_reachable_nodes
+        |FROM pl""".stripMargin,
 
     "scc_census" ->
       """WITH RECURSIVE g AS (
