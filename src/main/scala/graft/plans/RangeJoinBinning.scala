@@ -121,9 +121,19 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
                   nullable = false)()
               // Sequence is TimeZoneAware: without an explicit zone the
               // node is UNRESOLVED post-analysis and plan validation
-              // rejects the rewrite (long bounds never consult it)
-              val seq = new Sequence(floorBin(lo, w), floorBin(hi, w),
-                Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))
+              // rejects the rewrite (long bounds never consult it).
+              // Inverted intervals (hi < lo) are legal no-match rows for
+              // the original theta join, but Sequence(loBin, hiBin, 1)
+              // THROWS when hiBin < loBin — guard with an empty bin list
+              // so they stay no-match instead of crashing the query.
+              val loBin = floorBin(lo, w)
+              val hiBin = floorBin(hi, w)
+              val seq = If(LessThanOrEqual(loBin, hiBin),
+                new Sequence(loBin, hiBin, Some(Literal(1L)),
+                  Some(SQLConf.get.sessionLocalTimeZone)),
+                Literal.create(Array.empty[Long],
+                  org.apache.spark.sql.types.ArrayType(LongType,
+                    containsNull = false)))
               def binPoint(s: LogicalPlan) =
                 Project(s.output :+ pAlias, s)
               def binInterval(s: LogicalPlan) =

@@ -36,7 +36,10 @@ class RangeJoinBinningSpec extends AnyFunSuite {
         .toDF("p", "ptag")
       val intervals = Seq(
         (-45L, -30L, "neg"), (-5L, 12L, "straddle"), (40L, 40L, "unit"),
-        (90L, 130L, "tail"), (60L, 50L, "empty"), (0L, 99L, "wide"))
+        (90L, 130L, "tail"), (60L, 50L, "empty"), (0L, 99L, "wide"),
+        // inverted interval whose floor-bins ALSO invert (60→3, 20→1 at
+        // W=16): must stay a legal no-match row, not a Sequence crash
+        (60L, 20L, "inverted_bins"), (10L, -40L, "inverted_neg"))
         .toDF("lo", "hi", "itag")
       val join = () => points.join(intervals,
           col("p") >= col("lo") && col("p") <= col("hi"))

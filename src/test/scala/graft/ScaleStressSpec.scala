@@ -103,4 +103,38 @@ class ScaleStressSpec extends AnyFunSuite {
     // copies are key-disjoint with identical series → exactly 8×
     assert(bigSum === 8 * one)
   }
+
+  test("8x UNBOUNDED part→supp graph: SCC census copy-linear, no pair table") {
+    // The residue-free graph the closure-based SCC could never take:
+    // every distinct (l_partkey → l_suppkey) edge, node ids uncapped.
+    // Cycles live among the ids that appear on both sides; part-only
+    // nodes trim out as singletons. Forward–backward decomposition keeps
+    // O(|V|+|E|) state, so 8 key-disjoint copies must cost ~8× and the
+    // census must scale EXACTLY copy-linearly — a reachability pair
+    // table (O(Σ reach(v)) rows, here ~100× |E|) would not.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val e1 = li.select(col("l_partkey").as("s"), col("l_suppkey").as("d"))
+      .distinct()
+    def census(edges: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val lab = graft.operators.GraphAlgos
+        .stronglyConnectedComponents(edges, "s", "d")
+      val sz = lab.groupBy(col("scc")).agg(count(lit(1)).as("n"))
+      val r = sz.agg(count(lit(1)).as("n_sccs"), max(col("n")).as("mx"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("single"),
+          sum(col("n")).as("n_nodes")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (s1, mx1, single1, nodes1) = timed("1x unbounded SCC") { census(e1) }
+    assert(nodes1 === e1.select(col("s").as("id"))
+      .union(e1.select(col("d"))).distinct().count(),
+      "SCC labels must cover every node exactly once")
+    val big = (0 until 8).map(i =>
+      e1.select((col("s") + lit(i * 10000000L)).as("s"),
+        (col("d") + lit(i * 10000000L)).as("d")))
+      .reduce(_ union _)
+    val (s8, mx8, single8, nodes8) = timed("8x unbounded SCC") { census(big) }
+    assert(s8 === 8 * s1 && mx8 === mx1 &&
+      single8 === 8 * single1 && nodes8 === 8 * nodes1,
+      s"census not copy-linear: ($s8,$mx8,$single8,$nodes8) vs 8x($s1,$mx1,$single1,$nodes1)")
+  }
 }
