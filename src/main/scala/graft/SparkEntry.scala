@@ -4451,13 +4451,6 @@ object SparkEntry {
       "neighborhood function) — no SQL twin for the sketch iteration; " +
       "the reach_hll error-bound spec vs exact pair expansion covers " +
       "the underlying estimates."),
-    "isotonic_fit" -> ("pool-adjacent-violators isotonic regression — a " +
-      "sequential stack pass over each group's x-ordered points with no " +
-      "SQL equivalent in DuckDB (pool merges cascade backward). " +
-      "OperatorsSpec pins hand-computed pool structures exactly — the " +
-      "[1,3,2,4] violation collapse, a weighted merge, the already- " +
-      "monotone identity case — plus determinism; the input aggregate " +
-      "feeding it is the oracle-verified hourly_heatmap family shape."),
     "reach_hll" -> ("HyperBall approximate neighborhood function — an " +
       "iterated HLL-register fixpoint (element-wise max propagation) " +
       "with no SQL equivalent in DuckDB. OperatorsSpec bounds the hop-2 " +
@@ -4470,14 +4463,6 @@ object SparkEntry {
       "case exactly instead (axis (2,1)/√5 → loadings 894427/447214 " +
       "micros, λ = 25e6, zero padding dims exactly 0) plus bit-identical " +
       "determinism across recomputation."),
-    "mst_forest" -> ("minimum spanning forest by Borůvka rounds — an " +
-      "iterated contraction fixpoint with no SQL equivalent in DuckDB " +
-      "(Kruskal needs sequential union-find). OperatorsSpec pins a " +
-      "hand-computed cycle-drop case exactly AND cross-checks the full " +
-      "edge set against an independent Kruskal implementation on a " +
-      "40-node pseudo-random graph; the (w, a, b) tie perturbation makes " +
-      "the forest unique, so the comparison is set-equality, not " +
-      "weight-sum-only."),
     "sliding_distinct_approx" -> ("trailing-window distinct users from " +
       "hll_union_agg over per-bucket sketches — sketch-valued, no DuckDB " +
       "twin (the hll_rollup argument applied to window frames). " +
@@ -4503,12 +4488,6 @@ object SparkEntry {
       "exact input), repetitive ≪ prose ≪ random ratio ordering, and " +
       "the raw_bytes column is oracle-covered via token_count's length " +
       "discipline."),
-    "crc32_hash" -> ("output is CRC-32/Q (polynomial 0x814141AB, the " +
-      "reference's hash — SURVEY §2.5 F1); DuckDB has no CRC-32/Q. " +
-      "Byte-exact vs the Go implementation's vectors in Crc32QSpec."),
-    "cast_string_hash" -> ("CRC-32/Q over string-cast numerics; same " +
-      "missing DuckDB twin as crc32_hash. Covered by Crc32QSpec + the " +
-      "oracle-green cast_string query for the cast half."),
     "dedup_minhash" -> ("candidate pairs are keyed on xxhash64 band " +
       "hashes of xxhash64 shingle min-hashes; DuckDB has no xxhash64, so " +
       "the candidate set is not SQL-reproducible. Recall + bucket-cap + " +
@@ -4553,7 +4532,162 @@ object SparkEntry {
       "(mergeability), and both land within 5% of exact " +
       "COUNT(DISTINCT). Exact tier = distinct_agg."))
 
+  /** Borůvka replayed round-by-round in DuckDB SQL for the `mst_forest`
+    * oracle: each unrolled round picks every component's lexicographically
+    * least (w, a, b) cross edge with a window rank, then contracts via a
+    * recursive min-label reachability CTE over the (component, component)
+    * pick graph — the same contraction [[graft.operators.Dedup.connectedComponents]]
+    * performs. 9 rounds ≥ ⌈log₂ 300⌉ guarantees convergence on the
+    * residue graph (an exhausted round has no cross edges and is a
+    * no-op). The (w, a, b) tie perturbation makes the forest UNIQUE, so
+    * the oracle compare is exact set equality. CTEs are MATERIALIZED —
+    * without the hint DuckDB inlines each round's references and the
+    * expansion is exponential in rounds. */
+  private def mstForestOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT a, b, (a * 37 + b * 101) % 997 AS w FROM (
+      |    SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS a,
+      |           greatest(l_partkey % 300, l_suppkey % 300) AS b
+      |    FROM lineitem) g
+      |  WHERE a < b AND (a * 31 + b) % 7 = 0),
+      |lab0 AS MATERIALIZED (SELECT id, id AS c FROM
+      |  (SELECT a AS id FROM e UNION SELECT b FROM e) n)""".stripMargin
+    val rounds = 9
+    for (r <- 1 to rounds) {
+      val q = r - 1
+      sb ++= s""",
+        |ce$r AS MATERIALIZED (SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
+        |  FROM e JOIN lab$q la ON e.a = la.id JOIN lab$q lb ON e.b = lb.id
+        |  WHERE la.c <> lb.c),
+        |pk$r AS MATERIALIZED (SELECT DISTINCT a, b, w, ca, cb FROM (
+        |  SELECT comp, a, b, w, ca, cb,
+        |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+        |  FROM (SELECT ca AS comp, a, b, w, ca, cb FROM ce$r
+        |        UNION ALL SELECT cb AS comp, a, b, w, ca, cb FROM ce$r) t) u
+        |  WHERE rn = 1),
+        |pg$r AS MATERIALIZED (SELECT ca AS u, cb AS v FROM pk$r
+        |  UNION SELECT cb, ca FROM pk$r),
+        |rc$r(u, v) AS (SELECT u, v FROM pg$r
+        |  UNION SELECT r.u, p.v FROM rc$r r JOIN pg$r p ON r.v = p.u),
+        |mg$r AS MATERIALIZED (SELECT u AS old, LEAST(u, MIN(v)) AS newc
+        |  FROM rc$r GROUP BY u),
+        |lab$r AS MATERIALIZED (SELECT l.id, COALESCE(m.newc, l.c) AS c
+        |  FROM lab$q l LEFT JOIN mg$r m ON l.c = m.old)""".stripMargin
+    }
+    val un = (1 to rounds)
+      .map(r => s"SELECT a, b, w FROM pk$r").mkString(" UNION ALL ")
+    sb ++= s"\nSELECT DISTINCT a, b, CAST(w AS BIGINT) AS w FROM ($un) allp"
+    sb.result()
+  }
+
+  /** CRC-32/Q replayed in DuckDB SQL: the 256-entry reflected table is
+    * built by 8 unrolled CTE shift-xor steps from the 0xD5828281
+    * polynomial (the exact construction of
+    * [[graft.functions.Crc32Q.table]]), then each input string is folded
+    * byte-by-byte through a recursive CTE. Valid because every hashed
+    * fixture string is ASCII (unicode(char) == the UTF-8 byte) — the
+    * Spark side hashes UTF-8 bytes. Bit-op operands are parenthesized:
+    * DuckDB binds `=` tighter than `&`. */
+  private def crc32qTablePreludeSql: String = {
+    val steps = (1 to 8).map(k =>
+      s"t$k AS MATERIALIZED (SELECT i, CASE WHEN (c & 1) = 1 " +
+        s"THEN xor(c >> 1, 3582100097) ELSE c >> 1 END AS c FROM t${k - 1})")
+    ("t0 AS MATERIALIZED (SELECT range AS i, range AS c FROM range(256))" +:
+      steps :+
+      "tbl AS MATERIALIZED (SELECT i, c AS v FROM t8)").mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "mst_forest" -> mstForestOracleSql,
+
+    "crc32_hash" -> ("WITH RECURSIVE " + crc32qTablePreludeSql + """,
+      |data AS MATERIALIZED (
+      |  SELECT doc_id, 'j' AS wh,
+      |    CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+      |      source := source)) AS VARCHAR) AS s
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'l' AS wh, lang AS s FROM documents),
+      |st(doc_id, wh, pos, crc) AS (
+      |  SELECT doc_id, wh, 0, 4294967295 FROM data
+      |  UNION ALL
+      |  SELECT s.doc_id, s.wh, s.pos + 1, xor(t.v, s.crc >> 8)
+      |  FROM st s JOIN data d ON d.doc_id = s.doc_id AND d.wh = s.wh
+      |  JOIN tbl t
+      |    ON t.i = (xor(s.crc, unicode(substr(d.s, s.pos + 1, 1))) & 255)
+      |  WHERE s.pos < length(d.s)),
+      |fin AS (
+      |  SELECT s.doc_id, s.wh, xor(s.crc, 4294967295) AS h
+      |  FROM st s JOIN data d ON d.doc_id = s.doc_id AND d.wh = s.wh
+      |  WHERE s.pos = length(d.s))
+      |SELECT j.doc_id, CAST(j.h AS BIGINT) AS h, CAST(l.h AS BIGINT) AS h_lang
+      |FROM fin j JOIN fin l ON j.doc_id = l.doc_id
+      |WHERE j.wh = 'j' AND l.wh = 'l'""").stripMargin,
+
+    "cast_string_hash" -> ("WITH RECURSIVE " + crc32qTablePreludeSql + """,
+      |data AS MATERIALIZED (
+      |  SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS s FROM orders),
+      |st(o_orderkey, pos, crc) AS (
+      |  SELECT o_orderkey, 0, 4294967295 FROM data
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.pos + 1, xor(t.v, s.crc >> 8)
+      |  FROM st s JOIN data d ON d.o_orderkey = s.o_orderkey
+      |  JOIN tbl t
+      |    ON t.i = (xor(s.crc, unicode(substr(d.s, s.pos + 1, 1))) & 255)
+      |  WHERE s.pos < length(d.s))
+      |SELECT s.o_orderkey, CAST(xor(s.crc, 4294967295) AS BIGINT) AS h
+      |FROM st s JOIN data d ON d.o_orderkey = s.o_orderkey
+      |WHERE s.pos = length(d.s)""").stripMargin,
+
+    // PAV isotonic pools == vertices of the GREATEST CONVEX MINORANT of
+    // the per-group cumulative-sum diagram (Barlow et al. 1972): prefix
+    // point P_i = (Σn, Σs) is a pool boundary iff NO chord P_j–P_k
+    // (j<i<k) passes below it — an exact integer cross-multiplied test,
+    // replayable in SQL because groups hold ≤24 hour-of-day points.
+    "isotonic_fit" ->
+      """WITH pts AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS g,
+        |         (epoch_us(ts) // 3600000000) % 24 AS x,
+        |         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS s,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ord0 AS (SELECT g, x, s, n,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn
+        |         FROM pts),
+        |pre AS (
+        |  SELECT g, rn,
+        |    CAST(SUM(s) OVER (PARTITION BY g ORDER BY rn) AS BIGINT) AS cs,
+        |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY rn) AS BIGINT) AS cn
+        |  FROM ord0
+        |  UNION ALL
+        |  SELECT DISTINCT g, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM ord0),
+        |bnd AS (
+        |  SELECT p.g, p.rn, p.cs, p.cn FROM pre p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pre j, pre k
+        |    WHERE j.g = p.g AND k.g = p.g AND j.rn < p.rn AND k.rn > p.rn
+        |      AND (p.cs - j.cs) * (k.cn - j.cn)
+        |        > (k.cs - j.cs) * (p.cn - j.cn))),
+        |seg AS (
+        |  SELECT g, rn AS hi, cs AS cshi, cn AS cnhi,
+        |    LAG(rn) OVER (PARTITION BY g ORDER BY rn) AS lo,
+        |    LAG(cs) OVER (PARTITION BY g ORDER BY rn) AS cslo,
+        |    LAG(cn) OVER (PARTITION BY g ORDER BY rn) AS cnlo
+        |  FROM bnd),
+        |pools AS (
+        |  SELECT s.g, s.lo, s.hi, s.cshi - s.cslo AS pool_sum,
+        |         s.cnhi - s.cnlo AS pool_n, o.x AS pool_x
+        |  FROM seg s JOIN ord0 o ON o.g = s.g AND o.rn = s.lo + 1
+        |  WHERE s.lo IS NOT NULL)
+        |SELECT o.g AS et, o.x AS hod, p.pool_x,
+        |  CAST(p.pool_sum AS BIGINT) AS pool_sum,
+        |  CAST(p.pool_n AS BIGINT) AS pool_n
+        |FROM ord0 o
+        |JOIN pools p ON p.g = o.g AND o.rn > p.lo AND o.rn <= p.hi""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(round(l_extendedprice*100, 0) AS BIGINT) AS price_cents
