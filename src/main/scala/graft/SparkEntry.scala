@@ -2092,6 +2092,21 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // the billion-scale composition (IVFADC+R): IVF cells bound WHERE a
+    // query looks, PQ asymmetric-distance tables bound WHAT each
+    // candidate costs (8 table lookups instead of 64-dim math), and
+    // exact cosine re-ranks only the 25-deep ADC shortlist — broadcast
+    // centroids + broadcast codebook, corpus encoded once
+    // ([[Similarity.annTopKIvfPq]]; recall pinned at IVF parity in
+    // DedupSimilaritySpec).
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopKIvfPq(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5,
+        nSub = 8, nCentroids = 128, rerank = 25)
+    }),
+
     // vector compression layer: product-quantization codes — 4 subspaces
     // × 8-centroid codebooks (subvectors of the 8 lowest-id vectors, the
     // IVF deterministic-seed discipline), squared-L2 argmin in integer
@@ -7931,6 +7946,8 @@ object SparkEntry {
 
     "ann_ivf" -> annIvfSql,
 
+    "ann_ivfpq" -> annIvfPqSql,
+
     "pq_codes" ->
       """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings),
@@ -9049,6 +9066,78 @@ object SparkEntry {
       |SELECT qid, nid, cos_permille FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin
+
+  /** Oracle twin of `ann_ivfpq` ([[graft.operators.Similarity.annTopKIvfPq]]):
+    * the IVF assignment/probe CTEs of [[annIvfSql]] composed with the
+    * `pq_codes` codebook construction, ADC partial distances summed per
+    * (query, candidate) — every tier deterministic (lowest-id seeds,
+    * integer-milli distances, total tie orders), so the compare is
+    * exact. */
+  private def annIvfPqSql: String =
+    """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+      |   FROM base WHERE id >= 10 ORDER BY id LIMIT 16),
+      |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+      |   FROM base WHERE id >= 10),
+      |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+      |   FROM base WHERE id < 10),
+      |cassign AS (SELECT nid, cid FROM (
+      |  SELECT nid, cid, row_number() OVER (PARTITION BY nid
+      |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+      |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+      |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+      |qprobe AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |    ORDER BY CAST(round(list_dot_product(qv, cv) /
+      |      (sqrt(qn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+      |    AS rn FROM q CROSS JOIN cent) WHERE rn <= 4),
+      |subs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub),
+      |corpn AS (SELECT nid, list_transform(nv, x -> x / sqrt(nn2)) AS nv
+      |   FROM corp),
+      |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS qv
+      |   FROM q),
+      |seeds AS (SELECT nid AS code, nv FROM corpn ORDER BY nid LIMIT 128),
+      |cb AS (SELECT sub, code, nv[sub*8+1 : sub*8+8] AS cv,
+      |    list_dot_product(nv[sub*8+1 : sub*8+8],
+      |      nv[sub*8+1 : sub*8+8]) AS cn2
+      |  FROM seeds CROSS JOIN subs),
+      |ce AS (SELECT nid, sub, nv[sub*8+1 : sub*8+8] AS sv,
+      |    list_dot_product(nv[sub*8+1 : sub*8+8],
+      |      nv[sub*8+1 : sub*8+8]) AS sn2
+      |  FROM corpn CROSS JOIN subs),
+      |codes AS (SELECT nid, sub, code FROM (
+      |  SELECT ce.nid, ce.sub, cb.code, row_number() OVER (
+      |      PARTITION BY ce.nid, ce.sub
+      |      ORDER BY CAST(round((ce.sn2 - 2 * list_dot_product(ce.sv, cb.cv)
+      |        + cb.cn2) * 1000.0, 0) AS BIGINT) ASC, cb.code ASC) AS rn
+      |    FROM ce JOIN cb ON ce.sub = cb.sub) u WHERE rn = 1),
+      |qe AS (SELECT qid, sub, qv[sub*8+1 : sub*8+8] AS sv,
+      |    list_dot_product(qv[sub*8+1 : sub*8+8],
+      |      qv[sub*8+1 : sub*8+8]) AS sn2
+      |  FROM qn CROSS JOIN subs),
+      |dt AS (SELECT qe.qid, qe.sub, cb.code,
+      |    CAST(round((qe.sn2 - 2 * list_dot_product(qe.sv, cb.cv) + cb.cn2)
+      |      * 1000.0, 0) AS BIGINT) AS pd
+      |  FROM qe JOIN cb ON qe.sub = cb.sub),
+      |cand AS (SELECT p.qid, k.nid, SUM(d.pd) AS adc_milli
+      |  FROM codes k JOIN cassign a ON a.nid = k.nid
+      |  JOIN qprobe p ON p.cid = a.cid
+      |  JOIN dt d ON d.qid = p.qid AND d.sub = k.sub AND d.code = k.code
+      |  WHERE p.qid <> k.nid GROUP BY 1, 2),
+      |short AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_milli ASC, nid ASC) AS rn FROM cand) u
+      |  WHERE rn <= 25),
+      |rs AS (SELECT s.qid, s.nid,
+      |    CAST(round(list_dot_product(q.qv, c.nv) /
+      |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
+      |      AS cos_permille
+      |  FROM short s JOIN corp c ON c.nid = s.nid JOIN q ON q.qid = s.qid)
+      |SELECT qid, nid, cos_permille FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
       |WHERE rn <= 5""".stripMargin
 
   /** The splitmix plane constants of [[Similarity.planes]] as DuckDB double

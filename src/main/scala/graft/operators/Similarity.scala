@@ -152,6 +152,32 @@ object Similarity {
     * partition/probe machinery is identical. Everything is joins against a
     * broadcast centroid set: no driver-side loops, corpus assignment is one
     * pass. */
+  /** Nearest-cell assignment against a broadcast centroid set `cents`
+    * ((cid, cv, cn2) columns). probes=1 is the corpus path: an
+    * argmax-aggregate over (sim, -cid) — a 16-byte buffer, map-side
+    * combined, so the nCells candidate rows per vector collapse before
+    * any shuffle and the vector never rides through a sort or an
+    * aggregation buffer; the winning cell id joins back on the id (AQE
+    * broadcasts the assignment side when it fits). Tie-break (-cid)
+    * matches the window's (sim desc, cid asc). probes>1 is the query
+    * path: a rank-capped window over the tiny query side. */
+  private def assignToCells(df: DataFrame, idC: String, vC: String,
+      n2C: String, cents: DataFrame, probes: Int): DataFrame = {
+    val scored = df.crossJoin(cents)
+      .select(col(idC), col(vC), col(n2C), col("cid"),
+        cosFromN2(col(vC), col(n2C), col("cv"), col("cn2")).as("__sim"))
+    if (probes == 1) {
+      val best = scored.groupBy(col(idC))
+        .agg(max(struct(col("__sim"), (lit(0L) - col("cid")).as("__ncid")))
+          .as("__best"))
+        .select(col(idC), (lit(0L) - col("__best.__ncid")).as("cid"))
+      df.join(best, Seq(idC)).select(col(idC), col(vC), col(n2C), col("cid"))
+    } else
+      Transforms.topKPerGroup(scored,
+        Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
+        .drop("__sim")
+  }
+
   def annTopKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
@@ -164,29 +190,8 @@ object Similarity {
     val cents = broadcast(centBase)
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     def assign(df: DataFrame, idC: String, vC: String, n2C: String,
-        probes: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .select(col(idC), col(vC), col(n2C), col("cid"),
-          cosFromN2(col(vC), col(n2C), col("cv"), col("cn2")).as("__sim"))
-      if (probes == 1) {
-        // Corpus-side argmax: aggregate only (sim, -cid) — a 16-byte
-        // buffer, map-side combined, so the nCells candidate rows per
-        // vector collapse before any shuffle and the 64-dim vector never
-        // rides through a sort or an aggregation buffer. The winning cell
-        // id joins back to the vectors on the id (AQE broadcasts the
-        // assignment side when it fits). Tie-break (-cid) matches the
-        // window's (sim desc, cid asc). The window form shuffles and sorts
-        // nCells copies of every vector — untenable at corpus scale.
-        val best = scored.groupBy(col(idC))
-          .agg(max(struct(col("__sim"), (lit(0L) - col("cid")).as("__ncid")))
-            .as("__best"))
-          .select(col(idC), (lit(0L) - col("__best.__ncid")).as("cid"))
-        df.join(best, Seq(idC)).select(col(idC), col(vC), col(n2C), col("cid"))
-      } else
-        Transforms.topKPerGroup(scored,
-          Seq(col(idC)), Seq(col("__sim").desc, col("cid").asc), probes)
-          .drop("__sim")
-    }
+        probes: Int): DataFrame =
+      assignToCells(df, idC, vC, n2C, cents, probes)
     // NOTE (measured, round 3): inlining the centroid set as literal
     // vectors and assigning via array_max over per-centroid structs — "no
     // crossJoin, no shuffle" on paper — ran 2× SLOWER than this
@@ -205,6 +210,111 @@ object Similarity {
       .dropDuplicates("qid", "nid") // a pair may meet in several probed cells
     Transforms.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("cos_permille").desc, col("nid").asc), k)
+  }
+
+  /** IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"): IVF cells bound WHERE a query looks, PQ codes
+    * bound WHAT each candidate costs — the composition under every
+    * billion-vector index. Corpus vectors are assigned to their nearest
+    * IVF cell once and encoded to `nSub` codebook codes once; at query
+    * time each query builds its per-subspace asymmetric distance table
+    * (ADC) against the BROADCAST codebook, probes `nProbe` cells, and
+    * scores candidates by summing `nSub` table lookups — no full-vector
+    * math against any candidate, ever.
+    *
+    * Determinism discipline: IVF centroids = the nCells lowest-id corpus
+    * vectors, PQ codebook = subvectors of the nCentroids lowest-id corpus
+    * vectors (the [[annTopKIvf]]/[[pqCodes]] seeds), partial distances
+    * quantized to integer millis with total tie orders — which is what
+    * makes the exact SQL twin possible.
+    *
+    * Scale shape: centroids AND codebook broadcast; the corpus is scanned
+    * once for assignment (argmax aggregate) and once for encoding
+    * (explode → broadcast join → argmin aggregate; only (nid, sub, pd)
+    * triples ever shuffle). Candidate scoring joins the code table
+    * against the BROADCAST (qid, cell) probe set and the BROADCAST
+    * distance table — corpus vectors never re-shuffle, and the ADC sum is
+    * a map-side-combinable aggregate on (qid, nid). */
+  def annTopKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 4,
+      nCentroids: Int = 8, dim: Int = 64, rerank: Int = 0): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0,
+      s"dim=$dim must split evenly into nSub=$nSub subvectors")
+    val w = dim / nSub
+    val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
+      .orderBy(col("cid")).limit(nCells))
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    // PQ runs on UNIT vectors: the sibling tiers rank by cosine, and on
+    // the unit sphere squared L2 = 2 − 2·cos — monotone in cosine — so
+    // the ADC ranking answers the same question. Raw-magnitude L2 would
+    // rank by vector length first and recall nothing.
+    def unit(vC: String, n2C: String): Column =
+      transform(col(vC).cast("array<double>"), x => x / sqrt(col(n2C)))
+    def subSplit(df: DataFrame, idC: String, vC: String,
+        keep: Seq[String] = Nil): DataFrame = {
+      val subs = (0 until nSub).map(si =>
+        struct(lit(si).as("sub"), slice(col(vC), si * w + 1, w).as("sv")))
+      df.select((col(idC) +: keep.map(col)) :+
+          explode(array(subs: _*)).as("x"): _*)
+        .select((col(idC) +: keep.map(col)) ++ Seq(
+          col("x.sub").as("sub"), col("x.sv").as("sv")): _*)
+        .withColumn("__sn2", dot(col("sv"), col("sv")))
+    }
+    def pdist: Column =
+      round((col("__sn2") - lit(2.0) * dot(col("sv"), col("cv"))
+        + col("cn2")) * lit(1000.0)).cast("long")
+    val cb = broadcast(
+      subSplit(corpusN2.orderBy(col("nid")).limit(nCentroids)
+          .select(col("nid"), unit("nv", "nn2").as("uv")), "nid", "uv")
+        .select(col("sub"), col("nid").as("code"), col("sv").as("cv"),
+          col("__sn2").as("cn2")))
+    // corpus: one cell + nSub codes per vector; the cell rides the encode
+    // (it is functionally determined by nid), so no corpus-sized join is
+    // needed to attach it; argmin = min-struct aggregate (the same
+    // 16-byte-buffer discipline as cell assignment)
+    val assigned = assignToCells(corpusN2, "nid", "nv", "nn2", cents, 1)
+      .select(col("nid"), col("cid").as("cell"),
+        unit("nv", "nn2").as("uv"))
+    val codes = subSplit(assigned, "nid", "uv", keep = Seq("cell"))
+      .join(cb, Seq("sub"))
+      .select(col("nid"), col("cell"), col("sub"), struct(pdist.as("pd"),
+        col("code")).as("__c"))
+      .groupBy(col("nid"), col("cell"), col("sub"))
+      .agg(min(col("__c")).as("__m"))
+      .select(col("nid"), col("cell"), col("sub"), col("__m.code").as("code"))
+    // query: nProbe cells + the (qid, sub, code) ADC distance table
+    val qN2 = withN2(queries, "qid", "qv", "qn2")
+    val qc = assignToCells(qN2, "qid", "qv", "qn2", cents, nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val dt = subSplit(qN2.select(col("qid"), unit("qv", "qn2").as("uv")),
+        "qid", "uv")
+      .join(cb, Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), pdist.as("pd"))
+    // a corpus vector lives in exactly ONE cell, so a (qid, nid) pair
+    // meets at most once — the ADC sum needs no pair dedup
+    val cand = codes.join(broadcast(qc), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(dt), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pd")).as("adc_milli"))
+    val ranked = Transforms.topKPerGroup(cand, Seq(col("qid")),
+      Seq(col("adc_milli").asc, col("nid").asc),
+      if (rerank > 0) rerank else k)
+    if (rerank <= 0) ranked
+    else {
+      // IVFADC+R (Jégou et al. 2011 §V): exact cosine ONLY on the ADC
+      // shortlist — |q|·rerank full-vector reads instead of |q|·cell
+      // scans; the shortlist (id pairs, no vectors) broadcasts and the
+      // corpus is probed by an id hash join
+      val scored = ranked.select(col("qid"), col("nid"))
+        .join(corpusN2, Seq("nid"))
+        .join(broadcast(qN2), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+            .as("cos_permille"))
+      Transforms.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos_permille").desc, col("nid").asc), k)
+    }
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket

@@ -278,6 +278,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.size === 25) // full top-5 for each of 5 queries
   }
 
+  test("ann IVF-PQ: ADC ranking recalls brute-force neighbors") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annTopKIvf(q, c, 5, nCells = 8, nProbe = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annTopKIvfPq(q, c, 5, nCells = 8, nProbe = 3,
+        nSub = 8, nCentroids = 128, rerank = 25)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    val ivfRecall = exact.count(ivf.contains).toDouble / exact.size
+    // IVFADC+R discipline: the 25-deep exact re-rank recovers what the
+    // coarse 128-code quantizer blurs, so recall must sit at (or within
+    // one neighbor-set of) the IVF tier scanning the same probed cells
+    assert(recall >= ivfRecall - 0.08,
+      s"recall=$recall vs ivf=$ivfRecall")
+    assert(recall >= 0.2, s"recall=$recall")
+    assert(pq.size === 25, "full top-5 for each of 5 queries")
+  }
+
   test("IVF with trained centroids: valid top-k, recall not worse than sampled") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -264,6 +264,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs >= 2, s"missing partial aggregate:\n$plan")
   }
 
+  test("ann_ivfpq: codebook/probe/dtable sides broadcast, no nested loop past assignment") {
+    val plan = finalPlan(q("ann_ivfpq"))
+    // candidate scoring must be broadcast equi-joins (qc, dt, codebook);
+    // the only nested-loop allowed is the nCells/nCentroids broadcast
+    // fan-out inside assignment/encoding (bounded by constants)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/dtable joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join anywhere in IVF-PQ:\n$plan")
+  }
+
   test("fuzzy_pairs: candidate join keys on the block — never all-pairs") {
     val plan = finalPlan(q("fuzzy_pairs"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
