@@ -279,8 +279,12 @@ object Dedup {
     * stall the stage. Dropped buckets lose those candidates by design —
     * docs that near-duplicate each other agree on MANY bands, so they
     * still collide in a non-degenerate one with high probability. */
-  def minhashLshCandidates(sigs: DataFrame, k: Int = 64, r: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+  /** The LSH band keys of a signature frame, one `(id, bk)` row per
+    * (doc, band) with `bk = struct(band, xxhash64(sig slice))` — the
+    * collision keys [[minhashLshCandidates]] self-joins on, exposed so
+    * the streaming twin ([[graft.streaming.StatefulLshDedup]]) keys its
+    * bucket state on the IDENTICAL values. */
+  def lshBandKeys(sigs: DataFrame, k: Int, r: Int): DataFrame = {
     require(k % r == 0,
       s"k=$k must be a multiple of r=$r (trailing hashes would be silently unused)")
     val bands = k / r
@@ -288,13 +292,17 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  def minhashLshCandidates(sigs: DataFrame, k: Int = 64, r: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     // Same self-join shape as [[ngramJaccardPairs]]: repartition on the
     // band key + shuffle join ⇒ AQE reuses one Exchange for both sides, so
     // the signature pipeline (shingle index + k min-hashes) runs once, not
     // twice — and bucket joins on band keys are the only shape that scales
     // past broadcast size.
-    val allKeyed = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .repartition(col("bk"))
+    val allKeyed = lshBandKeys(sigs, k, r).repartition(col("bk"))
     val keyed = if (maxBucket <= 0) allKeyed else {
       // bucket-size filter clusters on the same key, so it rides the same
       // exchange; only (bk, n) pairs flow into the window, never payloads.
