@@ -28,7 +28,12 @@ object Bench {
     // query set changes, confounding per-query cross-round comparisons (the
     // protocol BASELINE.md prescribes). Sorted-by-name is stable under
     // additions.
+    // optional arg: comma-separated query subset (dev / scale-rung runs;
+    // the driver always invokes the no-arg full battery)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).schema
       catch { case e: Throwable =>

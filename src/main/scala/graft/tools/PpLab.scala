@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+object PpLab {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def timed(l: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PPLAB $l%-18s rows=$n%9d sec=${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    val thr = 950L
+    val words = org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(
+      df.select(col("doc_id").as("id"), col("text").as("__text"))
+        .repartition(col("id"))
+        .select(col("id"), explode(split(lower(trim(col("__text"))), "\\s+")).as("w"))
+        .dropDuplicates("id", "w"))
+    timed("words")(words.count())
+    val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("w").asc)
+    val ranked = words.join(dfreq, "w")
+      .select(col("id"), col("w"), row_number().over(byRarity).as("rnk"),
+        count(lit(1)).over(Window.partitionBy("id")).as("n"))
+    val prefix = ranked.filter(col("rnk") <=
+        col("n") - expr(s"(n * ${2 * thr - 1} + 1999) DIV 2000") + lit(1))
+      .select(col("id"), col("n"), col("w"))
+    timed("prefix")(prefix.count())
+    val C = 32
+    val rankedW = org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(
+      prefix.withColumn("r",
+        row_number().over(Window.partitionBy("w").orderBy("id")))
+      .withColumn("cx", expr(s"(r - 1) DIV $C")))
+    val nch = rankedW.groupBy("w").agg(max(col("cx")).as("mc"))
+    val yrep = rankedW.join(nch, "w")
+      .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
+      .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
+    val cand = rankedW.as("x")
+      .join(yrep.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
+          col("x.r") < col("y.r") &&
+          col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&
+          col("y.n") * 2000L >= col("x.n") * (2L * thr - 1))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
+    timed("cand_nock")(cand.count())
+    val arr = words.groupBy("id").agg(sort_array(collect_list(xxhash64(col("w")))).as("arr"))
+    timed("arr")(arr.count())
+    val out = cand
+      .join(arr.select(col("id").as("a"), col("arr").as("aa")), "a")
+      .join(arr.select(col("id").as("b"), col("arr").as("ab")), "b")
+      .withColumn("common", size(array_intersect(col("aa"), col("ab"))).cast("long"))
+      .withColumn("jacc_permille", round(col("common") * lit(1000.0) /
+        (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jacc_permille") >= thr)
+    timed("verify")(out.count())
+    spark.stop()
+  }
+}

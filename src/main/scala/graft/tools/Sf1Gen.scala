@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generate an sf1-scale fixture by 10× key-disjoint replication of the
+  * sf0.1 tables — the scale rung between the per-round sf0.1 bench and
+  * the 100 TB design target. Re-keying offsets every key-bearing column
+  * by a copy stride so joins/groupings keep realistic fan-out (a naive
+  * union would multiply duplicate keys 10× and skew every aggregate);
+  * value columns are left identical per copy, which is exactly what makes
+  * copy-linearity checks meaningful downstream. Usage:
+  *   Sf1Gen <outDir> [copies]
+  */
+object Sf1Gen {
+  private val S = 100000000L // key stride between copies
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = "/root/testdata/sf0.1"
+
+    // key-bearing columns per table (offset by copy stride); every other
+    // column passes through unchanged
+    val keyCols: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey", "c_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "part" -> Seq("p_partkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    // small dims replicate WITHOUT re-keying (they are genuine dims —
+    // nationkey/regionkey references stay valid because customer/supplier
+    // nation keys are NOT offset either... they are; so nation/region are
+    // simply copied once, and the offset applies only to entity keys)
+    val copyOnce = Seq("region", "nation")
+
+    copyOnce.foreach { t =>
+      spark.read.parquet(s"$in/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SF1GEN $t copied")
+    }
+    // nation/region keys must stay joinable: do NOT offset *_nationkey
+    val noOffset = Set("c_nationkey", "s_nationkey")
+    keyCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$in/$t.parquet")
+      val reps = (0 until copies).map { i =>
+        keys.filterNot(noOffset).foldLeft(df) { (d, k) =>
+          d.withColumn(k, col(k) + lit(i * S))
+        }
+      }
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SF1GEN $t x$copies written")
+    }
+    spark.stop()
+  }
+}
