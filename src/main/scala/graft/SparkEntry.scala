@@ -4503,24 +4503,6 @@ object SparkEntry {
       "exact input), repetitive ≪ prose ≪ random ratio ordering, and " +
       "the raw_bytes column is oracle-covered via token_count's length " +
       "discipline."),
-    "dedup_minhash" -> ("candidate pairs are keyed on xxhash64 band " +
-      "hashes of xxhash64 shingle min-hashes; DuckDB has no xxhash64, so " +
-      "the candidate set is not SQL-reproducible. Recall + bucket-cap + " +
-      "verify-subset semantics are asserted in DedupSimilaritySpec; the " +
-      "exact tier it feeds (verifyCandidates ∘ ngramJaccardPairs) IS " +
-      "oracle-green as dedup_ngram_jaccard."),
-    "simhash_pairs" -> ("candidate pairs over xxhash64-derived simhashes " +
-      "— not SQL-reproducible for the same reason as dedup_simhash. " +
-      "DedupSimilaritySpec pins set-equality with the direct all-pairs " +
-      "XOR-popcount form at the same distance bound on the sf0.001 " +
-      "fixture (the 8-band pigeonhole is lossless for d ≤ 7)."),
-    "dedup_simhash" -> ("64-bit simhash over xxhash64 token hashes — no " +
-      "xxhash64 in DuckDB. Sign-vote semantics and near/far Hamming " +
-      "ordering asserted in DedupSimilaritySpec and OperatorsSpec; the " +
-      "native aggregate's single-exchange plan in PlanShapeSpec."),
-    "doc_fingerprint" -> ("winnowing-lite fingerprint over xxhash64 " +
-      "char-8-gram hashes — no xxhash64 in DuckDB. Equal-text equality " +
-      "and 8-gram sensitivity asserted in OperatorsSpec."),
     "freq_approx" -> ("DataSketches frequent-items heavy hitters " +
       "(approx_top_k) — DuckDB has no equivalent sketch, so the estimate " +
       "column is not SQL-reproducible by design. OperatorsSpec asserts " +
@@ -4614,6 +4596,11 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "doc_fingerprint" -> XxhOracleSql.docFingerprintSql,
+    "dedup_simhash" -> XxhOracleSql.dedupSimhashSql,
+    "simhash_pairs" -> XxhOracleSql.simhashPairsSql(maxDist = 4),
+    "dedup_minhash" -> XxhOracleSql.dedupMinhashSql,
 
     "mst_forest" -> mstForestOracleSql,
 
