@@ -4461,17 +4461,6 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
-    "eff_diameter" -> ("derived from the same HyperBall HLL-register " +
-      "fixpoint as reach_hll (smallest hop reaching 90% of the horizon " +
-      "neighborhood function) — no SQL twin for the sketch iteration; " +
-      "the reach_hll error-bound spec vs exact pair expansion covers " +
-      "the underlying estimates."),
-    "reach_hll" -> ("HyperBall approximate neighborhood function — an " +
-      "iterated HLL-register fixpoint (element-wise max propagation) " +
-      "with no SQL equivalent in DuckDB. OperatorsSpec bounds the hop-2 " +
-      "estimate within 15% of the exact pair-expansion counts that " +
-      "`reach_2hop` oracle-verifies on the same graph, pins hop-0 ≈ node " +
-      "count, monotonicity across hops, and bit-identical determinism."),
     "pca_power" -> ("top eigenvector of the embedding covariance via " +
       "power iteration — an iterated matrix fixpoint with no SQL " +
       "equivalent in DuckDB. OperatorsSpec pins a hand-computable rank-1 " +
@@ -4488,14 +4477,6 @@ object SparkEntry {
       "with no DuckDB twin (same argument as hll_rollup/distinct_approx). " +
       "OperatorsSpec pins every pair's estimate within 5% of the exact " +
       "distinct-intersection tier computed by join on the same fixture."),
-    "bpe_apply" -> ("token counts under the trained BPE merges require " +
-      "replaying an ordered merge list over each word's symbol sequence " +
-      "— an iterated rewrite with no SQL equivalent in DuckDB (the same " +
-      "fixpoint argument as bpe_merges' rows-only training half). " +
-      "BpeEncodeSpec pins hand-replayable vectors (trained merges on a " +
-      "known corpus, exact token counts), trainer-consistency, and the " +
-      "wordcount ≤ n_bpe ≤ charcount envelope; n_ws is oracle-covered " +
-      "via token_count."),
     "compress_ratio" -> ("deflate output size depends on the JVM's zlib " +
       "build, so the byte counts are not SQL-reproducible in DuckDB " +
       "(which has no deflate function anyway). DeflateSizeSpec pins the " +
@@ -4595,12 +4576,89 @@ object SparkEntry {
       "tbl AS MATERIALIZED (SELECT i, c AS v FROM t8)").mkString(",\n")
   }
 
+  /** Oracle twin of `bpe_apply`: the 10-iteration trainer replay (the
+    * `bpe_merges` construction extended past 3 rounds) feeding a
+    * regex-fold application. Each word's symbols are DOUBLE-space joined;
+    * one global `regexp_replace('( |^)X  Y( |$)', '\\1XY\\2')` per merge
+    * rank IS the encoder's left fold: the match consumes one boundary
+    * space and re-emits it, so the following adjacent pair still sees its
+    * leading boundary (single-space joining would block every second
+    * merge in a chain). Trainer pairs never have X = Y (self-pairs are
+    * excluded), so marked merges can't overlap. Charset safety: fixture
+    * tokens are [a-z0-9] (pinned in XxhOracleInvariantsSpec), so merge
+    * symbols need no regex escaping. */
+  private def bpeApplyOracleSql: String = {
+    val iters = 10
+    val ctes = Seq.newBuilder[String]
+    ctes += """wrd AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |      AS w FROM documents) t WHERE w <> '' GROUP BY 1)""".stripMargin
+    ctes += """t1 AS MATERIALIZED (SELECT w AS word, freq,
+      |    unnest(string_split(w, '')) AS sym,
+      |    generate_subscripts(string_split(w, ''), 1) AS pos FROM wrd)""".stripMargin
+    for (i <- 1 to iters) {
+      ctes += s"""p$i AS MATERIALIZED (SELECT x.sym AS px, y.sym AS py,
+        |    SUM(x.freq) AS cnt
+        |  FROM t$i x JOIN t$i y ON x.word = y.word AND y.pos = x.pos + 1
+        |  WHERE x.sym <> y.sym GROUP BY 1, 2)""".stripMargin
+      ctes += s"""b$i AS MATERIALIZED (SELECT px, py, cnt FROM p$i
+        |  ORDER BY cnt DESC, px, py LIMIT 1)""".stripMargin
+      if (i < iters) {
+        ctes += s"""m$i AS MATERIALIZED (SELECT word, freq, pos, sym, COALESCE(
+          |    sym = (SELECT px FROM b$i) AND
+          |    lead(sym) OVER (PARTITION BY word ORDER BY pos)
+          |      = (SELECT py FROM b$i), false) AS st FROM t$i)""".stripMargin
+        ctes += s"""m${i}b AS MATERIALIZED (SELECT word, freq, pos, sym, st,
+          |    COALESCE(lag(st) OVER (PARTITION BY word ORDER BY pos),
+          |      false) AS pst
+          |  FROM m$i)""".stripMargin
+        ctes += s"""s${i + 1} AS MATERIALIZED (SELECT word, freq,
+          |    string_agg(CASE WHEN st
+          |      THEN (SELECT px FROM b$i) || (SELECT py FROM b$i)
+          |      ELSE sym END, ' ' ORDER BY pos) AS seq
+          |  FROM m${i}b WHERE NOT pst GROUP BY 1, 2)""".stripMargin
+        ctes += s"""t${i + 1} AS MATERIALIZED (SELECT word, freq,
+          |    unnest(string_split(seq, ' ')) AS sym,
+          |    generate_subscripts(string_split(seq, ' '), 1) AS pos
+          |  FROM s${i + 1})""".stripMargin
+      }
+    }
+    ctes += """dwc AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS cnt FROM (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents) t WHERE w <> '' GROUP BY 1, 2)""".stripMargin
+    ctes += """a0 AS MATERIALIZED (SELECT w,
+      |  array_to_string(string_split(w, ''), '  ') AS s
+      |  FROM (SELECT DISTINCT w FROM dwc) d)""".stripMargin
+    for (i <- 1 to iters)
+      ctes += s"""a$i AS MATERIALIZED (SELECT w,
+        |  regexp_replace(s,
+        |    '( |^)' || (SELECT px FROM b$i) || '  '
+        |      || (SELECT py FROM b$i) || '( |$$)',
+        |    '\\1' || (SELECT px FROM b$i) || (SELECT py FROM b$i) || '\\2',
+        |    'g') AS s FROM a${i - 1})""".stripMargin
+    ctes += s"""wsy AS MATERIALIZED (SELECT w,
+      |  (length(s) - length(replace(s, ' ', ''))) // 2 + 1 AS syms
+      |  FROM a$iters)""".stripMargin
+    ctes += """nb AS (SELECT d.doc_id,
+      |  CAST(SUM(d.cnt * y.syms) AS BIGINT) AS n_bpe
+      |  FROM dwc d JOIN wsy y USING (w) GROUP BY 1)""".stripMargin
+    ctes += """nw AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws
+      |  FROM documents)""".stripMargin
+    "WITH " + ctes.result().mkString(",\n") +
+      "\nSELECT nb.doc_id, nb.n_bpe, nw.n_ws FROM nb JOIN nw USING (doc_id)"
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "doc_fingerprint" -> XxhOracleSql.docFingerprintSql,
     "dedup_simhash" -> XxhOracleSql.dedupSimhashSql,
     "simhash_pairs" -> XxhOracleSql.simhashPairsSql(maxDist = 4),
     "dedup_minhash" -> XxhOracleSql.dedupMinhashSql,
+    "reach_hll" -> XxhOracleSql.reachHllSql,
+    "eff_diameter" -> XxhOracleSql.effDiameterSql,
+    "bpe_apply" -> bpeApplyOracleSql,
 
     "mst_forest" -> mstForestOracleSql,
 

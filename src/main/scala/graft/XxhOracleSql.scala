@@ -287,4 +287,108 @@ object XxhOracleSql {
         |    AND x.doc_id < y.doc_id)""".stripMargin)
     "WITH " + ctes.mkString(",\n") + "\nSELECT a, b FROM cand"
   }
+
+  /** hashLong(col, literal seed) staged chain over CTE `src`, keys
+    * carried; out = HUGEINT in [0, 2^64). */
+  private def hashLongLit(tag: String, src: String, keys: Seq[String],
+      elem: String, seed: Long, out: String): (Seq[String], String) = {
+    val t = tag
+    val ctes = Seq.newBuilder[String]
+    var cur = src
+    val base = keys.mkString(", ")
+    def stage(sfx: String, expr: String, name: String): Unit = {
+      val nm = s"${t}_$sfx"
+      ctes += s"$nm AS MATERIALIZED (SELECT $base, $expr AS $name FROM $cur)"
+      cur = nm
+    }
+    val eu = s"((CAST($elem AS HUGEINT) + $M64) & $MK64)"
+    val k = mul64(rotl(mul64(eu, P2), 31), P1)
+    val h0 = ((BigInt(seed) + P5 + 8) % M64).toString
+    stage("h1", s"xor(($h0), $k)", s"${t}_h1")
+    stage("h2", add64(mul64(rotl(s"${t}_h1", 27), P1), P4.toString), s"${t}_h2")
+    stage("a1", s"xor(${t}_h2, ${t}_h2 >> 33)", s"${t}_a1")
+    stage("a2", mul64(s"${t}_a1", P2), s"${t}_a2")
+    stage("a3", s"xor(${t}_a2, ${t}_a2 >> 29)", s"${t}_a3")
+    stage("a4", mul64(s"${t}_a3", P3), s"${t}_a4")
+    stage("o", s"xor(${t}_a4, ${t}_a4 >> 32)", out)
+    (ctes.result(), cur)
+  }
+
+  /** HyperBall replay (`reach_hll` / `eff_diameter` twins): per-node HLL
+    * registers seeded from hashLong(id, 42) exactly as
+    * [[graft.operators.GraphAlgos.neighborhoodFunction]] does (bucket =
+    * low p bits, rho = 64−p+1 − bitlen of the remaining bits), registers
+    * propagated by bounded-hop ball expansion + per-bucket MAX, and the
+    * HLL read-out replayed with the SAME double constants and the SAME
+    * register-ordered float fold (list_reduce over the ordered register
+    * list — an unordered SUM of 2^-r terms can differ in the last ulp
+    * and flip a round()). */
+  private def hyperballCtes(maxHops: Int): (Seq[String], String) = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val am2 = java.lang.Double.toString(alpha * m * m)
+    val ctes = Seq.newBuilder[String]
+    ctes += """g0 AS MATERIALIZED (SELECT DISTINCT
+      |    least(l_partkey % 300, l_suppkey % 300) AS a,
+      |    greatest(l_partkey % 300, l_suppkey % 300) AS b
+      |  FROM lineitem
+      |  WHERE least(l_partkey % 300, l_suppkey % 300)
+      |      < greatest(l_partkey % 300, l_suppkey % 300)
+      |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
+      |      + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0)""".stripMargin
+    ctes += ("e AS MATERIALIZED (SELECT a AS src, b AS dst FROM g0 " +
+      "UNION SELECT b, a FROM g0)")
+    ctes += ("nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e " +
+      "UNION SELECT dst FROM e)")
+    val (hc, hf) = hashLongLit("nh", "nodes", Seq("id"), "id", 42L, "hu")
+    hc.foreach(ctes += _)
+    ctes += s"""reg AS MATERIALIZED (SELECT id, CAST(hu & 255 AS BIGINT) AS j,
+      |  CAST(CASE WHEN (hu >> 8) = 0 THEN 57
+      |       ELSE 57 - length(bin(hu >> 8)) END AS BIGINT) AS rho
+      |  FROM $hf)""".stripMargin
+    ctes += "b0 AS MATERIALIZED (SELECT id AS v, id AS u FROM nodes)"
+    for (t <- 1 to maxHops)
+      ctes += s"""b$t AS MATERIALIZED (
+        |  SELECT DISTINCT v, u FROM (
+        |    SELECT v, u FROM b${t - 1}
+        |    UNION ALL
+        |    SELECT p.v, e.dst AS u FROM b${t - 1} p JOIN e ON e.src = p.u) t)""".stripMargin
+    val rows = (0 to maxHops).map { t =>
+      ctes += s"""rr$t AS MATERIALIZED (
+        |  SELECT p.v, r.j, MAX(r.rho) AS r FROM b$t p JOIN reg r ON r.id = p.u
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""rl$t AS MATERIALIZED (
+        |  SELECT n.id AS v,
+        |    list(CAST(coalesce(rr.r, 0) AS DOUBLE) ORDER BY i.i) AS regs,
+        |    SUM(CASE WHEN rr.r IS NULL THEN 1 ELSE 0 END) AS zeros
+        |  FROM nodes n CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+        |  LEFT JOIN rr$t rr ON rr.v = n.id AND rr.j = i.i
+        |  GROUP BY 1)""".stripMargin
+      ctes += s"""est$t AS MATERIALIZED (
+        |  SELECT v, CAST(round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |      THEN 256.0 * ln(256.0 / zeros) ELSE raw END) AS BIGINT) AS est
+        |  FROM (SELECT v, zeros,
+        |      $am2 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), regs),
+        |        (acc, r) -> acc + pow(CAST(2.0 AS DOUBLE), -r)) AS raw
+        |    FROM rl$t) q)""".stripMargin
+      s"SELECT $t AS hop, COUNT(*) AS n_nodes, " +
+        s"CAST(SUM(est) AS BIGINT) AS nf_est FROM est$t"
+    }
+    ctes += s"nf AS (${rows.mkString(" UNION ALL ")})"
+    (ctes.result(), "nf")
+  }
+
+  def reachHllSql: String = {
+    val (ctes, _) = hyperballCtes(maxHops = 3)
+    "WITH " + ctes.mkString(",\n") + "\nSELECT hop, n_nodes, nf_est FROM nf"
+  }
+
+  def effDiameterSql: String = {
+    val (ctes, _) = hyperballCtes(maxHops = 4)
+    "WITH " + ctes.mkString(",\n") +
+      """,
+      |hz AS (SELECT MAX(nf_est) AS nf_max FROM nf)
+      |SELECT MIN(hop) AS eff_diameter_hop, MAX(nf_max) AS nf_max
+      |FROM nf, hz WHERE nf.nf_est * 10 >= hz.nf_max * 9""".stripMargin
+  }
 }

@@ -32,6 +32,11 @@ class XxhOracleInvariantsSpec extends AnyFunSuite {
     // and no document shorter than one full gram
     val minLen = docs.agg(min(length(col("text")))).head().getInt(0)
     assert(minLen >= 8, s"$dir: document shorter than an 8-gram")
+    // bpe_apply's regex-fold oracle builds patterns from learned merge
+    // symbols without escaping — only safe while tokens are [a-z0-9]
+    val nonAlnum = tok.filter(not(col("w").rlike("^[a-z0-9]*$"))).count()
+    assert(nonAlnum === 0,
+      s"$dir: token with regex metacharacters — bpe_apply oracle unsafe")
   }
 
   test("sf0.001 and sf0.01 documents satisfy the xxh oracle invariants") {
