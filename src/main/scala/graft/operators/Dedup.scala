@@ -735,8 +735,12 @@ object Dedup {
     val yrep = rankedW.join(nch, "w")
       .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
       .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
-    val cand = rankedW.as("x")
-      .join(yrep.as("y").hint("shuffle_hash"),
+    // build side = rankedW (|prefix| rows — thousands per partition at
+    // any scale); the replicated probe side streams. Hinting the
+    // replicated side instead builds a pair-volume/chunk-sized hash map
+    // per partition and OOMs at sf1 (measured).
+    val cand = rankedW.as("x").hint("shuffle_hash")
+      .join(yrep.as("y"),
         col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
           col("x.r") < col("y.r") &&
           col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&

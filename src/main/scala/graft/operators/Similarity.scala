@@ -530,4 +530,42 @@ object Similarity {
         math.round(flip * v(i) * 1e6), math.round(lambda * 1e6)))
       .toDF("dim", "loading_micro", "eigval_micro")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup in embedding space — cell assignment bounds WHERE
+    * pairwise cosine is ever computed; within a cell, a vector is PRUNED
+    * when any earlier (lower-id) member sits at or above the cosine
+    * threshold, so exactly the first member of every in-cell near-dup
+    * neighborhood survives. Returns one row per corpus vector:
+    * (id, cid, pruned ∈ {0,1}).
+    *
+    * Determinism discipline (the [[annTopKIvf]] contract, which is what
+    * makes the exact SQL twin possible): centroids = the nCells lowest-id
+    * corpus vectors, assignment = argmax of ROUNDED permille cosine with
+    * lowest-cid tie-break, prune test on the same quantized value.
+    *
+    * Scale shape: centroids BROADCAST; the corpus is scanned once for
+    * assignment (crossJoin fan-out collapses map-side in the argmax
+    * aggregate); the only pair computation is the in-cell self equi-join
+    * on `cid` — pair volume is Σ|cell|², bounded by scaling nCells with
+    * the corpus (the SemDeDup design point: cells stay ~corpus/nCells),
+    * never global all-pairs. */
+  def semDedup(corpus: DataFrame, nCells: Int = 16,
+      thresholdPermille: Int = 550): DataFrame = {
+    val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
+      .orderBy(col("cid")).limit(nCells))
+    val c = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val cells = assignToCells(c, "nid", "nv", "nn2", cents, 1)
+    val dominated = cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("y.nid") < col("x.nid") &&
+          cosFromN2(col("x.nv"), col("x.nn2"), col("y.nv"), col("y.nn2"))
+            >= thresholdPermille,
+        "left_semi")
+      .select(col("nid"), lit(1L).as("__pr"))
+    cells.select(col("nid"), col("cid"))
+      .join(dominated, Seq("nid"), "left")
+      .select(col("nid").as("id"), col("cid"),
+        coalesce(col("__pr"), lit(0L)).as("pruned"))
+  }
 }

@@ -370,4 +370,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("semDedup: first in-cell member of a neighborhood survives") {
+    // Centroids = 2 lowest ids: c0=(1,0), c1=(0,1).
+    //  id 2 (0.99,0.14): cell 0, cos(0,2)≈990 ≥ 900 → pruned by 0.
+    //  id 3 (0.6,0.8):   cell 1 (cos 800 > 600), cos(1,3)=800 < 900 → kept.
+    //  id 4 (0.58,0.815): cell 1, cos(3,4)≈1000 → pruned by 3.
+    //  id 6 (1,1): cos 707 to BOTH centroids → lowest-cid tie-break
+    //    (cell 0); no earlier in-cell member ≥ 900 → kept.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(0.99f, 0.14f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0.58f, 0.815f)), (6L, Seq(1f, 1f)))
+      .toDF("id", "vec")
+    val got = Similarity.semDedup(vecs, nCells = 2,
+        thresholdPermille = 900)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      0L -> ((0L, 0L)), 1L -> ((1L, 0L)), 2L -> ((0L, 1L)),
+      3L -> ((1L, 0L)), 4L -> ((1L, 1L)), 6L -> ((0L, 0L))))
+  }
+
+  test("lsh_tuning: S-curve is monotone in similarity and in rows-per-band") {
+    // Fixed-point contract checks on the real fixture: probabilities stay
+    // in [0,1000]; within a config, higher-similarity deciles can only
+    // raise the candidate probability; at fixed signature budget k=128,
+    // fewer rows per band (r2 vs r16) can only raise it.
+    val rows = SparkEntry.queries("lsh_tuning")(spark,
+        "/root/testdata/sf0.001")
+      .orderBy("decile")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, a, b, c, d) =>
+      assert(n > 0)
+      Seq(a, b, c, d).foreach(p => assert(p >= 0L && p <= 1000L))
+      assert(a >= b && b >= c && c >= d)
+    }
+    rows.sliding(2).foreach {
+      case Array((d1, _, a1, b1, c1, e1), (d2, _, a2, b2, c2, e2)) =>
+        assert(d1 < d2)
+        assert(a2 >= a1 && b2 >= b1 && c2 >= c1 && e2 >= e1)
+      case _ =>
+    }
+  }
 }
