@@ -2476,6 +2476,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"),
           expr("zval DIV 64").as("zbucket"))),
 
+    // Hilbert-curve layout key (the Z-order v2 sibling of zorder_layout):
+    // same two bucketed dimensions, but CONSECUTIVE curve values are
+    // always grid neighbors — no Z-shape jumps, measurably better
+    // min/max-footer pruning — in the same pure-projection zero-shuffle
+    // shape ([[Transforms.hilbertD8]]: 8 reflect-and-swap rounds as
+    // chained projections, replayed stage-by-stage by the twin).
+    "hilbert_layout" -> ((s, dir) =>
+      Transforms.hilbertD8(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1992-01-01"))).cast("long").as("__days")),
+        col("o_custkey"), col("__days"), "hval")
+        .select(col("o_orderkey"), col("hval"),
+          expr("hval DIV 64").as("hbucket"))),
+
     // canonical text normalization (dedup pre-pass): case / punctuation /
     // whitespace variants collapse to one canonical form
     // ([[TextAnalysis.normalizeText]] — fused single-regex column
@@ -2628,6 +2643,24 @@ object SparkEntry {
         .filter((col("src") * 31 + col("dst")) % 7 === 0)
       graft.operators.GraphAlgos.labelPropagation(e, "src", "dst",
         rounds = 3)
+    }),
+
+    // score the communities you just detected: Newman modularity
+    // sufficient statistics of the 3-round label-prop partition over the
+    // same interaction graph — per community, member count, internal
+    // edges, degree mass, and the EXACT-integer contribution numerator
+    // 4m·e_in − d_sum² over the shared denominator q_den = 4m², so
+    // Q = Σ contrib_num / q_den derives exactly downstream and no
+    // truncate-vs-floor division semantics enter the comparison
+    // ([[GraphAlgos.modularityStats]]).
+    "modularity_score" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") % 300).as("src"),
+          (col("l_suppkey") % 300).as("dst"))
+        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val labels = graft.operators.GraphAlgos
+        .labelPropagation(e, "src", "dst", rounds = 3)
+      graft.operators.GraphAlgos.modularityStats(e, "src", "dst", labels)
     }),
 
     // 3σ outlier census per event type in exact DECIMAL(38,0) integer math
@@ -5528,6 +5561,8 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(x | (y<<1) AS BIGINT) AS zval,
         |  CAST((x | (y<<1)) // 64 AS BIGINT) AS zbucket FROM s3""".stripMargin,
 
+    "hilbert_layout" -> hilbertLayoutSql,
+
     "text_normalize" ->
       """WITH c AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
@@ -5638,6 +5673,53 @@ object SparkEntry {
         |       FROM r3) WHERE rn = 1)
         |SELECT CAST(id AS BIGINT) AS id, CAST(lab AS BIGINT) AS lab
         |FROM l3""".stripMargin,
+
+    // label_prop's three unrolled rounds, then the modularity sufficient
+    // statistics: canonical (src < dst) edges, degree mass and internal
+    // edges per community, all-integer contribution numerators.
+    "modularity_score" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey % 300 AS a,
+        |    l_suppkey % 300 AS b
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 300) * 31 + (l_suppkey % 300)) % 7 = 0
+        |    AND l_partkey % 300 <> l_suppkey % 300),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0)),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und),
+        |r1 AS (SELECT und.dst AS id, l0.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l0 ON und.src = l0.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT und.dst AS id, l1.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l1 ON und.src = l1.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT und.dst AS id, l2.lab, COUNT(*) AS cnt
+        |       FROM und JOIN l2 ON und.src = l2.id GROUP BY 1, 2),
+        |l3 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |         PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+        |       FROM r3) WHERE rn = 1),
+        |ec AS (SELECT src, dst FROM und WHERE src < dst),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+        |ds AS (SELECT l3.lab, COUNT(*) AS n_nodes, SUM(deg.deg) AS d_sum
+        |       FROM l3 JOIN deg ON l3.id = deg.id GROUP BY 1),
+        |ei AS (SELECT la.lab, COUNT(*) AS e_in
+        |       FROM ec JOIN l3 la ON ec.src = la.id
+        |         JOIN l3 lb ON ec.dst = lb.id
+        |       WHERE la.lab = lb.lab GROUP BY 1),
+        |mm AS (SELECT COUNT(*) AS m FROM ec)
+        |SELECT CAST(ds.lab AS BIGINT) AS lab,
+        |  CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(ds.d_sum AS BIGINT) AS d_sum,
+        |  CAST(mm.m AS BIGINT) AS m,
+        |  CAST(4 * mm.m * COALESCE(ei.e_in, 0)
+        |    - ds.d_sum * ds.d_sum AS BIGINT) AS contrib_num,
+        |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+        |FROM ds LEFT JOIN ei ON ds.lab = ei.lab CROSS JOIN mm""".stripMargin,
 
     "outlier_sigma" ->
       """WITH f AS (SELECT event_type AS et,
@@ -9213,6 +9295,34 @@ object SparkEntry {
 
   private def qualityScoreSql: String =
     s"SELECT doc_id, $qualityExpr AS score FROM documents"
+
+  /** Oracle twin of `hilbert_layout` ([[graft.operators.Transforms.hilbertD8]]):
+    * the same 8 reflect-and-swap stages, generated as chained
+    * MATERIALIZED CTEs from the identical bit schedule — quadrant digit
+    * (3·rx)⊕ry scaled by s², then the ry=0 reflect/swap rotation with
+    * the full-grid 255 reflector. */
+  private def hilbertLayoutSql: String = {
+    val stages = (7 to 0 by -1).map { bit =>
+      val s = 1L << bit
+      val rx = s"((hx // $s) % 2)"
+      val ry = s"((hy // $s) % 2)"
+      s"""h$bit AS MATERIALIZED (SELECT o_orderkey,
+         |  (d + ${s * s} * xor(3 * $rx, $ry)) AS d,
+         |  (CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+         |     THEN 255 - hy ELSE hy END) ELSE hx END) AS hx,
+         |  (CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+         |     THEN 255 - hx ELSE hx END) ELSE hy END) AS hy
+         |  FROM h${bit + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h8 AS MATERIALIZED (SELECT o_orderkey,
+       |  (o_custkey & 255) AS hx,
+       |  (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |     & 255) AS hy,
+       |  0 AS d FROM orders),
+       |$stages
+       |SELECT o_orderkey, CAST(d AS BIGINT) AS hval,
+       |  CAST(d // 64 AS BIGINT) AS hbucket FROM h0""".stripMargin
+  }
 
   /** DuckDB oracle for `ann_ivf` ([[Similarity.annTopKIvf]] with default
     * deterministic centroids): everything the Spark plan does is plain

@@ -566,6 +566,54 @@ object GraphAlgos {
     labels
   }
 
+  /** Newman–Girvan modularity sufficient statistics of a node partition
+    * (Newman 2006, "Modularity and community structure in networks"):
+    * per community, member count, internal-edge count e_c, degree mass
+    * d_c, and the EXACT-integer modularity contribution numerator
+    * 4m·e_c − d_c² over the shared denominator 4m² — so
+    * Q = Σ contrib_num / q_den derives exactly downstream and no
+    * truncate-vs-floor division semantics ever enter the result. The
+    * "score the communities you just detected" step after
+    * [[labelPropagation]].
+    *
+    * Graph reading: undirected simple graph (edges symmetrized +
+    * dedup'd, self-loops dropped — the [[labelPropagation]] contract);
+    * m = canonical (src < dst) edge count; deg(v) = neighbor count.
+    *
+    * Scale shape: one symmetrized edge frame feeds both the degree
+    * aggregate and the internal-edge test (two hash joins of the
+    * canonical edges against the label frame on the node id); everything
+    * after the joins is |communities|-sized, and the single m row rides
+    * a broadcast — no driver-side scalar, no global collect. */
+  def modularityStats(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val ec = und.filter(col("src") < col("dst"))
+    val lab = labels.select(col("id"), col("lab"))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val dsum = lab.join(deg, "id")
+      .groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("d_sum"))
+    val ein = ec
+      .join(lab.select(col("id").as("src"), col("lab").as("la")), "src")
+      .join(lab.select(col("id").as("dst"), col("lab").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_in"))
+    val mrow = broadcast(ec.agg(count(lit(1)).as("m")))
+    dsum.join(ein, Seq("lab"), "left")
+      .select(col("lab"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"))
+      .crossJoin(mrow)
+      .select(col("lab"), col("n_nodes"), col("e_in"), col("d_sum"),
+        col("m"),
+        (lit(4L) * col("m") * col("e_in") -
+          col("d_sum") * col("d_sum")).as("contrib_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+  }
+
   /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg 2003):
     * for every 2-hop candidate pair (u,w) NOT already connected, the three
     * classic scores — common-neighbor count, Jaccard of the neighborhoods

@@ -241,6 +241,47 @@ object Transforms {
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
+  /** 8-bit × 8-bit Hilbert curve index (Hilbert 1891; the iterative
+    * xy2d form): maps two bucketed dimensions to one 16-bit curve value
+    * like [[zValue8]], but with the Hilbert guarantee that CONSECUTIVE
+    * curve values are always grid neighbors — no Z-shape jumps — which
+    * gives measurably better min/max-footer pruning for 2-D range
+    * predicates (the "Z-order v2" layout in modern lakehouse writers).
+    *
+    * Implementation: the classic 8-round reflect-and-swap recurrence,
+    * one projection stage per bit level (quadrant digit (3·rx)⊕ry scaled
+    * by s², then the ry=0 reflect/swap rotation). Chained `withColumn`
+    * stages keep every intermediate a named column — linear expression
+    * growth, pure integer arithmetic, zero shuffle, no UDF — and the
+    * per-stage schedule is what the DuckDB twin replays verbatim. */
+  def hilbertD8(df: DataFrame, x: Column, y: Column,
+      out: String): DataFrame = {
+    var d = df
+      .withColumn("__hx", x.cast("long").bitwiseAND(lit(255L)))
+      .withColumn("__hy", y.cast("long").bitwiseAND(lit(255L)))
+      .withColumn(out, lit(0L))
+    for (bit <- 7 to 0 by -1) {
+      val s = 1L << bit
+      d = d
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out, col(out) +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(255L) - col("__hy"))
+              .otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__hy", when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(255L) - col("__hx"))
+              .otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+    }
+    d.drop("__hx", "__hy", "__rx", "__ry", "__nx")
+  }
+
   /** Distributed ordered prefix sum (running total under a global order)
     * WITHOUT a single-partition window: rows are bucketed by
     * `coarseBucket` (any monotone function of the order key — e.g.

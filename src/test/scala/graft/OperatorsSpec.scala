@@ -829,6 +829,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(z(256L, 0L) === z(0L, 0L) && z(511L, 3L) === z(255L, 3L))
   }
 
+  test("hilbertD8: matches reference xy2d; consecutive d are grid neighbors") {
+    // reference: the classic iterative xy2d (Wikipedia/Hamilton form)
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0 & 255L, y0 & 255L, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255L - x; y = 255L - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(11)
+    val pts = (for (_ <- 1 to 256)
+        yield (rnd.nextLong(256), rnd.nextLong(256))) ++
+      (for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)) ++
+      Seq((0L, 0L), (255L, 255L), (255L, 0L), (0L, 255L), (300L, 7L))
+    val got = Transforms.hilbertD8(pts.toDF("x", "y"),
+        col("x"), col("y"), "d")
+      .select(col("x"), col("y"), col("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d === ref(x, y), s"($x,$y)") }
+    // the Hilbert invariant Morton lacks: walking d by 1 always moves to
+    // a grid NEIGHBOR (|Δx| + |Δy| = 1) — checked via the reference's
+    // inverse on a stretch of the curve.
+    def inv(t0: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, t0)
+      var s = 1L
+      while (s < 256) {
+        val rx = (t / 2) % 2
+        val ry = if (rx == 1L) 1L - (t % 2) else t % 2
+        // un-rotate at this scale
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val w = x; x = y; y = w
+        }
+        x += s * rx; y += s * ry; t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    for (d <- 1000L to 1256L) {
+      val (x1, y1) = inv(d - 1); val (x2, y2) = inv(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"d=$d")
+      assert(ref(x2, y2) === d) // inverse really is ref's inverse
+    }
+  }
+
+  test("modularityStats: two triangles + bridge = the textbook Q=70/196") {
+    import graft.operators.GraphAlgos
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("s", "d")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "lab")
+    val got = GraphAlgos.modularityStats(e, "s", "d", lab)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // m=7; each community: 3 nodes, 3 internal edges, degree mass 7
+    // (2+2+3); contrib = 4·7·3 − 49 = 35; q_den = 196 → Q = 70/196.
+    assert(got(10L) === ((10L, 3L, 3L, 7L, 7L, 35L, 196L)))
+    assert(got(20L) === ((20L, 3L, 3L, 7L, 7L, 35L, 196L)))
+    // duplicate/reversed input edges collapse; a community with no
+    // internal edge reports e_in = 0, not a dropped row
+    val e2 = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val lab2 = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("id", "lab")
+    val got2 = GraphAlgos.modularityStats(e2, "s", "d", lab2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // m=2: comm 10 = {1,2}: e_in=1, d=3; comm 30 = {3}: e_in=0, d=1
+    assert(got2(10L) === ((10L, 2L, 1L, 3L, 2L, 4L * 2L * 1L - 9L, 16L)))
+    assert(got2(30L) === ((30L, 1L, 0L, 1L, 2L, -1L, 16L)))
+  }
+
   test("normalizeText: case, punctuation, whitespace variants collapse") {
     val out = Seq("Hello,  World!!", "hello world", "  HELLO--world  ",
       "a.b,c").toDF("t")
