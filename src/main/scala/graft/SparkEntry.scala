@@ -2501,6 +2501,16 @@ object SparkEntry {
         .select(col("doc_id"), col("canon"),
           length(col("canon")).cast("long").as("n_chars"))),
 
+    // CCNet-style cross-document line dedup (the boilerplate pass BEFORE
+    // document-level dedup): 8-word lines, drop every line seen in more
+    // than one document, reassemble survivors in original order
+    // ([[TextAnalysis.lineDedup]] — one explode, one doc-frequency
+    // aggregate, one self-keyed equi-join; never pairwise).
+    "line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(t(s, dir, "documents"), "text", "doc_id",
+        width = 8, maxDocFreq = 1)
+        .withColumnRenamed("id", "doc_id")),
+
     // representative selection per near-dup cluster — the "which member
     // survives" step downstream of dedup_clusters
     // ([[Dedup.clusterRepresentatives]]: longest text wins, ties to
@@ -5562,6 +5572,30 @@ object SparkEntry {
         |  CAST((x | (y<<1)) // 64 AS BIGINT) AS zbucket FROM s3""".stripMargin,
 
     "hilbert_layout" -> hilbertLayoutSql,
+
+    // same 8-word segmentation via list comprehension; parallel unnest
+    // zips (line, pos); per-doc rebuild = ordered FILTERed list agg.
+    // COALESCE mirrors Spark's concat_ws-over-empty = ''.
+    "line_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |la AS (SELECT doc_id,
+        |    [array_to_string(ws[(8*i+1):(8*i+8)], ' ')
+        |     for i in range(0, ((len(ws)-1)//8)+1)] AS ls FROM w),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls)+1)) AS pos FROM la),
+        |dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS dfc
+        |  FROM l GROUP BY 1)
+        |SELECT l.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN dfc <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  COALESCE(array_to_string(
+        |    list(l.line ORDER BY l.pos) FILTER (WHERE dfc <= 1), ' '),
+        |    '') AS kept_text
+        |FROM l JOIN dfq USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
 
     "text_normalize" ->
       """WITH c AS (SELECT doc_id,

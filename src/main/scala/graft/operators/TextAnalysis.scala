@@ -785,6 +785,47 @@ object TextAnalysis {
     * word n-grams (the vocabulary-coverage vs phrase-coverage choice —
     * tiny-vocab corpora saturate word coverage after one pick, where
     * n-gram sets still discriminate). */
+  /** CCNet-style cross-document line deduplication (Wenzek et al. 2020,
+    * "CCNet: Extracting high quality monolingual datasets from web crawl
+    * data" — the boilerplate pass every web-corpus pipeline runs before
+    * document-level dedup): segment every document into fixed
+    * `width`-word lines, count each distinct line's DOCUMENT frequency
+    * across the corpus, mark lines above `maxDocFreq` as boilerplate
+    * (headers, navigation, license banners), and reassemble the
+    * surviving text in original line order. Returns
+    * (id, n_lines, n_kept, kept_text) — kept_text is "" when every line
+    * is boilerplate, never null.
+    *
+    * Scale shape: one explode → one (line → doc-frequency) hash
+    * aggregate → one equi-join of the line stream against its own
+    * counts (both sides hash on the line key; the wide text column
+    * never rides the count aggregate) → one id-keyed aggregate whose
+    * per-doc (pos, line) array rebuilds the text. Nothing is ever
+    * pairwise, and a boilerplate line's fan-in is bounded by its doc
+    * frequency — the hot keys are exactly the ones the filter drops. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 8, maxDocFreq: Int = 2): DataFrame = {
+    require(width >= 1, s"width=$width")
+    val lines = df.select(col(idCol).as("id"),
+        wsTokens(col(textCol)).as("__w"))
+      .select(col("id"), posexplode(expr(
+        ("transform(sequence(0, (size(__w) - 1) DIV W), " +
+          "i -> concat_ws(' ', slice(__w, i * W + 1, W)))")
+          .replace("W", width.toString))).as(Seq("pos", "line")))
+    val dfreq = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("__df"))
+    lines.join(dfreq, "line")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__df") <= maxDocFreq, 1L).otherwise(0L))
+          .as("n_kept"),
+        array_sort(collect_list(when(col("__df") <= maxDocFreq,
+          struct(col("pos"), col("line"))))).as("__kl"))
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        concat_ws(" ", expr("transform(__kl, x -> x.line)"))
+          .as("kept_text"))
+  }
+
   def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int, gram: Int = 1): DataFrame = {
     require(k >= 1 && k <= 64, s"k=$k out of range")

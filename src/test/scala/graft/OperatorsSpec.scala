@@ -906,6 +906,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2(30L) === ((30L, 1L, 0L, 1L, 2L, -1L, 16L)))
   }
 
+  test("lineDedup: cross-doc lines drop, intra-doc repeats stay, order kept") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 3 lines at width 4; first is shared
+      (2L, "a b c d x y z w"),
+      (3L, "q r s t"),
+      (4L, "a b c d"),             // all-boilerplate doc → empty rebuild
+      (5L, "m n o p m n o p")      // same line TWICE in one doc: df=1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "text", "doc_id",
+        width = 4, maxDocFreq = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 2L, "e f g h i j")))
+    assert(got(2L) === ((2L, 1L, "x y z w")))
+    assert(got(3L) === ((1L, 1L, "q r s t")))
+    assert(got(4L) === ((1L, 0L, "")))
+    // doc frequency, not occurrence count: an intra-doc repeat is df=1
+    assert(got(5L) === ((2L, 2L, "m n o p m n o p")))
+  }
+
   test("normalizeText: case, punctuation, whitespace variants collapse") {
     val out = Seq("Hello,  World!!", "hello world", "  HELLO--world  ",
       "a.b,c").toDF("t")
