@@ -57,4 +57,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(rows.length === 12) // 3 queries × top-4
     assert(rows.forall(_.getAs[Long]("cos_permille") <= 1000))
   }
+
+  test("semDedup: corpus smaller than nCells — singleton cells, all kept") {
+    val vecs = Seq((3L, Seq(1f, 0f)), (9L, Seq(0f, 1f))).toDF("id", "vec")
+    val got = Similarity.semDedup(vecs, nCells = 16,
+        thresholdPermille = 900)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // every vector is its own nearest centroid (cos 1000 with itself);
+    // orthogonal cells never meet, nothing is pruned
+    assert(got === Map(3L -> ((3L, 0L)), 9L -> ((9L, 0L))))
+  }
+
+  test("lineDedup: short docs, width-1 lines, all-dropped rebuild is ''") {
+    import graft.operators.TextAnalysis
+    // width > token count → one short line per doc; exact-dup docs drop
+    val short = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "t")
+    val g1 = TextAnalysis.lineDedup(short, "t", "doc_id",
+        width = 8, maxDocFreq = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(g1(1L) === ((1L, 0L, "")) && g1(2L) === ((1L, 0L, "")))
+    assert(g1(3L) === ((1L, 1L, "z")))
+    // width=1: per-word dedup degenerates gracefully (shared word drops)
+    val g2 = TextAnalysis.lineDedup(
+        Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "t"), "t", "doc_id",
+        width = 1, maxDocFreq = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(g2(1L) === ((2L, 1L, "a")) && g2(2L) === ((2L, 1L, "c")))
+  }
+
+  test("modularityStats: empty edge set yields an empty report, no crash") {
+    import graft.operators.GraphAlgos
+    val e = Seq.empty[(Long, Long)].toDF("s", "d")
+    val lab = Seq((1L, 1L)).toDF("id", "lab")
+    assert(GraphAlgos.modularityStats(e, "s", "d", lab).count() === 0L)
+  }
 }
