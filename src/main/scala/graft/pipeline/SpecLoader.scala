@@ -44,6 +44,9 @@ import org.json4s.jackson.JsonMethods
   *  - `dedup`: dropDuplicates, optionally on `by` columns
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
+  *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
+  *    `exact_dedup`): the LLM-corpus steps as declarable stages — see
+  *    [[transformFromJson]], the standalone chain entry point
   *
   * Field order inside `project`/`rename`/`keep` objects is preserved
   * (json4s keeps JObject field order), so loaded specs produce
@@ -67,6 +70,35 @@ object SpecLoader {
     }
     IntegrationSpec(name, load, fns)
   }
+
+  /** A standalone transform chain — the curation-pipeline entry point:
+    * parse a JSON document's `steps` array into ONE composed
+    * `DataFrame => DataFrame`, no integration/sink wrapper. The same
+    * vocabulary as function steps plus the curation ops (`normalize`,
+    * `line_dedup`, `quality_filter`, `exact_dedup`), so a corpus
+    * curation recipe is a data file:
+    * {{{
+    * { "name": "web_curate", "steps": [
+    *   { "op": "normalize", "col": "text" },
+    *   { "op": "line_dedup", "text": "text", "id": "doc_id",
+    *     "width": 8, "max_doc_freq": 1 },
+    *   { "op": "quality_filter", "text": "text", "min_score": 400 },
+    *   { "op": "exact_dedup", "text": "text", "id": "doc_id" } ] }
+    * }}} */
+  def transformFromJson(json: String): DataFrame => DataFrame = {
+    val root = JsonMethods.parse(json)
+    val name = (root \ "name").extractOpt[String].getOrElse("transform")
+    val steps = (root \ "steps") match {
+      case JArray(items) => items.map(s => parseStep(name, s))
+      case other => sys.error(s"'$name': 'steps' must be an array, got $other")
+    }
+    require(steps.nonEmpty, s"'$name' has no steps")
+    steps.reduceLeft(_ andThen _)
+  }
+
+  def transformFromJsonFile(path: String): DataFrame => DataFrame =
+    transformFromJson(new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8))
 
   private def parseFunction(v: JValue): FunctionSpec = {
     val name = (v \ "name").extract[String]
@@ -127,6 +159,46 @@ object SpecLoader {
         val a = (v \ "a").extract[String]
         val b = (v \ "b").extract[String]
         df => graft.operators.Transforms.edgePairs(df, expr(a), expr(b))
+
+      // ---- curation vocabulary: the LLM-data steps, declarable in the
+      // same files as the reference-shaped transform steps, so a data
+      // engineer re-orders a curation pipeline without recompiling ----
+      case "normalize" =>
+        // canonicalize `col` in place (dedup pre-pass)
+        val c = (v \ "col").extract[String]
+        df => df.withColumn(c,
+          graft.operators.TextAnalysis.normalizeText(col(c)))
+      case "quality_filter" =>
+        // keep rows whose quality score clears the permille floor
+        val c = (v \ "text").extract[String]
+        val min = (v \ "min_score").extract[Int]
+        df => df.filter(
+          graft.operators.TextAnalysis.qualityScore(col(c)) >= min)
+      case "exact_dedup" =>
+        // first-id-wins exact dedup: semi-join the survivor id set
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        df => df.join(graft.operators.Dedup.exactSurvivors(df, c, id),
+          Seq(id), "left_semi")
+      case "line_dedup" =>
+        // CCNet boilerplate pass: rebuild `text` from the lines that
+        // clear the cross-document frequency cap, preserving every other
+        // column; docs whose every line is boilerplate drop out when
+        // `drop_empty` (default true)
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val width = (v \ "width").extractOpt[Int].getOrElse(8)
+        val maxDf = (v \ "max_doc_freq").extractOpt[Int].getOrElse(1)
+        val dropEmpty = (v \ "drop_empty").extractOpt[Boolean]
+          .getOrElse(true)
+        df => {
+          val ld = graft.operators.TextAnalysis
+            .lineDedup(df, c, id, width, maxDf)
+          val kept = if (dropEmpty) ld.filter(col("n_kept") > 0) else ld
+          df.drop(c).join(
+            kept.select(col("id").as(id), col("kept_text").as(c)),
+            Seq(id))
+        }
       case other => sys.error(s"function '$fn': unknown op '$other'")
     }
 }

@@ -62,8 +62,16 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash/ngram self-joins: signature pipeline computed once") {
-    for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
-      val plan = finalPlan(q(name))
+    // dedup_ngram_jaccard's QUERY now returns the memoized docDupGraph
+    // checkpoint (a Scan ExistingRDD by design), so the exchange-reuse
+    // pin targets the underlying operator the memo builds from.
+    val pipelines = Seq(
+      "dedup_minhash" -> q("dedup_minhash"),
+      "dedup_ngram_jaccard" -> graft.operators.Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        n = 5, thresholdPermille = 100))
+    for ((name, df) <- pipelines) {
+      val plan = finalPlan(df)
       val reused = plan.linesIterator.count(l =>
         l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
       assert(reused >= 1,

@@ -84,4 +84,43 @@ class SpecLoaderSpec extends AnyFunSuite {
       assert(f.transform(empty).count() === 0L, f.name)
     }
   }
+
+  test("declarative curation chain equals the hand-composed pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val chain = SpecLoader.transformFromJson(
+      """{ "name": "web_curate", "steps": [
+        |  { "op": "normalize", "col": "text" },
+        |  { "op": "line_dedup", "text": "text", "id": "doc_id",
+        |    "width": 8, "max_doc_freq": 1 },
+        |  { "op": "quality_filter", "text": "text", "min_score": 300 },
+        |  { "op": "exact_dedup", "text": "text", "id": "doc_id" },
+        |  { "op": "project",
+        |    "fields": { "doc_id": "doc_id", "text": "text",
+        |                "source": "source" } } ] }""".stripMargin)
+    val got = chain(docs)
+    // the same pipeline, composed by hand
+    val n = docs.withColumn("text",
+      TextAnalysis.normalizeText(col("text")))
+    val ld = TextAnalysis.lineDedup(n, "text", "doc_id", 8, 1)
+      .filter(col("n_kept") > 0)
+    val rebuilt = n.drop("text").join(
+      ld.select(col("id").as("doc_id"), col("kept_text").as("text")),
+      Seq("doc_id"))
+    val qf = rebuilt.filter(
+      TextAnalysis.qualityScore(col("text")) >= 300)
+    val want = qf.join(Dedup.exactSurvivors(qf, "text", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "source")
+    assert(got.schema === want.schema)
+    val g = got.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val w = want.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(g === w)
+    // the chain does real work on the fixture: some docs survive, some
+    // don't (boilerplate lines + exact dups exist by construction)
+    assert(want.count() > 0 && want.count() < docs.count())
+  }
 }
