@@ -2511,6 +2511,43 @@ object SparkEntry {
         width = 8, maxDocFreq = 1)
         .withColumnRenamed("id", "doc_id")),
 
+    // exact-substring duplicate spans (Lee et al. 2022's suffix-array
+    // substring dedup, re-expressed as a fixed-k window count + interval
+    // merge — [[TextAnalysis.dupSpans]]): the maximal cross-corpus
+    // duplicated 8-token spans per document, the cut list a substring
+    // dedup pass would excise. One explode, one gram-count aggregate,
+    // one join against the duplicated sliver, one per-doc window.
+    "dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(t(s, dir, "documents"), "text", "doc_id",
+        k = 8).withColumnRenamed("id", "doc_id")),
+
+    // duplicated-position coverage per document — the triage statistic
+    // upstream of substring excision ([[TextAnalysis.spanCoverage]]);
+    // one row per document, zeros when nothing is duplicated.
+    "span_coverage" -> ((s, dir) =>
+      TextAnalysis.spanCoverage(t(s, dir, "documents"), "text", "doc_id",
+        k = 8).withColumnRenamed("id", "doc_id")),
+
+    // substring excision — the action step of exact-substring dedup:
+    // every document rebuilt with duplicated-span positions removed,
+    // survivors in original order ([[TextAnalysis.substringExcise]];
+    // kept_text = "" when fully covered, mirroring line_dedup).
+    "substring_excise" -> ((s, dir) =>
+      TextAnalysis.substringExcise(t(s, dir, "documents"), "text",
+        "doc_id", k = 8).withColumnRenamed("id", "doc_id")),
+
+    // DSIR-style importance weights (Xie et al. 2023) in exact fixed
+    // point: hashed-bigram occurrence rates for the en-language target
+    // domain vs the full corpus; each document scored by the sum of its
+    // occurrences' smoothed target/corpus permille ratios
+    // ([[TextAnalysis.dsirWeights]] — the bucket table collapses to 4096
+    // rows map-side and broadcasts back; the only doc-keyed shuffle is
+    // the final per-doc sum).
+    "dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 4096)
+        .withColumnRenamed("id", "doc_id")),
+
     // representative selection per near-dup cluster — the "which member
     // survives" step downstream of dedup_clusters
     // ([[Dedup.clusterRepresentatives]]: longest text wins, ties to
@@ -5596,6 +5633,135 @@ object SparkEntry {
         |    '') AS kept_text
         |FROM l JOIN dfq USING (line)
         |GROUP BY l.doc_id""".stripMargin,
+
+    // 8-token windows via zipped parallel unnest (list comprehension +
+    // range align positionally); duplicated sliver = HAVING count >= 2;
+    // interval merge = gaps-and-islands window pair, identical frames to
+    // the Spark side.
+    "dup_spans" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS gram,
+        |    unnest(range(1, len(ws) - 6)) AS p
+        |  FROM w),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.p FROM g JOIN c USING (gram)),
+        |s AS (SELECT doc_id, p,
+        |    CASE WHEN p > COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |i AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS seg
+        |  FROM s)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |  CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(p) + 7 - MIN(p) + 1 AS BIGINT) AS span_len
+        |FROM i GROUP BY doc_id, seg""".stripMargin,
+
+    // same span chain + per-doc rollup, LEFT JOIN keeps zero-dup docs
+    "span_coverage" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS gram,
+        |    unnest(range(1, len(ws) - 6)) AS p
+        |  FROM w),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.p FROM g JOIN c USING (gram)),
+        |s AS (SELECT doc_id, p,
+        |    CASE WHEN p > COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |i AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS seg
+        |  FROM s),
+        |sp AS (SELECT doc_id, seg, MIN(p) AS st, MAX(p) + 7 AS en
+        |  FROM i GROUP BY 1, 2),
+        |cv AS (SELECT doc_id, COUNT(*) AS n_spans,
+        |    SUM(en - st + 1) AS n_covered
+        |  FROM sp GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST((COALESCE(n_covered, 0) * 1000) // n_tokens AS BIGINT)
+        |    AS cov_permille
+        |FROM b LEFT JOIN cv USING (doc_id)""".stripMargin,
+
+    // spans re-exploded to covered positions; rebuild = ordered FILTERed
+    // list agg, COALESCE mirrors concat_ws-over-empty = ''
+    "substring_excise" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS gram,
+        |    unnest(range(1, len(ws) - 6)) AS p
+        |  FROM w),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.p FROM g JOIN c USING (gram)),
+        |s AS (SELECT doc_id, p,
+        |    CASE WHEN p > COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM d),
+        |i AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS seg
+        |  FROM s),
+        |sp AS (SELECT doc_id, seg, MIN(p) AS st, MAX(p) + 7 AS en
+        |  FROM i GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, unnest(range(st, en + 1)) AS p FROM sp),
+        |tk AS (SELECT doc_id, unnest(ws) AS tok,
+        |    unnest(range(1, len(ws) + 1)) AS p
+        |  FROM w)
+        |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN pos.p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  COALESCE(array_to_string(
+        |    list(tk.tok ORDER BY tk.p) FILTER (WHERE pos.p IS NULL), ' '),
+        |    '') AS kept_text
+        |FROM tk LEFT JOIN pos
+        |  ON tk.doc_id = pos.doc_id AND tk.p = pos.p
+        |GROUP BY tk.doc_id""".stripMargin,
+
+    // 31-ary polynomial char hash mod 2^20 mod 4096 replayed as a
+    // list_reduce fold (every bit op parenthesized); smoothed permille
+    // ratio is pure-integer //; totals ride a 1-row cross join
+    "dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |bgl AS (SELECT doc_id, (lang = 'en') AS t,
+        |    unnest([ws[i] || ' ' || ws[i + 1]
+        |            for i in range(1, len(ws))]) AS bg
+        |  FROM w),
+        |hb AS MATERIALIZED (SELECT doc_id, t,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(split(bg, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1048576)) % 4096 AS b
+        |  FROM bgl),
+        |bc AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cs
+        |  FROM hb GROUP BY 1),
+        |tt AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM bc),
+        |sc AS (SELECT b, (1000 * (ct + 1) * (ns + 4096))
+        |    // ((cs + 1) * (nt + 4096)) AS s
+        |  FROM bc, tt)
+        |SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s) AS BIGINT) AS weight,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS w_avg
+        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin,
 
     "text_normalize" ->
       """WITH c AS (SELECT doc_id,

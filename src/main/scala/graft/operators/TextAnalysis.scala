@@ -863,4 +863,166 @@ object TextAnalysis {
     import spark.implicits._
     picks.toSeq.toDF("round", "doc_id", "gain")
   }
+
+  /** Every `k`-token sliding window of every document, with its 1-based
+    * start position: (id, n, p, gram). One explode off the document scan;
+    * docs shorter than `k` tokens contribute no rows. */
+  private def windowGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("__w"))
+      .select(col("id"), size(col("__w")).cast("long").as("n"),
+        posexplode(expr(
+          ("CASE WHEN size(__w) < K THEN array() " +
+            "ELSE transform(sequence(1, size(__w) - K + 1), " +
+            "i -> concat_ws(' ', slice(__w, i, K))) END")
+            .replace("K", k.toString))).as(Seq("p0", "gram")))
+      .select(col("id"), col("n"), (col("p0") + lit(1L)).as("p"),
+        col("gram"))
+
+  /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * substring dedup, re-expressed relationally): slide a `k`-token
+    * window over every document, count each window string's TOTAL
+    * occurrences across the corpus (within-document repeats count, as in
+    * the suffix-array formulation), keep windows occurring at least
+    * twice, and merge each document's duplicated intervals [p, p+k-1]
+    * into maximal spans (gaps-and-islands over start positions — two
+    * intervals merge when the gap between them is zero). Returns
+    * (id, span_start, span_end, span_len), token positions 1-based.
+    *
+    * Scale shape: one explode → one (gram → count) hash aggregate → one
+    * equi-join of the window stream against the duplicated-gram sliver
+    * (the count table after `>= 2` is the DUPLICATED subset only) → a
+    * per-document window over at most doc-length rows. Nothing pairwise,
+    * no suffix array: the fixed-`k` window relaxation is what makes the
+    * op a pure groupBy/join pipeline that survives 100 TB. */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= 64, s"k=$k out of range")
+    val g = windowGrams(df, textCol, idCol, k)
+    val dupGrams = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select(col("gram"))
+    val dup = g.join(dupGrams, "gram").select(col("id"), col("p"))
+    val byDoc = Window.partitionBy("id").orderBy("p")
+    val prevEnd = max(col("p") + lit(k - 1L))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__brk",
+        when(col("p") > coalesce(prevEnd, lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__seg"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(k - 1L)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Per-document duplicated-position coverage — the statistic that
+    * decides whether a document is worth substring-excising at all:
+    * (id, n_tokens, n_spans, n_covered, cov_permille), one row per
+    * document including documents with no duplicated span (zeros).
+    * cov_permille is integer (1000·covered DIV tokens) so the oracle
+    * compare is exact. */
+  def spanCoverage(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val cov = dupSpans(df, textCol, idCol, k)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("n_covered"))
+    base.join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("(coalesce(n_covered, 0L) * 1000L) DIV n_tokens")
+          .as("cov_permille"))
+  }
+
+  /** Substring excision — the ACTION step of exact-substring dedup:
+    * rebuild every document with all duplicated-span token positions
+    * removed, survivors in original order. Returns (id, n_tokens,
+    * n_kept, kept_text); kept_text is "" when the whole document is
+    * covered, never null (same contract as [[lineDedup]]).
+    *
+    * The span table explodes back into covered positions (bounded by
+    * document length — spans are disjoint by construction) and
+    * anti-marks the token stream via a left join on (id, p); the
+    * rebuild is the ordered FILTERed-collect aggregate the line-dedup
+    * pass uses. */
+  def substringExcise(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        wsTokens(col(textCol)).as("__w"))
+      .select(col("id"), posexplode(col("__w")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + lit(1L)).as("p"), col("tok"))
+    val covered = dupSpans(df, textCol, idCol, k)
+      .select(col("id"),
+        explode(expr("sequence(span_start, span_end)")).as("p"))
+      .withColumn("__c", lit(1))
+    toks.join(covered, Seq("id", "p"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__c").isNull,
+          struct(col("p"), col("tok"))))).as("__kt"))
+      .select(col("id"), col("n_tokens"), col("n_kept"),
+        concat_ws(" ", expr("transform(__kt, x -> x.tok)"))
+          .as("kept_text"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), fixed-point
+    * variant: featurize every document as hashed-bigram occurrences,
+    * estimate per-bucket occurrence rates for the TARGET domain
+    * (`targetPred` rows) and the full corpus, and score each document
+    * by the sum of its occurrences' smoothed target/corpus rate ratios
+    * in permille. DSIR's log-likelihood ratio is replaced by the
+    * add-one-smoothed permille ratio itself so every arithmetic step is
+    * integer and the DuckDB twin is bit-exact (the ordering signal —
+    * "does this document look like the target domain" — is preserved;
+    * at true 100 TB counts the products approach 2^63 and a log-space
+    * variant of the same plan applies).
+    *
+    * The bucket hash is an explicit 31-ary polynomial over the bigram's
+    * character codes mod 2^20 (then mod `buckets`) — chosen over
+    * xxhash64 because it replays in three lines of SQL; it is a full
+    * fold over the string exactly like Java's `String.hashCode`.
+    *
+    * Scale shape: one explode → one aggregate onto `buckets` cells
+    * (map-side partial collapses everything: the reduce side is
+    * `buckets` rows no matter the corpus size) → the scored bucket
+    * table broadcasts back onto the occurrence stream → one per-doc
+    * aggregate. Returns (id, n_bigrams, weight, w_avg). */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    val occ = df.select(col(idCol).as("id"), targetPred.as("__t"),
+        wsTokens(col(textCol)).as("__w"))
+      .select(col("id"), col("__t"), explode(expr(
+        "CASE WHEN size(__w) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(__w) - 2), " +
+          "i -> concat_ws(' ', __w[i], __w[i + 1])) END")).as("bg"))
+      .withColumn("b", expr(
+        ("pmod(aggregate(sequence(1, length(bg)), 0L, " +
+          "(a, i) -> pmod(a * 31L + ascii(substring(bg, i, 1)), " +
+          "1048576L)), BKT)").replace("BKT", s"${buckets}L")))
+      .select(col("id"), col("__t"), col("b"))
+    val bucketCounts = occ.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cs"))
+    val totals = bucketCounts
+      .agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
+    val scored = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        ("(1000L * (ct + 1L) * (ns + BKT)) DIV ((cs + 1L) * (nt + BKT))")
+          .replace("BKT", s"${buckets}L")).as("s"))
+    occ.join(broadcast(scored), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("weight"))
+      .select(col("id"), col("n_bigrams"), col("weight"),
+        expr("weight DIV n_bigrams").as("w_avg"))
+  }
 }
