@@ -58,6 +58,14 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver archives only the tail of stdout, which truncates the
+    // per-query line above once the battery is large. Emit a compact
+    // self-sufficient summary AFTER it so the headline numbers (total,
+    // count, failures, worst offenders) always survive truncation.
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":${f"$total%.3f"},"n":${results.size},"failed":$failedJson,"top5":$top5,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: " +

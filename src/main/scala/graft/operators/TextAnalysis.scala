@@ -988,41 +988,111 @@ object TextAnalysis {
     * The bucket hash is an explicit 31-ary polynomial over the bigram's
     * character codes mod 2^20 (then mod `buckets`) — chosen over
     * xxhash64 because it replays in three lines of SQL; it is a full
-    * fold over the string exactly like Java's `String.hashCode`.
+    * fold over the string exactly like Java's `String.hashCode`,
+    * evaluated by the native codegen'd
+    * [[graft.functions.PolyHash31]] expression (one byte walk per
+    * bigram — the earlier interpreted `aggregate(sequence(…))` SQL fold
+    * rebuilt a substring per character and made this the battery's most
+    * expensive query).
     *
-    * Scale shape: one explode → one aggregate onto `buckets` cells
-    * (map-side partial collapses everything: the reduce side is
-    * `buckets` rows no matter the corpus size) → the scored bucket
-    * table broadcasts back onto the occurrence stream → one per-doc
-    * aggregate. Returns (id, n_bigrams, weight, w_avg). */
+    * Scale shape: one explode → ONE per-(id, bucket) pre-aggregate,
+    * materialized once ([[Dedup.ckptLight]], the docDupGraph
+    * discipline) and read by BOTH downstream consumers — the
+    * bucket-rate aggregate and the final scoring join. The corpus is
+    * therefore tokenized + hashed exactly once (pinned in DsirSpec:
+    * zero duplicate parquet scans; exchange reuse alone proved
+    * unreliable here — AQE does not dedupe the broadcast-nested
+    * instantiation against its stage cache). The bucket table collapses
+    * to `buckets` rows map-side and rides a global window over ≤2^20
+    * rows for its totals; the only doc-keyed shuffles are the shared
+    * pre-aggregate and the final per-doc sum. NOTE: calling this
+    * eagerly runs the featurization job (checkpoint semantics), like
+    * every ckptLight operator in the codebase.
+    * Returns (id, n_bigrams, weight, w_avg). */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
       targetPred: Column, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
-    val occ = df.select(col(idCol).as("id"), targetPred.as("__t"),
+    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val scored = dsirBucketTotals(occAgg)
+      .select(col("b"), expr(
+        ("(1000L * (ct + 1L) * (ns + BKT)) DIV ((cs + 1L) * (nt + BKT))")
+          .replace("BKT", s"${buckets}L")).as("s"))
+    occAgg.join(broadcast(scored), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("s") * col("k")).as("weight"))
+      .select(col("id"), col("n_bigrams"), col("weight"),
+        expr("weight DIV n_bigrams").as("w_avg"))
+  }
+
+  /** Shared DSIR front end: tokenize → bigram explode → native bucket
+    * hash → collapse to one row per (id, targetPred, bucket) with its
+    * occurrence count `k`. Both [[dsirWeights]] consumers (and the
+    * log-space variant) read this SAME aggregate, so the exchange under
+    * it is planned once and reused. */
+  private def dsirOccAgg(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int): DataFrame =
+    Dedup.ckptLight(df.select(col(idCol).as("id"), targetPred.as("__t"),
         wsTokens(col(textCol)).as("__w"))
       .select(col("id"), col("__t"), explode(expr(
         "CASE WHEN size(__w) < 2 THEN array() " +
           "ELSE transform(sequence(0, size(__w) - 2), " +
           "i -> concat_ws(' ', __w[i], __w[i + 1])) END")).as("bg"))
-      .withColumn("b", expr(
-        ("pmod(aggregate(sequence(1, length(bg)), 0L, " +
-          "(a, i) -> pmod(a * 31L + ascii(substring(bg, i, 1)), " +
-          "1048576L)), BKT)").replace("BKT", s"${buckets}L")))
-      .select(col("id"), col("__t"), col("b"))
-    val bucketCounts = occ.groupBy(col("b"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cs"))
-    val totals = bucketCounts
-      .agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
-    val scored = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("id"), col("__t"),
+        pmod(graft.functions.PolyHash31(col("bg")), lit(buckets.toLong))
+          .as("b"))
+      .groupBy(col("id"), col("__t"), col("b"))
+      .agg(count(lit(1)).as("k")))
+
+  /** Bucket table with the global totals attached: (b, ct, cs, nt, ns).
+    * The totals ride a GLOBAL window over the ≤`buckets`-row bucket
+    * aggregate rather than a second aggregate branch — a separate
+    * `bucketCounts.agg(...)` branch re-instantiates the occurrence
+    * subtree inside a nested broadcast stage that AQE does NOT dedupe
+    * against the stage cache (measured: a third corpus scan). The
+    * window costs one single-partition pass over ≤2^20 rows. */
+  private def dsirBucketTotals(occAgg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    occAgg.groupBy(col("b"))
+      .agg(sum(when(col("__t"), col("k")).otherwise(0L)).as("ct"),
+        sum(col("k")).as("cs"))
+      .withColumn("nt", sum(col("ct")).over(all))
+      .withColumn("ns", sum(col("cs")).over(all))
+  }
+
+  /** Log-space DSIR weights — the same plan as [[dsirWeights]] with the
+    * per-bucket score computed as the smoothed log-likelihood ratio
+    * `ln((ct+1)/(nt+B)) - ln((cs+1)/(ns+B))` (the actual statistic of
+    * Xie et al. 2023) instead of the integer permille ratio.
+    *
+    * Switch-over rule: the integer path is exact while its widest
+    * intermediate fits a signed 64-bit long, i.e. while
+    * `1000 * (nt + 1) * (ns + buckets) < 2^62` (nt/ns are the target /
+    * corpus bigram totals, both readable off the bucket table). At true
+    * 100 TB corpora (ns ≈ 10^13 bigrams) that product overflows, so
+    * production-scale scoring uses THIS variant; the integer variant
+    * remains the DuckDB-oracle-exact fixture path. DsirSpec pins the
+    * two paths against each other at fixture scale: identical
+    * (id, n_bigrams) backbone, and per-bucket score orderings that
+    * agree wherever the permille quantization can distinguish them.
+    *
+    * Returns (id, n_bigrams, llr) with `llr = Σ k·(log-ratio)` over the
+    * document's occurrences — positive means target-like. */
+  def dsirWeightsLog(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val scored = dsirBucketTotals(occAgg)
       .select(col("b"), expr(
-        ("(1000L * (ct + 1L) * (ns + BKT)) DIV ((cs + 1L) * (nt + BKT))")
-          .replace("BKT", s"${buckets}L")).as("s"))
-    occ.join(broadcast(scored), "b")
+        ("(ln(ct + 1.0D) + ln(ns + BKT)) - (ln(cs + 1.0D) + ln(nt + BKT))")
+          .replace("BKT", s"$buckets.0D")).as("s"))
+    occAgg.join(broadcast(scored), "b")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("weight"))
-      .select(col("id"), col("n_bigrams"), col("weight"),
-        expr("weight DIV n_bigrams").as("w_avg"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("s") * col("k").cast("double")).as("llr"))
   }
 }
