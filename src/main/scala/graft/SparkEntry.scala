@@ -116,8 +116,31 @@ object SparkEntry {
     * so reuse costs nothing. */
   private val sccDagMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** Memo hygiene: drop a context's cached checkpointed frames when that
+    * context stops. Long-lived multi-session JVMs would otherwise pin
+    * dead sessions' checkpoint blocks in the static memos forever.
+    * Fixture dirs are immutable for a session's lifetime (driver
+    * contract) — a dir rewritten mid-session is out of contract and
+    * would be served stale. */
+  private val memoHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
+  private def hookMemoEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (memoHooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          sccDagMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          docDupMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          memoHooked.remove(sc)
+        }
+      })
+  }
+
   private def sccDag(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame) = {
+    hookMemoEviction(s)
     sccDagMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val li = t(sess, d, "lineitem")
@@ -138,6 +161,7 @@ object SparkEntry {
         .localCheckpoint()
       (e, sid, dag)
     })
+  }
 
   /** Shared near-dup graph for the documents-clustering family
     * (`dedup_ngram_jaccard`, `dedup_clusters`, `cluster_sizes`,
@@ -153,7 +177,8 @@ object SparkEntry {
   private val docDupMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def docDupGraph(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) = {
+    hookMemoEviction(s)
     docDupMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val pairs = Dedup.ngramJaccardPairs(t(sess, d, "documents"),
@@ -162,6 +187,7 @@ object SparkEntry {
       val clusters = Dedup.connectedComponents(pairs).localCheckpoint()
       (pairs, clusters)
     })
+  }
 
   /** Flagship: the engine's novel operator — classified snapshot diff
     * (incremental sync delta) on sf0.001. */

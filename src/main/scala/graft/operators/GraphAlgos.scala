@@ -233,11 +233,14 @@ object GraphAlgos {
       dstCol: String, maxRounds: Int = 64, maxHops: Int = 512): DataFrame = {
     def ck(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(df)
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val nodes0 = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e0 = eRaw.filter(col("src") =!= col("dst")).distinct()
+    // node set from the UNFILTERED edges: a node whose only edge is a
+    // self-loop is conventionally a singleton SCC and must not vanish
+    // with its dropped loop edge (TRIM retires it in round 1)
+    val nodes0 = eRaw.select(col("src").as("id"))
+      .union(eRaw.select(col("dst").as("id"))).distinct()
     var act = ck(nodes0.select(col("id"), lit(0L).as("part")))
     if (act.isEmpty) return act.select(col("id"), col("id").as("scc"))
     var e = ck(e0)

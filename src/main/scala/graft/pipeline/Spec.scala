@@ -60,7 +60,7 @@ object HcpIntegration {
         orgProjectEdges),
       FunctionSpec("project_bucket", CreateRelation("has", "project", "bucket"),
         projectBucketEdges),
-      FunctionSpec("bucket_version", CreateRelation("has", "bucket", "version"),
+      FunctionSpec("bucket_version", CreateRelation("creates", "bucket", "version"),
         bucketVersionEdges),
       FunctionSpec("version_build", CreateRelation("creates", "version",
         "packer_build"), versionBuildEdges)))

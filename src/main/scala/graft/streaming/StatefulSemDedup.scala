@@ -47,7 +47,13 @@ object StatefulSemDedup {
     while (i < a.length) {
       dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
     }
-    math.round(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 1000.0)
+    // Spark's round() is HALF_UP — away from zero, so round(-0.5) = -1 —
+    // while Scala's math.round is floor(x+0.5), which sends -0.5 to 0.
+    // The batch twin quantizes with Spark's round; a negative cosine
+    // landing exactly on a .5 permille boundary would otherwise break
+    // the exact stream/batch parity StreamingSemDedupSpec pins.
+    BigDecimal(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 1000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
   /** A resident cell member held in state. */

@@ -105,7 +105,7 @@ class GraphDbSinkSpec extends AnyFunSuite {
     for ((table, rel, la, lb) <- Seq(
       ("has__org__project", "has", "org", "project"),
       ("has__project__bucket", "has", "project", "bucket"),
-      ("has__bucket__version", "has", "bucket", "version"),
+      ("creates__bucket__version", "creates", "bucket", "version"),
       ("creates__version__packer_build", "creates", "version", "packer_build"))) {
       val local = sink.readEdges(table).select("a_id", "b_id")
         .collect().map(r => (r.getString(0), r.getString(1))).toSet

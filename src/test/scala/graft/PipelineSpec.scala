@@ -38,7 +38,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(sink.readNodes("packer_build").count() === 3)
     assert(sink.readEdges("has__org__project").count() === 1)
     assert(sink.readEdges("has__project__bucket").count() === 2)
-    assert(sink.readEdges("has__bucket__version").count() === 2)
+    assert(sink.readEdges("creates__bucket__version").count() === 2)
     assert(sink.readEdges("creates__version__packer_build").count() === 3)
 
     // node props golden row

@@ -41,6 +41,9 @@ class SccSpec extends AnyFunSuite {
     val m = scc(Seq(7L -> 7L, 7L -> 8L))
     // the self-loop edge is dropped; 7→8 nodes are singleton SCCs
     assert(m === Map(7L -> 7L, 8L -> 8L))
+    // a node whose ONLY edge is a self-loop is still a singleton SCC
+    val iso = scc(Seq(9L -> 9L, 1L -> 2L, 2L -> 1L))
+    assert(iso === Map(9L -> 9L, 1L -> 1L, 2L -> 1L))
     assert(scc(Seq.empty[(Long, Long)]).isEmpty)
   }
 
