@@ -550,11 +550,26 @@ object Similarity {
     * aggregate); the only pair computation is the in-cell self equi-join
     * on `cid` — pair volume is Σ|cell|², bounded by scaling nCells with
     * the corpus (the SemDeDup design point: cells stay ~corpus/nCells),
-    * never global all-pairs. */
-  def semDedup(corpus: DataFrame, nCells: Int = 16,
-      thresholdPermille: Int = 550): DataFrame = {
+    * never global all-pairs.
+    *
+    * Cell-count rule: `nCells <= 0` (the default) DERIVES the cell count
+    * from the corpus — `ceil(count / targetMeanCell)`, capped at 2^20 —
+    * so in-cell pair volume stays ~`count · targetMeanCell` no matter
+    * the corpus size (copy-linear, pinned in ScaleStressSpec). A fixed
+    * explicit nCells is only safe when the caller knows the corpus scale
+    * (the oracle-pinned fixture query passes 16). The derivation costs
+    * one count() job; the centroid broadcast is nCells rows (~corpus /
+    * targetMeanCell — at counts where that itself is too large to
+    * broadcast, SemDeDup's k-means clustering stage replaces the
+    * lowest-id centroid shortcut entirely). */
+  def semDedup(corpus: DataFrame, nCells: Int = 0,
+      thresholdPermille: Int = 550, targetMeanCell: Int = 1024): DataFrame = {
+    require(targetMeanCell >= 1, s"targetMeanCell=$targetMeanCell must be >= 1")
+    val k =
+      if (nCells > 0) nCells
+      else derivedCells(corpus.count(), targetMeanCell)
     val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
-      .orderBy(col("cid")).limit(nCells))
+      .orderBy(col("cid")).limit(k))
     val c = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val cells = assignToCells(c, "nid", "nv", "nn2", cents, 1)
     val dominated = cells.as("x").join(cells.as("y"),
@@ -567,5 +582,14 @@ object Similarity {
       .join(dominated, Seq("nid"), "left")
       .select(col("nid").as("id"), col("cid"),
         coalesce(col("__pr"), lit(0L)).as("pruned"))
+  }
+
+  /** [[semDedup]]'s derived cell count: `ceil(n / targetMeanCell)`,
+    * at least 1, capped at 2^20 centroids (the broadcast bound). */
+  def derivedCells(n: Long, targetMeanCell: Int): Int = {
+    val cap = 1L << 20
+    if (n <= 0) 1
+    else if (n >= cap * targetMeanCell) cap.toInt // ceil would overflow
+    else ((n + targetMeanCell - 1) / targetMeanCell).toInt
   }
 }

@@ -137,4 +137,40 @@ class ScaleStressSpec extends AnyFunSuite {
       single8 === 8 * single1 && nodes8 === 8 * nodes1,
       s"census not copy-linear: ($s8,$mx8,$single8,$nodes8) vs 8x($s1,$mx1,$single1,$nodes1)")
   }
+
+  test("8x embeddings: derived SemDeDup cells keep pair volume copy-linear") {
+    // The round-8 trap: a FIXED nCells makes in-cell pair volume
+    // Σ|cell|² grow quadratically with the corpus. The derived rule
+    // (ceil(n / targetMeanCell)) must grow the cell count with the
+    // corpus so pair volume stays ~copy-linear.
+    import graft.operators.Similarity
+    val em = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n1 = em.count()
+    val target = 25 // 500-vector fixture → 20 cells at 1×, 160 at 8×
+    assert(Similarity.derivedCells(n1, target) ===
+      ((n1 + target - 1) / target).toInt)
+    assert(Similarity.derivedCells(0L, target) === 1)
+    assert(Similarity.derivedCells(Long.MaxValue, target) === (1 << 20))
+    def pairVolume(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val out = Similarity.semDedup(df, nCells = 0,
+        thresholdPermille = 350, targetMeanCell = target)
+      val r = out.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cells"), sum(col("n") * col("n")).as("pv"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cells1, pv1) = timed("1x semdedup derived") { pairVolume(em) }
+    val big = (0 until 8).map(i =>
+      em.select((col("id") + lit(i * 1000000000L)).as("id"), col("vec")))
+      .reduce(_ union _)
+    val (cells8, pv8) = timed("8x semdedup derived") { pairVolume(big) }
+    assert(cells1 >= 1 && cells8 > cells1,
+      s"derived cell count did not grow with the corpus: $cells1 → $cells8")
+    // copy-linear within slack: finer centroids redistribute members, so
+    // allow up to ~1.5× per-copy drift but never the 64× a fixed cell
+    // count would produce
+    assert(pv8 <= 12L * pv1,
+      s"in-cell pair volume super-linear: 1x=$pv1 8x=$pv8")
+  }
 }
