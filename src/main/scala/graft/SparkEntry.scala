@@ -4098,7 +4098,8 @@ object SparkEntry {
 
     // dominant variance axis of the embedding space
     // ([[Similarity.pcaPower]] — distributed d² moment pass, bounded
-    // driver-side power iteration; rows-only, pinned by SimilaritySpec).
+    // driver-side power iteration in integer fixed point; oracle-exact
+    // via the stage-chained replay [[PcaOracleSql]]).
     "pca_power" -> ((s, dir) =>
       Similarity.pcaPower(t(s, dir, "embeddings"), "embedding")),
 
@@ -4624,12 +4625,6 @@ object SparkEntry {
     * twin function; each is byte-exactness-tested in ScalaTest instead.
     * Dumped by [[Verify]] as `no_oracle.json` next to `oracle_sql.json`. */
   def noOracleReason: Map[String, String] = Map(
-    "pca_power" -> ("top eigenvector of the embedding covariance via " +
-      "power iteration — an iterated matrix fixpoint with no SQL " +
-      "equivalent in DuckDB. OperatorsSpec pins a hand-computable rank-1 " +
-      "case exactly instead (axis (2,1)/√5 → loadings 894427/447214 " +
-      "micros, λ = 25e6, zero padding dims exactly 0) plus bit-identical " +
-      "determinism across recomputation."),
     "sliding_distinct_approx" -> ("trailing-window distinct users from " +
       "hll_union_agg over per-bucket sketches — sketch-valued, no DuckDB " +
       "twin (the hll_rollup argument applied to window frames). " +
@@ -4822,6 +4817,8 @@ object SparkEntry {
     "reach_hll" -> XxhOracleSql.reachHllSql,
     "eff_diameter" -> XxhOracleSql.effDiameterSql,
     "bpe_apply" -> bpeApplyOracleSql,
+
+    "pca_power" -> PcaOracleSql.pcaPowerSql(iters = 50),
 
     "mst_forest" -> mstForestOracleSql,
 

@@ -478,56 +478,82 @@ object Similarity {
     * second-moment matrix and the d-vector mean; the d²-sized covariance
     * then iterates ON THE DRIVER (64×64 here — the same bounded-ferry
     * posture as [[trainCentroids]]'s centroid set; the data-sized work
-    * never leaves executors). Deterministic: uniform start vector, fixed
-    * iteration count, sign fixed by the largest-|loading| dimension.
+    * never leaves executors).
+    *
+    * FULLY INTEGER, hence exactly replayable in SQL (the HyperBall /
+    * XxhOracleSql discipline — this is what converts `pca_power` from
+    * rows-only to oracle-exact): coordinates quantize to micros at the
+    * scan (`round(x·10⁶)`, HALF_UP in both engines), the moment sums and
+    * the scaled covariance `C = n·Σxy − Σx·Σy` are exact 64-bit integers
+    * (valid while n·maxcoord²·10¹² < 2⁶³ — the integer-DSIR class of
+    * bound; beyond it the FP variant of the same plan applies), the
+    * matrix rescales once to ≤10⁶ magnitudes by truncating division
+    * (Scala `/` ≡ DuckDB `//` toward zero on integers), and the
+    * iteration renormalizes by MAX-NORM in 10⁵ fixed point — every step
+    * order-independent integer arithmetic. Sign fixed by the
+    * lowest-index dimension of maximal |loading|.
     *
     * Scale shape: the moment pass is two nested posexplodes (i, j) —
     * N·d² generated rows that partial-combine IN-TASK to ≤ d² groups
     * before the only shuffle, so exchange volume is tasks·d², independent
     * of N. No join anywhere; the mean rides the same aggregate via the
-    * j=0 slice trick (avg(xi) over the i-exploded rows).
+    * j=0 slice trick.
     *
     * Returns one row per dimension: (dim, loading_micro, eigval_micro) —
-    * loadings unit-normalized, eigenvalue = the Rayleigh quotient vᵀCv.
-    * No SQL oracle (eigenvector of an iterated matrix); pinned by
-    * SimilaritySpec: residual ‖Cv−λv‖ ≤ 10⁻⁶·max(λ,1), unit norm, and
-    * λ within tolerance of the max per-coordinate variance lower bound. */
+    * loadings MAX-normalized in micros (peak dimension = ±10⁶),
+    * eigenvalue = the Rayleigh quotient vᵀCv/vᵀv in the original
+    * covariance units, micros. Twin: [[graft.PcaOracleSql]]; residual /
+    * variance-floor pins in SimilaritySpec. */
   def pcaPower(corpus: DataFrame, vecCol: String,
       iters: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
     val moments = corpus
       .select(col(vecCol).as("__v"),
         posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi").cast("double").as("xi"),
+      .select(col("i"),
+        round(col("xi").cast("double") * 1e6).cast("long").as("xm"),
         posexplode(col("__v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("sxx"),
-        sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .agg(sum(col("xm") *
+          round(col("xj").cast("double") * 1e6).cast("long")).as("sxx"),
+        sum(col("xm")).as("sx"), count(lit(1)).as("n"))
       .collect()
     val d = moments.map(_.getInt(0)).max + 1
-    val n = moments.head.getLong(4).toDouble
-    val mean = new Array[Double](d)
+    val n = moments.head.getLong(4)
+    val sx = new Array[Long](d)
     moments.foreach { r =>
-      if (r.getInt(1) == 0) mean(r.getInt(0)) = r.getDouble(3) / n
+      if (r.getInt(1) == 0) sx(r.getInt(0)) = r.getLong(3)
     }
-    val cov = Array.ofDim[Double](d, d)
+    // C = n·Σ(xᵢxⱼ) − Σxᵢ·Σxⱼ  (= n² × covariance × 10¹², exact)
+    val c = Array.ofDim[Long](d, d)
     moments.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      cov(i)(j) = r.getDouble(2) / n - mean(i) * mean(j)
+      c(i)(j) = n * r.getLong(2) - sx(i) * sx(j)
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    // truncating division toward zero — Scala `/` and DuckDB `//` agree
+    def tdiv(a: Long, b: Long): Long = a / b
+    val s = math.max(1L, c.flatten.map(math.abs).max / 1000000L)
+    val cp = c.map(_.map(tdiv(_, s)))
+    var v = Array.fill(d)(100000L) // 10⁵ fixed point, max-norm ≤ 10⁵
     for (_ <- 0 until iters) {
       val av = Array.tabulate(d)(i =>
-        (0 until d).map(j => cov(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(av.map(x => x * x).sum)
-      v = av.map(_ / nrm)
+        (0 until d).map(j => cp(i)(j) * v(j)).sum)
+      val m = av.map(math.abs).max
+      if (m != 0L) v = av.map(x => tdiv(x * 100000L, m))
     }
-    val lambda = (0 until d).map(i =>
-      v(i) * (0 until d).map(j => cov(i)(j) * v(j)).sum).sum
-    val flip = if (v(v.map(math.abs).zipWithIndex.max._2) < 0) -1.0 else 1.0
+    // Rayleigh quotient against the ORIGINAL (unscaled) C, exact via
+    // BigInt (matches HUGEINT in the twin): λ·10⁶ = vᵀCv·10⁶ / (vᵀv·n²·10¹²)
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(v(i)) * BigInt(c(i)(j)) * BigInt(v(j))).sum
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum *
+      BigInt(n) * BigInt(n) * BigInt(1000000000000L)
+    val eigvalMicro = (num * BigInt(1000000) / den).toLong
+    // sign: lowest-index dimension of maximal |loading| made positive
+    val peakAbs = v.map(math.abs).max
+    val peak = v.indexWhere(x => math.abs(x) == peakAbs)
+    val flip = if (v(peak) < 0L) -1L else 1L
     import spark.implicits._
-    (0 until d).map(i => (i,
-        math.round(flip * v(i) * 1e6), math.round(lambda * 1e6)))
+    (0 until d).map(i => (i, flip * v(i) * 10L, eigvalMicro))
       .toDF("dim", "loading_micro", "eigval_micro")
   }
 

@@ -52,9 +52,24 @@ object Sf1Gen {
     keyCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$in/$t.parquet")
       val reps = (0 until copies).map { i =>
-        keys.filterNot(noOffset).foldLeft(df) { (d, k) =>
+        val keyed = keys.filterNot(noOffset).foldLeft(df) { (d, k) =>
           d.withColumn(k, col(k) + lit(i * S))
         }
+        // documents: perturb text per copy (copy 0 stays byte-identical
+        // to sf0.1). Every token gets an ASCII copy tag — an INJECTIVE
+        // per-copy token rename, so within-copy shingle/similarity
+        // structure is isomorphic to the 1× fixture while cross-copy
+        // similarity drops to zero. Without this, every dup clique
+        // merges across all copies and pair-output queries (ppjoin,
+        // blocking_recall) grow ~copies² in ANSWER volume, which makes
+        // the rung measure answer growth instead of plan scaling
+        // (round-8 verdict). n_chars is recomputed to stay consistent.
+        if (t == "documents" && i > 0)
+          keyed.withColumn("text", expr(
+              ("concat_ws(' ', transform(split(trim(text), '\\\\s+'), " +
+                "x -> concat(x, '~COPY')))").replace("COPY", i.toString)))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else keyed
       }
       reps.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -2180,16 +2180,17 @@ class OperatorsSpec extends AnyFunSuite {
   test("pcaPower: rank-1 plane recovers exact axis and eigenvalue") {
     import graft.operators.Similarity
     // vectors (2t, t, 0, 0), t ∈ {−3,−1,1,3}: mean 0, C = [[20,10],[10,5]]
-    // (zero-padded) → top eigvec (2,1)/√5, λ = 25, second eigenvalue 0.
+    // (zero-padded) → top eigvec ∝ (2,1), λ = 25, second eigenvalue 0.
+    // Integer fixed-point contract: loadings MAX-normalized in micros —
+    // (10⁶, 5·10⁵, 0, 0) EXACTLY (the scaled covariance divides evenly),
+    // eigenvalue in micros exactly 25e6.
     val emb = Seq(-3f, -1f, 1f, 3f).map(t =>
         Tuple1(Seq(2 * t, t, 0f, 0f)))
       .toDF("embedding")
     val got = Similarity.pcaPower(emb, "embedding")
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     val loadings = got.map(_._2)
-    assert(math.abs(loadings(0) - 894427L) <= 5)
-    assert(math.abs(loadings(1) - 447214L) <= 5)
-    assert(loadings(2) === 0L && loadings(3) === 0L)
+    assert(loadings.toSeq === Seq(1000000L, 500000L, 0L, 0L))
     assert(got.map(_._3).distinct.toSeq === Seq(25000000L))
     // determinism: a second run is bit-identical
     val again = Similarity.pcaPower(emb, "embedding")
