@@ -45,8 +45,11 @@ import org.json4s.jackson.JsonMethods
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
-  *    `exact_dedup`): the LLM-corpus steps as declarable stages — see
-  *    [[transformFromJson]], the standalone chain entry point
+  *    `exact_dedup`, `minhash_dedup`, `semdedup`): the LLM-corpus steps
+  *    as declarable stages — see [[transformFromJson]], the standalone
+  *    chain entry point; with the two near-dup tiers declarable, a FULL
+  *    LLM curation pipeline (normalize → line dedup → quality floor →
+  *    exact dedup → MinHash near-dedup → semantic dedup) is a data file
   *
   * Field order inside `project`/`rename`/`keep` objects is preserved
   * (json4s keeps JObject field order), so loaded specs produce
@@ -198,6 +201,45 @@ object SpecLoader {
           df.drop(c).join(
             kept.select(col("id").as(id), col("kept_text").as(c)),
             Seq(id))
+        }
+      case "minhash_dedup" =>
+        // MinHash-LSH near-dedup: LSH proposes candidate pairs, exact
+        // Jaccard verifies, connected components cluster, and the min-id
+        // member of each cluster survives (plus every unclustered doc) —
+        // the full 100 TB near-dedup recipe as ONE declarable stage
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val n = (v \ "ngram").extractOpt[Int].getOrElse(5)
+        val k = (v \ "hashes").extractOpt[Int].getOrElse(64)
+        val r = (v \ "band_rows").extractOpt[Int].getOrElse(4)
+        val thr = (v \ "threshold_permille").extractOpt[Int].getOrElse(700)
+        df => {
+          val sigs = graft.operators.Dedup
+            .minhashSignature(df, c, id, k = k, n = n)
+          val cands = graft.operators.Dedup.minhashLshCandidates(sigs, k, r)
+          val verified = graft.operators.Dedup
+            .verifyCandidates(df, cands, c, id, n, thr)
+          val pruned = graft.operators.Dedup.connectedComponents(verified)
+            .filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as(id))
+          df.join(pruned, Seq(id), "left_anti")
+        }
+      case "semdedup" =>
+        // SemDeDup embedding-space near-dedup: keep the first (lowest-id)
+        // member of every in-cell cosine neighborhood; cell count derives
+        // from the corpus unless pinned ([[Similarity.semDedup]])
+        val vecCol = (v \ "vec").extract[String]
+        val id = (v \ "id").extract[String]
+        val thr = (v \ "threshold_permille").extractOpt[Int].getOrElse(550)
+        val cells = (v \ "n_cells").extractOpt[Int].getOrElse(0)
+        val target = (v \ "target_mean_cell").extractOpt[Int].getOrElse(1024)
+        df => {
+          val pruned = graft.operators.Similarity.semDedup(
+              df.select(col(id).as("id"), col(vecCol).as("vec")),
+              nCells = cells, thresholdPermille = thr,
+              targetMeanCell = target)
+            .filter(col("pruned") === 1L).select(col("id").as(id))
+          df.join(pruned, Seq(id), "left_anti")
         }
       case other => sys.error(s"function '$fn': unknown op '$other'")
     }

@@ -123,4 +123,41 @@ class SpecLoaderSpec extends AnyFunSuite {
     // don't (boilerplate lines + exact dups exist by construction)
     assert(want.count() > 0 && want.count() < docs.count())
   }
+
+  test("declarative near-dup stages equal the hand-composed pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val chain = SpecLoader.transformFromJson(
+      """{ "name": "near_dup", "steps": [
+        |  { "op": "minhash_dedup", "text": "text", "id": "doc_id",
+        |    "threshold_permille": 700 },
+        |  { "op": "semdedup", "vec": "embedding", "id": "doc_id",
+        |    "n_cells": 4, "threshold_permille": 350 } ] }""".stripMargin)
+    val got = chain(df)
+    // the same two tiers, composed by hand
+    val sigs = Dedup.minhashSignature(df, "text", "doc_id")
+    val cands = Dedup.minhashLshCandidates(sigs)
+    val verified = Dedup.verifyCandidates(df, cands, "text", "doc_id",
+      5, 700)
+    val prunedM = Dedup.connectedComponents(verified)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val afterM = df.join(prunedM, Seq("doc_id"), "left_anti")
+    val prunedS = Similarity.semDedup(
+        afterM.select(col("doc_id").as("id"), col("embedding").as("vec")),
+        nCells = 4, thresholdPermille = 350)
+      .filter(col("pruned") === 1L).select(col("id").as("doc_id"))
+    val want = afterM.join(prunedS, Seq("doc_id"), "left_anti")
+    assert(got.schema === want.schema)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(got.collect().map(key).sorted.toSeq ===
+      want.collect().map(key).sorted.toSeq)
+    // the MinHash tier prunes the fixture's exact dups
+    assert(afterM.count() < df.count() && want.count() > 0)
+  }
 }
