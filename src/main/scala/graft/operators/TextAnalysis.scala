@@ -805,13 +805,7 @@ object TextAnalysis {
     * frequency — the hot keys are exactly the ones the filter drops. */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
       width: Int = 8, maxDocFreq: Int = 2): DataFrame = {
-    require(width >= 1, s"width=$width")
-    val lines = df.select(col(idCol).as("id"),
-        wsTokens(col(textCol)).as("__w"))
-      .select(col("id"), posexplode(expr(
-        ("transform(sequence(0, (size(__w) - 1) DIV W), " +
-          "i -> concat_ws(' ', slice(__w, i * W + 1, W)))")
-          .replace("W", width.toString))).as(Seq("pos", "line")))
+    val lines = fixedWidthLines(df, textCol, idCol, width)
     val dfreq = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("__df"))
     lines.join(dfreq, "line")
@@ -824,6 +818,21 @@ object TextAnalysis {
       .select(col("id"), col("n_lines"), col("n_kept"),
         concat_ws(" ", expr("transform(__kl, x -> x.line)"))
           .as("kept_text"))
+  }
+
+  /** [[lineDedup]]'s line segmentation as a standalone STATELESS
+    * projection — (id, pos, line), one row per fixed `width`-word line —
+    * so the streaming twin ([[graft.streaming.StatefulLineDedup]])
+    * composes the identical segmentation onto an unbounded doc stream. */
+  def fixedWidthLines(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 8): DataFrame = {
+    require(width >= 1, s"width=$width")
+    df.select(col(idCol).as("id"),
+        wsTokens(col(textCol)).as("__w"))
+      .select(col("id"), posexplode(expr(
+        ("transform(sequence(0, (size(__w) - 1) DIV W), " +
+          "i -> concat_ws(' ', slice(__w, i * W + 1, W)))")
+          .replace("W", width.toString))).as(Seq("pos", "line")))
   }
 
   def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
