@@ -665,7 +665,8 @@ object GraphAlgos {
     * aggregates on (id, label) records; lineage is cut by the
     * fresh-stats checkpoint discipline. */
   def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, maxRounds: Int = 10): DataFrame = {
+      weightCol: String, maxRounds: Int = 10,
+      driverFerryMax: Long = 1L << 20): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
         col(weightCol).cast("long").as("w"))
@@ -700,15 +701,17 @@ object GraphAlgos {
           mst.union(picks.select("a", "b", "w")).distinct())
         // contract: CC over the picked edges AS A LABEL GRAPH (component-
         // count-sized — one edge per live component). Small pick sets
-        // (≤2²⁰ edges) union-find on the DRIVER: the distributed CC loop
-        // costs ~15 fixed-latency micro-jobs per Borůvka round, which
-        // dominates wall time on bounded graphs (7.9 → ~2 s at the bench
-        // fixture) while a 1M-edge ferry is trivially bounded — the
-        // trainCentroids discipline. Beyond the bound, the pointer-jumped
-        // distributed CC takes over; labels are min-member-id either way.
+        // (≤ driverFerryMax edges, default 2²⁰) union-find on the DRIVER:
+        // the distributed CC loop costs ~15 fixed-latency micro-jobs per
+        // Borůvka round, which dominates wall time on bounded graphs
+        // (7.9 → ~2 s at the bench fixture) while a 1M-edge ferry is
+        // trivially bounded — the trainCentroids discipline. Beyond the
+        // bound, the pointer-jumped distributed CC takes over; labels are
+        // min-member-id either way (ScaleStressSpec pins the two paths
+        // edge-identical).
         val pickCount = picks.count()
         val merged =
-          if (pickCount <= (1L << 20)) {
+          if (pickCount <= driverFerryMax) {
             val edges = picks.select(col("__ca"), col("__cb"))
               .collect().map(r => (r.getLong(0), r.getLong(1)))
             val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -737,7 +740,7 @@ object GraphAlgos {
               .connectedComponents(picks, "__ca", "__cb")
               .select(col("id").as("__old"), col("cluster_id").as("__new"))
         val mergedB =
-          if (pickCount <= (1L << 20)) broadcast(merged) else merged
+          if (pickCount <= driverFerryMax) broadcast(merged) else merged
         lab = Dedup.ckptLight(
           lab.join(mergedB,
               lab("cluster_id") === col("__old"), "left")

@@ -173,4 +173,72 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(pv8 <= 12L * pv1,
       s"in-cell pair volume super-linear: 1x=$pv1 8x=$pv8")
   }
+
+  /** Residue-free co-purchase graph: parts co-occurring in an order,
+    * node ids uncapped — the unbounded shape the mod-300 demo graphs
+    * (mst_forest/ktruss/kcore queries) deliberately avoid. Has real
+    * triangles (every ≥3-item order is a clique). */
+  private def coGraph(dir: String) = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+        col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+  }
+
+  private def shift8(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    (0 until 8).map(i => cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c) + lit(i * 10000000L)))).reduce(_ union _)
+
+  test("8x UNBOUNDED co-purchase graph: MST copy-linear, ferry == distributed CC") {
+    import graft.operators.GraphAlgos
+    val e1 = coGraph("/root/testdata/sf0.001")
+      .withColumn("w", (col("a") * 13 + col("b") * 31) % 9973)
+    def stats(df: org.apache.spark.sql.DataFrame, ferryMax: Long) = {
+      val mst = GraphAlgos.boruvkaMst(df, "a", "b", "w",
+        driverFerryMax = ferryMax)
+      val r = mst.agg(count(lit(1)).as("n"), sum(col("w")).as("tw")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, w1) = timed("1x MST (driver ferry)") { stats(e1, 1L << 20) }
+    // the DISTRIBUTED pointer-jump CC path (ferry disabled) must build
+    // the IDENTICAL forest — this is the ≥2²⁰-pick fallback a 100 TB
+    // graph takes, exercised here for the first time
+    val (n1d, w1d) = timed("1x MST (distributed CC)") { stats(e1, 0L) }
+    assert((n1d, w1d) === ((n1, w1)),
+      s"distributed-CC fallback built a different forest: " +
+        s"($n1d,$w1d) vs ($n1,$w1)")
+    // weights attach BEFORE the id shift, so each copy carries the 1x
+    // weights verbatim and order-preserving (a, b) shifts keep every
+    // tie-break identical → the forest replicates EXACTLY per copy
+    val (n8, w8) = timed("8x MST") { stats(shift8(e1, Seq("a", "b")), 1L << 20) }
+    assert(n8 === 8 * n1, s"MST edge count not copy-linear: $n8 vs 8x$n1")
+    assert(w8 === 8 * w1, s"MST total weight not copy-linear: $w8 vs 8x$w1")
+  }
+
+  test("8x UNBOUNDED co-purchase graph: kCore/kTruss histograms copy-linear") {
+    import graft.operators.GraphAlgos
+    val e1 = coGraph("/root/testdata/sf0.001").localCheckpoint()
+    def coreHist(df: org.apache.spark.sql.DataFrame) =
+      GraphAlgos.kCore(df, "a", "b", k = 3, rounds = 4)
+        .groupBy(col("deg")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def trussHist(df: org.apache.spark.sql.DataFrame) =
+      GraphAlgos.kTruss(df, "a", "b", k = 3, rounds = 2)
+        .groupBy(col("n_tri")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = timed("1x kCore") { coreHist(e1) }
+    val t1 = timed("1x kTruss") { trussHist(e1) }
+    assert(c1.nonEmpty && t1.nonEmpty, "degenerate graph: nothing survives")
+    val big = shift8(e1, Seq("a", "b")).localCheckpoint()
+    val c8 = timed("8x kCore") { coreHist(big) }
+    val t8 = timed("8x kTruss") { trussHist(big) }
+    // node-disjoint copies: every histogram bucket must scale EXACTLY 8x
+    // — any cross-copy leakage or super-linear intermediate would break it
+    assert(c8 === c1.map { case (k, v) => k -> 8 * v },
+      s"kCore degree histogram not copy-linear: $c8 vs $c1")
+    assert(t8 === t1.map { case (k, v) => k -> 8 * v },
+      s"kTruss support histogram not copy-linear: $t8 vs $t1")
+  }
 }
