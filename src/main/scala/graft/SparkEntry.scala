@@ -3136,6 +3136,17 @@ object SparkEntry {
     "unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Gopher rule battery (Rae et al. 2021 A1.1): the heuristic quality
+    // filter applied before LM training — word-count bounds, mean word
+    // length, symbol ratio, alphabetic fraction, stopword probe — as ONE
+    // fused scan-side projection in integer permille
+    // ([[TextAnalysis.gopherRules]]).
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+        minWords = 50, maxWords = 100000)
+        .withColumnRenamed("id", "doc_id")),
+
+
     // per-source corpus stats: the curation dashboard query (docs, token
     // volume, mean quality per source) — one partial-combined aggregate.
     "domain_stats" -> ((s, dir) =>
@@ -4807,6 +4818,12 @@ object SparkEntry {
     "WITH " + ctes.result().mkString(",\n") +
       "\nSELECT nb.doc_id, nb.n_bpe, nw.n_ws FROM nb JOIN nw USING (doc_id)"
   }
+
+  /** gopher_rules' stopword probe as a DuckDB list body — generated from
+    * the SAME Scala list the engine scores with. */
+  private def gopherStopSqlList: String =
+    graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+      .map(s => s"'$s'").mkString(",")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -8929,6 +8946,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // Gopher rule battery: integer permille throughout; `//` on
+    // nonnegative counts matches Spark DIV; '...' occurrence count via
+    // greedy non-overlapping replace is identical in both engines; the
+    // stopword probe is GENERATED from the same Scala list the engine
+    // scores with (one-definition discipline)
+    "gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + ((length(text) - length(replace(text, '...', ''))) // 3)
+        |      AS BIGINT) AS sym,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      [$gopherStopSqlList]))
+        |      AS BIGINT) AS n_stop
+        |  FROM w),
+        |p AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (chars * 1000) // n_words END AS mean_wlen_permille,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (sym * 1000) // n_words END AS symbol_permille,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (alpha * 1000) // n_words END AS alpha_permille,
+        |    n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words,
+        |  CAST(mean_wlen_permille AS BIGINT) AS mean_wlen_permille,
+        |  CAST(symbol_permille AS BIGINT) AS symbol_permille,
+        |  CAST(alpha_permille AS BIGINT) AS alpha_permille, n_stop,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_wlen_permille >= 3000 AND mean_wlen_permille <= 10000
+        |    AND symbol_permille <= 100 AND alpha_permille >= 800
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM p""".stripMargin,
 
     "unigram_logprob" ->
       """WITH tok AS (SELECT doc_id,

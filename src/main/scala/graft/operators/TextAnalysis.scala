@@ -1104,4 +1104,61 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("s") * col("k").cast("double")).as("llr"))
   }
+
+  /** Gopher-style rule-based document quality filter (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Appendix A.1.1 — the heuristic battery every
+    * web-corpus pipeline since RedPajama/Dolma applies before model
+    * training), adapted to integer permille arithmetic so the DuckDB
+    * twin is bit-exact:
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters (3000..10000 permille)
+    *   - symbol-to-word ratio ('#' and '...' occurrences) ≤ 100‰
+    *   - ≥ 800‰ of words contain at least one [a-z] letter
+    *   - ≥ 2 distinct stopwords of a small English probe set (the
+    *     paper's "stop word" rule; the probe is [[stopwords]]'s `en`
+    *     list, the same one [[langId]] scores with)
+    *
+    * One fused single-pass projection — no shuffle, no join: at 100 TB
+    * this runs inside the document scan like [[qualityScore]] /
+    * [[CurationGate]]. Returns (id, n_words, mean_wlen_permille,
+    * symbol_permille, alpha_permille, n_stop, pass ∈ {0,1}); zero-word
+    * documents report 0 permilles and fail. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopArr = stopwords.toMap.apply("en")
+      .map(s => s"'$s'").mkString("array(", ", ", ")")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"),
+        wsTokens(lower(col(textCol))).as("__w"))
+      .select(col("id"),
+        size(col("__w")).cast("long").as("n_words"),
+        length(concat_ws("", col("__w"))).cast("long").as("__chars"),
+        ((length(col("__t")) - length(regexp_replace(col("__t"),
+            "#", ""))) +
+          (length(col("__t")) - length(regexp_replace(col("__t"),
+            "\\.\\.\\.", ""))) / lit(3)).cast("long").as("__sym"),
+        expr("size(filter(__w, x -> x rlike '[a-z]'))").cast("long")
+          .as("__alpha"),
+        expr(s"size(array_intersect(array_distinct(__w), $stopArr))")
+          .cast("long").as("n_stop"))
+      .select(col("id"), col("n_words"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(__chars * 1000) DIV n_words"))
+          .as("mean_wlen_permille"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(__sym * 1000) DIV n_words"))
+          .as("symbol_permille"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(__alpha * 1000) DIV n_words"))
+          .as("alpha_permille"),
+        col("n_stop"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_wlen_permille") >= 3000 &&
+          col("mean_wlen_permille") <= 10000 &&
+          col("symbol_permille") <= 100 &&
+          col("alpha_permille") >= 800 &&
+          col("n_stop") >= 2).cast("long"))
+  }
+
 }

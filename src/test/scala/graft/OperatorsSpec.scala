@@ -2154,6 +2154,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dist === kruskal)
   }
 
+  test("gopherRules: each rule trips on its hand-built offender") {
+    import graft.operators.TextAnalysis
+    val good = ("the quick brown fox jumps over lazy dogs and cats " * 6).trim
+    val docs = Seq(
+      (1L, good), // 60 words, mean 4.0 chars, 2 stopwords → passes
+      (2L, "short text"), // word count below the floor
+      (3L, good + (" #" * 7)), // symbol ratio above 100‰
+      (4L, ("aaaaaaaaaaaa " * 60).trim) // mean word length 12 > 10, no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) === ((60L, 4000L, 0L, 1000L, 2L, 1L)))
+    assert(got(2L)._1 === 2L && got(2L)._6 === 0L)
+    assert(got(3L)._3 > 100L && got(3L)._6 === 0L)
+    assert(got(4L)._2 === 12000L && got(4L)._5 === 0L && got(4L)._6 === 0L)
+    // zero-word doc: all permilles 0, fails, no division blowup
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val e = TextAnalysis.gopherRules(empty, "text", "doc_id").collect().head
+    assert(e.getLong(6) === 0L)
+  }
+
   test("bm25TopK: integer saturation matches the closed formula") {
     // corpus: tf/df/dl all hand-known; query = df-ranks 1..2 (y, z)
     val docs = Seq((1L, "x x y"), (2L, "x y z"), (3L, "y z z"),
