@@ -1085,8 +1085,8 @@ object TextAnalysis {
     * production-scale scoring uses THIS variant; the integer variant
     * remains the DuckDB-oracle-exact fixture path. DsirSpec pins the
     * two paths against each other at fixture scale: identical
-    * (id, n_bigrams) backbone, and per-bucket score orderings that
-    * agree wherever the permille quantization can distinguish them.
+    * (id, n_bigrams) backbone (shared occAgg front end), and the
+    * target-domain ordering signal surviving the permille → log swap.
     *
     * Returns (id, n_bigrams, llr) with `llr = Σ k·(log-ratio)` over the
     * document's occurrences — positive means target-like. */
