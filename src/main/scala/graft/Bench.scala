@@ -62,10 +62,15 @@ object Bench {
     // per-query line above once the battery is large. Emit a compact
     // self-sufficient summary AFTER it so the headline numbers (total,
     // count, failures, worst offenders) always survive truncation.
+    // Locale-pinned formatting: the f interpolator uses the JVM default
+    // locale, which under a comma-decimal locale (de_DE) emits invalid
+    // JSON ("1,234"). ROOT keeps the dot everywhere.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${f"$total%.3f"},"n":${results.size},"failed":$failedJson,"top5":$top5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${f3(total)},"n":${results.size},"failed":$failedJson,"top5":$top5,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: " +

@@ -24,9 +24,11 @@ package graft
 object PcaOracleSql {
 
   /** The full oracle query for `pca_power` over the `embeddings` table
-    * (`vec_id`, `embedding`), `iters` power-iteration rounds (must equal
-    * the engine's parameter). */
-  def pcaPowerSql(iters: Int = 50): String = {
+    * (`vec_id`, `embedding`), `iters` power-iteration rounds — defaulted
+    * to the engine's own [[graft.operators.Similarity.PcaIters]] so the
+    * two cannot drift. */
+  def pcaPowerSql(
+      iters: Int = graft.operators.Similarity.PcaIters): String = {
     val header =
       """WITH e1 AS MATERIALIZED (
         |  SELECT vec_id, p - 1 AS i,

@@ -4835,7 +4835,7 @@ object SparkEntry {
     "eff_diameter" -> XxhOracleSql.effDiameterSql,
     "bpe_apply" -> bpeApplyOracleSql,
 
-    "pca_power" -> PcaOracleSql.pcaPowerSql(iters = 50),
+    "pca_power" -> PcaOracleSql.pcaPowerSql(),
 
     "mst_forest" -> mstForestOracleSql,
 
@@ -8950,8 +8950,9 @@ object SparkEntry {
     // Gopher rule battery: integer permille throughout; `//` on
     // nonnegative counts matches Spark DIV; '...' occurrence count via
     // greedy non-overlapping replace is identical in both engines; the
-    // stopword probe is GENERATED from the same Scala list the engine
-    // scores with (one-definition discipline)
+    // stopword probe AND the word-count gate literals are GENERATED from
+    // the same Scala definitions the engine scores with (one-definition
+    // discipline)
     "gopher_rules" ->
       s"""WITH w AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
@@ -8981,7 +8982,8 @@ object SparkEntry {
         |  CAST(mean_wlen_permille AS BIGINT) AS mean_wlen_permille,
         |  CAST(symbol_permille AS BIGINT) AS symbol_permille,
         |  CAST(alpha_permille AS BIGINT) AS alpha_permille, n_stop,
-        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |  CAST(CASE WHEN n_words >= ${TextAnalysis.GopherMinWords}
+        |    AND n_words <= ${TextAnalysis.GopherMaxWords}
         |    AND mean_wlen_permille >= 3000 AND mean_wlen_permille <= 10000
         |    AND symbol_permille <= 100 AND alpha_permille >= 800
         |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass

@@ -60,6 +60,26 @@ object SketchAggs {
       RegMaxAggExpression(GraftSqlBridge.expression(regs), m)
         .toAggregateExpression())
 
+  /** Second-moment sufficient statistics of a quantized vector corpus in
+    * ONE aggregate: given per-row `array<long>` coordinates (length d,
+    * constant across rows), accumulates n, the d coordinate sums Σxᵢ and
+    * the d² outer-product sums Σxᵢxⱼ into a single primitive buffer —
+    * the covariance front end of [[graft.operators.Similarity.pcaPower]].
+    *
+    * This replaces a double-posexplode moment pass (N·d² generated rows,
+    * each re-rounding a coordinate and ferrying the whole vector): the
+    * generate/re-round work collapses into a tight d² JVM loop per row,
+    * and only ONE (1+d+d²)-long buffer per partial shuffles — for d=64
+    * that is ~33 KB per task instead of 8M+ exchanged rows. d is
+    * discovered from the first non-null row (buffer sized lazily), so
+    * callers need no schema pre-pass.
+    *
+    * Output layout (array<long>): [d, n, sx(0..d-1), sxx row-major]. */
+  def moments(quantized: Column): Column =
+    GraftSqlBridge.column(
+      MomentAggExpression(GraftSqlBridge.expression(quantized))
+        .toAggregateExpression())
+
   private[functions] def serializeLongs(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)
     var i = 0
@@ -193,6 +213,85 @@ case class RegMaxAggExpression(
   override def withNewInputAggBufferOffset(o: Int): RegMaxAggExpression =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): RegMaxAggExpression =
+    copy(child = c)
+}
+
+case class MomentAggExpression(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"moment_agg requires ARRAY<BIGINT> input (quantized coordinates), " +
+        s"got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "moment_agg"
+
+  // Buffer layout [d, n, sx(d), sxx(d·d)]; sized lazily on the first
+  // non-null input so d needs no pre-pass. Empty array = "no input yet".
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def alloc(d: Int): Array[Long] = {
+    val b = new Array[Long](2 + d + d * d)
+    b(0) = d.toLong
+    b
+  }
+
+  override def update(buf0: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf0
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val d = arr.numElements
+      val buf = if (buf0.length == 0) alloc(d) else buf0
+      require(buf(0) == d.toLong,
+        s"moment_agg: inconsistent vector length ${d}, expected ${buf(0)}")
+      val x = new Array[Long](d)
+      var i = 0
+      while (i < d) { x(i) = arr.getLong(i); i += 1 }
+      buf(1) += 1L
+      i = 0
+      while (i < d) {
+        buf(2 + i) += x(i)
+        val row = 2 + d + i * d
+        val xi = x(i)
+        var j = 0
+        while (j < d) { buf(row + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (b.length == 0) a
+    else if (a.length == 0) b
+    else {
+      require(a(0) == b(0),
+        s"moment_agg: merging buffers of different dimension ${a(0)} / ${b(0)}")
+      var i = 1
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    SketchAggs.serializeLongs(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    SketchAggs.deserializeLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MomentAggExpression =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MomentAggExpression =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MomentAggExpression =
     copy(child = c)
 }
 

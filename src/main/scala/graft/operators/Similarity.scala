@@ -471,10 +471,15 @@ object Similarity {
         col("dist_micro"))
   }
 
+  /** [[pcaPower]]'s iteration count, shared with the generated DuckDB
+    * twin ([[graft.PcaOracleSql.pcaPowerSql]]) so the two cannot drift
+    * (one-definition discipline). */
+  val PcaIters = 50
+
   /** First principal component of the embedding corpus by power iteration
     * — the dominant direction of variance, the standard first look at an
     * embedding space ("is there one axis eating the geometry?") and the
-    * whitening/debiasing primitive. Two distributed passes build the d×d
+    * whitening/debiasing primitive. ONE distributed pass builds the d×d
     * second-moment matrix and the d-vector mean; the d²-sized covariance
     * then iterates ON THE DRIVER (64×64 here — the same bounded-ferry
     * posture as [[trainCentroids]]'s centroid set; the data-sized work
@@ -493,11 +498,17 @@ object Similarity {
     * order-independent integer arithmetic. Sign fixed by the
     * lowest-index dimension of maximal |loading|.
     *
-    * Scale shape: the moment pass is two nested posexplodes (i, j) —
-    * N·d² generated rows that partial-combine IN-TASK to ≤ d² groups
-    * before the only shuffle, so exchange volume is tasks·d², independent
-    * of N. No join anywhere; the mean rides the same aggregate via the
-    * j=0 slice trick.
+    * Scale shape: each vector quantizes ONCE (`transform` at the scan)
+    * and the full sufficient-statistics set (n, Σxᵢ, Σxᵢxⱼ) accumulates
+    * in a single [[graft.functions.SketchAggs.moments]]
+    * TypedImperativeAggregate — a tight d² JVM loop per row into one
+    * (2+d+d²)-long buffer, map-side combined, so only ~task-count 33 KB
+    * buffers ever shuffle, independent of N. (The previous formulation —
+    * two nested posexplodes into a (i, j) groupBy — had the same
+    * asymptotic shape but evaluated a BigDecimal `round` per generated
+    * row and ferried the whole vector through all N·d² of them: 13 s
+    * warm at the 2000×64 fixture vs well under a second for the
+    * aggregate.) No join anywhere.
     *
     * Returns one row per dimension: (dim, loading_micro, eigval_micro) —
     * loadings MAX-normalized in micros (peak dimension = ±10⁶),
@@ -505,31 +516,21 @@ object Similarity {
     * covariance units, micros. Twin: [[graft.PcaOracleSql]]; residual /
     * variance-floor pins in SimilaritySpec. */
   def pcaPower(corpus: DataFrame, vecCol: String,
-      iters: Int = 50): DataFrame = {
+      iters: Int = PcaIters): DataFrame = {
     val spark = corpus.sparkSession
-    val moments = corpus
-      .select(col(vecCol).as("__v"),
-        posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"),
-        round(col("xi").cast("double") * 1e6).cast("long").as("xm"),
-        posexplode(col("__v")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xm") *
-          round(col("xj").cast("double") * 1e6).cast("long")).as("sxx"),
-        sum(col("xm")).as("sx"), count(lit(1)).as("n"))
-      .collect()
-    val d = moments.map(_.getInt(0)).max + 1
-    val n = moments.head.getLong(4)
-    val sx = new Array[Long](d)
-    moments.foreach { r =>
-      if (r.getInt(1) == 0) sx(r.getInt(0)) = r.getLong(3)
-    }
+    val buf = corpus
+      .select(transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(1e6)).cast("long")).as("__q"))
+      .agg(graft.functions.SketchAggs.moments(col("__q")).as("m"))
+      .head.getSeq[Long](0)
+    require(buf.nonEmpty, "pcaPower: empty corpus")
+    // buffer layout [d, n, sx(d), sxx row-major d²] — see MomentAggExpression
+    val d = buf(0).toInt
+    val n = buf(1)
+    val sx = Array.tabulate(d)(i => buf(2 + i))
     // C = n·Σ(xᵢxⱼ) − Σxᵢ·Σxⱼ  (= n² × covariance × 10¹², exact)
-    val c = Array.ofDim[Long](d, d)
-    moments.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = n * r.getLong(2) - sx(i) * sx(j)
-    }
+    val c = Array.tabulate(d, d)((i, j) =>
+      n * buf(2 + d + i * d + j) - sx(i) * sx(j))
     // truncating division toward zero — Scala `/` and DuckDB `//` agree
     def tdiv(a: Long, b: Long): Long = a / b
     val s = math.max(1L, c.flatten.map(math.abs).max / 1000000L)

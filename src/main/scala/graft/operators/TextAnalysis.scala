@@ -1105,6 +1105,12 @@ object TextAnalysis {
         sum(col("s") * col("k").cast("double")).as("llr"))
   }
 
+  /** [[gopherRules]]' word-count gate, shared with the DuckDB oracle's
+    * generated literals (one-definition discipline — a parameter change
+    * cannot desynchronize engine and oracle). */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
   /** Gopher-style rule-based document quality filter (Rae et al. 2021,
     * "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", Appendix A.1.1 — the heuristic battery every
@@ -1125,7 +1131,8 @@ object TextAnalysis {
     * symbol_permille, alpha_permille, n_stop, pass ∈ {0,1}); zero-word
     * documents report 0 permilles and fail. */
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = GopherMinWords,
+      maxWords: Int = GopherMaxWords): DataFrame = {
     val stopArr = stopwords.toMap.apply("en")
       .map(s => s"'$s'").mkString("array(", ", ", ")")
     df.select(col(idCol).as("id"), col(textCol).as("__t"),

@@ -52,8 +52,13 @@ object StatefulSemDedup {
     // The batch twin quantizes with Spark's round; a negative cosine
     // landing exactly on a .5 permille boundary would otherwise break
     // the exact stream/batch parity StreamingSemDedupSpec pins.
-    BigDecimal(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 1000.0)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // A zero-norm vector makes the cosine NaN; the batch twin's
+    // NaN-cosine comparison is never >= threshold (not dominated), so
+    // quantize NaN/Inf to 0 instead of letting BigDecimal throw and
+    // permanently fail the streaming query.
+    val c = dab / (math.sqrt(daa) * math.sqrt(dbb)) * 1000.0
+    if (c.isNaN || c.isInfinite) 0L
+    else BigDecimal(c).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
   /** A resident cell member held in state. */
