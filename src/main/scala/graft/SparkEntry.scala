@@ -133,6 +133,7 @@ object SparkEntry {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           sccDagMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           docDupMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          covisitMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
         }
       })
@@ -186,6 +187,48 @@ object SparkEntry {
         .localCheckpoint()
       val clusters = Dedup.connectedComponents(pairs).localCheckpoint()
       (pairs, clusters)
+    })
+  }
+
+  /** Shared behavioral-session machinery for the co-visitation family
+    * (`covisit_pairs`, `covisit_lift`): the distinct (user, sid, item)
+    * frame from ONE lag+cumsum window pass over events (30-minute gap
+    * sessions), and the in-session item-pair co-occurrence counts from
+    * ONE bounded self-join (sessions are small by construction, the
+    * basket_pairs shape). Memoized per (session, dir) like [[sccDag]] /
+    * [[docDupGraph]], localCheckpointed so reuse costs nothing — both
+    * family queries (and a benchmark pass running them back-to-back)
+    * share one sessionization and one pair build instead of each
+    * rebuilding both. */
+  private val covisitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def covisitSessions(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    hookMemoEviction(s)
+    covisitMemo.computeIfAbsent((s, dir), { key =>
+      import org.apache.spark.sql.expressions.Window
+      val (sess0, d) = key
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
+      val sess = events(sess0, d)
+        .select(col("user_id"), col("event_id").as("eid"),
+          expr("ts DIV 1000").as("t_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .withColumn("__new", when(
+          col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L ||
+            lag(col("t_us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("sid"), col("item")).distinct()
+        .localCheckpoint()
+      val pairs = sess.as("x").join(sess.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.sid") === col("y.sid") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+        .localCheckpoint()
+      (sess, pairs)
     })
   }
 
@@ -3661,34 +3704,21 @@ object SparkEntry {
     // lift = n_ab·N / (n_a·n_b), floor ppm with marginals from the same
     // distinct (user, session, item) table the pair join uses.
     "covisit_lift" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
-      val sess = events(s, dir)
-        .select(col("user_id"), col("event_id").as("eid"),
-          expr("ts DIV 1000").as("t_us"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .withColumn("__new", when(
-          col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L ||
-            lag(col("t_us"), 1).over(w).isNull, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("__new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), col("sid"), col("item")).distinct()
-        .localCheckpoint()
-      val n = sess.select(col("user_id"), col("sid")).distinct().count()
+      val (sess, pairs) = covisitSessions(s, dir)
       val marg = sess.groupBy(col("item")).agg(count(lit(1)).as("m"))
-      sess.as("x").join(sess.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.sid") === col("y.sid") &&
-            col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
+      // session total N rides the plan as a broadcast 1-row aggregate
+      // over the checkpointed session frame — no driver-side count()
+      // action (the dsirBucketTotals posture: totals stay in-plan).
+      val nDf = sess.select(col("user_id"), col("sid")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      pairs.withColumnRenamed("n_pair", "n_ab")
         .join(broadcast(marg.select(col("item").as("item_a"),
           col("m").as("m_a"))), Seq("item_a"))
         .join(broadcast(marg.select(col("item").as("item_b"),
           col("m").as("m_b"))), Seq("item_b"))
+        .crossJoin(broadcast(nDf))
         .select(col("item_a"), col("item_b"), col("n_ab"),
-          expr(s"1000000 * n_ab * ${n}L DIV (m_a * m_b)")
+          expr("1000000 * n_ab * __n DIV (m_a * m_b)")
             .as("lift_ppm"))
     }),
 
@@ -3721,31 +3751,13 @@ object SparkEntry {
 
     // co-visitation mining (the recsys primitive behind "people also
     // viewed"): item pairs seen within the SAME 30-minute behavioral
-    // session, counted across sessions — gap-based session ids from one
-    // lag+cumsum window pass, then the bounded within-session pair join
-    // (sessions are small by construction; this is basket_pairs' shape
-    // on behavioral rather than transactional baskets).
-    "covisit_pairs" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("eid"))
-      val sess = events(s, dir)
-        .select(col("user_id"), col("event_id").as("eid"),
-          expr("ts DIV 1000").as("t_us"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .withColumn("__new", when(
-          col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L ||
-            lag(col("t_us"), 1).over(w).isNull, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("__new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), col("sid"), col("item")).distinct()
-      sess.as("x").join(sess.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.sid") === col("y.sid") &&
-            col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
-        .agg(count(lit(1)).as("n_sessions"))
-        .filter(col("n_sessions") >= 2)
-    }),
+    // session, counted across sessions. The session frame and the pair
+    // counts come from [[covisitSessions]] — ONE sessionization + ONE
+    // bounded in-session pair join shared with covisit_lift.
+    "covisit_pairs" -> ((s, dir) =>
+      covisitSessions(s, dir)._2
+        .select(col("item_a"), col("item_b"),
+          col("n_pair").as("n_sessions"))),
 
     // lagged cross-correlation machinery: purchase-vs-view daily spend at
     // lags −3..+3 days, as EXACT integer sufficient statistics per lag
