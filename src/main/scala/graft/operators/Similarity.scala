@@ -580,23 +580,48 @@ object Similarity {
     * never global all-pairs.
     *
     * Cell-count rule: `nCells <= 0` (the default) DERIVES the cell count
-    * from the corpus — `ceil(count / targetMeanCell)`, capped at 2^20 —
-    * so in-cell pair volume stays ~`count · targetMeanCell` no matter
-    * the corpus size (copy-linear, pinned in ScaleStressSpec). A fixed
-    * explicit nCells is only safe when the caller knows the corpus scale
-    * (the oracle-pinned fixture query passes 16). The derivation costs
-    * one count() job; the centroid broadcast is nCells rows (~corpus /
-    * targetMeanCell — at counts where that itself is too large to
-    * broadcast, SemDeDup's k-means clustering stage replaces the
-    * lowest-id centroid shortcut entirely). */
+    * from the corpus — `ceil(count / targetMeanCell)`, capped at
+    * `centroidCap` (default 2^20, the broadcast bound) — so in-cell pair
+    * volume stays ~`count · targetMeanCell` no matter the corpus size
+    * (copy-linear, pinned in ScaleStressSpec). A fixed explicit nCells
+    * is only safe when the caller knows the corpus scale (the
+    * oracle-pinned fixture query passes 16). The derivation costs one
+    * count() job; the centroid broadcast is nCells rows.
+    *
+    * Beyond the cap (`count >= centroidCap · targetMeanCell`) the cell
+    * count can no longer track the corpus, so mean cell size — and with
+    * it pair volume per cell — starts growing linearly; what the cap
+    * regime needs is cell QUALITY (balanced, geometry-aware cells), and
+    * the k lowest-id vectors are no longer a defensible centroid set at
+    * that scale. The fallback trains spherical k-means centroids
+    * ([[trainCentroids]]) over a deterministic hash-sample of
+    * ~[[KmeansSamplePerCell]] vectors per cell instead — same broadcast
+    * size, same assignment plan, same keep-first-member (lowest-id)
+    * prune semantics, pinned in SimilaritySpec's fallback case. The
+    * k-means path has no SQL oracle (FP centroid training); the
+    * oracle-pinned query paths all run below the cap. */
   def semDedup(corpus: DataFrame, nCells: Int = 0,
-      thresholdPermille: Int = 550, targetMeanCell: Int = 1024): DataFrame = {
+      thresholdPermille: Int = 550, targetMeanCell: Int = 1024,
+      centroidCap: Int = 1 << 20): DataFrame = {
     require(targetMeanCell >= 1, s"targetMeanCell=$targetMeanCell must be >= 1")
-    val k =
-      if (nCells > 0) nCells
-      else derivedCells(corpus.count(), targetMeanCell)
-    val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
-      .orderBy(col("cid")).limit(k))
+    require(centroidCap >= 1, s"centroidCap=$centroidCap must be >= 1")
+    val cents = broadcast {
+      if (nCells > 0)
+        withN2(corpus, "cid", "cv", "cn2").orderBy(col("cid")).limit(nCells)
+      else {
+        val n = corpus.count()
+        val k = derivedCells(n, targetMeanCell, centroidCap)
+        if (n >= centroidCap.toLong * targetMeanCell) {
+          val every = math.max(1L, n / (k.toLong * KmeansSamplePerCell))
+          val sample = corpus.filter(
+            pmod(xxhash64(col("id")), lit(every)) === lit(0L))
+          trainCentroids(sample, k)
+            .select(col("cid"), col("vec").cast("array<double>").as("cv"))
+            .withColumn("cn2", dot(col("cv"), col("cv")))
+        } else
+          withN2(corpus, "cid", "cv", "cn2").orderBy(col("cid")).limit(k)
+      }
+    }
     val c = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val cells = assignToCells(c, "nid", "nv", "nn2", cents, 1)
     val dominated = cells.as("x").join(cells.as("y"),
@@ -611,10 +636,17 @@ object Similarity {
         coalesce(col("__pr"), lit(0L)).as("pruned"))
   }
 
+  /** [[semDedup]]'s k-means fallback sample budget: the deterministic
+    * hash-sample feeding [[trainCentroids]] targets about this many
+    * vectors per cell — enough for stable Lloyd means, small enough
+    * that training stays a fraction of the assignment pass. */
+  val KmeansSamplePerCell = 64
+
   /** [[semDedup]]'s derived cell count: `ceil(n / targetMeanCell)`,
-    * at least 1, capped at 2^20 centroids (the broadcast bound). */
-  def derivedCells(n: Long, targetMeanCell: Int): Int = {
-    val cap = 1L << 20
+    * at least 1, capped at `cap` centroids (default 2^20, the broadcast
+    * bound). */
+  def derivedCells(n: Long, targetMeanCell: Int,
+      cap: Long = 1L << 20): Int = {
     if (n <= 0) 1
     else if (n >= cap * targetMeanCell) cap.toInt // ceil would overflow
     else ((n + targetMeanCell - 1) / targetMeanCell).toInt

@@ -391,6 +391,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       3L -> ((1L, 0L)), 4L -> ((1L, 1L)), 6L -> ((0L, 0L))))
   }
 
+  test("semDedup: k-means fallback beyond the centroid cap keeps " +
+      "first-member semantics") {
+    // 16 vectors, two tight cosine clusters (ids alternate so the k-means
+    // seeds — the 2 lowest ids — start one per cluster). centroidCap=2,
+    // targetMeanCell=2 ⇒ n (16) >= cap·tmc (4): the derived-cell path
+    // must take the k-means fallback, not the lowest-id shortcut. The
+    // semantics contract is unchanged: within each cell the lowest-id
+    // member of a ≥-threshold neighborhood survives, later members prune.
+    val vecs = (0 until 16).map { i =>
+      val eps = 0.001f * i
+      if (i % 2 == 0) (i.toLong, Seq(1f, eps)) else (i.toLong, Seq(eps, 1f))
+    }.toDF("id", "vec")
+    val got = Similarity.semDedup(vecs, nCells = 0, thresholdPermille = 900,
+        targetMeanCell = 2, centroidCap = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 16)
+    // two cells, split exactly along the two cosine clusters
+    val cellOf = got.map(r => r._1 -> r._2).toMap
+    val cellA = (0 until 16 by 2).map(i => cellOf(i.toLong)).toSet
+    val cellB = (1 until 16 by 2).map(i => cellOf(i.toLong)).toSet
+    assert(cellA.size === 1 && cellB.size === 1 && cellA != cellB,
+      s"clusters not separated: $cellOf")
+    // first member of each cluster survives, every later member prunes
+    val kept = got.filter(_._3 == 0L).map(_._1).toSet
+    assert(kept === Set(0L, 1L), s"kept=$kept")
+  }
+
   test("lsh_tuning: S-curve is monotone in similarity and in rows-per-band") {
     // Fixed-point contract checks on the real fixture: probabilities stay
     // in [0,1000]; within a config, higher-similarity deciles can only
