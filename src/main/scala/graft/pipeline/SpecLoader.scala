@@ -45,11 +45,14 @@ import org.json4s.jackson.JsonMethods
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
-  *    `exact_dedup`, `minhash_dedup`, `semdedup`): the LLM-corpus steps
-  *    as declarable stages — see [[transformFromJson]], the standalone
-  *    chain entry point; with the two near-dup tiers declarable, a FULL
-  *    LLM curation pipeline (normalize → line dedup → quality floor →
-  *    exact dedup → MinHash near-dedup → semantic dedup) is a data file
+  *    `gopher_rules`, `exact_dedup`, `minhash_dedup`, `semdedup`,
+  *    `dsir_weight`): the LLM-corpus steps as declarable stages — see
+  *    [[transformFromJson]], the standalone chain entry point; with the
+  *    rules gate and importance weighting declarable alongside the two
+  *    near-dup tiers, the FULL modern curation recipe (normalize → line
+  *    dedup → quality floor → Gopher rules → exact dedup → MinHash
+  *    near-dedup → semantic dedup → DSIR importance weighting) is a
+  *    data file
   *
   * Field order inside `project`/`rename`/`keep` objects is preserved
   * (json4s keeps JObject field order), so loaded specs produce
@@ -240,6 +243,40 @@ object SpecLoader {
               targetMeanCell = target)
             .filter(col("pruned") === 1L).select(col("id").as(id))
           df.join(pruned, Seq(id), "left_anti")
+        }
+      case "gopher_rules" =>
+        // Gopher rule gate (Rae et al. 2021): keep rows that clear every
+        // rule in [[graft.operators.TextAnalysis.gopherRules]]; the
+        // word-count bounds default to the engine's shared constants
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val min = (v \ "min_words").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.GopherMinWords)
+        val max = (v \ "max_words").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.GopherMaxWords)
+        df => df.join(
+          graft.operators.TextAnalysis.gopherRules(df, c, id, min, max)
+            .filter(col("pass") === 1L).select(col("id").as(id)),
+          Seq(id), "left_semi")
+      case "dsir_weight" =>
+        // DSIR importance weighting (Xie et al. 2023): attach each doc's
+        // hashed-bigram target/corpus rate-ratio score as a column
+        // (`as`, default dsir_w_avg; docs with <2 tokens score 0), and
+        // optionally resample by dropping rows under `min_w_avg` — the
+        // rules-gate + importance-resampling tail of the modern recipe
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val target = (v \ "target").extract[String]
+        val buckets = (v \ "buckets").extractOpt[Int].getOrElse(4096)
+        val as = (v \ "as").extractOpt[String].getOrElse("dsir_w_avg")
+        val floor = (v \ "min_w_avg").extractOpt[Long]
+        df => {
+          val w = graft.operators.TextAnalysis
+            .dsirWeights(df, c, id, expr(target), buckets)
+            .select(col("id").as(id), col("w_avg").as(as))
+          val joined = df.join(w, Seq(id), "left")
+            .withColumn(as, coalesce(col(as), lit(0L)))
+          floor.fold(joined)(f => joined.filter(col(as) >= f))
         }
       case other => sys.error(s"function '$fn': unknown op '$other'")
     }

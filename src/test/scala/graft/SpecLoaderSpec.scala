@@ -124,6 +124,48 @@ class SpecLoaderSpec extends AnyFunSuite {
     assert(want.count() > 0 && want.count() < docs.count())
   }
 
+  test("declarative gopher_rules + dsir_weight equal the compiled twins") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    // the two stages, composed by hand (relaxed word floor so the tiny
+    // fixture keeps rows through the gate); the importance floor is
+    // derived from the fixture — the max observed w_avg — so the floor
+    // provably bites (weights are not all equal) on any data drift
+    val gated = docs.join(
+      TextAnalysis.gopherRules(docs, "text", "doc_id", minWords = 5)
+        .filter(col("pass") === 1L).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val weighted = gated.join(
+        TextAnalysis.dsirWeights(gated, "text", "doc_id",
+            expr("source = 'wiki'"), buckets = 256)
+          .select(col("id").as("doc_id"), col("w_avg").as("w")),
+        Seq("doc_id"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+    val wRow = weighted.agg(min(col("w")), max(col("w"))).head()
+    val (minW, maxW) = (wRow.getLong(0), wRow.getLong(1))
+    assert(minW < maxW, s"degenerate fixture: all w_avg == $minW")
+    val want = weighted.filter(col("w") >= maxW)
+    val chain = SpecLoader.transformFromJson(
+      s"""{ "name": "rules_and_weights", "steps": [
+         |  { "op": "gopher_rules", "text": "text", "id": "doc_id",
+         |    "min_words": 5 },
+         |  { "op": "dsir_weight", "text": "text", "id": "doc_id",
+         |    "target": "source = 'wiki'", "buckets": 256,
+         |    "as": "w", "min_w_avg": $maxW } ] }""".stripMargin)
+    val got = chain(docs)
+    assert(got.schema === want.schema)
+    val g = got.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val w = want.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(g === w)
+    // both stages bite on the fixture: the gate drops some docs and the
+    // importance floor drops more, but survivors remain
+    assert(gated.count() < docs.count())
+    assert(want.count() > 0 && want.count() < gated.count())
+  }
+
   test("declarative near-dup stages equal the hand-composed pipeline") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Similarity}
