@@ -2617,6 +2617,17 @@ object SparkEntry {
         targetPred = col("lang") === "en", buckets = 4096)
         .withColumnRenamed("id", "doc_id")),
 
+    // the production-scale (100 TB) DSIR path: the smoothed log-likelihood
+    // ratio of Xie et al. 2023, immune to the integer path's 2^62
+    // totals-product overflow ([[TextAnalysis.dsirWeightsLogMicros]] —
+    // same single-scan occAgg front end as dsir_weights, per-bucket score
+    // quantized to micros before the per-doc sum so the read-out is
+    // order-independent)
+    "dsir_log" -> ((s, dir) =>
+      TextAnalysis.dsirWeightsLogMicros(t(s, dir, "documents"), "text",
+        "doc_id", targetPred = col("lang") === "en", buckets = 4096)
+        .withColumnRenamed("id", "doc_id")),
+
     // representative selection per near-dup cluster — the "which member
     // survives" step downstream of dedup_clusters
     // ([[Dedup.clusterRepresentatives]]: longest text wins, ties to
@@ -5813,6 +5824,36 @@ object SparkEntry {
         |SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(s) AS BIGINT) AS weight,
         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS w_avg
+        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin,
+
+    // same front end as dsir_weights; the score stage is the smoothed
+    // log-likelihood ratio rounded to integer micros BEFORE the per-doc
+    // sum (ln of exact integer args on both sides; a micros flip would
+    // need DuckDB's and Java's ln to straddle a .5 boundary 1e-10 ulps
+    // wide — quantize-before-sum makes the aggregate itself exact)
+    "dsir_log" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |bgl AS (SELECT doc_id, (lang = 'en') AS t,
+        |    unnest([ws[i] || ' ' || ws[i + 1]
+        |            for i in range(1, len(ws))]) AS bg
+        |  FROM w),
+        |hb AS MATERIALIZED (SELECT doc_id, t,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(split(bg, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1048576)) % 4096 AS b
+        |  FROM bgl),
+        |bc AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cs
+        |  FROM hb GROUP BY 1),
+        |tt AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM bc),
+        |sc AS (SELECT b, CAST(round(((ln(ct + 1.0) + ln(ns + 4096.0))
+        |    - (ln(cs + 1.0) + ln(nt + 4096.0))) * 1e6, 0) AS BIGINT) AS s
+        |  FROM bc, tt)
+        |SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s) AS BIGINT) AS llr_micros
         |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin,
 
     "text_normalize" ->

@@ -1105,6 +1105,32 @@ object TextAnalysis {
         sum(col("s") * col("k").cast("double")).as("llr"))
   }
 
+  /** Oracle-facing read-out of [[dsirWeightsLog]]: the per-bucket log
+    * score is quantized ONCE to integer micros (HALF_UP, away from
+    * zero — DuckDB `round` parity) before the per-document sum, so the
+    * result is a deterministic integer independent of partial-aggregation
+    * order (a raw double `Σ k·s` hash-mismatches on summation order and
+    * ln ulp drift). The statistic is [[dsirWeightsLog]]'s to within the
+    * 1e-6 quantization; the quantize-before-fan-out discipline is the
+    * same one pca_power's moment pass uses. Per-doc bound: n_bigrams
+    * (≤ ~1e6) × |s_micros| (≤ ~3e7 at 2^62 totals) ≪ 2^63 — no overflow
+    * at any corpus scale. Returns (id, n_bigrams, llr_micros). */
+  def dsirWeightsLogMicros(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val scored = dsirBucketTotals(occAgg)
+      .select(col("b"), expr(
+        ("CAST(round(((ln(ct + 1.0D) + ln(ns + BKT)) - " +
+          "(ln(cs + 1.0D) + ln(nt + BKT))) * 1e6, 0) AS LONG)")
+          .replace("BKT", s"$buckets.0D")).as("s"))
+    occAgg.join(broadcast(scored), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("s") * col("k")).as("llr_micros"))
+  }
+
   /** [[gopherRules]]' word-count gate, shared with the DuckDB oracle's
     * generated literals (one-definition discipline — a parameter change
     * cannot desynchronize engine and oracle). */

@@ -97,4 +97,26 @@ class DsirSpec extends AnyFunSuite {
       assert(!llr.isNaN && !llr.isInfinite)
     }
   }
+
+  test("micros read-out tracks the double llr within the rounding bound") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dbl = TextAnalysis.dsirWeightsLog(docs, "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val mic = TextAnalysis.dsirWeightsLogMicros(docs, "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(dbl.keySet == mic.keySet && dbl.nonEmpty)
+    // each occurrence contributes ≤ 0.5·k micros of quantization error, so
+    // per document |llr_micros − llr·1e6| ≤ n_bigrams/2 (+1 for the final
+    // double rounding)
+    dbl.foreach { case (id, (n, llr)) =>
+      val (nM, lm) = mic(id)
+      assert(nM == n)
+      assert(math.abs(lm - llr * 1e6) <= n / 2.0 + 1.0,
+        s"doc $id: micros=$lm vs dbl*1e6=${llr * 1e6} (n=$n)")
+    }
+  }
 }
