@@ -875,8 +875,11 @@ object TextAnalysis {
 
   /** Every `k`-token sliding window of every document, with its 1-based
     * start position: (id, n, p, gram). One explode off the document scan;
-    * docs shorter than `k` tokens contribute no rows. */
-  private def windowGrams(df: DataFrame, textCol: String, idCol: String,
+    * docs shorter than `k` tokens contribute no rows. Public and
+    * STATELESS (the [[fixedWidthLines]] discipline) so the streaming
+    * twin ([[graft.streaming.StatefulSubstringDedup]]) composes the
+    * exact same segmentation onto an unbounded doc stream. */
+  def windowGrams(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("__w"))
       .select(col("id"), size(col("__w")).cast("long").as("n"),
