@@ -3200,6 +3200,14 @@ object SparkEntry {
         minWords = 50, maxWords = 100000)
         .withColumnRenamed("id", "doc_id")),
 
+    // Gopher repetition battery (Rae et al. 2021 A1.2), the companion
+    // gate to gopher_rules: top-n-gram character concentration (n=2..4)
+    // and duplicated-n-gram character coverage (n=5..10) in integer
+    // permille, one explode + two doc-keyed aggregates for all nine n
+    // ([[TextAnalysis.gopherRepetition]]).
+    "gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(t(s, dir, "documents"), "text",
+        "doc_id").withColumnRenamed("id", "doc_id")),
 
     // per-source corpus stats: the curation dashboard query (docs, token
     // volume, mean quality per source) — one partial-combined aggregate.
@@ -9041,6 +9049,64 @@ object SparkEntry {
         |    AND symbol_permille <= 100 AND alpha_permille >= 800
         |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM p""".stripMargin,
+
+    // Gopher repetition battery: one list-comprehension window explode
+    // for all nine n values, two aggregates, conditional-aggregate
+    // widening; cov = count × char length on both sides; permilles via
+    // pure-integer //; the per-n cap literals are GENERATED from the
+    // same Scala Seqs the engine gates with (one-definition discipline)
+    "gopher_repetition" -> {
+      val allN = TextAnalysis.GopherTopNGramCaps ++
+        TextAnalysis.GopherDupNGramCaps
+      val rawCols = allN.map { case (n, _) =>
+        if (n <= 4)
+          s"MAX(CASE WHEN n = $n THEN top END) AS top${n}_raw"
+        else
+          s"MAX(CASE WHEN n = $n THEN dup END) AS dup${n}_raw"
+      }.mkString(",\n|    ")
+      val pmCols = allN.map { case (n, _) =>
+        val kind = if (n <= 4) "top" else "dup"
+        s"CASE WHEN n_chars = 0 THEN 0 ELSE " +
+          s"(COALESCE($kind${n}_raw, 0) * 1000) // n_chars END " +
+          s"AS $kind${n}_permille"
+      }.mkString(",\n|    ")
+      val outCols = allN.map { case (n, _) =>
+        val kind = if (n <= 4) "top" else "dup"
+        s"CAST($kind${n}_permille AS BIGINT) AS $kind${n}_permille"
+      }.mkString(",\n|  ")
+      val gate = allN.map { case (n, cap) =>
+        val kind = if (n <= 4) "top" else "dup"
+        s"$kind${n}_permille <= $cap"
+      }.mkString("\n|    AND ")
+      s"""WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id,
+        |    CAST(length(array_to_string(ws, ' ')) AS BIGINT) AS n_chars
+        |  FROM w),
+        |g AS (SELECT doc_id, n,
+        |    unnest([array_to_string(ws[i:i+n-1], ' ')
+        |            for i in range(1, len(ws) - n + 2)]) AS gram
+        |  FROM w, (SELECT unnest(range(2, 11)) AS n) ns
+        |  WHERE len(ws) >= n),
+        |per AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+        |    COUNT(*) * length(gram) AS cov
+        |  FROM g GROUP BY 1, 2, 3),
+        |sig AS (SELECT doc_id, n, MAX(cov) AS top,
+        |    SUM(CASE WHEN cnt >= 2 THEN cov ELSE 0 END) AS dup
+        |  FROM per GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    $rawCols
+        |  FROM sig GROUP BY 1),
+        |p AS (SELECT base.doc_id, n_chars,
+        |    $pmCols
+        |  FROM base LEFT JOIN wide USING (doc_id))
+        |SELECT doc_id, n_chars,
+        |  $outCols,
+        |  CAST(CASE WHEN $gate
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM p""".stripMargin
+    },
 
     "unigram_logprob" ->
       """WITH tok AS (SELECT doc_id,

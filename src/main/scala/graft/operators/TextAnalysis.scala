@@ -1197,4 +1197,87 @@ object TextAnalysis {
           col("n_stop") >= 2).cast("long"))
   }
 
+  /** Gopher repetition-filter thresholds (Rae et al. 2021 Table A1), in
+    * permille, shared with the DuckDB oracle's generated literals:
+    * top-n-gram character fraction caps for n = 2..4 and duplicated
+    * n-gram character fraction caps for n = 5..10. A document passes
+    * when EVERY signal is at or below its cap. */
+  val GopherTopNGramCaps: Seq[(Int, Int)] =
+    Seq(2 -> 200, 3 -> 180, 4 -> 160)
+  val GopherDupNGramCaps: Seq[(Int, Int)] =
+    Seq(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110, 10 -> 100)
+
+  /** Gopher-style repetition signals (Rae et al. 2021, Appendix A.1.2 —
+    * the within-document repetition battery that complements
+    * [[gopherRules]]' quality battery): for n = 2..4 the TOP n-gram
+    * character fraction (characters covered by the single most covering
+    * n-gram, multiplicity counted) and for n = 5..10 the DUPLICATED
+    * n-gram character fraction (characters covered by all n-grams
+    * occurring at least twice, multiplicity counted), each in integer
+    * permille of the document's canonical character count (tokens
+    * re-joined single-spaced, lowercased — the [[topBigramConcentration]]
+    * normalization). "Covered by" counts `count × length(gram)`, the
+    * RedPajama/Dolma convention for these signals re-expressed exactly
+    * (max over products needs no tie-break; dup sums can exceed 1000 on
+    * degenerate text by construction, as in the originals).
+    *
+    * Scale shape: ONE explode produces every (n, gram) window for all
+    * nine n values off a single document scan (no per-n branch, no
+    * self-join), then two hash aggregates keyed on the doc id — count
+    * per (id, n, gram), fold per (id, n) — and a conditional-aggregate
+    * widening to one row per document (no pivot, no second scan; docs
+    * too short for a given n report 0). Returns (id, n_chars,
+    * top2/top3/top4_permille, dup5..dup10_permille, pass ∈ {0,1}). */
+  def gopherRepetition(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        wsTokens(lower(col(textCol))).as("__w"))
+      .select(col("id"),
+        length(concat_ws(" ", col("__w"))).cast("long").as("n_chars"),
+        col("__w"))
+    val grams = base
+      .select(col("id"), col("n_chars"), explode(expr(
+        "flatten(transform(sequence(2, 10), n -> " +
+          "CASE WHEN size(__w) < n THEN " +
+          "  array_repeat(named_struct('n', 0, 'gram', ''), 0) " +
+          "ELSE transform(sequence(1, size(__w) - n + 1), " +
+          "  i -> named_struct('n', n, " +
+          "    'gram', concat_ws(' ', slice(__w, i, n)))) END))"))
+        .as("g"))
+      .select(col("id"), col("n_chars"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
+    val per = grams.groupBy(col("id"), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("n_chars"), col("n"),
+        (col("cnt") * length(col("gram")).cast("long")).as("cov"),
+        col("cnt"))
+    val sig = per.groupBy(col("id"), col("n_chars"), col("n"))
+      .agg(max(col("cov")).as("top"),
+        sum(when(col("cnt") >= 2, col("cov")).otherwise(0L)).as("dup"))
+    val aggs =
+      GopherTopNGramCaps.map { case (n, _) =>
+        max(when(col("n") === n, col("top"))).as(s"top${n}_raw") } ++
+      GopherDupNGramCaps.map { case (n, _) =>
+        max(when(col("n") === n, col("dup"))).as(s"dup${n}_raw") }
+    val wide = sig.groupBy(col("id"), col("n_chars"))
+      .agg(aggs.head, aggs.tail: _*)
+    def pmCol(raw: String): Column =
+      when(col("n_chars") === 0, 0L)
+        .otherwise(expr(s"(coalesce($raw, 0L) * 1000) DIV n_chars"))
+    val passCol = (GopherTopNGramCaps.map { case (n, cap) =>
+        col(s"top${n}_permille") <= cap } ++
+      GopherDupNGramCaps.map { case (n, cap) =>
+        col(s"dup${n}_permille") <= cap }).reduce(_ && _)
+    // documents too short for ANY n-gram (< 2 tokens) still report a row
+    // of zeros, like spanCoverage / gopherRules
+    base.select(col("id"), col("n_chars")).join(wide.drop("n_chars"),
+        Seq("id"), "left")
+      .select(Seq(col("id"), col("n_chars")) ++
+        (GopherTopNGramCaps ++ GopherDupNGramCaps).map { case (n, _) =>
+          val c = if (n <= 4) s"top${n}_permille" else s"dup${n}_permille"
+          val raw = if (n <= 4) s"top${n}_raw" else s"dup${n}_raw"
+          pmCol(raw).as(c) }: _*)
+      .withColumn("pass", passCol.cast("long"))
+  }
+
 }

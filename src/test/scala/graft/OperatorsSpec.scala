@@ -2177,6 +2177,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getLong(6) === 0L)
   }
 
+  test("gopherRepetition: hand-computed signals on degenerate text") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "ab ab ab ab"),      // total repetition: every signal maxed
+      (2L, "a b c d e f g h i j k l"), // all distinct: every signal 0
+      (3L, "x"),                 // sub-2-token: row of zeros, passes
+      (4L, ("u v w " * 20).trim) // 3-period cycle: dup grams everywhere
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 11).map(r.getLong).toVector).toMap
+    // doc 1: n_chars=11; 2-grams: "ab ab"×3 → top2 = 3·5=15 → 1363‰;
+    // 3-grams "ab ab ab"×2 → top3 = 2·8=16 → 1454‰; 4-gram unique →
+    // top4 = 11 → 1000‰; no n≥5 windows → dup5..10 = 0; fails (top2>200)
+    assert(got(1L)(0) === 11L)
+    assert(got(1L)(1) === 1363L && got(1L)(2) === 1454L &&
+      got(1L)(3) === 1000L)
+    assert((4 to 9).forall(got(1L)(_) === 0L) && got(1L)(10) === 0L)
+    // doc 2: every window distinct → top_n = one window's chars,
+    // dup_n = 0 → top2 = 3·1000/23 = 130‰, but a SINGLE 3-gram already
+    // covers 5·1000/23 = 217‰ > 180 — short docs trip the top-n caps by
+    // construction (Gopher's caps presume long documents), so pass=0
+    assert(got(2L)(1) === 130L && (4 to 9).forall(got(2L)(_) === 0L))
+    assert(got(2L)(2) === 217L && got(2L)(10) === 0L)
+    // doc 3: no windows at all → zeros, passes
+    assert(got(3L) === Vector(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // doc 4: period-3 text — every 5..10-gram occurs ≥2 times → dup_n
+    // = full coverage (≈1000‰ scaled by window span), all caps blown
+    assert((4 to 9).forall(got(4L)(_) > 500L) && got(4L)(10) === 0L)
+  }
+
   test("bm25TopK: integer saturation matches the closed formula") {
     // corpus: tf/df/dl all hand-known; query = df-ranks 1..2 (y, z)
     val docs = Seq((1L, "x x y"), (2L, "x y z"), (3L, "y z z"),
