@@ -45,12 +45,13 @@ import org.json4s.jackson.JsonMethods
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
-  *    `gopher_rules`, `exact_dedup`, `minhash_dedup`, `semdedup`,
-  *    `dsir_weight`): the LLM-corpus steps as declarable stages — see
-  *    [[transformFromJson]], the standalone chain entry point; with the
-  *    rules gate and importance weighting declarable alongside the two
-  *    near-dup tiers, the FULL modern curation recipe (normalize → line
-  *    dedup → quality floor → Gopher rules → exact dedup → MinHash
+  *    `gopher_rules`, `gopher_repetition`, `exact_dedup`,
+  *    `minhash_dedup`, `semdedup`, `dsir_weight`): the LLM-corpus steps
+  *    as declarable stages — see [[transformFromJson]], the standalone
+  *    chain entry point; with the rules + repetition gates and
+  *    importance weighting declarable alongside the two near-dup tiers,
+  *    the FULL modern curation recipe (normalize → line dedup → quality
+  *    floor → Gopher rules → repetition gate → exact dedup → MinHash
   *    near-dedup → semantic dedup → DSIR importance weighting) is a
   *    data file
   *
@@ -256,6 +257,17 @@ object SpecLoader {
           .getOrElse(graft.operators.TextAnalysis.GopherMaxWords)
         df => df.join(
           graft.operators.TextAnalysis.gopherRules(df, c, id, min, max)
+            .filter(col("pass") === 1L).select(col("id").as(id)),
+          Seq(id), "left_semi")
+      case "gopher_repetition" =>
+        // Gopher repetition gate (Rae et al. 2021 A1.2): keep rows whose
+        // top/dup n-gram character concentrations clear every cap in
+        // [[graft.operators.TextAnalysis.gopherRepetition]] — the
+        // within-document companion to the gopher_rules battery
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        df => df.join(
+          graft.operators.TextAnalysis.gopherRepetition(df, c, id)
             .filter(col("pass") === 1L).select(col("id").as(id)),
           Seq(id), "left_semi")
       case "dsir_weight" =>

@@ -134,8 +134,12 @@ class SpecLoaderSpec extends AnyFunSuite {
     // fixture keeps rows through the gate); the importance floor is
     // derived from the fixture — the max observed w_avg — so the floor
     // provably bites (weights are not all equal) on any data drift
-    val gated = docs.join(
+    val ruled = docs.join(
       TextAnalysis.gopherRules(docs, "text", "doc_id", minWords = 5)
+        .filter(col("pass") === 1L).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val gated = ruled.join(
+      TextAnalysis.gopherRepetition(ruled, "text", "doc_id")
         .filter(col("pass") === 1L).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val weighted = gated.join(
@@ -152,6 +156,7 @@ class SpecLoaderSpec extends AnyFunSuite {
       s"""{ "name": "rules_and_weights", "steps": [
          |  { "op": "gopher_rules", "text": "text", "id": "doc_id",
          |    "min_words": 5 },
+         |  { "op": "gopher_repetition", "text": "text", "id": "doc_id" },
          |  { "op": "dsir_weight", "text": "text", "id": "doc_id",
          |    "target": "source = 'wiki'", "buckets": 256,
          |    "as": "w", "min_w_avg": $maxW } ] }""".stripMargin)
@@ -161,8 +166,11 @@ class SpecLoaderSpec extends AnyFunSuite {
     val w = want.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     assert(g === w)
     // both stages bite on the fixture: the gate drops some docs and the
-    // importance floor drops more, but survivors remain
-    assert(gated.count() < docs.count())
+    // every stage bites on the fixture: the rules gate drops some docs,
+    // the repetition gate drops more, the importance floor drops more,
+    // but survivors remain
+    assert(ruled.count() < docs.count())
+    assert(gated.count() < ruled.count())
     assert(want.count() > 0 && want.count() < gated.count())
   }
 
