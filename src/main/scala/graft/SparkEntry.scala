@@ -2236,6 +2236,17 @@ object SparkEntry {
         nSub = 8, nCentroids = 128, rerank = 25)
     }),
 
+    // scalar-quantization ANN (the FAISS SQ8 tier): per-dimension 8-bit
+    // codes from corpus min/max stats, symmetric integer code distance,
+    // 25-deep exact-cosine rerank ([[Similarity.annTopKSq8]] — codes
+    // stream at 1/8 the bytes of raw doubles past the broadcast queries).
+    "ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.annTopKSq8(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5, rerank = 25)
+    }),
+
     // vector compression layer: product-quantization codes — 4 subspaces
     // × 8-centroid codebooks (subvectors of the 8 lowest-id vectors, the
     // IVF deterministic-seed discipline), squared-L2 argmin in integer
@@ -8510,6 +8521,57 @@ object SparkEntry {
     "ann_ivf" -> annIvfSql,
 
     "ann_ivfpq" -> annIvfPqSql,
+
+    // SQ8 replay: unit vectors, per-dim corpus min/max as ordered lists,
+    // floor/clamp codes on IEEE-identical expression trees (integer-
+    // valued throughout — Σ(qc−cc)² < 2^53 is exact on both sides),
+    // symmetric code-distance shortlist, exact-cosine rerank
+    "ann_sq8" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM base WHERE id >= 10),
+        |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+        |   FROM base WHERE id < 10),
+        |corpn AS (SELECT nid, list_transform(nv, x -> x / sqrt(nn2)) AS uv
+        |   FROM corp),
+        |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS uv
+        |   FROM q),
+        |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+        |    SELECT unnest(uv) AS x,
+        |      unnest(range(1, len(uv) + 1)) AS d FROM corpn)
+        |  GROUP BY d),
+        |sta AS (SELECT list(mn ORDER BY d) AS mns,
+        |    list(mx ORDER BY d) AS mxs FROM st),
+        |ce AS (SELECT nid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+        |      least(255.0, greatest(0.0,
+        |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
+        |      END for i in range(1, 65)] AS cc
+        |  FROM corpn CROSS JOIN sta),
+        |ce2 AS (SELECT nid, cc, list_dot_product(cc, cc) AS cn2 FROM ce),
+        |qe AS (SELECT qid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+        |      least(255.0, greatest(0.0,
+        |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
+        |      END for i in range(1, 65)] AS qc
+        |  FROM qn CROSS JOIN sta),
+        |qe2 AS (SELECT qid, qc, list_dot_product(qc, qc) AS qcn2 FROM qe),
+        |cand AS (SELECT qid, nid,
+        |    CAST(cn2 + qcn2 - 2 * list_dot_product(cc, qc) AS BIGINT)
+        |      AS d2
+        |  FROM ce2, qe2 WHERE qid <> nid),
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2 ASC, nid ASC) AS rn FROM cand) u
+        |  WHERE rn <= 25),
+        |rs AS (SELECT s.qid, s.nid,
+        |    CAST(round(list_dot_product(q.qv, c.nv) /
+        |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
+        |      AS cos_permille
+        |  FROM short s JOIN corp c ON c.nid = s.nid JOIN q ON q.qid = s.qid)
+        |SELECT qid, nid, cos_permille FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
+        |WHERE rn <= 5""".stripMargin,
 
     "pq_codes" ->
       """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

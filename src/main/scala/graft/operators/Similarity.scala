@@ -317,6 +317,72 @@ object Similarity {
     }
   }
 
+  /** Scalar-quantization ANN (SQ8 — the classic FAISS `SQ8` tier, the
+    * simplest vector-compression rung below PQ): unit-normalize the
+    * corpus (squared L2 on the unit sphere is monotone in cosine, the
+    * [[annTopKIvfPq]] argument), learn per-dimension [min, max] over the
+    * CORPUS components (one `dim`-row aggregate off a single pass,
+    * rebuilt into two ordered arrays and broadcast), quantize every
+    * component to an 8-bit level `floor((x − mn)·255/(mx − mn))` clamped
+    * to [0, 255], and rank candidates by the SYMMETRIC integer code
+    * distance Σ(qc − cc)² — queries quantized with the same corpus
+    * stats — then exact-cosine rerank the `rerank`-deep shortlist.
+    *
+    * 8 bits/dim vs 64 for raw doubles: at 100 TB of vectors the
+    * candidate scan streams ⅛ the bytes past the broadcast query codes,
+    * and every arithmetic op on codes is small-integer. All quantities
+    * are integer-valued (floor/clamp on IEEE-identical expression trees,
+    * then sums of products ≤ 64·255² ≪ 2⁵³), so the DuckDB twin is
+    * exact with no rounding discipline needed beyond the shared
+    * `cos_permille` read-out. */
+  def annTopKSq8(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, rerank: Int = 25): DataFrame = {
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val qN2 = withN2(queries, "qid", "qv", "qn2")
+    def unit(vC: String, n2C: String): Column =
+      transform(col(vC), x => x / sqrt(col(n2C)))
+    val cu = corpusN2.select(col("nid"), unit("nv", "nn2").as("uv"))
+    val qu = qN2.select(col("qid"), unit("qv", "qn2").as("uv"))
+    // per-dim stats: dim rows after a map-side-combined aggregate, then
+    // ONE row carrying the (mns, mxs) arrays — broadcast to both sides
+    val stats = broadcast(
+      cu.select(posexplode(col("uv")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(d, mn))), " +
+            "s -> s.mn)").as("mns"),
+          expr("transform(array_sort(collect_list(struct(d, mx))), " +
+            "s -> s.mx)").as("mxs")))
+    val codeExpr = expr(
+      ("transform(sequence(0, DIM - 1), i -> CAST(" +
+        "CASE WHEN mxs[i] = mns[i] THEN 0.0D ELSE " +
+        "least(255.0D, greatest(0.0D, " +
+        "floor((uv[i] - mns[i]) * 255.0D / (mxs[i] - mns[i])))) END " +
+        "AS DOUBLE))").replace("DIM", dim.toString))
+    val cc = cu.crossJoin(stats)
+      .select(col("nid"), codeExpr.as("cc"))
+      .withColumn("cn2", dot(col("cc"), col("cc")))
+    val qc = broadcast(qu.crossJoin(stats)
+      .select(col("qid"), codeExpr.as("qc"))
+      .withColumn("qcn2", dot(col("qc"), col("qc"))))
+    val cand = cc.join(qc, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("cn2") + col("qcn2") - lit(2.0) * dot(col("cc"), col("qc")))
+          .cast("long").as("d2"))
+    val short = Transforms.topKPerGroup(cand, Seq(col("qid")),
+      Seq(col("d2").asc, col("nid").asc), rerank)
+    // exact cosine only on the shortlist — the IVFADC+R rerank shape
+    val scored = short.select(col("qid"), col("nid"))
+      .join(corpusN2, Seq("nid"))
+      .join(broadcast(qN2), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
+    Transforms.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos_permille").desc, col("nid").asc), k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets at Hamming distance 1 (multi-probe — standard recall
     * boost: a near neighbor differs from the query on at most a few plane

@@ -302,6 +302,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.size === 25, "full top-5 for each of 5 queries")
   }
 
+  test("ann SQ8: code distance recalls brute-force; full-depth rerank is exact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val n = c.count().toInt
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val sq = Similarity.annTopKSq8(q, c, 5, rerank = 25)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // 8-bit symmetric distance on unit vectors is a tight cosine proxy:
+    // a 25-deep shortlist should recall most of the true top-5
+    val recall = exact.count(sq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(sq.size === 25, "full top-5 for each of 5 queries")
+    // rerank depth = |corpus| makes the shortlist the whole corpus, so
+    // the exact-cosine rerank must reproduce brute force EXACTLY
+    val full = Similarity.annTopKSq8(q, c, 5, rerank = n)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("IVF with trained centroids: valid top-k, recall not worse than sampled") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
