@@ -1969,6 +1969,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lp_permille"))
     }),
 
+    // interpolated Kneser-Ney bigram LM score per doc (Chen & Goodman
+    // 1999 — the KenLM smoothing CCNet's perplexity filter actually
+    // uses, one level above bigram_logprob's add-1): with discount
+    // d = 3/4 every probability is a ratio of exact integers,
+    //   P(w2|w1) = [max(4·c12−3, 0)·B + 3·f(w1)·r(w2)] / (4·c1·B)
+    // where f = distinct followers of w1 (the backoff weight λ's
+    // numerator), r = distinct predecessors of w2 (the continuation
+    // count), B = distinct bigram types — so only the final ln is
+    // quantized (micros), and the per-doc sum is order-independent.
+    // Shape: one bigram stream; f, r and B are aggregates OF the
+    // bigram-count table (vocab-sized, never corpus-sized); B rides a
+    // 1-row broadcast.
+    "kn_logprob" -> ((s, dir) =>
+      TextAnalysis.knLogProb(t(s, dir, "documents"), "text", "doc_id")),
+
     // domain-distinctive vocabulary: top-5 tokens per source by integer
     // rate-ratio lift, tf floor 5 ([[TextAnalysis.sourceKeyness]]).
     "keyness" -> ((s, dir) =>
@@ -9066,6 +9081,33 @@ object SparkEntry {
         |      * 1000000, 0) AS BIGINT) AS lp
         |  FROM t JOIN b USING (s)
         |  JOIN u ON split_part(t.s, ' ', 1) = u.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // Kneser-Ney replay: d = 3/4 keeps the smoothed probability a ratio
+    // of exact integers (numerator/denominator < 2^53, cast to DOUBLE
+    // exactly on both sides); only ln is quantized, to micros
+    "kn_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
+        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
+        |  FROM t GROUP BY 1, 2, 3),
+        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS bb FROM b),
+        |l AS (SELECT doc_id, CAST(round(ln(
+        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
+        |        AS DOUBLE)
+        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN ty)
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,

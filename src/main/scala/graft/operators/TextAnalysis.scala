@@ -352,6 +352,44 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score per document (Chen &
+    * Goodman 1999 — the KenLM smoothing family CCNet's perplexity filter
+    * uses; one level above [[unigramLogProb]] and the add-1 bigram
+    * query). With discount d = 3/4 the smoothed probability is a ratio
+    * of exact integers,
+    *   P(w2|w1) = [max(4·c12 − 3, 0)·B + 3·f(w1)·r(w2)] / (4·c1·B)
+    * with f = distinct followers of w1 (λ's numerator), r = distinct
+    * predecessors of w2 (the continuation count), c1 = bigram tokens
+    * starting with w1, B = distinct bigram types — so only the final ln
+    * is quantized (micros) and the per-doc sum is order-independent
+    * (the [[unigramLogProb]] oracle-parity discipline).
+    *
+    * Shape: one bigram stream; f, r, B are aggregates OF the
+    * vocab-sized bigram-count table, never the corpus; B rides a 1-row
+    * broadcast. Returns (idCol, lp_permille) — mean token log-prob. */
+  def knLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
+      .select(col("id"), col("s"))
+    val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+      .withColumn("w2", substring_index(col("s"), " ", -1))
+    val fol = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fw"))
+    val pre = big.groupBy(col("w2")).agg(count(lit(1)).as("rw"))
+    val types = broadcast(big.agg(count(lit(1)).as("__b")))
+    tok.join(big, "s").join(fol, "w1").join(pre, "w2").crossJoin(types)
+      .select(col("id"),
+        round(log(
+          (greatest(lit(4) * col("c12") - 3, lit(0)) * col("__b") +
+            lit(3) * col("fw") * col("rw")).cast("double") /
+          (lit(4) * col("c1") * col("__b")).cast("double"))
+          * lit(1000000)).cast("long").as("lp"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))
+        .cast("long").as("lp_permille"))
+      .select(col("id").as(idCol), col("lp_permille"))
+  }
+
   /** TF-IDF term scoring — the corpus-relevance signal: per (doc, term)
     * term frequency joined with corpus document frequency, score =
     * tf·ln(N/df). Shape: one explode + a (doc,term) count aggregate; the

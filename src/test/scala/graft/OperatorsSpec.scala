@@ -2177,6 +2177,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getLong(6) === 0L)
   }
 
+  test("knLogProb: hand-computed Kneser-Ney values; mass stays sub-unit") {
+    import graft.operators.TextAnalysis
+    // corpus "a b a b a c": bigrams "a b"×2, "b a"×2, "a c"×1
+    // b: (a b, 2), (b a, 2), (a c, 1); f: a→(c1=3, fw=2), b→(2, 1);
+    // r: b→1, a→1, c→1; B = 3
+    // P(b|a) = (5·3 + 3·2·1)/(4·3·3) = 21/36;  P(c|a) = (3+6)/36 = 1/4
+    // P(a|b) = (5·3 + 3·1·1)/(4·2·3) = 18/24 = 3/4
+    // observed mass per context < 1 (KN reserves continuation mass)
+    assert(21.0 / 36 + 9.0 / 36 < 1.0 && 18.0 / 24 < 1.0)
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lp(num: Long, den: Long): Long =
+      math.round(math.log(num.toDouble / den.toDouble) * 1e6)
+    val want = math.round(
+      (2 * lp(21, 36) + 2 * lp(18, 24) + lp(9, 36)).toDouble / (5 * 1000.0))
+    assert(got(1L) === want)
+  }
+
   test("gopherRepetition: hand-computed signals on degenerate text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
