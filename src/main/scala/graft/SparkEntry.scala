@@ -3266,6 +3266,16 @@ object SparkEntry {
             "de" -> 150, "fr" -> 150))
         .select(col("doc_id"), col("lang"))),
 
+    // temperature-based (α = 0.3) mixture resampling — the multilingual
+    // balancing standard: keep rates derived from the observed language
+    // distribution flattened by p^α, Knuth-hash keep decision
+    // ([[TextAnalysis.alphaMixture]]).
+    "alpha_mixture" -> ((s, dir) =>
+      TextAnalysis.alphaMixture(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), alpha = 0.3)
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))),
+
     // deterministic per-stratum cap: keep ≤20 docs per language, ranked by
     // (content-hash, id) — the "no source may exceed K examples" curation
     // rule, reproducible under reshuffling/reruns because the rank key is
@@ -9253,6 +9263,25 @@ object SparkEntry {
         |s AS (SELECT MIN((n_s * 1000000) // w) AS scale FROM j),
         |r AS (SELECT lang, (w * scale) // n_s AS rate_ppm FROM j, s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
+
+    // temperature resampling replay: pow(p, 0.3) quantized ONCE to
+    // micros per stratum (the dsir_log ln discipline — a flip needs
+    // DuckDB's and Java's pow to straddle a .5 micros boundary); pure
+    // integer target share + rate + Knuth keep after that
+    "alpha_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM c),
+        |w AS (SELECT lang, n, nn, CAST(round(
+        |      pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.3) * 1000000,
+        |      0) AS BIGINT) AS w
+        |  FROM c, t),
+        |d2 AS (SELECT SUM(w) AS wd FROM w),
+        |r AS (SELECT lang, CAST(least(1000000,
+        |      (((1000000 * w) // wd) * nn) // n) AS BIGINT) AS rate_ppm
+        |  FROM w, d2)
+        |SELECT d.doc_id, d.lang, r.rate_ppm
+        |FROM documents d JOIN r USING (lang)
         |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
 
     "pack_sequences" ->

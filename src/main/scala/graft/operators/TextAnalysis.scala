@@ -468,6 +468,42 @@ object TextAnalysis {
       .drop("__stratum", "__rate_ppm")
   }
 
+  /** Temperature-based mixture resampling (Conneau & Lample 2019's
+    * exponential smoothing, the multilingual-corpus balancing standard:
+    * sample strata with probability ∝ p^α, α < 1 flattening the head so
+    * low-resource strata keep proportionally more). Unlike
+    * [[mixtureResample]] the target mixture is DERIVED from the observed
+    * distribution, not declared: per stratum
+    *   w = round(pow(n/N, α)·10⁶)          (the ONE float quantization)
+    *   t_ppm = (10⁶·w) DIV Σw              (target share, exact ints)
+    *   rate_ppm = min(10⁶, (t_ppm·N) DIV n) (keep rate; capped — no
+    *                                         upsampling by duplication)
+    * and the per-row keep decision is [[mixtureResample]]'s Knuth
+    * multiplicative hash on the id — deterministic, shuffle-free, reruns
+    * stable. The t_ppm·N product bounds exactness at N < 2⁶³/10⁶ ≈ 9
+    * trillion rows — beyond any corpus. Returns the kept rows with
+    * `rate_ppm` attached. */
+  def alphaMixture(df: DataFrame, strataCol: Column, idCol: Column,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0, 1]")
+    val counts = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__nn"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("__w", round(pow(
+        col("__n").cast("double") / col("__nn").cast("double"),
+        lit(alpha)) * lit(1000000)).cast("long"))
+    val den = w.agg(sum(col("__w")).as("__wd"))
+    val rates = w.crossJoin(broadcast(den))
+      .select(col("__stratum"),
+        least(lit(1000000L),
+          expr("(((1000000 * __w) DIV __wd) * __nn) DIV __n"))
+          .as("rate_ppm"))
+    df.join(broadcast(rates), strataCol === col("__stratum"))
+      .filter((idCol * lit(2654435761L)) % lit(1000000L) < col("rate_ppm"))
+      .drop("__stratum")
+  }
+
   /** Source-distinctive vocabulary (keyness): per source, the tokens most
     * over-represented vs the whole corpus, ranked by integer lift
     * `(tf_s · N_corpus · 1000) DIV (tf_corpus · N_s)` (permille of the

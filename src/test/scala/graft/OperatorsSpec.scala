@@ -2177,6 +2177,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getLong(6) === 0L)
   }
 
+  test("alphaMixture: α=1 keeps everything; α<1 favors the scarce stratum") {
+    import graft.operators.TextAnalysis
+    val docs = ((1L to 90L).map(i => (i, "big")) ++
+      (91L to 100L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    // α = 1: p^1 target == observed mixture → every rate is 10⁶, no drop
+    val all = TextAnalysis.alphaMixture(docs, col("lang"), col("doc_id"),
+      alpha = 1.0)
+    assert(all.count() === 100L)
+    assert(all.select("rate_ppm").distinct().as[Long].collect().toSet
+      === Set(1000000L))
+    // α = 0.5 flattens: the scarce stratum is kept whole (rate capped at
+    // 10⁶), the abundant one downsampled; hand math: w = round(√.9·10⁶)
+    // = 948683, round(√.1·10⁶) = 316228 → t_big = ⌊948683·10⁶/1264911⌋
+    // = 749999 ppm → rate_big = ⌊749999·100/90⌋ = 833332 ppm
+    val half = TextAnalysis.alphaMixture(docs, col("lang"), col("doc_id"),
+      alpha = 0.5)
+    val rates = half.select("lang", "rate_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("small") === 1000000L)
+    assert(rates("big") === 833332L)
+    // keep decision is the Knuth predicate, bit-for-bit
+    val keptBig = half.filter(col("lang") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    val wantBig = (1L to 90L)
+      .filter(i => (i * 2654435761L) % 1000000L < 833332L).toSet
+    assert(keptBig === wantBig)
+  }
+
   test("knLogProb: hand-computed Kneser-Ney values; mass stays sub-unit") {
     import graft.operators.TextAnalysis
     // corpus "a b a b a c": bigrams "a b"×2, "b a"×2, "a c"×1
