@@ -46,13 +46,14 @@ import org.json4s.jackson.JsonMethods
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
   *    `gopher_rules`, `gopher_repetition`, `exact_dedup`,
-  *    `minhash_dedup`, `semdedup`, `dsir_weight`): the LLM-corpus steps
-  *    as declarable stages — see [[transformFromJson]], the standalone
-  *    chain entry point; with the rules + repetition gates and
-  *    importance weighting declarable alongside the two near-dup tiers,
-  *    the FULL modern curation recipe (normalize → line dedup → quality
-  *    floor → Gopher rules → repetition gate → exact dedup → MinHash
-  *    near-dedup → semantic dedup → DSIR importance weighting) is a
+  *    `minhash_dedup`, `semdedup`, `dsir_weight`, `alpha_mixture`): the
+  *    LLM-corpus steps as declarable stages — see [[transformFromJson]],
+  *    the standalone chain entry point; with the rules + repetition
+  *    gates, importance weighting, and temperature resampling declarable
+  *    alongside the two near-dup tiers, the FULL modern curation recipe
+  *    (normalize → line dedup → quality floor → Gopher rules →
+  *    repetition gate → exact dedup → MinHash near-dedup → semantic
+  *    dedup → DSIR importance weighting → α-mixture rebalance) is a
   *    data file
   *
   * Field order inside `project`/`rename`/`keep` objects is preserved
@@ -270,6 +271,17 @@ object SpecLoader {
           graft.operators.TextAnalysis.gopherRepetition(df, c, id)
             .filter(col("pass") === 1L).select(col("id").as(id)),
           Seq(id), "left_semi")
+      case "alpha_mixture" =>
+        // temperature-based mixture resampling (Conneau & Lample 2019):
+        // keep rates derived from the observed stratum distribution
+        // flattened by p^alpha; the kept rows ride through with rate_ppm
+        // dropped (stage output schema == stage input schema)
+        val id = (v \ "id").extract[String]
+        val strata = (v \ "strata").extract[String]
+        val alpha = (v \ "alpha").extractOpt[Double].getOrElse(0.3)
+        df => graft.operators.TextAnalysis
+          .alphaMixture(df, col(strata), col(id), alpha)
+          .drop("rate_ppm")
       case "dsir_weight" =>
         // DSIR importance weighting (Xie et al. 2023): attach each doc's
         // hashed-bigram target/corpus rate-ratio score as a column

@@ -151,7 +151,9 @@ class SpecLoaderSpec extends AnyFunSuite {
     val wRow = weighted.agg(min(col("w")), max(col("w"))).head()
     val (minW, maxW) = (wRow.getLong(0), wRow.getLong(1))
     assert(minW < maxW, s"degenerate fixture: all w_avg == $minW")
-    val want = weighted.filter(col("w") >= maxW)
+    val floored = weighted.filter(col("w") >= maxW)
+    val want = TextAnalysis.alphaMixture(floored, col("source"),
+      col("doc_id"), alpha = 0.3).drop("rate_ppm")
     val chain = SpecLoader.transformFromJson(
       s"""{ "name": "rules_and_weights", "steps": [
          |  { "op": "gopher_rules", "text": "text", "id": "doc_id",
@@ -159,7 +161,9 @@ class SpecLoaderSpec extends AnyFunSuite {
          |  { "op": "gopher_repetition", "text": "text", "id": "doc_id" },
          |  { "op": "dsir_weight", "text": "text", "id": "doc_id",
          |    "target": "source = 'wiki'", "buckets": 256,
-         |    "as": "w", "min_w_avg": $maxW } ] }""".stripMargin)
+         |    "as": "w", "min_w_avg": $maxW },
+         |  { "op": "alpha_mixture", "id": "doc_id",
+         |    "strata": "source", "alpha": 0.3 } ] }""".stripMargin)
     val got = chain(docs)
     assert(got.schema === want.schema)
     val g = got.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
@@ -171,7 +175,8 @@ class SpecLoaderSpec extends AnyFunSuite {
     // but survivors remain
     assert(ruled.count() < docs.count())
     assert(gated.count() < ruled.count())
-    assert(want.count() > 0 && want.count() < gated.count())
+    assert(floored.count() < gated.count())
+    assert(want.count() > 0)
   }
 
   test("declarative near-dup stages equal the hand-composed pipeline") {
