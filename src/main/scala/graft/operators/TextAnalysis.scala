@@ -1295,35 +1295,72 @@ object TextAnalysis {
     * (max over products needs no tie-break; dup sums can exceed 1000 on
     * degenerate text by construction, as in the originals).
     *
-    * Scale shape: ONE explode produces every (n, gram) window for all
-    * nine n values off a single document scan (no per-n branch, no
-    * self-join), then two hash aggregates keyed on the doc id — count
-    * per (id, n, gram), fold per (id, n) — and a conditional-aggregate
-    * widening to one row per document (no pivot, no second scan; docs
-    * too short for a given n report 0). Returns (id, n_chars,
+    * Scale shape: one token posexplode + ONE window pass per document
+    * (a single id-keyed sort serves every n) — no window STRING is ever
+    * built and no per-window array is allocated: each token row carries
+    * its `xxhash64` and the running character offset in the canonical
+    * single-spaced text, the nine gram keys come from codegen'd
+    * multi-arg `xxhash64(h, lead(h, 1), …)` over shared `lead` columns,
+    * and the gram's character length is a difference of two offsets.
+    * Grams are therefore keyed by (64-bit hash, exact length): a
+    * spurious merge needs a hash collision AND identical length —
+    * harmless for a permille signal; the DuckDB twin groups by the
+    * actual gram string, so the oracle additionally pins
+    * fixture-collision-freeness. (Two rejected shapes: per-window
+    * concat_ws strings shuffled 9·n/2 × the corpus text — 22.5 s, the
+    * battery's worst; per-window slice+aggregate over token-hash arrays
+    * kept the allocation churn — 15.5 s warm. The lead-column form runs
+    * the whole gram build inside whole-stage codegen.)
+    * Then two hash aggregates keyed on the doc id — count per
+    * (id, n, ghash, glen), fold per (id, n) — and a conditional-
+    * aggregate widening to one row per document (no pivot; docs too
+    * short for a given n report 0). Returns (id, n_chars,
     * top2/top3/top4_permille, dup5..dup10_permille, pass ∈ {0,1}). */
   def gopherRepetition(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"),
         wsTokens(lower(col(textCol))).as("__w"))
       .select(col("id"),
         length(concat_ws(" ", col("__w"))).cast("long").as("n_chars"),
         col("__w"))
-    val grams = base
-      .select(col("id"), col("n_chars"), explode(expr(
-        "flatten(transform(sequence(2, 10), n -> " +
-          "CASE WHEN size(__w) < n THEN " +
-          "  array_repeat(named_struct('n', 0, 'gram', ''), 0) " +
-          "ELSE transform(sequence(1, size(__w) - n + 1), " +
-          "  i -> named_struct('n', n, " +
-          "    'gram', concat_ws(' ', slice(__w, i, n)))) END))"))
-        .as("g"))
+    val tok = base.select(col("id"), col("n_chars"),
+        posexplode(col("__w")).as(Seq("pos", "tok")))
+      .select(col("id"), col("n_chars"), col("pos"),
+        xxhash64(col("tok")).as("h"),
+        length(col("tok")).cast("long").as("l"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // end(j) = character offset one past token pos+j in the canonical
+    // text (tokens joined by single spaces): a running sum of (len + 1)
+    // shifted by lead — so glen for the n-gram at pos is
+    // end(n−1) − 1 − start, with start = end(−1) evaluated at pos
+    val endOff = sum(col("l") + 1L)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, 0))
+    val leadsH = (1 to 9).map(j => lead(col("h"), j).over(byDoc))
+    val leadsE = (1 to 9).map(j => lead(endOff, j).over(byDoc))
+    val withLeads = tok.select(
+      col("id") +: col("n_chars") +: col("h") +:
+        (endOff - col("l") - 1L).as("start") +:
+        (endOff - 1L).as("e0") +:
+        leadsH.zipWithIndex.map { case (c, j) => c.as(s"h${j + 1}") } ++:
+        leadsE.zipWithIndex.map { case (c, j) => c.as(s"e${j + 1}") }: _*)
+    val gramStructs = (2 to 10).map { n =>
+      val hs = col("h") +: (1 until n).map(j => col(s"h$j"))
+      struct(lit(n).as("n"),
+        xxhash64(hs: _*).as("ghash"),
+        (col(s"e${n - 1}") - 1L - col("start")).as("glen"))
+    }
+    val grams = withLeads
+      .select(col("id"), col("n_chars"),
+        explode(array(gramStructs: _*)).as("g"))
       .select(col("id"), col("n_chars"), col("g.n").as("n"),
-        col("g.gram").as("gram"))
-    val per = grams.groupBy(col("id"), col("n_chars"), col("n"), col("gram"))
+        col("g.ghash").as("ghash"), col("g.glen").as("glen"))
+      .filter(col("glen").isNotNull)
+    val per = grams.groupBy(col("id"), col("n_chars"), col("n"),
+        col("ghash"), col("glen"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("id"), col("n_chars"), col("n"),
-        (col("cnt") * length(col("gram")).cast("long")).as("cov"),
+        (col("cnt") * col("glen")).as("cov"),
         col("cnt"))
     val sig = per.groupBy(col("id"), col("n_chars"), col("n"))
       .agg(max(col("cov")).as("top"),
