@@ -134,6 +134,7 @@ object SparkEntry {
           sccDagMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           docDupMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           covisitMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
         }
       })
@@ -229,6 +230,24 @@ object SparkEntry {
         .filter(col("n_pair") >= 2)
         .localCheckpoint()
       (sess, pairs)
+    })
+  }
+
+  /** Shared DSIR featurization for the importance-weighting family
+    * (`dsir_weights`, `dsir_log`): the per-(doc, bucket) hashed-bigram
+    * occurrence aggregate ([[TextAnalysis.dsirFeaturize]], en target,
+    * 4096 buckets) is the expensive pass — one corpus tokenize + explode
+    * + native PolyHash31 walk — and both statistics read the SAME
+    * table. Memoized per (session, dir) like [[covisitSessions]]; the
+    * frame is already ckptLight-checkpointed by the featurizer. */
+  private val dsirOccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def dsirOcc(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    dsirOccMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      TextAnalysis.dsirFeaturize(t(sess, d, "documents"), "text",
+        "doc_id", col("lang") === "en", 4096)
     })
   }
 
@@ -2640,7 +2659,8 @@ object SparkEntry {
     // the final per-doc sum).
     "dsir_weights" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
-        targetPred = col("lang") === "en", buckets = 4096)
+        targetPred = col("lang") === "en", buckets = 4096,
+        occ = Some(dsirOcc(s, dir)))
         .withColumnRenamed("id", "doc_id")),
 
     // the production-scale (100 TB) DSIR path: the smoothed log-likelihood
@@ -2651,7 +2671,8 @@ object SparkEntry {
     // order-independent)
     "dsir_log" -> ((s, dir) =>
       TextAnalysis.dsirWeightsLogMicros(t(s, dir, "documents"), "text",
-        "doc_id", targetPred = col("lang") === "en", buckets = 4096)
+        "doc_id", targetPred = col("lang") === "en", buckets = 4096,
+        occ = Some(dsirOcc(s, dir)))
         .withColumnRenamed("id", "doc_id")),
 
     // representative selection per near-dup cluster — the "which member

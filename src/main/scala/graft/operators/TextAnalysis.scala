@@ -1096,10 +1096,12 @@ object TextAnalysis {
     * every ckptLight operator in the codebase.
     * Returns (id, n_bigrams, weight, w_avg). */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
-      targetPred: Column, buckets: Int = 4096): DataFrame = {
+      targetPred: Column, buckets: Int = 4096,
+      occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
-    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val occAgg = occ.getOrElse(
+      dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)
       .select(col("b"), expr(
         ("(1000L * (ct + 1L) * (ns + BKT)) DIV ((cs + 1L) * (nt + BKT))")
@@ -1115,9 +1117,12 @@ object TextAnalysis {
   /** Shared DSIR front end: tokenize → bigram explode → native bucket
     * hash → collapse to one row per (id, targetPred, bucket) with its
     * occurrence count `k`. Both [[dsirWeights]] consumers (and the
-    * log-space variant) read this SAME aggregate, so the exchange under
-    * it is planned once and reused. */
-  private def dsirOccAgg(df: DataFrame, textCol: String, idCol: String,
+    * log-space variants) read this SAME aggregate, so the exchange under
+    * it is planned once and reused — and callers scoring the SAME corpus
+    * with several statistics can build it once and pass it via the
+    * scorers' `occ` parameter (the SparkEntry dsir family memoizes it
+    * per (session, dir), the covisitSessions discipline). */
+  def dsirFeaturize(df: DataFrame, textCol: String, idCol: String,
       targetPred: Column, buckets: Int): DataFrame =
     Dedup.ckptLight(df.select(col(idCol).as("id"), targetPred.as("__t"),
         wsTokens(col(textCol)).as("__w"))
@@ -1168,10 +1173,12 @@ object TextAnalysis {
     * Returns (id, n_bigrams, llr) with `llr = Σ k·(log-ratio)` over the
     * document's occurrences — positive means target-like. */
   def dsirWeightsLog(df: DataFrame, textCol: String, idCol: String,
-      targetPred: Column, buckets: Int = 4096): DataFrame = {
+      targetPred: Column, buckets: Int = 4096,
+      occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
-    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val occAgg = occ.getOrElse(
+      dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)
       .select(col("b"), expr(
         ("(ln(ct + 1.0D) + ln(ns + BKT)) - (ln(cs + 1.0D) + ln(nt + BKT))")
@@ -1193,10 +1200,12 @@ object TextAnalysis {
     * (≤ ~1e6) × |s_micros| (≤ ~3e7 at 2^62 totals) ≪ 2^63 — no overflow
     * at any corpus scale. Returns (id, n_bigrams, llr_micros). */
   def dsirWeightsLogMicros(df: DataFrame, textCol: String, idCol: String,
-      targetPred: Column, buckets: Int = 4096): DataFrame = {
+      targetPred: Column, buckets: Int = 4096,
+      occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
-    val occAgg = dsirOccAgg(df, textCol, idCol, targetPred, buckets)
+    val occAgg = occ.getOrElse(
+      dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)
       .select(col("b"), expr(
         ("CAST(round(((ln(ct + 1.0D) + ln(ns + BKT)) - " +
