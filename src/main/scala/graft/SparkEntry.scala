@@ -2281,6 +2281,17 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5, rerank = 25)
     }),
 
+    // hybrid-retrieval rank fusion (Cormack et al. 2009 RRF): the exact
+    // rounded-cosine ranking fused with the SQ8 code-distance ranking by
+    // Σ 10⁶ DIV (60 + rank) — the compressed-vs-exact disagreement
+    // diagnostic ([[Similarity.rrfFusion]]).
+    "rank_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.rrfFusion(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5, kRrf = 60)
+    }),
+
     // vector compression layer: product-quantization codes — 4 subspaces
     // × 8-centroid codebooks (subvectors of the 8 lowest-id vectors, the
     // IVF deterministic-seed discipline), squared-L2 argmin in integer
@@ -8573,38 +8584,7 @@ object SparkEntry {
     // valued throughout — Σ(qc−cc)² < 2^53 is exact on both sides),
     // symmetric code-distance shortlist, exact-cosine rerank
     "ann_sq8" ->
-      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        |   FROM embeddings),
-        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
-        |   FROM base WHERE id >= 10),
-        |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
-        |   FROM base WHERE id < 10),
-        |corpn AS (SELECT nid, list_transform(nv, x -> x / sqrt(nn2)) AS uv
-        |   FROM corp),
-        |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS uv
-        |   FROM q),
-        |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
-        |    SELECT unnest(uv) AS x,
-        |      unnest(range(1, len(uv) + 1)) AS d FROM corpn)
-        |  GROUP BY d),
-        |sta AS (SELECT list(mn ORDER BY d) AS mns,
-        |    list(mx ORDER BY d) AS mxs FROM st),
-        |ce AS (SELECT nid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
-        |      least(255.0, greatest(0.0,
-        |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
-        |      END for i in range(1, 65)] AS cc
-        |  FROM corpn CROSS JOIN sta),
-        |ce2 AS (SELECT nid, cc, list_dot_product(cc, cc) AS cn2 FROM ce),
-        |qe AS (SELECT qid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
-        |      least(255.0, greatest(0.0,
-        |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
-        |      END for i in range(1, 65)] AS qc
-        |  FROM qn CROSS JOIN sta),
-        |qe2 AS (SELECT qid, qc, list_dot_product(qc, qc) AS qcn2 FROM qe),
-        |cand AS (SELECT qid, nid,
-        |    CAST(cn2 + qcn2 - 2 * list_dot_product(cc, qc) AS BIGINT)
-        |      AS d2
-        |  FROM ce2, qe2 WHERE qid <> nid),
+      s"""$sq8CandSql,
         |short AS (SELECT qid, nid FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
         |    ORDER BY d2 ASC, nid ASC) AS rn FROM cand) u
@@ -8617,6 +8597,31 @@ object SparkEntry {
         |SELECT qid, nid, cos_permille FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
+        |WHERE rn <= 5""".stripMargin,
+
+    // RRF fusion replay: the shared SQ8 candidate chain plus the exact
+    // rounded-cosine cross; dense per-query ranks with total tie orders,
+    // fused in integer micros — exact end to end
+    "rank_fusion" ->
+      s"""$sq8CandSql,
+        |ex AS (SELECT q.qid, c.nid,
+        |    CAST(round(list_dot_product(q.qv, c.nv) /
+        |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
+        |      AS cos_permille
+        |  FROM corp c, q WHERE q.qid <> c.nid),
+        |ra AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS BIGINT) AS rank_cos
+        |  FROM ex),
+        |rb AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2 ASC, nid ASC) AS BIGINT) AS rank_sq8
+        |  FROM cand),
+        |fused AS (SELECT qid, nid, rank_cos, rank_sq8,
+        |    CAST((1000000 // (60 + rank_cos))
+        |      + (1000000 // (60 + rank_sq8)) AS BIGINT) AS rrf_micros
+        |  FROM ra JOIN rb USING (qid, nid))
+        |SELECT qid, nid, rank_cos, rank_sq8, rrf_micros FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf_micros DESC, nid ASC) AS rn FROM fused) u
         |WHERE rn <= 5""".stripMargin,
 
     "pq_codes" ->
@@ -9885,6 +9890,44 @@ object SparkEntry {
     * argmax of ROUNDED permille cosine with lowest-cid tie-break (the same
     * quantized value the engine aggregates on), query probes = top-4 cells
     * by the same order, then in-cell scoring and per-query top-5. */
+  /** Shared CTE chain of the `ann_sq8` / `rank_fusion` oracles: corpus
+    * and query frames with norms, unit vectors, per-dim min/max stats as
+    * ordered lists, floor/clamp 8-bit codes, and the full (qid, nid, d2)
+    * symmetric-code-distance cross — one definition, two read-outs. */
+  private def sq8CandSql: String =
+    """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+      |   FROM base WHERE id >= 10),
+      |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+      |   FROM base WHERE id < 10),
+      |corpn AS (SELECT nid, list_transform(nv, x -> x / sqrt(nn2)) AS uv
+      |   FROM corp),
+      |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS uv
+      |   FROM q),
+      |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+      |    SELECT unnest(uv) AS x,
+      |      unnest(range(1, len(uv) + 1)) AS d FROM corpn)
+      |  GROUP BY d),
+      |sta AS (SELECT list(mn ORDER BY d) AS mns,
+      |    list(mx ORDER BY d) AS mxs FROM st),
+      |ce AS (SELECT nid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+      |      least(255.0, greatest(0.0,
+      |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
+      |      END for i in range(1, 65)] AS cc
+      |  FROM corpn CROSS JOIN sta),
+      |ce2 AS (SELECT nid, cc, list_dot_product(cc, cc) AS cn2 FROM ce),
+      |qe AS (SELECT qid, [CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+      |      least(255.0, greatest(0.0,
+      |        floor((uv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))))
+      |      END for i in range(1, 65)] AS qc
+      |  FROM qn CROSS JOIN sta),
+      |qe2 AS (SELECT qid, qc, list_dot_product(qc, qc) AS qcn2 FROM qe),
+      |cand AS (SELECT qid, nid,
+      |    CAST(cn2 + qcn2 - 2 * list_dot_product(cc, qc) AS BIGINT)
+      |      AS d2
+      |  FROM ce2, qe2 WHERE qid <> nid)""".stripMargin
+
   private def annIvfSql: String =
     """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),

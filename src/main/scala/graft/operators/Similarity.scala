@@ -339,6 +339,26 @@ object Similarity {
       dim: Int = 64, rerank: Int = 25): DataFrame = {
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val qN2 = withN2(queries, "qid", "qv", "qn2")
+    val cand = sq8Candidates(qN2, corpusN2, dim)
+    val short = Transforms.topKPerGroup(cand, Seq(col("qid")),
+      Seq(col("d2").asc, col("nid").asc), rerank)
+    // exact cosine only on the shortlist — the IVFADC+R rerank shape
+    val scored = short.select(col("qid"), col("nid"))
+      .join(corpusN2, Seq("nid"))
+      .join(broadcast(qN2), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
+    Transforms.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos_permille").desc, col("nid").asc), k)
+  }
+
+  /** [[annTopKSq8]]'s candidate scoring, factored so [[rrfFusion]] can
+    * reuse the quantized tier: inputs are withN2-shaped (qid, qv, qn2) /
+    * (nid, nv, nn2) frames; output is every (qid, nid, d2) pair with the
+    * symmetric integer code distance. */
+  private def sq8Candidates(qN2: DataFrame, corpusN2: DataFrame,
+      dim: Int): DataFrame = {
     def unit(vC: String, n2C: String): Column =
       transform(col(vC), x => x / sqrt(col(n2C)))
     val cu = corpusN2.select(col("nid"), unit("nv", "nn2").as("uv"))
@@ -366,21 +386,50 @@ object Similarity {
     val qc = broadcast(qu.crossJoin(stats)
       .select(col("qid"), codeExpr.as("qc"))
       .withColumn("qcn2", dot(col("qc"), col("qc"))))
-    val cand = cc.join(qc, col("qid") =!= col("nid"))
+    cc.join(qc, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (col("cn2") + col("qcn2") - lit(2.0) * dot(col("cc"), col("qc")))
           .cast("long").as("d2"))
-    val short = Transforms.topKPerGroup(cand, Seq(col("qid")),
-      Seq(col("d2").asc, col("nid").asc), rerank)
-    // exact cosine only on the shortlist — the IVFADC+R rerank shape
-    val scored = short.select(col("qid"), col("nid"))
-      .join(corpusN2, Seq("nid"))
-      .join(broadcast(qN2), Seq("qid"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009 — the
+    * hybrid-retrieval combiner every lexical+dense search stack ships):
+    * fuse two retrieval tiers over the same query/corpus cross — the
+    * exact rounded-cosine ranking and [[annTopKSq8]]'s symmetric 8-bit
+    * code distance — by
+    *   rrf = Σ_tiers 10⁶ DIV (kRrf + rank_tier)
+    * (integer micros; rank = dense per-query row_number with the
+    * family's total tie orders, so the fused score is deterministic and
+    * the DuckDB twin exact). Returns the top-k per query by
+    * (rrf_micros desc, nid asc) with both tier ranks attached — the
+    * disagreement diagnostic between the compressed and exact tiers.
+    *
+    * Scale: both tiers ride ONE broadcast of the bounded query side
+    * (the documented evaluation-tier exception); the per-tier rank
+    * windows partition by qid — |q|·|corpus| rows ranked, nothing
+    * pairwise beyond the eval cross. */
+  def rrfFusion(queries: DataFrame, corpus: DataFrame, k: Int,
+      kRrf: Int = 60, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val qN2 = withN2(queries, "qid", "qv", "qn2")
+    val exact = corpusN2.join(broadcast(qN2), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
           .as("cos_permille"))
-    Transforms.topKPerGroup(scored, Seq(col("qid")),
-      Seq(col("cos_permille").desc, col("nid").asc), k)
+      .withColumn("rank_cos", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos_permille").desc, col("nid").asc)))
+    val quant = sq8Candidates(qN2, corpusN2, dim)
+      .withColumn("rank_sq8", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2").asc, col("nid").asc)))
+    val fused = exact.join(quant, Seq("qid", "nid"))
+      .select(col("qid"), col("nid"),
+        col("rank_cos").cast("long").as("rank_cos"),
+        col("rank_sq8").cast("long").as("rank_sq8"),
+        (expr(s"1000000 DIV ($kRrf + rank_cos)") +
+          expr(s"1000000 DIV ($kRrf + rank_sq8)")).as("rrf_micros"))
+    Transforms.topKPerGroup(fused, Seq(col("qid")),
+      Seq(col("rrf_micros").desc, col("nid").asc), k)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket

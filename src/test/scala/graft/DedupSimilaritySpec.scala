@@ -325,6 +325,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("rrfFusion: agreeing tiers reproduce the exact order; micros formula") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val fused = Similarity.rrfFusion(q, c, 5, kRrf = 60)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(fused.length === 25, "full top-5 for each of 5 queries")
+    // the formula is pinned: rrf = 10⁶ DIV (60+ra) + 10⁶ DIV (60+rb)
+    fused.foreach { case (_, _, ra, rb, rrf) =>
+      assert(rrf === 1000000L / (60 + ra) + 1000000L / (60 + rb))
+    }
+    // both tier ranks are attached and positive; fused top-5 recalls
+    // most of the exact top-5 (the SQ8 tier is a tight cosine proxy)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ids = fused.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(ids.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // a pair ranked #1 by BOTH tiers must be fused #1 for its query
+    fused.groupBy(_._1).foreach { case (_, rows) =>
+      rows.find(r => r._3 == 1L && r._4 == 1L).foreach { both =>
+        assert(rows.maxBy(_._5)._5 === both._5)
+      }
+    }
+  }
+
   test("IVF with trained centroids: valid top-k, recall not worse than sampled") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
