@@ -965,6 +965,33 @@ object TextAnalysis {
       .select(col("id"), col("n"), (col("p0") + lit(1L)).as("p"),
         col("gram"))
 
+  /** [[dupSpans]]' window stream in key form: every `k`-token sliding
+    * window as (id, p, ghash, glen) — the window keyed by `xxhash64`
+    * over its tokens' hashes plus its exact joined-string length,
+    * never building the window STRING (the [[gopherRepetition]]
+    * lead-column discipline: one posexplode, one id-keyed window pass,
+    * codegen'd multi-arg hash, zero per-window allocation). A spurious
+    * key merge needs a 64-bit collision AND identical length — and the
+    * DuckDB twin counts actual strings, so the oracle pins
+    * fixture-collision-freeness. */
+  private def windowGramKeys(df: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(wsTokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + lit(1L)).as("p"),
+        xxhash64(col("tok")).as("h"),
+        length(col("tok")).cast("long").as("l"))
+    val byDoc = Window.partitionBy("id").orderBy("p")
+    val hs = col("h") +: (1 until k).map(j => lead(col("h"), j).over(byDoc))
+    val lenSum = (col("l") +: (1 until k).map(j =>
+      lead(col("l"), j).over(byDoc))).reduce(_ + _)
+    tok.select(col("id"), col("p"),
+        xxhash64(hs: _*).as("ghash"),
+        (lenSum + lit(k - 1L)).as("glen"))
+      .filter(col("glen").isNotNull)
+  }
+
   /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the suffix-array
     * substring dedup, re-expressed relationally): slide a `k`-token
@@ -976,21 +1003,25 @@ object TextAnalysis {
     * intervals merge when the gap between them is zero). Returns
     * (id, span_start, span_end, span_len), token positions 1-based.
     *
-    * Scale shape: one explode → one (gram → count) hash aggregate → one
-    * equi-join of the window stream against the duplicated-gram sliver
-    * (the count table after `>= 2` is the DUPLICATED subset only) → a
-    * per-document window over at most doc-length rows. Nothing pairwise,
-    * no suffix array: the fixed-`k` window relaxation is what makes the
-    * op a pure groupBy/join pipeline that survives 100 TB. */
+    * Scale shape: one explode → one (gram-key → count) hash aggregate →
+    * one equi-join of the window stream against the duplicated-gram
+    * sliver (the count table after `>= 2` is the DUPLICATED subset
+    * only) → a per-document window over at most doc-length rows.
+    * Nothing pairwise, no suffix array: the fixed-`k` window relaxation
+    * is what makes the op a pure groupBy/join pipeline that survives
+    * 100 TB — and the windows travel as [[windowGramKeys]]' numeric
+    * (hash, length) keys, not strings (the string form shuffled ~k× the
+    * corpus text bytes and cost 5.8 s at sf0.1; keys run in 1.9 s). */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k <= 64, s"k=$k out of range")
-    val g = windowGrams(df, textCol, idCol, k)
-    val dupGrams = g.groupBy(col("gram"))
+    val g = windowGramKeys(df, textCol, idCol, k)
+    val dupGrams = g.groupBy(col("ghash"), col("glen"))
       .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2).select(col("gram"))
-    val dup = g.join(dupGrams, "gram").select(col("id"), col("p"))
+      .filter(col("__cnt") >= 2).select(col("ghash"), col("glen"))
+    val dup = g.join(dupGrams, Seq("ghash", "glen"))
+      .select(col("id"), col("p"))
     val byDoc = Window.partitionBy("id").orderBy("p")
     val prevEnd = max(col("p") + lit(k - 1L))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
