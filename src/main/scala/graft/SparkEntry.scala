@@ -2339,6 +2339,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // winnowing fingerprints (Schleimer et al. 2003, MOSS): per-doc
+    // sparse (pos, hash) selection — rightmost window minima over char
+    // 8-gram hashes, density ~2/(w+1), any shared substring ≥ k+w−1
+    // chars guaranteed a shared fingerprint
+    // ([[TextAnalysis.winnowFingerprints]], scan-fused, no shuffle).
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text",
+        "doc_id", k = 8, w = 4)
+        .withColumnRenamed("id", "doc_id")),
+
     // compression-ratio quality signal (Gopher-style): deflate size over
     // raw UTF-8 size in permille — low = boilerplate/repetition, ~1000 =
     // high-entropy junk. Native codegen'd expression, pure projection
@@ -4927,6 +4937,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "doc_fingerprint" -> XxhOracleSql.docFingerprintSql,
+
+    "winnow_fingerprints" -> XxhOracleSql.winnowFingerprintsSql,
     "dedup_simhash" -> XxhOracleSql.dedupSimhashSql,
     "simhash_pairs" -> XxhOracleSql.simhashPairsSql(maxDist = 4),
     "dedup_minhash" -> XxhOracleSql.dedupMinhashSql,

@@ -237,6 +237,40 @@ object XxhOracleSql {
       "GROUP BY 1"
   }
 
+  /** Winnowing replay ([[graft.operators.TextAnalysis.winnowFingerprints]]
+    * twin, k=8 w=4): the [[docFingerprintSql]] gram/hash chain kept
+    * per-position, then each length-4 hash window picks its minimum with
+    * the rightmost tie-break (ORDER BY h ASC, i DESC — the paper's
+    * rule), distinct selections out. Short docs degenerate exactly as
+    * the engine: < k chars → one short gram; < w grams → one whole-doc
+    * window. */
+  def winnowFingerprintsSql: String = {
+    val head = Seq(
+      """grams AS MATERIALIZED (
+        |  SELECT doc_id, i, substr(text, i, 8) AS g FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        |    FROM documents) t)""".stripMargin,
+      "dg AS MATERIALIZED (SELECT DISTINCT g FROM grams)")
+    val (hCtes, hFin) = emitXxh64("f", "dg", Seq.empty, "g", 42L, "hu")
+    val ctes = head ++ hCtes ++ Seq(
+      s"gh AS MATERIALIZED (SELECT g, ${signed("hu")} AS h FROM $hFin)",
+      """ph AS MATERIALIZED (
+        |  SELECT gr.doc_id, gr.i, gh.h FROM grams gr JOIN gh USING (g))""".stripMargin,
+      """wins AS (SELECT doc_id,
+        |    unnest(range(1, greatest(m - 3, 1) + 1)) AS j, m
+        |  FROM (SELECT doc_id, MAX(i) AS m FROM ph GROUP BY 1) t)""".stripMargin,
+      """sel AS (SELECT doc_id, i, h FROM (
+        |  SELECT w.doc_id, p.i, p.h, row_number() OVER (
+        |      PARTITION BY w.doc_id, w.j ORDER BY p.h ASC, p.i DESC)
+        |      AS rn
+        |    FROM wins w JOIN ph p ON p.doc_id = w.doc_id
+        |      AND p.i >= w.j AND p.i <= least(w.j + 3, w.m)) u
+        |  WHERE rn = 1)""".stripMargin)
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp FROM sel"
+  }
+
   def dedupMinhashSql: String = {
     val head = Seq(
       """tokp AS MATERIALIZED (SELECT doc_id, w, pos FROM (

@@ -2177,6 +2177,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getLong(6) === 0L)
   }
 
+  test("winnowFingerprints: shared-substring guarantee and density bound") {
+    import graft.operators.TextAnalysis
+    val shared = "zqxjkvbnmwpfl"  // 13 chars >= k + w - 1 = 11
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc " + shared + " dddd eeee"),
+      (2L, "totally different prefix text " + shared),
+      (3L, "no overlap with anyone here at all errr")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "text", "doc_id",
+        k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // Schleimer et al. §2: any shared substring of length >= k+w-1
+    // guarantees at least one shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // positions are valid gram starts and selections are per-doc distinct
+    got.foreach { case (_, pos, _) => assert(pos >= 1L) }
+    assert(got.length === got.distinct.length)
+    // density: expected ~2/(w+1) = 0.4 of gram positions; generous band
+    val grams3 = "no overlap with anyone here at all errr".length - 7
+    val d3 = byDoc(3L).size.toDouble / grams3
+    assert(d3 > 0.15 && d3 < 0.7, s"density=$d3")
+  }
+
   test("alphaMixture: α=1 keeps everything; α<1 favors the scarce stratum") {
     import graft.operators.TextAnalysis
     val docs = ((1L to 90L).map(i => (i, "big")) ++
