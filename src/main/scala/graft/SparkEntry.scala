@@ -2349,6 +2349,29 @@ object SparkEntry {
         "doc_id", k = 8, w = 4)
         .withColumnRenamed("id", "doc_id")),
 
+    // the MOSS use-case on top of the fingerprints: candidate near-dup
+    // pairs = docs sharing ≥ 40 distinct winnow fingerprints AFTER
+    // dropping boilerplate fingerprints seen in > 100 documents (the
+    // paper's "ignore extremely common fingerprints" scalability rule —
+    // it is what keeps the inverted-index self-join's buckets bounded;
+    // without it the fixture's shared word soup put 40% of all pairs
+    // over any low threshold). Distinct fps per doc first, so positional
+    // repeats don't inflate overlaps; nothing pairwise outside
+    // shared-fingerprint buckets.
+    "winnow_pairs" -> ((s, dir) => {
+      val fp = TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+          "text", "doc_id", k = 8, w = 4)
+        .select(col("id"), col("fp")).distinct()
+      val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= 100).select(col("fp"))
+      val kept = fp.join(rare, Seq("fp"), "left_semi")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 40)
+    }),
+
     // compression-ratio quality signal (Gopher-style): deflate size over
     // raw UTF-8 size in permille — low = boilerplate/repetition, ~1000 =
     // high-entropy junk. Native codegen'd expression, pure projection
@@ -4939,6 +4962,8 @@ object SparkEntry {
     "doc_fingerprint" -> XxhOracleSql.docFingerprintSql,
 
     "winnow_fingerprints" -> XxhOracleSql.winnowFingerprintsSql,
+
+    "winnow_pairs" -> XxhOracleSql.winnowPairsSql,
     "dedup_simhash" -> XxhOracleSql.dedupSimhashSql,
     "simhash_pairs" -> XxhOracleSql.simhashPairsSql(maxDist = 4),
     "dedup_minhash" -> XxhOracleSql.dedupMinhashSql,

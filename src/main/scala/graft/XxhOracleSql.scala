@@ -271,6 +271,24 @@ object XxhOracleSql {
       "\nSELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp FROM sel"
   }
 
+  /** `winnow_pairs` twin: the [[winnowFingerprintsSql]] chain with its
+    * final read-out swapped for a distinct-(doc, fp) inverted-index
+    * self-join — common fingerprints (df > 100) dropped first, overlap
+    * threshold 40 (both mirroring the engine's literals). */
+  def winnowPairsSql: String = {
+    val base = winnowFingerprintsSql
+    val withPart = base.substring(0, base.indexOf("\nSELECT"))
+    withPart +
+      ",\nfps AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel)" +
+      """,
+        |rare AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 100),
+        |kept AS (SELECT doc_id, h FROM fps JOIN rare USING (h))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 40""".stripMargin
+  }
+
   def dedupMinhashSql: String = {
     val head = Seq(
       """tokp AS MATERIALIZED (SELECT doc_id, w, pos FROM (
