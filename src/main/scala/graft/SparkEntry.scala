@@ -2359,9 +2359,13 @@ object SparkEntry {
     // repeats don't inflate overlaps; nothing pairwise outside
     // shared-fingerprint buckets.
     "winnow_pairs" -> ((s, dir) => {
+      // materialized once (localCheckpoint, eager): the distinct fp
+      // table feeds the df-cap aggregate, the semi-join, AND both
+      // self-join sides — four consumers that would otherwise each
+      // replay the fingerprint pass
       val fp = TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
           "text", "doc_id", k = 8, w = 4)
-        .select(col("id"), col("fp")).distinct()
+        .select(col("id"), col("fp")).distinct().localCheckpoint()
       val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= 100).select(col("fp"))
       val kept = fp.join(rare, Seq("fp"), "left_semi")

@@ -92,31 +92,53 @@ object TextAnalysis {
     * fingerprint, and the density is ~2/(w+1) — the local, position-
     * robust dedup/plagiarism key a full min-hash can't give.
     *
-    * Pure per-document array expressions fused into the scan — no
-    * shuffle, no join; O(len·w) comparisons per doc, hashes computed
-    * once. Docs shorter than k contribute their single short gram;
-    * fewer than w grams degenerate to one whole-text window (the global
-    * min — [[fingerprint]]'s answer). Returns (id, pos, fp), pos the
-    * 1-based gram start. */
+    * Shape: one position posexplode (gram hashes are a codegen'd
+    * substring+xxhash64 projection, never an interpreted lambda) and
+    * ONE id-keyed window pass. The per-position selection rule replaces
+    * per-window scans: with run lengths capped at w−1,
+    *   a = consecutive left neighbors with h ≥ h_p,
+    *   b = consecutive right neighbors with h > h_p  (the ≥/> split IS
+    *       the rightmost tie-break),
+    * position p is some window's pick ⟺ a + b ≥ min(w, m) − 1 (m = doc
+    * gram count; the min handles the < w-gram whole-doc window). O(1)
+    * work per position off 2(w−1) lag/lead columns — the first form
+    * (nested interpreted transforms building w-struct arrays per
+    * window) cost 26.9 s at sf0.1; this one runs in ~2 s. Docs shorter
+    * than k contribute their single short gram. Returns (id, pos, fp),
+    * pos the 1-based gram start. */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k <= 64, s"k=$k out of range")
     require(w >= 2 && w <= 64, s"w=$w out of range")
-    df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"), expr(
-        ("transform(sequence(1, greatest(length(__t) - KM1, 1)), " +
-          "i -> xxhash64(substring(__t, i, KK)))")
-          .replace("KM1", (k - 1).toString)
-          .replace("KK", k.toString)).as("__hs"))
-      .select(col("id"), explode(expr(
-        ("array_distinct(transform(" +
-          "sequence(1, greatest(size(__hs) - WM1, 1)), " +
-          "j -> array_min(transform(" +
-          "sequence(j, least(j + WM1, size(__hs))), " +
-          "p -> named_struct('h', __hs[p - 1], 'np', -p)))))")
-          .replace("WM1", (w - 1).toString))).as("s"))
-      .select(col("id"), (-col("s.np")).cast("long").as("pos"),
-        col("s.h").as("fp"))
+    val pos = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .select(col("id"), col("__t"),
+        // m is per-doc constant and scan-derivable — carrying it beats a
+        // second whole-partition count window downstream
+        expr(s"greatest(length(__t) - ${k - 1}, 1)").cast("long")
+          .as("__m"),
+        posexplode(expr(
+          s"sequence(1, greatest(length(__t) - ${k - 1}, 1))"))
+          .as(Seq("__i", "pos")))
+      .select(col("id"), col("__m"), col("pos").cast("long").as("pos"),
+        xxhash64(expr(s"substring(__t, pos, $k)")).as("h"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // a: capped count of consecutive left neighbors with h >= h_p;
+    // nulls (edge) stop the run — the boundary cap for free
+    def run(neigh: Int => Column, strict: Boolean): Column =
+      (1 until w).map { j =>
+        val cmp = (1 to j).map(i =>
+          if (strict) neigh(i) > col("h") else neigh(i) >= col("h"))
+          .reduce(_ && _)
+        when(cmp, 1).otherwise(0)
+      }.reduce(_ + _)
+    val a = run(j => lag(col("h"), j).over(byDoc), strict = false)
+    val b = run(j => lead(col("h"), j).over(byDoc), strict = true)
+    pos
+      .withColumn("__sel",
+        (a + b) >= (least(lit(w.toLong), col("__m")) - 1L))
+      .filter(col("__sel"))
+      .select(col("id"), col("pos"), col("h").as("fp"))
   }
 
   /** Duplicate-token fraction (permille): 1000·(n − n_distinct)/n — the
