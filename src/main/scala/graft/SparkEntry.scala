@@ -251,6 +251,25 @@ object SparkEntry {
     })
   }
 
+  /** Shared chunk table of the `cdc_chunks` / `cdc_dedup` pair: mixed
+    * shared/unique 512-byte payload segments synthesized from the mm
+    * byte formula, chunked by [[Multimodal.cdcChunks]]. */
+  private def cdcChunkTable(s: SparkSession, dir: String): DataFrame = {
+    val assets = Transforms.rebalanceIfNarrow(
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      col("doc_id"))
+      .select(col("doc_id").cast("long").as("asset_id"),
+        (lit(2048L) + length(encode(col("text"), "UTF-8")) % 2048L)
+          .as("__n"))
+      .select(col("asset_id"), expr(
+        "transform(sequence(0L, __n - 1), k -> " +
+          "CASE WHEN (k DIV 512) % 2 = 0 THEN (k * 2654435761L) % 256 " +
+          "ELSE (asset_id * 31 + k * 2654435761L) % 256 END)")
+        .as("bytes"))
+    Multimodal.cdcChunks(assets, "asset_id", "bytes")
+      .withColumnRenamed("id", "asset_id")
+  }
+
   /** Flagship: the engine's novel operator — classified snapshot diff
     * (incremental sync delta) on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -3581,6 +3600,29 @@ object SparkEntry {
     // bytes, 64 cell-center pixels sampled, integer luma + mean-threshold
     // bits ([[Multimodal.imageAHash]]); the oracle regenerates everything
     // from the pixel generator's closed form.
+    // content-defined chunking over synthesized binary payloads
+    // (Muthitacharoen et al. 2001 / FastCDC gear window): payloads
+    // alternate 512-byte SHARED and asset-specific segments, so chunk
+    // signatures genuinely deduplicate across assets
+    // ([[Multimodal.cdcChunks]] — one byte explode, one window pass).
+    "cdc_chunks" -> ((s, dir) => cdcChunkTable(s, dir)),
+
+    // the dedup pay-off of cdc_chunks: corpus-level chunk-store stats —
+    // distinct (signature, length) chunks vs total, and the bytes a
+    // content-addressed store saves (Σ (copies − 1)·len).
+    "cdc_dedup" -> ((s, dir) => {
+      cdcChunkTable(s, dir).groupBy(col("chunk_sig"), col("len"))
+        .agg(count(lit(1)).as("__cnt"))
+        .agg(sum(col("__cnt")).as("n_chunks"),
+          count(lit(1)).as("n_unique"),
+          sum(col("__cnt") * col("len")).as("bytes_total"),
+          sum((col("__cnt") - 1L) * col("len")).as("bytes_saved"))
+        .select(col("n_chunks"), col("n_unique"),
+          expr("(1000 * (n_chunks - n_unique)) DIV n_chunks")
+            .as("dup_permille"),
+          col("bytes_total"), col("bytes_saved"))
+    }),
+
     "mm_ahash" -> ((s, dir) => {
       val len = length(encode(col("text"), "UTF-8"))
       // pixel synthesis is the expensive per-row stage: rebalance the
@@ -6236,6 +6278,23 @@ object SparkEntry {
         |WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01'
         |  AND o_orderstatus = 'F')
         |GROUP BY 1""".stripMargin,
+
+    // CDC replay: the byte formula, gear, 8-lag rolling hash, boundary
+    // cumsum, and chunk-relative positional signature are pure integer
+    // window/aggregate algebra on both sides — null leading lags void
+    // the first window-1 boundary tests identically
+    "cdc_chunks" -> cdcChunksSqlBody,
+
+    "cdc_dedup" ->
+      s"""WITH chunks AS ($cdcChunksSqlBody)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST((1000 * (SUM(cnt) - COUNT(*))) // SUM(cnt) AS BIGINT)
+        |    AS dup_permille,
+        |  CAST(SUM(cnt * len) AS BIGINT) AS bytes_total,
+        |  CAST(SUM((cnt - 1) * len) AS BIGINT) AS bytes_saved
+        |FROM (SELECT chunk_sig, len, COUNT(*) AS cnt
+        |  FROM chunks GROUP BY 1, 2) u""".stripMargin,
 
     "mm_ahash" ->
       """WITH a AS (SELECT doc_id AS asset_id,
@@ -9931,6 +9990,44 @@ object SparkEntry {
     * argmax of ROUNDED permille cosine with lowest-cid tie-break (the same
     * quantized value the engine aggregates on), query probes = top-4 cells
     * by the same order, then in-cell scoring and per-query top-5. */
+  /** Shared body of the `cdc_chunks` / `cdc_dedup` oracles — the full
+    * chunking replay as one self-contained SELECT (nestable as a CTE). */
+  private def cdcChunksSqlBody: String =
+    """WITH a AS (SELECT doc_id AS id,
+      |    2048 + octet_length(encode(text)) % 2048 AS n
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |bts AS (SELECT id, k,
+      |    CASE WHEN (k // 512) % 2 = 0 THEN (k * 2654435761) % 256
+      |         ELSE (id * 31 + k * 2654435761) % 256 END AS b
+      |  FROM a, unnest(range(0, n)) AS t(k)),
+      |g AS (SELECT id, k, b,
+      |    ((b + 1) * 2654435761) % 4294967296 AS g
+      |  FROM bts),
+      |hh AS (SELECT id, k, b,
+      |    g + lag(g, 1) OVER w * 2 + lag(g, 2) OVER w * 4
+      |      + lag(g, 3) OVER w * 8 + lag(g, 4) OVER w * 16
+      |      + lag(g, 5) OVER w * 32 + lag(g, 6) OVER w * 64
+      |      + lag(g, 7) OVER w * 128 AS h
+      |  FROM g WINDOW w AS (PARTITION BY id ORDER BY k)),
+      |mk AS (SELECT id, k, b,
+      |    CASE WHEN k >= 7 AND h % 256 = 0 THEN 1 ELSE 0 END AS bnd
+      |  FROM hh),
+      |om AS (SELECT id, k, b, COALESCE(MAX(
+      |      CASE WHEN bnd = 1 THEN k + 1 END) OVER (
+      |      PARTITION BY id ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM mk),
+      |ch AS (SELECT id, off, COUNT(*) AS len,
+      |    SUM((b + 7) * (((k - off + 13) * (k - off + 13) * (k - off + 13))
+      |      % 1000000007)) % 1000000007 AS chunk_sig
+      |  FROM om GROUP BY 1, 2)
+      |SELECT id AS asset_id,
+      |  CAST(row_number() OVER (PARTITION BY id ORDER BY off) AS BIGINT)
+      |    AS chunk_idx,
+      |  CAST(off AS BIGINT) AS off, CAST(len AS BIGINT) AS len,
+      |  CAST(chunk_sig AS BIGINT) AS chunk_sig
+      |FROM ch""".stripMargin
+
   /** Shared CTE chain of the `ann_sq8` / `rank_fusion` oracles: corpus
     * and query frames with norms, unit vectors, per-dim min/max stats as
     * ordered lists, floor/clamp 8-bit codes, and the full (qid, nid, d2)

@@ -562,4 +562,69 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         i => (pmod(xxhash64(col("content"), i), lit(2000L)).cast("double")
           - lit(1000.0)) / lit(1000.0)).as("vec"))
+
+  /** Content-defined chunking (Muthitacharoen et al. 2001's LBFS
+    * scheme with a FastCDC-style gear window) — the binary-blob dedup
+    * primitive a dataset lake runs before storing image/audio/video
+    * payloads: a rolling hash over the last `window` bytes places a
+    * chunk boundary wherever its low `maskBits` bits are zero, so
+    * boundaries move WITH content (insert a byte and every later chunk
+    * re-aligns — the shift-resistance a fixed-grid chunker lacks,
+    * pinned in MultimodalSpec).
+    *
+    * Fixed-point algebra, exactly replayable: gear
+    * `g(b) = (b+1)·2654435761 mod 2³²`, rolling
+    * `h_k = Σ_{j<window} g(b_{k−j})·2^j` (a pure function of the last
+    * `window` bytes — shift-out for free), boundary after byte k iff
+    * `h_k mod 2^maskBits = 0`; each chunk's signature is the
+    * chunk-RELATIVE positional sum `Σ (b+7)·((rel+13)³ mod P) mod P`
+    * (P = 10⁹+7, commutative so the unordered aggregate is exact, and
+    * relative so equal content at different offsets — the dedup case —
+    * signs equal).
+    *
+    * Shape: one posexplode of the byte column → gear projection →
+    * ONE id-ordered window pass (window−1 lag columns for h, a lagged
+    * boundary cumsum for the chunk offset — the lead-column discipline
+    * of dup_spans/winnowing, no per-byte lambda anywhere) → one
+    * (id, off) hash aggregate. Expected chunk size 2^maskBits bytes;
+    * bytes shuffle once as (id, k, b) longs. Returns
+    * (id, chunk_idx, off, len, chunk_sig); `bytesCol` is array<long>
+    * of byte values, offsets 0-based. */
+  def cdcChunks(df: DataFrame, idCol: String, bytesCol: String,
+      window: Int = 8, maskBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && window <= 32, s"window=$window out of range")
+    require(maskBits >= 4 && maskBits <= 20, s"maskBits=$maskBits")
+    val P = 1000000007L
+    val mask = (1L << maskBits) - 1L
+    val b = df.select(col(idCol).as("id"),
+        posexplode(col(bytesCol)).as(Seq("k", "b")))
+      .select(col("id"), col("k").cast("long").as("k"), col("b"),
+        pmod((col("b") + 1L) * lit(2654435761L), lit(4294967296L))
+          .as("g"))
+    val byDoc = Window.partitionBy("id").orderBy("k")
+    val h = (0 until window).map { j =>
+      val gj = if (j == 0) col("g") else lag(col("g"), j).over(byDoc)
+      gj * lit(1L << j)
+    }.reduce(_ + _)
+    // boundary AFTER byte k; incomplete leading windows never cut
+    val bnd = when(col("k") >= (window - 1) &&
+      h.bitwiseAND(lit(mask)) === 0L, 1L).otherwise(0L)
+    val marked = b.withColumn("__bnd", bnd)
+      .withColumn("off", coalesce(
+        max(when(col("__bnd") === 1L, col("k") + 1L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val chunks = marked.groupBy(col("id"), col("off"))
+      .agg(count(lit(1)).as("len"),
+        (sum((col("b") + 7L) *
+          pmod((col("k") - col("off") + 13L) * (col("k") - col("off") + 13L)
+            * (col("k") - col("off") + 13L), lit(P))) % lit(P))
+          .as("chunk_sig"))
+    chunks.withColumn("chunk_idx",
+        row_number().over(Window.partitionBy("id").orderBy("off"))
+          .cast("long"))
+      .select(col("id"), col("chunk_idx"), col("off"), col("len"),
+        col("chunk_sig"))
+  }
 }

@@ -2177,6 +2177,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getLong(6) === 0L)
   }
 
+  test("cdcChunks: shift resistance — one inserted byte realigns, " +
+      "interior chunks keep their signatures") {
+    import graft.operators.Multimodal
+    // deterministic pseudo-random payload, long enough for ~8 chunks
+    // (splitmix-style high-bit take — a low-byte multiply cycles mod 256
+    // and starves the boundary test of distinct windows)
+    def byteAt(k: Long): Long =
+      (((k + 7L) * 0x9E3779B97F4A7C15L) >>> 33) % 256L
+    val orig = (0L until 2048L).map(byteAt)
+    val shifted = 77L +: orig  // one byte INSERTED at the front
+    val df = Seq((1L, orig), (2L, shifted)).toDF("aid", "bytes")
+    val chunks = Multimodal.cdcChunks(df, "aid", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val sig1 = chunks.filter(_._1 == 1L).map(c => (c._3, c._4)).toSet
+    val sig2 = chunks.filter(_._1 == 2L).map(c => (c._3, c._4)).toSet
+    assert(sig1.size >= 4, s"too few chunks: ${sig1.size}")
+    // the CDC property: boundaries are content-local, so after the first
+    // boundary the chunking REALIGNS — all but the first (len, sig)
+    // chunks survive the insertion (a fixed-grid chunker keeps none)
+    val shared = sig1 & sig2
+    assert(shared.size >= sig1.size - 1,
+      s"only ${shared.size}/${sig1.size} chunks survived the shift")
+    // chunks partition the payload exactly
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.head._2 === 0L && c1.map(_._3).sum === 2048L)
+    c1.sliding(2).foreach { case Array(x, y) =>
+      assert(y._2 === x._2 + x._3)
+    }
+  }
+
   test("winnowFingerprints: shared-substring guarantee and density bound") {
     import graft.operators.TextAnalysis
     val shared = "zqxjkvbnmwpfl"  // 13 chars >= k + w - 1 = 11
