@@ -255,18 +255,21 @@ object SparkEntry {
     * shared/unique 512-byte payload segments synthesized from the mm
     * byte formula, chunked by [[Multimodal.cdcChunks]]. */
   private def cdcChunkTable(s: SparkSession, dir: String): DataFrame = {
-    val assets = Transforms.rebalanceIfNarrow(
+    // bytes synthesized per ROW (codegen'd projection after a sequence
+    // explode) — the array-column form re-ran the interpreted transform
+    // 3× per doc through the Generate guard (see cdcChunkRows scaladoc)
+    val rows = Transforms.rebalanceIfNarrow(
       t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
       col("doc_id"))
-      .select(col("doc_id").cast("long").as("asset_id"),
+      .select(col("doc_id").cast("long").as("id"),
         (lit(2048L) + length(encode(col("text"), "UTF-8")) % 2048L)
           .as("__n"))
-      .select(col("asset_id"), expr(
-        "transform(sequence(0L, __n - 1), k -> " +
-          "CASE WHEN (k DIV 512) % 2 = 0 THEN (k * 2654435761L) % 256 " +
-          "ELSE (asset_id * 31 + k * 2654435761L) % 256 END)")
-        .as("bytes"))
-    Multimodal.cdcChunks(assets, "asset_id", "bytes")
+      .select(col("id"), posexplode(expr("sequence(0L, __n - 1)"))
+        .as(Seq("__i", "k")))
+      .select(col("id"), col("k"), expr(
+        "CASE WHEN (k DIV 512) % 2 = 0 THEN (k * 2654435761L) % 256 " +
+          "ELSE (id * 31 + k * 2654435761L) % 256 END").as("b"))
+    Multimodal.cdcChunkRows(rows)
       .withColumnRenamed("id", "asset_id")
   }
 

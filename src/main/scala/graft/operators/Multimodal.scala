@@ -591,17 +591,31 @@ object Multimodal {
     * (id, chunk_idx, off, len, chunk_sig); `bytesCol` is array<long>
     * of byte values, offsets 0-based. */
   def cdcChunks(df: DataFrame, idCol: String, bytesCol: String,
-      window: Int = 8, maskBits: Int = 8): DataFrame = {
+      window: Int = 8, maskBits: Int = 8): DataFrame =
+    cdcChunkRows(
+      df.select(col(idCol).as("id"),
+          posexplode(col(bytesCol)).as(Seq("k", "b")))
+        .select(col("id"), col("k").cast("long").as("k"), col("b")),
+      window, maskBits)
+
+  /** [[cdcChunks]] on pre-exploded byte ROWS (id, k, b) — the form to
+    * use when bytes are SYNTHESIZED from a formula: building an array
+    * column first makes the Generate's pushed-down size/null guard
+    * re-evaluate the whole interpreted `transform` lambda per input row
+    * (FilterExec does no subexpression elimination — the curate_docs
+    * lesson; measured 3× the 4096-element synthesis per doc, 14.5 s at
+    * sf0.1 vs 2.5 s for this row form, where the per-byte formula is a
+    * codegen'd projection after a sequence explode). */
+  def cdcChunkRows(rows: DataFrame, window: Int = 8,
+      maskBits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2 && window <= 32, s"window=$window out of range")
     require(maskBits >= 4 && maskBits <= 20, s"maskBits=$maskBits")
     val P = 1000000007L
     val mask = (1L << maskBits) - 1L
-    val b = df.select(col(idCol).as("id"),
-        posexplode(col(bytesCol)).as(Seq("k", "b")))
-      .select(col("id"), col("k").cast("long").as("k"), col("b"),
-        pmod((col("b") + 1L) * lit(2654435761L), lit(4294967296L))
-          .as("g"))
+    val b = rows.select(col("id"), col("k"), col("b"),
+      pmod((col("b") + 1L) * lit(2654435761L), lit(4294967296L))
+        .as("g"))
     val byDoc = Window.partitionBy("id").orderBy("k")
     val h = (0 until window).map { j =>
       val gj = if (j == 0) col("g") else lag(col("g"), j).over(byDoc)
