@@ -533,4 +533,47 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(l => l.contains("FileScan") && l.contains("orders")).size
     assert(ordersScans <= 1, s"info_gain re-scans orders:\n$plan")
   }
+
+  test("cdc_chunks: per-row byte synthesis — no interpreted transform " +
+      "lambda anywhere in the plan") {
+    // the array-column form re-ran the 4096-element transform 3× per doc
+    // through the Generate guard (Filter + Project + the Generate itself)
+    // — 14.5 s vs 0.8 s warm; this pin keeps the row form
+    val plan = finalPlan(q("cdc_chunks"))
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted lambda crept back into cdc_chunks:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // one documents scan, 2 columns
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).size
+    assert(scans == 1, s"cdc_chunks scans documents $scans times:\n$plan")
+  }
+
+  test("winnow_fingerprints: gram hash is a codegen'd projection and " +
+      "selection is one window pass") {
+    val plan = finalPlan(q("winnow_fingerprints"))
+    // the first form built per-window struct arrays in nested interpreted
+    // transforms (26.9 s vs 3.9 s); selection must stay lag/lead columns
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted lambda crept back into winnow_fingerprints:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"winnow selection fragmented into $windows " +
+      s"window passes:\n$plan")
+  }
+
+  test("gopher_repetition / dup_spans: window n-grams travel as numeric " +
+      "keys, never strings") {
+    for (name <- Seq("gopher_repetition", "dup_spans")) {
+      val plan = finalPlan(q(name))
+      // the string forms shuffled k× the corpus text (22.5 s / 5.8 s);
+      // concat_ws in the plan means gram STRINGS are being built again
+      // (the one allowed concat_ws is gopher_repetition's per-doc
+      // n_chars, which takes the whole token array, not a slice)
+      val gramConcats = plan.linesIterator
+        .count(l => l.contains("concat_ws") && l.contains("slice"))
+      assert(gramConcats == 0,
+        s"$name rebuilds gram strings (concat_ws over slice):\n$plan")
+      assert(plan.contains("xxhash64"), s"$name lost its hash keys")
+    }
+  }
 }
