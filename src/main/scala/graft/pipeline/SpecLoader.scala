@@ -46,7 +46,8 @@ import org.json4s.jackson.JsonMethods
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
   *    `gopher_rules`, `gopher_repetition`, `exact_dedup`,
-  *    `minhash_dedup`, `semdedup`, `dsir_weight`, `alpha_mixture`): the
+  *    `minhash_dedup`, `winnow_dedup`, `semdedup`, `dsir_weight`,
+  *    `alpha_mixture`): the
   *    LLM-corpus steps as declarable stages — see [[transformFromJson]],
   *    the standalone chain entry point; with the rules + repetition
   *    gates, importance weighting, and temperature resampling declarable
@@ -225,6 +226,37 @@ object SpecLoader {
           val verified = graft.operators.Dedup
             .verifyCandidates(df, cands, c, id, n, thr)
           val pruned = graft.operators.Dedup.connectedComponents(verified)
+            .filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as(id))
+          df.join(pruned, Seq(id), "left_anti")
+        }
+      case "winnow_dedup" =>
+        // MOSS-style near-dedup tier (Schleimer et al. 2003): winnowing
+        // fingerprints propose pairs (common fingerprints df-capped —
+        // the paper's scalability rule and the bucket bound at 100 TB),
+        // overlap >= min_shared confirms, connected components cluster,
+        // min-id survives — the local/positional sibling of the
+        // minhash_dedup tier (catches contiguous shared PASSAGES that
+        // token-set MinHash dilutes away on long documents)
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val k = (v \ "k").extractOpt[Int].getOrElse(8)
+        val w = (v \ "window").extractOpt[Int].getOrElse(4)
+        val maxDf = (v \ "max_df").extractOpt[Int].getOrElse(100)
+        val minShared = (v \ "min_shared").extractOpt[Int].getOrElse(40)
+        df => {
+          val fp = graft.operators.TextAnalysis
+            .winnowFingerprints(df, c, id, k, w)
+            .select(col("id"), col("fp")).distinct().localCheckpoint()
+          val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDf).select(col("fp"))
+          val kept = fp.join(rare, Seq("fp"), "left_semi")
+          val pairs = kept.as("a").join(kept.as("b"),
+              col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+            .groupBy(col("a.id").as("a"), col("b.id").as("b"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") >= minShared)
+          val pruned = graft.operators.Dedup.connectedComponents(pairs)
             .filter(col("id") =!= col("cluster_id"))
             .select(col("id").as(id))
           df.join(pruned, Seq(id), "left_anti")

@@ -179,6 +179,42 @@ class SpecLoaderSpec extends AnyFunSuite {
     assert(want.count() > 0)
   }
 
+  test("declarative winnow_dedup equals the hand-composed MOSS tier") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fp = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+      .select(col("id"), col("fp")).distinct().localCheckpoint()
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= 20).select(col("fp"))
+    val kept = fp.join(rare, Seq("fp"), "left_semi")
+    val overlaps = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a"), col("b.id").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // derive a threshold that provably bites: the max observed overlap
+    val minShared = overlaps.agg(max(col("n"))).head().getLong(0).toInt
+    assert(minShared >= 2, s"degenerate fixture: max overlap $minShared")
+    val pairs = overlaps.filter(col("n") >= minShared)
+      .select(col("a"), col("b"))
+    val pruned = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val want = docs.join(pruned, Seq("doc_id"), "left_anti")
+    val chain = SpecLoader.transformFromJson(
+      s"""{ "name": "winnow_tier", "steps": [
+         |  { "op": "winnow_dedup", "text": "text", "id": "doc_id",
+         |    "max_df": 20, "min_shared": $minShared } ] }""".stripMargin)
+    val got = chain(docs)
+    assert(got.schema === want.schema)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ===
+      want.collect().map(_.getLong(0)).sorted.toSeq)
+    // the tier bites: at least one near-dup doc pruned, survivors remain
+    assert(got.count() < docs.count() && got.count() > 0)
+  }
+
   test("declarative near-dup stages equal the hand-composed pipeline") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Similarity}
