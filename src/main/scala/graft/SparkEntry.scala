@@ -135,6 +135,7 @@ object SparkEntry {
           docDupMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           covisitMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          winnowMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
         }
       })
@@ -248,6 +249,22 @@ object SparkEntry {
       val (sess, d) = key
       TextAnalysis.dsirFeaturize(t(sess, d, "documents"), "text",
         "doc_id", col("lang") === "en", 4096)
+    })
+  }
+
+  /** Shared winnowing fingerprint table for the MOSS family
+    * (`winnow_fingerprints`, `winnow_pairs`): ONE fingerprint pass per
+    * (session, dir) — the [[covisitSessions]] memo discipline; the
+    * frame is checkpointed so both consumers (and the pair query's four
+    * plan branches) read the materialized rows. */
+  private val winnowMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def winnowFp(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    winnowMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      TextAnalysis.winnowFingerprints(t(sess, d, "documents"), "text",
+        "doc_id", k = 8, w = 4).localCheckpoint()
     })
   }
 
@@ -2367,9 +2384,7 @@ object SparkEntry {
     // chars guaranteed a shared fingerprint
     // ([[TextAnalysis.winnowFingerprints]], scan-fused, no shuffle).
     "winnow_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text",
-        "doc_id", k = 8, w = 4)
-        .withColumnRenamed("id", "doc_id")),
+      winnowFp(s, dir).withColumnRenamed("id", "doc_id")),
 
     // the MOSS use-case on top of the fingerprints: candidate near-dup
     // pairs = docs sharing ≥ 40 distinct winnow fingerprints AFTER
@@ -2381,13 +2396,10 @@ object SparkEntry {
     // repeats don't inflate overlaps; nothing pairwise outside
     // shared-fingerprint buckets.
     "winnow_pairs" -> ((s, dir) => {
-      // materialized once (localCheckpoint, eager): the distinct fp
-      // table feeds the df-cap aggregate, the semi-join, AND both
-      // self-join sides — four consumers that would otherwise each
-      // replay the fingerprint pass
-      val fp = TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
-          "text", "doc_id", k = 8, w = 4)
-        .select(col("id"), col("fp")).distinct().localCheckpoint()
+      // the memoized fingerprint table feeds the df-cap aggregate, the
+      // semi-join, AND both self-join sides — four consumers sharing one
+      // checkpointed fingerprint pass with winnow_fingerprints
+      val fp = winnowFp(s, dir).select(col("id"), col("fp")).distinct()
       val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= 100).select(col("fp"))
       val kept = fp.join(rare, Seq("fp"), "left_semi")
