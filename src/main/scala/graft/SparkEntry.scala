@@ -248,7 +248,7 @@ object SparkEntry {
     dsirOccMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.dsirFeaturize(t(sess, d, "documents"), "text",
-        "doc_id", col("lang") === "en", 4096)
+        "doc_id", col("lang") === "en", TextAnalysis.DsirBuckets)
     })
   }
 
@@ -264,7 +264,8 @@ object SparkEntry {
     winnowMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.winnowFingerprints(t(sess, d, "documents"), "text",
-        "doc_id", k = 8, w = 4).localCheckpoint()
+        "doc_id", k = TextAnalysis.WinnowK, w = TextAnalysis.WinnowW)
+        .localCheckpoint()
     })
   }
 
@@ -2317,7 +2318,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.annTopKSq8(emb.filter(col("id") < 10),
-        emb.filter(col("id") >= 10), 5, rerank = 25)
+        emb.filter(col("id") >= 10), 5, rerank = Similarity.Sq8Rerank)
     }),
 
     // hybrid-retrieval rank fusion (Cormack et al. 2009 RRF): the exact
@@ -2328,7 +2329,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.rrfFusion(emb.filter(col("id") < 10),
-        emb.filter(col("id") >= 10), 5, kRrf = 60)
+        emb.filter(col("id") >= 10), 5, kRrf = Similarity.RrfK)
     }),
 
     // vector compression layer: product-quantization codes — 4 subspaces
@@ -2401,13 +2402,13 @@ object SparkEntry {
       // checkpointed fingerprint pass with winnow_fingerprints
       val fp = winnowFp(s, dir).select(col("id"), col("fp")).distinct()
       val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= 100).select(col("fp"))
+        .filter(col("__df") <= TextAnalysis.WinnowMaxDf).select(col("fp"))
       val kept = fp.join(rare, Seq("fp"), "left_semi")
       kept.as("a").join(kept.as("b"),
           col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 40)
+        .filter(col("n_shared") >= TextAnalysis.WinnowMinShared)
     }),
 
     // compression-ratio quality signal (Gopher-style): deflate size over
@@ -2741,8 +2742,8 @@ object SparkEntry {
     // the final per-doc sum).
     "dsir_weights" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
-        targetPred = col("lang") === "en", buckets = 4096,
-        occ = Some(dsirOcc(s, dir)))
+        targetPred = col("lang") === "en",
+        buckets = TextAnalysis.DsirBuckets, occ = Some(dsirOcc(s, dir)))
         .withColumnRenamed("id", "doc_id")),
 
     // the production-scale (100 TB) DSIR path: the smoothed log-likelihood
@@ -2753,8 +2754,8 @@ object SparkEntry {
     // order-independent)
     "dsir_log" -> ((s, dir) =>
       TextAnalysis.dsirWeightsLogMicros(t(s, dir, "documents"), "text",
-        "doc_id", targetPred = col("lang") === "en", buckets = 4096,
-        occ = Some(dsirOcc(s, dir)))
+        "doc_id", targetPred = col("lang") === "en",
+        buckets = TextAnalysis.DsirBuckets, occ = Some(dsirOcc(s, dir)))
         .withColumnRenamed("id", "doc_id")),
 
     // representative selection per near-dup cluster — the "which member
@@ -3376,7 +3377,7 @@ object SparkEntry {
     "alpha_mixture" -> ((s, dir) =>
       TextAnalysis.alphaMixture(t(s, dir, "documents")
           .select(col("doc_id"), col("lang")),
-        col("lang"), col("doc_id"), alpha = 0.3)
+        col("lang"), col("doc_id"), alpha = TextAnalysis.MixtureAlpha)
         .select(col("doc_id"), col("lang"), col("rate_ppm"))),
 
     // deterministic per-stratum cap: keep ≤20 docs per language, ranked by
@@ -5986,19 +5987,20 @@ object SparkEntry {
         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(split(bg, ''),
         |        c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % 1048576)) % 4096 AS b
+        |      (a, x) -> (a * 31 + x) % 1048576)) % DSIRBKT AS b
         |  FROM bgl),
         |bc AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
         |    COUNT(*) AS cs
         |  FROM hb GROUP BY 1),
         |tt AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM bc),
-        |sc AS (SELECT b, (1000 * (ct + 1) * (ns + 4096))
-        |    // ((cs + 1) * (nt + 4096)) AS s
+        |sc AS (SELECT b, (1000 * (ct + 1) * (ns + DSIRBKT))
+        |    // ((cs + 1) * (nt + DSIRBKT)) AS s
         |  FROM bc, tt)
         |SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(s) AS BIGINT) AS weight,
         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS w_avg
-        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin,
+        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin
+        .replace("DSIRBKT", TextAnalysis.DsirBuckets.toString),
 
     // same front end as dsir_weights; the score stage is the smoothed
     // log-likelihood ratio rounded to integer micros BEFORE the per-doc
@@ -6017,18 +6019,19 @@ object SparkEntry {
         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(split(bg, ''),
         |        c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % 1048576)) % 4096 AS b
+        |      (a, x) -> (a * 31 + x) % 1048576)) % DSIRBKT AS b
         |  FROM bgl),
         |bc AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
         |    COUNT(*) AS cs
         |  FROM hb GROUP BY 1),
         |tt AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM bc),
-        |sc AS (SELECT b, CAST(round(((ln(ct + 1.0) + ln(ns + 4096.0))
-        |    - (ln(cs + 1.0) + ln(nt + 4096.0))) * 1e6, 0) AS BIGINT) AS s
+        |sc AS (SELECT b, CAST(round(((ln(ct + 1.0) + ln(ns + DSIRBKT.0))
+        |    - (ln(cs + 1.0) + ln(nt + DSIRBKT.0))) * 1e6, 0) AS BIGINT) AS s
         |  FROM bc, tt)
         |SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(s) AS BIGINT) AS llr_micros
-        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin,
+        |FROM hb JOIN sc USING (b) GROUP BY 1""".stripMargin
+        .replace("DSIRBKT", TextAnalysis.DsirBuckets.toString),
 
     "text_normalize" ->
       """WITH c AS (SELECT doc_id,
@@ -8703,7 +8706,7 @@ object SparkEntry {
         |short AS (SELECT qid, nid FROM (
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
         |    ORDER BY d2 ASC, nid ASC) AS rn FROM cand) u
-        |  WHERE rn <= 25),
+        |  WHERE rn <= ${Similarity.Sq8Rerank}),
         |rs AS (SELECT s.qid, s.nid,
         |    CAST(round(list_dot_product(q.qv, c.nv) /
         |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
@@ -8731,8 +8734,9 @@ object SparkEntry {
         |    ORDER BY d2 ASC, nid ASC) AS BIGINT) AS rank_sq8
         |  FROM cand),
         |fused AS (SELECT qid, nid, rank_cos, rank_sq8,
-        |    CAST((1000000 // (60 + rank_cos))
-        |      + (1000000 // (60 + rank_sq8)) AS BIGINT) AS rrf_micros
+        |    CAST((1000000 // (${Similarity.RrfK} + rank_cos))
+        |      + (1000000 // (${Similarity.RrfK} + rank_sq8)) AS BIGINT)
+        |      AS rrf_micros
         |  FROM ra JOIN rb USING (qid, nid))
         |SELECT qid, nid, rank_cos, rank_sq8, rrf_micros FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid
@@ -9404,7 +9408,8 @@ object SparkEntry {
         |s AS (SELECT MIN((n_s * 1000000) // w) AS scale FROM j),
         |r AS (SELECT lang, (w * scale) // n_s AS rate_ppm FROM j, s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
+        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString),
 
     // temperature resampling replay: pow(p, 0.3) quantized ONCE to
     // micros per stratum (the dsir_log ln discipline — a flip needs

@@ -245,11 +245,14 @@ object XxhOracleSql {
     * the engine: < k chars → one short gram; < w grams → one whole-doc
     * window. */
   def winnowFingerprintsSql: String = {
+    val k = graft.operators.TextAnalysis.WinnowK
+    val w = graft.operators.TextAnalysis.WinnowW
     val head = Seq(
-      """grams AS MATERIALIZED (
-        |  SELECT doc_id, i, substr(text, i, 8) AS g FROM (
+      s"""grams AS MATERIALIZED (
+        |  SELECT doc_id, i, substr(text, i, $k) AS g FROM (
         |    SELECT doc_id, text,
-        |      unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        |      unnest(range(1, greatest(length(text) - ${k - 1}, 1) + 1))
+        |        AS i
         |    FROM documents) t)""".stripMargin,
       "dg AS MATERIALIZED (SELECT DISTINCT g FROM grams)")
     val (hCtes, hFin) = emitXxh64("f", "dg", Seq.empty, "g", 42L, "hu")
@@ -257,15 +260,15 @@ object XxhOracleSql {
       s"gh AS MATERIALIZED (SELECT g, ${signed("hu")} AS h FROM $hFin)",
       """ph AS MATERIALIZED (
         |  SELECT gr.doc_id, gr.i, gh.h FROM grams gr JOIN gh USING (g))""".stripMargin,
-      """wins AS (SELECT doc_id,
-        |    unnest(range(1, greatest(m - 3, 1) + 1)) AS j, m
+      s"""wins AS (SELECT doc_id,
+        |    unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) AS j, m
         |  FROM (SELECT doc_id, MAX(i) AS m FROM ph GROUP BY 1) t)""".stripMargin,
-      """sel AS (SELECT doc_id, i, h FROM (
+      s"""sel AS (SELECT doc_id, i, h FROM (
         |  SELECT w.doc_id, p.i, p.h, row_number() OVER (
         |      PARTITION BY w.doc_id, w.j ORDER BY p.h ASC, p.i DESC)
         |      AS rn
         |    FROM wins w JOIN ph p ON p.doc_id = w.doc_id
-        |      AND p.i >= w.j AND p.i <= least(w.j + 3, w.m)) u
+        |      AND p.i >= w.j AND p.i <= least(w.j + ${w - 1}, w.m)) u
         |  WHERE rn = 1)""".stripMargin)
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp FROM sel"
@@ -273,20 +276,23 @@ object XxhOracleSql {
 
   /** `winnow_pairs` twin: the [[winnowFingerprintsSql]] chain with its
     * final read-out swapped for a distinct-(doc, fp) inverted-index
-    * self-join — common fingerprints (df > 100) dropped first, overlap
-    * threshold 40 (both mirroring the engine's literals). */
+    * self-join — common fingerprints df-capped first, overlap gated,
+    * both literals GENERATED from the engine's shared constants. */
   def winnowPairsSql: String = {
+    val maxDf = graft.operators.TextAnalysis.WinnowMaxDf
+    val minShared = graft.operators.TextAnalysis.WinnowMinShared
     val base = winnowFingerprintsSql
     val withPart = base.substring(0, base.indexOf("\nSELECT"))
     withPart +
       ",\nfps AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel)" +
-      """,
-        |rare AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 100),
+      s""",
+        |rare AS (SELECT h FROM fps GROUP BY h
+        |  HAVING COUNT(*) <= $maxDf),
         |kept AS (SELECT doc_id, h FROM fps JOIN rare USING (h))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 40""".stripMargin
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
   }
 
   def dedupMinhashSql: String = {

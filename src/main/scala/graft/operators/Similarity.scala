@@ -335,8 +335,14 @@ object Similarity {
     * then sums of products ≤ 64·255² ≪ 2⁵³), so the DuckDB twin is
     * exact with no rounding discipline needed beyond the shared
     * `cos_permille` read-out. */
+  /** Default SQ8 shortlist depth and RRF constant — one definition
+    * each, consumed by the engine queries AND their generated DuckDB
+    * oracle literals (the gopher-constants discipline). */
+  val Sq8Rerank = 25
+  val RrfK = 60
+
   def annTopKSq8(queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int = 64, rerank: Int = 25): DataFrame = {
+      dim: Int = 64, rerank: Int = Sq8Rerank): DataFrame = {
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val qN2 = withN2(queries, "qid", "qv", "qn2")
     val cand = sq8Candidates(qN2, corpusN2, dim)
@@ -409,7 +415,7 @@ object Similarity {
     * windows partition by qid — |q|·|corpus| rows ranked, nothing
     * pairwise beyond the eval cross. */
   def rrfFusion(queries: DataFrame, corpus: DataFrame, k: Int,
-      kRrf: Int = 60, dim: Int = 64): DataFrame = {
+      kRrf: Int = RrfK, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val qN2 = withN2(queries, "qid", "qv", "qn2")

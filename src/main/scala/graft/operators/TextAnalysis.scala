@@ -1307,6 +1307,18 @@ object TextAnalysis {
         sum(col("s") * col("k")).as("llr_micros"))
   }
 
+  /** The dsir family's shared bucket count, the temperature-resampling
+    * alpha, and the winnowing/MOSS parameters — one definition each,
+    * consumed by BOTH the engine queries and their generated DuckDB
+    * oracle literals (the gopher-constants discipline: a parameter
+    * change cannot silently desynchronize engine and oracle). */
+  val DsirBuckets = 4096
+  val MixtureAlpha = 0.3
+  val WinnowK = 8
+  val WinnowW = 4
+  val WinnowMaxDf = 100
+  val WinnowMinShared = 40
+
   /** [[gopherRules]]' word-count gate, shared with the DuckDB oracle's
     * generated literals (one-definition discipline — a parameter change
     * cannot desynchronize engine and oracle). */

@@ -240,10 +240,14 @@ object SpecLoader {
         // token-set MinHash dilutes away on long documents)
         val c = (v \ "text").extract[String]
         val id = (v \ "id").extract[String]
-        val k = (v \ "k").extractOpt[Int].getOrElse(8)
-        val w = (v \ "window").extractOpt[Int].getOrElse(4)
-        val maxDf = (v \ "max_df").extractOpt[Int].getOrElse(100)
-        val minShared = (v \ "min_shared").extractOpt[Int].getOrElse(40)
+        val k = (v \ "k").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.WinnowK)
+        val w = (v \ "window").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.WinnowW)
+        val maxDf = (v \ "max_df").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.WinnowMaxDf)
+        val minShared = (v \ "min_shared").extractOpt[Int]
+          .getOrElse(graft.operators.TextAnalysis.WinnowMinShared)
         df => {
           val fp = graft.operators.TextAnalysis
             .winnowFingerprints(df, c, id, k, w)
