@@ -60,10 +60,13 @@ object StatefulCdcChunker {
       val out = scala.collection.mutable.ListBuffer.empty[ChunkOut]
       rows.toArray.sortBy(_.k).foreach { r =>
         if (r.b < 0L) {
-          // end marker: close the trailing chunk (if any bytes arrived)
+          // end marker: close the trailing chunk (if any bytes arrived).
+          // The gear carry SURVIVES the marker — it is byte history, not
+          // chunk state — so an asset resumed after a forced cut keeps
+          // hash windows faithful to its actual bytes.
           if (st.nextK > st.off)
             out += ChunkOut(key, st.off, st.nextK - st.off, st.sig % P)
-          st = CdcCarry(st.nextK, st.nextK, 0L, Array.empty[Long])
+          st = CdcCarry(st.nextK, st.nextK, 0L, st.gs)
         } else if (r.k == st.nextK) {
           val g = ((r.b + 1L) * 2654435761L) % 4294967296L
           val rel = r.k - st.off
