@@ -9408,18 +9408,19 @@ object SparkEntry {
         |s AS (SELECT MIN((n_s * 1000000) // w) AS scale FROM j),
         |r AS (SELECT lang, (w * scale) // n_s AS rate_ppm FROM j, s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
-        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString),
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
 
-    // temperature resampling replay: pow(p, 0.3) quantized ONCE to
+    // temperature resampling replay: pow(p, ALPHA) quantized ONCE to
     // micros per stratum (the dsir_log ln discipline — a flip needs
     // DuckDB's and Java's pow to straddle a .5 micros boundary); pure
-    // integer target share + rate + Knuth keep after that
+    // integer target share + rate + Knuth keep after that. The ALPHA
+    // literal is generated from the engine's MixtureAlpha constant
+    // (one-definition discipline).
     "alpha_mixture" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |t AS (SELECT SUM(n) AS nn FROM c),
         |w AS (SELECT lang, n, nn, CAST(round(
-        |      pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.3) * 1000000,
+        |      pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), ALPHA) * 1000000,
         |      0) AS BIGINT) AS w
         |  FROM c, t),
         |d2 AS (SELECT SUM(w) AS wd FROM w),
@@ -9428,7 +9429,8 @@ object SparkEntry {
         |  FROM w, d2)
         |SELECT d.doc_id, d.lang, r.rate_ppm
         |FROM documents d JOIN r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
+        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString),
 
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id,

@@ -29,6 +29,12 @@ object Dedup {
   private[operators] def ckptLight(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(df)
 
+  /** [[ckptLight]] that also returns the row count — the count the eager
+    * checkpoint computes anyway. Fixpoint loops use it so the per-round
+    * emptiness probe costs zero extra driver jobs. */
+  private[operators] def ckptLightCounted(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStatsCounted(df)
+
   /** Inverted shingle index: (id, nsh, s) — one row per (doc, distinct
     * shingle), with the doc's distinct-shingle count.
     *
@@ -386,17 +392,28 @@ object Dedup {
       // hash-min needs diameter rounds (a Borůvka forest or any chainy
       // dup graph can be O(n) deep); hash-min + shortcutting doubles the
       // propagation distance per round → O(log n) rounds on any shape.
-      val next = ckptLight(prop
+      // min-propagation is monotone: a round changes exactly the rows
+      // whose label DECREASED, so materializing only those rows with a
+      // counted checkpoint is both the convergence probe and the delta —
+      // one driver job where (next-ckpt + isEmpty-join) was two. The new
+      // label table is old-rows-anti-delta ∪ delta, a lazy composition of
+      // already-materialized tables the next round's prop ckpt collapses.
+      val (changed, nChanged) = ckptLightCounted(prop
         .join(prop.select(col("id").as("__pid"), col("lab").as("__plab")),
           col("lab") === col("__pid"))
-        .select(col("id"), least(col("lab"), col("__plab")).as("lab")))
+        .select(col("id"), least(col("lab"), col("__plab")).as("lab"))
+        .join(labels.withColumnRenamed("lab", "__old"), "id")
+        .filter(col("lab") < col("__old"))
+        .select(col("id"), col("lab")))
       prop.unpersist()
-      // min-propagation is monotone: unchanged ⇔ no label decreased
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = nChanged == 0L
+      if (!converged) {
+        labels = labels.join(changed, Seq("id"), "left_anti").union(changed)
+        // dup graphs converge in 2-4 rounds; on a pathologically deep
+        // graph, collapse the delta chain so the composed plan's anti-join
+        // depth stays bounded
+        if (iter % 6 == 5) labels = ckptLight(labels)
+      }
       iter += 1
     }
     require(converged,

@@ -180,18 +180,22 @@ object GraphAlgos {
     require(maxHops >= 0, s"maxHops=$maxHops out of range")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
-      .select(col("id"), lit(0L).as("hop")).localCheckpoint()
-    var frontier = dist
+    val (dist0, n0) = Dedup.ckptLightCounted(
+      sources.select(col(idCol).cast("long").as("id")).distinct()
+        .select(col("id"), lit(0L).as("hop")))
+    var dist = dist0
+    var frontier = dist0
     var h = 1
-    var exhausted = frontier.isEmpty
+    // ckptLightCounted folds the emptiness probe into the checkpoint's own
+    // materialization count: ONE driver job per round, not two
+    var exhausted = n0 == 0L
     while (h <= maxHops && !exhausted) {
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .select(col("id"), lit(h.toLong).as("hop"))
-        .localCheckpoint()
-      exhausted = next.isEmpty // already materialized: the check is free
+      val (next, n) = Dedup.ckptLightCounted(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("hop")))
+      exhausted = n == 0L
       if (!exhausted) dist = dist.union(next)
       frontier = next
       h += 1
@@ -241,8 +245,10 @@ object GraphAlgos {
     // with its dropped loop edge (TRIM retires it in round 1)
     val nodes0 = eRaw.select(col("src").as("id"))
       .union(eRaw.select(col("dst").as("id"))).distinct()
-    var act = ck(nodes0.select(col("id"), lit(0L).as("part")))
-    if (act.isEmpty) return act.select(col("id"), col("id").as("scc"))
+    val (act0, act0N) = Dedup.ckptLightCounted(
+      nodes0.select(col("id"), lit(0L).as("part")))
+    var act = act0
+    if (act0N == 0L) return act.select(col("id"), col("id").as("scc"))
     var e = ck(e0)
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rounds = 0
@@ -259,11 +265,14 @@ object GraphAlgos {
         .select(col("src"), col("dst"), col("ps").as("part")))
       val hasOut = pe.select(col("src").as("id")).distinct()
       val hasIn = pe.select(col("dst").as("id")).distinct()
-      val kept = ck(act.join(hasOut, Seq("id"), "left_semi")
-        .join(hasIn, Seq("id"), "left_semi"))
+      // counted checkpoints fold every emptiness probe into the round's
+      // already-paid materialization job (kept / wave frontiers / act)
+      val (kept, keptN) = Dedup.ckptLightCounted(
+        act.join(hasOut, Seq("id"), "left_semi")
+          .join(hasIn, Seq("id"), "left_semi"))
       out += ck(act.join(kept, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("scc")))
-      if (kept.isEmpty) activeLeft = false
+      if (keptN == 0L) activeLeft = false
       else {
         val hashed = pmod(col("id") * lit(2654435761L), lit(1000000007L))
         val piv = ck(kept.groupBy(col("part"))
@@ -275,13 +284,15 @@ object GraphAlgos {
           var hops = 0
           var done = false
           while (!done && hops < maxHops) {
-            val next = ck(frontier
+            val (next, n) = Dedup.ckptLightCounted(frontier
               .join(pe.select(col(fromCol).as("id"), col(toCol).as("nxt"),
                 col("part")), Seq("id", "part"))
               .select(col("nxt").as("id"), col("part")).distinct()
               .join(reach, Seq("id"), "left_anti"))
-            done = next.isEmpty
-            if (!done) reach = ck(reach.union(next))
+            done = n == 0L
+            // plain union of materialized frontiers (bfsHops discipline):
+            // no per-hop re-checkpoint of the whole reach set
+            if (!done) reach = reach.union(next)
             frontier = next
             hops += 1
           }
@@ -303,10 +314,12 @@ object GraphAlgos {
             coalesce(col("fb"), lit(0L)).as("fb"))
         val rekey = tagged.groupBy(col("part"), col("ff"), col("fb"))
           .agg(min(col("id")).as("newpart"))
-        act = ck(tagged.join(rekey, Seq("part", "ff", "fb"))
-          .select(col("id"), col("newpart").as("part")))
+        val (actNext, actN) = Dedup.ckptLightCounted(
+          tagged.join(rekey, Seq("part", "ff", "fb"))
+            .select(col("id"), col("newpart").as("part")))
+        act = actNext
         e = pe.select(col("src"), col("dst"))
-        activeLeft = !act.isEmpty
+        activeLeft = actN > 0L
       }
       rounds += 1
     }
@@ -686,7 +699,9 @@ object GraphAlgos {
       .filter(col("__ca") =!= col("__cb"))
     while (!done && round < maxRounds) {
       val tagged = crossEdges(lab)
-      val picks = tagged
+      // counted checkpoint: ONE driver job yields materialization,
+      // emptiness, AND the ferry-bound cardinality (was three jobs)
+      val (picks, pickCount) = Dedup.ckptLightCounted(tagged
         .select(explode(array(col("__ca"), col("__cb"))).as("__comp"),
           struct(col("w"), col("a"), col("b"),
             col("__ca"), col("__cb")).as("__e"))
@@ -694,8 +709,8 @@ object GraphAlgos {
         .select(col("__e.a").as("a"), col("__e.b").as("b"),
           col("__e.w").as("w"), col("__e.__ca").as("__ca"),
           col("__e.__cb").as("__cb"))
-        .distinct().localCheckpoint()
-      if (picks.isEmpty) done = true
+        .distinct())
+      if (pickCount == 0L) done = true
       else {
         mst = Dedup.ckptLight(
           mst.union(picks.select("a", "b", "w")).distinct())
@@ -709,7 +724,6 @@ object GraphAlgos {
         // bound, the pointer-jumped distributed CC takes over; labels are
         // min-member-id either way (ScaleStressSpec pins the two paths
         // edge-identical).
-        val pickCount = picks.count()
         val merged =
           if (pickCount <= driverFerryMax) {
             val edges = picks.select(col("__ca"), col("__cb"))
@@ -852,21 +866,26 @@ object GraphAlgos {
     val e = Dedup.ckptLight(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    var visited = Dedup.ckptLight(
+    val (vis0, n0) = Dedup.ckptLightCounted(
       landmarks.select(col(idCol).cast("long").as("src")).distinct()
         .select(col("src"), col("src").as("id"), lit(0L).as("hop")))
-    var frontier = visited
+    var visited = vis0
+    var frontier = vis0
     var h = 1
-    var exhausted = frontier.isEmpty
+    // one driver job per round: the counted checkpoint IS the emptiness
+    // probe, and `visited` stays a plain union of already-materialized
+    // frontiers (the bfsHops discipline) instead of re-checkpointing the
+    // whole visited set every hop
+    var exhausted = n0 == 0L
     while (h <= maxHops && !exhausted) {
-      val next = Dedup.ckptLight(
+      val (next, n) = Dedup.ckptLightCounted(
         frontier.join(e, frontier("id") === e("src"))
           .select(frontier("src").as("src"), e("dst").as("id"))
           .distinct()
           .join(visited, Seq("src", "id"), "left_anti")
           .select(col("src"), col("id"), lit(h.toLong).as("hop")))
-      exhausted = next.isEmpty
-      if (!exhausted) visited = Dedup.ckptLight(visited.union(next))
+      exhausted = n == 0L
+      if (!exhausted) visited = visited.union(next)
       frontier = next
       h += 1
     }

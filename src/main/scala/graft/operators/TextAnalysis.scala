@@ -502,10 +502,13 @@ object TextAnalysis {
     * `scale = min_s(n_s·10⁶ DIV w_s)`, `rate_s = w_s·scale DIV n_s` ppm.
     * All arithmetic is integer (floor division on both engines), and the
     * per-row keep decision hashes the id through a fixed Knuth
-    * multiplicative step (`id·2654435761 mod 10⁶` — pure BIGINT arithmetic,
-    * so engine and oracle agree bit-for-bit, unlike any engine-native
-    * hash). Strata absent from `targetPermille` are dropped: a mixture spec
-    * is a whitelist.
+    * multiplicative step (`pmod(id·2654435761, 10⁶)` — pure BIGINT
+    * arithmetic, so engine and oracle agree bit-for-bit, unlike any
+    * engine-native hash; pmod keeps the remainder non-negative even once
+    * id·2654435761 wraps past 2⁶³ at id ≈ 3.47e9, where a signed `%`
+    * would make the filter unconditionally true — the oracle's `%` is
+    * identical in the id < 2³¹ range the fixtures pin). Strata absent
+    * from `targetPermille` are dropped: a mixture spec is a whitelist.
     *
     * Shape: one partial-combined count per stratum (tiny), a scalar min,
     * and a broadcast rates join — the corpus itself is scanned twice but
@@ -523,7 +526,7 @@ object TextAnalysis {
     val rates = counts.crossJoin(broadcast(scale))
       .select(col("__stratum"), expr("(__w * __scale) DIV __n").as("__rate_ppm"))
     df.join(broadcast(rates), strataCol === col("__stratum"))
-      .filter((idCol * lit(2654435761L)) % lit(1000000L) < col("__rate_ppm"))
+      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("__rate_ppm"))
       .drop("__stratum", "__rate_ppm")
   }
 
@@ -559,7 +562,7 @@ object TextAnalysis {
           expr("(((1000000 * __w) DIV __wd) * __nn) DIV __n"))
           .as("rate_ppm"))
     df.join(broadcast(rates), strataCol === col("__stratum"))
-      .filter((idCol * lit(2654435761L)) % lit(1000000L) < col("rate_ppm"))
+      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
       .drop("__stratum")
   }
 
@@ -1190,6 +1193,7 @@ object TextAnalysis {
       occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    occ.foreach(requireOccBuckets(_, buckets))
     val occAgg = occ.getOrElse(
       dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)
@@ -1213,7 +1217,12 @@ object TextAnalysis {
     * scorers' `occ` parameter (the SparkEntry dsir family memoizes it
     * per (session, dir), the covisitSessions discipline). */
   def dsirFeaturize(df: DataFrame, textCol: String, idCol: String,
-      targetPred: Column, buckets: Int): DataFrame =
+      targetPred: Column, buckets: Int): DataFrame = {
+    // The bucket count rides the `b` column's metadata so every consumer
+    // can verify a caller-provided occ frame was built with the SAME
+    // buckets it will smooth with — a mismatch silently mis-scores.
+    val bMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("dsir_buckets", buckets.toLong).build()
     Dedup.ckptLight(df.select(col(idCol).as("id"), targetPred.as("__t"),
         wsTokens(col(textCol)).as("__w"))
       .select(col("id"), col("__t"), explode(expr(
@@ -1222,9 +1231,26 @@ object TextAnalysis {
           "i -> concat_ws(' ', __w[i], __w[i + 1])) END")).as("bg"))
       .select(col("id"), col("__t"),
         pmod(graft.functions.PolyHash31(col("bg")), lit(buckets.toLong))
-          .as("b"))
+          .as("b", bMeta))
       .groupBy(col("id"), col("__t"), col("b"))
       .agg(count(lit(1)).as("k")))
+  }
+
+  /** Guard for the dsirWeights* family's `occ` fast path: a
+    * [[dsirFeaturize]]-built frame carries its bucket count in the `b`
+    * column's metadata; scoring it with a different `buckets` smoothing
+    * literal is a silent wrong answer, so mismatches throw. Frames
+    * without the tag (hand-built) pass through — the documented contract
+    * is then on the caller. */
+  private def requireOccBuckets(occAgg: DataFrame, buckets: Int): Unit = {
+    val meta = occAgg.schema.fields.find(_.name == "b").map(_.metadata)
+    meta.filter(_.contains("dsir_buckets"))
+      .map(_.getLong("dsir_buckets")).foreach { b =>
+        require(b == buckets.toLong,
+          s"occ frame was featurized with buckets=$b but scoring with " +
+            s"buckets=$buckets — the smoothing literals would be wrong")
+      }
+  }
 
   /** Bucket table with the global totals attached: (b, ct, cs, nt, ns).
     * The totals ride a GLOBAL window over the ≤`buckets`-row bucket
@@ -1267,6 +1293,7 @@ object TextAnalysis {
       occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    occ.foreach(requireOccBuckets(_, buckets))
     val occAgg = occ.getOrElse(
       dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)
@@ -1294,6 +1321,7 @@ object TextAnalysis {
       occ: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 &&
       buckets <= 1048576, s"buckets=$buckets must be a power of 2 <= 2^20")
+    occ.foreach(requireOccBuckets(_, buckets))
     val occAgg = occ.getOrElse(
       dsirFeaturize(df, textCol, idCol, targetPred, buckets))
     val scored = dsirBucketTotals(occAgg)

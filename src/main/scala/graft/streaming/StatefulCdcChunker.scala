@@ -8,7 +8,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * [[graft.operators.Multimodal.cdcChunkRows]] consumes in batch. A row
   * with `b = -1` is the END-OF-ASSET marker: it closes and emits the
   * open trailing chunk (a real pipeline would use a timer/TTL instead;
-  * the marker keeps the twin deterministic). */
+  * the marker keeps the twin deterministic). A marker's `k` is NOT
+  * interpreted as an offset — within a micro-batch, markers are always
+  * processed after that batch's data rows, whatever their `k`. */
 case class ByteRow(id: Long, k: Long, b: Long)
 
 /** A closed chunk: identical columns to the batch operator's output,
@@ -58,20 +60,31 @@ object StatefulCdcChunker {
       var st = if (carry.exists()) carry.get()
         else CdcCarry(0L, 0L, 0L, Array.empty[Long])
       val out = scala.collection.mutable.ListBuffer.empty[ChunkOut]
-      rows.toArray.sortBy(_.k).foreach { r =>
+      // Markers sort AFTER data rows regardless of their k: a marker's
+      // offset is unspecified in the ByteRow contract, and one carrying
+      // a small k arriving with data bytes in the same micro-batch must
+      // not flush mid-stream and silently change segmentation.
+      rows.toArray.sortBy(r => (r.b < 0L, r.k)).foreach { r =>
         if (r.b < 0L) {
           // end marker: close the trailing chunk (if any bytes arrived).
           // The gear carry SURVIVES the marker — it is byte history, not
           // chunk state — so an asset resumed after a forced cut keeps
           // hash windows faithful to its actual bytes.
           if (st.nextK > st.off)
-            out += ChunkOut(key, st.off, st.nextK - st.off, st.sig % P)
+            out += ChunkOut(key, st.off, st.nextK - st.off,
+              Math.floorMod(st.sig, P))
           st = CdcCarry(st.nextK, st.nextK, 0L, st.gs)
         } else if (r.k == st.nextK) {
           val g = ((r.b + 1L) * 2654435761L) % 4294967296L
           val rel = r.k - st.off
-          val cube = ((rel + 13L) * (rel + 13L) * (rel + 13L)) % P
-          val sig = (st.sig + (r.b + 7L) * cube) % P
+          // floorMod, not %: the batch operator takes Spark `pmod` of the
+          // WRAPPED 64-bit product (Multimodal.scala:635), so for
+          // rel ≳ 2.1e6 the cube wraps negative and signed % would break
+          // stream/batch signature parity. floorMod of the same wrapped
+          // product is bit-identical to pmod.
+          val cube = Math.floorMod(
+            (rel + 13L) * (rel + 13L) * (rel + 13L), P)
+          val sig = Math.floorMod(st.sig + (r.b + 7L) * cube, P)
           // h over the last `window` bytes: current gear + carried gears
           // shifted by recency; incomplete leading windows never cut
           val full = st.gs.length == window - 1

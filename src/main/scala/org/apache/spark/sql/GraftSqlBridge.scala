@@ -41,4 +41,33 @@ object GraftSqlBridge {
       case _ => ck
     }
   }
+
+  /** [[localCheckpointFreshStats]] that also RETURNS the row count.
+    *
+    * `Dataset.localCheckpoint(eager = true)` materializes the RDD by
+    * running `rdd.count()` internally — and throws the number away. Every
+    * iterative-fixpoint operator then pays a SECOND driver job just to ask
+    * `isEmpty` (or a third for `count()`) on data the checkpoint job
+    * already walked. On a contended driver each job is fixed scheduling
+    * latency multiplied by the round count, so folding the emptiness /
+    * cardinality probe into the materialization halves (or thirds) the
+    * per-round action count — the BFS / Borůvka / SCC / closeness loops
+    * all converge on this. Mirrors `Dataset.checkpoint`'s body: execute
+    * the physical plan once, copy rows (unsafe-row buffers are reused),
+    * mark the RDD for local checkpointing, count (which materializes),
+    * then wrap the RDD via `LogicalRDD.fromDataset` rebuilt WITHOUT
+    * `originStats` (see above for why carried stats compound). */
+  def localCheckpointFreshStatsCounted(df: Dataset[Row]): (Dataset[Row], Long) = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    val internalRdd = cdf.queryExecution.executedPlan.execute().map(_.copy())
+    internalRdd.localCheckpoint()
+    val n = internalRdd.count()
+    val lr = execution.LogicalRDD.fromDataset(internalRdd, cdf,
+      isStreaming = false)
+    val fresh = new execution.LogicalRDD(lr.output, lr.rdd,
+      lr.outputPartitioning, lr.outputOrdering, lr.isStreaming, lr.stream)(
+      session, None, None)
+    (classic.Dataset.ofRows(session, fresh), n)
+  }
 }
