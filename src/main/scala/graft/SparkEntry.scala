@@ -2043,6 +2043,16 @@ object SparkEntry {
     "kn_logprob" -> ((s, dir) =>
       TextAnalysis.knLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
+    // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
+    // scorer as a curation CUT — docs whose mean token log-prob clears
+    // the shared floor constant survive (declarable as the
+    // `lm_perplexity` SpecLoader stage; [[TextAnalysis.lmPerplexityGate]]
+    // is the semi-join form over the same scorer).
+    "perplexity_gate" -> ((s, dir) =>
+      TextAnalysis.knLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("lp_permille") >=
+          lit(TextAnalysis.LmPerplexityFloorPermille))),
+
     // domain-distinctive vocabulary: top-5 tokens per source by integer
     // rate-ratio lift, tf floor 5 ([[TextAnalysis.sourceKeyness]]).
     "keyness" -> ((s, dir) =>
@@ -4052,9 +4062,10 @@ object SparkEntry {
     // customer via the exact Σd² formula — ranks are row_number under a
     // deterministic (value, key) total order (tie policy mirrored in the
     // twin), everything integer until one mirrored closing division.
-    // The rank windows are unpartitioned over the customer dimension —
-    // the documented single-partition posture (quantile_normalize); at
-    // warehouse scale they become range-partitioned sort ranks.
+    // The rank windows are unpartitioned over the customer DIMENSION —
+    // an already-aggregated bounded frame, not raw data (the rankAuc
+    // posture); at warehouse scale they become range-partitioned sort
+    // ranks (the pattern quantileNormalize's pooled rank now uses).
     "spearman_rho" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
@@ -9266,6 +9277,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // the kn_logprob replay with the gate's HAVING cut; the FLOOR
+    // literal is generated from the engine's shared
+    // LmPerplexityFloorPermille constant (one-definition discipline)
+    "perplexity_gate" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
+        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
+        |  FROM t GROUP BY 1, 2, 3),
+        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS bb FROM b),
+        |l AS (SELECT doc_id, CAST(round(ln(
+        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
+        |        AS DOUBLE)
+        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN ty)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1
+        |HAVING CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0) AS BIGINT)
+        |  >= FLOOR""".stripMargin
+        .replace("FLOOR", TextAnalysis.LmPerplexityFloorPermille.toString),
 
     // Gopher rule battery: integer permille throughout; `//` on
     // nonnegative counts matches Spark DIV; '...' occurrence count via

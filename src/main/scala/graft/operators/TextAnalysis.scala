@@ -449,6 +449,26 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** CCNet-style LM-perplexity gate (Wenzek et al. 2020): keep documents
+    * whose [[knLogProb]] mean token log-prob clears `floorPermille`
+    * (higher log-prob = lower perplexity = more language-model-like —
+    * the standard modern curation cut one step above rule batteries).
+    * The bigram LM is trained on the INPUT frame itself, CCNet's
+    * self-normalizing posture at pipeline position; documents with <2
+    * tokens produce no bigram and are DROPPED — an unscorable document
+    * cannot pass a perplexity gate.
+    *
+    * Shape: [[knLogProb]]'s vocab-sized aggregates plus one left-semi
+    * join on the id — the corpus is tokenized once and only ids move in
+    * the gate join. Returns the kept rows with their input schema. */
+  def lmPerplexityGate(df: DataFrame, textCol: String, idCol: String,
+      floorPermille: Long = LmPerplexityFloorPermille): DataFrame =
+    df.join(
+      knLogProb(df, textCol, idCol)
+        .filter(col("lp_permille") >= floorPermille)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** TF-IDF term scoring — the corpus-relevance signal: per (doc, term)
     * term frequency joined with corpus document frequency, score =
     * tf·ln(N/df). Shape: one explode + a (doc,term) count aggregate; the
@@ -1342,6 +1362,13 @@ object TextAnalysis {
     * change cannot silently desynchronize engine and oracle). */
   val DsirBuckets = 4096
   val MixtureAlpha = 0.3
+
+  /** [[lmPerplexityGate]]'s default mean-token-log-prob floor (permille
+    * nats), shared with the generated oracle literal (one-definition
+    * discipline). −3430 sits near the fixture corpus's 10th percentile
+    * (sf0.01 scores span −3662..−3260, median −3386): the gate drops the
+    * least-predictable ~decile — the CCNet "tail" cut. */
+  val LmPerplexityFloorPermille = -3430L
   val WinnowK = 8
   val WinnowW = 4
   val WinnowMaxDf = 100

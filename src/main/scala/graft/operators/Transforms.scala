@@ -607,12 +607,15 @@ object Transforms {
     * pct = ((rn−1)·1000) DIV (n−1), pooled idx = 1 + (pct·(N−1)) DIV 1000
     * (singleton groups pin pct = 500).
     *
-    * Shape: one window per side (group-partitioned; pooled via the
-    * counts-collapse... no — pooled ranks ARE data-sized, one
-    * unpartitioned window pass, the documented single-partition cost of
-    * exact pooled ranking at this tier; at 100 TB swap the pooled rank
-    * for the range-partitioned sort rank, same join), then one equi-join
-    * on the pooled index — no per-row search. */
+    * Shape: one group-partitioned window for the per-group ranks; the
+    * POOLED rank is a range-partitioned sort rank — `repartitionByRange`
+    * on (value, tiebreak), a per-shard `row_number`, and broadcast shard
+    * offsets (the [[orderedPrefixSum]] pattern with the range exchange as
+    * the bucketing) — so no data-sized single-partition window exists
+    * anywhere in the plan; shard boundaries only decide which shard
+    * computes a row's rank, never the rank itself, so the output is
+    * boundary- and AQE-coalescing-invariant. Then one equi-join on the
+    * pooled index — no per-row search. */
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
       tieCol: String): DataFrame = {
     val v = df.select(col(groupCol).as("g"), col(valCol).as("v"),
@@ -624,11 +627,28 @@ object Transforms {
       .withColumn("n", count(lit(1)).over(wgAll))
       .withColumn("pct", when(col("n") === 1L, 500L)
         .otherwise(expr("((rn - 1) * 1000) DIV (n - 1)")))
-    val pooled = v
-      .withColumn("prn", row_number().over(
-        Window.orderBy(col("v"), col("tie"))).cast("long"))
-      .select(col("v").as("pooled_v"), col("prn"))
-    val total = pooled.agg(max(col("prn")).as("__ptot"))
+    // pooled rank = within-shard row_number + count of rows in all
+    // lower-range shards (shard ids ascend with the range order)
+    val shards = v.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parts = v.repartitionByRange(shards, col("v"), col("tie"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__poff", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val pooled = parts
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("v"), col("tie")))
+        .cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .select(col("v").as("pooled_v"),
+        (col("__lrn") + col("__poff")).as("prn"))
+    // max pooled rank == row count: a 1-row partial-combined aggregate,
+    // not a replay of the pooled rank branch
+    val total = v.agg(count(lit(1)).as("__ptot"))
     ranked.crossJoin(broadcast(total))
       .withColumn("pidx", lit(1L) + expr("(pct * (__ptot - 1)) DIV 1000"))
       .join(pooled, col("pidx") === col("prn"))

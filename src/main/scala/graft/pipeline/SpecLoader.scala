@@ -45,17 +45,17 @@ import org.json4s.jackson.JsonMethods
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
   *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
-  *    `gopher_rules`, `gopher_repetition`, `exact_dedup`,
-  *    `minhash_dedup`, `winnow_dedup`, `semdedup`, `dsir_weight`,
-  *    `alpha_mixture`): the
+  *    `gopher_rules`, `gopher_repetition`, `lm_perplexity`,
+  *    `exact_dedup`, `minhash_dedup`, `winnow_dedup`, `semdedup`,
+  *    `dsir_weight`, `alpha_mixture`): the
   *    LLM-corpus steps as declarable stages — see [[transformFromJson]],
   *    the standalone chain entry point; with the rules + repetition
-  *    gates, importance weighting, and temperature resampling declarable
-  *    alongside the two near-dup tiers, the FULL modern curation recipe
-  *    (normalize → line dedup → quality floor → Gopher rules →
-  *    repetition gate → exact dedup → MinHash near-dedup → semantic
-  *    dedup → DSIR importance weighting → α-mixture rebalance) is a
-  *    data file
+  *    gates, the perplexity gate, importance weighting, and temperature
+  *    resampling declarable alongside the two near-dup tiers, the FULL
+  *    modern curation recipe (normalize → line dedup → quality floor →
+  *    Gopher rules → repetition gate → LM-perplexity gate → exact dedup
+  *    → MinHash near-dedup → semantic dedup → DSIR importance weighting
+  *    → α-mixture rebalance) is a data file
   *
   * Field order inside `project`/`rename`/`keep` objects is preserved
   * (json4s keeps JObject field order), so loaded specs produce
@@ -307,6 +307,18 @@ object SpecLoader {
           graft.operators.TextAnalysis.gopherRepetition(df, c, id)
             .filter(col("pass") === 1L).select(col("id").as(id)),
           Seq(id), "left_semi")
+      case "lm_perplexity" =>
+        // CCNet-style perplexity gate (Wenzek et al. 2020): keep rows
+        // whose Kneser-Ney mean token log-prob — the LM trained on the
+        // stage's own input — clears the floor; unscorable (<2 token)
+        // docs are dropped. The default floor is the engine's shared
+        // constant (one-definition discipline).
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val floor = (v \ "min_lp_permille").extractOpt[Long].getOrElse(
+          graft.operators.TextAnalysis.LmPerplexityFloorPermille)
+        df => graft.operators.TextAnalysis
+          .lmPerplexityGate(df, c, id, floor)
       case "alpha_mixture" =>
         // temperature-based mixture resampling (Conneau & Lample 2019):
         // keep rates derived from the observed stratum distribution

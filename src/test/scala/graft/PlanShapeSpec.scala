@@ -373,6 +373,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(single <= 1, s"global-order window crept in:\n$plan")
   }
 
+  test("quantile_normalize: pooled rank is range-partitioned — no data-sized" +
+      " single-partition window") {
+    val plan = finalPlan(q("quantile_normalize"))
+    // the pooled side must ride a range exchange + per-shard windows; the
+    // only legitimate single-partition stages are the |shards|-row offset
+    // cumsum and the 1-row total aggregate
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"pooled rank lost its range partitioning:\n$plan")
+    val single = plan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2, s"data-sized global window crept back in:\n$plan")
+  }
+
   test("ivm_agg: state ∪ delta maintained by ONE partial-combined aggregate") {
     val plan = finalPlan(q("ivm_agg"))
     // partial aggregates must appear under the union (map-side collapse)

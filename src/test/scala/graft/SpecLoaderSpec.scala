@@ -179,6 +179,41 @@ class SpecLoaderSpec extends AnyFunSuite {
     assert(want.count() > 0)
   }
 
+  test("declarative lm_perplexity equals the hand-composed gate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // derive a floor that provably bites from the fixture's score
+    // distribution: strictly above the min, at most the max
+    val lp = TextAnalysis.knLogProb(docs, "text", "doc_id")
+    val r = lp.agg(min(col("lp_permille")), max(col("lp_permille"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    assert(lo < hi, s"degenerate fixture: all lp_permille == $lo")
+    val floor = hi
+    val want = TextAnalysis.lmPerplexityGate(docs, "text", "doc_id", floor)
+    val chain = SpecLoader.transformFromJson(
+      s"""{ "name": "ppl_gate", "steps": [
+         |  { "op": "lm_perplexity", "text": "text", "id": "doc_id",
+         |    "min_lp_permille": $floor } ] }""".stripMargin)
+    val got = chain(docs)
+    assert(got.schema === want.schema)
+    val g = got.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val w = want.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(g === w)
+    // the gate bites and survivors remain
+    assert(got.count() < docs.count() && got.count() > 0)
+    // default-floor form parses and uses the shared constant
+    val dflt = SpecLoader.transformFromJson(
+      """{ "name": "ppl_default", "steps": [
+        |  { "op": "lm_perplexity", "text": "text", "id": "doc_id" } ] }"""
+        .stripMargin)(docs)
+    val wantDflt = TextAnalysis.lmPerplexityGate(docs, "text", "doc_id")
+    assert(dflt.collect().map(_.getLong(0)).sorted.toSeq ===
+      wantDflt.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("declarative winnow_dedup equals the hand-composed MOSS tier") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
