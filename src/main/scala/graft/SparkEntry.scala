@@ -2043,6 +2043,17 @@ object SparkEntry {
     "kn_logprob" -> ((s, dir) =>
       TextAnalysis.knLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
+    // count-floor-pruned Kneser-Ney (the KenLM/SRILM `prune` switch):
+    // singleton bigrams surrender their mass to the continuation
+    // distribution EXACTLY (per-context total probability still 1 —
+    // see [[TextAnalysis.knLogProbPruned]]'s normalization argument), so
+    // the model tables joined back against the corpus stay near-constant
+    // under the singleton-type growth that makes the unpruned tier's
+    // sf1 rung scale 4x.
+    "kn_logprob_pruned" -> ((s, dir) =>
+      TextAnalysis.knLogProbPruned(t(s, dir, "documents"), "text",
+        "doc_id")),
+
     // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
     // scorer as a curation CUT — docs whose mean token log-prob clears
     // the shared floor constant survive (declarable as the
@@ -9273,6 +9284,42 @@ object SparkEntry {
         |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
         |      AS BIGINT) AS lp
         |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN ty)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // pruned-KN replay: identical integer-ratio discipline with the
+    // count floor — singletons fold into the (3·fw + 4·n1)·r' backoff
+    // numerator, kept types B' replace B, LEFT joins give pruned and
+    // unseen-continuation bigrams their exact backoff/epsilon scores
+    "kn_logprob_pruned" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
+        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
+        |  FROM t GROUP BY 1, 2, 3),
+        |f AS (SELECT w1, SUM(c12) AS c1,
+        |    SUM(CASE WHEN c12 >= 2 THEN 1 ELSE 0 END) AS fw,
+        |    SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM b GROUP BY 1),
+        |kb AS (SELECT s, w2, c12 FROM b WHERE c12 >= 2),
+        |r AS (SELECT w2, COUNT(*) AS rw FROM kb GROUP BY 1),
+        |ty AS (SELECT greatest(COUNT(*), 1) AS bb FROM kb),
+        |l AS (SELECT doc_id, CAST(round(ln(
+        |      CAST(greatest(
+        |        greatest(4 * COALESCE(kb.c12, 0) - 3, 0) * ty.bb
+        |          + (3 * f.fw + 4 * f.n1) * COALESCE(r.rw, 0), 1)
+        |        AS DOUBLE)
+        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM t LEFT JOIN kb USING (s)
+        |  JOIN f ON split_part(t.s, ' ', 1) = f.w1
+        |  LEFT JOIN r ON split_part(t.s, ' ', 2) = r.w2
         |  CROSS JOIN ty)
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille

@@ -449,6 +449,69 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** Count-floor-pruned Kneser–Ney bigram scoring — [[knLogProb]]'s
+    * production-scale tier: SINGLETON bigrams are pruned from the model
+    * and their discounted mass redistributed through the continuation
+    * distribution, the pruning Kneser–Ney licenses exactly. With
+    * discount d = 3/4 and kept types B′ (c12 ≥ 2 only):
+    *
+    *   P(w2|w1) = [max(4·c12−3, 0)·B′ + (3·fw + 4·n1)·r′(w2)] / (4·c1·B′)
+    *
+    * where fw = KEPT followers of w1, n1 = w1's singleton followers
+    * (each surrenders its whole count 1 = 4/4 to the backoff), r′ = kept
+    * continuation count. Per context the mass is EXACTLY 1 over the
+    * kept-continuation vocabulary: Σ_kept(4c12−3) = 4(c1−n1)−3fw and
+    * Σ r′ = B′, so the total is [4(c1−n1)−3fw + (3fw+4n1)]·B′/(4c1B′)
+    * = 1 — the written exactness argument for why pruning is a DIFFERENT
+    * (still proper) model, not an approximation error. Scoring a bigram
+    * whose w2 has no kept predecessor (r′ = 0) floors the numerator at 1
+    * (a sub-ulp epsilon, impossible for in-model bigrams since a kept
+    * bigram's own w2 has r′ ≥ 1).
+    *
+    * Why this caps the [[knLogProb]] sf1 type-growth: perturbed/crawled
+    * corpora grow mostly SINGLETON bigram types, so the model tables
+    * (kept bigrams, continuation counts, B′) joined back against the
+    * corpus stay near-constant while the unpruned tier's grow linearly —
+    * the count-floor is the standard KenLM/SRILM `prune` switch. The one
+    * full-width pass left is the initial bigram count (unavoidable: a
+    * count floor needs counts) and the per-w1 (c1, fw, n1) aggregate OF
+    * that table. Returns (idCol, lp_permille). */
+  def knLogProbPruned(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
+      .select(col("id"), col("s"))
+    val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+    val fol = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        sum(when(col("c12") >= 2L, 1L).otherwise(0L)).as("fw"),
+        sum(when(col("c12") === 1L, 1L).otherwise(0L)).as("n1"))
+    val keptBig = big.filter(col("c12") >= 2L)
+      .withColumn("w2", substring_index(col("s"), " ", -1))
+    val pre = keptBig.groupBy(col("w2")).agg(count(lit(1)).as("rw"))
+    // greatest(.,1) keeps the degenerate all-singleton corpus defined
+    val types = broadcast(
+      keptBig.agg(greatest(count(lit(1)), lit(1L)).as("__b")))
+    tok.join(keptBig.select(col("s"), col("c12")), Seq("s"), "left")
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+      .withColumn("w2", substring_index(col("s"), " ", -1))
+      .join(fol, "w1").join(pre, Seq("w2"), "left").crossJoin(types)
+      .select(col("id"),
+        round(log(
+          greatest(
+            greatest(lit(4) * coalesce(col("c12"), lit(0L)) - 3, lit(0))
+              * col("__b") +
+              (lit(3) * col("fw") + lit(4) * col("n1"))
+                * coalesce(col("rw"), lit(0L)),
+            lit(1)).cast("double") /
+          (lit(4) * col("c1") * col("__b")).cast("double"))
+          * lit(1000000)).cast("long").as("lp"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))
+        .cast("long").as("lp_permille"))
+      .select(col("id").as(idCol), col("lp_permille"))
+  }
+
   /** CCNet-style LM-perplexity gate (Wenzek et al. 2020): keep documents
     * whose [[knLogProb]] mean token log-prob clears `floorPermille`
     * (higher log-prob = lower perplexity = more language-model-like —

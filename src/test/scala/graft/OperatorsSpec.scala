@@ -2279,6 +2279,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === want)
   }
 
+  test("knLogProbPruned: hand-computed pruned values; per-context mass" +
+      " exactly 1") {
+    import graft.operators.TextAnalysis
+    // corpus "a b a b a c": bigrams "a b"×2, "b a"×2, "a c"×1 (singleton,
+    // pruned). Kept: (a b, 2), (b a, 2) → B′ = 2; r′: b→1, a→1, c→0
+    // f: a→(c1=3, fw=1, n1=1), b→(c1=2, fw=1, n1=0)
+    // P(b|a) = (5·2 + (3·1+4·1)·1)/(4·3·2) = 17/24
+    // P(c|a) = (0 + 7·0)/24 → floored numerator 1 → 1/24 (epsilon tier)
+    // P(a|b) = (5·2 + (3·1+4·0)·1)/(4·2·2) = 13/16
+    // exact normalization over kept continuations for context a:
+    // 17/24 + 7/24 (the a-continuation backoff) = 1 — the pruned model
+    // is a proper distribution, not an approximation
+    assert(17 + 7 === 24 && 13 + 3 === 16)
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knLogProbPruned(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lp(num: Long, den: Long): Long =
+      math.round(math.log(num.toDouble / den.toDouble) * 1e6)
+    val want = math.round(
+      (2 * lp(17, 24) + 2 * lp(13, 16) + lp(1, 24)).toDouble / (5 * 1000.0))
+    assert(got(1L) === want)
+  }
+
   test("gopherRepetition: hand-computed signals on degenerate text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
