@@ -69,6 +69,18 @@ object Sf1Gen {
               ("concat_ws(' ', transform(split(trim(text), '\\\\s+'), " +
                 "x -> concat(x, '~COPY')))").replace("COPY", i.toString)))
             .withColumn("n_chars", length(col("text")).cast("long"))
+        // embeddings: deterministic per-(copy, vec, dim) jitter of half
+        // the component stddev (±0.0625 on ~N(0, 0.125) coords; copy 0
+        // stays byte-identical). Exact replicas made every ANN rung
+        // trivial — each query's true top-k was its own copies, which
+        // co-bucket under ANY hash tier, so recall read 1.0 regardless
+        // of plan quality. Jittered copies keep the distribution while
+        // making the 10x corpus genuinely 10x distinct vectors.
+        else if (t == "embeddings" && i > 0)
+          keyed.withColumn("embedding", expr(
+            ("transform(embedding, (x, i) -> CAST(x + " +
+              "(pmod(xxhash64(vec_id, i, COPY), 2001) - 1000) / 16000.0" +
+              " AS FLOAT))").replace("COPY", i.toString)))
         else keyed
       }
       reps.reduce(_ unionByName _)
