@@ -2043,6 +2043,20 @@ object SparkEntry {
     "kn_logprob" -> ((s, dir) =>
       TextAnalysis.knLogProb(t(s, dir, "documents"), "text", "doc_id")),
 
+    // per-doc character Shannon entropy in integer micro-nats — the
+    // oracle-exact sibling of the rows-only compress_ratio junk signal
+    // ([[TextAnalysis.charEntropy]]; quantize-once ln discipline).
+    "char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "text", "doc_id")),
+
+    // CCNet head/middle/tail terciles over the Kneser-Ney score —
+    // the bucketed-corpus artifact the CCNet recipe actually ships
+    // ([[TextAnalysis.perplexityBuckets]]; range-partitioned rank, pure
+    // integer tercile test, doc-id tiebreak).
+    "perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "text",
+        "doc_id")),
+
     // count-floor-pruned Kneser-Ney (the KenLM/SRILM `prune` switch):
     // singleton bigrams surrender their mass to the continuation
     // distribution EXACTLY (per-context total probability still 1 —
@@ -9288,6 +9302,57 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // character entropy replay: per-char ln quantized to micros BEFORE
+    // the per-doc sum (order-independent integers); split('') explodes
+    // characters on both engines, empty docs emit nothing on either
+    // (DuckDB: empty list; Spark: the lone ''/trailing '' rows are
+    // length-filtered)
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, u AS ch FROM
+        |    (SELECT doc_id, unnest(split(text, '')) AS u FROM documents)
+        |  WHERE length(u) = 1),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_counted,
+        |  CAST(SUM(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT)) // n AS BIGINT) AS entropy_micros
+        |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n""".stripMargin,
+
+    // kn_logprob replay + global (lp DESC, doc_id) row_number + the
+    // integer tercile test — DuckDB's one global window twins the
+    // engine's range-partitioned rank exactly (same total order)
+    "perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
+        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
+        |  FROM t GROUP BY 1, 2, 3),
+        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS bb FROM b),
+        |l AS (SELECT doc_id, CAST(round(ln(
+        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
+        |        AS DOUBLE)
+        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN ty),
+        |lp AS (SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |  FROM l GROUP BY 1),
+        |rk AS (SELECT doc_id, lp_permille,
+        |    CAST(row_number() OVER (ORDER BY lp_permille DESC, doc_id)
+        |      AS BIGINT) AS rk, COUNT(*) OVER () AS n FROM lp)
+        |SELECT doc_id, lp_permille,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rk""".stripMargin,
 
     // pruned-KN replay: identical integer-ratio discipline with the
     // count floor — singletons fold into the (3·fw + 4·n1)·r' backoff

@@ -532,6 +532,56 @@ object TextAnalysis {
         .select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Per-document character Shannon entropy in integer micro-nats — the
+    * oracle-exact sibling of the rows-only deflate compress_ratio signal
+    * (low entropy = repetitive boilerplate, max entropy ≈ high-entropy
+    * junk; both tails are curation drops). Quantize-once discipline:
+    * each distinct character's ln(n/c) is rounded to micros BEFORE the
+    * per-doc sum, so the result is an order-independent integer —
+    * entropy_micros = (Σ c·round(ln(n/c)·10⁶)) DIV n.
+    *
+    * Shape: one character explode → per-(doc, char) count aggregate
+    * (≤ alphabet-size rows per doc) → per-doc window total + one closing
+    * aggregate, everything keyed on the doc id (one shuffle family).
+    * Empty documents emit no row (no characters, no defined entropy). */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+    ch.groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("id")))
+      .select(col("id"), col("c"), col("n"),
+        (col("c") * round(log(col("n").cast("double") /
+          col("c").cast("double")) * 1e6).cast("long")).as("__cq"))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("n_counted"), sum(col("__cq")).as("__sq"))
+      .select(col("id").as(idCol), col("n_counted"),
+        expr("__sq DIV n_counted").as("entropy_micros"))
+  }
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank every
+    * document by its [[knLogProb]] score (most predictable first) and
+    * split into exact terciles — `head` is the cleanest third the recipe
+    * trains on first, `tail` the noisiest. Ranking rides
+    * [[graft.operators.Transforms.rangedRank]] (range-partitioned sort
+    * rank — no data-sized single-partition window), the tercile test is
+    * pure integers (rk·3 vs n), and ties break on the doc id, so the
+    * buckets are engine-exact. Returns (idCol, lp_permille, bucket). */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val lp = knLogProb(df, textCol, idCol)
+    val n = broadcast(lp.agg(count(lit(1)).as("__n")))
+    Transforms.rangedRank(lp,
+        Seq(col("lp_permille").desc, col(idCol).asc), "__rk")
+      .crossJoin(n)
+      .select(col(idCol), col("lp_permille"),
+        when(col("__rk") * 3 <= col("__n"), "head")
+          .when(col("__rk") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** TF-IDF term scoring — the corpus-relevance signal: per (doc, term)
     * term frequency joined with corpus document frequency, score =
     * tf·ln(N/df). Shape: one explode + a (doc,term) count aggregate; the

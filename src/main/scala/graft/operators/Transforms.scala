@@ -310,6 +310,38 @@ object Transforms {
       .drop("__b", "__off")
   }
 
+  /** Global `row_number` under the `orderCols` total order WITHOUT a
+    * data-sized single-partition window: `repartitionByRange` on the
+    * order columns, a per-shard local `row_number`, and broadcast shard
+    * offsets (count of rows in all lower-range shards — shard ids ascend
+    * with the range order). Shard boundaries only decide WHERE a row's
+    * rank is computed, never the rank itself, so the output is
+    * boundary-sampling- and AQE-coalescing-invariant; `orderCols` must be
+    * a total order (include a unique tiebreak). Appends the rank as
+    * `as`. The scale-correct form of `row_number().over(Window.orderBy)`
+    * — used by quantileNormalize's pooled rank and the perplexity
+    * tercile bucketer. */
+  def rangedRank(df: DataFrame, orderCols: Seq[Column],
+      as: String): DataFrame = {
+    val shards = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parts = df.repartitionByRange(shards, orderCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__poff", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    parts
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderCols: _*))
+        .cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(as, col("__lrn") + col("__poff"))
+      .drop("__pid", "__lrn", "__poff")
+  }
+
   /** Referential-integrity audit: one report row per declared FK relation
     * — child row count and orphan count (child keys with no parent).
     * Each relation is one left join of the child's key projection against
@@ -629,23 +661,8 @@ object Transforms {
         .otherwise(expr("((rn - 1) * 1000) DIV (n - 1)")))
     // pooled rank = within-shard row_number + count of rows in all
     // lower-range shards (shard ids ascend with the range order)
-    val shards = v.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val parts = v.repartitionByRange(shards, col("v"), col("tie"))
-      .withColumn("__pid", spark_partition_id().cast("long"))
-    val offsets = parts.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__poff", coalesce(sum(col("__c")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__poff"))
-    val pooled = parts
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col("v"), col("tie")))
-        .cast("long"))
-      .join(broadcast(offsets), "__pid")
-      .select(col("v").as("pooled_v"),
-        (col("__lrn") + col("__poff")).as("prn"))
+    val pooled = rangedRank(v, Seq(col("v"), col("tie")), "prn")
+      .select(col("v").as("pooled_v"), col("prn"))
     // max pooled rank == row count: a 1-row partial-combined aggregate,
     // not a replay of the pooled rank branch
     val total = v.agg(count(lit(1)).as("__ptot"))
