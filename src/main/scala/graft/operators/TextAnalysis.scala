@@ -570,8 +570,14 @@ object TextAnalysis {
     * pure integers (rk·3 vs n), and ties break on the doc id, so the
     * buckets are engine-exact. Returns (idCol, lp_permille, bucket). */
   def perplexityBuckets(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    perplexityBucketsFromScores(knLogProb(df, textCol, idCol), idCol)
+
+  /** [[perplexityBuckets]]' bucketing half over an already-scored
+    * (idCol, lp_permille) frame — lets the kn family share ONE scoring
+    * pass (the winnowFp memo discipline). */
+  def perplexityBucketsFromScores(lp: DataFrame, idCol: String)
       : DataFrame = {
-    val lp = knLogProb(df, textCol, idCol)
     val n = broadcast(lp.agg(count(lit(1)).as("__n")))
     Transforms.rangedRank(lp,
         Seq(col("lp_permille").desc, col(idCol).asc), "__rk")
