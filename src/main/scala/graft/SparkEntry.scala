@@ -2069,6 +2069,13 @@ object SparkEntry {
     "char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Heaps'-law vocabulary growth: distinct types in each decile prefix
+    // of the (doc_id, pos)-ordered token stream — the statistic that
+    // sizes tokenizer vocabularies ([[TextAnalysis.vocabGrowth]];
+    // range-partitioned global token index, vocab-sized aggregates).
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "text", "doc_id")),
+
     // CCNet head/middle/tail terciles over the Kneser-Ney score —
     // the bucketed-corpus artifact the CCNet recipe actually ships
     // ([[TextAnalysis.perplexityBuckets]]; range-partitioned rank, pure
@@ -9337,6 +9344,27 @@ object SparkEntry {
         |  CAST(SUM(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
         |    * 1000000, 0) AS BIGINT)) // n AS BIGINT) AS entropy_micros
         |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n""".stripMargin,
+
+    // Heaps replay: parallel unnest zips token+position, one global
+    // row_number under the same (doc_id, pos) order twins the engine's
+    // range-partitioned index, first-occurrence min + decile conditional
+    // counts are pure integers
+    "vocab_growth" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w,
+        |    unnest(range(1, len(ws) + 1)) AS pos FROM d),
+        |ix AS (SELECT w, row_number() OVER (ORDER BY doc_id, pos) AS gix
+        |  FROM tok),
+        |f AS (SELECT w, MIN(gix) AS first_ix FROM ix GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM ix),
+        |s AS (SELECT unnest(range(1, 11)) AS step)
+        |SELECT CAST(step AS BIGINT) AS step,
+        |  CAST((n.n * step) // 10 AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(CASE WHEN first_ix <= (n.n * step) // 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_types
+        |FROM f, n, s GROUP BY step, n.n""".stripMargin,
 
     // kn_logprob replay + global (lp DESC, doc_id) row_number + the
     // integer tercile test — DuckDB's one global window twins the

@@ -561,6 +561,38 @@ object TextAnalysis {
         expr("__sq DIV n_counted").as("entropy_micros"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: distinct token types seen in
+    * the first k/`steps` of the corpus token stream, for k = 1..steps —
+    * the corpus statistic that sizes tokenizer vocabularies and predicts
+    * type growth at 100 TB (Heaps 1978: V(n) ≈ K·n^β). The token stream
+    * is ordered (doc_id, pos) — deterministic, engine-independent — and
+    * a type counts at a checkpoint iff its FIRST occurrence index is
+    * within the prefix.
+    *
+    * Shape: one token explode → [[graft.operators.Transforms.rangedRank]]
+    * for the global token index (range-partitioned — no single-partition
+    * window over the corpus) → a vocab-sized first-occurrence aggregate
+    * → a `steps`-way conditional count (one pass over vocab×steps rows).
+    * Returns (step, cum_tokens, n_types). */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      steps: Int = 10): DataFrame = {
+    require(steps >= 1 && steps <= 100, s"steps=$steps out of range")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(wsTokens(lower(col(textCol)))).as(Seq("pos", "w")))
+    val ix = Transforms.rangedRank(tok,
+      Seq(col("id").asc, col("pos").asc), "gix")
+    val first = ix.groupBy(col("w")).agg(min(col("gix")).as("first_ix"))
+    val total = broadcast(ix.agg(count(lit(1)).as("__n")))
+    first.crossJoin(total)
+      .select(col("first_ix"), col("__n"),
+        explode(expr(s"sequence(1L, ${steps}L)")).as("step"))
+      .withColumn("cut", expr(s"(__n * step) DIV $steps"))
+      .groupBy(col("step"), col("cut"))
+      .agg(sum(when(col("first_ix") <= col("cut"), 1L).otherwise(0L))
+        .as("n_types"))
+      .select(col("step"), col("cut").as("cum_tokens"), col("n_types"))
+  }
+
   /** CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank every
     * document by its [[knLogProb]] score (most predictable first) and
     * split into exact terciles — `head` is the cleanest third the recipe
