@@ -58,6 +58,31 @@ class ScaleStressSpec extends AnyFunSuite {
       s"near-dup pair volume not copy-local: $pairsN vs 16*$pairs1")
   }
 
+  test("rangedRank: ranks invariant under shard count (range boundaries" +
+      " can't move a rank)") {
+    import graft.operators.Transforms
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    // the same total order under 3 different shard counts — boundary
+    // sampling and shard assignment must never change a rank, only WHERE
+    // it is computed (the quantile_normalize / vocab_growth contract)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def ranks(parts: String): Map[Long, Long] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Transforms.rangedRank(docs,
+          Seq(col("n_chars").asc, col("doc_id").asc), "rk")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val r1 = ranks("1")
+    val r7 = ranks("7")
+    val r32 = ranks("32")
+    assert(r1.nonEmpty && r1 === r7 && r7 === r32)
+    // and the ranks ARE the global row_number: a dense 1..n permutation
+    assert(r1.values.toSeq.sorted === (1L to r1.size.toLong))
+  }
+
   test("8x lineitem: heap top-k winners identical per copy shard") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"))
