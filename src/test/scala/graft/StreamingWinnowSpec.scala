@@ -40,7 +40,8 @@ class StreamingWinnowSpec extends AnyFunSuite {
 
   private def runStream(name: String,
       slices: Seq[org.apache.spark.sql.DataFrame],
-      maxDf: Int): Seq[WinnowHit] = {
+      maxDf: Int, ttl: Option[java.time.Duration] = None,
+      expectRows: Option[Long] = None): Seq[WinnowHit] = {
     import spark.implicits._
     val root = Files.createTempDirectory(s"graft-$name").toString
     val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
@@ -48,7 +49,7 @@ class StreamingWinnowSpec extends AnyFunSuite {
       .schema("doc_id LONG, text STRING").json(inDir).as[DocRow]
     val hits = StatefulWinnow.hits(
       StatefulWinnow.fingerprintStream(stream)
-        .dropDuplicates("doc_id", "fp").as[FpRow], maxDf)
+        .dropDuplicates("doc_id", "fp").as[FpRow], maxDf, ttl)
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocks)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -57,10 +58,28 @@ class StreamingWinnowSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$root/ckpt")
       .format("memory").queryName(name).start()
     try {
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val json = slice.toJSON.collect().mkString("\n")
-        Files.writeString(Paths.get(s"$inDir/b$i.json"), json)
-        q.processAllAvailable()
+      if (ttl.isEmpty) {
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          val json = slice.toJSON.collect().mkString("\n")
+          Files.writeString(Paths.get(s"$inDir/b$i.json"), json)
+          q.processAllAvailable()
+        }
+      } else {
+        // ProcessingTime mode runs no-data batches for timer bookkeeping,
+        // so processAllAvailable never settles — poll the sink instead
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          val json = slice.toJSON.collect().mkString("\n")
+          Files.writeString(Paths.get(s"$inDir/b$i.json"), json)
+        }
+        val want = expectRows.getOrElse(
+          sys.error("TTL mode needs expectRows"))
+        val deadline = System.currentTimeMillis() + 300000
+        while (spark.table(name).count() < want) {
+          q.exception.foreach(throw _)
+          assert(System.currentTimeMillis() < deadline,
+            s"timed out: ${spark.table(name).count()}/$want rows")
+          Thread.sleep(500)
+        }
       }
       spark.table(name).as[WinnowHit].collect().toSeq
     } finally {
@@ -103,6 +122,29 @@ class StreamingWinnowSpec extends AnyFunSuite {
       .sorted.toSeq
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("TTL mode: same hit parity within the window (timer path runs)") {
+    import spark.implicits._
+    // TTL far beyond the test's wall time → no eviction → the hit stream
+    // equals the no-TTL run; exercises TTLConfig + ProcessingTime mode
+    val two = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // expected sink rows = Σ C(df, 2) over this corpus's distinct fps
+    val fp = StatefulWinnow.fingerprintStream(two.as[graft.streaming.DocRow])
+      .dropDuplicates("doc_id", "fp")
+    val wantRows = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("m"))
+      .agg(sum(expr("m * (m - 1) DIV 2"))).head().getLong(0)
+    assert(wantRows > 0, "degenerate corpus: no shared fingerprints")
+    val got = runStream("winnow_ttl",
+      Seq(two.filter(col("doc_id") <= 1), two.filter(col("doc_id") > 1)),
+      maxDf = 0, ttl = Some(java.time.Duration.ofHours(1)),
+      expectRows = Some(wantRows))
+    assert(got.map(h => (h.a, h.b)).toSet === Set((1L, 2L)))
+    assert(got.size.toLong === wantRows)
   }
 
   test("df breach voids a fingerprint's earlier hits across micro-batches") {
