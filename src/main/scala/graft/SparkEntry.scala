@@ -137,6 +137,7 @@ object SparkEntry {
           dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           winnowMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
         }
       })
@@ -250,6 +251,26 @@ object SparkEntry {
       val (sess, d) = key
       TextAnalysis.dsirFeaturize(t(sess, d, "documents"), "text",
         "doc_id", col("lang") === "en", TextAnalysis.DsirBuckets)
+    })
+  }
+
+  /** Shared BPE merge table for the tokenizer family (`bpe_apply`,
+    * `bpe_fertility`): the 10-iteration trainer's driver loop runs once
+    * per (session, dir) — the merges are a tiny Seq, not a frame, so the
+    * memo holds the collected pairs directly. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
+  private def bpeMergeTable(s: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    hookMemoEviction(s)
+    bpeMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      TextAnalysis.bpeMerges(t(sess, d, "documents"), "text", iters = 10)
+        .orderBy(col("iter")).collect()
+        .map { r =>
+          val p = r.getString(1).split(" ")
+          (p(0), p(1))
+        }.toSeq
     })
   }
 
@@ -1443,17 +1464,34 @@ object SparkEntry {
     // Rows-only: the iterated merge replay has no SQL twin (see
     // noOracleReason + BpeEncodeSpec).
     "bpe_apply" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = TextAnalysis.bpeMerges(docs, "text", iters = 10)
-        .orderBy(col("iter")).collect()
-        .map { r =>
-          val p = r.getString(1).split(" ")
-          (p(0), p(1))
-        }.toSeq
-      docs.select(col("doc_id"),
-        graft.functions.BpeEncode(col("text"), merges).as("n_bpe"),
+      // the merge table rides the bpeMemo (one trainer loop per
+      // (session, dir), shared with bpe_fertility)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.BpeEncode(col("text"), bpeMergeTable(s, dir))
+          .as("n_bpe"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
     }),
+
+    // tokenizer fertility per language: BPE tokens per whitespace word
+    // (the "how many subwords does this language cost" diagnostic that
+    // sizes per-language token budgets). Same memoized merge table as
+    // bpe_apply; one fused projection + one tiny aggregate.
+    "bpe_fertility" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          graft.functions.BpeEncode(col("text"), bpeMergeTable(s, dir))
+            .as("__nb"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__nw"))
+        .groupBy(col("lang"))
+        .agg(sum(col("__nb")).as("n_bpe"), sum(col("__nw")).as("n_ws"))
+        .withColumn("fertility_permille", expr("(1000 * n_bpe) DIV n_ws"))),
+
+    // corpus conditional bigram entropy H(w2|w1) in integer micro-nats —
+    // the language-complexity statistic (low = templated, high =
+    // diverse); quantize-once per bigram TYPE
+    // ([[TextAnalysis.bigramCondEntropy]]).
+    "bigram_entropy" -> ((s, dir) =>
+      TextAnalysis.bigramCondEntropy(t(s, dir, "documents"), "text",
+        "doc_id")),
 
     // calibration table (reliability diagram) for the quality scorer:
     // score-decile bins vs the realized unique-content rate — does a
@@ -5012,7 +5050,22 @@ object SparkEntry {
     * excluded), so marked merges can't overlap. Charset safety: fixture
     * tokens are [a-z0-9] (pinned in XxhOracleInvariantsSpec), so merge
     * symbols need no regex escaping. */
-  private def bpeApplyOracleSql: String = {
+  private def bpeApplyOracleSql: String = bpeOracleWith +
+    "\nSELECT nb.doc_id, nb.n_bpe, nw.n_ws FROM nb JOIN nw USING (doc_id)"
+
+  /** Oracle twin of `bpe_fertility`: the same trainer+encoder replay
+    * aggregated per language — fertility = BPE tokens per whitespace
+    * word, integer permille. */
+  private def bpeFertilityOracleSql: String = bpeOracleWith +
+    """
+    |SELECT d.lang, CAST(SUM(nb.n_bpe) AS BIGINT) AS n_bpe,
+    |  CAST(SUM(nw.n_ws) AS BIGINT) AS n_ws,
+    |  CAST((1000 * SUM(nb.n_bpe)) // SUM(nw.n_ws) AS BIGINT)
+    |    AS fertility_permille
+    |FROM nb JOIN nw USING (doc_id) JOIN documents d USING (doc_id)
+    |GROUP BY 1""".stripMargin
+
+  private def bpeOracleWith: String = {
     val iters = 10
     val ctes = Seq.newBuilder[String]
     ctes += """wrd AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM (
@@ -5071,8 +5124,7 @@ object SparkEntry {
     ctes += """nw AS (SELECT doc_id,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws
       |  FROM documents)""".stripMargin
-    "WITH " + ctes.result().mkString(",\n") +
-      "\nSELECT nb.doc_id, nb.n_bpe, nw.n_ws FROM nb JOIN nw USING (doc_id)"
+    "WITH " + ctes.result().mkString(",\n")
   }
 
   /** gopher_rules' stopword probe as a DuckDB list body — generated from
@@ -5094,6 +5146,26 @@ object SparkEntry {
     "reach_hll" -> XxhOracleSql.reachHllSql,
     "eff_diameter" -> XxhOracleSql.effDiameterSql,
     "bpe_apply" -> bpeApplyOracleSql,
+
+    "bpe_fertility" -> bpeFertilityOracleSql,
+
+    // conditional entropy replay: per-bigram-TYPE ln quantized to micros
+    // before the integer sum (quantize-once discipline)
+    "bigram_entropy" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+        |    AS s FROM d),
+        |b AS (SELECT s, COUNT(*) AS c12 FROM t GROUP BY 1),
+        |f AS (SELECT split_part(s, ' ', 1) AS w1, SUM(c12) AS c1
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(c12 * CAST(round(
+        |      ln(CAST(f.c1 AS DOUBLE) / CAST(b.c12 AS DOUBLE)) * 1000000,
+        |      0) AS BIGINT)) // SUM(c12) AS BIGINT) AS cond_entropy_micros
+        |FROM b JOIN f ON split_part(b.s, ' ', 1) = f.w1""".stripMargin,
 
     "pca_power" -> PcaOracleSql.pcaPowerSql(),
 

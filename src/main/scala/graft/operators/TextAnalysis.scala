@@ -561,6 +561,28 @@ object TextAnalysis {
         expr("__sq DIV n_counted").as("entropy_micros"))
   }
 
+  /** Corpus conditional bigram entropy H(w2|w1) in integer micro-nats —
+    * the language-complexity statistic that prices a corpus for LM
+    * training (low = templated/repetitive, high = diverse): with bigram
+    * type counts c12 and context totals c1,
+    * H = Σ (c12/N2)·ln(c1/c12), quantized ONCE per bigram TYPE to micros
+    * before the integer sum (order-independent, engine-exact). One
+    * corpus-sized bigram aggregate; everything after is vocab-sized.
+    * Returns one row (n_bigrams, cond_entropy_micros). */
+  def bigramCondEntropy(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val big = Dedup.shingleStream(df, textCol, idCol, n = 2)
+      .groupBy(col("s")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+    val fol = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    big.join(fol, "w1")
+      .agg(sum(col("c12")).as("n_bigrams"),
+        sum(col("c12") * round(log(col("c1").cast("double") /
+          col("c12").cast("double")) * 1e6).cast("long")).as("__sq"))
+      .select(col("n_bigrams"),
+        expr("__sq DIV n_bigrams").as("cond_entropy_micros"))
+  }
+
   /** Heaps'-law vocabulary-growth curve: distinct token types seen in
     * the first k/`steps` of the corpus token stream, for k = 1..steps —
     * the corpus statistic that sizes tokenizer vocabularies and predicts
