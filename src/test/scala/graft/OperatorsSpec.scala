@@ -2302,6 +2302,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === want)
   }
 
+  test("charEntropy: uniform text hits ln(alphabet) exactly; constant" +
+      " text is 0") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "abcdabcdabcd"), // uniform over 4 chars → H = ln(4) micros
+      (2L, "aaaaaaa"),      // one symbol → 0
+      (3L, "ab")            // uniform over 2 → ln(2) micros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // every char count c = n/4 → each type's q = round(ln(4)·1e6), and
+    // Σ c·q DIV n = q exactly (no floor loss on uniform distributions)
+    assert(got(1L) === (12L, math.round(math.log(4) * 1e6)))
+    assert(got(2L) === (7L, 0L))
+    assert(got(3L) === (2L, math.round(math.log(2) * 1e6)))
+  }
+
+  test("bigramCondEntropy: deterministic chains score 0; a 2-way branch" +
+      " scores its exact share of ln(2)") {
+    import graft.operators.TextAnalysis
+    // "a b a b a b": every context has ONE follower → H = 0
+    val det = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val h0 = TextAnalysis.bigramCondEntropy(det, "text", "doc_id")
+      .head()
+    assert(h0.getLong(0) === 5L && h0.getLong(1) === 0L)
+    // "a b a c": context a branches 2 ways (c1=2, c12=1 each →
+    // q = round(ln 2·1e6) per type, weight 1 each); context b is
+    // deterministic → H = 2·q DIV 3
+    val br = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val h1 = TextAnalysis.bigramCondEntropy(br, "text", "doc_id").head()
+    val q = math.round(math.log(2) * 1e6)
+    assert(h1.getLong(0) === 3L && h1.getLong(1) === (2 * q) / 3)
+  }
+
   test("gopherRepetition: hand-computed signals on degenerate text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
