@@ -44,10 +44,11 @@ import org.json4s.jackson.JsonMethods
   *  - `dedup`: dropDuplicates, optionally on `by` columns
   *  - `edge_pairs`: the (a_id, b_id) string-cast edge projection of
   *    [[graft.operators.Transforms.edgePairs]]
-  *  - curation ops (`normalize`, `line_dedup`, `quality_filter`,
-  *    `gopher_rules`, `gopher_repetition`, `lm_perplexity`,
-  *    `exact_dedup`, `minhash_dedup`, `winnow_dedup`, `semdedup`,
-  *    `dsir_weight`, `alpha_mixture`): the
+  *  - curation ops (`normalize`, `line_dedup`, `substring_excise`,
+  *    `quality_filter`, `gopher_rules`, `gopher_repetition`,
+  *    `lm_perplexity`, `exact_dedup`, `minhash_dedup`, `winnow_dedup`,
+  *    `semdedup`, `dsir_weight`, `mixture_resample`, `alpha_mixture`):
+  *    the
   *    LLM-corpus steps as declarable stages — see [[transformFromJson]],
   *    the standalone chain entry point; with the rules + repetition
   *    gates, the perplexity gate, importance weighting, and temperature
@@ -208,6 +209,37 @@ object SpecLoader {
             kept.select(col("id").as(id), col("kept_text").as(c)),
             Seq(id))
         }
+      case "substring_excise" =>
+        // exact-substring excision (Lee et al. 2022's dedup ACTION step,
+        // fixed-k window relaxation): rebuild `text` with every
+        // duplicated-span token removed, other columns untouched; docs
+        // fully covered by duplicated spans drop out when `drop_empty`
+        // (default true) — the line_dedup stage contract at span
+        // granularity
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val k = (v \ "k").extractOpt[Int].getOrElse(8)
+        val dropEmpty = (v \ "drop_empty").extractOpt[Boolean]
+          .getOrElse(true)
+        df => {
+          val ex = graft.operators.TextAnalysis
+            .substringExcise(df, c, id, k)
+          val kept = if (dropEmpty) ex.filter(col("n_kept") > 0) else ex
+          df.drop(c).join(
+            kept.select(col("id").as(id), col("kept_text").as(c)),
+            Seq(id))
+        }
+      case "mixture_resample" =>
+        // whitelist target-mixture resampling: derive per-stratum keep
+        // rates so the kept corpus hits the given permille mixture
+        // (the scarcest stratum is kept whole); strata absent from the
+        // weights map are DROPPED — a mixture spec is a whitelist
+        // ([[graft.operators.TextAnalysis.mixtureResample]])
+        val id = (v \ "id").extract[String]
+        val strata = (v \ "strata").extract[String]
+        val weights = (v \ "target_permille").extract[Map[String, Int]]
+        df => graft.operators.TextAnalysis
+          .mixtureResample(df, col(strata), col(id), weights)
       case "minhash_dedup" =>
         // MinHash-LSH near-dedup: LSH proposes candidate pairs, exact
         // Jaccard verifies, connected components cluster, and the min-id

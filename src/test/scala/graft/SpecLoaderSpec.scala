@@ -214,6 +214,42 @@ class SpecLoaderSpec extends AnyFunSuite {
       wantDflt.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("declarative substring_excise + mixture_resample equal the" +
+      " hand-composed twins") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // hand-composed: excise duplicated spans (k=8), drop fully-covered
+    // docs, then resample to an en/de whitelist mixture
+    val ex = TextAnalysis.substringExcise(docs, "text", "doc_id", k = 8)
+      .filter(col("n_kept") > 0)
+    val excised = docs.drop("text").join(
+      ex.select(col("id").as("doc_id"), col("kept_text").as("text")),
+      Seq("doc_id"))
+    val want = TextAnalysis.mixtureResample(excised, col("lang"),
+      col("doc_id"), Map("en" -> 700, "de" -> 300))
+    val chain = SpecLoader.transformFromJson(
+      """{ "name": "excise_mix", "steps": [
+        |  { "op": "substring_excise", "text": "text", "id": "doc_id" },
+        |  { "op": "mixture_resample", "id": "doc_id", "strata": "lang",
+        |    "target_permille": { "en": 700, "de": 300 } } ] }"""
+        .stripMargin)
+    val got = chain(docs)
+    assert(got.schema === want.schema)
+    val g = got.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val w = want.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(g === w)
+    // both stages bite: excision rewrites at least one doc's text, and
+    // the whitelist drops non-en/de strata while keeping survivors
+    val changed = excised.join(docs.withColumnRenamed("text", "__orig"),
+      Seq("doc_id")).filter(col("text") =!= col("__orig"))
+    assert(changed.count() > 0)
+    assert(want.count() > 0 && want.count() < excised.count())
+    assert(want.filter(!col("lang").isin("en", "de")).count() === 0)
+  }
+
   test("declarative winnow_dedup equals the hand-composed MOSS tier") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
