@@ -110,6 +110,40 @@ object SpecLoader {
     transformFromJson(new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8))
 
+  /** Run a declared curation chain and return BOTH the final frame and
+    * the per-stage funnel — (stage, op, rows_in, rows_out) — the audit a
+    * production curation job ships next to its output (which stage ate
+    * the corpus?). Each stage boundary is one `count()` action against a
+    * `localCheckpoint`ed intermediate, so no stage recomputes its
+    * predecessors and the chain's lineage stays flat; for a 100 TB run
+    * the same shape holds with reliable checkpoints. */
+  def funnelFromJson(json: String, df: DataFrame)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) = {
+    val root = JsonMethods.parse(json)
+    val name = (root \ "name").extractOpt[String].getOrElse("transform")
+    val items = (root \ "steps") match {
+      case JArray(is) => is
+      case other => sys.error(s"'$name': 'steps' must be an array, got $other")
+    }
+    require(items.nonEmpty, s"'$name' has no steps")
+    val ops = items.map(s => (s \ "op").extract[String])
+    val stages = items.map(s => parseStep(name, s))
+    val funnel = Seq.newBuilder[(Int, String, Long, Long)]
+    var cur = df
+    var (ckpt, n) = org.apache.spark.sql.GraftSqlBridge
+      .localCheckpointFreshStatsCounted(cur)
+    cur = ckpt
+    stages.zip(ops).zipWithIndex.foreach { case ((stage, op), i) =>
+      val in = n
+      val (out, m) = org.apache.spark.sql.GraftSqlBridge
+        .localCheckpointFreshStatsCounted(stage(cur))
+      funnel += ((i + 1, op, in, m))
+      cur = out
+      n = m
+    }
+    (cur, funnel.result())
+  }
+
   private def parseFunction(v: JValue): FunctionSpec = {
     val name = (v \ "name").extract[String]
     val kind = (v \ "kind").extract[String] match {

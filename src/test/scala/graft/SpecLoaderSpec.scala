@@ -214,6 +214,35 @@ class SpecLoaderSpec extends AnyFunSuite {
       wantDflt.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("funnelFromJson: per-stage survivor counts match the plain chain") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val spec =
+      """{ "name": "funnel", "steps": [
+        |  { "op": "gopher_rules", "text": "text", "id": "doc_id",
+        |    "min_words": 5 },
+        |  { "op": "exact_dedup", "text": "text", "id": "doc_id" },
+        |  { "op": "mixture_resample", "id": "doc_id", "strata": "lang",
+        |    "target_permille": { "en": 700, "de": 300 } } ] }"""
+        .stripMargin
+    val (out, funnel) = SpecLoader.funnelFromJson(spec, docs)
+    val plain = SpecLoader.transformFromJson(spec)(docs)
+    assert(out.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+      plain.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+    // funnel shape: 3 stages, rows_in chains to the previous rows_out,
+    // starts at the corpus size, ends at the output count, every stage
+    // monotone non-increasing (all three are filters) and biting
+    assert(funnel.map(f => (f._1, f._2)) ===
+      Seq((1, "gopher_rules"), (2, "exact_dedup"), (3, "mixture_resample")))
+    assert(funnel.head._3 === docs.count())
+    assert(funnel.last._4 === out.count())
+    funnel.sliding(2).foreach { case Seq(a, b) => assert(a._4 === b._3) }
+    funnel.foreach(f => assert(f._4 <= f._3))
+    assert(funnel.map(f => f._3 - f._4).sum > 0)
+  }
+
   test("declarative substring_excise + mixture_resample equal the" +
       " hand-composed twins") {
     import org.apache.spark.sql.functions._
