@@ -138,6 +138,7 @@ object SparkEntry {
           winnowMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
         }
       })
@@ -271,6 +272,36 @@ object SparkEntry {
           val p = r.getString(1).split(" ")
           (p(0), p(1))
         }.toSeq
+    })
+  }
+
+  /** `curation_funnel`'s declared chain — its stage literals (the word
+    * floor and the mixture weights) are defined ONCE here and generated
+    * into BOTH the spec JSON the engine runs and the oracle SQL
+    * (one-definition discipline). */
+  private val FunnelMinWords = 5
+  private val FunnelMix = Seq("en" -> 700L, "de" -> 300L)
+  private def funnelSpecJson: String = {
+    val mix = FunnelMix.map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    s"""{ "name": "curation_funnel", "steps": [
+       |  { "op": "gopher_rules", "text": "text", "id": "doc_id",
+       |    "min_words": $FunnelMinWords },
+       |  { "op": "exact_dedup", "text": "text", "id": "doc_id" },
+       |  { "op": "mixture_resample", "id": "doc_id", "strata": "lang",
+       |    "target_permille": { $mix } } ] }""".stripMargin
+  }
+  private val funnelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, String, Long, Long)]]()
+  private def funnelRows(s: SparkSession,
+      dir: String): Seq[(Long, String, Long, Long)] = {
+    hookMemoEviction(s)
+    funnelMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val docs = t(sess, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.pipeline.SpecLoader.funnelFromJson(funnelSpecJson, docs)._2
+        .map(f => (f._1.toLong, f._2, f._3, f._4))
     })
   }
 
@@ -1492,6 +1523,16 @@ object SparkEntry {
     "bigram_entropy" -> ((s, dir) =>
       TextAnalysis.bigramCondEntropy(t(s, dir, "documents"), "text",
         "doc_id")),
+
+    // per-stage curation audit: the DECLARED gopher→dedup→mixture chain
+    // run through [[graft.pipeline.SpecLoader.funnelFromJson]] — one
+    // counted checkpoint per stage boundary yields (stage, op, rows_in,
+    // rows_out); the stage literals are generated into both the spec
+    // JSON and the oracle from one definition.
+    "curation_funnel" -> ((s, dir) => {
+      import s.implicits._
+      funnelRows(s, dir).toDF("stage", "op", "rows_in", "rows_out")
+    }),
 
     // calibration table (reliability diagram) for the quality scorer:
     // score-decile bins vs the realized unique-content rate — does a
@@ -5148,6 +5189,66 @@ object SparkEntry {
     "bpe_apply" -> bpeApplyOracleSql,
 
     "bpe_fertility" -> bpeFertilityOracleSql,
+
+    // funnel replay: each declared stage's survivor set as a CTE (the
+    // gopher gate with the funnel's generated word floor, min-id-per-text
+    // dedup, the mixture_sample rate derivation over stage-2 survivors),
+    // then three count rows — stage literals shared with funnelSpecJson
+    "curation_funnel" -> {
+      val mixVals = FunnelMix
+        .map { case (k, v) => s"('$k', CAST($v AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH w AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(ws, '')) AS BIGINT) AS chars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + ((length(text) - length(replace(text, '...', ''))) // 3)
+        |      AS BIGINT) AS sym,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      [$gopherStopSqlList]))
+        |      AS BIGINT) AS n_stop
+        |  FROM w),
+        |p AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (chars * 1000) // n_words END AS mwl,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (sym * 1000) // n_words END AS symp,
+        |    CASE WHEN n_words = 0 THEN 0
+        |         ELSE (alpha * 1000) // n_words END AS alp,
+        |    n_stop
+        |  FROM m),
+        |g AS (SELECT doc_id FROM p
+        |  WHERE n_words >= $FunnelMinWords
+        |    AND n_words <= ${TextAnalysis.GopherMaxWords}
+        |    AND mwl >= 3000 AND mwl <= 10000
+        |    AND symp <= 100 AND alp >= 800 AND n_stop >= 2),
+        |e AS (SELECT MIN(d.doc_id) AS doc_id
+        |  FROM documents d JOIN g USING (doc_id) GROUP BY d.text),
+        |c AS (SELECT lang, COUNT(*) AS n_s
+        |  FROM documents JOIN e USING (doc_id) GROUP BY 1),
+        |mw(lang, wt) AS (VALUES $mixVals),
+        |j AS (SELECT c.lang, c.n_s, mw.wt FROM c JOIN mw USING (lang)),
+        |sc AS (SELECT MIN((n_s * 1000000) // wt) AS scale FROM j),
+        |r AS (SELECT lang, (wt * scale) // n_s AS rate_ppm FROM j, sc),
+        |mm AS (SELECT d.doc_id FROM documents d JOIN e USING (doc_id)
+        |  JOIN r USING (lang)
+        |  WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm),
+        |n0 AS (SELECT COUNT(*) AS n FROM documents),
+        |n1 AS (SELECT COUNT(*) AS n FROM g),
+        |n2 AS (SELECT COUNT(*) AS n FROM e),
+        |n3 AS (SELECT COUNT(*) AS n FROM mm)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'gopher_rules' AS op,
+        |  n0.n AS rows_in, n1.n AS rows_out FROM n0, n1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', n1.n, n2.n
+        |  FROM n1, n2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'mixture_resample', n2.n,
+        |  n3.n FROM n2, n3""".stripMargin
+    },
 
     // conditional entropy replay: per-bigram-TYPE ln quantized to micros
     // before the integer sum (quantize-once discipline)
