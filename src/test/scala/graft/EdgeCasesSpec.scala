@@ -45,6 +45,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(sink.readNodes("n").count() === 2)
   }
 
+  test("localCheckpointFreshStatsCounted: count == rows, content and" +
+      " stats-freshness match the uncounted form") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") % 7)
+      .filter(col("v") =!= 3)
+    val (ck, n) = GraftSqlBridge.localCheckpointFreshStatsCounted(df)
+    assert(n === df.count())
+    assert(ck.count() === n)
+    assert(ck.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      df.orderBy("id").collect().map(_.getLong(0)).toSeq)
+    // fresh stats: the checkpointed plan's estimate must not carry the
+    // origin plan's (the compounding-self-join trap the uncounted form
+    // exists to break) — both forms must report the same default
+    val statsCounted = ck.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statsPlain = GraftSqlBridge.localCheckpointFreshStats(df)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(statsCounted === statsPlain)
+    // empty frame: counted zero, still a usable frame
+    val (eck, en) = GraftSqlBridge
+      .localCheckpointFreshStatsCounted(df.filter(lit(false)))
+    assert(en === 0L && eck.count() === 0L)
+    assert(eck.schema === df.schema)
+  }
+
   test("stub multimodal features flow into ANN search end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "source", "image")
