@@ -5168,6 +5168,34 @@ object SparkEntry {
     "WITH " + ctes.result().mkString(",\n")
   }
 
+  /** Shared Kneser-Ney replay prefix (WITH … lp) for the kn oracle
+    * family — kn_logprob / perplexity_gate / perplexity_buckets all read
+    * the SAME scoring pipeline (mirroring the engine's knScores memo);
+    * one definition so a replay change cannot desynchronize a member. */
+  private val knOracleWith: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(
+      |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
+      |    AS s FROM d),
+      |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
+      |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
+      |  FROM t GROUP BY 1, 2, 3),
+      |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
+      |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
+      |ty AS (SELECT COUNT(*) AS bb FROM b),
+      |l AS (SELECT doc_id, CAST(round(ln(
+      |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
+      |        AS DOUBLE)
+      |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
+      |      AS BIGINT) AS lp
+      |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
+      |  CROSS JOIN ty),
+      |lp AS (SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+      |    AS BIGINT) AS lp_permille
+      |  FROM l GROUP BY 1)""".stripMargin
+
   /** gopher_rules' stopword probe as a DuckDB list body — generated from
     * the SAME Scala list the engine scores with. */
   private def gopherStopSqlList: String =
@@ -9478,29 +9506,8 @@ object SparkEntry {
     // Kneser-Ney replay: d = 3/4 keeps the smoothed probability a ratio
     // of exact integers (numerator/denominator < 2^53, cast to DOUBLE
     // exactly on both sides); only ln is quantized, to micros
-    "kn_logprob" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, unnest(
-        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
-        |    AS s FROM d),
-        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
-        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
-        |  FROM t GROUP BY 1, 2, 3),
-        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
-        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
-        |ty AS (SELECT COUNT(*) AS bb FROM b),
-        |l AS (SELECT doc_id, CAST(round(ln(
-        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
-        |        AS DOUBLE)
-        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
-        |      AS BIGINT) AS lp
-        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
-        |  CROSS JOIN ty)
-        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
-        |    AS BIGINT) AS lp_permille
-        |FROM l GROUP BY 1""".stripMargin,
+    "kn_logprob" -> (knOracleWith +
+      "\nSELECT doc_id, lp_permille FROM lp"),
 
     // character entropy replay: per-char ln quantized to micros BEFORE
     // the per-doc sum (order-independent integers); split('') explodes
@@ -9542,29 +9549,7 @@ object SparkEntry {
     // kn_logprob replay + global (lp DESC, doc_id) row_number + the
     // integer tercile test — DuckDB's one global window twins the
     // engine's range-partitioned rank exactly (same total order)
-    "perplexity_buckets" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, unnest(
-        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
-        |    AS s FROM d),
-        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
-        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
-        |  FROM t GROUP BY 1, 2, 3),
-        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
-        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
-        |ty AS (SELECT COUNT(*) AS bb FROM b),
-        |l AS (SELECT doc_id, CAST(round(ln(
-        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
-        |        AS DOUBLE)
-        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
-        |      AS BIGINT) AS lp
-        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
-        |  CROSS JOIN ty),
-        |lp AS (SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
-        |    AS BIGINT) AS lp_permille
-        |  FROM l GROUP BY 1),
+    "perplexity_buckets" -> (knOracleWith + """,
         |rk AS (SELECT doc_id, lp_permille,
         |    CAST(row_number() OVER (ORDER BY lp_permille DESC, doc_id)
         |      AS BIGINT) AS rk, COUNT(*) OVER () AS n FROM lp)
@@ -9572,7 +9557,7 @@ object SparkEntry {
         |  CASE WHEN rk * 3 <= n THEN 'head'
         |       WHEN rk * 3 <= n * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM rk""".stripMargin,
+        |FROM rk""".stripMargin),
 
     // pruned-KN replay: identical integer-ratio discipline with the
     // count floor — singletons fold into the (3·fw + 4·n1)·r' backoff
@@ -9613,31 +9598,8 @@ object SparkEntry {
     // the kn_logprob replay with the gate's HAVING cut; the FLOOR
     // literal is generated from the engine's shared
     // LmPerplexityFloorPermille constant (one-definition discipline)
-    "perplexity_gate" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, unnest(
-        |    [w[i]||' '||w[i+1] for i in range(1, greatest(len(w), 1))])
-        |    AS s FROM d),
-        |b AS (SELECT s, split_part(s, ' ', 1) AS w1,
-        |    split_part(s, ' ', 2) AS w2, COUNT(*) AS c12
-        |  FROM t GROUP BY 1, 2, 3),
-        |f AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM b GROUP BY 1),
-        |r AS (SELECT w2, COUNT(*) AS rw FROM b GROUP BY 1),
-        |ty AS (SELECT COUNT(*) AS bb FROM b),
-        |l AS (SELECT doc_id, CAST(round(ln(
-        |      CAST(greatest(4 * b.c12 - 3, 0) * ty.bb + 3 * f.fw * r.rw
-        |        AS DOUBLE)
-        |      / CAST(4 * f.c1 * ty.bb AS DOUBLE)) * 1000000, 0)
-        |      AS BIGINT) AS lp
-        |  FROM t JOIN b USING (s) JOIN f USING (w1) JOIN r USING (w2)
-        |  CROSS JOIN ty)
-        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
-        |    AS BIGINT) AS lp_permille
-        |FROM l GROUP BY 1
-        |HAVING CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0) AS BIGINT)
-        |  >= FLOOR""".stripMargin
+    "perplexity_gate" -> (knOracleWith +
+      "\nSELECT doc_id, lp_permille FROM lp WHERE lp_permille >= FLOOR")
         .replace("FLOOR", TextAnalysis.LmPerplexityFloorPermille.toString),
 
     // Gopher rule battery: integer permille throughout; `//` on

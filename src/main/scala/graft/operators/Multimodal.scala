@@ -629,11 +629,18 @@ object Multimodal {
         max(when(col("__bnd") === 1L, col("k") + 1L))
           .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
+    // per-TERM pmod before the sum: each summand stays < P (~1e9), so
+    // the 64-bit running sum is exact for chunks up to ~9·10⁹ bytes —
+    // without it a term reaches 262·(P−1) ≈ 2.6e11 and a single cut-free
+    // chunk past ~35 MB wraps the raw sum, silently diverging from the
+    // streaming twin's stepwise floorMod accumulation (which is a true
+    // modular fold at ANY length). Values are unchanged wherever neither
+    // form wraps — i.e. everywhere the operator was previously exact.
     val chunks = marked.groupBy(col("id"), col("off"))
       .agg(count(lit(1)).as("len"),
-        (sum((col("b") + 7L) *
+        pmod(sum(pmod((col("b") + 7L) *
           pmod((col("k") - col("off") + 13L) * (col("k") - col("off") + 13L)
-            * (col("k") - col("off") + 13L), lit(P))) % lit(P))
+            * (col("k") - col("off") + 13L), lit(P)), lit(P))), lit(P))
           .as("chunk_sig"))
     chunks.withColumn("chunk_idx",
         row_number().over(Window.partitionBy("id").orderBy("off"))

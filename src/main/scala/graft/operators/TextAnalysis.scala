@@ -604,7 +604,9 @@ object TextAnalysis {
     val ix = Transforms.rangedRank(tok,
       Seq(col("id").asc, col("pos").asc), "gix")
     val first = ix.groupBy(col("w")).agg(min(col("gix")).as("first_ix"))
-    val total = broadcast(ix.agg(count(lit(1)).as("__n")))
+    // ranking never changes cardinality: count the raw token stream, not
+    // the ranked frame (which would replay the window + offsets join)
+    val total = broadcast(tok.agg(count(lit(1)).as("__n")))
     first.crossJoin(total)
       .select(col("first_ix"), col("__n"),
         explode(expr(s"sequence(1L, ${steps}L)")).as("step"))

@@ -325,7 +325,16 @@ object Transforms {
       as: String): DataFrame = {
     val shards = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val parts = df.repartitionByRange(shards, orderCols: _*)
+    // the range-partitioned pool is MATERIALIZED once (localCheckpoint)
+    // before both consumers read it: the offsets aggregate and the rank
+    // window must see the SAME row→shard assignment, and without a
+    // barrier that only holds while exchange/stage reuse dedupes the two
+    // plan branches — range boundaries are sampled per execution, so two
+    // independent executions (e.g. spark.sql.exchangeReuseEnabled=false)
+    // could disagree and silently corrupt ranks. The checkpoint makes
+    // consistency unconditional; it is the one pass the rank pays anyway.
+    val parts = Dedup.ckptLight(
+        df.repartitionByRange(shards, orderCols: _*))
       .withColumn("__pid", spark_partition_id().cast("long"))
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"))

@@ -69,7 +69,11 @@ object StatefulWinnow {
     * null-stopped windows do). */
   def fingerprintsOf(docId: Long, text: String, k: Int, w: Int)
       : Iterator[FpRow] = {
-    val u = UTF8String.fromString(if (text == null) "" else text)
+    // null text: the batch operator's substring(null, …) hashes to the
+    // raw xxhash64 seed (42) at position 1 — mirror it exactly rather
+    // than coercing null to "" (which hashes differently)
+    if (text == null) return Iterator.single(FpRow(docId, 1L, 42L))
+    val u = UTF8String.fromString(text)
     val m = math.max(u.numChars - (k - 1), 1)
     val hs = new Array[Long](m)
     var i = 0

@@ -376,11 +376,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("quantile_normalize: pooled rank is range-partitioned — no data-sized" +
       " single-partition window") {
     val plan = finalPlan(q("quantile_normalize"))
-    // the pooled side must ride a range exchange + per-shard windows; the
-    // only legitimate single-partition stages are the |shards|-row offset
-    // cumsum and the 1-row total aggregate
-    assert(plan.contains("Exchange rangepartitioning"),
-      s"pooled rank lost its range partitioning:\n$plan")
+    // the pooled side rides rangedRank: the range exchange runs inside
+    // the pool's checkpoint job, so the final plan reads the materialized
+    // pool (ExistingRDD) under per-shard windows; the only legitimate
+    // single-partition stages are the |shards|-row offset cumsum and the
+    // 1-row total aggregate (rank correctness vs shard count is pinned in
+    // ScaleStressSpec)
+    assert(plan.contains("ExistingRDD"),
+      s"pooled rank lost its materialized range pool:\n$plan")
     val single = plan.linesIterator
       .count(_.contains("Exchange SinglePartition"))
     assert(single <= 2, s"data-sized global window crept back in:\n$plan")

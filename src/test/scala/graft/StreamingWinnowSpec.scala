@@ -36,6 +36,19 @@ class StreamingWinnowSpec extends AnyFunSuite {
     }.map(f => (f.doc_id, f.pos, f.fp)).toSeq.sorted
     assert(got.nonEmpty)
     assert(got === want)
+    // null-text parity: batch hashes substring(null, …) to the raw
+    // xxhash64 seed at position 1 — the flatMap must mirror it
+    import spark.implicits._
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val wantNull = TextAnalysis.winnowFingerprints(withNull, "text",
+        "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val gotNull = withNull.collect().iterator.flatMap { r =>
+      StatefulWinnow.fingerprintsOf(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), 8, 4)
+    }.map(f => (f.doc_id, f.pos, f.fp)).toSeq.sorted
+    assert(gotNull === wantNull)
   }
 
   private def runStream(name: String,
