@@ -5265,7 +5265,7 @@ object SparkEntry {
         |r AS (SELECT lang, (wt * scale) // n_s AS rate_ppm FROM j, sc),
         |mm AS (SELECT d.doc_id FROM documents d JOIN e USING (doc_id)
         |  JOIN r USING (lang)
-        |  WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm),
+        |  WHERE ${XxhOracleSql.knuthKeepPpm("d.doc_id")} < r.rate_ppm),
         |n0 AS (SELECT COUNT(*) AS n FROM documents),
         |n1 AS (SELECT COUNT(*) AS n FROM g),
         |n2 AS (SELECT COUNT(*) AS n FROM e),
@@ -9734,7 +9734,8 @@ object SparkEntry {
         |  ELSE TRUE END""".stripMargin,
 
     // integer floor division on both sides (// in DuckDB, DIV in Spark);
-    // the Knuth step (id·2654435761 mod 10⁶) is plain BIGINT arithmetic
+    // the Knuth keep step replays the engine's pmod over the full 64-bit
+    // wrap via XxhOracleSql.knuthKeepPpm (exact past id ≈ 3.47e9)
     "mixture_sample" ->
       """WITH w(lang, w) AS (VALUES ('en', CAST(400 AS BIGINT)),
         |    ('zh', 150), ('es', 150), ('de', 150), ('fr', 150)),
@@ -9743,7 +9744,8 @@ object SparkEntry {
         |s AS (SELECT MIN((n_s * 1000000) // w) AS scale FROM j),
         |r AS (SELECT lang, (w * scale) // n_s AS rate_ppm FROM j, s)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin,
+        |WHERE KEEPHASH < r.rate_ppm""".stripMargin
+        .replace("KEEPHASH", XxhOracleSql.knuthKeepPpm("d.doc_id")),
 
     // temperature resampling replay: pow(p, ALPHA) quantized ONCE to
     // micros per stratum (the dsir_log ln discipline — a flip needs
@@ -9764,8 +9766,9 @@ object SparkEntry {
         |  FROM w, d2)
         |SELECT d.doc_id, d.lang, r.rate_ppm
         |FROM documents d JOIN r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin
-        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString),
+        |WHERE KEEPHASH < r.rate_ppm""".stripMargin
+        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString)
+        .replace("KEEPHASH", XxhOracleSql.knuthKeepPpm("d.doc_id")),
 
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id,

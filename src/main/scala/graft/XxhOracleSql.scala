@@ -41,6 +41,20 @@ object XxhOracleSql {
   private val P4 = BigInt("9650029242287828579")
   private val P5 = BigInt("2870177450012600261")
 
+  /** DuckDB replay of the engine's Knuth keep hash
+    * `pmod(id * 2654435761L, 1000000L)` (TextAnalysis mixtureResample /
+    * alphaMixture) over the FULL non-negative long range: the HUGEINT
+    * product is reduced mod 2⁶⁴ (mask, not %), mapped back to Java's
+    * signed wrap, then taken through a non-negative mod — so the oracle
+    * stays exact past id ≈ 3.47e9 where `id·2654435761` wraps negative
+    * and a plain signed `%` would diverge (and a BIGINT product would
+    * overflow-error in DuckDB outright). */
+  def knuthKeepPpm(idCol: String): String = {
+    val u = s"((CAST($idCol AS HUGEINT) * 2654435761) & $MK64)"
+    val s = s"(CASE WHEN $u >= ${BigInt(1) << 63} THEN $u - $M64 ELSE $u END)"
+    s"CAST(((($s) % 1000000) + 1000000) % 1000000 AS BIGINT)"
+  }
+
   private def mul64(a: String, b: BigInt): String = {
     val blo = b % M32; val bhi = b >> 32
     s"(( (($a) & $MK32) * $blo" +

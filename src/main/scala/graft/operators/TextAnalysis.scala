@@ -543,7 +543,14 @@ object TextAnalysis {
     * Shape: one character explode → per-(doc, char) count aggregate
     * (≤ alphabet-size rows per doc) → per-doc window total + one closing
     * aggregate, everything keyed on the doc id (one shuffle family).
-    * Empty documents emit no row (no characters, no defined entropy). */
+    * Empty documents emit no row (no characters, no defined entropy).
+    *
+    * Charset: Spark `split(text, "")` segments by Java-regex code point
+    * while the DuckDB oracle's `split(text, '')` segments by its own
+    * character rule — the two only provably agree on ASCII text, the
+    * invariant XxhOracleInvariantsSpec pins on the fixture's raw
+    * document text (max code point ≤ 127). Non-ASCII corpora should
+    * normalize or re-validate segmentation before trusting the oracle. */
   def charEntropy(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -701,8 +708,10 @@ object TextAnalysis {
     * arithmetic, so engine and oracle agree bit-for-bit, unlike any
     * engine-native hash; pmod keeps the remainder non-negative even once
     * id·2654435761 wraps past 2⁶³ at id ≈ 3.47e9, where a signed `%`
-    * would make the filter unconditionally true — the oracle's `%` is
-    * identical in the id < 2³¹ range the fixtures pin). Strata absent
+    * would make the filter unconditionally true — the oracle replays the
+    * same wrap via `XxhOracleSql.knuthKeepPpm`, HUGEINT product reduced
+    * mod 2⁶⁴ then pmod'd, so parity holds over the FULL non-negative id
+    * range, not just the fixtures). Strata absent
     * from `targetPermille` are dropped: a mixture spec is a whitelist.
     *
     * Shape: one partial-combined count per stratum (tiny), a scalar min,

@@ -323,8 +323,14 @@ object Transforms {
     * tercile bucketer. */
   def rangedRank(df: DataFrame, orderCols: Seq[Column],
       as: String): DataFrame = {
-    val shards = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val shardConf = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions")
+    // "auto" (some platforms) or other non-numeric values would throw an
+    // opaque NumberFormatException here — fall back to the default
+    // parallelism instead: shard count only affects parallelism, never
+    // the ranks themselves.
+    val shards = shardConf.toIntOption
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism.max(1))
     // the range-partitioned pool is MATERIALIZED once (localCheckpoint)
     // before both consumers read it: the offsets aggregate and the rank
     // window must see the SAME row→shard assignment, and without a

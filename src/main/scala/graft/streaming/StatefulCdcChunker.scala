@@ -8,9 +8,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * [[graft.operators.Multimodal.cdcChunkRows]] consumes in batch. A row
   * with `b = -1` is the END-OF-ASSET marker: it closes and emits the
   * open trailing chunk (a real pipeline would use a timer/TTL instead;
-  * the marker keeps the twin deterministic). A marker's `k` is NOT
-  * interpreted as an offset — within a micro-batch, markers are always
-  * processed after that batch's data rows, whatever their `k`. */
+  * the marker keeps the twin deterministic). A marker's `k` IS its
+  * position: set it to the end offset (one past the last byte sent).
+  * Within a micro-batch, rows are processed in `k` order with a marker
+  * ahead of a data row at the same `k` — so a marker followed by
+  * post-marker resume bytes in the SAME batch segments identically to
+  * the resume arriving in a later batch (StreamingCdcSpec pins this). */
 case class ByteRow(id: Long, k: Long, b: Long)
 
 /** A closed chunk: identical columns to the batch operator's output,
@@ -60,11 +63,13 @@ object StatefulCdcChunker {
       var st = if (carry.exists()) carry.get()
         else CdcCarry(0L, 0L, 0L, Array.empty[Long])
       val out = scala.collection.mutable.ListBuffer.empty[ChunkOut]
-      // Markers sort AFTER data rows regardless of their k: a marker's
-      // offset is unspecified in the ByteRow contract, and one carrying
-      // a small k arriving with data bytes in the same micro-batch must
-      // not flush mid-stream and silently change segmentation.
-      rows.toArray.sortBy(r => (r.b < 0L, r.k)).foreach { r =>
+      // Rows process in k order, a marker BEFORE a data row at the same
+      // k: after a flush nextK is unchanged, so resume bytes share the
+      // marker's k and must see the post-flush state. Positional markers
+      // make in-batch order fully determined by k — a marker followed by
+      // post-marker bytes in the same micro-batch flushes at its k
+      // instead of silently folding the new bytes into the old chunk.
+      rows.toArray.sortBy(r => (r.k, r.b >= 0L)).foreach { r =>
         if (r.b < 0L) {
           // end marker: close the trailing chunk (if any bytes arrived).
           // The gear carry SURVIVES the marker — it is byte history, not

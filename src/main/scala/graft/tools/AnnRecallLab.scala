@@ -40,6 +40,11 @@ object AnnRecallLab {
     val truthN = truth.count()
 
     def recall(tier: String, res: DataFrame): Unit = {
+      if (truthN == 0) {
+        println(s"ANN_RECALL tier=$tier k=$k nq=$nQ DEGENERATE: empty " +
+          "brute-force truth set (nq >= corpus size, or empty embeddings)")
+        return
+      }
       val hits = res.select(col("qid"), col("nid"))
         .join(truth, Seq("qid", "nid"), "left_semi").count()
       println(s"ANN_RECALL tier=$tier k=$k nq=$nQ hits=$hits " +

@@ -76,6 +76,25 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("mid-batch marker + resume bytes segment as if the resume came " +
+      "in a later batch (positional markers)") {
+    val cut = 700L; val n = 1024L
+    val head = (0L until cut).map(k => ByteRow(9L, k, byteAt(9L, k)))
+    val tail = (cut until n).map(k => ByteRow(9L, k, byteAt(9L, k)))
+    val marker = ByteRow(9L, cut, -1L)
+    val fin = ByteRow(9L, n, -1L)
+    // the already-correct path: marker ends batch 1, resume is batch 2
+    val want = runStream("cdc_resume_two",
+      Seq(head :+ marker, tail :+ fin))
+    // the ADVICE scenario: marker and post-marker bytes in ONE batch —
+    // the marker's k orders it between head and tail, so segmentation
+    // must be identical instead of folding the tail into the old chunk
+    val got = runStream("cdc_resume_one", Seq((head :+ marker) ++ tail :+ fin))
+    assert(got === want)
+    assert(want.exists(c => c._2 == cut),
+      "a chunk must restart exactly at the forced cut")
+  }
+
   test("chunks close as their boundary arrives; only the tail waits") {
     val n = 1024L
     val rows = (0L until n).map(k => ByteRow(7L, k, byteAt(7L, k)))

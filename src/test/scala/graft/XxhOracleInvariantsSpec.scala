@@ -24,7 +24,10 @@ class XxhOracleInvariantsSpec extends AnyFunSuite {
       "shingle<=44-byte single-stripe bound")
     assert(r.getInt(1) <= 127, s"$dir: non-ASCII token — unicode(char) " +
       "no longer equals the UTF-8 byte")
-    // fingerprint grams are 8 chars of raw text — raw text must be ASCII
+    // fingerprint grams are 8 chars of raw text — raw text must be
+    // ASCII. char_entropy rides the same pin: Spark split(text, "")
+    // (Java-regex code points) and DuckDB split(text, '') only provably
+    // segment identically on ASCII.
     val rawCp = docs.agg(max(expr(
       "aggregate(split(text, ''), 0, (a, c) -> greatest(a, ascii(c)))")))
       .head().getInt(0)
