@@ -2174,6 +2174,15 @@ object SparkEntry {
       TextAnalysis.knLogProbPruned(t(s, dir, "documents"), "text",
         "doc_id")),
 
+    // count-floor-pruned TRIGRAM Kneser-Ney — the order-3 back-off
+    // recursion (top level prunes singleton trigrams with exact mass
+    // redistribution; middle level is bigram-KN over the kept
+    // continuation table; one exact integer rational per token — see
+    // [[TextAnalysis.kn3LogProbPruned]]'s normalization argument).
+    "kn3_logprob" -> ((s, dir) =>
+      TextAnalysis.kn3LogProbPruned(t(s, dir, "documents"), "text",
+        "doc_id")),
+
     // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
     // scorer as a curation CUT — docs whose mean token log-prob clears
     // the shared floor constant survive (declarable as the
@@ -9590,6 +9599,61 @@ object SparkEntry {
         |  FROM t LEFT JOIN kb USING (s)
         |  JOIN f ON split_part(t.s, ' ', 1) = f.w1
         |  LEFT JOIN r ON split_part(t.s, ' ', 2) = r.w2
+        |  CROSS JOIN ty)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // pruned-trigram-KN replay, unrolled back-off: the top level prunes
+    // singleton trigram types (kept table kt, per-context fw/n1 fold
+    // their mass into the back-off weight), the middle level is the
+    // bigram-KN formula over the kept continuation table ct, and the
+    // whole three-level interpolation collapses to ONE exact integer
+    // rational per token — only the final ln is quantized (micros), the
+    // kn/unigram oracle-parity discipline. LEFT joins give pruned and
+    // out-of-model trigrams their exact back-off/epsilon scores;
+    // greatest(m2,1) keeps middles with no kept continuation defined.
+    "kn3_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM d),
+        |tri AS (SELECT s, COUNT(*) AS c123 FROM t GROUP BY 1),
+        |cx AS (SELECT split_part(s,' ',1)||' '||split_part(s,' ',2)
+        |      AS b12,
+        |    SUM(c123) AS c12,
+        |    SUM(CASE WHEN c123 >= 2 THEN 1 ELSE 0 END) AS fw,
+        |    SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM tri GROUP BY 1),
+        |kt AS (SELECT s, c123 FROM tri WHERE c123 >= 2),
+        |ct AS (SELECT split_part(s,' ',2) AS w2,
+        |    split_part(s,' ',3) AS w3, COUNT(*) AS r23
+        |  FROM kt GROUP BY 1, 2),
+        |mid AS (SELECT w2, SUM(r23) AS m2, COUNT(*) AS g2
+        |  FROM ct GROUP BY 1),
+        |un AS (SELECT w3, COUNT(*) AS rw3 FROM ct GROUP BY 1),
+        |ty AS (SELECT greatest(COUNT(*), 1) AS b2 FROM ct),
+        |l AS (SELECT t.doc_id, CAST(round(ln(
+        |      CAST(greatest(
+        |        greatest(4 * COALESCE(kt.c123, 0) - 3, 0)
+        |          * (4 * greatest(COALESCE(mid.m2, 0), 1) * ty.b2)
+        |        + (3 * cx.fw + 4 * cx.n1) *
+        |          (greatest(4 * COALESCE(ct.r23, 0) - 3, 0) * ty.b2
+        |           + 3 * COALESCE(mid.g2, 0) * COALESCE(un.rw3, 0)),
+        |        1) AS DOUBLE)
+        |      / CAST(16 * cx.c12 * greatest(COALESCE(mid.m2, 0), 1)
+        |          * ty.b2 AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM t LEFT JOIN kt USING (s)
+        |  JOIN cx ON split_part(t.s,' ',1)||' '||split_part(t.s,' ',2)
+        |    = cx.b12
+        |  LEFT JOIN ct ON split_part(t.s,' ',2) = ct.w2
+        |    AND split_part(t.s,' ',3) = ct.w3
+        |  LEFT JOIN mid ON split_part(t.s,' ',2) = mid.w2
+        |  LEFT JOIN un ON split_part(t.s,' ',3) = un.w3
         |  CROSS JOIN ty)
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille

@@ -480,7 +480,12 @@ object TextAnalysis {
       idCol: String): DataFrame = {
     val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
       .select(col("id"), col("s"))
-    val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
+    // materialize the vocab-sized bigram-count table once — its four
+    // consumers (fol, keptBig, pre, types) would each re-run the
+    // corpus-width tokenize+window subtree otherwise (the kn3 checkpoint
+    // discipline; exchange reuse does not dedupe across the aggregates)
+    val big = Dedup.ckptLight(
+        tok.groupBy(col("s")).agg(count(lit(1)).as("c12")))
       .withColumn("w1", substring_index(col("s"), " ", 1))
     val fol = big.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"),
@@ -492,7 +497,10 @@ object TextAnalysis {
     // greatest(.,1) keeps the degenerate all-singleton corpus defined
     val types = broadcast(
       keptBig.agg(greatest(count(lit(1)), lit(1L)).as("__b")))
-    tok.join(keptBig.select(col("s"), col("c12")), Seq("s"), "left")
+    // keyed repartition so AQE re-plans the corpus join from the kept
+    // set's MEASURED size (see kn3LogProbPruned's scoring-join note)
+    tok.join(keptBig.select(col("s"), col("c12")).repartition(col("s")),
+        Seq("s"), "left")
       .withColumn("w1", substring_index(col("s"), " ", 1))
       .withColumn("w2", substring_index(col("s"), " ", -1))
       .join(fol, "w1").join(pre, Seq("w2"), "left").crossJoin(types)
@@ -505,6 +513,108 @@ object TextAnalysis {
                 * coalesce(col("rw"), lit(0L)),
             lit(1)).cast("double") /
           (lit(4) * col("c1") * col("__b")).cast("double"))
+          * lit(1000000)).cast("long").as("lp"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))
+        .cast("long").as("lp_permille"))
+      .select(col("id").as(idCol), col("lp_permille"))
+  }
+
+  /** Count-floor-pruned TRIGRAM interpolated Kneser–Ney scoring — the
+    * order-3 extension of [[knLogProbPruned]] demonstrating the KN
+    * back-off recursion scales past bigrams (real CCNet gating uses a
+    * 5-gram KenLM; the same construction iterates). With discount
+    * d = 3/4, singleton trigram types pruned, and the model tables
+    *   c123 (kept trigram count), per-context (c12, fw, n1) as in the
+    *   bigram tier, R23 = kept-trigram continuation count of (w2,w3),
+    *   per-middle M2 = Σ R23 and G2 = distinct kept continuations,
+    *   Rw3 = distinct middles preceding w3 in the continuation table,
+    *   B2 = total continuation types,
+    * the smoothed probability is one exact integer ratio:
+    *
+    *   P(w3|w1w2) = [max(4·c123−3,0)·4·M2·B2
+    *                 + (3·fw + 4·n1)·(max(4·R23−3,0)·B2 + 3·G2·Rw3)]
+    *                / (16·c12·M2·B2)
+    *
+    * Exactness: the top level redistributes the pruned singleton mass
+    * exactly as the bigram tier (Σ_kept(4c123−3) = 4(c12−n1)−3fw, and
+    * the back-off weight 3fw+4n1 closes it), and the MIDDLE level is the
+    * unpruned bigram-KN formula applied to the continuation table, a
+    * proper distribution by the same algebra (Σ_w3 max(4R−3,0) =
+    * 4M2−3G2 and Σ_w3 Rw3 = B2) — so per context the total probability
+    * over the continuation vocabulary is EXACTLY 1 (OperatorsSpec pins
+    * the 144/144 identity on a hand corpus). Out-of-model trigrams whose
+    * (w2,w3) has no kept continuation floor the numerator at 1 (sub-ulp
+    * epsilon, impossible for in-model trigrams).
+    *
+    * Scale: the only corpus-width passes are the trigram count and the
+    * scoring join-back; every model table is an aggregate of the KEPT
+    * (≥2-count) trigram types, the set the count floor keeps
+    * near-constant under singleton-type growth — the property that held
+    * the bigram tier's sf1 rung at 1.2×. Magnitude bound: the rational's
+    * terms stay < 2⁵³ (exact in the double cast) while
+    * c12·M2·B2 < 5.6e14 — petabyte-scale corpora with pruned tables.
+    * Returns (idCol, lp_permille). */
+  def kn3LogProbPruned(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tok = Dedup.shingleStream(df, textCol, idCol, n = 3)
+      .select(col("id"), col("s"))
+    // the vocab-sized trigram-count table is MATERIALIZED once: five
+    // model tables derive from it, and without the barrier each re-runs
+    // the corpus-width tokenize+window subtree (exchange reuse does not
+    // dedupe across the differing aggregates above it) — the rangedRank
+    // checkpoint discipline. After this the corpus is tokenized exactly
+    // twice: this count pass and the scoring join-back.
+    val tri = Dedup.ckptLight(
+      tok.groupBy(col("s")).agg(count(lit(1)).as("c123")))
+    val ctx = tri
+      .withColumn("b12", substring_index(col("s"), " ", 2))
+      .groupBy(col("b12"))
+      .agg(sum(col("c123")).as("c12"),
+        sum(when(col("c123") >= 2L, 1L).otherwise(0L)).as("fw"),
+        sum(when(col("c123") === 1L, 1L).otherwise(0L)).as("n1"))
+    val kt = tri.filter(col("c123") >= 2L)
+    val cont = kt
+      .withColumn("w2", substring_index(
+        substring_index(col("s"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("s"), " ", -1))
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("r23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("r23")).as("m2"), count(lit(1)).as("g2"))
+    val uni = cont.groupBy(col("w3")).agg(count(lit(1)).as("rw3"))
+    val types = broadcast(
+      cont.agg(greatest(count(lit(1)), lit(1L)).as("__b2")))
+    val mg = greatest(coalesce(col("m2"), lit(0L)), lit(1L))
+    // the kept-types scoring side rides a keyed repartition so AQE sees
+    // a MEASURED shuffle stage: a bare filter over the checkpoint scan
+    // is size-estimated from the unpruned table and locks the corpus
+    // join into a sort-merge even when the kept set is broadcast-small
+    // (the other four model tables sit above their own aggregates and
+    // re-plan to broadcast on their own). At corpus scales where the
+    // kept set genuinely outgrows the broadcast threshold AQE keeps the
+    // shuffle join — the right plan either way.
+    tok.join(kt.select(col("s"), col("c123")).repartition(col("s")),
+        Seq("s"), "left")
+      .withColumn("b12", substring_index(col("s"), " ", 2))
+      .withColumn("w2", substring_index(col("b12"), " ", -1))
+      .withColumn("w3", substring_index(col("s"), " ", -1))
+      .join(ctx, "b12")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(types)
+      .select(col("id"),
+        round(log(
+          greatest(
+            greatest(lit(4) * coalesce(col("c123"), lit(0L)) - 3, lit(0))
+              * (lit(4) * mg * col("__b2")) +
+              (lit(3) * col("fw") + lit(4) * col("n1")) *
+                (greatest(lit(4) * coalesce(col("r23"), lit(0L)) - 3,
+                  lit(0)) * col("__b2") +
+                  lit(3) * coalesce(col("g2"), lit(0L))
+                    * coalesce(col("rw3"), lit(0L))),
+            lit(1)).cast("double") /
+          (lit(16) * col("c12") * mg * col("__b2")).cast("double"))
           * lit(1000000)).cast("long").as("lp"))
       .groupBy(col("id"))
       .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))

@@ -2302,6 +2302,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === want)
   }
 
+  test("kn3LogProbPruned: hand-computed trigram values; per-context" +
+      " mass exactly 1 over the continuation vocabulary") {
+    import graft.operators.TextAnalysis
+    // corpus "a b c a b c a b d": trigrams abc×2, bca×2, cab×2, abd×1
+    // (abd singleton, pruned). Kept kt = {abc, bca, cab} → ct: (b,c),
+    // (c,a), (a,b) each r23=1; B2=3; mid: a/b/c → (m2=1, g2=1);
+    // un: a/b/c → rw3=1, d absent.
+    // cx: "a b" → (c12=3, fw=1, n1=1); "b c"/"c a" → (2, 1, 0).
+    // P(c|a b) = [5·4·1·3 + 7·(1·3 + 3·1·1)] / (16·3·1·3) = 102/144
+    // P(a|b c) = [60 + 3·(3+3)] / 96 = 78/96;  P(b|c a) = 78/96
+    // P(d|a b): no kept (b,d) continuation, rw3(d)=0 → numerator 0,
+    // floored to the 1/144 epsilon.
+    // Exact mass for context "a b" over the continuation vocab {a,b,c}:
+    // kept term 60 + back-off 7·(3+3) + 7·(0+3) + 7·(0+3) = 144 = den.
+    assert(60 + 42 + 21 + 21 === 144)
+    val docs = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.kn3LogProbPruned(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lp(num: Long, den: Long): Long =
+      math.round(math.log(num.toDouble / den.toDouble) * 1e6)
+    val want = math.round((2 * lp(102, 144) + 4 * lp(78, 96) +
+      lp(1, 144)).toDouble / (7 * 1000.0))
+    assert(got(1L) === want)
+    // a 2-token document has no trigram and emits no row
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.kn3LogProbPruned(short, "text", "doc_id")
+      .count() === 0L)
+  }
+
   test("charEntropy: uniform text hits ln(alphabet) exactly; constant" +
       " text is 0") {
     import graft.operators.TextAnalysis
