@@ -61,6 +61,54 @@ object PpLab {
         (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("jacc_permille") >= thr)
     timed("verify")(out.count())
+    // option (b) receipt: the replication the chunk split costs — if this
+    // is trivial next to the candidate volume, adaptive chunk sizing has
+    // nothing to save
+    timed("yrep_volume")(yrep.count())
+    // option (a): threshold-bounded merge intersect replaces the per-row
+    // hash-set array_intersect; abort bound minO−1 keeps it lossless with
+    // the double-rounded jacc filter as the final arbiter
+    val f = 2 * thr - 1; val g = 1999 + 2 * thr
+    val outB = cand
+      .join(arr.select(col("id").as("a"), col("arr").as("aa")), "a")
+      .join(arr.select(col("id").as("b"), col("arr").as("ab")), "b")
+      .withColumn("common", graft.functions.BoundedIntersect(
+        col("aa"), col("ab"),
+        expr(s"($f * (na + nb) + $g - 1) DIV $g - 1")))
+      .filter(col("common") >= 0L)
+      .withColumn("jacc_permille", round(col("common") * lit(1000.0) /
+        (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jacc_permille") >= thr)
+    timed("verify_bounded")(outB.count())
+    timed("verify_again")(out.count())
+    timed("verify_bounded2")(outB.count())
+    // option (b): adaptive chunk size — cap a token's chunk COUNT at 32
+    // (local parallelism) by growing the chunk for mega-posting-lists:
+    // csize = max(32, ceil(m/32)). Total pair volume is unchanged; only
+    // the y-replication factor shrinks (846k -> ~?).
+    val rankedA = org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(
+      prefix
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("w")))
+        .withColumn("cs", greatest(lit(32L), expr("(m + 31) DIV 32")))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("w").orderBy("id")))
+        .withColumn("cx", expr("(r - 1) DIV cs")))
+    val nchA = rankedA.groupBy("w").agg(max(col("cx")).as("mc"))
+    val yrepA = rankedA.join(nchA, "w")
+      .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
+      .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
+    timed("yrepA_volume")(yrepA.count())
+    val candA = rankedA.as("x")
+      .join(yrepA.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
+          col("x.r") < col("y.r") &&
+          col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&
+          col("y.n") * 2000L >= col("x.n") * (2L * thr - 1))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
+    timed("cand_adaptive")(candA.count())
+    timed("cand_again")(cand.count())
+    timed("cand_adaptive2")(candA.count())
     spark.stop()
   }
 }

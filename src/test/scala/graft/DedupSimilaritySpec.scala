@@ -31,6 +31,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("BoundedIntersect: exact count when reachable, -1 abort, and " +
+      "parity with array_intersect on random sorted sets") {
+    import graft.functions.BoundedIntersect
+    val rows = Seq(
+      (Array(1L, 3L, 5L), Array(1L, 3L, 5L), 3L),   // full overlap
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L), 1L),   // disjoint, bound 1
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L), 0L),   // bound 0 never aborts
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L), 2L),   // subset tail
+      (Array.empty[Long], Array(1L), 0L),           // empty side
+      (Array(1L), Array(1L), 2L)                    // unreachable bound
+    ).toDF("a", "b", "m")
+    val got = rows.select(BoundedIntersect(col("a"), col("b"), col("m")))
+      .as[Long].collect().toSeq
+    assert(got === Seq(3L, -1L, 0L, 2L, 0L, -1L))
+    // randomized parity: whenever the walk returns >= 0 it must equal
+    // size(array_intersect); when it returns -1 the true count must be
+    // below the bound (the abort is never wrong)
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(300) {
+      val a = (1 to rnd.nextInt(20)).map(_ => rnd.nextInt(30).toLong)
+        .distinct.sorted.toArray
+      val b = (1 to rnd.nextInt(20)).map(_ => rnd.nextInt(30).toLong)
+        .distinct.sorted.toArray
+      (a, b, rnd.nextInt(10).toLong)
+    }.toDF("a", "b", "m")
+    val chk = rand.select(col("m"),
+        BoundedIntersect(col("a"), col("b"), col("m")).as("bi"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("tr"))
+      .as[(Long, Long, Long)].collect()
+    chk.foreach { case (m, bi, tr) =>
+      if (bi >= 0L) assert(bi === tr, s"bound $m")
+      else assert(tr < m, s"wrong abort: true $tr >= bound $m")
+    }
+  }
+
   test("prefix-filter jaccard == brute-force exact pairs (lossless pruning)") {
     // randomized corpus from a small vocab so overlaps span the whole
     // jaccard range; the prefix join must reproduce the brute-force

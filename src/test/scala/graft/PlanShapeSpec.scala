@@ -212,7 +212,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // collect_list appears only in the post-candidate verification joins
     val candidateSide = plan.split("SortMergeJoin|ShuffledHashJoin").head
     assert(!candidateSide.contains("collect_list"), plan)
-    assert(plan.contains("array_intersect"), plan)
+    // verification runs the bounded merge-intersect (early-abort custom
+    // expression), not the per-row hash-set builtin
+    assert(plan.contains("bounded_intersect"), plan)
+    assert(!plan.contains("array_intersect"), plan)
   }
 
   test("vocab_topk: top-k is TakeOrderedAndProject, not a global sort") {
