@@ -95,15 +95,22 @@ object SpecLoader {
     *   { "op": "quality_filter", "text": "text", "min_score": 400 },
     *   { "op": "exact_dedup", "text": "text", "id": "doc_id" } ] }
     * }}} */
-  def transformFromJson(json: String): DataFrame => DataFrame = {
+  def transformFromJson(json: String): DataFrame => DataFrame =
+    stagesFromJson(json).map(_._2).reduceLeft(_ andThen _)
+
+  /** Ordered (op, stage) pairs of a declared chain — the shared parse
+    * behind [[transformFromJson]], [[funnelFromJson]], and the
+    * streaming funnel ([[graft.streaming.StreamingFunnel]]), so batch
+    * and streaming audits run the SAME declared stages. */
+  def stagesFromJson(json: String): Seq[(String, DataFrame => DataFrame)] = {
     val root = JsonMethods.parse(json)
     val name = (root \ "name").extractOpt[String].getOrElse("transform")
-    val steps = (root \ "steps") match {
-      case JArray(items) => items.map(s => parseStep(name, s))
+    val items = (root \ "steps") match {
+      case JArray(is) => is
       case other => sys.error(s"'$name': 'steps' must be an array, got $other")
     }
-    require(steps.nonEmpty, s"'$name' has no steps")
-    steps.reduceLeft(_ andThen _)
+    require(items.nonEmpty, s"'$name' has no steps")
+    items.map(s => ((s \ "op").extract[String], parseStep(name, s)))
   }
 
   def transformFromJsonFile(path: String): DataFrame => DataFrame =
@@ -119,15 +126,9 @@ object SpecLoader {
     * the same shape holds with reliable checkpoints. */
   def funnelFromJson(json: String, df: DataFrame)
       : (DataFrame, Seq[(Int, String, Long, Long)]) = {
-    val root = JsonMethods.parse(json)
-    val name = (root \ "name").extractOpt[String].getOrElse("transform")
-    val items = (root \ "steps") match {
-      case JArray(is) => is
-      case other => sys.error(s"'$name': 'steps' must be an array, got $other")
-    }
-    require(items.nonEmpty, s"'$name' has no steps")
-    val ops = items.map(s => (s \ "op").extract[String])
-    val stages = items.map(s => parseStep(name, s))
+    val parsed = stagesFromJson(json)
+    val ops = parsed.map(_._1)
+    val stages = parsed.map(_._2)
     val funnel = Seq.newBuilder[(Int, String, Long, Long)]
     var cur = df
     var (ckpt, n) = org.apache.spark.sql.GraftSqlBridge

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.pipeline.SpecLoader
+import graft.streaming.{LineOcc, StatefulLineDedup, StreamingFunnel}
+
+/** The streaming funnel must account survivors per declared stage the
+  * same way the batch `curation_funnel` does: observe counters at every
+  * stage boundary, summed over micro-batches. Stateless declared stages
+  * (driven by the SAME JSON as the batch chain) must match the batch
+  * funnel under ANY slicing; the stateful line-dedup twin matches the
+  * batch stage in the one-batch case (its parity contract) and the
+  * prefix semantics across slices. */
+class StreamingFunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val width = 4
+  private val maxDf = 1
+  private val chainJson =
+    """{"name": "stream_curation", "steps": [
+      |  {"op": "normalize", "col": "text"},
+      |  {"op": "quality_filter", "text": "text", "min_score": 300}
+      |]}""".stripMargin
+
+  // 9 docs: 3 junk (fail the quality gate), 6 real of which several
+  // share a boilerplate first line (falls to the df cap); ids unique,
+  // one doc arrives exactly once (the twin's stream contract)
+  private val docsAll: Seq[(Long, String)] = Seq(
+    (1L, "the cat and the dog are in the house with a mouse today"),
+    (2L, "the cat and the dog are in the house near a river bank"),
+    (3L, "!!! ??? !!! ??? !!!"),
+    (4L, "a bird in the hand is worth two in the bush they say"),
+    (5L, "#### $$$$ %%%% @@@@"),
+    (6L, "the cat and the dog are in the garden with a ball now"),
+    (7L, "we walked to the market and bought some fresh bread there"),
+    (8L, "???? !!!! ???? !!!!"),
+    (9L, "it was the best of times it was the worst of times")
+  )
+
+  /** Stream `slices` of (doc_id, text) one micro-batch each through the
+    * observed chain; return the funnel. */
+  private def runFunnel(name: String,
+      slices: Seq[Seq[(Long, String)]]): Seq[(Int, String, Long)] = {
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").json(inDir)
+    val stages = SpecLoader.stagesFromJson(chainJson) ++ Seq(
+      ("line_occurrences", (d: DataFrame) =>
+        TextAnalysis.fixedWidthLines(d, "text", "doc_id", width)),
+      ("line_dedup", (d: DataFrame) =>
+        StatefulLineDedup.verdicts(
+          d.select(col("line"), col("id"), col("pos")).as[LineOcc],
+          maxDf).filter(col("kept") === 1L).toDF()))
+    val observed = StreamingFunnel.observed(stream, stages)
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = observed.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName(name).start()
+    try {
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val json = slice.toDF("doc_id", "text").toJSON.collect()
+          .mkString("\n")
+        Files.writeString(Paths.get(s"$inDir/b$i.json"), json)
+        q.processAllAvailable()
+      }
+      StreamingFunnel.funnel(q.recentProgress.toSeq)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Batch truth: the same declared stages via funnelFromJson, then the
+    * line explode and the batch line-df gate. */
+  private def batchFunnel(docs: Seq[(Long, String)])
+      : Seq[(Int, String, Long)] = {
+    val df = docs.toDF("doc_id", "text")
+    val (curated, stages) = SpecLoader.funnelFromJson(chainJson, df)
+    val lines = TextAnalysis.fixedWidthLines(curated, "text", "doc_id",
+      width).localCheckpoint()
+    val nLines = lines.count()
+    val kept = lines.join(
+      lines.groupBy("line").agg(countDistinct(col("id")).as("df"))
+        .filter(col("df") <= maxDf).select("line"), Seq("line"))
+      .count()
+    Seq((0, "input", stages.head._3)) ++
+      stages.map { case (i, op, _, out) => (i, op, out) } ++
+      Seq((stages.size + 1, "line_occurrences", nLines),
+        (stages.size + 2, "line_dedup", kept))
+  }
+
+  test("one-batch streaming funnel equals the batch funnel stage by " +
+      "stage (and the gates actually eat rows)") {
+    val want = batchFunnel(docsAll)
+    val got = runFunnel("funnel_one", Seq(docsAll))
+    assert(got === want)
+    val byOp = want.map(t => t._2 -> t._3).toMap
+    assert(byOp("quality_filter") < byOp("input"),
+      "fixture must exercise the quality gate")
+    assert(byOp("line_dedup") < byOp("line_occurrences"),
+      "fixture must exercise the line-df cap")
+  }
+
+  test("sliced stream: stateless stage counts sum to the batch funnel; " +
+      "the stateful stage follows prefix semantics") {
+    val slices = Seq(docsAll.take(3), docsAll.slice(3, 6), docsAll.drop(6))
+    val got = runFunnel("funnel_sliced", slices).map(t => t._2 -> t._3)
+      .toMap
+    val want = batchFunnel(docsAll).map(t => t._2 -> t._3).toMap
+    // stateless boundaries are slicing-invariant
+    assert(got("input") === want("input"))
+    assert(got("normalize") === want("normalize"))
+    assert(got("quality_filter") === want("quality_filter"))
+    assert(got("line_occurrences") === want("line_occurrences"))
+    // prefix semantics: an occurrence is kept iff its line's doc
+    // frequency THROUGH ITS OWN batch is within the cap — replay it
+    val curatedIds = docsAll.toDF("doc_id", "text")
+      .transform(d => SpecLoader.funnelFromJson(chainJson, d)._1)
+      .select("doc_id").as[Long].collect().toSet
+    val occs = slices.zipWithIndex.flatMap { case (s, b) =>
+      val df = s.filter(d => curatedIds(d._1)).toDF("doc_id", "text")
+      TextAnalysis.fixedWidthLines(
+          df.withColumn("text", TextAnalysis.normalizeText(col("text"))),
+          "text", "doc_id", width)
+        .select(col("line"), col("id")).as[(String, Long)].collect()
+        .map { case (l, id) => (l, id, b) }
+    }
+    val lineDocs = occs.groupBy(_._1)
+    val expectKept = occs.count { case (l, _, b) =>
+      lineDocs(l).filter(_._3 <= b).map(_._2).distinct.size <= maxDf
+    }
+    assert(got("line_dedup") === expectKept.toLong)
+    // and prefix-kept can only exceed the batch-global count
+    assert(got("line_dedup") >= want("line_dedup"))
+  }
+}
