@@ -2174,6 +2174,16 @@ object SparkEntry {
       TextAnalysis.knLogProbPruned(t(s, dir, "documents"), "text",
         "doc_id")),
 
+    // UniMax budget allocation (Chung et al. 2023): the fair-sampling
+    // answer to alpha_mixture's temperature smoothing — allocate a
+    // 1.6N-doc budget as uniformly as the 2-epoch caps allow; exact
+    // integer waterfill with remainder distribution under a total order
+    // ([[TextAnalysis.unimaxAllocation]] — one corpus aggregate, then
+    // |strata|-row windows and 1-row broadcasts).
+    "unimax_alloc" -> ((s, dir) =>
+      TextAnalysis.unimaxAllocation(t(s, dir, "documents"), "lang",
+        TextAnalysis.UnimaxEpochCap, TextAnalysis.UnimaxBudgetPermille)),
+
     // count-floor-pruned TRIGRAM Kneser-Ney — the order-3 back-off
     // recursion (top level prunes singleton trigrams with exact mass
     // redistribution; middle level is bigram-KN over the kept
@@ -9603,6 +9613,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // UniMax waterfill replay: identical pivot construction — prefix
+    // sums and row_number over the (cap, lang) total order, the first
+    // cap above its own running fair share is the pivot, full caps
+    // below it, the pivot row's integer level (+1 for the first r
+    // remainder strata) at/after it; EPOCHS/BPM literals generated from
+    // the engine's shared constants
+    "unimax_alloc" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_avail,
+        |    COUNT(*) * EPOCHS AS cap
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT SUM(n_avail) AS nn, COUNT(*) AS k FROM c),
+        |r AS (SELECT c.lang, c.n_avail, c.cap,
+        |    (s.nn * BPM) // 1000 AS b, s.k,
+        |    CAST(row_number() OVER (ORDER BY c.cap, c.lang) AS BIGINT)
+        |      AS i,
+        |    COALESCE(SUM(c.cap) OVER (ORDER BY c.cap, c.lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pfx
+        |  FROM c, s),
+        |t AS (SELECT r.*, (b - pfx) // (k - i + 1) AS theta FROM r),
+        |p AS (SELECT COALESCE(MIN(CASE WHEN cap > theta THEN i END),
+        |    9223372036854775807) AS istar FROM t),
+        |pv AS (SELECT theta AS lvl,
+        |    b - pfx - theta * (k - i + 1) AS rem
+        |  FROM t, p WHERE t.i = p.istar)
+        |SELECT t.lang, t.n_avail, t.cap,
+        |  CAST(CASE WHEN t.i < p.istar THEN t.cap
+        |       ELSE pv.lvl + CASE WHEN t.i - p.istar < pv.rem
+        |         THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+        |FROM t, p LEFT JOIN pv ON TRUE""".stripMargin
+        .replace("EPOCHS", TextAnalysis.UnimaxEpochCap.toString)
+        .replace("BPM", TextAnalysis.UnimaxBudgetPermille.toString),
 
     // pruned-trigram-KN replay, unrolled back-off: the top level prunes
     // singleton trigram types (kept table kt, per-context fw/n1 fold

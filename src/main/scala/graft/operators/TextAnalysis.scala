@@ -622,6 +622,72 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", 2023): given a total training budget and a per-
+    * stratum epoch cap, allocate the budget as uniformly as possible —
+    * every stratum gets an equal share unless its capacity
+    * (n_avail · epochCap) is smaller, in which case it contributes all
+    * of itself and the freed budget re-levels among the rest. The
+    * published sequential loop over capacity-ascending strata is, in
+    * exact integers, a WATERFILL with one pivot: strata below the pivot
+    * take their full cap, strata at/after it take the level
+    * θ = (B − prefix_caps) DIV remaining, and the division's remainder
+    * goes +1 to the first `r` leveled strata in (cap, stratum) order —
+    * a total order, so the allocation is engine-exact and
+    * SQL-twinnable.
+    *
+    * Shape: ONE corpus aggregate (per-stratum counts); everything after
+    * is windows and 1-row broadcasts over the |strata|-row table — the
+    * PlanAudit-bounded global-window family. Budget is
+    * (N · budgetPermille) DIV 1000 of the corpus row count, so the op
+    * scales with the corpus instead of hard-coding a size.
+    * Returns (stratum, n_avail, cap, alloc). */
+  def unimaxAllocation(df: DataFrame, strataCol: String, epochCap: Int,
+      budgetPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochCap >= 1 && epochCap <= 100, s"epochCap=$epochCap")
+    require(budgetPermille >= 1, s"budgetPermille=$budgetPermille")
+    val counts = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_avail"))
+      .withColumn("cap", col("n_avail") * epochCap)
+    val stats = counts.agg(sum(col("n_avail")).as("__nn"),
+      count(lit(1)).as("__k"))
+    val ord = Window.orderBy(col("cap"), col("stratum"))
+    val ranked = counts.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        expr(s"(__nn * $budgetPermille) DIV 1000"))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__pfx", coalesce(sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__theta",
+        expr("(__b - __pfx) DIV (__k - __i + 1)"))
+    // the pivot: first stratum whose cap exceeds its own level — below
+    // it every stratum fits inside the running fair share (minimality),
+    // at/after it everyone takes the PIVOT row's level (the later rows'
+    // __theta divides cap-prefixes that are no longer what was granted).
+    // Sentinel MaxValue = no pivot (budget covers every cap): the level
+    // row is then EMPTY, carried through a keyless left join so every
+    // stratum still emits its full cap.
+    val istar1 = broadcast(ranked.agg(coalesce(
+      min(when(col("cap") > col("__theta"), col("__i"))),
+      lit(Long.MaxValue)).as("__istar")))
+    val pivVals = broadcast(ranked.crossJoin(istar1)
+      .filter(col("__i") === col("__istar"))
+      .select(col("__theta").as("__lvl"),
+        (col("__b") - col("__pfx") -
+          col("__theta") * (col("__k") - col("__i") + 1)).as("__r")))
+    ranked.crossJoin(istar1)
+      .join(pivVals, lit(true), "left")
+      .withColumn("alloc",
+        when(col("__i") < col("__istar"), col("cap"))
+          .otherwise(col("__lvl") +
+            when(col("__i") - col("__istar") < col("__r"), 1L)
+              .otherwise(0L)))
+      .select(col("stratum").as(strataCol), col("n_avail"), col("cap"),
+        col("alloc"))
+  }
+
   /** CCNet-style LM-perplexity gate (Wenzek et al. 2020): keep documents
     * whose [[knLogProb]] mean token log-prob clears `floorPermille`
     * (higher log-prob = lower perplexity = more language-model-like —
@@ -1673,6 +1739,14 @@ object TextAnalysis {
     * cannot desynchronize engine and oracle). */
   val GopherMinWords = 50
   val GopherMaxWords = 100000
+
+  /** [[unimaxAllocation]]'s default epoch cap and budget (permille of
+    * the corpus row count), shared with the generated oracle literals
+    * (one-definition discipline). 2 epochs × a 1.6·N budget splits the
+    * fixture mix nontrivially at every SF: the four minority languages
+    * take their full 2-epoch caps and the dominant one levels. */
+  val UnimaxEpochCap = 2
+  val UnimaxBudgetPermille = 1600
 
   /** Gopher-style rule-based document quality filter (Rae et al. 2021,
     * "Scaling Language Models: Methods, Analysis & Insights from

@@ -2331,6 +2331,38 @@ class OperatorsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("unimaxAllocation: hand-computed waterfill — pivot, remainder " +
+      "distribution, and the budget-covers-everything case") {
+    import graft.operators.TextAnalysis
+    def docs(ns: (String, Int)*) = ns.flatMap { case (l, n) =>
+      (1 to n).map(i => (l, s"$l-$i")) }.toDF("lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame, e: Int, bpm: Int) =
+      TextAnalysis.unimaxAllocation(df, "lang", e, bpm)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // caps [1,5,5] (E=1), N=11, budget 910permille -> B=10: a takes its
+    // full cap (theta_1 = 3 >= 1), pivot at b (theta_2 = (10-1)/2 = 4
+    // < 5), level 4, remainder 9 - 8 = 1 goes to b (first leveled in
+    // the (cap, lang) order): a=1, b=5, c=4 — and the +1 never exceeds
+    // a leveled cap since every leveled cap > theta
+    val m1 = run(docs("a" -> 1, "b" -> 5, "c" -> 5), 1, 910)
+    assert(m1 === Map("a" -> (1L, 1L, 1L), "b" -> (5L, 5L, 5L),
+      "c" -> (5L, 5L, 4L)))
+    assert(m1.values.map(_._3).sum === 10L)
+    // budget covers every cap (E=2, B = 2.2N > 2N): no pivot, everyone
+    // takes the full cap — the empty-level-row path
+    val m2 = run(docs("a" -> 1, "b" -> 5, "c" -> 5), 2, 2200)
+    assert(m2 === Map("a" -> (1L, 2L, 2L), "b" -> (5L, 10L, 10L),
+      "c" -> (5L, 10L, 10L)))
+    // tight budget: B = 11*500/1000 = 5; theta_1 = 5/3 = 1 does NOT
+    // exceed a's cap 1 (a still takes it all), pivot at b with level
+    // (5-1)/2 = 2 and zero remainder: a=1, b=2, c=2
+    val m3 = run(docs("a" -> 1, "b" -> 5, "c" -> 5), 1, 500)
+    assert(m3("a")._3 + m3("b")._3 + m3("c")._3 === 5L)
+    assert(m3 === Map("a" -> (1L, 1L, 1L), "b" -> (5L, 5L, 2L),
+      "c" -> (5L, 5L, 2L)))
+  }
+
   test("charEntropy: uniform text hits ln(alphabet) exactly; constant" +
       " text is 0") {
     import graft.operators.TextAnalysis
