@@ -2174,6 +2174,22 @@ object SparkEntry {
       TextAnalysis.knLogProbPruned(t(s, dir, "documents"), "text",
         "doc_id")),
 
+    // per-source unigram KL divergence vs the rest of the corpus in
+    // integer micro-nats (Moore & Lewis 2010's cross-entropy-difference
+    // family — the divergence keyness ranks the words of;
+    // [[TextAnalysis.sourceUnigramKl]]: add-1 smoothing over the joint
+    // vocab, quantize-once ln per grid cell).
+    "source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceUnigramKl(t(s, dir, "documents"), "text",
+        "source")),
+
+    // token-coverage curve: cumulative corpus-token permille covered by
+    // each decile of the frequency-ranked vocabulary — the tokenizer
+    // budget planner ([[TextAnalysis.coverageCurve]]; rangedRank global
+    // vocab order, pure integers).
+    "coverage_curve" -> ((s, dir) =>
+      TextAnalysis.coverageCurve(t(s, dir, "documents"), "text")),
+
     // UniMax budget allocation (Chung et al. 2023): the fair-sampling
     // answer to alpha_mixture's temperature smoothing — allocate a
     // 1.6N-doc budget as uniformly as the 2-epoch caps allow; exact
@@ -9613,6 +9629,51 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // add-1-smoothed unigram-KL replay: per (vocab × source) grid cell
+    // the ln of an exact integer rational quantized ONCE to micros,
+    // then pure-integer weighted sums (the kn/unigram discipline);
+    // DuckDB SUM->HUGEINT cast on the way out
+    "source_kl" ->
+      """WITH sw AS (SELECT source AS src, unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT src, w, COUNT(*) AS c FROM sw GROUP BY 1, 2),
+        |bw AS (SELECT w, SUM(c) AS ct FROM c GROUP BY 1),
+        |bs AS (SELECT src, SUM(c) AS ns FROM c GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS v, SUM(ct) AS nn FROM bw),
+        |grid AS (SELECT bs.src, bs.ns, bw.ct,
+        |    COALESCE(c.c, 0) AS cs, g.v, g.nn
+        |  FROM bw CROSS JOIN bs
+        |  LEFT JOIN c ON c.src = bs.src AND c.w = bw.w, g),
+        |q AS (SELECT src, ns, v, cs + 1 AS cs1,
+        |    CAST(round(ln(
+        |      CAST((cs + 1) * (nn - ns + v) AS DOUBLE) /
+        |      CAST((ct - cs + 1) * (ns + v) AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS q
+        |  FROM grid)
+        |SELECT src AS source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cs1 * q) // (MAX(ns) + MAX(v)) AS BIGINT)
+        |    AS kl_micro
+        |FROM q GROUP BY 1""".stripMargin,
+
+    // coverage-curve replay: one global (count desc, term) row_number
+    // twins the engine's range-partitioned vocab rank (same total
+    // order); decile cuts and coverage shares are pure integers
+    "coverage_curve" ->
+      """WITH c AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents) GROUP BY 1),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
+        |    AS BIGINT) AS r FROM c),
+        |g AS (SELECT COUNT(*) AS v, SUM(c) AS nn FROM c),
+        |d AS (SELECT unnest(range(1, 11)) AS decile)
+        |SELECT CAST(d.decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST((SUM(r.c) * 1000) // MAX(g.nn) AS BIGINT)
+        |    AS covered_permille
+        |FROM r, g, d WHERE r.r <= (g.v * d.decile) // 10
+        |GROUP BY 1""".stripMargin,
 
     // UniMax waterfill replay: identical pivot construction — prefix
     // sums and row_number over the (cap, lang) total order, the first

@@ -622,6 +622,92 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("lp_permille"))
   }
 
+  /** Per-source unigram KL divergence KL(P_s ‖ P_rest) in integer
+    * micro-nats — the data-mixing diagnostic that prices how far each
+    * source's token distribution sits from the rest of the corpus
+    * (Moore & Lewis 2010's cross-entropy-difference selection uses
+    * exactly this quantity family; [[sourceKeyness]] ranks the WORDS
+    * driving it, this returns the per-source DIVERGENCE itself).
+    * Add-1 smoothing over the joint vocabulary keeps every term
+    * defined: with own counts c_s, rest counts c_r = c_tot − c_s,
+    * V = |joint vocab| and token totals N_s / N_r,
+    *   KL = Σ_w (c_s+1)·ln( (c_s+1)·(N_r+V) / ((c_r+1)·(N_s+V)) )
+    *        DIV (N_s+V)
+    * — each type's ln of an exact integer rational quantized ONCE to
+    * micros before the integer sum (the kn/unigram oracle-parity
+    * discipline), including the c_s = 0 grid cells the smoothing
+    * creates.
+    *
+    * Shape: one corpus-width (source, w) count; the smoothing grid is
+    * vocab × |sources| rows built from a vocab-sized aggregate
+    * crossed with the |sources|-row dim (both broadcast-small), and
+    * every global scalar (V, N) rides a 1-row broadcast. Returns
+    * (source, n_tokens, kl_micro). */
+  def sourceUnigramKl(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val sw = df.select(col(srcCol).as("src"),
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+    val byW = Dedup.ckptLight(
+      sw.groupBy(col("w")).agg(sum(col("c")).as("ct")))
+    val bySrc = sw.groupBy(col("src")).agg(sum(col("c")).as("ns"))
+    val glob = broadcast(byW.agg(count(lit(1)).as("v"),
+      sum(col("ct")).as("nn")))
+    val grid = byW.crossJoin(broadcast(bySrc))
+      .join(sw, Seq("src", "w"), "left")
+      .withColumn("cs", coalesce(col("c"), lit(0L)))
+      .crossJoin(glob)
+      .withColumn("cr", col("ct") - col("cs"))
+      .withColumn("nr", col("nn") - col("ns"))
+    grid.select(col("src"), col("ns"), col("v"),
+        (col("cs") + 1).as("cs1"),
+        round(log(((col("cs") + 1) * (col("nr") + col("v")))
+            .cast("double") /
+          ((col("cr") + 1) * (col("ns") + col("v"))).cast("double"))
+          * lit(1000000)).cast("long").as("q"))
+      .groupBy(col("src"))
+      .agg(max(col("ns")).as("__ns"), max(col("v")).as("__v"),
+        sum(col("cs1") * col("q")).as("__s"))
+      .select(col("src").as(srcCol), col("__ns").as("n_tokens"),
+        // FLOOR division, spelled out: the quantized sum can go
+        // (slightly) negative for a source nearly identical to the
+        // rest, where Spark DIV (truncate-toward-zero) and the oracle's
+        // `//` (floor) would disagree by one
+        expr("CASE WHEN __s >= 0 THEN __s DIV (__ns + __v) " +
+          "ELSE -((-__s + __ns + __v - 1) DIV (__ns + __v)) END")
+          .as("kl_micro"))
+  }
+
+  /** Token-coverage curve: for each decile of the frequency-ranked
+    * vocabulary (count desc, term asc — a total order), the cumulative
+    * permille of corpus TOKENS the top `V·d/10` types cover — the
+    * tokenizer-budget complement of [[vocabGrowth]] (Heaps' law gives
+    * types-per-token; this gives tokens-per-type: "a vocab of the top
+    * 30% of types covers N‰ of the corpus"). Pure integers after one
+    * corpus-width count; the vocabulary rank is
+    * [[Transforms.rangedRank]] (the scale-correct global ordering —
+    * vocabularies are data-sized at corpus scale). Returns
+    * (decile, n_types, covered_permille). */
+  def coverageCurve(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = Transforms.rangedRank(counts,
+      Seq(col("c").desc, col("w").asc), "r")
+    val glob = broadcast(ranked.agg(count(lit(1)).as("v"),
+      sum(col("c")).as("nn")))
+    val deciles = ranked.crossJoin(glob)
+      .select(col("c"), col("r"), col("v"), col("nn"),
+        explode(expr("sequence(1, 10)")).as("__d"))
+      .withColumn("decile", col("__d").cast("long"))
+      .filter(col("r") <= expr("(v * decile) DIV 10"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_types"),
+        expr("(SUM(c) * 1000) DIV MAX(nn)").as("covered_permille"))
+    deciles.select(col("decile"), col("n_types"),
+      col("covered_permille").cast("long"))
+  }
+
   /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
     * Effective Language Sampling for Large-Scale Multilingual
     * Pretraining", 2023): given a total training budget and a per-

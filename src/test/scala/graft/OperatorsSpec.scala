@@ -2331,6 +2331,47 @@ class OperatorsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("sourceUnigramKl: hand-computed add-1-smoothed divergences") {
+    import graft.operators.TextAnalysis
+    // A = "a a b", B = "a c": joint vocab V=3, totals N_A=3, N_B=2.
+    // KL(A||B) grid terms (cs+1)·ln((cs+1)(Nr+V)/((cr+1)(Ns+V))):
+    //   a: 3·ln(15/12), b: 2·ln(10/6), c(smoothed zero): 1·ln(5/12)
+    // each quantized to micros BEFORE the integer sum, then DIV (Ns+V)
+    val docs = Seq(("A", "a a b"), ("B", "a c")).toDF("source", "text")
+    val got = TextAnalysis.sourceUnigramKl(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def q(num: Long, den: Long): Long =
+      math.round(math.log(num.toDouble / den.toDouble) * 1e6)
+    val wantA = Math.floorDiv(3 * q(15, 12) + 2 * q(10, 6) + q(5, 12), 6L)
+    val wantB = Math.floorDiv(2 * q(12, 15) + q(6, 10) + 2 * q(12, 5), 5L)
+    assert(got === Map("A" -> (3L, wantA), "B" -> (2L, wantB)))
+    // divergence from the rest is positive for genuinely different
+    // sources on both sides
+    assert(wantA > 0 && wantB > 0)
+  }
+
+  test("coverageCurve: hand-computed decile coverage; Zipf head " +
+      "dominates") {
+    import graft.operators.TextAnalysis
+    // 10 types with counts 10,9,...,1 (N=55): decile d covers the top
+    // d types exactly, permille = 1000·(sum of top d) DIV 55
+    val words = (1 to 10).flatMap(i => Seq.fill(11 - i)(s"w$i"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.coverageCurve(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size === 10)
+    val pfx = (1 to 10).scanLeft(0)((s, i) => s + (11 - i)).tail
+    (1 to 10).foreach { d =>
+      assert(got(d.toLong) === (d.toLong, 1000L * pfx(d - 1) / 55),
+        s"decile $d")
+    }
+    // the curve is strictly monotone and closes at full coverage
+    assert((1 to 9).forall(d => got(d.toLong)._2 < got(d + 1L)._2))
+    assert(got(10L) === (10L, 1000L))
+  }
+
   test("unimaxAllocation: hand-computed waterfill — pivot, remainder " +
       "distribution, and the budget-covers-everything case") {
     import graft.operators.TextAnalysis
