@@ -109,6 +109,22 @@ object PpLab {
     timed("cand_adaptive")(candA.count())
     timed("cand_again")(cand.count())
     timed("cand_adaptive2")(candA.count())
+    // remaining lever: shrink the pair-dedup shuffle rows to bare
+    // (a, b) — lengths re-fetched from a broadcast doc-length map after
+    // dedup instead of riding every candidate row through the shuffle
+    val lens = words.groupBy("id").agg(count(lit(1)).as("n"))
+    val candSlim = rankedW.as("x").hint("shuffle_hash")
+      .join(yrep.as("y"),
+        col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
+          col("x.r") < col("y.r") &&
+          col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&
+          col("y.n") * 2000L >= col("x.n") * (2L * thr - 1))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .join(broadcast(lens.select(col("id").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(lens.select(col("id").as("b"), col("n").as("nb"))), "b")
+    timed("cand_slim")(candSlim.count())
+    timed("cand_again2")(cand.count())
+    timed("cand_slim2")(candSlim.count())
     spark.stop()
   }
 }
