@@ -83,6 +83,24 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(r1.values.toSeq.sorted === (1L to r1.size.toLong))
   }
 
+  test("coverageCurve: decile output invariant under shard count (the " +
+      "rangedRank consumer contract, end to end)") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def curve(parts: String): Map[Long, (Long, Long)] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try TextAnalysis.coverageCurve(docs, "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val c1 = curve("1"); val c7 = curve("7"); val c32 = curve("32")
+    assert(c1.size === 10 && c1 === c7 && c7 === c32)
+    assert(c1(10L)._2 === 1000L)
+  }
+
   test("8x lineitem: heap top-k winners identical per copy shard") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"))
