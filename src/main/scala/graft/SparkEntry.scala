@@ -9648,13 +9648,13 @@ object SparkEntry {
         |  LEFT JOIN c ON c.src = bs.src AND c.w = bw.w, g),
         |q AS (SELECT src, ns, v, cs + 1 AS cs1,
         |    CAST(round(ln(
-        |      CAST((cs + 1) * (nn - ns + v) AS DOUBLE) /
-        |      CAST((ct - cs + 1) * (ns + v) AS DOUBLE)) * 1000000, 0)
-        |      AS BIGINT) AS q
+        |      (CAST(cs + 1 AS DOUBLE) * CAST(nn - ns + v AS DOUBLE)) /
+        |      (CAST(ct - cs + 1 AS DOUBLE) * CAST(ns + v AS DOUBLE)))
+        |      * 1000000, 0) AS BIGINT) AS q
         |  FROM grid)
         |SELECT src AS source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(cs1 * q) // (MAX(ns) + MAX(v)) AS BIGINT)
-        |    AS kl_micro
+        |  CAST(SUM(CAST(cs1 AS HUGEINT) * q)
+        |    // (MAX(ns) + MAX(v)) AS BIGINT) AS kl_micro
         |FROM q GROUP BY 1""".stripMargin,
 
     // coverage-curve replay: one global (count desc, term) row_number

@@ -659,15 +659,25 @@ object TextAnalysis {
       .crossJoin(glob)
       .withColumn("cr", col("ct") - col("cs"))
       .withColumn("nr", col("nn") - col("ns"))
+    // arithmetic headroom at corpus scale: the rational's cross
+    // products (cs+1)·(nr+V) overflow BIGINT once token totals pass
+    // ~3e9, so each FACTOR casts to double before the multiply (IEEE
+    // ops with the same association are bit-identical on both engines
+    // — only the final ln was ever implementation-defined), and the
+    // weighted sum runs in DECIMAL(38,0) (the zipf_slope
+    // sufficient-statistics discipline)
+    val dec = "decimal(38,0)"
     grid.select(col("src"), col("ns"), col("v"),
         (col("cs") + 1).as("cs1"),
-        round(log(((col("cs") + 1) * (col("nr") + col("v")))
-            .cast("double") /
-          ((col("cr") + 1) * (col("ns") + col("v"))).cast("double"))
+        round(log(
+          ((col("cs") + 1).cast("double")
+            * (col("nr") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double")
+            * (col("ns") + col("v")).cast("double")))
           * lit(1000000)).cast("long").as("q"))
       .groupBy(col("src"))
       .agg(max(col("ns")).as("__ns"), max(col("v")).as("__v"),
-        sum(col("cs1") * col("q")).as("__s"))
+        sum(col("cs1").cast(dec) * col("q").cast(dec)).as("__s"))
       .select(col("src").as(srcCol), col("__ns").as("n_tokens"),
         // FLOOR division, spelled out: the quantized sum can go
         // (slightly) negative for a source nearly identical to the
@@ -675,7 +685,7 @@ object TextAnalysis {
         // `//` (floor) would disagree by one
         expr("CASE WHEN __s >= 0 THEN __s DIV (__ns + __v) " +
           "ELSE -((-__s + __ns + __v - 1) DIV (__ns + __v)) END")
-          .as("kl_micro"))
+          .cast("long").as("kl_micro"))
   }
 
   /** Token-coverage curve: for each decile of the frequency-ranked
