@@ -9659,7 +9659,9 @@ object SparkEntry {
 
     // coverage-curve replay: one global (count desc, term) row_number
     // twins the engine's range-partitioned vocab rank (same total
-    // order); decile cuts and coverage shares are pure integers
+    // order); each rank's minimum covering decile ceil(10r/V) buckets
+    // the vocab in ONE pass (exact: r ≤ floor(V·d/10) ⟺ 10r ≤ V·d for
+    // integers), the curve is a ≤10-row cumulative window
     "coverage_curve" ->
       """WITH c AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(
         |    regexp_split_to_array(lower(trim(text)), '\s+')) AS w
@@ -9667,13 +9669,16 @@ object SparkEntry {
         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
         |    AS BIGINT) AS r FROM c),
         |g AS (SELECT COUNT(*) AS v, SUM(c) AS nn FROM c),
-        |d AS (SELECT unnest(range(1, 11)) AS decile)
-        |SELECT CAST(d.decile AS BIGINT) AS decile,
-        |  CAST(COUNT(*) AS BIGINT) AS n_types,
-        |  CAST((SUM(r.c) * 1000) // MAX(g.nn) AS BIGINT)
+        |b AS (SELECT (10 * r.r + g.v - 1) // g.v AS decile,
+        |    COUNT(*) AS t, SUM(r.c) AS cc, MAX(g.nn) AS nn
+        |  FROM r, g GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(SUM(t) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types,
+        |  CAST((SUM(cc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) * 1000) // nn AS BIGINT)
         |    AS covered_permille
-        |FROM r, g, d WHERE r.r <= (g.v * d.decile) // 10
-        |GROUP BY 1""".stripMargin,
+        |FROM b""".stripMargin,
 
     // UniMax waterfill replay: identical pivot construction — prefix
     // sums and row_number over the (cap, lang) total order, the first

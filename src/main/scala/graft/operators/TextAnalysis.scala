@@ -706,16 +706,26 @@ object TextAnalysis {
       Seq(col("c").desc, col("w").asc), "r")
     val glob = broadcast(ranked.agg(count(lit(1)).as("v"),
       sum(col("c")).as("nn")))
-    val deciles = ranked.crossJoin(glob)
-      .select(col("c"), col("r"), col("v"), col("nn"),
-        explode(expr("sequence(1, 10)")).as("__d"))
-      .withColumn("decile", col("__d").cast("long"))
-      .filter(col("r") <= expr("(v * decile) DIV 10"))
+    // single pass over the vocabulary: each rank's MINIMUM covering
+    // decile is ceil(10r/V) — exact, since r ≤ floor(V·d/10) ⟺
+    // 10r ≤ V·d for integers — so one ≤10-group aggregate replaces a
+    // vocab×10 explode, and the curve is a cumulative window over the
+    // ≤10-row bucket table (bounded frame, the PlanAudit-walk family)
+    import org.apache.spark.sql.expressions.Window
+    val buckets = ranked.crossJoin(glob)
+      .withColumn("decile", expr("(10 * r + v - 1) DIV v"))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_types"),
-        expr("(SUM(c) * 1000) DIV MAX(nn)").as("covered_permille"))
-    deciles.select(col("decile"), col("n_types"),
-      col("covered_permille").cast("long"))
+      .agg(count(lit(1)).as("__t"), sum(col("c")).as("__c"),
+        max(col("nn")).as("__nn"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("n_types", sum(col("__t")).over(cum))
+      .withColumn("covered_permille",
+        expr("(SUM(__c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) * 1000) DIV __nn"))
+      .select(col("decile"), col("n_types"),
+        col("covered_permille").cast("long"))
   }
 
   /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
