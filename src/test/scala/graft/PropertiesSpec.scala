@@ -23,6 +23,58 @@ class PropertiesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("boundedIntersect: full contract vs Set intersection — exact " +
+      "count when reachable, -1 exactly when the count misses the bound") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val sortedArr = for {
+      n <- Gen.choose(0, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs.distinct.sorted.toArray
+    val p = Prop.forAll(sortedArr, sortedArr,
+        Gen.choose(-2L, 45L)) { (a, b, m) =>
+      val truth = (a.toSet intersect b.toSet).size.toLong
+      val got = graft.functions.BoundedIntersect.compute(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b), m)
+      // m <= 0 can never abort; otherwise -1 iff the true count is
+      // below the bound, and a returned count is always the exact one
+      if (m <= 0L || truth >= m) got == truth else got == -1L
+    }
+    checkProp(p, 2000)
+  }
+
+  test("unimaxAllocation invariants on random strata: budget exhausted " +
+      "or all caps taken, caps respected, leveled strata within 1") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(12)
+    (1 to 12).foreach { case _ =>
+      val k = 2 + rnd.nextInt(6)
+      val ns = (0 until k).map(i => ('a' + i).toChar.toString ->
+        (1 + rnd.nextInt(40)))
+      val e = 1 + rnd.nextInt(3)
+      val bpm = 100 + rnd.nextInt(2500)
+      val df = ns.flatMap { case (l, n) => (1 to n).map(_ => (l, "x")) }
+        .toDF("lang", "text")
+      val out = TextAnalysis.unimaxAllocation(df, "lang", e, bpm)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val nTot = ns.map(_._2.toLong).sum
+      val b = nTot * bpm / 1000
+      val capTot = out.map(_._3).sum
+      out.foreach { case (l, n, cap, alloc) =>
+        assert(cap === n * e, s"$l cap")
+        assert(alloc >= 0 && alloc <= cap, s"$l alloc in [0, cap]")
+      }
+      // exact budget exhaustion unless every cap fits inside it
+      assert(out.map(_._4).sum === math.min(b, capTot),
+        s"k=$k e=$e bpm=$bpm")
+      // uniformity: strata NOT at their cap (the leveled set) differ
+      // by at most the remainder unit
+      val leveled = out.filter(o => o._4 < o._3).map(_._4)
+      if (leveled.nonEmpty)
+        assert(leveled.max - leveled.min <= 1, s"leveled spread: $out")
+    }
+  }
+
   test("crc32q: table-driven implementation == bit-serial reference") {
     // independent reference: no table, one bit at a time (reflected
     // CRC, poly 0xD5828281, init/xorout 0xFFFFFFFF)
