@@ -75,6 +75,67 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("kn3LogProbPruned == naive single-machine trigram-KN reference " +
+      "on random corpora") {
+    import graft.operators.TextAnalysis
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    // independent reference: plain Scala maps, the operator's published
+    // formula re-derived from scratch (same d = 3/4 discount algebra)
+    def naive(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      val occ = docs.flatMap { case (id, t) =>
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(3)
+          .filter(_.size == 3).map(g => (id, g.mkString(" ")))
+      }
+      if (occ.isEmpty) return Map.empty
+      val c123 = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def b12(s: String) = s.split(" ").take(2).mkString(" ")
+      def w2(s: String) = s.split(" ")(1)
+      def w3(s: String) = s.split(" ")(2)
+      val ctx = c123.groupBy(k => b12(k._1)).view.mapValues { xs =>
+        (xs.values.sum, xs.count(_._2 >= 2).toLong,
+          xs.count(_._2 == 1).toLong)
+      }.toMap
+      val kept = c123.filter(_._2 >= 2)
+      val cont = kept.keys.groupBy(s => (w2(s), w3(s))).view
+        .mapValues(_.size.toLong).toMap
+      val mid = cont.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val g2m = cont.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+      val rw3 = cont.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+      val b2 = math.max(cont.size.toLong, 1L)
+      val lps = occ.map { case (id, s) =>
+        val (c12, fw, n1) = ctx(b12(s))
+        val ck = kept.getOrElse(s, 0L)
+        val r23 = cont.getOrElse((w2(s), w3(s)), 0L)
+        val m2 = math.max(mid.getOrElse(w2(s), 0L), 1L)
+        val g2 = g2m.getOrElse(w2(s), 0L)
+        val rw = rw3.getOrElse(w3(s), 0L)
+        val num = math.max(
+          math.max(4 * ck - 3, 0L) * (4 * m2 * b2) +
+            (3 * fw + 4 * n1) *
+              (math.max(4 * r23 - 3, 0L) * b2 + 3 * g2 * rw), 1L)
+        val den = 16 * c12 * m2 * b2
+        id -> halfUp(math.log(num.toDouble / den.toDouble) * 1e6)
+      }
+      lps.groupBy(_._1).view.mapValues { xs =>
+        halfUp(xs.map(_._2).sum / (xs.size * 1000.0))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(77)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    // several random corpora, one operator call each (corpora share
+    // model tables if folded together, so they must run separately)
+    (1 to 6).foreach { case k =>
+      val docs = (1L to (2 + rnd.nextInt(4)).toLong).map(i =>
+        (k * 100L + i, Seq.fill(2 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val got = TextAnalysis
+        .kn3LogProbPruned(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === naive(docs), s"corpus $k: $docs")
+    }
+  }
+
   test("crc32q: table-driven implementation == bit-serial reference") {
     // independent reference: no table, one bit at a time (reflected
     // CRC, poly 0xD5828281, init/xorout 0xFFFFFFFF)
