@@ -136,6 +136,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceUnigramKl == naive smoothed-KL reference on random " +
+      "corpora") {
+    import graft.operators.TextAnalysis
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def naive(docs: Seq[(String, String)]): Map[String, (Long, Long)] = {
+      val cnt = docs.flatMap { case (s, t) =>
+        t.trim.toLowerCase.split("\\s+").toSeq.map(w => (s, w))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val byW = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val byS = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val v = byW.size.toLong; val nn = byW.values.sum
+      byS.map { case (s, ns) =>
+        val sum = byW.map { case (w, ct) =>
+          val cs = cnt.getOrElse((s, w), 0L)
+          val q = halfUp(math.log(
+            ((cs + 1).toDouble * (nn - ns + v).toDouble) /
+            ((ct - cs + 1).toDouble * (ns + v).toDouble)) * 1e6)
+          (cs + 1) * q
+        }.sum
+        s -> (ns, Math.floorDiv(sum, ns + v))
+      }
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g")
+    (1 to 4).foreach { case k =>
+      val docs = (1 to (2 + rnd.nextInt(3))).flatMap(si =>
+        (1 to (1 + rnd.nextInt(3))).map(_ => (s"s$si",
+          Seq.fill(3 + rnd.nextInt(20))(
+            vocab(rnd.nextInt(vocab.size))).mkString(" "))))
+      val got = TextAnalysis
+        .sourceUnigramKl(docs.toDF("source", "text"), "text", "source")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(got === naive(docs), s"corpus $k: $docs")
+    }
+  }
+
   test("crc32q: table-driven implementation == bit-serial reference") {
     // independent reference: no table, one bit at a time (reflected
     // CRC, poly 0xD5828281, init/xorout 0xFFFFFFFF)
