@@ -174,6 +174,83 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("knLogProbPruned == naive single-machine bigram-KN reference " +
+      "on random corpora (the tier whose plan changed this round)") {
+    import graft.operators.TextAnalysis
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def naive(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      val occ = docs.flatMap { case (id, t) =>
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(2)
+          .filter(_.size == 2).map(g => (id, g.mkString(" ")))
+      }
+      if (occ.isEmpty) return Map.empty
+      val c12 = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def w1(s: String) = s.split(" ")(0)
+      def wB(s: String) = s.split(" ")(1)
+      val fol = c12.groupBy(k => w1(k._1)).view.mapValues { xs =>
+        (xs.values.sum, xs.count(_._2 >= 2).toLong,
+          xs.count(_._2 == 1).toLong)
+      }.toMap
+      val kept = c12.filter(_._2 >= 2)
+      val rw = kept.keys.groupBy(wB).view.mapValues(_.size.toLong).toMap
+      val b = math.max(kept.size.toLong, 1L)
+      val lps = occ.map { case (id, s) =>
+        val (c1, fw, n1) = fol(w1(s))
+        val ck = kept.getOrElse(s, 0L)
+        val r = rw.getOrElse(wB(s), 0L)
+        val num = math.max(math.max(4 * ck - 3, 0L) * b +
+          (3 * fw + 4 * n1) * r, 1L)
+        id -> halfUp(math.log(num.toDouble / (4 * c1 * b).toDouble) * 1e6)
+      }
+      lps.groupBy(_._1).view.mapValues { xs =>
+        halfUp(xs.map(_._2).sum / (xs.size * 1000.0))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(55)
+    val vocab = Seq("a", "b", "c", "d")
+    (1 to 6).foreach { case k =>
+      val docs = (1L to (2 + rnd.nextInt(4)).toLong).map(i =>
+        (k * 100L + i, Seq.fill(1 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val got = TextAnalysis
+        .knLogProbPruned(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === naive(docs), s"corpus $k: $docs")
+    }
+  }
+
+  test("coverageCurve == naive sorted-prefix reference on random " +
+      "corpora") {
+    import graft.operators.TextAnalysis
+    def naive(text: String): Map[Long, (Long, Long)] = {
+      val counts = text.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val v = counts.size.toLong; val nn = counts.map(_._2).sum
+      (1L to 10L).flatMap { d =>
+        val t = (v * d) / 10
+        if (t < 1) None
+        else {
+          val mind = if (t == (v * (d - 1)) / 10) None else Some(d)
+          mind.map(_ => d ->
+            (t, counts.take(t.toInt).map(_._2).sum * 1000 / nn))
+        }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(99)
+    val vocab = (1 to 25).map(i => s"w$i")
+    (1 to 6).foreach { case k =>
+      val text = Seq.fill(40 + rnd.nextInt(300))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val got = TextAnalysis
+        .coverageCurve(Seq((1L, text)).toDF("doc_id", "text"), "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got === naive(text), s"corpus $k")
+    }
+  }
+
   test("crc32q: table-driven implementation == bit-serial reference") {
     // independent reference: no table, one bit at a time (reflected
     // CRC, poly 0xD5828281, init/xorout 0xFFFFFFFF)
