@@ -700,6 +700,18 @@ object Dedup {
     * Integer-only prefix arithmetic: ⌈t·n⌉ for the rounded-permille
     * threshold lower bound t = (thr − 0.5)/1000 is
     * (n·(2·thr − 1) + 1999) DIV 2000 — no float ceil at the boundary. */
+  /** The ONE definition of the bounded-intersect abort bound over the
+    * carried (na, nb) columns: one BELOW the smallest overlap that can
+    * pass `round(1000·J) ≥ thr` — i.e.
+    * ceil((2thr−1)(na+nb)/(1999+2thr)) − 1. The −1 keeps the pruning
+    * strictly lossless against the double-rounded jacc filter, which
+    * stays the sole arbiter of boundary pairs. Shared with PpLab so the
+    * lab always measures the predicate production ships (an off-by-one
+    * here silently drops true near-dup pairs). */
+  private[graft] def minOverlapMinus1Sql(thr: Long): String =
+    s"((2 * $thr - 1) * (na + nb) + 1998 + 2 * $thr) " +
+      s"DIV (1999 + 2 * $thr) - 1"
+
   def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       thresholdPermille: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -784,8 +796,7 @@ object Dedup {
     // jacc filter below remains the sole arbiter of boundary pairs.
     val arr = words.groupBy("id")
       .agg(sort_array(collect_list(xxhash64(col("w")))).as("arr"))
-    val minOm1 = expr(s"((2 * $thr - 1) * (na + nb) + 1998 + 2 * $thr) " +
-      s"DIV (1999 + 2 * $thr) - 1")
+    val minOm1 = expr(minOverlapMinus1Sql(thr))
     cand
       .join(arr.select(col("id").as("a"), col("arr").as("aa")), "a")
       .join(arr.select(col("id").as("b"), col("arr").as("ab")), "b")

@@ -759,7 +759,12 @@ object TextAnalysis {
       .withColumn("cap", col("n_avail") * epochCap)
     val stats = counts.agg(sum(col("n_avail")).as("__nn"),
       count(lit(1)).as("__k"))
-    val ord = Window.orderBy(col("cap"), col("stratum"))
+    // NULLS LAST, explicitly: Spark's default orderBy puts nulls FIRST
+    // while DuckDB's ASC puts them LAST — a NULL stratum tying another's
+    // cap at the pivot would otherwise take the remainder unit on one
+    // engine and not the other
+    val ord = Window.orderBy(col("cap").asc_nulls_last,
+      col("stratum").asc_nulls_last)
     val ranked = counts.crossJoin(broadcast(stats))
       .withColumn("__b",
         expr(s"(__nn * $budgetPermille) DIV 1000"))

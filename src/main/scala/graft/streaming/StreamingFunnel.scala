@@ -56,19 +56,24 @@ object StreamingFunnel {
     * feeds the same entries through a StreamingQueryListener (the
     * recentProgress buffer is bounded). No-data batches carry no
     * observed metrics and fold in as zero. */
+  private val Shape = s"$Prefix(\\d+)_(.+)".r
+
   def funnel(progress: Seq[StreamingQueryProgress])
       : Seq[(Int, String, Long)] = {
     val sums = scala.collection.mutable.Map.empty[String, Long]
     progress.foreach { p =>
       p.observedMetrics.asScala.foreach { case (name, row) =>
-        if (name.startsWith(Prefix))
+        // fold ONLY names with the observed() shape funnel_<idx>_<op>:
+        // a job is free to hang its own observe metrics (even
+        // funnel_-prefixed ones) on the same query without breaking the
+        // funnel parse
+        if (Shape.pattern.matcher(name).matches())
           sums(name) = sums.getOrElse(name, 0L) + row.getLong(0)
       }
     }
     sums.toSeq.sorted.map { case (name, n) =>
-      val rest = name.stripPrefix(Prefix)
-      val (idx, op) = rest.splitAt(rest.indexOf('_'))
-      (idx.toInt, op.drop(1), n)
+      val Shape(idx, op) = name
+      (idx.toInt, op, n)
     }
   }
 }

@@ -42,8 +42,11 @@ object PpLab {
     val yrep = rankedW.join(nch, "w")
       .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
       .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
-    val cand = rankedW.as("x")
-      .join(yrep.as("y").hint("shuffle_hash"),
+    // build side = rankedW, matching the PRODUCTION operator exactly
+    // (an earlier lab draft hinted the replicated side and confounded
+    // A/B comparisons against production-shaped variants)
+    val cand = rankedW.as("x").hint("shuffle_hash")
+      .join(yrep.as("y"),
         col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
           col("x.r") < col("y.r") &&
           col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&
@@ -68,13 +71,12 @@ object PpLab {
     // option (a): threshold-bounded merge intersect replaces the per-row
     // hash-set array_intersect; abort bound minO−1 keeps it lossless with
     // the double-rounded jacc filter as the final arbiter
-    val f = 2 * thr - 1; val g = 1999 + 2 * thr
     val outB = cand
       .join(arr.select(col("id").as("a"), col("arr").as("aa")), "a")
       .join(arr.select(col("id").as("b"), col("arr").as("ab")), "b")
       .withColumn("common", graft.functions.BoundedIntersect(
         col("aa"), col("ab"),
-        expr(s"($f * (na + nb) + $g - 1) DIV $g - 1")))
+        expr(graft.operators.Dedup.minOverlapMinus1Sql(thr))))
       .filter(col("common") >= 0L)
       .withColumn("jacc_permille", round(col("common") * lit(1000.0) /
         (col("na") + col("nb") - col("common"))).cast("long"))
@@ -98,8 +100,8 @@ object PpLab {
       .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
       .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
     timed("yrepA_volume")(yrepA.count())
-    val candA = rankedA.as("x")
-      .join(yrepA.as("y").hint("shuffle_hash"),
+    val candA = rankedA.as("x").hint("shuffle_hash")
+      .join(yrepA.as("y"),
         col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
           col("x.r") < col("y.r") &&
           col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&

@@ -2402,6 +2402,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m3("a")._3 + m3("b")._3 + m3("c")._3 === 5L)
     assert(m3 === Map("a" -> (1L, 1L, 1L), "b" -> (5L, 5L, 2L),
       "c" -> (5L, 5L, 2L)))
+    // a NULL stratum sorts LAST (the oracle's DuckDB ASC semantics,
+    // explicit asc_nulls_last on the engine side): at a cap tie on the
+    // pivot with remainder 1, "b" (first in order) takes the extra unit
+    val withNull = (Seq.fill(3)((null: String, "x")) ++
+      Seq.fill(3)(("b", "x"))).toDF("lang", "text")
+    val m4 = run(withNull, 1, 834) // N=6 -> B=5; caps [3,3]; lvl 2 r 1
+    assert(m4 === Map("b" -> (3L, 3L, 3L), (null: String) -> (3L, 3L, 2L)))
   }
 
   test("charEntropy: uniform text hits ln(alphabet) exactly; constant" +
