@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * DISTINCT (id, token) rows the join already builds.
   *
   * Null contract: null array or null threshold → null (candidate rows
-  * never have them; loud absence beats a fabricated count). */
+  * never have them; loud absence beats a fabricated count). Null
+  * ELEMENTS are rejected at analysis time (containsNull=false
+  * required): getLong on a null slot would silently read 0. */
 object BoundedIntersect {
   def apply(a: Column, b: Column, minCommon: Column): Column =
     GraftSqlBridge.column(BoundedIntersectExpression(
@@ -57,12 +59,20 @@ case class BoundedIntersectExpression(first: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+      // containsNull arrays are REJECTED, not tolerated: the merge walk
+      // reads elements via ArrayData.getLong, where a null element would
+      // silently decay to 0 and corrupt the count. Call sites build
+      // arrays as sort_array(collect_list(...)) over non-null hashes,
+      // whose type is containsNull=false by construction — so a
+      // containsNull=true input here is always a caller bug, and analysis
+      // time is the right moment to say so.
+      case (ArrayType(LongType, false), ArrayType(LongType, false),
+          LongType) =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        "bounded_intersect requires (ARRAY<BIGINT>, ARRAY<BIGINT>, " +
-          s"BIGINT), got ${a.catalogString}, ${b.catalogString}, " +
-          s"${c.catalogString}")
+        "bounded_intersect requires (ARRAY<BIGINT> containsNull=false, " +
+          "ARRAY<BIGINT> containsNull=false, BIGINT), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
     }
 
   override def dataType: DataType = LongType

@@ -56,17 +56,19 @@ object StreamingFunnel {
     * feeds the same entries through a StreamingQueryListener (the
     * recentProgress buffer is bounded). No-data batches carry no
     * observed metrics and fold in as zero. */
-  private val Shape = s"$Prefix(\\d+)_(.+)".r
+  private val Shape = s"$Prefix(\\d{3})_(.+)".r
 
   def funnel(progress: Seq[StreamingQueryProgress])
       : Seq[(Int, String, Long)] = {
     val sums = scala.collection.mutable.Map.empty[String, Long]
     progress.foreach { p =>
       p.observedMetrics.asScala.foreach { case (name, row) =>
-        // fold ONLY names with the observed() shape funnel_<idx>_<op>:
-        // a job is free to hang its own observe metrics (even
-        // funnel_-prefixed ones) on the same query without breaking the
-        // funnel parse
+        // fold ONLY names with the exact observed() shape
+        // funnel_<3-digit idx>_<op>: the \d{3} requirement means a job's
+        // own observe metrics (even funnel_-prefixed ones like
+        // `funnel_5_custom`) never fold into the funnel, and every name
+        // that DOES fold carries the zero-padded index whose
+        // lexicographic order is stage order
         if (Shape.pattern.matcher(name).matches())
           sums(name) = sums.getOrElse(name, 0L) + row.getLong(0)
       }

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Whole-battery physical-plan sweep: flags every query whose plan
@@ -22,10 +23,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   * tree BEFORE EnsureRequirements inserts exchanges/sorts — so a
   * window's child is its actual frame source, and treats
   * cardinality-preserving nodes (project/filter/sort/window/expand-free
-  * unary ops) as pass-through. Keyed aggregates are accepted as bounded
-  * by convention (the known frames: shard offsets, |strata| shares,
-  * 1-row totals); the convention is what PLANS.md's classification
-  * table documents.
+  * unary ops) as pass-through. Frames bounded by a GLOBAL aggregate or
+  * a limit are PROVEN (≤1/≤k rows by construction); frames bounded by a
+  * KEYED aggregate are only CLASSIFIED — their size is the grouping
+  * key's cardinality, a data property — and each one is printed with
+  * its grouping keys so PLANS.md can carry one classification entry per
+  * window (key → cardinality bound). The summary splits
+  * proven/classified/unbounded; unclassified-unbounded must be 0.
   *
   * Output is one line per flagged query plus a summary, for PLANS.md's
   * audit appendix.
@@ -34,23 +38,48 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 object PlanAudit {
 
-  /** Is this plan's output provably bounded (not corpus-sized)?
-    * Aggregates and limits bound; TakeOrderedAndProject IS a limit; a
-    * join (equi or broadcast) of two bounded inputs is bounded; unions
-    * of bounded inputs are bounded. */
-  private def bounded(p: SparkPlan): Boolean = {
-    val n = p.getClass.getSimpleName
-    if (n.contains("Aggregate") || n.contains("Limit") ||
-      n.contains("TakeOrdered")) true
-    else if (n == "UnionExec" || n.contains("Join"))
-      p.children.forall(bounded)
-    else if (passThrough(n) && p.children.nonEmpty)
-      bounded(p.children.head)
-    else false
+  /** Boundedness verdict for a global window's frame source:
+    * [[Proven]] — the frame is bounded by construction, independent of
+    * the data: a GLOBAL (no-grouping-key) aggregate is ≤1 row, a limit /
+    * TakeOrderedAndProject is ≤k rows, and joins/unions of proven inputs
+    * stay proven;
+    * [[Classified]] — the frame is bounded by a KEYED aggregate, whose
+    * row count is the grouping key's cardinality. That is a DATA
+    * property, not a plan property (strata/dim keys are ≤|dims|;
+    * corpus-valued keys would be corpus-sized), so the walk cannot prove
+    * it — each such window must carry a PLANS.md classification entry
+    * naming its key and its cardinality bound, and the audit prints the
+    * query so the table can be checked line by line;
+    * [[Unbounded]] — no bound found on the path: a scale bug unless
+    * PLANS.md documents otherwise. The previous walk folded Classified
+    * into "bounded by convention"; splitting it is what makes a future
+    * corpus-keyed aggregate-then-global-window visible instead of
+    * silently green. */
+  private val Unbounded = 0
+  private val Classified = 1
+  private val Proven = 2
+
+  private def boundedness(p: SparkPlan): Int = p match {
+    case a: BaseAggregateExec =>
+      if (a.groupingExpressions.isEmpty) Proven else Classified
+    case _ =>
+      val n = p.getClass.getSimpleName
+      if (n.contains("Aggregate")) Classified // non-BaseAggregate agg
+      else if (n.contains("Limit") || n.contains("TakeOrdered")) Proven
+      else if (n == "UnionExec" || n.contains("Join"))
+        p.children.map(boundedness).min
+      else if (passThrough(n) && p.children.nonEmpty)
+        boundedness(p.children.head)
+      else Unbounded
   }
 
   /** Unary nodes that preserve (or shrink) cardinality without being a
-    * bound themselves. */
+    * bound themselves. The exchange/AQE nodes are kept DEFENSIVELY: the
+    * walk runs on the pre-EnsureRequirements `sparkPlan` where they
+    * should not appear, but a plan that reaches this tool through a
+    * cached/checkpointed subtree can embed an executed fragment, and
+    * treating an unexpected exchange as pass-through (its cardinality
+    * IS its child's) is strictly safer than calling it unbounded. */
   private def passThrough(n: String): Boolean = Set(
     "ProjectExec", "FilterExec", "SortExec", "CoalesceExec",
     "WindowExec", "WindowGroupLimitExec", "DeserializeToObjectExec",
@@ -59,12 +88,34 @@ object PlanAudit {
     "ShuffleExchangeExec", "BroadcastExchangeExec",
     "AQEShuffleReadExec", "SubqueryBroadcastExec").contains(n)
 
-  /** (unpartitioned windows, unclassified-unbounded among them). */
-  private def globalWindows(plan: SparkPlan): (Int, Int) = {
+  /** Grouping-key names of the aggregate that bounds this frame (the
+    * PLANS.md classification handle); empty when not Classified. */
+  private def boundingKeys(p: SparkPlan): Seq[String] = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.map(_.name)
+    case _ =>
+      val n = p.getClass.getSimpleName
+      if (n.contains("Limit") || n.contains("TakeOrdered")) Nil
+      else if (n == "UnionExec" || n.contains("Join"))
+        p.children.flatMap(boundingKeys).distinct
+      else if (passThrough(n) && p.children.nonEmpty)
+        boundingKeys(p.children.head)
+      else Nil
+  }
+
+  /** (unpartitioned windows, classified among them, unbounded among
+    * them, grouping keys of the classified ones). */
+  private def globalWindows(plan: SparkPlan)
+      : (Int, Int, Int, Seq[String]) = {
     val ws = plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
-    (ws.size, ws.count(w => !bounded(w.child)))
+    val verdicts = ws.map(w => boundedness(w.child))
+    val keys = ws.zip(verdicts).collect {
+      case (w, Classified) => boundingKeys(w.child).mkString("+")
+    }
+    (ws.size, verdicts.count(_ == Classified),
+      verdicts.count(_ == Unbounded), keys)
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,6 +132,7 @@ object PlanAudit {
     var flagged = 0
     var errors = 0
     var gwTotal = 0
+    var gwClassified = 0
     var gwUnbounded = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
@@ -91,9 +143,16 @@ object PlanAudit {
             .count(_ == "BroadcastNestedLoopJoin")
           val cart = plan.sliding("CartesianProduct".length)
             .count(_ == "CartesianProduct")
-          val (gw, gwu) = globalWindows(phys)
+          val (gw, gwc, gwu, keys) = globalWindows(phys)
           gwTotal += gw
+          gwClassified += gwc
           gwUnbounded += gwu
+          // every keyed-aggregate-framed global window is REPORTED (the
+          // PLANS.md classification table is built from these lines),
+          // but only unbounded ones flag the query
+          if (gwc > 0)
+            println(s"AUDIT-CLASSIFY $name global_window_keyed_agg=$gwc " +
+              s"of=$gw keys=${keys.mkString(",")}")
           if (bnlj + cart > 0 || gwu > 0) {
             flagged += 1
             println(s"AUDIT $name bnlj=$bnlj cartesian=$cart" +
@@ -108,7 +167,9 @@ object PlanAudit {
     }
     println(s"AUDIT_SUMMARY total=${graft.SparkEntry.queries.size} " +
       s"flagged=$flagged errors=$errors " +
-      s"global_windows=$gwTotal unbounded=$gwUnbounded")
+      s"global_windows=$gwTotal proven=" +
+      s"${gwTotal - gwClassified - gwUnbounded} " +
+      s"classified=$gwClassified unbounded=$gwUnbounded")
     spark.stop()
   }
 }
