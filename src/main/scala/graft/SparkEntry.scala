@@ -323,6 +323,42 @@ object SparkEntry {
     })
   }
 
+  /** `kn_apply`'s train/apply split modulus: even doc_ids train the
+    * frozen model, odd doc_ids are the scoring batch — defined once and
+    * generated into the oracle's WHERE clauses (one-definition
+    * discipline). */
+  private val KnApplySplit = 2
+
+  /** Frozen-model LM scoring (`kn_apply`): ONE train + persist + reload
+    * + score pass per (session, dir). The train half builds the pruned
+    * trigram-KN model ([[TextAnalysis.kn3Model]]), its six tables are
+    * committed through [[graft.state.SnapshotStore]]'s crash-safe
+    * pointer swap into a fresh temp root, and the apply half scores the
+    * held-out batch against the RELOADED artifact — the query exercises
+    * the real store round-trip, never an in-session shortcut (the
+    * round-trip ≡ in-session equality is pinned in LmApplySpec). This is
+    * the production CCNet shape: the gate LM is trained once on a
+    * high-quality corpus and FROZEN; crawl batches score against the
+    * artifact (Wenzek et al. 2020). */
+  private val knApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def knApplyScores(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    knApplyMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val docs = t(sess, d, "documents")
+      val store = new graft.state.SnapshotStore(sess,
+        java.nio.file.Files.createTempDirectory("graft-kn-apply")
+          .toString)
+      TextAnalysis.kn3StoreModel(
+        docs.filter(col("doc_id") % KnApplySplit === 0), "text",
+        "doc_id", store, "lm")
+      TextAnalysis.kn3Score(
+        docs.filter(col("doc_id") % KnApplySplit === 1), "text",
+        "doc_id", TextAnalysis.kn3ReadModel(store, "lm"))
+    })
+  }
+
   /** Shared winnowing fingerprint table for the MOSS family
     * (`winnow_fingerprints`, `winnow_pairs`): ONE fingerprint pass per
     * (session, dir) — the [[covisitSessions]] memo discipline; the
@@ -2208,6 +2244,14 @@ object SparkEntry {
     "kn3_logprob" -> ((s, dir) =>
       TextAnalysis.kn3LogProbPruned(t(s, dir, "documents"), "text",
         "doc_id")),
+
+    // frozen-model LM tier: train the pruned trigram-KN on the even-id
+    // half, persist the six model tables through SnapshotStore's
+    // crash-safe pointer swap, reload, and score the held-out odd-id
+    // batch against the RELOADED artifact — the production train/apply
+    // split of the whole scoring family (out-of-model contexts take the
+    // shared KnOovLpMicro floor; see [[TextAnalysis.kn3Score]]).
+    "kn_apply" -> ((s, dir) => knApplyScores(s, dir)),
 
     // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
     // scorer as a curation CUT — docs whose mean token log-prob clears
@@ -9767,6 +9811,71 @@ object SparkEntry {
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
         |    AS BIGINT) AS lp_permille
         |FROM l GROUP BY 1""".stripMargin,
+
+    // frozen-model replay: the kn3 model CTEs rebuilt from the TRAIN
+    // half only (the oracle's re-derivation IS bit-equal to the stored
+    // tables — counts are exact integers, and parquet round-trips longs
+    // losslessly), scoring tokens from the APPLY half; the ONE semantic
+    // addition vs kn3_logprob is the LEFT join on the context table
+    // with the CASE giving out-of-model-context tokens the generated
+    // KnOovLpMicro floor. SPLIT/OOV literals generated from the shared
+    // Scala constants (one-definition discipline).
+    "kn_apply" ->
+      """WITH trd AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % SPLIT = 0),
+        |tt AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM trd),
+        |tri AS (SELECT s, COUNT(*) AS c123 FROM tt GROUP BY 1),
+        |cx AS (SELECT split_part(s,' ',1)||' '||split_part(s,' ',2)
+        |      AS b12,
+        |    SUM(c123) AS c12,
+        |    SUM(CASE WHEN c123 >= 2 THEN 1 ELSE 0 END) AS fw,
+        |    SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM tri GROUP BY 1),
+        |kt AS (SELECT s, c123 FROM tri WHERE c123 >= 2),
+        |ct AS (SELECT split_part(s,' ',2) AS w2,
+        |    split_part(s,' ',3) AS w3, COUNT(*) AS r23
+        |  FROM kt GROUP BY 1, 2),
+        |mid AS (SELECT w2, SUM(r23) AS m2, COUNT(*) AS g2
+        |  FROM ct GROUP BY 1),
+        |un AS (SELECT w3, COUNT(*) AS rw3 FROM ct GROUP BY 1),
+        |ty AS (SELECT greatest(COUNT(*), 1) AS b2 FROM ct),
+        |ad AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % SPLIT = 1),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM ad),
+        |l AS (SELECT t.doc_id, CASE WHEN cx.c12 IS NULL THEN OOV
+        |    ELSE CAST(round(ln(
+        |      CAST(greatest(
+        |        greatest(4 * COALESCE(kt.c123, 0) - 3, 0)
+        |          * (4 * greatest(COALESCE(mid.m2, 0), 1) * ty.b2)
+        |        + (3 * cx.fw + 4 * cx.n1) *
+        |          (greatest(4 * COALESCE(ct.r23, 0) - 3, 0) * ty.b2
+        |           + 3 * COALESCE(mid.g2, 0) * COALESCE(un.rw3, 0)),
+        |        1) AS DOUBLE)
+        |      / CAST(16 * cx.c12 * greatest(COALESCE(mid.m2, 0), 1)
+        |          * ty.b2 AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) END AS lp
+        |  FROM t LEFT JOIN kt USING (s)
+        |  LEFT JOIN cx
+        |    ON split_part(t.s,' ',1)||' '||split_part(t.s,' ',2)
+        |    = cx.b12
+        |  LEFT JOIN ct ON split_part(t.s,' ',2) = ct.w2
+        |    AND split_part(t.s,' ',3) = ct.w3
+        |  LEFT JOIN mid ON split_part(t.s,' ',2) = mid.w2
+        |  LEFT JOIN un ON split_part(t.s,' ',3) = un.w3
+        |  CROSS JOIN ty)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin
+        .replace("SPLIT", KnApplySplit.toString)
+        .replace("OOV", TextAnalysis.KnOovLpMicro.toString),
 
     // the kn_logprob replay with the gate's HAVING cut; the FLOOR
     // literal is generated from the engine's shared

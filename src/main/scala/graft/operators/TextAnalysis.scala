@@ -556,15 +556,40 @@ object TextAnalysis {
     * c12·M2·B2 < 5.6e14 — petabyte-scale corpora with pruned tables.
     * Returns (idCol, lp_permille). */
   def kn3LogProbPruned(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    kn3Score(df, textCol, idCol, kn3Model(df, textCol, idCol))
+
+  /** The pruned-trigram-KN model as six tables — the TRAIN half of the
+    * production train/apply split (Wenzek et al. 2020's CCNet gate
+    * scores crawl batches against a FIXED high-quality KenLM; the
+    * in-session [[kn3LogProbPruned]] is the degenerate case where the
+    * scoring batch IS the training corpus):
+    *   kept  (s, c123)        — kept (count ≥ 2) trigram types
+    *   ctx   (b12,c12,fw,n1)  — per-context totals / kept / singleton
+    *   cont  (w2,w3,r23)      — kept-trigram continuation counts
+    *   mid   (w2,m2,g2)       — per-middle continuation totals
+    *   uni   (w3,rw3)         — distinct middles preceding w3
+    *   types (__b2)           — 1-row continuation-type total
+    * Every table is an aggregate of the KEPT type set — the set the
+    * count floor keeps near-constant under singleton-type growth — so
+    * the frozen artifact is model-sized, not corpus-sized: exactly what
+    * makes persisting it ([[kn3StoreModel]]) and shipping it to a
+    * scoring job affordable at 100 TB of training text. */
+  final case class Kn3Model(kept: DataFrame, ctx: DataFrame,
+      cont: DataFrame, mid: DataFrame, uni: DataFrame, types: DataFrame)
+
+  def kn3Model(df: DataFrame, textCol: String,
+      idCol: String): Kn3Model = {
+    // the id column only scopes the trigram window (trigrams never cross
+    // document boundaries); it is dropped before the count
     val tok = Dedup.shingleStream(df, textCol, idCol, n = 3)
-      .select(col("id"), col("s"))
+      .select(col("s"))
     // the vocab-sized trigram-count table is MATERIALIZED once: five
     // model tables derive from it, and without the barrier each re-runs
     // the corpus-width tokenize+window subtree (exchange reuse does not
     // dedupe across the differing aggregates above it) — the rangedRank
-    // checkpoint discipline. After this the corpus is tokenized exactly
-    // twice: this count pass and the scoring join-back.
+    // checkpoint discipline. After this the training corpus is tokenized
+    // exactly once.
     val tri = Dedup.ckptLight(
       tok.groupBy(col("s")).agg(count(lit(1)).as("c123")))
     val ctx = tri
@@ -582,44 +607,93 @@ object TextAnalysis {
     val mid = cont.groupBy(col("w2"))
       .agg(sum(col("r23")).as("m2"), count(lit(1)).as("g2"))
     val uni = cont.groupBy(col("w3")).agg(count(lit(1)).as("rw3"))
-    val types = broadcast(
-      cont.agg(greatest(count(lit(1)), lit(1L)).as("__b2")))
+    val types = cont.agg(greatest(count(lit(1)), lit(1L)).as("__b2"))
+    Kn3Model(kt.select(col("s"), col("c123")), ctx, cont, mid, uni, types)
+  }
+
+  /** Frozen-model out-of-vocabulary floor: a scoring-batch trigram whose
+    * CONTEXT (w1 w2) the model never saw has no conditional distribution
+    * to back off into, so it takes this fixed penalty — ln(1e-8) in
+    * integer micros, the standard KenLM-style fixed OOV cost. Only the
+    * apply-to-NEW-batch path can hit it (in-session scoring always finds
+    * its own contexts); the constant is shared with the generated oracle
+    * literal (one-definition discipline). */
+  val KnOovLpMicro = -18420681L
+
+  /** Score `batch` against a (possibly frozen/reloaded) [[Kn3Model]] —
+    * the APPLY half of the train/apply split. Same exact integer
+    * rational per token as [[kn3LogProbPruned]] (whose scaladoc carries
+    * the normalization proof); the one semantic addition is the
+    * out-of-model-CONTEXT case, which only exists when batch ≠ training
+    * corpus: those tokens score [[KnOovLpMicro]]. Returns
+    * (idCol, lp_permille) — mean token log-prob over ALL the doc's
+    * trigrams, OOV ones included. */
+  def kn3Score(batch: DataFrame, textCol: String, idCol: String,
+      m: Kn3Model): DataFrame = {
+    val tok = Dedup.shingleStream(batch, textCol, idCol, n = 3)
+      .select(col("id"), col("s"))
     val mg = greatest(coalesce(col("m2"), lit(0L)), lit(1L))
     // the kept-types scoring side rides a keyed repartition so AQE sees
     // a MEASURED shuffle stage: a bare filter over the checkpoint scan
-    // is size-estimated from the unpruned table and locks the corpus
-    // join into a sort-merge even when the kept set is broadcast-small
-    // (the other four model tables sit above their own aggregates and
-    // re-plan to broadcast on their own). At corpus scales where the
-    // kept set genuinely outgrows the broadcast threshold AQE keeps the
-    // shuffle join — the right plan either way.
-    tok.join(kt.select(col("s"), col("c123")).repartition(col("s")),
+    // (or the raw model-store file scan) is size-estimated from the
+    // unpruned/unfiltered table and locks the corpus join into a
+    // sort-merge even when the kept set is broadcast-small (the other
+    // four model tables sit above their own aggregates or are tiny
+    // store reads and re-plan to broadcast on their own). At corpus
+    // scales where the kept set genuinely outgrows the broadcast
+    // threshold AQE keeps the shuffle join — the right plan either way.
+    tok.join(m.kept.select(col("s"), col("c123")).repartition(col("s")),
         Seq("s"), "left")
       .withColumn("b12", substring_index(col("s"), " ", 2))
       .withColumn("w2", substring_index(col("b12"), " ", -1))
       .withColumn("w3", substring_index(col("s"), " ", -1))
-      .join(ctx, "b12")
-      .join(cont, Seq("w2", "w3"), "left")
-      .join(mid, Seq("w2"), "left")
-      .join(uni, Seq("w3"), "left")
-      .crossJoin(types)
+      .join(m.ctx, Seq("b12"), "left")
+      .join(m.cont, Seq("w2", "w3"), "left")
+      .join(m.mid, Seq("w2"), "left")
+      .join(m.uni, Seq("w3"), "left")
+      .crossJoin(broadcast(m.types))
       .select(col("id"),
-        round(log(
-          greatest(
-            greatest(lit(4) * coalesce(col("c123"), lit(0L)) - 3, lit(0))
-              * (lit(4) * mg * col("__b2")) +
-              (lit(3) * col("fw") + lit(4) * col("n1")) *
-                (greatest(lit(4) * coalesce(col("r23"), lit(0L)) - 3,
-                  lit(0)) * col("__b2") +
-                  lit(3) * coalesce(col("g2"), lit(0L))
-                    * coalesce(col("rw3"), lit(0L))),
-            lit(1)).cast("double") /
-          (lit(16) * col("c12") * mg * col("__b2")).cast("double"))
-          * lit(1000000)).cast("long").as("lp"))
+        when(col("c12").isNull, lit(KnOovLpMicro)).otherwise(
+          round(log(
+            greatest(
+              greatest(lit(4) * coalesce(col("c123"), lit(0L)) - 3,
+                lit(0)) * (lit(4) * mg * col("__b2")) +
+                (lit(3) * col("fw") + lit(4) * col("n1")) *
+                  (greatest(lit(4) * coalesce(col("r23"), lit(0L)) - 3,
+                    lit(0)) * col("__b2") +
+                    lit(3) * coalesce(col("g2"), lit(0L))
+                      * coalesce(col("rw3"), lit(0L))),
+              lit(1)).cast("double") /
+            (lit(16) * col("c12") * mg * col("__b2")).cast("double"))
+            * lit(1000000)).cast("long")).as("lp"))
       .groupBy(col("id"))
       .agg(round(sum(col("lp")) / (count(lit(1)) * lit(1000.0)))
         .cast("long").as("lp_permille"))
       .select(col("id").as(idCol), col("lp_permille"))
+  }
+
+  private val Kn3TableNames =
+    Seq("kept", "ctx", "cont", "mid", "uni", "types")
+
+  /** Persist a trained [[Kn3Model]] through the engine's crash-safe
+    * snapshot store — six atomic table commits under
+    * `(integration = prefix, function = kn3_<table>)`. The store's
+    * pointer-swap commit gives the model artifact the same publish
+    * semantics as reconcile state: a scoring job never sees a
+    * half-written model. */
+  def kn3StoreModel(df: DataFrame, textCol: String, idCol: String,
+      store: graft.state.SnapshotStore, prefix: String): Unit = {
+    val m = kn3Model(df, textCol, idCol)
+    Kn3TableNames.zip(Seq(m.kept, m.ctx, m.cont, m.mid, m.uni, m.types))
+      .foreach { case (n, t) => store.commitTable(prefix, s"kn3_$n", t) }
+  }
+
+  /** Reload a stored model for scoring — the frozen-LM read path. */
+  def kn3ReadModel(store: graft.state.SnapshotStore,
+      prefix: String): Kn3Model = {
+    val Seq(kept, ctx, cont, mid, uni, types) =
+      Kn3TableNames.map(n => store.readTable(prefix, s"kn3_$n"))
+    Kn3Model(kept, ctx, cont, mid, uni, types)
   }
 
   /** Per-source unigram KL divergence KL(P_s ‖ P_rest) in integer

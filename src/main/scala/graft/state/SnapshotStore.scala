@@ -44,4 +44,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
     else postImage
     table(integration, function).commit(img)
   }
+
+  /** Arbitrary-schema table commit — the persistence path for FROZEN
+    * MODEL artifacts (e.g. the pruned-KN tables of
+    * [[graft.operators.TextAnalysis.kn3StoreModel]]), which share the
+    * reconcile state's crash-safe pointer-swap publish but not its
+    * (key, hash) schema. A scoring job reading mid-commit sees the old
+    * model, never a torn one. */
+  def commitTable(integration: String, name: String, df: DataFrame): Unit =
+    table(integration, name).commit(df)
+
+  /** Read back a [[commitTable]] artifact; schema comes from the stored
+    * parquet footer (models are always committed before they are read —
+    * a missing table is a caller bug and fails loudly). */
+  def readTable(integration: String, name: String): DataFrame = {
+    val t = table(integration, name)
+    require(t.exists, s"model table $root/$integration/$name never committed")
+    t.read(null)
+  }
 }
