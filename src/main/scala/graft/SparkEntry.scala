@@ -2253,6 +2253,34 @@ object SparkEntry {
     // shared KnOovLpMicro floor; see [[TextAnalysis.kn3Score]]).
     "kn_apply" -> ((s, dir) => knApplyScores(s, dir)),
 
+    // incremental n-gram count maintenance: the stored trigram-count
+    // table of a base corpus (doc_id % 3 < 2) is maintained under a
+    // document delta — adds (doc_id % 3 = 2) AND retractions (base docs
+    // with doc_id % 5 = 0) — in one partial-combined hash aggregate,
+    // then the pruned-KN context model table is re-derived from the
+    // MAINTAINED counts ([[TextAnalysis.maintainTrigramCounts]]; the
+    // oracle recomputes the same table from scratch over the post-delta
+    // corpus, proving the ivm_agg bit-equality contract for the LM
+    // family).
+    "kn_counts_ivm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val state = graft.operators.Dedup
+        .shingleStream(base, "text", "doc_id", n = 3)
+        .groupBy(col("s")).agg(count(lit(1)).as("c123"))
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      TextAnalysis
+        .maintainTrigramCounts(state, delta, "text", "doc_id", "__op")
+        .withColumn("b12", substring_index(col("s"), " ", 2))
+        .groupBy(col("b12"))
+        .agg(sum(col("c123")).as("c12"),
+          sum(when(col("c123") >= 2L, 1L).otherwise(0L)).as("fw"),
+          sum(when(col("c123") === 1L, 1L).otherwise(0L)).as("n1"))
+    }),
+
     // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
     // scorer as a curation CUT — docs whose mean token log-prob clears
     // the shared floor constant survive (declarable as the
@@ -9876,6 +9904,30 @@ object SparkEntry {
         |FROM l GROUP BY 1""".stripMargin
         .replace("SPLIT", KnApplySplit.toString)
         .replace("OOV", TextAnalysis.KnOovLpMicro.toString),
+
+    // IVM-maintenance replay: the oracle never sees the delta algebra —
+    // it recomputes the trigram-count table FROM SCRATCH over the
+    // post-delta corpus (base minus retracted plus added docs) and
+    // derives the same context model table; equality IS the bit-exact
+    // maintenance contract. DuckDB SUM(BIGINT)→HUGEINT casts back out.
+    "kn_counts_ivm" ->
+      """WITH fin AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2
+        |     OR (doc_id % 3 < 2 AND doc_id % 5 <> 0)),
+        |t AS (SELECT unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM fin),
+        |tri AS (SELECT s, COUNT(*) AS c123 FROM t GROUP BY 1)
+        |SELECT split_part(s,' ',1)||' '||split_part(s,' ',2) AS b12,
+        |  CAST(SUM(c123) AS BIGINT) AS c12,
+        |  CAST(SUM(CASE WHEN c123 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fw,
+        |  CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1
+        |FROM tri GROUP BY 1""".stripMargin,
 
     // the kn_logprob replay with the gate's HAVING cut; the FLOOR
     // literal is generated from the engine's shared

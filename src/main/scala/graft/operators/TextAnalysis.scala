@@ -696,6 +696,50 @@ object TextAnalysis {
     Kn3Model(kept, ctx, cont, mid, uni, types)
   }
 
+  /** Incremental trigram-count maintenance (IVM with retractions) — the
+    * LM family's sibling of [[Reconcile.maintainAggState]]: n-gram
+    * counts are a commutative-group aggregate (each document contributes
+    * an additive trigram multiset), so a stored count table is
+    * maintained under a document delta without re-tokenizing the corpus:
+    *
+    *   c'(s) = c(s) + Σ_{delta docs} op · count_doc(s),  rows c' = 0 dropped
+    *
+    * with op ∈ {+1 insert, −1 retract}. The result is BIT-EQUAL to a
+    * full recompute over (corpus ∪ adds − retracts) — the `ivm_agg`
+    * contract, which is what makes the maintained table a legal input
+    * for re-deriving the pruned KN model ([[kn3Model]]'s tables are all
+    * aggregates OF the count table): at 100 TB the daily crawl delta
+    * re-tokenizes only ITSELF, and model refresh touches the vocab-sized
+    * count table, never the corpus.
+    *
+    * Shape: the delta's trigram stream is id-clustered by
+    * [[Dedup.shingleStream]] (tokenize needs doc locality anyway), then
+    * state partials ∪ per-trigram op rows collapse in ONE
+    * partial-combined hash aggregate on the trigram — map-side combine
+    * absorbs the delta's repeats, the single count-table-keyed shuffle
+    * is the whole maintenance cost. A retraction that empties a trigram
+    * removes its row, so retract-everything converges to the empty
+    * table (pinned in KnIvmSpec).
+    *
+    * `state` is (s, c123); `delta` carries `textCol`, `idCol`, and
+    * `opCol` (+1/−1, constant per document). Returns the new (s, c123).
+    */
+  def maintainTrigramCounts(state: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, opCol: String): DataFrame =
+    state.select(col("s"), col("c123").as("__c"))
+      .unionByName(
+        // tokenize under a COMPOSITE (id, op) key: a delta may carry the
+        // same document as an add AND a retract in one batch, and
+        // shingleStream's per-id position window would interleave the
+        // two copies' tokens into garbage trigrams if they shared a key
+        Dedup.shingleStream(
+            delta.withColumn("__ivmid",
+              concat_ws("\u0001", col(idCol), col(opCol))),
+            textCol, "__ivmid", n = 3, carry = Seq(opCol))
+          .select(col("s"), col(opCol).cast("long").as("__c")))
+      .groupBy(col("s")).agg(sum(col("__c")).as("c123"))
+      .filter(col("c123") =!= 0L)
+
   /** Per-source unigram KL divergence KL(P_s ‖ P_rest) in integer
     * micro-nats — the data-mixing diagnostic that prices how far each
     * source's token distribution sits from the rest of the corpus
