@@ -696,6 +696,107 @@ object TextAnalysis {
     Kn3Model(kept, ctx, cont, mid, uni, types)
   }
 
+  /** Executor-resident form of the pruned trigram-KN model — the KenLM
+    * ship-the-binary-to-every-worker analog: a STREAMING gate must score
+    * each arriving document locally (a per-doc score is an aggregate
+    * over the doc's trigrams, which an append-mode stream cannot express
+    * as joins + groupBy without a watermarked shuffle per batch), so the
+    * model tables collapse to lookup maps and ride a broadcast. The
+    * collect is MODEL-sized, never corpus-sized: every map aggregates
+    * the KEPT (count ≥ 2) type set, the set the count floor holds
+    * near-constant under crawl growth — the same boundedness argument
+    * that makes [[kn3StoreModel]]'s artifact persistable. */
+  final case class Kn3FrozenModel(kept: Map[String, Long],
+      ctx: Map[String, (Long, Long, Long)],
+      cont: Map[(String, String), Long],
+      mid: Map[String, (Long, Long)],
+      uni: Map[String, Long], b2: Long) extends Serializable
+
+  def kn3Freeze(m: Kn3Model): Kn3FrozenModel = Kn3FrozenModel(
+    m.kept.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+    m.ctx.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap,
+    m.cont.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+    m.mid.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+    m.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+    m.types.collect()(0).getLong(0))
+
+  /** Spark `round()` (HALF_UP — half away from zero for negatives too,
+    * where `math.round`'s floor(x+0.5) disagrees). */
+  private def roundHalfUp(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Spark `trim()` semantics: ASCII space (0x20) only — NOT
+    * Java String.trim, which also strips control chars. */
+  private def trimAsciiSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  private def kn3TokenLpMicro(w1: String, w2: String, w3: String,
+      m: Kn3FrozenModel): Long =
+    m.ctx.get(w1 + " " + w2) match {
+      case None => KnOovLpMicro
+      case Some((c12, fw, n1)) =>
+        val c123 = m.kept.getOrElse(w1 + " " + w2 + " " + w3, 0L)
+        val r23 = m.cont.getOrElse((w2, w3), 0L)
+        val (m2, g2) = m.mid.getOrElse(w2, (0L, 0L))
+        val rw3 = m.uni.getOrElse(w3, 0L)
+        val mg = math.max(m2, 1L)
+        val num = math.max(
+          math.max(4 * c123 - 3, 0L) * (4L * mg * m.b2) +
+            (3 * fw + 4 * n1) *
+              (math.max(4 * r23 - 3, 0L) * m.b2 + 3 * g2 * rw3), 1L)
+        val den = 16L * c12 * mg * m.b2
+        roundHalfUp(math.log(num.toDouble / den.toDouble) * 1000000.0)
+    }
+
+  /** Single-document scorer over a [[Kn3FrozenModel]] — BIT-IDENTICAL to
+    * [[kn3Score]]'s distributed result (pinned as a property over random
+    * train/apply corpora in LmApplySpec): same tokenization
+    * (`split(lower(trim(text)), "\\s+")` with Spark's space-only trim
+    * and keep-trailing-empties split), same exact integer rational per
+    * token, same HALF_UP micro quantization, same OOV floor, same
+    * per-doc mean. `None` = unscorable (null text or < 3 tokens) — the
+    * doc would be absent from [[kn3Score]]'s output too. */
+  def kn3ScoreLocal(text: String, m: Kn3FrozenModel): Option[Long] = {
+    if (text == null) return None
+    val w = trimAsciiSpaces(text)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (w.length < 3) return None
+    var i = 0; var sum = 0L
+    val n = w.length - 2
+    while (i < n) {
+      sum += kn3TokenLpMicro(w(i), w(i + 1), w(i + 2), m)
+      i += 1
+    }
+    Some(roundHalfUp(sum.toDouble / (n.toDouble * 1000.0)))
+  }
+
+  /** FROZEN-rate mixture resampling — the stateless form of
+    * [[mixtureResample]] for declared/streaming pipelines: keep rates
+    * are derived OFFLINE (on the training distribution) and pinned in
+    * the spec, so the per-row decision is the same Knuth
+    * multiplicative-hash cut with zero corpus passes — exactly how a
+    * production streaming resampler runs (a stream cannot know its own
+    * final stratum counts). Strata absent from `ratesPpm` are dropped
+    * (a mixture spec is a whitelist, as in [[mixtureResample]]). */
+  def mixtureApplyRatesPpm(df: DataFrame, strataCol: Column,
+      idCol: Column, ratesPpm: Map[String, Long]): DataFrame = {
+    require(ratesPpm.nonEmpty &&
+      ratesPpm.values.forall(r => r >= 0 && r <= 1000000),
+      s"ratesPpm=$ratesPpm must be a non-empty map into [0, 1e6]")
+    df.withColumn("__rate_ppm", element_at(typedLit(ratesPpm), strataCol))
+      .filter(col("__rate_ppm").isNotNull &&
+        pmod(idCol * lit(2654435761L), lit(1000000L)) < col("__rate_ppm"))
+      .drop("__rate_ppm")
+  }
+
   /** Incremental trigram-count maintenance (IVM with retractions) — the
     * LM family's sibling of [[Reconcile.maintainAggState]]: n-gram
     * counts are a commutative-group aggregate (each document contributes

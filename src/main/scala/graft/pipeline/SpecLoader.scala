@@ -269,12 +269,27 @@ object SpecLoader {
         // rates so the kept corpus hits the given permille mixture
         // (the scarcest stratum is kept whole); strata absent from the
         // weights map are DROPPED — a mixture spec is a whitelist
-        // ([[graft.operators.TextAnalysis.mixtureResample]])
+        // ([[graft.operators.TextAnalysis.mixtureResample]]). With
+        // `rate_ppm` instead of `target_permille` the rates are FROZEN
+        // in the spec (derived offline) and the stage is a stateless
+        // keep-by-hash filter — the form a streaming chain can run,
+        // since a stream cannot know its own final stratum counts
+        // ([[graft.operators.TextAnalysis.mixtureApplyRatesPpm]])
         val id = (v \ "id").extract[String]
         val strata = (v \ "strata").extract[String]
-        val weights = (v \ "target_permille").extract[Map[String, Int]]
-        df => graft.operators.TextAnalysis
-          .mixtureResample(df, col(strata), col(id), weights)
+        // explicit JNothing test: json4s "extracts" a missing field as
+        // an EMPTY map, which would shadow the derive mode
+        (v \ "rate_ppm") match {
+          case JNothing =>
+            val weights =
+              (v \ "target_permille").extract[Map[String, Int]]
+            df => graft.operators.TextAnalysis
+              .mixtureResample(df, col(strata), col(id), weights)
+          case jv =>
+            val rates = jv.extract[Map[String, Long]]
+            df => graft.operators.TextAnalysis
+              .mixtureApplyRatesPpm(df, col(strata), col(id), rates)
+        }
       case "minhash_dedup" =>
         // MinHash-LSH near-dedup: LSH proposes candidate pairs, exact
         // Jaccard verifies, connected components cluster, and the min-id
@@ -374,6 +389,30 @@ object SpecLoader {
           graft.operators.TextAnalysis.gopherRepetition(df, c, id)
             .filter(col("pass") === 1L).select(col("id").as(id)),
           Seq(id), "left_semi")
+      case "lm_apply" =>
+        // frozen-model perplexity gate: keep rows whose pruned-trigram-KN
+        // mean token log-prob AGAINST A STORED MODEL clears the floor —
+        // the production form of lm_perplexity (the gate LM is trained
+        // once and frozen, never re-fit on the stage input; Wenzek et
+        // al. 2020). `model_dir`/`model` locate the SnapshotStore
+        // artifact ([[graft.operators.TextAnalysis.kn3StoreModel]]);
+        // unscorable docs drop. The streaming twin is
+        // [[graft.streaming.StreamingLmGate]] over the same artifact.
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val dir = (v \ "model_dir").extract[String]
+        val prefix = (v \ "model").extractOpt[String].getOrElse("lm")
+        val floor = (v \ "min_lp_permille").extractOpt[Long].getOrElse(
+          graft.operators.TextAnalysis.LmPerplexityFloorPermille)
+        df => {
+          val m = graft.operators.TextAnalysis.kn3ReadModel(
+            new graft.state.SnapshotStore(df.sparkSession, dir), prefix)
+          df.join(
+            graft.operators.TextAnalysis.kn3Score(df, c, id, m)
+              .filter(col("lp_permille") >= floor)
+              .select(col(id)),
+            Seq(id), "left_semi")
+        }
       case "lm_perplexity" =>
         // CCNet-style perplexity gate (Wenzek et al. 2020): keep rows
         // whose Kneser-Ney mean token log-prob — the LM trained on the

@@ -71,6 +71,42 @@ class LmApplySpec extends AnyFunSuite {
     assert(got(3L) > floorPermille && got(3L) < got(1L))
   }
 
+  test("kn3ScoreLocal == distributed kn3Score, doc for doc, on random " +
+      "train/apply corpora (exercising OOV, pruned, and kept paths)") {
+    val rnd = new scala.util.Random(20260815)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val oov = Vector("q1", "q2", "q3")
+    def doc(n: Int, pool: Vector[String]) =
+      (1 to n).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val train = (0 until 30)
+        .map(i => (i.toLong, doc(3 + rnd.nextInt(15), vocab)))
+        .toDF("doc_id", "text")
+      val apply = (100 until 140).map { i =>
+        val pool = rnd.nextInt(4) match {
+          case 0 => oov // fully out-of-model
+          case 1 => vocab ++ oov // mixed
+          case _ => vocab // in-distribution
+        }
+        // a few < 3-token docs: unscorable, absent from BOTH outputs
+        (i.toLong, doc(if (rnd.nextInt(6) == 0) 2 else 3 +
+          rnd.nextInt(12), pool))
+      }
+      val batch = apply.toDF("doc_id", "text")
+      val frozen = TextAnalysis.kn3Freeze(
+        TextAnalysis.kn3Model(train, "text", "doc_id"))
+      val distributed = TextAnalysis.kn3Score(batch, "text", "doc_id",
+        TextAnalysis.kn3Model(train, "text", "doc_id"))
+        .as[(Long, Long)].collect().toMap
+      val local = apply.flatMap { case (id, text) =>
+        TextAnalysis.kn3ScoreLocal(text, frozen).map(id -> _)
+      }.toMap
+      assert(local === distributed, s"trial $trial")
+      assert(local.size < apply.size,
+        s"trial $trial: fixture must include unscorable docs")
+    }
+  }
+
   test("stored model tables are the pruned artifact: no singleton " +
       "trigrams survive in kept, and types matches cont's row count") {
     val store = new SnapshotStore(spark,

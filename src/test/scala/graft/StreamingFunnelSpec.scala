@@ -152,4 +152,134 @@ class StreamingFunnelSpec extends AnyFunSuite {
     // and prefix-kept can only exceed the batch-global count
     assert(got("line_dedup") >= want("line_dedup"))
   }
+
+  // ------------------------------------------------------------------
+  // Full MIXED chain: normalize → doc-level line_dedup twin → frozen-LM
+  // gate → frozen-rate mixture — the 100 TB operational story for the
+  // declared pipeline: every stage boundary observable per micro-batch,
+  // stateful/model stages substituted by their streaming twins, counts
+  // equal to the batch funnel on the same corpus.
+  // ------------------------------------------------------------------
+
+  private val mixDocs: Seq[(Long, String, String)] = {
+    val boiler = "breaking news update follows"
+    Seq(
+      // en docs sharing a boilerplate first line (df cap 1 eats it)
+      (1L, s"$boiler the cat sat on the mat and slept all day long", "en"),
+      (2L, s"$boiler the cat sat on the mat and then ran away fast", "en"),
+      (3L, "the cat sat on the mat and the dog sat too", "en"),
+      (4L, "a dog ran over the hill and far away it went", "en"),
+      // junk: fully out-of-model text → frozen gate drops it
+      (5L, "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq nnq mmq", "en"),
+      // doc that is NOTHING BUT boilerplate → line_dedup drops it whole
+      (6L, s"$boiler $boiler", "en"),
+      (7L, "the cat sat on the mat every single day we think", "de"),
+      (8L, "a dog ran over the hill and then came back home", "de"),
+      // fr is absent from the mixture whitelist → dropped at the end
+      (9L, "the cat sat on the mat and the dog sat too", "fr"),
+      (10L, "zzq wwq vvq uuq ttq ssq rrq qqq", "fr"))
+  }
+
+  // the frozen gate's floor: OOV-only docs score round(-18420681/1000)
+  // = -18421; in-model fixture docs score far above −10000
+  private val mixFloor = -10000L
+  private val mixWidth = 4
+  private val mixRates = Map("en" -> 700000L, "de" -> 1000000L)
+
+  private def mixChainJson(storeDir: String): String = {
+    val rates = mixRates.map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    s"""{"name": "mixed_chain", "steps": [
+       |  {"op": "normalize", "col": "text"},
+       |  {"op": "line_dedup", "text": "text", "id": "doc_id",
+       |   "width": $mixWidth, "max_doc_freq": 1},
+       |  {"op": "lm_apply", "text": "text", "id": "doc_id",
+       |   "model_dir": "$storeDir", "min_lp_permille": $mixFloor},
+       |  {"op": "mixture_resample", "id": "doc_id", "strata": "lang",
+       |   "rate_ppm": { $rates }} ] }""".stripMargin
+  }
+
+  test("mixed streaming chain (normalize → line_dedup twin → frozen " +
+      "lm gate → frozen-rate mixture) equals the batch funnel stage " +
+      "by stage, and every gate eats rows") {
+    // train + freeze the gate model on a separate high-quality corpus
+    val train = Seq(
+      (0L, "the cat sat on the mat and slept all day long"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (4L, "a dog ran over the hill and far away it went"),
+      (6L, "the cat sat on the mat every single day we think"),
+      (8L, "a dog ran over the hill and then came back home"),
+      (10L, "breaking news update follows the cat and the dog today")
+    ).toDF("doc_id", "text")
+    val storeDir = Files.createTempDirectory("graft-mixlm").toString
+    val store = new graft.state.SnapshotStore(spark, storeDir)
+    TextAnalysis.kn3StoreModel(train, "text", "doc_id", store, "lm")
+    val chainJson = mixChainJson(storeDir)
+
+    // batch truth: the DECLARED chain through funnelFromJson
+    val docsDf = mixDocs.toDF("doc_id", "text", "lang")
+    val (_, batchStages) = SpecLoader.funnelFromJson(chainJson, docsDf)
+    val want = Seq((0, "input", batchStages.head._3)) ++
+      batchStages.map { case (i, op, _, out) => (i, op, out) }
+
+    // streaming: same declared JSON drives the stateless stage; the
+    // stateful/model stages are substituted by their twins
+    val frozen = TextAnalysis.kn3Freeze(
+      TextAnalysis.kn3ReadModel(store, "lm"))
+    val parsed = SpecLoader.stagesFromJson(chainJson)
+    assert(parsed.map(_._1) ===
+      Seq("normalize", "line_dedup", "lm_apply", "mixture_resample"))
+    val stages = Seq(
+      parsed.head,
+      ("line_dedup", (d: DataFrame) => graft.streaming
+        .StatefulDocLineDedup.stage(d, "text", "doc_id", mixWidth, 1)),
+      ("lm_apply", (d: DataFrame) => graft.streaming.StreamingLmGate
+        .gate(d, "text", frozen, mixFloor)),
+      ("mixture_resample", (d: DataFrame) => TextAnalysis
+        .mixtureApplyRatesPpm(d, col("lang"), col("doc_id"), mixRates)))
+
+    val root = Files.createTempDirectory("graft-mixchain").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING").json(inDir)
+    val observed = StreamingFunnel.observed(stream, stages)
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = observed.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("mixed_chain").start()
+    val got = try {
+      val json = mixDocs.toDF("doc_id", "text", "lang").toJSON
+        .collect().mkString("\n")
+      Files.writeString(Paths.get(s"$inDir/b0.json"), json)
+      q.processAllAvailable()
+      StreamingFunnel.funnel(q.recentProgress.toSeq)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    assert(got === want)
+    // the fixture must exercise EVERY stage: each boundary eats rows
+    val byOp = want.map(t => t._2 -> t._3).toMap
+    assert(byOp("line_dedup") < byOp("normalize"),
+      "line_dedup must drop the all-boilerplate doc")
+    assert(byOp("lm_apply") < byOp("line_dedup"),
+      "the frozen gate must drop the OOV junk docs")
+    assert(byOp("mixture_resample") < byOp("lm_apply"),
+      "the mixture whitelist must drop fr and sample en")
+    // and the surviving rows themselves match the batch chain
+    val streamed = spark.table("mixed_chain")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val batchRows = SpecLoader.funnelFromJson(chainJson, docsDf)._1
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batchRows)
+  }
 }
