@@ -10,14 +10,27 @@ import org.apache.spark.sql.functions._
   * union would multiply duplicate keys 10× and skew every aggregate);
   * value columns are left identical per copy, which is exactly what makes
   * copy-linearity checks meaningful downstream. Usage:
-  *   Sf1Gen <outDir> [copies]
-  */
+  *   Sf1Gen <outDir> [copies] [zipf]
+  *
+  * `zipf` mode (the REALISTIC-TEXT rung): document copies i > 0 get
+  * NOVEL text — each token independently Zipf(s≈1)-sampled from a
+  * 50k-type vocabulary via the inverse-CDF `rank = floor(V^u)` with
+  * u = hash(doc_id, pos, copy)/2²⁰-ish — instead of the token-tag
+  * jitter. The tag jitter REPEATS every within-copy trigram 10×, so
+  * count-floor-pruned LM rungs measured type growth the floor never
+  * sees on real crawls (round-12 verdict watch item #1); Zipf novel
+  * text is singleton-heavy exactly like crawl text, so the kept set
+  * stays near-constant as the corpus grows. Deterministic and
+  * seed-stamped (the hash is the seed); token COUNT per doc is
+  * preserved from the source text, so length statistics survive. */
 object Sf1Gen {
   private val S = 100000000L // key stride between copies
+  private val ZipfVocab = 50000
 
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val copies = if (args.length > 1) args(1).toInt else 10
+    val zipf = args.length > 2 && args(2) == "zipf"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,7 +77,17 @@ object Sf1Gen {
         // blocking_recall) grow ~copies² in ANSWER volume, which makes
         // the rung measure answer growth instead of plan scaling
         // (round-8 verdict). n_chars is recomputed to stay consistent.
-        if (t == "documents" && i > 0)
+        if (t == "documents" && i > 0 && zipf)
+          keyed.withColumn("text", expr(
+              ("concat_ws(' ', transform(" +
+                "sequence(1, greatest(size(split(trim(text), '\\\\s+')), 3)), " +
+                "k -> concat('z', cast(pow(CAST(VOC AS DOUBLE), " +
+                "pmod(xxhash64(doc_id, k, COPY), 1048576) / 1048576.0) " +
+                "AS INT))))")
+                .replace("VOC", ZipfVocab.toString)
+                .replace("COPY", i.toString)))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else if (t == "documents" && i > 0)
           keyed.withColumn("text", expr(
               ("concat_ws(' ', transform(split(trim(text), '\\\\s+'), " +
                 "x -> concat(x, '~COPY')))").replace("COPY", i.toString)))
