@@ -4277,13 +4277,24 @@ object SparkEntry {
     // Lorenz curve points: cumulative revenue share at each customer
     // decile (deciles under the deterministic (revenue, custkey) total
     // order) — the curve behind gini_revenue, as integer permille.
+    // Per-customer revenue is DATA-sized, so the global decile order
+    // rides [[Transforms.rangedRank]] (the r13 boundedness split caught
+    // the old single-task ntile window); the decile is ntile(10)'s exact
+    // closed form over (rank, N): first N%10 buckets take ⌈N/10⌉ rows.
     "lorenz_points" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val rev = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("rc"))
-      val dec = rev.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("rc").asc, col("o_custkey").asc)))
+      val ranked = Transforms.rangedRank(rev,
+        Seq(col("rc").asc, col("o_custkey").asc), "r")
+      val tot = broadcast(ranked.agg(count(lit(1)).as("N")))
+      val dec = ranked.crossJoin(tot)
+        .withColumn("q", expr("N DIV 10"))
+        .withColumn("rem", expr("N % 10"))
+        .withColumn("decile", expr(
+          "CASE WHEN r <= rem * (q + 1) THEN (r + q) DIV (q + 1) " +
+            "ELSE rem + (r - rem * (q + 1) + q - 1) DIV q END"))
       val byDec = dec.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"), sum(col("rc")).as("rev_cents"))
       val w = Window.orderBy(col("decile"))
@@ -4299,20 +4310,17 @@ object SparkEntry {
     // customer via the exact Σd² formula — ranks are row_number under a
     // deterministic (value, key) total order (tie policy mirrored in the
     // twin), everything integer until one mirrored closing division.
-    // The rank windows are unpartitioned over the customer DIMENSION —
-    // an already-aggregated bounded frame, not raw data (the rankAuc
-    // posture); at warehouse scale they become range-partitioned sort
-    // ranks (the pattern quantileNormalize's pooled rank now uses).
+    // Per-customer rows are DATA-sized, so both global ranks ride
+    // [[Transforms.rangedRank]] (the r13 boundedness split caught the
+    // old single-task rank windows — the quantileNormalize posture).
     "spearman_rho" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("rev"),
           count(lit(1)).as("cnt"))
-      val ranked = cust
-        .withColumn("rx", row_number().over(
-          Window.orderBy(col("rev").asc, col("o_custkey").asc)))
-        .withColumn("ry", row_number().over(
-          Window.orderBy(col("cnt").asc, col("o_custkey").asc)))
+      val ranked = Transforms.rangedRank(
+        Transforms.rangedRank(cust,
+          Seq(col("rev").asc, col("o_custkey").asc), "rx"),
+        Seq(col("cnt").asc, col("o_custkey").asc), "ry")
       ranked.select((col("rx") - col("ry")).as("d"))
         .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
         .withColumn("rho_micro", expr(
@@ -4819,16 +4827,18 @@ object SparkEntry {
     // revenue concentration: the top-1% spenders' share of total spend
     // in exact permille (⌈N/100⌉ whales by (spend desc, id asc) — the
     // deterministic cut) — the whale diagnostic beside gini_revenue.
+    // Per-customer spend is DATA-sized, so the global rank rides
+    // [[Transforms.rangedRank]] and N comes back as a 1-row broadcast
+    // (the r13 boundedness split caught the old single-task rank +
+    // global-count windows).
     "whale_report" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val spend = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("v"))
-      val ranked = spend
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("v").desc, col("o_custkey").asc)).cast("long"))
-        .withColumn("N", count(lit(1)).over(Window.partitionBy()))
+      val ranked = Transforms.rangedRank(spend,
+        Seq(col("v").desc, col("o_custkey").asc), "rnk")
       ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("N"))))
         .agg(max(col("N")).as("n_customers"),
           sum(when(col("rnk") * 100L <= col("N") + 99L, col("v"))
             .otherwise(0L)).as("whale_cents"),
