@@ -2281,6 +2281,31 @@ object SparkEntry {
           sum(when(col("c123") === 1L, 1L).otherwise(0L)).as("n1"))
     }),
 
+    // the full daily-refresh loop, composed: maintain the trigram-count
+    // table under the same delta as kn_counts_ivm, re-derive the ENTIRE
+    // pruned-KN model from the MAINTAINED counts
+    // ([[TextAnalysis.kn3ModelFromCounts]] — aggregates of the
+    // vocab-sized table, never a corpus re-scan), and score the newly
+    // ADDED batch against the refreshed model — today's crawl scored by
+    // today's model, at delta-tokenization cost. The oracle rebuilds the
+    // model from scratch over the post-delta corpus, so equality proves
+    // maintained-counts → model → score end to end.
+    "kn_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val state = graft.operators.Dedup
+        .shingleStream(base, "text", "doc_id", n = 3)
+        .groupBy(col("s")).agg(count(lit(1)).as("c123"))
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      val model = TextAnalysis.kn3ModelFromCounts(TextAnalysis
+        .maintainTrigramCounts(state, delta, "text", "doc_id", "__op"))
+      TextAnalysis.kn3Score(docs.filter(col("doc_id") % 3 === 2),
+        "text", "doc_id", model)
+    }),
+
     // CCNet-style perplexity gate (Wenzek et al. 2020): the kn_logprob
     // scorer as a curation CUT — docs whose mean token log-prob clears
     // the shared floor constant survive (declarable as the
@@ -9938,6 +9963,69 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n1
         |FROM tri GROUP BY 1""".stripMargin,
+
+    // refresh-loop replay: the kn_apply scoring SQL with the model CTEs
+    // rebuilt from the POST-DELTA corpus (the kn_counts_ivm `fin` set)
+    // and the scoring tokens from the added docs — the oracle never sees
+    // the delta algebra or the maintained table, so a hash match proves
+    // maintained-counts → model → score end to end
+    "kn_refresh" ->
+      """WITH fin AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2
+        |     OR (doc_id % 3 < 2 AND doc_id % 5 <> 0)),
+        |tt AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM fin),
+        |tri AS (SELECT s, COUNT(*) AS c123 FROM tt GROUP BY 1),
+        |cx AS (SELECT split_part(s,' ',1)||' '||split_part(s,' ',2)
+        |      AS b12,
+        |    SUM(c123) AS c12,
+        |    SUM(CASE WHEN c123 >= 2 THEN 1 ELSE 0 END) AS fw,
+        |    SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM tri GROUP BY 1),
+        |kt AS (SELECT s, c123 FROM tri WHERE c123 >= 2),
+        |ct AS (SELECT split_part(s,' ',2) AS w2,
+        |    split_part(s,' ',3) AS w3, COUNT(*) AS r23
+        |  FROM kt GROUP BY 1, 2),
+        |mid AS (SELECT w2, SUM(r23) AS m2, COUNT(*) AS g2
+        |  FROM ct GROUP BY 1),
+        |un AS (SELECT w3, COUNT(*) AS rw3 FROM ct GROUP BY 1),
+        |ty AS (SELECT greatest(COUNT(*), 1) AS b2 FROM ct),
+        |ad AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |t AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2]
+        |     for i in range(1, greatest(len(w) - 1, 1))])
+        |    AS s FROM ad),
+        |l AS (SELECT t.doc_id, CASE WHEN cx.c12 IS NULL THEN OOV
+        |    ELSE CAST(round(ln(
+        |      CAST(greatest(
+        |        greatest(4 * COALESCE(kt.c123, 0) - 3, 0)
+        |          * (4 * greatest(COALESCE(mid.m2, 0), 1) * ty.b2)
+        |        + (3 * cx.fw + 4 * cx.n1) *
+        |          (greatest(4 * COALESCE(ct.r23, 0) - 3, 0) * ty.b2
+        |           + 3 * COALESCE(mid.g2, 0) * COALESCE(un.rw3, 0)),
+        |        1) AS DOUBLE)
+        |      / CAST(16 * cx.c12 * greatest(COALESCE(mid.m2, 0), 1)
+        |          * ty.b2 AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) END AS lp
+        |  FROM t LEFT JOIN kt USING (s)
+        |  LEFT JOIN cx
+        |    ON split_part(t.s,' ',1)||' '||split_part(t.s,' ',2)
+        |    = cx.b12
+        |  LEFT JOIN ct ON split_part(t.s,' ',2) = ct.w2
+        |    AND split_part(t.s,' ',3) = ct.w3
+        |  LEFT JOIN mid ON split_part(t.s,' ',2) = mid.w2
+        |  LEFT JOIN un ON split_part(t.s,' ',3) = un.w3
+        |  CROSS JOIN ty)
+        |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
+        |    AS BIGINT) AS lp_permille
+        |FROM l GROUP BY 1""".stripMargin
+        .replace("OOV", TextAnalysis.KnOovLpMicro.toString),
 
     // the kn_logprob replay with the gate's HAVING cut; the FLOOR
     // literal is generated from the engine's shared

@@ -584,14 +584,21 @@ object TextAnalysis {
     // document boundaries); it is dropped before the count
     val tok = Dedup.shingleStream(df, textCol, idCol, n = 3)
       .select(col("s"))
-    // the vocab-sized trigram-count table is MATERIALIZED once: five
-    // model tables derive from it, and without the barrier each re-runs
-    // the corpus-width tokenize+window subtree (exchange reuse does not
-    // dedupe across the differing aggregates above it) — the rangedRank
-    // checkpoint discipline. After this the training corpus is tokenized
-    // exactly once.
-    val tri = Dedup.ckptLight(
-      tok.groupBy(col("s")).agg(count(lit(1)).as("c123")))
+    kn3ModelFromCounts(tok.groupBy(col("s")).agg(count(lit(1)).as("c123")))
+  }
+
+  /** Derive the pruned-KN model tables from an ALREADY-COUNTED trigram
+    * table (s, c123) — the refresh path: [[maintainTrigramCounts]]'
+    * output plugs in here directly, so a daily model refresh costs
+    * delta-tokenization plus aggregates OF the vocab-sized count table,
+    * never a corpus re-scan ([[kn3Model]] is this over a fresh count).
+    * The count table is MATERIALIZED once ([[Dedup.ckptLight]]): five
+    * model tables derive from it, and without the barrier each would
+    * re-run the subtree below it (exchange reuse does not dedupe across
+    * the differing aggregates above it) — the rangedRank checkpoint
+    * discipline. */
+  def kn3ModelFromCounts(counts: DataFrame): Kn3Model = {
+    val tri = Dedup.ckptLight(counts.select(col("s"), col("c123")))
     val ctx = tri
       .withColumn("b12", substring_index(col("s"), " ", 2))
       .groupBy(col("b12"))

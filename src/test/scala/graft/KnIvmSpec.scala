@@ -63,6 +63,27 @@ class KnIvmSpec extends AnyFunSuite {
       counts(base), delta, "text", "doc_id", "__op").count() === 0)
   }
 
+  test("kn3ModelFromCounts over MAINTAINED counts equals the model " +
+      "built from scratch on the post-delta corpus (the refresh loop)") {
+    val retractIds = Set(2L)
+    val delta = adds.withColumn("__op", lit(1)).unionByName(
+      base.filter(col("doc_id").isin(retractIds.toSeq: _*))
+        .withColumn("__op", lit(-1)))
+    val refreshed = TextAnalysis.kn3ModelFromCounts(
+      TextAnalysis.maintainTrigramCounts(
+        counts(base), delta, "text", "doc_id", "__op"))
+    val scratch = TextAnalysis.kn3Model(
+      base.filter(!col("doc_id").isin(retractIds.toSeq: _*))
+        .unionByName(adds), "text", "doc_id")
+    def dump(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(dump(refreshed.kept) === dump(scratch.kept))
+    assert(dump(refreshed.ctx) === dump(scratch.ctx))
+    assert(dump(refreshed.cont) === dump(scratch.cont))
+    assert(dump(refreshed.mid) === dump(scratch.mid))
+    assert(dump(refreshed.uni) === dump(scratch.uni))
+    assert(dump(refreshed.types) === dump(scratch.types))
+  }
+
   test("add then retract of the same document in one batch is a no-op") {
     val doc = adds.filter(col("doc_id") === 5L)
     val delta = doc.withColumn("__op", lit(1))
