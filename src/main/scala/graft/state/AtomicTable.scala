@@ -49,6 +49,62 @@ class AtomicTable(spark: SparkSession, base: String) {
 
   def exists: Boolean = currentPtr(fs).isDefined
 
+  /** All committed pointers as (counter, version name). */
+  private def allPtrs(f: FileSystem): Seq[(Long, String)] = {
+    val b = new Path(base)
+    if (!f.exists(b)) return Nil
+    f.listStatus(b).iterator.map(_.getPath.getName).collect {
+      case PtrRe(ver) => (ver.take(12).toLong, ver)
+    }.toSeq
+  }
+
+  /** The committed image with the HIGHEST counter ≤ `maxCounter` — the
+    * read half of batch-versioned commits ([[commitAt]]): a replayed
+    * micro-batch reads the image its original attempt read, never the
+    * one its original attempt WROTE, which is what makes a
+    * non-idempotent fold (e.g. additive count maintenance) replay-safe.
+    * Ties on counter (a replay re-published the same version) resolve
+    * by version name — both hold identical recomputed data, the name
+    * order just makes the pick deterministic. */
+  def readUpTo(maxCounter: Long, schema: StructType): DataFrame = {
+    val f = fs
+    val eligible = allPtrs(f).filter(_._1 <= maxCounter)
+    if (eligible.isEmpty) {
+      if (schema != null)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.emptyDataFrame
+    } else {
+      val (_, ver) = eligible.maxBy(identity)
+      if (schema != null)
+        spark.read.schema(schema).parquet(dataDir(ver).toString)
+      else spark.read.parquet(dataDir(ver).toString)
+    }
+  }
+
+  /** Publish `df` at an EXPLICIT counter — the foreachBatch
+    * transactional idiom with counter = batchId + 1: a replayed batch
+    * (crash after this commit, before the streaming checkpoint advanced)
+    * recomputes from the same [[readUpTo]] image and re-commits the
+    * same counter, so the second pointer is a harmless duplicate of
+    * identical data rather than a double-application. GC keeps the
+    * current and immediately previous counters (the [[commit]] rule). */
+  def commitAt(ctr: Long, df: DataFrame): Unit = {
+    require(ctr >= 1, s"counter must be >= 1, got $ctr")
+    val f = fs
+    // the previous image is the highest committed counter BELOW ctr —
+    // not ctr−1: batch ids can have gaps (empty batches commit nothing),
+    // and GC'ing by ctr−1 could collect the very image a replay of THIS
+    // batch still needs to re-read
+    val prev = allPtrs(f).map(_._1).filter(_ < ctr)
+      .maxOption.getOrElse(ctr - 1)
+    val ver = f"$ctr%012d-${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(ver).toString)
+    val ptr = new Path(base, s"ptr-$ver")
+    require(f.createNewFile(ptr), s"pointer create failed: $ptr")
+    gcBelow(f, prev)
+  }
+
   /** Read the committed image; empty DataFrame with `schema` if never
     * committed (schema == null → caller must handle emptiness itself). */
   def read(schema: StructType): DataFrame = currentPtr(fs) match {
@@ -71,16 +127,21 @@ class AtomicTable(spark: SparkSession, base: String) {
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(ver).toString)
     val ptr = new Path(base, s"ptr-$ver")
     require(f.createNewFile(ptr), s"pointer create failed: $ptr")
-    // GC (best-effort): keep the current AND the immediately previous
-    // committed version — a reader that resolved the old pointer just
-    // before this commit gets a full commit cycle to finish its scan;
-    // eager deletion would hand it FileNotFoundException mid-read
-    // (external readers, or stragglers outside the single-writer model).
-    // Data dirs with no surviving pointer (crashed commits, superseded
-    // versions) are deleted whatever their counter.
+    gcBelow(f, ctr - 1)
+  }
+
+  /** GC (best-effort): keep every version with counter ≥ `keepFrom` —
+    * the current AND the immediately previous committed version — a
+    * reader that resolved the old pointer just before a commit gets a
+    * full commit cycle to finish its scan; eager deletion would hand it
+    * FileNotFoundException mid-read (external readers, or stragglers
+    * outside the single-writer model). Data dirs with no surviving
+    * pointer (crashed commits, superseded versions) are deleted
+    * whatever their counter. */
+  private def gcBelow(f: FileSystem, keepFrom: Long): Unit = {
     val names = f.listStatus(new Path(base)).map(_.getPath.getName)
     val keptVers = names.collect {
-      case PtrRe(v) if v.take(12).toLong >= ctr - 1 => v
+      case PtrRe(v) if v.take(12).toLong >= keepFrom => v
     }.toSet
     names.foreach { n =>
       val drop =
