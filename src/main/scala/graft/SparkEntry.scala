@@ -359,6 +359,35 @@ object SparkEntry {
     })
   }
 
+  /** Frozen-classifier scoring (`nbc_apply` / `nbc_eval`): ONE train +
+    * persist + reload + score pass per (session, dir) — the kn_apply
+    * discipline applied to the trained Naive-Bayes language classifier
+    * ([[graft.operators.NaiveBayes]]): even doc_ids train, the three
+    * model tables round-trip through SnapshotStore's crash-safe pointer
+    * swap, odd doc_ids score against the RELOADED artifact (the
+    * CCNet lang-id gate's production shape — classify crawl batches
+    * with a model trained once and frozen). */
+  private val nbcApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def nbcApplyScores(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    nbcApplyMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val docs = t(sess, d, "documents")
+      val store = new graft.state.SnapshotStore(sess,
+        java.nio.file.Files.createTempDirectory("graft-nbc-apply")
+          .toString)
+      graft.operators.NaiveBayes.nbcStoreModel(
+        docs.filter(col("doc_id") % KnApplySplit === 0), "text", "lang",
+        store, "nbc")
+      graft.operators.NaiveBayes.nbcScore(
+        docs.filter(col("doc_id") % KnApplySplit === 1), "text",
+        "doc_id", "lang",
+        graft.operators.NaiveBayes.nbcReadModel(store, "nbc"))
+        .localCheckpoint()
+    })
+  }
+
   /** Shared winnowing fingerprint table for the MOSS family
     * (`winnow_fingerprints`, `winnow_pairs`): ONE fingerprint pass per
     * (session, dir) — the [[covisitSessions]] memo discipline; the
@@ -2253,6 +2282,24 @@ object SparkEntry {
     // shared KnOovLpMicro floor; see [[TextAnalysis.kn3Score]]).
     "kn_apply" -> ((s, dir) => knApplyScores(s, dir)),
 
+    // frozen-classifier tier: train a multinomial Naive-Bayes char-
+    // trigram language classifier on the even-id half, persist its three
+    // model tables through SnapshotStore, reload, and classify the
+    // held-out odd-id batch against the RELOADED artifact — the trained
+    // counterpart of chargram_langid's heuristic profile overlap, and
+    // the CCNet lang-id-gate production shape ([[NaiveBayes.nbcScore]]:
+    // inverted-index scoring join, |langs|-row broadcast, per-doc argmax
+    // window — never a corpus×classes fan-out).
+    "nbc_apply" -> ((s, dir) => nbcApplyScores(s, dir)),
+
+    // classifier evaluation: the confusion matrix of the frozen-model
+    // predictions over the held-out batch (one |langs|²-bounded
+    // aggregate over the memoized nbc_apply scores).
+    "nbc_eval" -> ((s, dir) =>
+      nbcApplyScores(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // incremental n-gram count maintenance: the stored trigram-count
     // table of a base corpus (doc_id % 3 < 2) is maintained under a
     // document delta — adds (doc_id % 3 = 2) AND retractions (base docs
@@ -2367,11 +2414,19 @@ object SparkEntry {
         (col("d") + 1).as("lo"), (col("d") + 7).as("hi"))
       val points = e.select(col("x").as("m"), col("y").as("w"),
         col("d").as("d2"))
+      // closing aggregate rides the (a, w) grid: the raw path stream
+      // first map-side combines to the node-pair-bounded grid (≤|V|²
+      // rows), then n_paths/n_pairs/n_sources are exact aggregates OF
+      // the grid — the two countDistincts over the raw stream cost an
+      // Expand (3× the rows into the closing shuffle), which at 100×
+      // the path volume is the bottleneck (round-13 A/B: warm floor
+      // 2.77–2.88 s vs 3.5 s typical at sf0.1, receipts in PLANS.md).
       graft.operators.RangeJoin.pointInInterval(points, intervals,
           "d2", "lo", "hi", binWidth = 7L, keys = Seq("m"))
         .filter(col("w") =!= col("a"))
-        .agg(count(lit(1)).as("n_paths"),
-          countDistinct(col("a") * 1000 + col("w")).as("n_pairs"),
+        .groupBy(col("a"), col("w")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_paths"),
+          count(lit(1)).as("n_pairs"),
           countDistinct(col("a")).as("n_sources"))
     }),
 
@@ -2827,17 +2882,25 @@ object SparkEntry {
           col("is_current"))),
 
     // SCD2 LOOKUP — the consumer side of scd2_build: each shipped line
-    // item joins the customer-state VERSION current at ship time (equi
-    // key on the customer + the validity BETWEEN as a hash-join
-    // residual, never a nested loop), with unmatched facts (shipped
-    // before any version) kept visible under version_state = -1.
+    // item joins the customer-state VERSION current at ship time, with
+    // unmatched facts (shipped before any version) kept visible under
+    // version_state = -1. Because SCD2 versions TILE the timeline
+    // contiguously per key, the validity-BETWEEN probe is exactly an
+    // as-of backward join on eff_from (last-wins eff_to tie-break skips
+    // the empty [d, d) intervals same-day updates leave behind), so the
+    // lookup rides [[AsofJoin.asof]]'s union-window pass — one shuffle +
+    // sort of |facts| + |versions| rows, LINEAR in version-chain depth,
+    // where the BETWEEN-residual hash join probed every fact against
+    // every same-key version (round-13 A/B: warm 2.45–2.74 s vs
+    // 2.80–3.24 s at sf0.1, receipts in PLANS.md).
     "scd2_lookup" -> ((s, dir) => {
       val dim = Transforms.scdType2(
         t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
           cents(col("o_totalprice")).as("price_cents")),
         Seq(col("o_custkey")), Seq(col("od"), col("o_orderkey")), col("od"))
-        .select(col("o_custkey"), col("eff_from"),
+        .select(col("o_custkey").as("fk_ck"),
+          col("eff_from").as("ship_od"),
           coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
           col("is_current"))
       val facts = t(s, dir, "lineitem")
@@ -2848,10 +2911,10 @@ object SparkEntry {
         .select(col("fk_ck"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_od"),
           cents(col("l_extendedprice")).as("ext_cents"))
-      facts.join(dim, col("fk_ck") === col("o_custkey") &&
-          col("ship_od") >= col("eff_from") &&
-          col("ship_od") < col("eff_to"), "left")
-        .groupBy(coalesce(col("is_current"), lit(-1L))
+      graft.operators.AsofJoin.asof(facts, dim, "fk_ck", "ship_od",
+          payloadCols = Seq("is_current"),
+          rightTieBreak = Seq("eff_to"))
+        .groupBy(coalesce(col("asof_is_current"), lit(-1L))
           .as("version_state"))
         .agg(count(lit(1)).as("n_facts"),
           sum(col("ext_cents")).as("ext_cents_sum"))
@@ -9939,6 +10002,111 @@ object SparkEntry {
         |FROM l GROUP BY 1""".stripMargin
         .replace("SPLIT", KnApplySplit.toString)
         .replace("OOV", TextAnalysis.KnOovLpMicro.toString),
+
+    // frozen-classifier replay: the NB model CTEs rebuilt from the TRAIN
+    // half (re-derivation is bit-equal to the stored tables — counts are
+    // exact integers, parquet round-trips longs losslessly), then the
+    // same matched-vs-floor decomposition — each (lang, gram) TYPE's ln
+    // quantized ONCE to micros, per-doc sums and the argmax pure
+    // integers; gram-less docs classify on the prior alone (t = 0, no
+    // matched rows). SPLIT literal generated from the shared constant.
+    "nbc_apply" ->
+      """WITH tr AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents WHERE doc_id % SPLIT = 0),
+        |ap AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents WHERE doc_id % SPLIT = 1),
+        |tg AS (SELECT lang, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM tr),
+        |gc AS (SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        |nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM tr GROUP BY 1),
+        |nt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok
+        |  FROM gc GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT g) AS v FROM gc),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM tr),
+        |cl AS (SELECT nd.lang, COALESCE(nt.n_tok, 0) AS n_tok, vv.v,
+        |    CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+        |      / CAST(dd.d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(COALESCE(nt.n_tok, 0) + vv.v
+        |      AS DOUBLE)) * 1000000, 0) AS BIGINT) AS floor_micro
+        |  FROM nd LEFT JOIN nt USING (lang), vv, dd),
+        |lp AS (SELECT gc.lang, gc.g,
+        |    CAST(round(ln(CAST(gc.c + 1 AS DOUBLE)
+        |      / CAST(cl.n_tok + cl.v AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) - cl.floor_micro AS dlp_micro
+        |  FROM gc JOIN cl USING (lang)),
+        |atg AS (SELECT doc_id, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM ap),
+        |atc AS (SELECT doc_id, g, COUNT(*) AS tc FROM atg GROUP BY 1, 2),
+        |att AS (SELECT ap.doc_id, CAST(COALESCE(s.t, 0) AS BIGINT) AS t
+        |  FROM ap LEFT JOIN (SELECT doc_id, SUM(tc) AS t FROM atc
+        |    GROUP BY 1) s USING (doc_id)),
+        |m AS (SELECT atc.doc_id, lp.lang,
+        |    CAST(SUM(atc.tc * lp.dlp_micro) AS BIGINT) AS msum
+        |  FROM atc JOIN lp USING (g) GROUP BY 1, 2),
+        |grid AS (SELECT ap.doc_id, ap.lang AS true_lang, cl.lang AS cand,
+        |    cl.prior_micro + att.t * cl.floor_micro
+        |      + COALESCE(m.msum, 0) AS score
+        |  FROM ap JOIN att USING (doc_id) CROSS JOIN cl
+        |  LEFT JOIN m ON m.doc_id = ap.doc_id AND m.lang = cl.lang),
+        |pred AS (SELECT doc_id, true_lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand ASC) AS rk FROM grid)
+        |SELECT doc_id, true_lang AS lang, cand AS pred_lang,
+        |  CAST(score AS BIGINT) AS score_micros
+        |FROM pred WHERE rk = 1""".stripMargin
+        .replace("SPLIT", KnApplySplit.toString),
+
+    // confusion-matrix replay: the nbc_apply CTE chain closed with the
+    // (true, predicted) cell counts
+    "nbc_eval" ->
+      """WITH tr AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents WHERE doc_id % SPLIT = 0),
+        |ap AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents WHERE doc_id % SPLIT = 1),
+        |tg AS (SELECT lang, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM tr),
+        |gc AS (SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        |nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM tr GROUP BY 1),
+        |nt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok
+        |  FROM gc GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT g) AS v FROM gc),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM tr),
+        |cl AS (SELECT nd.lang, COALESCE(nt.n_tok, 0) AS n_tok, vv.v,
+        |    CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+        |      / CAST(dd.d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(COALESCE(nt.n_tok, 0) + vv.v
+        |      AS DOUBLE)) * 1000000, 0) AS BIGINT) AS floor_micro
+        |  FROM nd LEFT JOIN nt USING (lang), vv, dd),
+        |lp AS (SELECT gc.lang, gc.g,
+        |    CAST(round(ln(CAST(gc.c + 1 AS DOUBLE)
+        |      / CAST(cl.n_tok + cl.v AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) - cl.floor_micro AS dlp_micro
+        |  FROM gc JOIN cl USING (lang)),
+        |atg AS (SELECT doc_id, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM ap),
+        |atc AS (SELECT doc_id, g, COUNT(*) AS tc FROM atg GROUP BY 1, 2),
+        |att AS (SELECT ap.doc_id, CAST(COALESCE(s.t, 0) AS BIGINT) AS t
+        |  FROM ap LEFT JOIN (SELECT doc_id, SUM(tc) AS t FROM atc
+        |    GROUP BY 1) s USING (doc_id)),
+        |m AS (SELECT atc.doc_id, lp.lang,
+        |    CAST(SUM(atc.tc * lp.dlp_micro) AS BIGINT) AS msum
+        |  FROM atc JOIN lp USING (g) GROUP BY 1, 2),
+        |grid AS (SELECT ap.doc_id, ap.lang AS true_lang, cl.lang AS cand,
+        |    cl.prior_micro + att.t * cl.floor_micro
+        |      + COALESCE(m.msum, 0) AS score
+        |  FROM ap JOIN att USING (doc_id) CROSS JOIN cl
+        |  LEFT JOIN m ON m.doc_id = ap.doc_id AND m.lang = cl.lang),
+        |pred AS (SELECT doc_id, true_lang, cand,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand ASC) AS rk FROM grid)
+        |SELECT true_lang AS lang, cand AS pred_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+        .replace("SPLIT", KnApplySplit.toString),
 
     // IVM-maintenance replay: the oracle never sees the delta algebra —
     // it recomputes the trigram-count table FROM SCRATCH over the

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained multinomial Naive Bayes over character trigrams — the
+  * statistical ancestor of the fastText language-ID model CCNet's
+  * curation gate actually ships (Wenzek et al. 2020 routes every crawl
+  * document through a FROZEN pretrained lang-id classifier before the LM
+  * perplexity gate; reference behavior this generalizes: the per-record
+  * classify-then-route shape of `internal/transform/transform.go`'s
+  * field-conditional emits). Unlike the engine's heuristic tiers
+  * (`chargram_langid`'s top-k profile overlap, `langId`'s stopword
+  * scan), this is a TRAINED posterior model with the production
+  * train/apply split: fit on labeled history, persist through the
+  * crash-safe snapshot store, score new batches against the reloaded
+  * artifact.
+  *
+  * Math (add-1 / Laplace smoothing, all exact integer rationals until
+  * one ln per TYPE):
+  *   score(lang | doc) = ln P(lang) + Σ_g ln P(g | lang)
+  *   P(lang)     = n_docs(lang) / D
+  *   P(g | lang) = (c(g, lang) + 1) / (n_tok(lang) + V)
+  * with V = |joint trigram vocabulary| and D = |train docs|. Every
+  * probability is a ratio of exact integers, so each distinct
+  * (lang, gram) TYPE quantizes its ln ONCE to integer micro-nats
+  * (the kn/source_kl discipline) and all downstream arithmetic — the
+  * per-doc sums, the argmax — is pure integer, hence order-independent
+  * and bit-identical cross-engine.
+  *
+  * Scale shape (the fastText-scoring-on-a-cluster layout): the scoring
+  * join is an inverted-index join — the batch's per-doc DISTINCT-gram
+  * counts join the model's gram table on the gram key (model rows are
+  * vocab×|langs|-bounded, never corpus-sized), and grams ABSENT from a
+  * class never materialize: absent grams all share the class's c = 0
+  * smoothing floor, so the doc×class score decomposes as
+  *   prior(lang) + T·floor(lang) + Σ_matched tc·(lp(g,lang) − floor(lang))
+  * with T = the doc's total gram count. Only the |langs|-row class table
+  * (priors + floors) broadcasts; the corpus stream is never fanned out
+  * by |langs| before the matched-sum aggregate, and the argmax window is
+  * partitioned by doc (≤ |langs| rows per partition — never global).
+  *
+  * ASCII caveat shared with the char-gram family: `substring` counts
+  * Java chars while DuckDB's `substr` counts its own character rule —
+  * provably aligned on the fixture's ASCII text only
+  * (XxhOracleInvariantsSpec pins max code point ≤ 127). */
+object NaiveBayes {
+
+  /** The trained artifact as three tables (the persistable form):
+    *   grams   (lang, g, c)        — per-class trigram counts
+    *   classes (lang, n_docs, n_tok) — per-class doc and token totals
+    *   corpus  (v, d)              — 1 row: joint vocab size, train docs */
+  case class NbcModel(grams: DataFrame, classes: DataFrame,
+      corpus: DataFrame)
+
+  /** Lower-cased character-trigram stream with multiplicity: one row per
+    * gram occurrence, `keep` columns carried through. Documents shorter
+    * than 3 chars emit nothing (same contract as the chargram family). */
+  private def gramStream(df: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ lower(col(textCol)).as("__tx"): _*)
+      .select(keep.map(col) :+ explode(expr(
+        "CASE WHEN length(__tx) < 3 THEN array() " +
+          "ELSE transform(sequence(1, length(__tx) - 2), " +
+          "i -> substring(__tx, i, 3)) END")).as("g"): _*)
+
+  /** Fit the model on a labeled corpus — three aggregates over one gram
+    * stream (per-(class, gram) counts; class totals and the joint vocab
+    * are aggregates OF that vocab-sized table, never corpus re-scans;
+    * the doc prior reads the raw frame so gram-less short docs still
+    * count toward their class). */
+  def nbcTrain(train: DataFrame, textCol: String,
+      labelCol: String): NbcModel = {
+    val gc = Dedup.ckptLight(
+      gramStream(train.select(col(labelCol).as("lang"), col(textCol)),
+          textCol, Seq("lang"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c")))
+    val nd = train.groupBy(col(labelCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nt = gc.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
+    val classes = nd.join(nt, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+    val corpus = gc.agg(count_distinct(col("g")).as("v"))
+      .crossJoin(train.agg(count(lit(1)).as("d")))
+    NbcModel(gc, classes, corpus)
+  }
+
+  /** The |langs|-row scoring side: class priors and smoothing floors in
+    * integer micro-nats, each ln of an exact integer rational quantized
+    * ONCE (floor = the score every gram the class never saw shares). */
+  private def classSide(m: NbcModel): DataFrame =
+    m.classes.crossJoin(broadcast(m.corpus))
+      .select(col("lang"), col("n_tok"), col("v"),
+        round(log(col("n_docs").cast("double") /
+          col("d").cast("double")) * lit(1000000)).cast("long")
+          .as("prior_micro"),
+        round(log(lit(1.0) /
+          (col("n_tok") + col("v")).cast("double")) * lit(1000000))
+          .cast("long").as("floor_micro"))
+
+  /** Classify a batch against a (possibly frozen/reloaded) model.
+    * Returns one row per batch doc:
+    * (idCol, carry..., pred_lang, score_micros) with the argmax
+    * tie-broken on (score DESC, lang ASC). Docs with no grams (short or
+    * null text) classify on the prior alone — they still emit a row. */
+  def nbcClassify(batch: DataFrame, textCol: String, idCol: String,
+      m: NbcModel, carry: Seq[String] = Nil): DataFrame = {
+    val cl = classSide(m)
+    // per-(lang, gram) matched-vs-floor delta, ln quantized per TYPE
+    val lp = m.grams.join(broadcast(cl), Seq("lang"))
+      .select(col("lang"), col("g"),
+        (round(log((col("c") + 1).cast("double") /
+          (col("n_tok") + col("v")).cast("double")) * lit(1000000))
+          .cast("long") - col("floor_micro")).as("dlp_micro"))
+    // carry columns ride under reserved names so a carried column may
+    // share its name with the class side's `lang` (e.g. a true label)
+    val cs = carry.zipWithIndex.map { case (c, i) => (c, s"__carry_$i") }
+    val b = batch.select(col(idCol).as("doc_id") +:
+      col(textCol).as("__text") +:
+      cs.map { case (c, a) => col(c).as(a) }: _*)
+    val atc = gramStream(b.select(col("doc_id"), col("__text")),
+        "__text", Seq("doc_id"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tc"))
+    val att = b.select(col("doc_id"))
+      .join(atc.groupBy(col("doc_id")).agg(sum(col("tc")).as("__t")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__t"), lit(0L)).as("t"))
+    val matched = atc.join(lp, Seq("g"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tc") * col("dlp_micro")).as("msum"))
+    val grid = b.drop("__text")
+      .join(att, Seq("doc_id"))
+      .crossJoin(broadcast(
+        cl.select(col("lang"), col("prior_micro"), col("floor_micro"))))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id") +: cs.map(p => col(p._2)) :+ col("lang") :+
+        (col("prior_micro") + col("t") * col("floor_micro") +
+          coalesce(col("msum"), lit(0L))).as("score"): _*)
+    grid.withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id").as(idCol) +:
+        cs.map { case (c, a) => col(a).as(c) } :+
+        col("lang").as("pred_lang") :+
+        col("score").cast("long").as("score_micros"): _*)
+  }
+
+  /** [[nbcClassify]] carrying the true label through — the evaluation
+    * shape (idCol, labelCol, pred_lang, score_micros). */
+  def nbcScore(batch: DataFrame, textCol: String, idCol: String,
+      labelCol: String, m: NbcModel): DataFrame =
+    nbcClassify(batch, textCol, idCol, m, carry = Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("pred_lang"),
+        col("score_micros"))
+
+  /** Frozen-classifier gate: keep the rows of `df` whose PREDICTED
+    * class is in `keep` — the production CCNet shape (a pretrained
+    * fastText-style lang-id model routes every crawl doc before the LM
+    * gate; Wenzek et al. 2020). One classify pass + a left-semi join
+    * back on the id. */
+  def nbcGate(df: DataFrame, textCol: String, idCol: String,
+      m: NbcModel, keep: Seq[String]): DataFrame = {
+    require(keep.nonEmpty, "lang_gate keep-list must be non-empty")
+    df.join(
+      nbcClassify(df, textCol, idCol, m)
+        .filter(col("pred_lang").isin(keep: _*))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
+  /** Executor-resident form of the trained classifier — the
+    * ship-the-fastText-binary-to-every-worker analog (same rationale as
+    * [[TextAnalysis]]'s Kn3FrozenModel: a STREAMING gate must classify
+    * each arriving document locally; per-doc classification is an
+    * aggregate over the doc's grams, which an append-mode stream cannot
+    * express as joins + groupBy). The collect is MODEL-sized
+    * (vocab×|langs| quantized deltas + |langs| class rows), never
+    * corpus-sized. `classes` is kept lang-ascending so the local argmax
+    * walks the tie-break order directly. */
+  final case class NbcFrozenModel(
+      dlp: Map[(String, String), Long],
+      classes: Seq[(String, Long, Long)]) extends Serializable
+
+  /** Freeze a model into lookup maps, quantizing each (lang, gram)
+    * TYPE's ln ONCE with the same HALF_UP micro rounding the
+    * distributed scorer uses — bit-identical scores by construction
+    * (pinned as a property in NaiveBayesSpec). */
+  def nbcFreeze(m: NbcModel): NbcFrozenModel = {
+    val Seq(v, d) = m.corpus.collect()(0).toSeq.map(_.toString.toLong)
+    val classes = m.classes.collect().map { r =>
+      val (lang, nDocs, nTok) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      (lang, qMicro(math.log(nDocs.toDouble / d.toDouble)),
+        (nTok, qMicro(math.log(1.0 / (nTok + v).toDouble))))
+    }
+    val byLang = classes.map { case (l, _, (nt, fl)) => l -> (nt, fl) }
+      .toMap
+    val dlp = m.grams.collect().map { r =>
+      val (lang, g, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (nt, fl) = byLang(lang)
+      (lang, g) ->
+        (qMicro(math.log((c + 1).toDouble / (nt + v).toDouble)) - fl)
+    }.toMap
+    NbcFrozenModel(dlp,
+      classes.map { case (l, pr, (_, fl)) => (l, pr, fl) }
+        .sortBy(_._1).toSeq)
+  }
+
+  /** Spark `round()` semantics: HALF_UP — half away from zero, where
+    * `math.round`'s floor(x+0.5) disagrees on negative ties. */
+  private def qMicro(v: Double): Long = java.math.BigDecimal
+    .valueOf(v * 1000000.0)
+    .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Single-document local classifier over a frozen model —
+    * BIT-IDENTICAL to [[nbcClassify]]'s distributed result: same
+    * lower-cased char trigrams (Java-char substring — the family's
+    * ASCII caveat applies), same quantized integers, same
+    * (score DESC, lang ASC) argmax. Null/short text classifies on the
+    * prior alone, exactly like the distributed path. */
+  def nbcClassifyLocal(text: String,
+      m: NbcFrozenModel): (String, Long) = {
+    require(m.classes.nonEmpty, "frozen model has no classes")
+    val tx = if (text == null) ""
+      else text.toLowerCase(java.util.Locale.ROOT)
+    val n = math.max(tx.length - 2, 0)
+    var best: (String, Long) = null
+    m.classes.foreach { case (lang, prior, floor) =>
+      var s = prior + n.toLong * floor
+      var i = 0
+      while (i < n) {
+        s += m.dlp.getOrElse((lang, tx.substring(i, i + 3)), 0L)
+        i += 1
+      }
+      if (best == null || s > best._2) best = (lang, s)
+    }
+    best
+  }
+
+  private val NbcTableNames = Seq("grams", "classes", "corpus")
+
+  /** Persist a trained model through the crash-safe snapshot store —
+    * three atomic table commits under
+    * `(integration = prefix, function = nbc_<table>)`; a scoring job
+    * reading mid-commit sees the old model, never a torn one (the
+    * kn3StoreModel publish contract). */
+  def nbcStoreModel(train: DataFrame, textCol: String, labelCol: String,
+      store: graft.state.SnapshotStore, prefix: String): Unit = {
+    val m = nbcTrain(train, textCol, labelCol)
+    NbcTableNames.zip(Seq(m.grams, m.classes, m.corpus))
+      .foreach { case (n, t) => store.commitTable(prefix, s"nbc_$n", t) }
+  }
+
+  /** Reload a stored model for scoring — the frozen-classifier read
+    * path. */
+  def nbcReadModel(store: graft.state.SnapshotStore,
+      prefix: String): NbcModel = {
+    val Seq(grams, classes, corpus) =
+      NbcTableNames.map(n => store.readTable(prefix, s"nbc_$n"))
+    NbcModel(grams, classes, corpus)
+  }
+}

@@ -413,6 +413,26 @@ object SpecLoader {
               .select(col(id)),
             Seq(id), "left_semi")
         }
+      case "lang_gate" =>
+        // frozen-classifier language gate: keep rows whose PREDICTED
+        // class (trained Naive-Bayes char-trigram model AGAINST A
+        // STORED ARTIFACT, [[graft.operators.NaiveBayes]]) is in the
+        // declared keep-list — the CCNet front door (a pretrained
+        // fastText-style lang-id model routes every crawl doc before
+        // the LM gate; Wenzek et al. 2020). `model_dir`/`model` locate
+        // the SnapshotStore artifact ([[NaiveBayes.nbcStoreModel]]).
+        // The streaming twin is
+        // [[graft.streaming.StreamingClassifierGate]] over the same
+        // artifact.
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val dir = (v \ "model_dir").extract[String]
+        val prefix = (v \ "model").extractOpt[String].getOrElse("nbc")
+        val keep = (v \ "keep").extract[Seq[String]]
+        df => graft.operators.NaiveBayes.nbcGate(df, c, id,
+          graft.operators.NaiveBayes.nbcReadModel(
+            new graft.state.SnapshotStore(df.sparkSession, dir), prefix),
+          keep)
       case "lm_perplexity" =>
         // CCNet-style perplexity gate (Wenzek et al. 2020): keep rows
         // whose Kneser-Ney mean token log-prob — the LM trained on the

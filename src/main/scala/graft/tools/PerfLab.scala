@@ -76,6 +76,84 @@ object PerfLab {
           docs.filter(split === "train"), docs.filter(split === "test"),
           "text", "doc_id", n = 8)
       }),
+      // scd2_lookup stage isolation + asof-rewrite A/B: dim build alone,
+      // facts build alone, and the full query with the BETWEEN-residual
+      // hash join replaced by the AsofJoin union-window pass (versions
+      // tile contiguously, so asof-backward on eff_from with a last-wins
+      // eff_to tie-break is the same match).
+      "scd2_dim" -> ((s, dir) =>
+        graft.operators.Transforms.scdType2(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+              (col("o_totalprice") * 100).cast("long").as("price_cents")),
+          Seq(col("o_custkey")), Seq(col("od"), col("o_orderkey")),
+          col("od"))),
+      "scd2_facts" -> ((s, dir) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/orders.parquet")
+              .select(col("o_orderkey").as("fk_ok"),
+                col("o_custkey").as("fk_ck")),
+            col("l_orderkey") === col("fk_ok"))
+          .select(col("fk_ck"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_od"),
+            (col("l_extendedprice") * 100).cast("long").as("ext_cents"))),
+      "scd2_asof" -> ((s, dir) => {
+        val dim = graft.operators.Transforms.scdType2(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+              (col("o_totalprice") * 100).cast("long").as("price_cents")),
+          Seq(col("o_custkey")), Seq(col("od"), col("o_orderkey")),
+          col("od"))
+          .select(col("o_custkey").as("fk_ck"),
+            col("eff_from").as("ship_od"),
+            coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
+            col("is_current"))
+        val facts = s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/orders.parquet")
+              .select(col("o_orderkey").as("fk_ok"),
+                col("o_custkey").as("fk_ck")),
+            col("l_orderkey") === col("fk_ok"))
+          .select(col("fk_ck"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_od"),
+            (col("l_extendedprice") * 100).cast("long").as("ext_cents"))
+        graft.operators.AsofJoin.asof(facts, dim, "fk_ck", "ship_od",
+            payloadCols = Seq("is_current"),
+            rightTieBreak = Seq("eff_to"))
+          .groupBy(coalesce(col("asof_is_current"), lit(-1L))
+            .as("version_state"))
+          .agg(count(lit(1)).as("n_facts"),
+            sum(col("ext_cents")).as("ext_cents_sum"))
+      }),
+      // temporal_reach closing-aggregate A/B: the two countDistincts over
+      // the raw path stream ride an Expand (3x the rows into the
+      // shuffle); pre-aggregating to the (a, w) grid first map-side
+      // combines to a node-pair-bounded table and the distincts become
+      // exact aggregates OF that grid.
+      "temporal_pre" -> ((s, dir) => {
+        val raw = s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") % 150).as("x"),
+            (col("l_suppkey") % 150).as("y"),
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .cast("long").as("d"))
+        val e = raw.union(raw.select(col("y").as("x"), col("x").as("y"),
+            col("d")))
+          .filter(col("x") =!= col("y")).distinct()
+        val intervals = e.select(col("x").as("a"), col("y").as("m"),
+          (col("d") + 1).as("lo"), (col("d") + 7).as("hi"))
+        val points = e.select(col("x").as("m"), col("y").as("w"),
+          col("d").as("d2"))
+        val grid = graft.operators.RangeJoin.pointInInterval(points,
+            intervals, "d2", "lo", "hi", binWidth = 7L, keys = Seq("m"))
+          .filter(col("w") =!= col("a"))
+          .groupBy(col("a"), col("w")).agg(count(lit(1)).as("c"))
+        grid.agg(sum(col("c")).as("n_paths"),
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("a")).as("n_sources"))
+      }),
       "decont_ckpt" -> ((s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val split = graft.operators.TextAnalysis.hashSplit(col("text"))

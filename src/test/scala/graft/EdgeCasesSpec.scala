@@ -120,4 +120,47 @@ class EdgeCasesSpec extends AnyFunSuite {
     val lab = Seq((1L, 1L)).toDF("id", "lab")
     assert(GraphAlgos.modularityStats(e, "s", "d", lab).count() === 0L)
   }
+
+  test("SCD2 as-of lookup equals the validity-BETWEEN join, including " +
+      "same-day empty intervals and before-first-version facts") {
+    import graft.operators.{AsofJoin, Transforms}
+    // cust 1: three versions, two opened the SAME day (the first leaves
+    // an empty [d2, d2) interval the BETWEEN form can never match);
+    // cust 2: one version; facts probe before/at/after each boundary
+    val src = Seq(
+      (1L, 101L, "2024-01-10", 100L),
+      (1L, 102L, "2024-01-20", 200L), // empty interval: next is same day
+      (1L, 103L, "2024-01-20", 300L),
+      (2L, 201L, "2024-03-01", 400L)
+    ).toDF("k", "ok", "od", "pc")
+    val dim = Transforms.scdType2(src, Seq(col("k")),
+        Seq(col("od"), col("ok")), col("od"))
+      .select(col("k"), col("eff_from"),
+        coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
+        col("is_current"))
+    val facts = Seq(
+      (1L, "2024-01-05"), // before any version -> -1
+      (1L, "2024-01-10"), // at v1 open
+      (1L, "2024-01-19"), // inside v1
+      (1L, "2024-01-20"), // same-day double update -> v3, never v2
+      (1L, "2024-06-01"), // current
+      (2L, "2024-02-01"), // before cust 2's only version -> -1
+      (2L, "2024-03-01")
+    ).toDF("k", "ship")
+    val between = facts.join(dim,
+        facts("k") === dim("k") && col("ship") >= col("eff_from") &&
+          col("ship") < col("eff_to"), "left")
+      .select(facts("k"), col("ship"),
+        coalesce(col("is_current"), lit(-1L)).as("vs"))
+      .orderBy("k", "ship").as[(Long, String, Long)].collect().toSeq
+    val asof = AsofJoin.asof(
+        facts.withColumnRenamed("ship", "ship_od"),
+        dim.withColumnRenamed("eff_from", "ship_od"), "k", "ship_od",
+        payloadCols = Seq("is_current"), rightTieBreak = Seq("eff_to"))
+      .select(col("k"), col("ship_od").as("ship"),
+        coalesce(col("asof_is_current"), lit(-1L)).as("vs"))
+      .orderBy("k", "ship").as[(Long, String, Long)].collect().toSeq
+    assert(between.count(_._3 === -1L) === 2) // the two early facts
+    assert(asof === between)
+  }
 }

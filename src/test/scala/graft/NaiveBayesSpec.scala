@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.NaiveBayes
+import graft.state.SnapshotStore
+
+/** Contract of the trained Naive-Bayes char-trigram classifier: the
+  * distributed inverted-index scorer equals a from-first-principles
+  * local reference (same add-1 rationals, same quantize-once-ln), the
+  * store round-trip is invisible to scoring, gram-less docs fall back to
+  * the prior, and the argmax tie-break is pinned. */
+class NaiveBayesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Spark `round(double)` semantics: HALF_UP away from zero —
+    * math.round would round negative ties the other way. */
+  private def q(v: Double): Long = java.math.BigDecimal.valueOf(v)
+    .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** From-first-principles local scorer: exactly the operator's math,
+    * none of its distribution. */
+  private def localScore(train: Seq[(Long, String, String)],
+      batch: Seq[(Long, String, String)])
+      : Seq[(Long, String, String, Long)] = {
+    def grams(t: String): Seq[String] = {
+      val tx = t.toLowerCase
+      if (tx.length < 3) Seq.empty
+      else (0 to tx.length - 3).map(i => tx.substring(i, i + 3))
+    }
+    val byLang = train.groupBy(_._2)
+    val gc: Map[(String, String), Long] = train
+      .flatMap { case (_, l, t) => grams(t).map(g => (l, g)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val vocab = gc.keySet.map(_._2)
+    val v = vocab.size.toLong
+    val d = train.size.toLong
+    val nTok: Map[String, Long] = gc.groupBy(_._1._1)
+      .map { case (l, m) => l -> m.values.sum }
+    val langs = byLang.keys.toSeq.sorted
+    batch.map { case (id, trueLang, text) =>
+      val gs = grams(text)
+      val scored = langs.map { l =>
+        val nt = nTok.getOrElse(l, 0L)
+        val prior = q(math.log(byLang(l).size.toDouble / d.toDouble)
+          * 1e6)
+        val floor = q(math.log(1.0 / (nt + v).toDouble) * 1e6)
+        val lp: Map[String, Long] = gs.distinct.flatMap { g =>
+          gc.get((l, g)).map(c => g ->
+            (q(math.log((c + 1).toDouble / (nt + v).toDouble) * 1e6)
+              - floor))
+        }.toMap
+        val msum = gs.map(g => lp.getOrElse(g, 0L)).sum
+        l -> (prior + gs.size * floor + msum)
+      }
+      val (pl, sc) = scored.sortBy { case (l, s) => (-s, l) }.head
+      (id, trueLang, pl, sc)
+    }
+  }
+
+  private val train = Seq(
+    (0L, "en", "the cat sat on the mat and then the cat slept"),
+    (2L, "en", "the dog and the cat are friends in the house"),
+    (4L, "fr", "le chat et le chien sont dans la maison ensemble"),
+    (6L, "fr", "le chien dort sur le tapis et le chat regarde"),
+    (8L, "de", "der hund und die katze schlafen auf dem teppich"))
+
+  private val batch = Seq(
+    (1L, "en", "the cat and the dog"),
+    (3L, "fr", "le chat dort sur le tapis"),
+    (5L, "de", "die katze und der hund"),
+    (7L, "en", "zz"))
+
+  private def run(tr: Seq[(Long, String, String)],
+      ba: Seq[(Long, String, String)]) = {
+    val m = NaiveBayes.nbcTrain(
+      tr.toDF("doc_id", "lang", "text"), "text", "lang")
+    NaiveBayes.nbcScore(ba.toDF("doc_id", "lang", "text"), "text",
+        "doc_id", "lang", m)
+      .orderBy("doc_id").as[(Long, String, String, Long)].collect().toSeq
+  }
+
+  test("distributed scorer equals the local reference on the hand " +
+      "corpus; plausible labels come out") {
+    val got = run(train, batch)
+    assert(got === localScore(train, batch))
+    val pred = got.map(r => r._1 -> r._3).toMap
+    assert(pred(1L) === "en" && pred(3L) === "fr" && pred(5L) === "de")
+  }
+
+  test("a gram-less doc classifies on the prior alone (majority class " +
+      "wins) and still emits a row") {
+    val got = run(train, batch).map(r => r._1 -> r._3).toMap
+    // doc 7 has no trigrams; en has 2/5 prior vs fr 2/5 vs de 1/5 —
+    // en wins the (score DESC, lang ASC) tie-break against fr
+    assert(got(7L) === "en")
+    val t = run(train, Seq((7L, "en", "zz"))).head
+    val prior = q(math.log(2.0 / 5.0) * 1e6)
+    assert(t._4 === prior)
+  }
+
+  test("apply-after-store equals score-in-session, row for row") {
+    val trDf = train.toDF("doc_id", "lang", "text")
+    val baDf = batch.toDF("doc_id", "lang", "text")
+    val inSession = NaiveBayes.nbcScore(baDf, "text", "doc_id", "lang",
+      NaiveBayes.nbcTrain(trDf, "text", "lang"))
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-nbc").toString)
+    NaiveBayes.nbcStoreModel(trDf, "text", "lang", store, "nbc")
+    val reloaded = NaiveBayes.nbcScore(baDf, "text", "doc_id", "lang",
+      NaiveBayes.nbcReadModel(store, "nbc"))
+    val want = inSession.orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(want.nonEmpty)
+    assert(reloaded.orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq === want)
+  }
+
+  test("property: distributed equals local reference on random corpora") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabets = Map(
+      "aa" -> "abcde ", "bb" -> "fghij ", "cc" -> "abfgh ")
+    for (round <- 1 to 3) {
+      def doc(lang: String, id: Long): (Long, String, String) = {
+        val a = alphabets(lang)
+        val n = 5 + rnd.nextInt(40)
+        (id, lang, Seq.fill(n)(a(rnd.nextInt(a.length))).mkString)
+      }
+      val langs = alphabets.keys.toSeq.sorted
+      val tr = (0 until 30).map(i =>
+        doc(langs(rnd.nextInt(3)), i * 2L))
+      val ba = (0 until 15).map(i =>
+        doc(langs(rnd.nextInt(3)), i * 2L + 1))
+      assert(run(tr, ba) === localScore(tr, ba),
+        s"divergence on random round $round")
+    }
+  }
+
+  test("nbcClassifyLocal == distributed nbcClassify, doc for doc, on " +
+      "random corpora (frozen-model bit-parity)") {
+    val rnd = new scala.util.Random(13L)
+    val alphabets = Map(
+      "aa" -> "abcde ", "bb" -> "fghij ", "cc" -> "abfgh ")
+    val langs = alphabets.keys.toSeq.sorted
+    def doc(lang: String, id: Long): (Long, String, String) = {
+      val a = alphabets(lang)
+      val n = rnd.nextInt(40) // includes gram-less (< 3 chars) docs
+      (id, lang, Seq.fill(n)(a(rnd.nextInt(a.length))).mkString)
+    }
+    val tr = (0 until 25).map(i => doc(langs(rnd.nextInt(3)), i * 2L))
+    val ba = (0 until 12).map(i => doc(langs(rnd.nextInt(3)), i * 2L + 1))
+    val m = NaiveBayes.nbcTrain(tr.toDF("doc_id", "lang", "text"),
+      "text", "lang")
+    val frozen = NaiveBayes.nbcFreeze(m)
+    val dist = NaiveBayes.nbcClassify(ba.toDF("doc_id", "lang", "text"),
+        "text", "doc_id", m)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val local = ba.sortBy(_._1).map { case (id, _, text) =>
+      val (pred, score) = NaiveBayes.nbcClassifyLocal(text, frozen)
+      (id, pred, score)
+    }
+    assert(dist === local)
+  }
+
+  test("streaming classifier gate == batch nbcGate on the same corpus, " +
+      "and the declared lang_gate stage reads the stored artifact") {
+    import java.nio.file.{Files, Paths}
+    val storeDir = Files.createTempDirectory("graft-nbc-gate").toString
+    val store = new SnapshotStore(spark, storeDir)
+    val trDf = train.toDF("doc_id", "lang", "text")
+    NaiveBayes.nbcStoreModel(trDf, "text", "lang", store, "nbc")
+    val m = NaiveBayes.nbcReadModel(store, "nbc")
+    val docs = (batch ++ Seq((9L, "de", "die katze und der hund"),
+      (11L, "fr", "le chien et le chat"))).toDF("doc_id", "lang", "text")
+    val keep = Set("en", "fr")
+    val want = NaiveBayes.nbcGate(docs, "text", "doc_id", m,
+        keep.toSeq.sorted)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty && want.size < docs.count())
+
+    // declared-stage form over the same stored artifact
+    val json = s"""{"steps":[{"op":"lang_gate","text":"text",
+      |"id":"doc_id","model_dir":"$storeDir","model":"nbc",
+      |"keep":["en","fr"]}]}""".stripMargin
+    val staged = graft.pipeline.SpecLoader.stagesFromJson(json)
+    assert(staged.map(_._1) === Seq("lang_gate"))
+    assert(staged.head._2(docs).select("doc_id").as[Long].collect()
+      .sorted.toSeq === want)
+
+    // streaming twin over the frozen form of the same artifact
+    val frozen = NaiveBayes.nbcFreeze(m)
+    val root = Files.createTempDirectory("graft-nbc-stream").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    Files.writeString(Paths.get(s"$inDir/b0.json"),
+      docs.toJSON.collect().mkString("\n"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING").json(inDir)
+    val gated = graft.streaming.StreamingClassifierGate.gate(
+      stream, "text", frozen, keep)
+    val q = gated.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("nbc_gate").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("nbc_gate").select("doc_id").as[Long]
+      .collect().sorted.toSeq === want)
+  }
+
+  test("argmax tie-break is (score DESC, lang ASC): symmetric classes " +
+      "tie and the lexicographically smaller wins") {
+    // two classes with mirrored counts and equal priors; a batch doc
+    // containing none of either class's grams scores prior + T*floor
+    // on both sides with IDENTICAL totals -> tie -> 'aa' wins
+    val tr = Seq((0L, "aa", "xxxxx"), (2L, "bb", "yyyyy"))
+    val got = run(tr, Seq((1L, "aa", "zzzzz")))
+    assert(got.head._3 === "aa")
+  }
+}
