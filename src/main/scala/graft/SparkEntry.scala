@@ -2300,6 +2300,55 @@ object SparkEntry {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // incremental classifier-count maintenance: the per-class gram-count
+    // table of a labeled base corpus (doc_id % 3 < 2) is maintained
+    // under a document delta — adds (doc_id % 3 = 2) AND retractions
+    // (base docs with doc_id % 5 = 0) — in one partial-combined hash
+    // aggregate ([[NaiveBayes.maintainGramCounts]]; the kn_counts_ivm
+    // contract applied to the classifier family: the oracle recounts the
+    // post-delta corpus from scratch, equality IS the maintenance proof).
+    "nbc_counts_ivm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val state = graft.operators.NaiveBayes.trainGramCounts(base,
+        "text", "lang")
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      graft.operators.NaiveBayes.maintainGramCounts(state, delta,
+        "text", "lang", "__op")
+    }),
+
+    // the classifier's daily refresh loop, composed: maintain BOTH count
+    // tables (grams + class doc counts) under the same delta, re-derive
+    // the model from the MAINTAINED counts
+    // ([[NaiveBayes.nbcModelFromCounts]] — aggregates of the vocab-sized
+    // table, never a corpus re-scan), and classify the newly ADDED batch
+    // against the refreshed model. The oracle rebuilds the model from
+    // scratch over the post-delta corpus, so equality proves
+    // maintained-counts → model → classify end to end (the kn_refresh
+    // contract for the classifier family).
+    "nbc_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      val model = graft.operators.NaiveBayes.nbcModelFromCounts(
+        graft.operators.NaiveBayes.maintainGramCounts(
+          graft.operators.NaiveBayes.trainGramCounts(base, "text",
+            "lang"),
+          delta, "text", "lang", "__op"),
+        graft.operators.NaiveBayes.maintainClassDocCounts(
+          base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+          delta, "lang", "__op"))
+      graft.operators.NaiveBayes.nbcScore(
+        docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", "lang",
+        model)
+    }),
+
     // incremental n-gram count maintenance: the stored trigram-count
     // table of a base corpus (doc_id % 3 < 2) is maintained under a
     // document delta — adds (doc_id % 3 = 2) AND retractions (base docs
@@ -10107,6 +10156,74 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
         .replace("SPLIT", KnApplySplit.toString),
+
+    // classifier-count IVM replay: the oracle never sees the delta
+    // algebra — it recounts the per-class grams FROM SCRATCH over the
+    // post-delta corpus (base minus retracted plus added docs); equality
+    // IS the bit-exact maintenance contract
+    "nbc_counts_ivm" ->
+      """WITH fin AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2
+        |     OR (doc_id % 3 < 2 AND doc_id % 5 <> 0)),
+        |tg AS (SELECT lang, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM fin)
+        |SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM tg GROUP BY 1, 2""".stripMargin,
+
+    // classifier-refresh replay: the nbc_apply scoring SQL with the
+    // model CTEs rebuilt from the POST-DELTA corpus and the scoring
+    // batch = the added docs — the oracle never sees the delta algebra
+    // or the maintained tables, so a hash match proves
+    // maintained-counts → model → classify end to end
+    "nbc_refresh" ->
+      """WITH tr AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2
+        |     OR (doc_id % 3 < 2 AND doc_id % 5 <> 0)),
+        |ap AS (SELECT doc_id, lang, lower(text) AS tx
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |tg AS (SELECT lang, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM tr),
+        |gc AS (SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        |nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM tr GROUP BY 1),
+        |nt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok
+        |  FROM gc GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT g) AS v FROM gc),
+        |dd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS d FROM nd),
+        |cl AS (SELECT nd.lang, COALESCE(nt.n_tok, 0) AS n_tok, vv.v,
+        |    CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+        |      / CAST(dd.d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(COALESCE(nt.n_tok, 0) + vv.v
+        |      AS DOUBLE)) * 1000000, 0) AS BIGINT) AS floor_micro
+        |  FROM nd LEFT JOIN nt USING (lang), vv, dd),
+        |lp AS (SELECT gc.lang, gc.g,
+        |    CAST(round(ln(CAST(gc.c + 1 AS DOUBLE)
+        |      / CAST(cl.n_tok + cl.v AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) - cl.floor_micro AS dlp_micro
+        |  FROM gc JOIN cl USING (lang)),
+        |atg AS (SELECT doc_id, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM ap),
+        |atc AS (SELECT doc_id, g, COUNT(*) AS tc FROM atg GROUP BY 1, 2),
+        |att AS (SELECT ap.doc_id, CAST(COALESCE(s.t, 0) AS BIGINT) AS t
+        |  FROM ap LEFT JOIN (SELECT doc_id, SUM(tc) AS t FROM atc
+        |    GROUP BY 1) s USING (doc_id)),
+        |m AS (SELECT atc.doc_id, lp.lang,
+        |    CAST(SUM(atc.tc * lp.dlp_micro) AS BIGINT) AS msum
+        |  FROM atc JOIN lp USING (g) GROUP BY 1, 2),
+        |grid AS (SELECT ap.doc_id, ap.lang AS true_lang, cl.lang AS cand,
+        |    cl.prior_micro + att.t * cl.floor_micro
+        |      + COALESCE(m.msum, 0) AS score
+        |  FROM ap JOIN att USING (doc_id) CROSS JOIN cl
+        |  LEFT JOIN m ON m.doc_id = ap.doc_id AND m.lang = cl.lang),
+        |pred AS (SELECT doc_id, true_lang, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand ASC) AS rk FROM grid)
+        |SELECT doc_id, true_lang AS lang, cand AS pred_lang,
+        |  CAST(score AS BIGINT) AS score_micros
+        |FROM pred WHERE rk = 1""".stripMargin,
 
     // IVM-maintenance replay: the oracle never sees the delta algebra —
     // it recomputes the trigram-count table FROM SCRATCH over the

@@ -71,21 +71,67 @@ object NaiveBayes {
     * the doc prior reads the raw frame so gram-less short docs still
     * count toward their class). */
   def nbcTrain(train: DataFrame, textCol: String,
-      labelCol: String): NbcModel = {
+      labelCol: String): NbcModel =
+    nbcModelFromCounts(trainGramCounts(train, textCol, labelCol),
+      train.groupBy(col(labelCol).as("lang"))
+        .agg(count(lit(1)).as("n_docs")))
+
+  /** The raw per-class gram-count table (lang, g, c) — [[nbcTrain]]'s
+    * first input and the IVM state [[maintainGramCounts]] maintains. */
+  def trainGramCounts(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    gramStream(train.select(col(labelCol).as("lang"), col(textCol)),
+        textCol, Seq("lang"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+
+  /** Derive the model from ALREADY-COUNTED tables — the refresh-loop
+    * entry point ([[maintainGramCounts]] feeds it maintained counts):
+    * everything is an aggregate of the vocab-sized gram-count table or
+    * the |langs|-row doc-count table, never a corpus re-scan. The
+    * checkpoint barrier mirrors kn3ModelFromCounts: three derived
+    * tables read the counts, and exchange reuse does not dedupe across
+    * the differing aggregates above them. */
+  def nbcModelFromCounts(gramCounts: DataFrame,
+      classDocCounts: DataFrame): NbcModel = {
     val gc = Dedup.ckptLight(
-      gramStream(train.select(col(labelCol).as("lang"), col(textCol)),
-          textCol, Seq("lang"))
-        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c")))
-    val nd = train.groupBy(col(labelCol).as("lang"))
-      .agg(count(lit(1)).as("n_docs"))
+      gramCounts.select(col("lang"), col("g"), col("c")))
     val nt = gc.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
-    val classes = nd.join(nt, Seq("lang"), "left")
+    val classes = classDocCounts.join(nt, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"))
     val corpus = gc.agg(count_distinct(col("g")).as("v"))
-      .crossJoin(train.agg(count(lit(1)).as("d")))
+      .crossJoin(classDocCounts.agg(sum(col("n_docs")).as("d")))
     NbcModel(gc, classes, corpus)
   }
+
+  /** Maintain the per-class gram-count table under a LABELED document
+    * delta — adds (`opCol` = +1) and retractions (−1) — in one
+    * partial-combined hash aggregate: the `ivm_agg` contract (bit-equal
+    * to a full recount over the post-delta corpus; retract-to-zero rows
+    * drop). Char grams never cross documents, so unlike the trigram
+    * maintainer no composite tokenize key is needed — an add and a
+    * retract of the same doc explode independently and cancel in the
+    * aggregate. */
+  def maintainGramCounts(state: DataFrame, delta: DataFrame,
+      textCol: String, labelCol: String, opCol: String): DataFrame =
+    state.select(col("lang"), col("g"), col("c").as("__c"))
+      .unionByName(
+        gramStream(delta.select(col(labelCol).as("lang"), col(textCol),
+            col(opCol)), textCol, Seq("lang", opCol))
+          .select(col("lang"), col("g"),
+            col(opCol).cast("long").as("__c")))
+      .groupBy(col("lang"), col("g")).agg(sum(col("__c")).as("c"))
+      .filter(col("c") =!= 0L)
+
+  /** The companion doc-count maintainer (the class PRIOR's numerator is
+    * a per-class doc count, additive like the gram counts). */
+  def maintainClassDocCounts(state: DataFrame, delta: DataFrame,
+      labelCol: String, opCol: String): DataFrame =
+    state.select(col("lang"), col("n_docs").as("__c"))
+      .unionByName(delta.select(col(labelCol).as("lang"),
+        col(opCol).cast("long").as("__c")))
+      .groupBy(col("lang")).agg(sum(col("__c")).as("n_docs"))
+      .filter(col("n_docs") =!= 0L)
 
   /** The |langs|-row scoring side: class priors and smoothing floors in
     * integer micro-nats, each ln of an exact integer rational quantized
@@ -120,9 +166,14 @@ object NaiveBayes {
     val b = batch.select(col(idCol).as("doc_id") +:
       col(textCol).as("__text") +:
       cs.map { case (c, a) => col(c).as(a) }: _*)
-    val atc = gramStream(b.select(col("doc_id"), col("__text")),
-        "__text", Seq("doc_id"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tc"))
+    // checkpointed: BOTH the per-doc totals and the matched-sum read the
+    // per-doc gram counts — without the barrier each would re-run the
+    // corpus-width gram explode below it (the rangedRank checkpoint
+    // discipline; table is Σ per-doc distinct grams, corpus-bounded)
+    val atc = Dedup.ckptLight(
+      gramStream(b.select(col("doc_id"), col("__text")),
+          "__text", Seq("doc_id"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tc")))
     val att = b.select(col("doc_id"))
       .join(atc.groupBy(col("doc_id")).agg(sum(col("tc")).as("__t")),
         Seq("doc_id"), "left")

@@ -61,4 +61,38 @@ object StreamingCountMaintenance {
       }
       .start()
   }
+
+  // ---- classifier-count variant -------------------------------------
+  // Same batch-versioned replay-safety machinery over the Naive-Bayes
+  // per-class gram-count table ([[graft.operators.NaiveBayes
+  // .maintainGramCounts]]) — the `nbc_counts_ivm` / `nbc_refresh` loop
+  // made continuous: the frozen lang-id gate's model is derivable from
+  // the stored table at any batch boundary
+  // ([[graft.operators.NaiveBayes.nbcModelFromCounts]]).
+
+  val classifierStateSchema: StructType = StructType(Seq(
+    StructField("lang", StringType), StructField("g", StringType),
+    StructField("c", LongType)))
+
+  def applyClassifierBatch(table: AtomicTable, batch: DataFrame,
+      batchId: Long, textCol: String, labelCol: String,
+      opCol: String): Unit = {
+    val state = table.readUpTo(batchId, classifierStateSchema)
+    table.commitAt(batchId + 1, graft.operators.NaiveBayes
+      .maintainGramCounts(state, batch, textCol, labelCol, opCol))
+  }
+
+  def startClassifier(docs: DataFrame, textCol: String, labelCol: String,
+      opCol: String, stateDir: String,
+      checkpoint: String): StreamingQuery = {
+    val table = new AtomicTable(docs.sparkSession, stateDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyClassifierBatch(table, batch, batchId, textCol, labelCol,
+            opCol)
+      }
+      .start()
+  }
 }

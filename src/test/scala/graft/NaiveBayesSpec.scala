@@ -209,6 +209,61 @@ class NaiveBayesSpec extends AnyFunSuite {
       .collect().sorted.toSeq === want)
   }
 
+  test("maintainGramCounts == full recount over the post-delta corpus, " +
+      "including a doc added AND retracted in one delta; " +
+      "retract-to-zero rows drop") {
+    val base = Seq((0L, "en", "abcd"), (2L, "en", "abab"),
+      (4L, "fr", "xyzw")).toDF("doc_id", "lang", "text")
+    val state = NaiveBayes.trainGramCounts(base, "text", "lang")
+    // delta: add doc 6, retract doc 4 (zeroes every fr gram), and a doc
+    // that is added and retracted in the same batch (must cancel)
+    val delta = Seq(
+      (6L, "en", "bcde", 1), (4L, "fr", "xyzw", -1),
+      (8L, "en", "qqqq", 1), (8L, "en", "qqqq", -1)
+    ).toDF("doc_id", "lang", "text", "__op")
+    val maintained = NaiveBayes.maintainGramCounts(state, delta,
+        "text", "lang", "__op")
+      .orderBy("lang", "g").as[(String, String, Long)].collect().toSeq
+    val post = Seq((0L, "en", "abcd"), (2L, "en", "abab"),
+      (6L, "en", "bcde")).toDF("doc_id", "lang", "text")
+    val want = NaiveBayes.trainGramCounts(post, "text", "lang")
+      .orderBy("lang", "g").as[(String, String, Long)].collect().toSeq
+    assert(maintained === want)
+    assert(!maintained.exists(_._1 == "fr")) // retracted to zero -> gone
+    assert(!maintained.exists(_._2.contains("q"))) // add+retract cancels
+  }
+
+  test("refresh loop: classify against the maintained-counts model == " +
+      "classify against a model trained from scratch on the " +
+      "post-delta corpus") {
+    val base = train.toDF("doc_id", "lang", "text")
+    val adds = Seq((10L, "de", "die katze schlaeft auf dem teppich"),
+      (12L, "en", "the dog and the cat sleep"))
+    val delta = adds.map { case (id, l, t) => (id, l, t, 1) }
+      .++(Seq((8L, "de",
+        "der hund und die katze schlafen auf dem teppich", -1)))
+      .toDF("doc_id", "lang", "text", "__op")
+    val post = (train.filterNot(_._1 == 8L) ++ adds)
+      .toDF("doc_id", "lang", "text")
+    val probe = Seq((1L, "de", "die katze und der teppich"),
+      (3L, "en", "the cat and the dog"),
+      (5L, "fr", "le chat et le chien")).toDF("doc_id", "lang", "text")
+    val refreshed = NaiveBayes.nbcModelFromCounts(
+      NaiveBayes.maintainGramCounts(
+        NaiveBayes.trainGramCounts(base, "text", "lang"),
+        delta, "text", "lang", "__op"),
+      NaiveBayes.maintainClassDocCounts(
+        base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+        delta, "lang", "__op"))
+    val scratch = NaiveBayes.nbcTrain(post, "text", "lang")
+    val a = NaiveBayes.nbcScore(probe, "text", "doc_id", "lang",
+        refreshed)
+      .orderBy("doc_id").as[(Long, String, String, Long)].collect().toSeq
+    val b = NaiveBayes.nbcScore(probe, "text", "doc_id", "lang", scratch)
+      .orderBy("doc_id").as[(Long, String, String, Long)].collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("argmax tie-break is (score DESC, lang ASC): symmetric classes " +
       "tie and the lexicographically smaller wins") {
     // two classes with mirrored counts and equal priors; a batch doc

@@ -125,4 +125,48 @@ class StreamingCountMaintenanceSpec extends AnyFunSuite {
     assert(stored(s"$root/state") ===
       counts(Seq(d1, d3).toDF("doc_id", "text")))
   }
+
+  test("classifier variant: sliced labeled changelog equals the batch " +
+      "recount over the net corpus, and replay does not double-count") {
+    import graft.operators.NaiveBayes
+    val root = Files.createTempDirectory("graft-scm-nbc").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    def gc(rows: Seq[(Long, String, String)]): Map[(String, String), Long] =
+      NaiveBayes.trainGramCounts(rows.toDF("doc_id", "lang", "text"),
+          "text", "lang")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    def st(): Map[(String, String), Long] =
+      new AtomicTable(spark, s"$root/state")
+        .read(StreamingCountMaintenance.classifierStateSchema)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val e1 = (1L, "en", "the cat sat here")
+    val e2 = (2L, "fr", "le chat est la")
+    val e3 = (3L, "en", "a dog ran home")
+    def w(name: String, rows: Seq[(Long, String, String, Int)]): Unit =
+      Files.writeString(Paths.get(s"$inDir/$name.json"),
+        rows.map { case (id, l, t, op) =>
+          s"""{"doc_id":$id,"lang":"$l","text":"$t","op":$op}""" }
+          .mkString("\n"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING, op INT").json(inDir)
+    val q = StreamingCountMaintenance.startClassifier(stream, "text",
+      "lang", "op", s"$root/state", s"$root/ckpt")
+    try {
+      w("b0", Seq((e1._1, e1._2, e1._3, 1), (e2._1, e2._2, e2._3, 1)))
+      q.processAllAvailable()
+      assert(st() === gc(Seq(e1, e2)))
+      w("b1", Seq((e3._1, e3._2, e3._3, 1), (e2._1, e2._2, e2._3, -1)))
+      q.processAllAvailable()
+      assert(st() === gc(Seq(e1, e3)))
+    } finally q.stop()
+    // replay of the last batch against its versioned pre-image: same
+    // result, no double-count (the additive-fold crash contract)
+    val table = new AtomicTable(spark, s"$root/state")
+    StreamingCountMaintenance.applyClassifierBatch(table,
+      Seq((e3._1, e3._2, e3._3, 1), (e2._1, e2._2, e2._3, -1))
+        .toDF("doc_id", "lang", "text", "op"), 1L, "text", "lang", "op")
+    assert(st() === gc(Seq(e1, e3)))
+  }
 }
