@@ -1765,17 +1765,27 @@ object SparkEntry {
     // certifies.
     "chargram_langid" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), lower(col("text")).as("tx"),
-          TextAnalysis.hashSplit(col("text")).as("sp"))
+      // input-split rebalance BEFORE the explode (single-row-group
+      // corpus file would serialize both gram explodes into one task —
+      // the shingleStream lesson, measured round 13: the ~5 s standing
+      // bench slot drops to ~1.0 s warm together with the codegen'd
+      // position-explode form below, which replaces the interpreted
+      // transform-lambda per-gram work)
+      val d = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("tx"),
+            TextAnalysis.hashSplit(col("text")).as("sp")),
+        col("doc_id"))
       // NOT checkpointed (measured round 8): the split filter pushes
       // below the explode, so each side already explodes only its own
       // docs — materializing the full 2.5M-row gram stream costs more
       // than the duplicate plan it would save (4.5 → 5.5 s).
       val grams = d.select(col("doc_id"), col("lang"), col("sp"),
-        explode(expr("CASE WHEN length(tx) < 3 THEN array() " +
-          "ELSE transform(sequence(1, length(tx) - 2), " +
-          "i -> substring(tx, i, 3)) END")).as("g"))
+          col("tx"),
+          explode(expr("CASE WHEN length(tx) < 3 THEN array() " +
+            "ELSE sequence(1, length(tx) - 2) END")).as("__p"))
+        .select(col("doc_id"), col("lang"), col("sp"),
+          expr("substring(tx, __p, 3)").as("g"))
       val profiles = grams.filter(col("sp") === "train")
         .groupBy(col("lang").as("plang"), col("g"))
         .agg(count(lit(1)).as("c"))

@@ -56,14 +56,30 @@ object NaiveBayes {
 
   /** Lower-cased character-trigram stream with multiplicity: one row per
     * gram occurrence, `keep` columns carried through. Documents shorter
-    * than 3 chars emit nothing (same contract as the chargram family). */
+    * than 3 chars emit nothing (same contract as the chargram family).
+    *
+    * Deliberately NOT the array-lambda formulation
+    * (`transform(sequence, i -> substring)`): higher-order-function
+    * lambdas run interpreted (outside whole-stage codegen — the measured
+    * 60× case in [[Dedup.shingleInv]]'s scaladoc). Exploding the bare
+    * POSITION sequence and slicing with a plain `substring(tx, p, 3)`
+    * projection keeps the per-gram work codegen'd, and the exploded
+    * array holds ints, not string copies. */
   private def gramStream(df: DataFrame, textCol: String,
       keep: Seq[String]): DataFrame =
-    df.select(keep.map(col) :+ lower(col(textCol)).as("__tx"): _*)
-      .select(keep.map(col) :+ explode(expr(
+    // input-split rebalance BEFORE the explode (the shingleStream
+    // lesson): a single-row-group corpus file would serialize the whole
+    // explode into one task. Keyed on the text itself — always
+    // high-cardinality, where a label/class key would collapse to
+    // |classes| partitions.
+    Transforms.rebalanceIfNarrow(
+        df.select(keep.map(col) :+ lower(col(textCol)).as("__tx"): _*),
+        col("__tx"))
+      .select(keep.map(col) :+ col("__tx") :+ explode(expr(
         "CASE WHEN length(__tx) < 3 THEN array() " +
-          "ELSE transform(sequence(1, length(__tx) - 2), " +
-          "i -> substring(__tx, i, 3)) END")).as("g"): _*)
+          "ELSE sequence(1, length(__tx) - 2) END")).as("__p"): _*)
+      .select(keep.map(col) :+
+        expr("substring(__tx, __p, 3)").as("g"): _*)
 
   /** Fit the model on a labeled corpus — three aggregates over one gram
     * stream (per-(class, gram) counts; class totals and the joint vocab

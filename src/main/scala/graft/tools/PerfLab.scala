@@ -154,6 +154,30 @@ object PerfLab {
           count(lit(1)).as("n_pairs"),
           countDistinct(col("a")).as("n_sources"))
       }),
+      // nbc_refresh stage isolation
+      "nbc_state" -> ((s, dir) =>
+        graft.operators.NaiveBayes.trainGramCounts(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 3 < 2), "text", "lang")),
+      "nbc_maint" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val base = docs.filter(col("doc_id") % 3 < 2)
+        val delta = docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("__op", lit(1))
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .withColumn("__op", lit(-1)))
+        graft.operators.NaiveBayes.maintainGramCounts(
+          graft.operators.NaiveBayes.trainGramCounts(base, "text",
+            "lang"),
+          delta, "text", "lang", "__op")
+      }),
+      "nbc_classify_only" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.operators.NaiveBayes.nbcScore(
+          docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", "lang",
+          graft.operators.NaiveBayes.nbcTrain(
+            docs.filter(col("doc_id") % 3 < 2), "text", "lang"))
+      }),
       "decont_ckpt" -> ((s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val split = graft.operators.TextAnalysis.hashSplit(col("text"))
