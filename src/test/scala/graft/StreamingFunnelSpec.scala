@@ -282,4 +282,135 @@ class StreamingFunnelSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(streamed === batchRows)
   }
+
+  // ------------------------------------------------------------------
+  // The CCNet front door added: lang_gate (frozen trained classifier)
+  // BEFORE the LM gate — the full production shape (Wenzek et al. 2020
+  // routes every crawl doc through a pretrained lang-id model first).
+  // Both frozen artifacts ride ONE SnapshotStore; every stage boundary
+  // stays observable and batch≡stream.
+  // ------------------------------------------------------------------
+
+  test("five-stage chain with the classifier front door: normalize → " +
+      "lang_gate → line_dedup twin → frozen lm gate → mixture; every " +
+      "stage eats rows, streaming equals batch stage by stage") {
+    import graft.operators.NaiveBayes
+    // gate-model training corpora: en/de real text; 'fr' is the junk
+    // alphabet, so zzq-style noise docs PREDICT fr and die at the door
+    val nbcTrainDocs = Seq(
+      (100L, "en", "the cat sat on the mat and slept all day long"),
+      (102L, "en", "a dog ran over the hill and far away it went"),
+      (104L, "en", "we walked to the market and bought fresh bread"),
+      (106L, "de", "der hund und die katze schlafen auf dem teppich"),
+      (108L, "de", "die katze sitzt auf der matte und schlaeft jetzt"),
+      (110L, "fr", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq"),
+      (112L, "fr", "qqz wwz vvz uuz ttz ssz rrz zzz ppz ooz")
+    ).toDF("doc_id", "lang", "text")
+    val lmTrain = Seq(
+      (0L, "the cat sat on the mat and then the cat slept"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (4L, "a dog ran over the hill and far away it went"),
+      (6L, "the cat sat on the mat again and again and again"),
+      (8L, "der hund und die katze schlafen auf dem teppich hier")
+    ).toDF("doc_id", "text")
+    val storeDir = Files.createTempDirectory("graft-ccnet").toString
+    val store = new graft.state.SnapshotStore(spark, storeDir)
+    NaiveBayes.nbcStoreModel(nbcTrainDocs, "text", "lang", store, "nbc")
+    TextAnalysis.kn3StoreModel(lmTrain, "text", "doc_id", store, "lm")
+
+    // corpus: doc 11 is english-charactered but OOV to the LM (only the
+    // lm gate can drop it); docs 5/10 are junk-alphabet (the classifier
+    // drops them); doc 6 is all boilerplate (line_dedup drops it);
+    // doc 9 is fr-LABELED (the mixture whitelist drops it at the end)
+    val docs = (mixDocs ++ Seq(
+      (11L, "purple monkey dishwasher quantum banana helicopter", "en")))
+      .toDF("doc_id", "text", "lang")
+    val rates = mixRates.map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    val chainJson =
+      s"""{"name": "ccnet_chain", "steps": [
+         |  {"op": "normalize", "col": "text"},
+         |  {"op": "lang_gate", "text": "text", "id": "doc_id",
+         |   "model_dir": "$storeDir", "model": "nbc",
+         |   "keep": ["de", "en"]},
+         |  {"op": "line_dedup", "text": "text", "id": "doc_id",
+         |   "width": $mixWidth, "max_doc_freq": 1},
+         |  {"op": "lm_apply", "text": "text", "id": "doc_id",
+         |   "model_dir": "$storeDir", "min_lp_permille": $mixFloor},
+         |  {"op": "mixture_resample", "id": "doc_id", "strata": "lang",
+         |   "rate_ppm": { $rates }} ] }""".stripMargin
+
+    // batch truth through the declared chain
+    val (survivors, batchStages) = SpecLoader.funnelFromJson(chainJson,
+      docs)
+    val want = Seq((0, "input", batchStages.head._3)) ++
+      batchStages.map { case (i, op, _, out) => (i, op, out) }
+
+    // streaming: same JSON for the stateless stage, twins for the rest
+    val frozenNbc = NaiveBayes.nbcFreeze(
+      NaiveBayes.nbcReadModel(store, "nbc"))
+    val frozenLm = TextAnalysis.kn3Freeze(
+      TextAnalysis.kn3ReadModel(store, "lm"))
+    val parsed = SpecLoader.stagesFromJson(chainJson)
+    assert(parsed.map(_._1) === Seq("normalize", "lang_gate",
+      "line_dedup", "lm_apply", "mixture_resample"))
+    val stages = Seq(
+      parsed.head,
+      ("lang_gate", (d: DataFrame) => graft.streaming
+        .StreamingClassifierGate.gate(d, "text", frozenNbc,
+          Set("de", "en"))),
+      ("line_dedup", (d: DataFrame) => graft.streaming
+        .StatefulDocLineDedup.stage(d, "text", "doc_id", mixWidth, 1)),
+      ("lm_apply", (d: DataFrame) => graft.streaming.StreamingLmGate
+        .gate(d, "text", frozenLm, mixFloor)),
+      ("mixture_resample", (d: DataFrame) => TextAnalysis
+        .mixtureApplyRatesPpm(d, col("lang"), col("doc_id"), mixRates)))
+
+    val root = Files.createTempDirectory("graft-ccnetchain").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING").json(inDir)
+    val observed = StreamingFunnel.observed(stream, stages)
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = observed.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("ccnet_chain").start()
+    val got = try {
+      Files.writeString(Paths.get(s"$inDir/b0.json"),
+        docs.toJSON.collect().mkString("\n"))
+      q.processAllAvailable()
+      StreamingFunnel.funnel(q.recentProgress.toSeq)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    assert(got === want)
+    // every stage boundary eats rows — the fixture exercises each gate
+    val byOp = want.map(t => t._2 -> t._3).toMap
+    assert(byOp("lang_gate") < byOp("normalize"),
+      "the classifier front door must drop the junk-alphabet docs")
+    assert(byOp("line_dedup") < byOp("lang_gate"),
+      "line_dedup must drop the all-boilerplate doc")
+    assert(byOp("lm_apply") < byOp("line_dedup"),
+      "the frozen LM gate must drop the english-charactered OOV doc")
+    assert(byOp("mixture_resample") < byOp("lm_apply"),
+      "the mixture whitelist must drop fr and sample en")
+    // the two drop mechanisms hit DIFFERENT docs: junk (5, 10) dies at
+    // the classifier, the OOV-but-english doc 11 only at the LM gate
+    val kept = survivors.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(5L) && !kept.contains(10L) &&
+      !kept.contains(11L) && !kept.contains(6L) && !kept.contains(9L))
+    val streamed = spark.table("ccnet_chain")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === survivors.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq)
+  }
 }
