@@ -163,4 +163,45 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(between.count(_._3 === -1L) === 2) // the two early facts
     assert(asof === between)
   }
+
+  test("property: SCD2 as-of lookup equals the validity-BETWEEN join " +
+      "on random version chains (duplicate days, deep chains, sparse " +
+      "facts)") {
+    import graft.operators.{AsofJoin, Transforms}
+    val rnd = new scala.util.Random(77L)
+    for (round <- 1 to 3) {
+      // up to 8 customers, chains up to 12 versions with REPEATED days
+      val src = (0 until 40).map { i =>
+        val k = 1L + rnd.nextInt(8)
+        val day = f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d"
+        (k, 1000L + i, day, rnd.nextInt(1000).toLong)
+      }.toDF("k", "ok", "od", "pc")
+      val dim = Transforms.scdType2(src, Seq(col("k")),
+          Seq(col("od"), col("ok")), col("od"))
+        .select(col("k"), col("eff_from"),
+          coalesce(col("eff_to"), lit("9999-12-31")).as("eff_to"),
+          col("is_current"))
+      val facts = (0 until 60).map { i =>
+        val k = 1L + rnd.nextInt(10) // some customers have no versions
+        val day = f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d"
+        (i.toLong, k, day)
+      }.toDF("fid", "k", "ship")
+      val between = facts.join(dim,
+          facts("k") === dim("k") && col("ship") >= col("eff_from") &&
+            col("ship") < col("eff_to"), "left")
+        .select(col("fid"), coalesce(col("is_current"), lit(-1L)).as("vs"))
+        .orderBy("fid").as[(Long, Long)].collect().toSeq
+      val asof = AsofJoin.asof(
+          facts.withColumnRenamed("ship", "ship_od"),
+          dim.withColumnRenamed("eff_from", "ship_od"), "k", "ship_od",
+          payloadCols = Seq("is_current"),
+          rightTieBreak = Seq("eff_to"))
+        .select(col("fid"),
+          coalesce(col("asof_is_current"), lit(-1L)).as("vs"))
+        .orderBy("fid").as[(Long, Long)].collect().toSeq
+      assert(between.size === 60, s"BETWEEN must match at most one " +
+        s"version per fact (round $round)") // contiguity sanity
+      assert(asof === between, s"divergence on random round $round")
+    }
+  }
 }

@@ -236,6 +236,66 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("scd2_lookup: probe is the as-of union-window — no " +
+      "BETWEEN-residual join between facts and versions") {
+    val plan = finalPlan(q("scd2_lookup"))
+    // the version probe must be the Window pass, so the only joins left
+    // are the fact↔orders FK equi-joins; a join carrying the validity
+    // range predicate means the rewrite regressed
+    assert(plan.contains("Window"), plan)
+    val rangeJoins = plan.linesIterator.count(l =>
+      l.contains("Join") && l.contains("eff_to"))
+    assert(rangeJoins == 0,
+      s"scd2_lookup regressed to the BETWEEN-residual probe:\n$plan")
+  }
+
+  test("temporal_reach: closing aggregate rides the pair grid — no " +
+      "Expand from countDistinct over the raw path stream") {
+    val plan = finalPlan(q("temporal_reach"))
+    assert(!plan.contains("Expand"),
+      s"temporal_reach re-grew the distinct Expand:\n$plan")
+  }
+
+  test("chargram_langid / nbc gram streams: rebalance exchange feeds " +
+      "the explode, no interpreted transform-lambda per gram") {
+    for (name <- Seq("chargram_langid", "nbc_counts_ivm")) {
+      val plan = finalPlan(q(name))
+      assert(plan.contains("Generate explode"), s"$name lost explode")
+      // the interpreted formulation shows up as a lambdafunction over
+      // transform(...) in the projection
+      assert(!plan.contains("lambdafunction"),
+        s"$name re-grew the interpreted gram lambda:\n$plan")
+      assert(plan.contains("REPARTITION_BY_NUM_PARTITIONS") ||
+        plan.contains("RoundRobinPartitioning") ||
+        plan.contains("hashpartitioning"),
+        s"$name lost the narrow-input rebalance:\n$plan")
+    }
+  }
+
+  test("nbc_apply scoring joins: class table broadcasts, argmax window " +
+      "is doc-partitioned (never global), no nested loop") {
+    // the memoized query checkpoints; pin the LIVE scoring shape instead
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = graft.operators.NaiveBayes.nbcTrain(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+    val plan = finalPlan(graft.operators.NaiveBayes.nbcScore(
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", "lang", m))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the ONLY nested loops allowed are the 1-row corpus (v, d) scalar
+    // and ≤|langs|-row class-table crosses, re-appearing across the
+    // plan's reuse branches (the PLANS.md family-1 pattern, classified
+    // at 5 for nbc_refresh); the corpus-side gram join must stay a
+    // hash join, and every cross must be a BuildRight broadcast
+    val bnljLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.size <= 5,
+      s"nbc scoring grew ${bnljLines.size} nested loops (5 classified):\n$plan")
+    assert(bnljLines.forall(l => l.contains("BuildRight") &&
+      l.contains("Cross")), s"non-cross nested loop:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("doc_id")), s"argmax window lost its partition:\n$plan")
+  }
+
   test("triangle_count: bounded edge set broadcasts, never nested-loop") {
     val plan = finalPlan(q("triangle_count"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
