@@ -329,6 +329,12 @@ object SparkEntry {
     * discipline). */
   private val KnApplySplit = 2
 
+  /** `quality_margin`'s curated-tier proxy: the source whitelist whose
+    * docs train the `hq` class — defined once, generated into the
+    * oracle's CASE (one-definition discipline). */
+  private val QualityHqSources: Seq[String] =
+    (0 to 4).map(i => s"src$i")
+
   /** Frozen-model LM scoring (`kn_apply`): ONE train + persist + reload
     * + score pass per (session, dir). The train half builds the pruned
     * trigram-KN model ([[TextAnalysis.kn3Model]]), its six tables are
@@ -2357,6 +2363,35 @@ object SparkEntry {
       graft.operators.NaiveBayes.nbcScore(
         docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", "lang",
         model)
+    }),
+
+    // classifier-based data selection (the GPT-3 quality-filter recipe,
+    // Brown et al. 2020 App. A: train a curated-vs-crawl classifier,
+    // score every crawl doc, select by score): a binary hq/lq model
+    // trained on the even-id half with a SOURCE-whitelist proxy label,
+    // then the held-out half scored by [[NaiveBayes.nbcMargins]] — the
+    // per-doc top-class LEAD in micro-nats, signed toward hq — and
+    // rolled up per source: which sources look most like the curated
+    // tier. Σ signed margin = Σ (score_hq − score_lq), pure integers.
+    "quality_margin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = when(col("source").isin(QualityHqSources: _*),
+        lit("hq")).otherwise(lit("lq"))
+      val m = graft.operators.NaiveBayes.nbcTrain(
+        docs.filter(col("doc_id") % KnApplySplit === 0)
+          .select(col("doc_id"), lab.as("qlab"), col("text")),
+        "text", "qlab")
+      graft.operators.NaiveBayes.nbcMargins(
+          docs.filter(col("doc_id") % KnApplySplit === 1), "text",
+          "doc_id", m)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === "hq", 1L).otherwise(0L))
+            .as("n_hq"),
+          sum(when(col("pred_lang") === "hq", col("margin_micros"))
+            .otherwise(-col("margin_micros")))
+            .as("signed_margin_sum"))
     }),
 
     // incremental n-gram count maintenance: the stored trigram-count
@@ -10234,6 +10269,66 @@ object SparkEntry {
         |SELECT doc_id, true_lang AS lang, cand AS pred_lang,
         |  CAST(score AS BIGINT) AS score_micros
         |FROM pred WHERE rk = 1""".stripMargin,
+
+    // quality-selection replay: the binary nbc grid pivoted per doc —
+    // signed margin = score(hq) − score(lq) exactly (every quantity an
+    // integer after the per-TYPE ln quantization), per-source rollup;
+    // hq wins score ties (the lang ASC tie-break: 'hq' < 'lq').
+    // HQ-source whitelist generated from the shared Scala constant.
+    "quality_margin" ->
+      """WITH lab AS (SELECT doc_id, source,
+        |    CASE WHEN source IN (HQLIST) THEN 'hq' ELSE 'lq' END AS ql,
+        |    lower(text) AS tx FROM documents),
+        |tr AS (SELECT doc_id, ql, tx FROM lab WHERE doc_id % SPLIT = 0),
+        |ap AS (SELECT doc_id, source, tx FROM lab
+        |  WHERE doc_id % SPLIT = 1),
+        |tg AS (SELECT ql, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM tr),
+        |gc AS (SELECT ql, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        |nd AS (SELECT ql, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM tr GROUP BY 1),
+        |nt AS (SELECT ql, CAST(SUM(c) AS BIGINT) AS n_tok
+        |  FROM gc GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT g) AS v FROM gc),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM tr),
+        |cl AS (SELECT nd.ql, COALESCE(nt.n_tok, 0) AS n_tok, vv.v,
+        |    CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+        |      / CAST(dd.d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      AS prior_micro,
+        |    CAST(round(ln(1.0 / CAST(COALESCE(nt.n_tok, 0) + vv.v
+        |      AS DOUBLE)) * 1000000, 0) AS BIGINT) AS floor_micro
+        |  FROM nd LEFT JOIN nt USING (ql), vv, dd),
+        |lp AS (SELECT gc.ql, gc.g,
+        |    CAST(round(ln(CAST(gc.c + 1 AS DOUBLE)
+        |      / CAST(cl.n_tok + cl.v AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) - cl.floor_micro AS dlp_micro
+        |  FROM gc JOIN cl USING (ql)),
+        |atg AS (SELECT doc_id, unnest([substr(tx, i, 3)
+        |    for i in range(1, greatest(len(tx) - 1, 1))]) AS g FROM ap),
+        |atc AS (SELECT doc_id, g, COUNT(*) AS tc FROM atg GROUP BY 1, 2),
+        |att AS (SELECT ap.doc_id, CAST(COALESCE(s.t, 0) AS BIGINT) AS t
+        |  FROM ap LEFT JOIN (SELECT doc_id, SUM(tc) AS t FROM atc
+        |    GROUP BY 1) s USING (doc_id)),
+        |m AS (SELECT atc.doc_id, lp.ql,
+        |    CAST(SUM(atc.tc * lp.dlp_micro) AS BIGINT) AS msum
+        |  FROM atc JOIN lp USING (g) GROUP BY 1, 2),
+        |grid AS (SELECT ap.doc_id, ap.source, cl.ql,
+        |    cl.prior_micro + att.t * cl.floor_micro
+        |      + COALESCE(m.msum, 0) AS score
+        |  FROM ap JOIN att USING (doc_id) CROSS JOIN cl
+        |  LEFT JOIN m ON m.doc_id = ap.doc_id AND m.ql = cl.ql),
+        |sc AS (SELECT doc_id, ANY_VALUE(source) AS source,
+        |    MAX(CASE WHEN ql = 'hq' THEN score END) AS sh,
+        |    MAX(CASE WHEN ql = 'lq' THEN score END) AS sl
+        |  FROM grid GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN sh >= sl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hq,
+        |  CAST(SUM(sh - sl) AS BIGINT) AS signed_margin_sum
+        |FROM sc GROUP BY 1""".stripMargin
+        .replace("SPLIT", KnApplySplit.toString)
+        .replace("HQLIST",
+          QualityHqSources.map(s => s"'$s'").mkString(", ")),
 
     // IVM-maintenance replay: the oracle never sees the delta algebra —
     // it recomputes the trigram-count table FROM SCRATCH over the

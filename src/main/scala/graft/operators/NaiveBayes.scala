@@ -169,6 +169,22 @@ object NaiveBayes {
     * null text) classify on the prior alone — they still emit a row. */
   def nbcClassify(batch: DataFrame, textCol: String, idCol: String,
       m: NbcModel, carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.zipWithIndex.map { case (c, i) => (c, s"__carry_$i") }
+    val grid = scoreGrid(batch, textCol, idCol, m, carry)
+    grid.withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id").as(idCol) +:
+        cs.map { case (c, a) => col(a).as(c) } :+
+        col("lang").as("pred_lang") :+
+        col("score").cast("long").as("score_micros"): _*)
+  }
+
+  /** The doc × class score grid (doc_id, __carry_i..., lang, score) —
+    * the shared core of [[nbcClassify]] (argmax) and [[nbcMargins]]
+    * (top-2 pivot). */
+  private def scoreGrid(batch: DataFrame, textCol: String, idCol: String,
+      m: NbcModel, carry: Seq[String]): DataFrame = {
     val cl = classSide(m)
     // per-(lang, gram) matched-vs-floor delta, ln quantized per TYPE
     val lp = m.grams.join(broadcast(cl), Seq("lang"))
@@ -205,13 +221,32 @@ object NaiveBayes {
       .select(col("doc_id") +: cs.map(p => col(p._2)) :+ col("lang") :+
         (col("prior_micro") + col("t") * col("floor_micro") +
           coalesce(col("msum"), lit(0L))).as("score"): _*)
+    grid
+  }
+
+  /** Per-doc decision MARGIN over a model: the top class and its lead
+    * over the runner-up in integer micro-nats —
+    * (idCol, pred_lang, margin_micros). The margin is the selection
+    * signal the classifier-based quality filter thresholds (the GPT-3
+    * recipe scores crawl docs with a curated-vs-crawl classifier and
+    * keeps by score, Brown et al. 2020 App. A; fastText ships the same
+    * posterior gap). Same grid as [[nbcClassify]] closed with a rank ≤ 2
+    * window (doc-partitioned, ≤|langs| rows per frame) and a per-doc
+    * integer pivot; single-class models emit margin 0. */
+  def nbcMargins(batch: DataFrame, textCol: String, idCol: String,
+      m: NbcModel): DataFrame = {
+    val grid = scoreGrid(batch, textCol, idCol, m, Nil)
     grid.withColumn("rk", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("lang").asc)))
-      .filter(col("rk") === 1)
-      .select(col("doc_id").as(idCol) +:
-        cs.map { case (c, a) => col(a).as(c) } :+
-        col("lang").as("pred_lang") :+
-        col("score").cast("long").as("score_micros"): _*)
+      .filter(col("rk") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("rk") === 1, col("lang"))).as("pred_lang"),
+        (max(when(col("rk") === 1, col("score")))
+          - coalesce(max(when(col("rk") === 2, col("score"))),
+            max(when(col("rk") === 1, col("score")))))
+          .cast("long").as("margin_micros"))
+      .select(col("doc_id").as(idCol), col("pred_lang"),
+        col("margin_micros"))
   }
 
   /** [[nbcClassify]] carrying the true label through — the evaluation

@@ -23,10 +23,12 @@ class NaiveBayesSpec extends AnyFunSuite {
     .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** From-first-principles local scorer: exactly the operator's math,
-    * none of its distribution. */
-  private def localScore(train: Seq[(Long, String, String)],
+    * none of its distribution. Returns the FULL per-class score list
+    * per doc (lang-ascending); [[localScore]]/[[localMargins]] close
+    * over it. */
+  private def localGrid(train: Seq[(Long, String, String)],
       batch: Seq[(Long, String, String)])
-      : Seq[(Long, String, String, Long)] = {
+      : Seq[(Long, String, Seq[(String, Long)])] = {
     def grams(t: String): Seq[String] = {
       val tx = t.toLowerCase
       if (tx.length < 3) Seq.empty
@@ -57,10 +59,27 @@ class NaiveBayesSpec extends AnyFunSuite {
         val msum = gs.map(g => lp.getOrElse(g, 0L)).sum
         l -> (prior + gs.size * floor + msum)
       }
-      val (pl, sc) = scored.sortBy { case (l, s) => (-s, l) }.head
-      (id, trueLang, pl, sc)
+      (id, trueLang, scored)
     }
   }
+
+  private def localScore(train: Seq[(Long, String, String)],
+      batch: Seq[(Long, String, String)])
+      : Seq[(Long, String, String, Long)] =
+    localGrid(train, batch).map { case (id, tl, scored) =>
+      val (pl, sc) = scored.sortBy { case (l, s) => (-s, l) }.head
+      (id, tl, pl, sc)
+    }
+
+  private def localMargins(train: Seq[(Long, String, String)],
+      batch: Seq[(Long, String, String)])
+      : Seq[(Long, String, Long)] =
+    localGrid(train, batch).map { case (id, _, scored) =>
+      val ranked = scored.sortBy { case (l, s) => (-s, l) }
+      val margin = if (ranked.size < 2) 0L
+        else ranked.head._2 - ranked(1)._2
+      (id, ranked.head._1, margin)
+    }
 
   private val train = Seq(
     (0L, "en", "the cat sat on the mat and then the cat slept"),
@@ -207,6 +226,36 @@ class NaiveBayesSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("nbc_gate").select("doc_id").as[Long]
       .collect().sorted.toSeq === want)
+  }
+
+  test("nbcMargins == local top-2 reference (hand corpus + random " +
+      "rounds); margin is the argmax's lead and never negative") {
+    val m = NaiveBayes.nbcTrain(
+      train.toDF("doc_id", "lang", "text"), "text", "lang")
+    val got = NaiveBayes.nbcMargins(
+        batch.toDF("doc_id", "lang", "text"), "text", "doc_id", m)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === localMargins(train, batch))
+    assert(got.forall(_._3 >= 0L))
+    // the margin's top class agrees with nbcClassify's argmax
+    val preds = localScore(train, batch).map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (id, pl, _) => preds(id) == pl })
+    val rnd = new scala.util.Random(31L)
+    val alphabets = Map("aa" -> "abcde ", "bb" -> "fghij ")
+    val langs = alphabets.keys.toSeq.sorted
+    def doc(lang: String, id: Long): (Long, String, String) = {
+      val a = alphabets(lang)
+      (id, lang,
+        Seq.fill(rnd.nextInt(30))(a(rnd.nextInt(a.length))).mkString)
+    }
+    val tr = (0 until 20).map(i => doc(langs(rnd.nextInt(2)), i * 2L))
+    val ba = (0 until 10).map(i => doc(langs(rnd.nextInt(2)), i * 2L + 1))
+    val m2 = NaiveBayes.nbcTrain(tr.toDF("doc_id", "lang", "text"),
+      "text", "lang")
+    assert(NaiveBayes.nbcMargins(ba.toDF("doc_id", "lang", "text"),
+        "text", "doc_id", m2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      === localMargins(tr, ba))
   }
 
   test("maintainGramCounts == full recount over the post-delta corpus, " +
