@@ -257,6 +257,23 @@ object NaiveBayes {
       .select(col(idCol), col(labelCol), col("pred_lang"),
         col("score_micros"))
 
+  /** Margin-threshold selection gate: keep the rows of `df` whose
+    * predicted class IS `keepClass` with a decision margin of at least
+    * `minMarginMicros` — the GPT-3 quality filter as a declarable cut
+    * (the recipe keeps crawl docs the curated-vs-crawl classifier
+    * scores CONFIDENTLY curated; a bare argmax keeps half the noise
+    * floor). One [[nbcMargins]] pass + a left-semi join back on the
+    * id. */
+  def nbcMarginGate(df: DataFrame, textCol: String, idCol: String,
+      m: NbcModel, keepClass: String,
+      minMarginMicros: Long): DataFrame =
+    df.join(
+      nbcMargins(df, textCol, idCol, m)
+        .filter(col("pred_lang") === keepClass &&
+          col("margin_micros") >= minMarginMicros)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Frozen-classifier gate: keep the rows of `df` whose PREDICTED
     * class is in `keep` — the production CCNet shape (a pretrained
     * fastText-style lang-id model routes every crawl doc before the LM
@@ -323,12 +340,30 @@ object NaiveBayes {
     * (score DESC, lang ASC) argmax. Null/short text classifies on the
     * prior alone, exactly like the distributed path. */
   def nbcClassifyLocal(text: String,
-      m: NbcFrozenModel): (String, Long) = {
+      m: NbcFrozenModel): (String, Long) =
+    localTop2(text, m) match { case (top, _) => top }
+
+  /** Single-document local MARGIN — bit-identical to [[nbcMargins]]:
+    * (top class, its lead over the runner-up in micro-nats; 0 for a
+    * single-class model). */
+  def nbcMarginLocal(text: String,
+      m: NbcFrozenModel): (String, Long) =
+    localTop2(text, m) match {
+      case ((top, s1), second) =>
+        (top, second.map(s1 - _._2).getOrElse(0L))
+    }
+
+  /** The shared lang-ascending best/second walk (the argmax tie-break
+    * is (score DESC, lang ASC), so strictly-greater replacement over
+    * the sorted class list reproduces it exactly). */
+  private def localTop2(text: String, m: NbcFrozenModel)
+      : ((String, Long), Option[(String, Long)]) = {
     require(m.classes.nonEmpty, "frozen model has no classes")
     val tx = if (text == null) ""
       else text.toLowerCase(java.util.Locale.ROOT)
     val n = math.max(tx.length - 2, 0)
     var best: (String, Long) = null
+    var second: (String, Long) = null
     m.classes.foreach { case (lang, prior, floor) =>
       var s = prior + n.toLong * floor
       var i = 0
@@ -336,9 +371,13 @@ object NaiveBayes {
         s += m.dlp.getOrElse((lang, tx.substring(i, i + 3)), 0L)
         i += 1
       }
-      if (best == null || s > best._2) best = (lang, s)
+      if (best == null || s > best._2) {
+        second = best; best = (lang, s)
+      } else if (second == null || s > second._2) {
+        second = (lang, s)
+      }
     }
-    best
+    (best, Option(second))
   }
 
   private val NbcTableNames = Seq("grams", "classes", "corpus")

@@ -433,6 +433,25 @@ object SpecLoader {
           graft.operators.NaiveBayes.nbcReadModel(
             new graft.state.SnapshotStore(df.sparkSession, dir), prefix),
           keep)
+      case "margin_gate" =>
+        // classifier-confidence selection (the GPT-3 quality-filter cut,
+        // Brown et al. 2020 App. A): keep rows the STORED binary
+        // classifier assigns to `keep_class` with a decision margin of
+        // at least `min_margin_micros`
+        // ([[graft.operators.NaiveBayes.nbcMarginGate]]). The streaming
+        // twin is [[graft.streaming.StreamingClassifierGate.marginGate]]
+        // over the same artifact.
+        val c = (v \ "text").extract[String]
+        val id = (v \ "id").extract[String]
+        val dir = (v \ "model_dir").extract[String]
+        val prefix = (v \ "model").extractOpt[String].getOrElse("nbc")
+        val keepClass = (v \ "keep_class").extract[String]
+        val minMargin = (v \ "min_margin_micros").extractOpt[Long]
+          .getOrElse(0L)
+        df => graft.operators.NaiveBayes.nbcMarginGate(df, c, id,
+          graft.operators.NaiveBayes.nbcReadModel(
+            new graft.state.SnapshotStore(df.sparkSession, dir), prefix),
+          keepClass, minMargin)
       case "lm_perplexity" =>
         // CCNet-style perplexity gate (Wenzek et al. 2020): keep rows
         // whose Kneser-Ney mean token log-prob — the LM trained on the

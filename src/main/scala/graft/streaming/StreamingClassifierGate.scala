@@ -31,4 +31,20 @@ object StreamingClassifierGate {
     df.filter(r =>
       keep(NaiveBayes.nbcClassifyLocal(r.getString(idx), model)._1))
   }
+
+  /** Margin-threshold twin of [[NaiveBayes.nbcMarginGate]]: keep rows
+    * the frozen model classifies as `keepClass` with a decision margin
+    * of at least `minMarginMicros` — the GPT-3 quality cut running
+    * per-row against the broadcast artifact
+    * ([[NaiveBayes.nbcMarginLocal]], bit-identical to the distributed
+    * margins). */
+  def marginGate(df: DataFrame, textCol: String, model: NbcFrozenModel,
+      keepClass: String, minMarginMicros: Long): DataFrame = {
+    val idx = df.schema.fieldIndex(textCol)
+    df.filter { r =>
+      val (pred, margin) =
+        NaiveBayes.nbcMarginLocal(r.getString(idx), model)
+      pred == keepClass && margin >= minMarginMicros
+    }
+  }
 }

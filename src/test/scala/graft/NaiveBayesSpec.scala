@@ -258,6 +258,68 @@ class NaiveBayesSpec extends AnyFunSuite {
       === localMargins(tr, ba))
   }
 
+  test("margin gate: local frozen margin == distributed nbcMargins; " +
+      "declared margin_gate stage and streaming twin select the same " +
+      "rows as the batch gate") {
+    import java.nio.file.{Files, Paths}
+    // binary quality proxy: 'aa' is the curated tier
+    val tr = Seq(
+      (0L, "aa", "the cat sat on the mat and slept all day"),
+      (2L, "aa", "a dog ran over the hill and came back home"),
+      (4L, "bb", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq"),
+      (6L, "bb", "qqz wwz vvz uuz ttz ssz rrz zzz ppz ooz"))
+    val ba = Seq(
+      (1L, "aa", "the cat sat on the mat"),          // confident aa
+      (3L, "aa", "a dog ran over the hill"),          // confident aa
+      (5L, "bb", "zzq wwq vvq uuq"),                  // confident bb
+      (7L, "aa", "zq wq the cat zq wq zq wq zq wq"))  // mixed/low margin
+    val storeDir = Files.createTempDirectory("graft-mgate").toString
+    val store = new SnapshotStore(spark, storeDir)
+    NaiveBayes.nbcStoreModel(tr.toDF("doc_id", "lang", "text"), "text",
+      "lang", store, "nbc")
+    val m = NaiveBayes.nbcReadModel(store, "nbc")
+    val frozen = NaiveBayes.nbcFreeze(m)
+    val baDf = ba.toDF("doc_id", "lang", "text")
+    // local frozen margins == distributed, doc for doc
+    val dist = NaiveBayes.nbcMargins(baDf, "text", "doc_id", m)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(dist === ba.map { case (id, _, t) =>
+      val (pl, mg) = NaiveBayes.nbcMarginLocal(t, frozen)
+      (id, pl, mg)
+    })
+    // pick a threshold that separates the confident aa docs from the
+    // mixed one — derived from the measured margins so the test can't
+    // rot if the fixture shifts
+    val aa = dist.filter(_._2 == "aa").map(_._3).sorted
+    assert(aa.size >= 2, s"fixture lost its aa predictions: $dist")
+    val thr = (aa.head + aa.last) / 2
+    val want = NaiveBayes.nbcMarginGate(baDf, "text", "doc_id", m, "aa",
+        thr).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty && want.size < dist.count(_._2 == "aa"))
+    // declared stage over the stored artifact
+    val json = s"""{"steps":[{"op":"margin_gate","text":"text",
+      |"id":"doc_id","model_dir":"$storeDir","model":"nbc",
+      |"keep_class":"aa","min_margin_micros":$thr}]}""".stripMargin
+    val staged = graft.pipeline.SpecLoader.stagesFromJson(json)
+    assert(staged.head._2(baDf).select("doc_id").as[Long].collect()
+      .sorted.toSeq === want)
+    // streaming twin
+    val root = Files.createTempDirectory("graft-mgate-s").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    Files.writeString(Paths.get(s"$inDir/b0.json"),
+      baDf.toJSON.collect().mkString("\n"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING").json(inDir)
+    val q = graft.streaming.StreamingClassifierGate.marginGate(
+        stream, "text", frozen, "aa", thr)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("nbc_mgate").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("nbc_mgate").select("doc_id").as[Long]
+      .collect().sorted.toSeq === want)
+  }
+
   test("maintainGramCounts == full recount over the post-delta corpus, " +
       "including a doc added AND retracted in one delta; " +
       "retract-to-zero rows drop") {
