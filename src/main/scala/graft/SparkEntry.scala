@@ -137,6 +137,9 @@ object SparkEntry {
           dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           winnowMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           memoHooked.remove(sc)
@@ -390,6 +393,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % KnApplySplit === 1), "text",
         "doc_id", "lang",
         graft.operators.NaiveBayes.nbcReadModel(store, "nbc"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Shared maintained classifier-count table of the nbc IVM family
+    * (`nbc_counts_ivm`, `nbc_refresh`): ONE state-build + maintenance
+    * pass per (session, dir), checkpointed — the kn-family
+    * corpus-subtree memo discipline (both queries fold the same base
+    * corpus and the same delta; without the memo each re-ran the
+    * corpus-width gram explodes). */
+  private val nbcIvmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def nbcMaintainedCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    nbcIvmMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val docs = t(sess, d, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      graft.operators.NaiveBayes.maintainGramCounts(
+          graft.operators.NaiveBayes.trainGramCounts(base, "text",
+            "lang"),
+          delta, "text", "lang", "__op")
         .localCheckpoint()
     })
   }
@@ -2323,18 +2353,7 @@ object SparkEntry {
     // aggregate ([[NaiveBayes.maintainGramCounts]]; the kn_counts_ivm
     // contract applied to the classifier family: the oracle recounts the
     // post-delta corpus from scratch, equality IS the maintenance proof).
-    "nbc_counts_ivm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("doc_id") % 3 < 2)
-      val state = graft.operators.NaiveBayes.trainGramCounts(base,
-        "text", "lang")
-      val delta = docs.filter(col("doc_id") % 3 === 2)
-        .withColumn("__op", lit(1))
-        .unionByName(base.filter(col("doc_id") % 5 === 0)
-          .withColumn("__op", lit(-1)))
-      graft.operators.NaiveBayes.maintainGramCounts(state, delta,
-        "text", "lang", "__op")
-    }),
+    "nbc_counts_ivm" -> ((s, dir) => nbcMaintainedCounts(s, dir)),
 
     // the classifier's daily refresh loop, composed: maintain BOTH count
     // tables (grams + class doc counts) under the same delta, re-derive
@@ -2353,10 +2372,7 @@ object SparkEntry {
         .unionByName(base.filter(col("doc_id") % 5 === 0)
           .withColumn("__op", lit(-1)))
       val model = graft.operators.NaiveBayes.nbcModelFromCounts(
-        graft.operators.NaiveBayes.maintainGramCounts(
-          graft.operators.NaiveBayes.trainGramCounts(base, "text",
-            "lang"),
-          delta, "text", "lang", "__op"),
+        nbcMaintainedCounts(s, dir),
         graft.operators.NaiveBayes.maintainClassDocCounts(
           base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
           delta, "lang", "__op"))
