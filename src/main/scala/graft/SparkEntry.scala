@@ -125,6 +125,30 @@ object SparkEntry {
     * would be served stale. */
   private val memoHooked = java.util.concurrent.ConcurrentHashMap
     .newKeySet[org.apache.spark.SparkContext]()
+
+  /** Model-artifact temp roots created by the frozen-model queries
+    * (kn_apply / nbc_apply / ann_apply families). Each holds a few KB of
+    * model parquet; without cleanup they accumulate across sessions.
+    * Deleted recursively when the owning context stops (alongside the
+    * memo entries that reference them). */
+  private val modelTempRoots = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    java.util.List[java.nio.file.Path]]()
+  private def newModelTempRoot(s: SparkSession,
+      prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    modelTempRoots.computeIfAbsent(s.sparkContext,
+      _ => java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.nio.file.Path]())).add(p)
+    p.toString
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
   private def hookMemoEviction(s: SparkSession): Unit = {
     val sc = s.sparkContext
     if (memoHooked.add(sc))
@@ -142,6 +166,10 @@ object SparkEntry {
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          Option(modelTempRoots.remove(sc)).foreach { l =>
+            l.forEach(p => try deleteRecursively(p)
+              catch { case _: java.io.IOException => () })
+          }
           memoHooked.remove(sc)
         }
       })
@@ -338,17 +366,20 @@ object SparkEntry {
   private val QualityHqSources: Seq[String] =
     (0 to 4).map(i => s"src$i")
 
-  /** Frozen-model LM scoring (`kn_apply`): ONE train + persist + reload
-    * + score pass per (session, dir). The train half builds the pruned
+  /** Frozen-model LM scoring (`kn_apply`): ONE train + publish + pin +
+    * score pass per (session, dir). The train half builds the pruned
     * trigram-KN model ([[TextAnalysis.kn3Model]]), its six tables are
-    * committed through [[graft.state.SnapshotStore]]'s crash-safe
-    * pointer swap into a fresh temp root, and the apply half scores the
-    * held-out batch against the RELOADED artifact — the query exercises
-    * the real store round-trip, never an in-session shortcut (the
-    * round-trip ≡ in-session equality is pinned in LmApplySpec). This is
-    * the production CCNet shape: the gate LM is trained once on a
-    * high-quality corpus and FROZEN; crawl batches score against the
-    * artifact (Wenzek et al. 2020). */
+    * PUBLISHED as one immutable version through
+    * [[graft.state.ModelRegistry]] (single manifest swap — no torn
+    * cross-table mix under refresh), and the apply half scores the
+    * held-out batch against the PINNED reloaded artifact, stamping
+    * `model_version` on every row — the query exercises the real
+    * registry round-trip, never an in-session shortcut (round-trip ≡
+    * in-session equality is pinned in LmApplySpec; refresh/rollback
+    * stability in ModelRegistrySpec). This is the production CCNet
+    * shape: the gate LM is trained once on a high-quality corpus and
+    * FROZEN; crawl batches score against the artifact (Wenzek et al.
+    * 2020). */
   private val knApplyMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def knApplyScores(s: SparkSession, dir: String): DataFrame = {
@@ -356,26 +387,31 @@ object SparkEntry {
     knApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
-      val store = new graft.state.SnapshotStore(sess,
-        java.nio.file.Files.createTempDirectory("graft-kn-apply")
-          .toString)
-      TextAnalysis.kn3StoreModel(
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-kn-apply"))
+      TextAnalysis.kn3PublishModel(
         docs.filter(col("doc_id") % KnApplySplit === 0), "text",
-        "doc_id", store, "lm")
+        "doc_id", reg, "lm")
+      // scorer pins the promoted version and stamps it on every row —
+      // the provenance a production refresh loop needs to attribute a
+      // score to the artifact that produced it
+      val pin = reg.snapshot("lm")
       TextAnalysis.kn3Score(
-        docs.filter(col("doc_id") % KnApplySplit === 1), "text",
-        "doc_id", TextAnalysis.kn3ReadModel(store, "lm"))
+          docs.filter(col("doc_id") % KnApplySplit === 1), "text",
+          "doc_id", TextAnalysis.kn3FromRegistry(pin))
+        .withColumn("model_version", lit(pin.version))
     })
   }
 
   /** Frozen-classifier scoring (`nbc_apply` / `nbc_eval`): ONE train +
-    * persist + reload + score pass per (session, dir) — the kn_apply
+    * publish + pin + score pass per (session, dir) — the kn_apply
     * discipline applied to the trained Naive-Bayes language classifier
     * ([[graft.operators.NaiveBayes]]): even doc_ids train, the three
-    * model tables round-trip through SnapshotStore's crash-safe pointer
-    * swap, odd doc_ids score against the RELOADED artifact (the
-    * CCNet lang-id gate's production shape — classify crawl batches
-    * with a model trained once and frozen). */
+    * model tables publish as one [[graft.state.ModelRegistry]] version
+    * (single manifest swap), odd doc_ids score against the PINNED
+    * reloaded artifact with `model_version` stamped per row (the CCNet
+    * lang-id gate's production shape — classify crawl batches with a
+    * model trained once and frozen). */
   private val nbcApplyMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def nbcApplyScores(s: SparkSession, dir: String): DataFrame = {
@@ -383,16 +419,17 @@ object SparkEntry {
     nbcApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
-      val store = new graft.state.SnapshotStore(sess,
-        java.nio.file.Files.createTempDirectory("graft-nbc-apply")
-          .toString)
-      graft.operators.NaiveBayes.nbcStoreModel(
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-nbc-apply"))
+      graft.operators.NaiveBayes.nbcPublishModel(
         docs.filter(col("doc_id") % KnApplySplit === 0), "text", "lang",
-        store, "nbc")
+        reg, "nbc")
+      val pin = reg.snapshot("nbc")
       graft.operators.NaiveBayes.nbcScore(
-        docs.filter(col("doc_id") % KnApplySplit === 1), "text",
-        "doc_id", "lang",
-        graft.operators.NaiveBayes.nbcReadModel(store, "nbc"))
+          docs.filter(col("doc_id") % KnApplySplit === 1), "text",
+          "doc_id", "lang",
+          graft.operators.NaiveBayes.nbcFromRegistry(pin))
+        .withColumn("model_version", lit(pin.version))
         .localCheckpoint()
     })
   }
@@ -503,6 +540,8 @@ object SparkEntry {
           cents(col("ln.l_quantity")).as("qty_cents"))
     }),
 
+    // T3 projection + rename: the template algebra's select-and-alias
+    // shape over the orders table.
     "project_rename" -> ((s, dir) =>
       Transforms.projectRename(t(s, dir, "orders"),
         "o_orderkey" -> "order_id", "o_custkey" -> "customer_id",
@@ -2812,6 +2851,8 @@ object SparkEntry {
       Dedup.exactSurvivors(filtered, "text", "doc_id")
     }),
 
+    // per-document rolling-hash fingerprint (the content-identity key
+    // the dedup and change-detection tiers join on).
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -10108,7 +10149,8 @@ object SparkEntry {
         |  LEFT JOIN un ON split_part(t.s,' ',3) = un.w3
         |  CROSS JOIN ty)
         |SELECT doc_id, CAST(round(SUM(lp) / (COUNT(*) * 1000.0), 0)
-        |    AS BIGINT) AS lp_permille
+        |    AS BIGINT) AS lp_permille,
+        |  CAST(1 AS BIGINT) AS model_version
         |FROM l GROUP BY 1""".stripMargin
         .replace("SPLIT", KnApplySplit.toString)
         .replace("OOV", TextAnalysis.KnOovLpMicro.toString),
@@ -10164,7 +10206,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, cand ASC) AS rk FROM grid)
         |SELECT doc_id, true_lang AS lang, cand AS pred_lang,
-        |  CAST(score AS BIGINT) AS score_micros
+        |  CAST(score AS BIGINT) AS score_micros,
+        |  CAST(1 AS BIGINT) AS model_version
         |FROM pred WHERE rk = 1""".stripMargin
         .replace("SPLIT", KnApplySplit.toString),
 
@@ -10338,9 +10381,10 @@ object SparkEntry {
         |    MAX(CASE WHEN ql = 'lq' THEN score END) AS sl
         |  FROM grid GROUP BY 1)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN sh >= sl THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hq,
-        |  CAST(SUM(sh - sl) AS BIGINT) AS signed_margin_sum
+        |  CAST(SUM(CASE WHEN sl IS NULL OR sh >= sl THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hq,
+        |  CAST(SUM(COALESCE(sh - sl, 0)) AS BIGINT)
+        |    AS signed_margin_sum
         |FROM sc GROUP BY 1""".stripMargin
         .replace("SPLIT", KnApplySplit.toString)
         .replace("HQLIST",

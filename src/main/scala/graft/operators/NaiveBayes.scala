@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * curation gate actually ships (Wenzek et al. 2020 routes every crawl
   * document through a FROZEN pretrained lang-id classifier before the LM
   * perplexity gate; reference behavior this generalizes: the per-record
-  * classify-then-route shape of `internal/transform/transform.go`'s
-  * field-conditional emits). Unlike the engine's heuristic tiers
+  * classify-then-route shape of the templates' field-conditional emits —
+  * `data/transform/transform_bucket.json.tmpl:11`'s guarded field and
+  * `main.go:158-171`'s per-function routing). Unlike the engine's heuristic tiers
   * (`chargram_langid`'s top-k profile overlap, `langId`'s stopword
   * scan), this is a TRAINED posterior model with the production
   * train/apply split: fit on labeled history, persist through the
@@ -318,7 +319,16 @@ object NaiveBayes {
       .toMap
     val dlp = m.grams.collect().map { r =>
       val (lang, g, c) = (r.getString(0), r.getString(1), r.getLong(2))
-      val (nt, fl) = byLang(lang)
+      // A gram row whose class is absent from `classes` means the model
+      // tables are mutually inconsistent (e.g. maintained counts drifted
+      // — doc count retracted to zero with gram residue left behind).
+      // The distributed scorer would silently drop such rows at its
+      // classes join; fail loudly here instead of a bare key miss so the
+      // two paths never diverge silently on the same broken model.
+      val (nt, fl) = byLang.getOrElse(lang, throw new
+        IllegalArgumentException(
+          s"nbcFreeze: grams table references class '$lang' absent " +
+          s"from the classes table (inconsistent model artifact)"))
       (lang, g) ->
         (qMicro(math.log((c + 1).toDouble / (nt + v).toDouble)) - fl)
     }.toMap
@@ -400,6 +410,26 @@ object NaiveBayes {
       prefix: String): NbcModel = {
     val Seq(grams, classes, corpus) =
       NbcTableNames.map(n => store.readTable(prefix, s"nbc_$n"))
+    NbcModel(grams, classes, corpus)
+  }
+
+  /** Train and publish a model VERSION through the versioned registry —
+    * the three tables land in one immutable version dir, promoted with a
+    * single manifest swap (no torn grams-vN+1/classes-vN mix under
+    * concurrent refresh). Returns the promoted version. */
+  def nbcPublishModel(train: DataFrame, textCol: String,
+      labelCol: String, reg: graft.state.ModelRegistry,
+      model: String): Long = {
+    val m = nbcTrain(train, textCol, labelCol)
+    reg.publish(model,
+      NbcTableNames.zip(Seq(m.grams, m.classes, m.corpus)))
+  }
+
+  /** Read a PINNED model version — all tables from the same immutable
+    * version dir; `pin.version` is the scorer's model_version
+    * provenance. */
+  def nbcFromRegistry(pin: graft.state.ModelRegistry#Pinned): NbcModel = {
+    val Seq(grams, classes, corpus) = NbcTableNames.map(pin.table)
     NbcModel(grams, classes, corpus)
   }
 }

@@ -703,6 +703,29 @@ object TextAnalysis {
     Kn3Model(kept, ctx, cont, mid, uni, types)
   }
 
+  /** Train and publish a model VERSION through the versioned registry —
+    * all six tables land in one immutable version dir and become visible
+    * with a single manifest swap ([[graft.state.ModelRegistry.publish]]);
+    * unlike the six independent [[kn3StoreModel]] commits, a concurrent
+    * scorer can never read a torn cross-table mix. Returns the promoted
+    * version. */
+  def kn3PublishModel(df: DataFrame, textCol: String, idCol: String,
+      reg: graft.state.ModelRegistry, model: String): Long = {
+    val m = kn3Model(df, textCol, idCol)
+    reg.publish(model,
+      Kn3TableNames.zip(Seq(m.kept, m.ctx, m.cont, m.mid, m.uni,
+        m.types)))
+  }
+
+  /** Read a PINNED model version — every table from the same immutable
+    * version dir (consistent under concurrent refresh; the scorer
+    * records `pin.version` as the model_version provenance column). */
+  def kn3FromRegistry(pin: graft.state.ModelRegistry#Pinned): Kn3Model = {
+    val Seq(kept, ctx, cont, mid, uni, types) =
+      Kn3TableNames.map(pin.table)
+    Kn3Model(kept, ctx, cont, mid, uni, types)
+  }
+
   /** Executor-resident form of the pruned trigram-KN model — the KenLM
     * ship-the-binary-to-every-worker analog: a STREAMING gate must score
     * each arriving document locally (a per-doc score is an aggregate

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.NaiveBayes
+import graft.state.ModelRegistry
+
+/** Contract of the versioned model registry: a pinned snapshot is
+  * score-stable under a concurrent refresh, promotion is a single
+  * manifest swap (no torn cross-table mix), rollback restores the
+  * previous artifact bit-exactly, and version numbers never collide
+  * across rollbacks. */
+class ModelRegistrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshRegRoot(): (ModelRegistry, String) = {
+    val root = Files.createTempDirectory("graft-registry-spec").toString
+    (new ModelRegistry(spark, root), root)
+  }
+  private def freshReg(): ModelRegistry = freshRegRoot()._1
+
+  private val corpusA = Seq(
+    (1L, "en", "the cat sat on the mat near the hat"),
+    (2L, "en", "a dog and the cat ran to the barn"),
+    (3L, "fr", "le chat est sur le tapis pres du chapeau"),
+    (4L, "fr", "un chien et le chat vont a la grange"))
+  private val corpusB = Seq( // different texts → different model
+    (5L, "en", "rivers flow down to the open salt sea"),
+    (6L, "fr", "les rivieres coulent vers la mer salee"))
+  private val batch = Seq(
+    (10L, "en", "the cat and the dog sat near the barn"),
+    (11L, "fr", "le chat et le chien sont pres de la grange"))
+
+  private def df(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "lang", "text")
+
+  private def scores(pin: ModelRegistry#Pinned): Seq[(Long, String, Long)] =
+    NaiveBayes.nbcScore(df(batch), "text", "doc_id", "lang",
+        NaiveBayes.nbcFromRegistry(pin))
+      .select("doc_id", "pred_lang", "score_micros")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("pinned snapshot is score-stable under concurrent refresh; " +
+      "the new snapshot sees the refreshed model") {
+    val reg = freshReg()
+    assert(reg.currentVersion("nbc") === 0L)
+    val v1 = NaiveBayes.nbcPublishModel(df(corpusA), "text", "lang",
+      reg, "nbc")
+    assert(v1 === 1L)
+    val pin1 = reg.snapshot("nbc")
+    assert(pin1.version === 1L)
+    val s1 = scores(pin1)
+
+    // concurrent refresh promotes v2 while pin1 is live
+    val v2 = NaiveBayes.nbcPublishModel(df(corpusB), "text", "lang",
+      reg, "nbc")
+    assert(v2 === 2L && reg.currentVersion("nbc") === 2L)
+
+    // the pinned reader re-resolves the SAME immutable version dir:
+    // bit-identical scores after the refresh
+    assert(scores(pin1) === s1)
+
+    // a fresh snapshot sees the refreshed model — and it scores
+    // differently (corpus B shares no content words with the batch)
+    val pin2 = reg.snapshot("nbc")
+    assert(pin2.version === 2L)
+    assert(scores(pin2) !== s1)
+  }
+
+  test("rollback restores the previous artifact bit-exactly; a second " +
+      "rollback fails; post-rollback publish never reuses a version") {
+    val reg = freshReg()
+    NaiveBayes.nbcPublishModel(df(corpusA), "text", "lang", reg, "nbc")
+    val s1 = scores(reg.snapshot("nbc"))
+    NaiveBayes.nbcPublishModel(df(corpusB), "text", "lang", reg, "nbc")
+    val s2 = scores(reg.snapshot("nbc"))
+    assert(s2 !== s1)
+
+    assert(reg.rollback("nbc") === 1L)
+    assert(reg.currentVersion("nbc") === 1L)
+    assert(scores(reg.snapshot("nbc")) === s1)
+
+    // history is one step deep (the AtomicTable retention contract)
+    val e = intercept[IllegalArgumentException](reg.rollback("nbc"))
+    assert(e.getMessage.contains("no previous version"))
+
+    // max_version discipline: the next publish allocates v3, never a
+    // collision with the demoted-but-retained v2 dir
+    val v3 = NaiveBayes.nbcPublishModel(df(corpusA), "text", "lang",
+      reg, "nbc")
+    assert(v3 === 3L)
+    assert(scores(reg.snapshot("nbc")) === s1) // corpus A again
+  }
+
+  test("promotion is all-tables-at-once: a reader resolving between " +
+      "table writes of an in-flight publish still sees the old version") {
+    val (reg, root) = freshRegRoot()
+    reg.publish("m", Seq(
+      "a" -> Seq((1L, "x")).toDF("k", "v"),
+      "b" -> Seq((1L, "y")).toDF("k", "v")))
+    val pin = reg.snapshot("m")
+    // simulate the mid-publish window: v2's table `a` is on disk but the
+    // manifest has not swapped — publish() writes all tables before
+    // promote(), so a snapshot taken now must still resolve v1
+    Seq((2L, "x2")).toDF("k", "v").write.parquet(s"$root/m/v-2/a")
+    assert(reg.snapshot("m").version === 1L)
+    assert(reg.snapshot("m").table("a").as[(Long, String)].collect()
+      .toSeq === Seq((1L, "x")))
+    assert(pin.table("b").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "y")))
+  }
+
+  test("snapshot of a never-published model and a missing table fail " +
+      "loudly") {
+    val reg = freshReg()
+    assert(intercept[IllegalArgumentException](
+      reg.snapshot("ghost")).getMessage.contains("never published"))
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    assert(intercept[IllegalArgumentException](
+      reg.snapshot("m").table("nope")).getMessage.contains("missing"))
+  }
+
+  test("kn3 publish/pin round-trip scores equal the in-session model") {
+    val reg = freshReg()
+    val docs = df(corpusA ++ corpusB)
+    graft.operators.TextAnalysis.kn3PublishModel(docs, "text", "doc_id",
+      reg, "lm")
+    val pin = reg.snapshot("lm")
+    val viaReg = graft.operators.TextAnalysis.kn3Score(df(batch), "text",
+        "doc_id", graft.operators.TextAnalysis.kn3FromRegistry(pin))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val inSession = graft.operators.TextAnalysis.kn3Score(df(batch),
+        "text", "doc_id",
+        graft.operators.TextAnalysis.kn3Model(docs, "text", "doc_id"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(viaReg === inSession && pin.version === 1L)
+  }
+}
