@@ -164,6 +164,7 @@ object SparkEntry {
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
@@ -429,6 +430,34 @@ object SparkEntry {
           docs.filter(col("doc_id") % KnApplySplit === 1), "text",
           "doc_id", "lang",
           graft.operators.NaiveBayes.nbcFromRegistry(pin))
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Frozen-index ANN scoring (`ann_apply`): ONE build + publish + pin +
+    * serve pass per (session, dir) — the kn_apply discipline for the
+    * similarity family. The IVF index (deterministic lowest-id
+    * centroids + permille-cosine cell assignments) publishes as one
+    * [[graft.state.ModelRegistry]] version; the held-out query batch
+    * scores against the PINNED artifact with `model_version` stamped
+    * per row. */
+  private val annApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annApplyScores(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annApplyMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.filter(col("id") % 3 =!= 0)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-apply"))
+      Similarity.ivfPublish(corpus, reg, "ivf")
+      val pin = reg.snapshot("ivf")
+      Similarity.annTopKIvfStored(
+          emb.filter(col("id") % 3 === 0 && col("id") < 30), corpus, 5,
+          pin)
         .withColumn("model_version", lit(pin.version))
         .localCheckpoint()
     })
@@ -2771,6 +2800,42 @@ object SparkEntry {
         emb.filter(col("id") >= 10), 5)
     }),
 
+    // frozen-index ANN tier (the kn_apply discipline for the similarity
+    // family): build the IVF index on the mod-3-nonzero corpus, publish
+    // centroids + assignments as ONE registry version, then serve a NEW
+    // query batch against the PINNED stored artifact — probe stored
+    // centroids, candidates from stored assignments, vectors fetched
+    // from primary storage by id ([[Similarity.annTopKIvfStored]]);
+    // stored-path ≡ retrain-path bit-equality is pinned in
+    // DedupSimilaritySpec, so the brute-force recall receipt carries
+    // over unchanged.
+    "ann_apply" -> ((s, dir) => annApplyScores(s, dir)),
+
+    // incremental ANN-index maintenance (the kn_counts_ivm contract):
+    // the stored assignment table of a base corpus (id % 3 < 2) is
+    // maintained under a vector delta — adds (id % 3 = 2) AND
+    // retractions (base ids % 5 = 0) — against the FROZEN base
+    // centroids: retracts anti-join out, adds get the per-row
+    // nearest-cell argmax; delta-sized work, bit-equal to re-assigning
+    // the post-delta corpus from scratch (the oracle does exactly
+    // that). Only a centroid RETRAIN forces a full rebuild — that is a
+    // new index version via [[Similarity.ivfPublish]].
+    "ann_ivm" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.filter(col("id") % 3 < 2)
+      val Seq((_, centroids), (_, assignments)) =
+        Similarity.ivfIndexTables(base)
+      val delta = emb.filter(col("id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      Similarity.ivfMaintainAssignments(assignments, delta, centroids,
+          "__op")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("nid")).as("sum_id"))
+    }),
+
     // the billion-scale composition (IVFADC+R): IVF cells bound WHERE a
     // query looks, PQ asymmetric-distance tables bound WHAT each
     // candidate costs (8 table lookups instead of 64-dim math), and
@@ -4138,6 +4203,32 @@ object SparkEntry {
             (len % 16 + 8).cast("long"),
             (len % 12 + 8).cast("long")).as("content"))
       Multimodal.imageAHash(assets, "asset_id", "content")
+    }),
+
+    // real PNG scanline decode (closing the header-vs-pixel gap for the
+    // format whose compression machinery is already in-tree): synthesize
+    // VALID PNGs — zlib IDAT of filtered scanlines, filter type
+    // (doc_id DIV 5) % 5 so all five PNG filters 0-4 are exercised —
+    // then inflate + un-filter ([[graft.functions.PngCodec]]), repackage
+    // the TRUE pixels as the engine's BMP layout, and aHash them.
+    // Un-filtering exactly inverts filtering, so the oracle recomputes
+    // the hash from the closed-form pixel formula and never parses
+    // binary; a filter/unfilter bug on any scanline = hash diff.
+    "mm_png_pixels" -> ((s, dir) => {
+      val len = length(encode(col("text"), "UTF-8"))
+      val assets = Transforms.rebalanceIfNarrow(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"))
+        .select(col("doc_id").cast("long").as("asset_id"),
+          graft.functions.PngCodec.synth(col("doc_id").cast("long"),
+            (len % 16 + 8), (len % 12 + 8),
+            expr("(CAST(doc_id AS BIGINT) DIV 5) % 5")).as("content"))
+      Multimodal.imageAHash(
+          assets.select(col("asset_id"),
+            graft.functions.PngCodec.pngToBmp(col("content"))
+              .as("content")),
+          "asset_id", "content")
+        .withColumn("filter_type", expr("(asset_id DIV 5) % 5"))
     }),
 
     // image near-dup tier: quads of perturbed 16x12 BMPs (same base
@@ -6961,6 +7052,39 @@ object SparkEntry {
         |    ORDER BY cy) AS ahash_hex
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
+    // PNG-pixel replay: the decoded-and-unfiltered pixels equal the
+    // closed-form pre-filter formula (un-filtering inverts filtering),
+    // so the oracle samples the formula at the PNG top-down raw index
+    // k = py·3w + 3·px — no binary parsing, no filter math; every
+    // engine-side inflate/un-filter defect lands here as a hash diff.
+    "mm_png_pixels" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    octet_length(encode(text)) % 16 + 8 AS w,
+        |    octet_length(encode(text)) % 12 + 8 AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT asset_id, w, h, cell % 8 AS cx, cell // 8 AS cy
+        |  FROM a, unnest(generate_series(0, 63)) AS t(cell)),
+        |c2 AS (SELECT asset_id, w, h, cx, cy,
+        |    (((2*cy + 1) * h) // 16) * 3 * w
+        |      + 3 * (((2*cx + 1) * w) // 16) AS k
+        |  FROM c),
+        |l AS (SELECT asset_id, w, h, cx, cy,
+        |    (299 * ((asset_id*31 + (k + 2)*2654435761) % 256)
+        |   + 587 * ((asset_id*31 + (k + 1)*2654435761) % 256)
+        |   + 114 * ((asset_id*31 + k*2654435761) % 256)) // 1000 AS luma
+        |  FROM c2),
+        |s AS (SELECT asset_id, SUM(luma) AS tot FROM l GROUP BY 1),
+        |b AS (SELECT l.asset_id, l.w, l.h, l.cy,
+        |    SUM(CASE WHEN l.luma * 64 > s.tot THEN 1 << l.cx ELSE 0 END)
+        |      AS rb
+        |  FROM l JOIN s USING (asset_id) GROUP BY 1, 2, 3, 4)
+        |SELECT asset_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  string_agg(lpad(hex(CAST(rb AS BIGINT)), 2, '0'), ''
+        |    ORDER BY cy) AS ahash_hex,
+        |  CAST((asset_id // 5) % 5 AS BIGINT) AS filter_type
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
     "mm_phash_pairs" ->
       """WITH a AS (SELECT doc_id AS asset_id, doc_id // 20 AS seed,
         |    ((doc_id // 5) % 4) * 85 AS pert
@@ -9313,6 +9437,67 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
 
     "ann_ivf" -> annIvfSql,
+
+    // stored-index replay: the index tables (centroids = lowest-16 seed
+    // set of the index corpus, assignments = permille-cosine argmax) are
+    // re-derived from the same corpus — bit-equal to the published
+    // artifact because every stored value is either an exact-integer id
+    // or a parquet-lossless double; the serve path then probes and
+    // reranks exactly like ann_ivf. model_version = the one published
+    // registry version.
+    "ann_apply" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])
+        |   AS v FROM embeddings),
+        |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+        |   FROM base WHERE id % 3 <> 0 ORDER BY id LIMIT 16),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM base WHERE id % 3 <> 0),
+        |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+        |   FROM base WHERE id % 3 = 0 AND id < 30),
+        |cassign AS (SELECT nid, nv, nn2, cid FROM (
+        |  SELECT nid, nv, nn2, cid, row_number() OVER (PARTITION BY nid
+        |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+        |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |qprobe AS (SELECT qid, qv, qn2, cid FROM (
+        |  SELECT qid, qv, qn2, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY CAST(round(list_dot_product(qv, cv) /
+        |      (sqrt(qn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM q CROSS JOIN cent) WHERE rn <= 4),
+        |scored AS (SELECT DISTINCT qid, nid,
+        |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+        |    * 1000.0, 0) AS BIGINT) AS cos_permille
+        |  FROM cassign JOIN qprobe USING (cid) WHERE qid <> nid)
+        |SELECT qid, nid, cos_permille,
+        |  CAST(1 AS BIGINT) AS model_version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // IVM-maintenance replay for the ANN index: the oracle never sees
+    // the delta algebra — it re-assigns the POST-delta corpus (base
+    // minus retracted plus added vectors) from scratch against the SAME
+    // frozen base-derived centroid set and rolls up per cell; equality
+    // IS the bit-exact maintenance contract (assignment is per-row, so
+    // state − retracts + assigned adds must equal the full rebuild).
+    "ann_ivm" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])
+        |   AS v FROM embeddings),
+        |b AS (SELECT * FROM base WHERE id % 3 < 2),
+        |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+        |   FROM b ORDER BY id LIMIT 16),
+        |fin AS (SELECT * FROM base WHERE id % 3 = 2
+        |  UNION ALL SELECT * FROM b WHERE id % 5 <> 0),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM fin),
+        |cassign AS (SELECT nid, cid FROM (
+        |  SELECT nid, cid, row_number() OVER (PARTITION BY nid
+        |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+        |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(nid) AS BIGINT) AS sum_id
+        |FROM cassign GROUP BY 1""".stripMargin,
 
     "ann_ivfpq" -> annIvfPqSql,
 

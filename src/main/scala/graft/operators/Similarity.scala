@@ -212,6 +212,84 @@ object Similarity {
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }
 
+  /** The IVF index as persistable tables — `centroids (cid, vec)` (the
+    * deterministic lowest-id seed set [[annTopKIvf]] defaults to) and
+    * `assignments (nid, cid)` (each corpus vector's nearest cell under
+    * the permille-rounded cosine, tie to the lowest cid — the exact
+    * argmax [[annTopKIvf]] computes inline). Splitting the index from
+    * the computation is what makes it an ARTIFACT: publish once, score
+    * many batches, maintain under deltas ([[ivfMaintainAssignments]])
+    * instead of re-assigning the corpus per query. */
+  def ivfIndexTables(corpus: DataFrame,
+      nCells: Int = 16): Seq[(String, DataFrame)] = {
+    val centBase = withN2(corpus, "cid", "cv", "cn2")
+      .orderBy(col("cid")).limit(nCells)
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val assigned = assignToCells(corpusN2, "nid", "nv", "nn2",
+      broadcast(centBase), 1).select(col("nid"), col("cid"))
+    Seq("centroids" -> centBase.select(col("cid"), col("cv").as("vec")),
+      "assignments" -> assigned)
+  }
+
+  /** Build and publish an IVF index VERSION through the registry (one
+    * immutable version dir, single manifest swap — the
+    * [[graft.state.ModelRegistry]] promotion contract). Returns the
+    * promoted version. */
+  def ivfPublish(corpus: DataFrame, reg: graft.state.ModelRegistry,
+      model: String, nCells: Int = 16): Long =
+    reg.publish(model, ivfIndexTables(corpus, nCells))
+
+  /** Score a NEW query batch against a PINNED stored IVF index — the
+    * production serve path: centroids and assignments come from the
+    * immutable pinned version (consistent under concurrent refresh);
+    * only the candidate vectors are fetched from primary storage by id.
+    * Bit-identical to [[annTopKIvf]] over the same corpus and seed set
+    * (pinned in DedupSimilaritySpec), because the stored assignment IS
+    * the inline argmax, round-tripped through integer-exact parquet. */
+  def annTopKIvfStored(queries: DataFrame, corpus: DataFrame, k: Int,
+      pin: graft.state.ModelRegistry#Pinned,
+      nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(withN2(
+      pin.table("centroids").select(col("cid").as("id"), col("vec")),
+      "cid", "cv", "cn2"))
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val corpusCells = corpusN2.join(pin.table("assignments"), Seq("nid"))
+    val queryCells = assignToCells(withN2(queries, "qid", "qv", "qn2"),
+      "qid", "qv", "qn2", cents, nProbe)
+    val scored = corpusCells.join(queryCells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosFromN2(col("qv"), col("qn2"), col("nv"), col("nn2"))
+          .as("cos_permille"))
+      .dropDuplicates("qid", "nid")
+    Transforms.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos_permille").desc, col("nid").asc), k)
+  }
+
+  /** Maintain a stored assignment table under a corpus delta against
+    * FROZEN centroids — the kn_counts_ivm contract for the ANN index:
+    * retractions (`opCol` = −1, matched by id) anti-join out of the
+    * state; additions (`opCol` = +1) get the per-row nearest-cell
+    * argmax against the SAME centroid set. Because cell assignment is
+    * per-row and the centroids are frozen, the maintained table is
+    * BIT-EQUAL to re-assigning the post-delta corpus from scratch —
+    * delta-sized work instead of a corpus-wide rebuild (only a centroid
+    * RETRAIN forces full re-assignment; that is a new index version,
+    * [[ivfPublish]]). `delta`: (id, vec, opCol). */
+  def ivfMaintainAssignments(state: DataFrame, delta: DataFrame,
+      centroids: DataFrame, opCol: String): DataFrame = {
+    val cents = broadcast(withN2(
+      centroids.select(col("cid").as("id"), col("vec")),
+      "cid", "cv", "cn2"))
+    val adds = assignToCells(
+      withN2(delta.filter(col(opCol) === 1).select(col("id"), col("vec")),
+        "nid", "nv", "nn2", rebalance = true),
+      "nid", "nv", "nn2", cents, 1).select(col("nid"), col("cid"))
+    val retracts = delta.filter(col(opCol) === -1)
+      .select(col("id").as("nid"))
+    state.join(retracts, Seq("nid"), "left_anti").unionByName(adds)
+  }
+
   /** IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search"): IVF cells bound WHERE a query looks, PQ codes
     * bound WHAT each candidate costs — the composition under every

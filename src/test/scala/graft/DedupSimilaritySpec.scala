@@ -313,6 +313,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.size === 25) // full top-5 for each of 5 queries
   }
 
+  test("stored IVF index: serve path == inline retrain path bit-exactly; " +
+      "maintained assignments == rebuild on the post-delta corpus") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val reg = new graft.state.ModelRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-spec").toString)
+    val v1 = Similarity.ivfPublish(c, reg, "ivf", nCells = 8)
+    assert(v1 === 1L)
+    val pin = reg.snapshot("ivf")
+    // the stored artifact serves bit-identically to computing the index
+    // inline (assignment is integer-exact; parquet round-trips it) — so
+    // the brute-force recall receipt of the inline path carries over
+    val stored = Similarity.annTopKIvfStored(q, c, 5, pin, nProbe = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKIvf(q, c, 5, nCells = 8, nProbe = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline)
+
+    // IVM contract: maintain under adds + retracts against the FROZEN
+    // centroids == re-assign the post-delta corpus from scratch
+    val base = emb.filter(col("id") % 3 < 2)
+    val Seq((_, cents), (_, assigns)) =
+      Similarity.ivfIndexTables(base, nCells = 8)
+    val delta = emb.filter(col("id") % 3 === 2)
+      .withColumn("__op", lit(1))
+      .unionByName(base.filter(col("id") % 5 === 0)
+        .withColumn("__op", lit(-1)))
+    val maintained = Similarity.ivfMaintainAssignments(assigns, delta,
+        cents, "__op")
+      .as[(Long, Long)].collect().toSet
+    val postDelta = emb.filter(col("id") % 3 === 2)
+      .unionByName(base.filter(col("id") % 5 =!= 0))
+    // rebuild with the SAME frozen centroid table (not re-seeded from
+    // the post-delta corpus — retraining is a new index version)
+    val rebuilt = Similarity.ivfMaintainAssignments(
+        assigns.limit(0), postDelta.withColumn("__op", lit(1)), cents,
+        "__op")
+      .as[(Long, Long)].collect().toSet
+    assert(maintained === rebuilt)
+    assert(maintained.nonEmpty)
+  }
+
   test("ann IVF-PQ: ADC ranking recalls brute-force neighbors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
