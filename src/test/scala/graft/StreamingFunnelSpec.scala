@@ -413,4 +413,185 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(streamed === survivors.select("doc_id", "text", "lang")
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // THREE-WAY parity for the full CCNet front door WITH the quality
+  // cut: ONE declared JSON (normalize → lang_gate → margin_gate →
+  // lm_apply → line_dedup → mixture_resample) must produce, stage by
+  // stage, the same funnel counts and the same survivors as (a) the
+  // operators composed BY HAND and (b) the streaming twins — proving
+  // the declared spec is pure surface: it adds no semantics of its own.
+  // ------------------------------------------------------------------
+
+  test("declared CCNet chain with margin_gate: declared == hand-composed " +
+      "batch == streaming, stage by stage") {
+    import graft.operators.NaiveBayes
+    val boiler = "breaking news update follows"
+    // three artifacts in one store: lang-id (nbc), quality (qual), LM
+    val nbcTrainDocs = Seq(
+      (100L, "en", "the cat sat on the mat and slept all day long"),
+      (101L, "en", "we walked to the market and bought fresh bread every " +
+        "morning"),
+      (102L, "en", "buy now click here free offer limited deal"),
+      (103L, "en", s"$boiler the cat and the dog today"),
+      (104L, "de", "der hund und die katze schlafen auf dem teppich"),
+      (106L, "de", "die katze sitzt auf der matte und schlaeft jetzt"),
+      (108L, "fr", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq"),
+      (110L, "fr", "qqz wwz vvz uuz ttz ssz rrz zzz ppz ooz")
+    ).toDF("doc_id", "lang", "text")
+    val qualTrainDocs = Seq(
+      (200L, "hq", "the cat sat on the mat and slept all day long"),
+      (202L, "hq", "a dog ran over the hill and far away it went"),
+      (204L, "hq", s"$boiler the cat and the dog today"),
+      (205L, "hq", "we walked to the market and bought fresh bread every " +
+        "morning"),
+      (206L, "hq", "der hund und die katze schlafen auf dem teppich"),
+      (208L, "lq", "buy now click here free offer limited deal"),
+      (210L, "lq", "free offer click now buy deal limited wins today")
+    ).toDF("doc_id", "lang", "text")
+    val lmTrain = Seq(
+      (0L, "the cat sat on the mat and then the cat slept"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (4L, "the cat sat on the mat and slept all day long"),
+      (6L, "a dog ran over the hill and far away it went"),
+      (8L, "der hund und die katze schlafen auf dem teppich hier"),
+      (10L, s"$boiler the cat and the dog today")
+    ).toDF("doc_id", "text")
+    val storeDir = Files.createTempDirectory("graft-3way").toString
+    val store = new graft.state.SnapshotStore(spark, storeDir)
+    NaiveBayes.nbcStoreModel(nbcTrainDocs, "text", "lang", store, "nbc")
+    NaiveBayes.nbcStoreModel(qualTrainDocs, "text", "lang", store, "qual")
+    TextAnalysis.kn3StoreModel(lmTrain, "text", "doc_id", store, "lm")
+
+    // corpus: one kill per gate, in gate order
+    val docs = Seq(
+      (1L, s"$boiler the cat sat on the mat and slept all day long", "en"),
+      (2L, "the cat sat on the mat and the dog sat too", "en"),
+      (3L, "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq nnq mmq", "en"),
+      (4L, "a dog ran over the hill and far away it went", "de"),
+      (5L, "buy now click here free offer limited deal", "en"),
+      (6L, s"$boiler $boiler", "en"),
+      (7L, "der hund und die katze schlafen auf dem teppich hier", "de"),
+      (8L, "the cat sat on the mat and then the cat slept", "fr"),
+      (9L, "we walked to the market and bought fresh bread this morning",
+        "en")
+    ).toDF("doc_id", "text", "lang")
+    val rates = mixRates.map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    val chainJson =
+      s"""{"name": "ccnet_margin_chain", "steps": [
+         |  {"op": "normalize", "col": "text"},
+         |  {"op": "lang_gate", "text": "text", "id": "doc_id",
+         |   "model_dir": "$storeDir", "model": "nbc",
+         |   "keep": ["de", "en"]},
+         |  {"op": "margin_gate", "text": "text", "id": "doc_id",
+         |   "model_dir": "$storeDir", "model": "qual",
+         |   "keep_class": "hq", "min_margin_micros": 0},
+         |  {"op": "lm_apply", "text": "text", "id": "doc_id",
+         |   "model_dir": "$storeDir", "min_lp_permille": $mixFloor},
+         |  {"op": "line_dedup", "text": "text", "id": "doc_id",
+         |   "width": $mixWidth, "max_doc_freq": 1},
+         |  {"op": "mixture_resample", "id": "doc_id", "strata": "lang",
+         |   "rate_ppm": { $rates }} ] }""".stripMargin
+
+    // WAY 1: the declared chain
+    val (declaredOut, declaredStages) = SpecLoader.funnelFromJson(
+      chainJson, docs)
+    val declared = Seq((0, "input", declaredStages.head._3)) ++
+      declaredStages.map { case (i, op, _, out) => (i, op, out) }
+
+    // WAY 2: the operators composed by hand — no SpecLoader anywhere
+    val mNbc = NaiveBayes.nbcReadModel(store, "nbc")
+    val mQual = NaiveBayes.nbcReadModel(store, "qual")
+    val mLm = TextAnalysis.kn3ReadModel(store, "lm")
+    val h0 = docs.withColumn("text",
+      TextAnalysis.normalizeText(col("text")))
+    val h1 = NaiveBayes.nbcGate(h0, "text", "doc_id", mNbc,
+      Seq("de", "en"))
+    val h2 = NaiveBayes.nbcMarginGate(h1, "text", "doc_id", mQual,
+      "hq", 0L)
+    val h3 = h2.join(
+      TextAnalysis.kn3Score(h2, "text", "doc_id", mLm)
+        .filter(col("lp_permille") >= mixFloor).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val ld = TextAnalysis.lineDedup(h3, "text", "doc_id", mixWidth, 1)
+    val h4 = h3.drop("text").join(
+      ld.filter(col("n_kept") > 0)
+        .select(col("id").as("doc_id"), col("kept_text").as("text")),
+      Seq("doc_id"))
+    val h5 = TextAnalysis.mixtureApplyRatesPpm(h4, col("lang"),
+      col("doc_id"), mixRates)
+    val hand = Seq(
+      (0, "input", docs.count()), (1, "normalize", h0.count()),
+      (2, "lang_gate", h1.count()), (3, "margin_gate", h2.count()),
+      (4, "lm_apply", h3.count()), (5, "line_dedup", h4.count()),
+      (6, "mixture_resample", h5.count()))
+    assert(declared === hand, "declared chain must equal the " +
+      "hand-composed operators stage by stage")
+    assert(declaredOut.select("doc_id").as[Long].collect().sorted.toSeq
+      === h5.select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // WAY 3: the streaming twins over the same declared JSON
+    val frozenNbc = NaiveBayes.nbcFreeze(mNbc)
+    val frozenQual = NaiveBayes.nbcFreeze(mQual)
+    val frozenLm = TextAnalysis.kn3Freeze(mLm)
+    val parsed = SpecLoader.stagesFromJson(chainJson)
+    assert(parsed.map(_._1) === Seq("normalize", "lang_gate",
+      "margin_gate", "lm_apply", "line_dedup", "mixture_resample"))
+    val stages = Seq(
+      parsed.head,
+      ("lang_gate", (d: DataFrame) => graft.streaming
+        .StreamingClassifierGate.gate(d, "text", frozenNbc,
+          Set("de", "en"))),
+      ("margin_gate", (d: DataFrame) => graft.streaming
+        .StreamingClassifierGate.marginGate(d, "text", frozenQual,
+          "hq", 0L)),
+      ("lm_apply", (d: DataFrame) => graft.streaming.StreamingLmGate
+        .gate(d, "text", frozenLm, mixFloor)),
+      ("line_dedup", (d: DataFrame) => graft.streaming
+        .StatefulDocLineDedup.stage(d, "text", "doc_id", mixWidth, 1)),
+      ("mixture_resample", (d: DataFrame) => TextAnalysis
+        .mixtureApplyRatesPpm(d, col("lang"), col("doc_id"), mixRates)))
+    val root = Files.createTempDirectory("graft-3waychain").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING").json(inDir)
+    val observed = StreamingFunnel.observed(stream, stages)
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = observed.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("ccnet_margin_chain").start()
+    val got = try {
+      Files.writeString(Paths.get(s"$inDir/b0.json"),
+        docs.toJSON.collect().mkString("\n"))
+      q.processAllAvailable()
+      StreamingFunnel.funnel(q.recentProgress.toSeq)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    assert(got === declared, "streaming twins must equal the declared " +
+      "chain stage by stage")
+    val streamed = spark.table("ccnet_margin_chain")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed === declaredOut.select("doc_id").as[Long].collect()
+      .sorted.toSeq)
+
+    // the fixture exercises EVERY gate with a distinct kill
+    val byOp = declared.map(t => t._2 -> t._3).toMap
+    assert(byOp("lang_gate") < byOp("normalize"))       // doc 3 (junk)
+    assert(byOp("margin_gate") < byOp("lang_gate"))     // doc 5 (spam)
+    assert(byOp("lm_apply") < byOp("margin_gate"))      // doc 9 (OOV)
+    assert(byOp("line_dedup") < byOp("lm_apply"))       // doc 6 (boiler)
+    assert(byOp("mixture_resample") < byOp("line_dedup")) // doc 8 (fr)
+    val kept = declaredOut.select("doc_id").as[Long].collect().toSet
+    assert(Seq(3L, 5L, 6L, 8L, 9L).forall(!kept.contains(_)))
+  }
 }
