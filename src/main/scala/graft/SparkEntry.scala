@@ -165,6 +165,7 @@ object SparkEntry {
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annRefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
@@ -458,6 +459,46 @@ object SparkEntry {
       Similarity.annTopKIvfStored(
           emb.filter(col("id") % 3 === 0 && col("id") < 30), corpus, 5,
           pin)
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Composed ANN refresh loop (`ann_refresh`): ONE
+    * build-v1 → maintain → promote-v2 → serve pass per (session, dir).
+    * The maintained assignments are REREAD from the published v1
+    * artifact (never recomputed), so the refresh pays delta-sized
+    * assignment work plus one manifest swap — the production cadence
+    * for a corpus that grows and retracts under a frozen centroid
+    * set. */
+  private val annRefreshMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annRefreshScores(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annRefreshMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.filter(col("id") % 3 < 2)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-refresh"))
+      Similarity.ivfPublish(base, reg, "ivf") // v1
+      val v1 = reg.snapshot("ivf")
+      val delta = emb.filter(col("id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      reg.publish("ivf", Seq( // v2: frozen centroids, maintained cells
+        "centroids" -> v1.table("centroids"),
+        "assignments" -> Similarity.ivfMaintainAssignments(
+          v1.table("assignments"), delta, v1.table("centroids"),
+          "__op")))
+      val pin = reg.snapshot("ivf")
+      val postCorpus = emb.filter(col("id") % 3 === 2)
+        .unionByName(base.filter(col("id") % 5 =!= 0))
+      Similarity.annTopKIvfStored(
+          emb.filter(col("id") % 3 === 2 && col("id") < 30),
+          postCorpus, 5, pin)
         .withColumn("model_version", lit(pin.version))
         .localCheckpoint()
     })
@@ -1697,7 +1738,12 @@ object SparkEntry {
     // run through [[graft.pipeline.SpecLoader.funnelFromJson]] — one
     // counted checkpoint per stage boundary yields (stage, op, rows_in,
     // rows_out); the stage literals are generated into both the spec
-    // JSON and the oracle from one definition.
+    // JSON and the oracle from one definition. The declared JSON spec
+    // IS the product surface: the full CCNet front door (normalize →
+    // lang_gate → margin_gate → lm_apply → line_dedup →
+    // mixture_resample) is pinned three ways in StreamingFunnelSpec —
+    // declared ≡ hand-composed operators ≡ streaming twins, stage by
+    // stage.
     "curation_funnel" -> ((s, dir) => {
       import s.implicits._
       funnelRows(s, dir).toDF("stage", "op", "rows_in", "rows_out")
@@ -2810,6 +2856,17 @@ object SparkEntry {
     // DedupSimilaritySpec, so the brute-force recall receipt carries
     // over unchanged.
     "ann_apply" -> ((s, dir) => annApplyScores(s, dir)),
+
+    // the composed ANN refresh loop (the kn_refresh/nbc_refresh shape
+    // for the similarity family): publish index v1 on the base corpus,
+    // maintain the stored assignments under the vector delta against
+    // the FROZEN v1 centroids (delta-sized work), promote the
+    // maintained index as version 2 with one manifest swap, then serve
+    // a query batch (the first added vectors) against the PINNED v2 —
+    // scores carry model_version = 2. The oracle rebuilds the
+    // post-delta index from scratch and probes it, so maintenance +
+    // promotion + serve must compose bit-exactly.
+    "ann_refresh" -> ((s, dir) => annRefreshScores(s, dir)),
 
     // incremental ANN-index maintenance (the kn_counts_ivm contract):
     // the stored assignment table of a base corpus (id % 3 < 2) is
@@ -9498,6 +9555,43 @@ object SparkEntry {
         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(SUM(nid) AS BIGINT) AS sum_id
         |FROM cassign GROUP BY 1""".stripMargin,
+
+    // refresh-loop replay: the oracle rebuilds the POST-delta index
+    // from scratch (same frozen base centroids) and probes it with the
+    // first added vectors — maintenance + v2 promotion + pinned serve
+    // on the engine side must compose to the same rows; model_version
+    // = 2 (v1 = the base index, v2 = the maintained promotion).
+    "ann_refresh" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])
+        |   AS v FROM embeddings),
+        |b AS (SELECT * FROM base WHERE id % 3 < 2),
+        |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+        |   FROM b ORDER BY id LIMIT 16),
+        |fin AS (SELECT * FROM base WHERE id % 3 = 2
+        |  UNION ALL SELECT * FROM b WHERE id % 5 <> 0),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM fin),
+        |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+        |   FROM base WHERE id % 3 = 2 AND id < 30),
+        |cassign AS (SELECT nid, nv, nn2, cid FROM (
+        |  SELECT nid, nv, nn2, cid, row_number() OVER (PARTITION BY nid
+        |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+        |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |qprobe AS (SELECT qid, qv, qn2, cid FROM (
+        |  SELECT qid, qv, qn2, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY CAST(round(list_dot_product(qv, cv) /
+        |      (sqrt(qn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM q CROSS JOIN cent) WHERE rn <= 4),
+        |scored AS (SELECT DISTINCT qid, nid,
+        |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+        |    * 1000.0, 0) AS BIGINT) AS cos_permille
+        |  FROM cassign JOIN qprobe USING (cid) WHERE qid <> nid)
+        |SELECT qid, nid, cos_permille,
+        |  CAST(2 AS BIGINT) AS model_version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
 
     "ann_ivfpq" -> annIvfPqSql,
 
