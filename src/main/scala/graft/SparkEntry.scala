@@ -2857,6 +2857,27 @@ object SparkEntry {
     // over unchanged.
     "ann_apply" -> ((s, dir) => annApplyScores(s, dir)),
 
+    // cluster-balanced (topic) resampling: assign every embedding to its
+    // nearest deterministic IVF cell ([[Similarity.ivfIndexTables]] —
+    // the same lowest-16-id seed set and permille-cosine argmax as the
+    // ann family), α-flatten the OBSERVED cell distribution into
+    // per-cell keep rates, and keep by the deterministic id hash — the
+    // alpha_mixture temperature math applied to embedding-space strata
+    // instead of declared language strata: the "don't let one topic
+    // cluster dominate the mixture" curation stage. Scale shape: the
+    // assignment is the family-2 bounded centroid cross; the rate table
+    // is |cells|-sized and broadcasts; the keep filter is a pure
+    // projection.
+    "cluster_mixture" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val Seq(_, (_, assigns)) = Similarity.ivfIndexTables(emb)
+      TextAnalysis.alphaMixture(
+          assigns.select(col("nid"), col("cid")), col("cid"), col("nid"),
+          TextAnalysis.MixtureAlpha)
+        .select(col("nid").as("vec_id"), col("cid"), col("rate_ppm"))
+    }),
+
     // the composed ANN refresh loop (the kn_refresh/nbc_refresh shape
     // for the similarity family): publish index v1 on the base corpus,
     // maintain the stored assignments under the vector delta against
@@ -9555,6 +9576,38 @@ object SparkEntry {
         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(SUM(nid) AS BIGINT) AS sum_id
         |FROM cassign GROUP BY 1""".stripMargin,
+
+    // cluster-mixture replay: the ann_ivf assignment CTEs feed the
+    // alpha_mixture temperature CTEs with cid as the stratum — both
+    // halves are existing, separately-proven oracle machinery composed;
+    // the keep predicate is the shared Knuth-hash ppm literal.
+    "cluster_mixture" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])
+        |   AS v FROM embeddings),
+        |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+        |   FROM base ORDER BY id LIMIT 16),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM base),
+        |cassign AS (SELECT nid, cid FROM (
+        |  SELECT nid, cid, row_number() OVER (PARTITION BY nid
+        |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+        |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |c AS (SELECT cid, COUNT(*) AS n FROM cassign GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM c),
+        |w AS (SELECT cid, n, nn, CAST(round(
+        |      pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), ALPHA) * 1000000,
+        |      0) AS BIGINT) AS w
+        |  FROM c, t),
+        |d2 AS (SELECT SUM(w) AS wd FROM w),
+        |r AS (SELECT cid, CAST(least(1000000,
+        |      (((1000000 * w) // wd) * nn) // n) AS BIGINT) AS rate_ppm
+        |  FROM w, d2)
+        |SELECT a.nid AS vec_id, a.cid, r.rate_ppm
+        |FROM cassign a JOIN r USING (cid)
+        |WHERE KEEPHASH < r.rate_ppm""".stripMargin
+        .replace("ALPHA", TextAnalysis.MixtureAlpha.toString)
+        .replace("KEEPHASH", XxhOracleSql.knuthKeepPpm("a.nid")),
 
     // refresh-loop replay: the oracle rebuilds the POST-delta index
     // from scratch (same frozen base centroids) and probes it with the

@@ -70,17 +70,38 @@ class ModelRegistry(spark: SparkSession, root: String) {
     * one manifest swap. Returns the promoted version number. Version
     * dirs other than the new current and its predecessor are
     * best-effort GC'd (a reader pinned on the outgoing version gets one
-    * full promote cycle to finish, never a FileNotFound mid-scan). */
+    * full promote cycle to finish, never a FileNotFound mid-scan).
+    *
+    * Single-writer ENFORCED, not just assumed: the publisher claims
+    * `publish-lock-<v>` with an atomic create-if-absent before writing
+    * anything; a concurrent publisher racing for the same version FAILS
+    * LOUDLY instead of silently losing the manifest race (two writers
+    * allocating the same version would otherwise both "succeed" with
+    * one artifact silently discarded — the failure mode refresh
+    * schedulers actually hit). A publisher that crashed mid-write
+    * leaves its lock behind; the next publish names the stale lock in
+    * its error so an operator can inspect-and-remove — deliberate
+    * manual recovery, matching the registry's driver-scheduled refresh
+    * contract. */
   def publish(model: String, tables: Seq[(String, DataFrame)]): Long = {
     require(tables.nonEmpty, s"publish($model): no tables")
     val (cur, _, maxv) = manifestRow(model).getOrElse((0L, 0L, 0L))
     val v = maxv + 1
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"${versionDir(model, v)}/$name")
-    }
-    promote(model, version = v, prev = cur, maxv = v,
-      keep = Set(v, cur))
+    val lock = new Path(s"$root/$model/publish-lock-$v")
+    val f = fs
+    f.mkdirs(lock.getParent)
+    require(f.createNewFile(lock),
+      s"publish($model): version $v is already being published " +
+        s"(concurrent publisher, or a crashed one — inspect and remove " +
+        s"$lock to recover)")
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(s"${versionDir(model, v)}/$name")
+      }
+      promote(model, version = v, prev = cur, maxv = v,
+        keep = Set(v, cur))
+    } finally f.delete(lock, false)
     v
   }
 

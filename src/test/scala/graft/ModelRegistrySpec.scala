@@ -114,6 +114,28 @@ class ModelRegistrySpec extends AnyFunSuite {
       Seq((1L, "y")))
   }
 
+  test("publish claims a per-version lock: a concurrent (or crashed) " +
+      "publisher fails loudly naming the lock; removal recovers; a " +
+      "normal publish releases it") {
+    val (reg, root) = freshRegRoot()
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    // simulate a concurrent publisher holding the claim for v2
+    val lock = java.nio.file.Paths.get(s"$root/m/publish-lock-2")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalArgumentException](
+      reg.publish("m", Seq("a" -> Seq((2L, "y")).toDF("k", "v"))))
+    assert(e.getMessage.contains("publish-lock-2"))
+    assert(reg.currentVersion("m") === 1L, "failed publish must not " +
+      "promote")
+    // operator recovery: remove the stale lock, retry succeeds
+    java.nio.file.Files.delete(lock)
+    assert(reg.publish("m",
+      Seq("a" -> Seq((2L, "y")).toDF("k", "v"))) === 2L)
+    // the lock was released: v3 publishes without intervention
+    assert(reg.publish("m",
+      Seq("a" -> Seq((3L, "z")).toDF("k", "v"))) === 3L)
+  }
+
   test("snapshot of a never-published model and a missing table fail " +
       "loudly") {
     val reg = freshReg()
