@@ -266,6 +266,61 @@ object Similarity {
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }
 
+  /** Cluster-balanced (topic) resampling as a chain stage: assign every
+    * row's embedding to its nearest deterministic IVF cell, α-flatten
+    * the OBSERVED cell distribution into per-cell keep rates
+    * ([[TextAnalysis.alphaRatesPpm]]'s temperature math over
+    * embedding-space strata), keep by the deterministic id hash, and
+    * semi-join the survivors back — stage output schema == input schema
+    * (the declared-stage contract). `emb`: (id, vec); rows of `df`
+    * without an embedding drop (they cannot be balanced). */
+  def clusterMixture(df: DataFrame, idCol: String, emb: DataFrame,
+      nCells: Int = 16, alpha: Double = 0.3): DataFrame = {
+    val present = emb.join(df.select(col(idCol).as("id")), Seq("id"),
+      "left_semi")
+    val Seq(_, (_, assigns)) = ivfIndexTables(present, nCells)
+    val kept = graft.operators.TextAnalysis.alphaMixture(
+        assigns.select(col("nid"), col("cid")), col("cid"), col("nid"),
+        alpha)
+      .select(col("nid").as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** Executor-resident frozen form of an IVF centroid set — the
+    * streaming twin's broadcast artifact (cid-ascending, with
+    * precomputed squared norms). */
+  final case class FrozenCentroids(
+      cells: Seq[(Long, Array[Double], Double)]) extends Serializable
+
+  def freezeCentroids(centroids: DataFrame): FrozenCentroids =
+    FrozenCentroids(centroids.select(col("cid"),
+        col("vec").cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, v.map(x => x * x).sum)
+      }.sortBy(_._1).toSeq)
+
+  /** Single-row local nearest-cell assignment over a frozen centroid
+    * set — BIT-IDENTICAL to [[assignToCells]]'s distributed argmax:
+    * same left-to-right dot product ([[graft.functions.DotProduct]]'s
+    * summation order), same HALF_UP permille quantization as Spark's
+    * `round`, same (sim DESC, cid ASC) tie-break. */
+  def assignLocal(vec: Array[Double], fc: FrozenCentroids): Long = {
+    require(fc.cells.nonEmpty, "frozen centroid set is empty")
+    val n2 = { var s = 0.0; var i = 0
+      while (i < vec.length) { s += vec(i) * vec(i); i += 1 }; s }
+    var bestCid = -1L; var bestSim = Long.MinValue
+    fc.cells.foreach { case (cid, cv, cn2) =>
+      var d = 0.0; var i = 0
+      while (i < vec.length) { d += vec(i) * cv(i); i += 1 }
+      val sim = java.math.BigDecimal
+        .valueOf(d / (math.sqrt(n2) * math.sqrt(cn2)) * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      if (sim > bestSim) { bestSim = sim; bestCid = cid }
+    }
+    bestCid
+  }
+
   /** Maintain a stored assignment table under a corpus delta against
     * FROZEN centroids — the kn_counts_ivm contract for the ANN index:
     * retractions (`opCol` = −1, matched by id) anti-join out of the

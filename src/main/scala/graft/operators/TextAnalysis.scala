@@ -1286,7 +1286,20 @@ object TextAnalysis {
     * trillion rows — beyond any corpus. Returns the kept rows with
     * `rate_ppm` attached. */
   def alphaMixture(df: DataFrame, strataCol: Column, idCol: Column,
-      alpha: Double = 0.3): DataFrame = {
+      alpha: Double = 0.3): DataFrame =
+    df.join(broadcast(alphaRatesPpm(df, strataCol, alpha)),
+        strataCol === col("__stratum"))
+      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
+      .drop("__stratum")
+
+  /** [[alphaMixture]]'s rate table alone — (__stratum, rate_ppm) from
+    * the observed stratum distribution. Factored out so the FROZEN
+    * consumers (streaming twins, declared stages scoring against
+    * trained rates) can collect the |strata|-sized table once and ship
+    * it; the same expressions, so rates are bit-identical to the inline
+    * path. */
+  def alphaRatesPpm(df: DataFrame, strataCol: Column,
+      alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0, 1]")
     val counts = df.groupBy(strataCol.as("__stratum"))
       .agg(count(lit(1)).as("__n"))
@@ -1296,14 +1309,11 @@ object TextAnalysis {
         col("__n").cast("double") / col("__nn").cast("double"),
         lit(alpha)) * lit(1000000)).cast("long"))
     val den = w.agg(sum(col("__w")).as("__wd"))
-    val rates = w.crossJoin(broadcast(den))
+    w.crossJoin(broadcast(den))
       .select(col("__stratum"),
         least(lit(1000000L),
           expr("(((1000000 * __w) DIV __wd) * __nn) DIV __n"))
           .as("rate_ppm"))
-    df.join(broadcast(rates), strataCol === col("__stratum"))
-      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
-      .drop("__stratum")
   }
 
   /** Source-distinctive vocabulary (keyness): per source, the tokens most

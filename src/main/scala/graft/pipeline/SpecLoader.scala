@@ -475,6 +475,27 @@ object SpecLoader {
         df => graft.operators.TextAnalysis
           .alphaMixture(df, col(strata), col(id), alpha)
           .drop("rate_ppm")
+      case "cluster_mixture" =>
+        // cluster-balanced (topic) resampling: assign each row's
+        // embedding (read from `vec_dir`, joined on `id`) to its
+        // nearest deterministic IVF cell and α-flatten the OBSERVED
+        // cell distribution into keep rates
+        // ([[graft.operators.Similarity.clusterMixture]]) — the
+        // alpha_mixture temperature math over embedding-space strata
+        // instead of a declared label column. The streaming twin is
+        // [[graft.streaming.StreamingClusterGate]] over frozen
+        // centroids + frozen rates.
+        val id = (v \ "id").extract[String]
+        val vecDir = (v \ "vec_dir").extract[String]
+        val vecId = (v \ "vec_id").extractOpt[String].getOrElse("vec_id")
+        val vecCol = (v \ "vec_col").extractOpt[String]
+          .getOrElse("embedding")
+        val nCells = (v \ "n_cells").extractOpt[Int].getOrElse(16)
+        val alpha = (v \ "alpha").extractOpt[Double].getOrElse(0.3)
+        df => graft.operators.Similarity.clusterMixture(df, id,
+          df.sparkSession.read.parquet(vecDir)
+            .select(col(vecId).as("id"), col(vecCol).as("vec")),
+          nCells, alpha)
       case "dsir_weight" =>
         // DSIR importance weighting (Xie et al. 2023): attach each doc's
         // hashed-bigram target/corpus rate-ratio score as a column

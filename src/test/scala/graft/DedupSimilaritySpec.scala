@@ -358,6 +358,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("cluster mixture: batch stage == declared JSON stage == frozen " +
+      "streaming gate on the same corpus") {
+    val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val emb = spark.read.parquet(embPath)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val docs = emb.select(col("id").as("doc_id"),
+      concat(lit("payload-"), col("id")).as("text"))
+
+    // WAY 1: the operator called by hand
+    val batch = Similarity.clusterMixture(docs, "doc_id", emb,
+      nCells = 8, alpha = 0.3)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+
+    // WAY 2: the declared JSON stage
+    val stage = graft.pipeline.SpecLoader.stagesFromJson(
+      s"""{"name": "cm", "steps": [
+         |  {"op": "cluster_mixture", "id": "doc_id",
+         |   "vec_dir": "$embPath", "n_cells": 8, "alpha": 0.3}]}"""
+        .stripMargin).head._2
+    val declared = stage(docs)
+    assert(declared.columns.toSeq === docs.columns.toSeq,
+      "stage output schema must equal input schema")
+    assert(declared.select("doc_id").as[Long].collect().toSet ===
+      batchIds)
+
+    // WAY 3: the frozen streaming gate — centroids and rates trained
+    // once on the same corpus, then per-row local assignment + hash
+    val Seq((_, cents), (_, assigns)) =
+      Similarity.ivfIndexTables(emb, nCells = 8)
+    val fc = Similarity.freezeCentroids(cents)
+    val rates = graft.operators.TextAnalysis.alphaRatesPpm(
+        assigns.select(col("nid"), col("cid")), col("cid"), 0.3)
+      .as[(Long, Long)].collect().toMap
+    val streamed = graft.streaming.StreamingClusterGate.gate(
+        docs.join(emb.select(col("id").as("doc_id"), col("vec")
+          .cast("array<double>")), Seq("doc_id")),
+        "vec", "doc_id", fc, rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batchIds)
+
+    // the fixture exercises the balance: something kept, something cut
+    assert(batchIds.nonEmpty && batchIds.size < docs.count())
+
+    // local assignment is bit-identical to the distributed argmax on
+    // every corpus vector (the frozen-twin contract)
+    val distributed = assigns.select(col("nid"), col("cid"))
+      .as[(Long, Long)].collect().toMap
+    emb.select(col("id"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().foreach { case (id, v) =>
+        assert(Similarity.assignLocal(v, fc) === distributed(id),
+          s"vec $id")
+      }
+  }
+
   test("ann IVF-PQ: ADC ranking recalls brute-force neighbors") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
