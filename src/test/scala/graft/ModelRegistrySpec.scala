@@ -146,6 +146,40 @@ class ModelRegistrySpec extends AnyFunSuite {
       reg.snapshot("m").table("nope")).getMessage.contains("missing"))
   }
 
+  test("randomized publish/rollback sequences track a reference state " +
+      "machine: version numbering, one-step history, and table contents") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 0 until 2) {
+      val reg = freshReg()
+      // reference fold of the manifest semantics
+      var cur = 0L; var prev = 0L; var maxv = 0L
+      val stored = scala.collection.mutable.Map[Long, Seq[(Long, Long)]]()
+      for (step <- 0 until 10) {
+        val doRollback = prev > 0 && rnd.nextInt(4) == 0
+        if (doRollback) {
+          assert(reg.rollback("m") === prev)
+          cur = prev; prev = 0L
+        } else {
+          val rows = Seq.fill(1 + rnd.nextInt(4))(
+            (rnd.nextInt(100).toLong, rnd.nextLong()))
+          val v = reg.publish("m", Seq("a" -> rows.toDF("k", "v")))
+          assert(v === maxv + 1, s"round $round step $step")
+          stored(v) = rows
+          prev = cur; cur = v; maxv = v
+        }
+        assert(reg.currentVersion("m") === cur)
+        val read = reg.snapshot("m").table("a")
+          .as[(Long, Long)].collect().toSeq.sorted
+        assert(read === stored(cur).sorted,
+          s"round $round step $step: v$cur content")
+      }
+      // exhausted-history rollback fails loudly whenever prev == 0
+      if (prev == 0L && cur > 0L)
+        assert(intercept[IllegalArgumentException](reg.rollback("m"))
+          .getMessage.contains("no previous version"))
+    }
+  }
+
   test("kn3 publish/pin round-trip scores equal the in-session model") {
     val reg = freshReg()
     val docs = df(corpusA ++ corpusB)
