@@ -12,11 +12,13 @@ import sys
 
 def load(path):
     for line in open(path):
-        line = line.strip()
-        if line.startswith('{'):
-            d = json.loads(line)
-            if 'queries' in d:
-                return d['queries'], d.get('total')
+        # tolerate sbt's "[info] " prefix on the bench line
+        i = line.find('{')
+        if i < 0:
+            continue
+        d = json.loads(line[i:].strip())
+        if 'queries' in d:
+            return d['queries'], d.get('total', d.get('value'))
     raise SystemExit(f'no bench JSON line in {path}')
 
 
