@@ -145,8 +145,12 @@ object SparkEntry {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      // Files.walk holds directory handles open until closed — an
+      // unclosed stream leaks one fd per cleaned temp root
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
   private def hookMemoEviction(s: SparkSession): Unit = {
@@ -170,7 +174,11 @@ object SparkEntry {
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
             l.forEach(p => try deleteRecursively(p)
-              catch { case _: java.io.IOException => () })
+              catch {
+                // walk's lazy traversal rethrows IOException wrapped
+                case _: java.io.IOException => ()
+                case _: java.io.UncheckedIOException => ()
+              })
           }
           memoHooked.remove(sc)
         }

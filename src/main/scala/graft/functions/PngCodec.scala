@@ -128,6 +128,12 @@ object PngCodec {
     val idat = new java.io.ByteArrayOutputStream()
     while (off + 8 <= png.length) {
       val len = rbe32(off)
+      // the length field is attacker-controlled bytes: a negative or
+      // oversized value must fail as a named malformed-container error,
+      // never a raw IndexOutOfBounds or a walk past valid chunks
+      require(len >= 0 && off + 12 + len <= png.length,
+        s"png decode: chunk at offset $off declares length $len " +
+          s"beyond the ${png.length}-byte container")
       val tag = new String(png, off + 4, 4, "US-ASCII")
       tag match {
         case "IHDR" =>

@@ -297,7 +297,12 @@ object Similarity {
         col("vec").cast("array<double>")).collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
-        (r.getLong(0), v, v.map(x => x * x).sum)
+        val n2 = v.map(x => x * x).sum
+        // same degenerate-embedding contract as assignLocal: a
+        // zero-norm centroid would NaN every cosine against it
+        require(n2 > 0 && !n2.isNaN,
+          s"freezeCentroids: centroid ${r.getLong(0)} has zero/NaN norm")
+        (r.getLong(0), v, n2)
       }.sortBy(_._1).toSeq)
 
   /** Single-row local nearest-cell assignment over a frozen centroid
@@ -309,6 +314,14 @@ object Similarity {
     require(fc.cells.nonEmpty, "frozen centroid set is empty")
     val n2 = { var s = 0.0; var i = 0
       while (i < vec.length) { s += vec(i) * vec(i); i += 1 }; s }
+    // a zero-norm (or NaN) embedding has no cosine direction; the
+    // distributed argmax fails it loudly under ANSI (DIVIDE_BY_ZERO),
+    // so the local twin must fail loudly too — the unguarded
+    // BigDecimal.valueOf(NaN) below would throw a bare
+    // NumberFormatException, a crash the twin contract does not name
+    require(n2 > 0 && !n2.isNaN,
+      s"assignLocal: zero-norm or NaN embedding (n2=$n2) has no " +
+        "cosine direction — the batch stage rejects it the same way")
     var bestCid = -1L; var bestSim = Long.MinValue
     fc.cells.foreach { case (cid, cv, cn2) =>
       var d = 0.0; var i = 0

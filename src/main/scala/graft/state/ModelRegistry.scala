@@ -69,41 +69,89 @@ class ModelRegistry(spark: SparkSession, root: String) {
   /** Write every table of a NEW version completely, then promote it with
     * one manifest swap. Returns the promoted version number. Version
     * dirs other than the new current and its predecessor are
-    * best-effort GC'd (a reader pinned on the outgoing version gets one
-    * full promote cycle to finish, never a FileNotFound mid-scan).
+    * best-effort GC'd — the READER-LEASE CONTRACT: a reader pinned on
+    * the outgoing version gets exactly ONE full promote cycle to
+    * finish. A [[Pinned]] held across TWO promotions points at a GC'd
+    * dir and fails its next `table` read loudly (pinned by name in
+    * ModelRegistrySpec); a refresh scheduler must bound scan time below
+    * its promote cadence, or widen the keep set with a real table
+    * format's snapshot retention.
     *
-    * Single-writer ENFORCED, not just assumed: the publisher claims
-    * `publish-lock-<v>` with an atomic create-if-absent before writing
-    * anything; a concurrent publisher racing for the same version FAILS
-    * LOUDLY instead of silently losing the manifest race (two writers
-    * allocating the same version would otherwise both "succeed" with
-    * one artifact silently discarded — the failure mode refresh
-    * schedulers actually hit). A publisher that crashed mid-write
-    * leaves its lock behind; the next publish names the stale lock in
-    * its error so an operator can inspect-and-remove — deliberate
-    * manual recovery, matching the registry's driver-scheduled refresh
-    * contract. */
-  def publish(model: String, tables: Seq[(String, DataFrame)]): Long = {
+    * Single-writer ENFORCED, not just assumed, in two layers:
+    *
+    *  1. the publisher claims `publish-lock-<v>` with an atomic
+    *     create-if-absent before writing anything; a concurrent
+    *     publisher racing for the same version FAILS LOUDLY instead of
+    *     silently losing the manifest race (two writers allocating the
+    *     same version would otherwise both "succeed" with one artifact
+    *     silently discarded — the failure mode refresh schedulers
+    *     actually hit);
+    *  2. the lock is re-validated AFTER the claim: the lock file is
+    *     deleted once its publisher promotes, so a slow competitor that
+    *     read the manifest BEFORE that promote could claim the freed
+    *     lock number afterwards and `Overwrite` the just-promoted,
+    *     supposedly immutable `v-<v>` dirs under pinned readers. Version
+    *     numbers are never reused (`max_version` is monotone), so the
+    *     claimer re-reads the manifest and fails loudly if
+    *     `max_version` advanced past what it allocated from.
+    *
+    * A publisher that crashed mid-write leaves its lock behind; the
+    * next publish names the stale lock in its error so an operator can
+    * inspect-and-remove — deliberate manual recovery, matching the
+    * registry's driver-scheduled refresh contract. For schedulers that
+    * cannot page an operator, `staleLockMs` bounds the wait: a lock
+    * older than the budget is broken and re-claimed atomically
+    * (create-if-absent again, so two recovering publishers cannot both
+    * win). Overwriting a crashed publisher's PARTIAL version dir is
+    * safe — it was never promoted, so no reader ever resolved it. */
+  def publish(model: String, tables: Seq[(String, DataFrame)],
+      staleLockMs: Long = Long.MaxValue): Long = {
     require(tables.nonEmpty, s"publish($model): no tables")
-    val (cur, _, maxv) = manifestRow(model).getOrElse((0L, 0L, 0L))
+    val (_, _, maxv) = manifestRow(model).getOrElse((0L, 0L, 0L))
     val v = maxv + 1
+    onBeforeClaim(model, v)
     val lock = new Path(s"$root/$model/publish-lock-$v")
     val f = fs
     f.mkdirs(lock.getParent)
-    require(f.createNewFile(lock),
-      s"publish($model): version $v is already being published " +
-        s"(concurrent publisher, or a crashed one — inspect and remove " +
-        s"$lock to recover)")
+    if (!f.createNewFile(lock)) {
+      val ageMs = System.currentTimeMillis -
+        f.getFileStatus(lock).getModificationTime
+      require(ageMs > staleLockMs,
+        s"publish($model): version $v is already being published " +
+          s"(concurrent publisher, or a crashed one — inspect and " +
+          s"remove $lock to recover, or pass staleLockMs < $ageMs to " +
+          "break the stale lock)")
+      f.delete(lock, false)
+      require(f.createNewFile(lock),
+        s"publish($model): lost the claim race for version $v while " +
+          s"breaking a stale lock — a live publisher re-claimed $lock")
+    }
     try {
+      // post-claim re-validation (layer 2 above): allocate-from state
+      // must still be the head, or this claim recycles a released lock
+      val now = manifestRow(model).getOrElse((0L, 0L, 0L))
+      require(now._3 == maxv,
+        s"publish($model): lost the publish race for version $v — the " +
+          s"manifest advanced to max_version=${now._3} after this " +
+          "publisher read it (a competitor promoted first); retry to " +
+          "publish against the new head")
       tables.foreach { case (name, df) =>
         df.write.mode(SaveMode.Overwrite)
           .parquet(s"${versionDir(model, v)}/$name")
       }
-      promote(model, version = v, prev = cur, maxv = v,
-        keep = Set(v, cur))
+      promote(model, version = v, prev = now._1, maxv = v,
+        keep = Set(v, now._1))
     } finally f.delete(lock, false)
     v
   }
+
+  /** Test seam: called between the manifest read that allocates the new
+    * version number and the lock claim — the recycled-lock race window
+    * (a competitor can read, write, promote and release entirely inside
+    * it, freeing the lock name this publisher is about to claim).
+    * No-op in production; ModelRegistrySpec overrides it to replay the
+    * race deterministically. */
+  protected def onBeforeClaim(model: String, version: Long): Unit = ()
 
   /** Re-promote the previous version — pure manifest metadata, the data
     * dirs are untouched. Fails loudly if there is no history to restore

@@ -410,6 +410,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(Similarity.assignLocal(v, fc) === distributed(id),
           s"vec $id")
       }
+
+    // degenerate embeddings fail LOUDLY in the local twin, matching the
+    // batch stage's ANSI DIVIDE_BY_ZERO — never a bare
+    // NumberFormatException out of BigDecimal.valueOf(NaN), and never a
+    // silent divergence (crash on one side, drop/assign on the other)
+    assert(intercept[IllegalArgumentException](
+      Similarity.assignLocal(Array(0.0, 0.0, 0.0), fc)).getMessage
+      .contains("zero-norm"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.assignLocal(Array(Double.NaN, 1.0), fc)).getMessage
+      .contains("cosine direction"))
   }
 
   test("ann IVF-PQ: ADC ranking recalls brute-force neighbors") {

@@ -136,6 +136,74 @@ class ModelRegistrySpec extends AnyFunSuite {
       Seq("a" -> Seq((3L, "z")).toDF("k", "v"))) === 3L)
   }
 
+  test("recycled publish lock cannot overwrite a promoted version: a " +
+      "publisher that read the manifest before a competitor promoted " +
+      "fails loudly post-claim instead of Overwriting immutable dirs") {
+    val root = Files.createTempDirectory("graft-registry-spec").toString
+    val fast = new ModelRegistry(spark, root)
+    fast.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    // slow publisher: reads maxv=1 (allocating v2); the fast competitor
+    // then publishes v2 and RELEASES its lock entirely inside the race
+    // window, so the slow claim succeeds on the freed lock name — the
+    // post-claim manifest re-validation is all that stands between it
+    // and an in-place Overwrite of the promoted immutable v-2 dirs
+    var raced = false
+    val slow = new ModelRegistry(spark, root) {
+      override protected def onBeforeClaim(model: String,
+          v: Long): Unit =
+        if (!raced) {
+          raced = true
+          fast.publish("m", Seq("a" -> Seq((2L, "fast")).toDF("k", "v")))
+        }
+    }
+    val e = intercept[IllegalArgumentException](
+      slow.publish("m", Seq("a" -> Seq((2L, "slow")).toDF("k", "v"))))
+    assert(e.getMessage.contains("manifest advanced"))
+    // the promoted v2 artifact is untouched by the loser
+    assert(fast.snapshot("m").version === 2L)
+    assert(fast.snapshot("m").table("a").as[(Long, String)].collect()
+      .toSeq === Seq((2L, "fast")))
+    // and the loser's retry allocates v3 cleanly against the new head
+    assert(slow.publish("m",
+      Seq("a" -> Seq((3L, "slow")).toDF("k", "v"))) === 3L)
+  }
+
+  test("staleLockMs breaks a crashed publisher's lock once it ages past " +
+      "the budget; a lock inside the budget still fails loudly") {
+    val (reg, root) = freshRegRoot()
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    val lock = java.nio.file.Paths.get(s"$root/m/publish-lock-2")
+    java.nio.file.Files.createFile(lock)
+    // fresh lock + generous budget: the loud manual-recovery error
+    val e = intercept[IllegalArgumentException](reg.publish("m",
+      Seq("a" -> Seq((2L, "y")).toDF("k", "v")), staleLockMs = 60000L))
+    assert(e.getMessage.contains("publish-lock-2"))
+    assert(reg.currentVersion("m") === 1L)
+    // age the lock past the budget: the publish breaks it and proceeds
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 10000L))
+    assert(reg.publish("m", Seq("a" -> Seq((2L, "y")).toDF("k", "v")),
+      staleLockMs = 5000L) === 2L)
+  }
+
+  test("READER-LEASE CONTRACT: a Pinned survives ONE promote cycle; " +
+      "held across TWO, its version dir is GC'd and the next table " +
+      "read fails loudly (bound scan time below the promote cadence)") {
+    val reg = freshReg()
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    val pin = reg.snapshot("m") // v1
+    reg.publish("m", Seq("a" -> Seq((2L, "y")).toDF("k", "v")))
+    // one promote: v1 is the retained predecessor — the pin still reads
+    assert(pin.table("a").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x")))
+    reg.publish("m", Seq("a" -> Seq((3L, "z")).toDF("k", "v")))
+    // two promotes: v1 is GC'd; the stale pin fails LOUDLY, never a
+    // torn half-read — this is the documented one-cycle reader lease
+    val e = intercept[IllegalArgumentException](pin.table("a"))
+    assert(e.getMessage.contains("missing from published version"))
+  }
+
   test("snapshot of a never-published model and a missing table fail " +
       "loudly") {
     val reg = freshReg()

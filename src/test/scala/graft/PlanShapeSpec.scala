@@ -662,4 +662,26 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("xxhash64"), s"$name lost its hash keys")
     }
   }
+
+  test("streaming cluster gate: one codegen'd column predicate — no " +
+      "typed Row-lambda deserialization round-trip") {
+    // parquet-backed input: a local Seq would let the optimizer fold
+    // the whole predicate into the LocalTableScan and prove nothing
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val fc = graft.operators.Similarity.FrozenCentroids(Seq(
+      (0L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else 0.1), 1.0),
+      (1L, Array.tabulate(64)(i => if (i % 2 == 1) 1.0 else 0.1), 1.0)))
+    val gated = graft.streaming.StreamingClusterGate.gate(
+      df, "vec", "doc_id", fc, Map(0L -> 1000000L, 1L -> 500000L))
+    val plan = finalPlan(gated)
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject"),
+      s"gate must not round-trip rows through a typed lambda:\n$plan")
+    // "*(n) Filter" is the WholeStageCodegen marker in the compact
+    // plan string — an interpreted FilterExec prints without the star
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined,
+      s"gate filter fell out of whole-stage codegen:\n$plan")
+  }
 }

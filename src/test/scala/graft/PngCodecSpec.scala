@@ -140,5 +140,16 @@ class PngCodecSpec extends AnyFunSuite {
     }
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(short)).getMessage.contains("pixel data"))
+    // a chunk whose declared length runs past the container (or is
+    // negative) must fail as a named error, never raw IndexOutOfBounds
+    val good = PngCodec.encode(7L, 2, 2, 0)
+    val oversized = good.clone()
+    oversized(8) = 0x7F.toByte // IHDR length -> ~Int.MaxValue
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(oversized)).getMessage.contains("beyond"))
+    val negative = good.clone()
+    negative(8) = 0x80.toByte // IHDR length sign bit
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(negative)).getMessage.contains("beyond"))
   }
 }

@@ -16,7 +16,12 @@ def load(path):
         i = line.find('{')
         if i < 0:
             continue
-        d = json.loads(line[i:].strip())
+        # a brace on a non-JSON log line (e.g. "[error] ... {stack}")
+        # must not abort the scan
+        try:
+            d = json.loads(line[i:].strip())
+        except json.JSONDecodeError:
+            continue
         if 'queries' in d:
             return d['queries'], d.get('total', d.get('value'))
     raise SystemExit(f'no bench JSON line in {path}')
