@@ -170,6 +170,8 @@ object SparkEntry {
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annRefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annPqApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annSq8ApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
@@ -507,6 +509,65 @@ object SparkEntry {
       Similarity.annTopKIvfStored(
           emb.filter(col("id") % 3 === 2 && col("id") < 30),
           postCorpus, 5, pin)
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Frozen compressed-index ANN scoring (`ann_ivfpq_apply`): the
+    * ann_apply discipline for the PQ tier — the whole compressed index
+    * (centroids + per-subspace codebook + code table + build params)
+    * publishes as ONE [[graft.state.ModelRegistry]] version; the
+    * held-out query batch scores against the PINNED reloaded artifact
+    * ([[Similarity.annTopKIvfPqStored]]) with `model_version` stamped
+    * per row. Stored-path ≡ retrain-path bit-equality is pinned in
+    * DedupSimilaritySpec, so the ADC recall receipt carries over. */
+  private val annPqApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annIvfPqApplyScores(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annPqApplyMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.filter(col("id") % 3 =!= 0)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-ivfpq-apply"))
+      Similarity.ivfPqPublish(corpus, reg, "ivfpq",
+        nSub = 8, nCentroids = 128)
+      val pin = reg.snapshot("ivfpq")
+      Similarity.annTopKIvfPqStored(
+          emb.filter(col("id") % 3 === 0 && col("id") < 30), corpus, 5,
+          pin, rerank = Similarity.Sq8Rerank)
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Frozen scalar-quantized ANN scoring (`ann_sq8_apply`): publish the
+    * SQ8 bounds + code table as one registry version, quantize a NEW
+    * query batch with the PINNED bounds (never re-learned — re-learning
+    * per batch would silently shift every stored code's meaning), score
+    * against the pinned codes, exact-rerank the shortlist
+    * ([[Similarity.annTopKSq8Stored]]). */
+  private val annSq8ApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annSq8ApplyScores(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annSq8ApplyMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.filter(col("id") % 3 =!= 0)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-sq8-apply"))
+      Similarity.sq8Publish(corpus, reg, "sq8")
+      val pin = reg.snapshot("sq8")
+      Similarity.annTopKSq8Stored(
+          emb.filter(col("id") % 3 === 0 && col("id") < 30), corpus, 5,
+          pin)
         .withColumn("model_version", lit(pin.version))
         .localCheckpoint()
     })
@@ -2864,6 +2925,15 @@ object SparkEntry {
     // DedupSimilaritySpec, so the brute-force recall receipt carries
     // over unchanged.
     "ann_apply" -> ((s, dir) => annApplyScores(s, dir)),
+
+    // the ann_apply publish/pin/serve discipline for the COMPRESSED
+    // tiers, closing the round-14 gap where only plain IVF was
+    // registry-versioned: IVF-PQ (centroids + codebook + code table +
+    // build params as one immutable version) and SQ8 (bounds + code
+    // table) — serve paths pin a version, quantize/probe the new batch
+    // against the stored artifact, and stamp model_version per row.
+    "ann_ivfpq_apply" -> ((s, dir) => annIvfPqApplyScores(s, dir)),
+    "ann_sq8_apply" -> ((s, dir) => annSq8ApplyScores(s, dir)),
 
     // cluster-balanced (topic) resampling: assign every embedding to its
     // nearest deterministic IVF cell ([[Similarity.ivfIndexTables]] —
@@ -9656,6 +9726,31 @@ object SparkEntry {
 
     "ann_ivfpq" -> annIvfPqSql,
 
+    // publish/pin/serve replay for the compressed tiers: the oracle
+    // recomputes the full IVF-PQ / SQ8 math from scratch on the
+    // mod-3 splits — the engine result came from tables written to a
+    // registry version and reloaded, so equality proves the stored
+    // artifact round-trips bit-exactly (same contract as ann_apply)
+    "ann_ivfpq_apply" -> annIvfPqSqlFor("id % 3 <> 0",
+      "id % 3 = 0 AND id < 30", version = Some(1)),
+
+    "ann_sq8_apply" ->
+      s"""${sq8CandSqlFor("id % 3 <> 0", "id % 3 = 0 AND id < 30")},
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2 ASC, nid ASC) AS rn FROM cand) u
+        |  WHERE rn <= ${Similarity.Sq8Rerank}),
+        |rs AS (SELECT s.qid, s.nid,
+        |    CAST(round(list_dot_product(q.qv, c.nv) /
+        |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
+        |      AS cos_permille
+        |  FROM short s JOIN corp c ON c.nid = s.nid JOIN q ON q.qid = s.qid)
+        |SELECT qid, nid, cos_permille,
+        |  CAST(1 AS BIGINT) AS model_version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
+        |WHERE rn <= 5""".stripMargin,
+
     // SQ8 replay: unit vectors, per-dim corpus min/max as ordered lists,
     // floor/clamp codes on IEEE-identical expression trees (integer-
     // valued throughout — Σ(qc−cc)² < 2^53 is exact on both sides),
@@ -11610,17 +11705,23 @@ object SparkEntry {
       |  CAST(chunk_sig AS BIGINT) AS chunk_sig
       |FROM ch""".stripMargin
 
-  /** Shared CTE chain of the `ann_sq8` / `rank_fusion` oracles: corpus
-    * and query frames with norms, unit vectors, per-dim min/max stats as
-    * ordered lists, floor/clamp 8-bit codes, and the full (qid, nid, d2)
-    * symmetric-code-distance cross — one definition, two read-outs. */
-  private def sq8CandSql: String =
-    """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  /** Shared CTE chain of the `ann_sq8` / `rank_fusion` /
+    * `ann_sq8_apply` oracles: corpus and query frames with norms, unit
+    * vectors, per-dim min/max stats as ordered lists, floor/clamp 8-bit
+    * codes, and the full (qid, nid, d2) symmetric-code-distance cross —
+    * one definition, three read-outs (the apply variant swaps only the
+    * corpus/query split predicates; the oracle recomputes from scratch
+    * what the engine replays from the stored tables, so equality IS the
+    * publish/pin/serve round-trip proof). */
+  private def sq8CandSql: String = sq8CandSqlFor("id >= 10", "id < 10")
+
+  private def sq8CandSqlFor(corpPred: String, qPred: String): String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
       |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
-      |   FROM base WHERE id >= 10),
+      |   FROM base WHERE $corpPred),
       |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
-      |   FROM base WHERE id < 10),
+      |   FROM base WHERE $qPred),
       |corpn AS (SELECT nid, list_transform(nv, x -> x / sqrt(nn2)) AS uv
       |   FROM corp),
       |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS uv
@@ -11683,14 +11784,20 @@ object SparkEntry {
     * integer-milli distances, total tie orders), so the compare is
     * exact. */
   private def annIvfPqSql: String =
-    """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+    annIvfPqSqlFor("id >= 10", "id < 10", version = None)
+
+  private def annIvfPqSqlFor(corpPred: String, qPred: String,
+      version: Option[Int]): String = {
+    val vCol = version.map(v =>
+      s",\n  CAST($v AS BIGINT) AS model_version").getOrElse("")
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
       |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
-      |   FROM base WHERE id >= 10 ORDER BY id LIMIT 16),
+      |   FROM base WHERE $corpPred ORDER BY id LIMIT 16),
       |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
-      |   FROM base WHERE id >= 10),
+      |   FROM base WHERE $corpPred),
       |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
-      |   FROM base WHERE id < 10),
+      |   FROM base WHERE $qPred),
       |cassign AS (SELECT nid, cid FROM (
       |  SELECT nid, cid, row_number() OVER (PARTITION BY nid
       |    ORDER BY CAST(round(list_dot_product(nv, cv) /
@@ -11743,10 +11850,11 @@ object SparkEntry {
       |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
       |      AS cos_permille
       |  FROM short s JOIN corp c ON c.nid = s.nid JOIN q ON q.qid = s.qid)
-      |SELECT qid, nid, cos_permille FROM (
+      |SELECT qid, nid, cos_permille$vCol FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
       |WHERE rn <= 5""".stripMargin
+  }
 
   /** The splitmix plane constants of [[Similarity.planes]] as DuckDB double
     * literals — `java.lang.Double.toString` emits the shortest string that

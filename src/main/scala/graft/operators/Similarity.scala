@@ -384,34 +384,52 @@ object Similarity {
   def annTopKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, nSub: Int = 4,
       nCentroids: Int = 8, dim: Int = 64, rerank: Int = 0): DataFrame = {
+    val (cents, corpusN2, cb, codes) =
+      ivfPqIndex(corpus, nCells, nSub, nCentroids, dim)
+    ivfPqServe(queries, corpusN2, k, cents, cb, codes, nProbe, nSub, dim,
+      rerank)
+  }
+
+  // PQ runs on UNIT vectors: the sibling tiers rank by cosine, and on
+  // the unit sphere squared L2 = 2 − 2·cos — monotone in cosine — so
+  // the ADC ranking answers the same question. Raw-magnitude L2 would
+  // rank by vector length first and recall nothing.
+  private def pqUnit(vC: String, n2C: String): Column =
+    transform(col(vC).cast("array<double>"), x => x / sqrt(col(n2C)))
+
+  private def pqSubSplit(df: DataFrame, idC: String, vC: String,
+      nSub: Int, w: Int, keep: Seq[String] = Nil): DataFrame = {
+    val subs = (0 until nSub).map(si =>
+      struct(lit(si).as("sub"), slice(col(vC), si * w + 1, w).as("sv")))
+    df.select((col(idC) +: keep.map(col)) :+
+        explode(array(subs: _*)).as("x"): _*)
+      .select((col(idC) +: keep.map(col)) ++ Seq(
+        col("x.sub").as("sub"), col("x.sv").as("sv")): _*)
+      .withColumn("__sn2", dot(col("sv"), col("sv")))
+  }
+
+  private def pqPdist: Column =
+    round((col("__sn2") - lit(2.0) * dot(col("sv"), col("cv"))
+      + col("cn2")) * lit(1000.0)).cast("long")
+
+  /** The IVF-PQ index build — the artifact half of [[annTopKIvfPq]],
+    * shared verbatim by the inline (retrain-per-query) path and
+    * [[ivfPqIndexTables]], so the stored tier is bit-equal by
+    * construction. Returns (broadcast centroids, corpus withN2 frame,
+    * broadcast codebook, code table). */
+  private def ivfPqIndex(corpus: DataFrame, nCells: Int, nSub: Int,
+      nCentroids: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(nSub >= 1 && dim % nSub == 0,
       s"dim=$dim must split evenly into nSub=$nSub subvectors")
     val w = dim / nSub
     val cents = broadcast(withN2(corpus, "cid", "cv", "cn2")
       .orderBy(col("cid")).limit(nCells))
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
-    // PQ runs on UNIT vectors: the sibling tiers rank by cosine, and on
-    // the unit sphere squared L2 = 2 − 2·cos — monotone in cosine — so
-    // the ADC ranking answers the same question. Raw-magnitude L2 would
-    // rank by vector length first and recall nothing.
-    def unit(vC: String, n2C: String): Column =
-      transform(col(vC).cast("array<double>"), x => x / sqrt(col(n2C)))
-    def subSplit(df: DataFrame, idC: String, vC: String,
-        keep: Seq[String] = Nil): DataFrame = {
-      val subs = (0 until nSub).map(si =>
-        struct(lit(si).as("sub"), slice(col(vC), si * w + 1, w).as("sv")))
-      df.select((col(idC) +: keep.map(col)) :+
-          explode(array(subs: _*)).as("x"): _*)
-        .select((col(idC) +: keep.map(col)) ++ Seq(
-          col("x.sub").as("sub"), col("x.sv").as("sv")): _*)
-        .withColumn("__sn2", dot(col("sv"), col("sv")))
-    }
-    def pdist: Column =
-      round((col("__sn2") - lit(2.0) * dot(col("sv"), col("cv"))
-        + col("cn2")) * lit(1000.0)).cast("long")
     val cb = broadcast(
-      subSplit(corpusN2.orderBy(col("nid")).limit(nCentroids)
-          .select(col("nid"), unit("nv", "nn2").as("uv")), "nid", "uv")
+      pqSubSplit(corpusN2.orderBy(col("nid")).limit(nCentroids)
+          .select(col("nid"), pqUnit("nv", "nn2").as("uv")), "nid", "uv",
+          nSub, w)
         .select(col("sub"), col("nid").as("code"), col("sv").as("cv"),
           col("__sn2").as("cn2")))
     // corpus: one cell + nSub codes per vector; the cell rides the encode
@@ -420,22 +438,33 @@ object Similarity {
     // 16-byte-buffer discipline as cell assignment)
     val assigned = assignToCells(corpusN2, "nid", "nv", "nn2", cents, 1)
       .select(col("nid"), col("cid").as("cell"),
-        unit("nv", "nn2").as("uv"))
-    val codes = subSplit(assigned, "nid", "uv", keep = Seq("cell"))
+        pqUnit("nv", "nn2").as("uv"))
+    val codes = pqSubSplit(assigned, "nid", "uv", nSub, w,
+        keep = Seq("cell"))
       .join(cb, Seq("sub"))
-      .select(col("nid"), col("cell"), col("sub"), struct(pdist.as("pd"),
+      .select(col("nid"), col("cell"), col("sub"), struct(pqPdist.as("pd"),
         col("code")).as("__c"))
       .groupBy(col("nid"), col("cell"), col("sub"))
       .agg(min(col("__c")).as("__m"))
       .select(col("nid"), col("cell"), col("sub"), col("__m.code").as("code"))
+    (cents, corpusN2, cb, codes)
+  }
+
+  /** The query half of [[annTopKIvfPq]] — identical machinery whether
+    * the index tables were just built or reloaded from a pinned
+    * registry version. */
+  private def ivfPqServe(queries: DataFrame, corpusN2: DataFrame, k: Int,
+      cents: DataFrame, cb: DataFrame, codes: DataFrame, nProbe: Int,
+      nSub: Int, dim: Int, rerank: Int): DataFrame = {
+    val w = dim / nSub
     // query: nProbe cells + the (qid, sub, code) ADC distance table
     val qN2 = withN2(queries, "qid", "qv", "qn2")
     val qc = assignToCells(qN2, "qid", "qv", "qn2", cents, nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    val dt = subSplit(qN2.select(col("qid"), unit("qv", "qn2").as("uv")),
-        "qid", "uv")
+    val dt = pqSubSplit(qN2.select(col("qid"),
+        pqUnit("qv", "qn2").as("uv")), "qid", "uv", nSub, w)
       .join(cb, Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"), pdist.as("pd"))
+      .select(col("qid"), col("sub"), col("code"), pqPdist.as("pd"))
     // a corpus vector lives in exactly ONE cell, so a (qid, nid) pair
     // meets at most once — the ADC sum needs no pair dedup
     val cand = codes.join(broadcast(qc), Seq("cell"))
@@ -461,6 +490,58 @@ object Similarity {
       Transforms.topKPerGroup(scored, Seq(col("qid")),
         Seq(col("cos_permille").desc, col("nid").asc), k)
     }
+  }
+
+  /** The IVF-PQ index as persistable tables — the [[ivfIndexTables]]
+    * artifact discipline for the compressed tier: `meta` (one row of
+    * build parameters, so the serve path is self-describing),
+    * `centroids (cid, vec)`, `codebook (sub, code, cv, cn2)` (the
+    * per-subspace centroid subvectors, broadcast-sized), and
+    * `codes (nid, cell, sub, code)` (8 small ints per corpus vector —
+    * the ⅛-bytes scan the PQ tier exists for). Every value is either
+    * integral or an exact parquet double, so a reloaded index serves
+    * bit-identically to the just-built one. */
+  def ivfPqIndexTables(corpus: DataFrame, nCells: Int = 16,
+      nSub: Int = 4, nCentroids: Int = 8, dim: Int = 64)
+      : Seq[(String, DataFrame)] = {
+    val (cents, _, cb, codes) =
+      ivfPqIndex(corpus, nCells, nSub, nCentroids, dim)
+    val meta = corpus.sparkSession.range(1).select(
+      lit(nCells).as("n_cells"), lit(nSub).as("n_sub"),
+      lit(nCentroids).as("n_centroids"), lit(dim).as("dim"))
+    Seq("meta" -> meta,
+      "centroids" -> cents.select(col("cid"), col("cv").as("vec")),
+      "codebook" -> cb,
+      "codes" -> codes)
+  }
+
+  /** Build and publish an IVF-PQ index VERSION through the registry —
+    * one immutable version dir, single manifest swap. */
+  def ivfPqPublish(corpus: DataFrame, reg: graft.state.ModelRegistry,
+      model: String, nCells: Int = 16, nSub: Int = 4,
+      nCentroids: Int = 8, dim: Int = 64): Long =
+    reg.publish(model,
+      ivfPqIndexTables(corpus, nCells, nSub, nCentroids, dim))
+
+  /** Score a NEW query batch against a PINNED stored IVF-PQ index — the
+    * [[annTopKIvfStored]] production-serve shape for the compressed
+    * tier: centroids, codebook and codes come from the immutable pinned
+    * version (build parameters from its `meta` table — a one-row driver
+    * ferry); only the rerank shortlist fetches full vectors from
+    * primary storage by id. Bit-identical to [[annTopKIvfPq]] over the
+    * same corpus and parameters (pinned in DedupSimilaritySpec). */
+  def annTopKIvfPqStored(queries: DataFrame, corpus: DataFrame, k: Int,
+      pin: graft.state.ModelRegistry#Pinned, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    val meta = pin.table("meta").select(col("n_sub"), col("dim")).head()
+    val (nSub, dim) = (meta.getInt(0), meta.getInt(1))
+    val cents = broadcast(withN2(
+      pin.table("centroids").select(col("cid").as("id"), col("vec")),
+      "cid", "cv", "cn2"))
+    val cb = broadcast(pin.table("codebook"))
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    ivfPqServe(queries, corpusN2, k, cents, cb, pin.table("codes"),
+      nProbe, nSub, dim, rerank)
   }
 
   /** Scalar-quantization ANN (SQ8 — the classic FAISS `SQ8` tier, the
@@ -491,10 +572,72 @@ object Similarity {
       dim: Int = 64, rerank: Int = Sq8Rerank): DataFrame = {
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val qN2 = withN2(queries, "qid", "qv", "qn2")
-    val cand = sq8Candidates(qN2, corpusN2, dim)
+    sq8Rank(qN2, corpusN2, sq8Candidates(qN2, corpusN2, dim), k, rerank)
+  }
+
+  private def sq8Unit(vC: String, n2C: String): Column =
+    transform(col(vC), x => x / sqrt(col(n2C)))
+
+  /** Per-dim stats: dim rows after a map-side-combined aggregate, then
+    * ONE row carrying the (mns, mxs) arrays — broadcast to both sides. */
+  private def sq8StatsOf(corpusN2: DataFrame): DataFrame =
+    corpusN2.select(sq8Unit("nv", "nn2").as("uv"))
+      .select(posexplode(col("uv")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), " +
+          "s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), " +
+          "s -> s.mx)").as("mxs"))
+
+  private def sq8CodeExpr(dim: Int): Column = expr(
+    ("transform(sequence(0, DIM - 1), i -> CAST(" +
+      "CASE WHEN mxs[i] = mns[i] THEN 0.0D ELSE " +
+      "least(255.0D, greatest(0.0D, " +
+      "floor((uv[i] - mns[i]) * 255.0D / (mxs[i] - mns[i])))) END " +
+      "AS DOUBLE))").replace("DIM", dim.toString))
+
+  /** Corpus 8-bit code table `(nid, cc, cn2)` under broadcast stats. */
+  private def sq8CodesOf(corpusN2: DataFrame, stats: DataFrame,
+      dim: Int): DataFrame =
+    corpusN2.select(col("nid"), sq8Unit("nv", "nn2").as("uv"))
+      .crossJoin(stats)
+      .select(col("nid"), sq8CodeExpr(dim).as("cc"))
+      .withColumn("cn2", dot(col("cc"), col("cc")))
+
+  /** Candidate scoring against an EXISTING corpus code table — shared
+    * by the inline tier (codes just built) and the stored tier (codes
+    * reloaded from a pinned version). */
+  private def sq8CandidatesFrom(qN2: DataFrame, cc: DataFrame,
+      stats: DataFrame, dim: Int): DataFrame = {
+    val qc = broadcast(
+      qN2.select(col("qid"), sq8Unit("qv", "qn2").as("uv"))
+        .crossJoin(stats)
+        .select(col("qid"), sq8CodeExpr(dim).as("qc"))
+        .withColumn("qcn2", dot(col("qc"), col("qc"))))
+    cc.join(qc, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("cn2") + col("qcn2") - lit(2.0) * dot(col("cc"), col("qc")))
+          .cast("long").as("d2"))
+  }
+
+  /** [[annTopKSq8]]'s candidate scoring, factored so [[rrfFusion]] can
+    * reuse the quantized tier: inputs are withN2-shaped (qid, qv, qn2) /
+    * (nid, nv, nn2) frames; output is every (qid, nid, d2) pair with the
+    * symmetric integer code distance. */
+  private def sq8Candidates(qN2: DataFrame, corpusN2: DataFrame,
+      dim: Int): DataFrame = {
+    val stats = broadcast(sq8StatsOf(corpusN2))
+    sq8CandidatesFrom(qN2, sq8CodesOf(corpusN2, stats, dim), stats, dim)
+  }
+
+  /** Shortlist + exact-cosine rerank tail of the SQ8 tier — the
+    * IVFADC+R rerank shape, shared by inline and stored serve paths. */
+  private def sq8Rank(qN2: DataFrame, corpusN2: DataFrame,
+      cand: DataFrame, k: Int, rerank: Int): DataFrame = {
     val short = Transforms.topKPerGroup(cand, Seq(col("qid")),
       Seq(col("d2").asc, col("nid").asc), rerank)
-    // exact cosine only on the shortlist — the IVFADC+R rerank shape
     val scored = short.select(col("qid"), col("nid"))
       .join(corpusN2, Seq("nid"))
       .join(broadcast(qN2), Seq("qid"))
@@ -505,43 +648,44 @@ object Similarity {
       Seq(col("cos_permille").desc, col("nid").asc), k)
   }
 
-  /** [[annTopKSq8]]'s candidate scoring, factored so [[rrfFusion]] can
-    * reuse the quantized tier: inputs are withN2-shaped (qid, qv, qn2) /
-    * (nid, nv, nn2) frames; output is every (qid, nid, d2) pair with the
-    * symmetric integer code distance. */
-  private def sq8Candidates(qN2: DataFrame, corpusN2: DataFrame,
-      dim: Int): DataFrame = {
-    def unit(vC: String, n2C: String): Column =
-      transform(col(vC), x => x / sqrt(col(n2C)))
-    val cu = corpusN2.select(col("nid"), unit("nv", "nn2").as("uv"))
-    val qu = qN2.select(col("qid"), unit("qv", "qn2").as("uv"))
-    // per-dim stats: dim rows after a map-side-combined aggregate, then
-    // ONE row carrying the (mns, mxs) arrays — broadcast to both sides
-    val stats = broadcast(
-      cu.select(posexplode(col("uv")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .agg(
-          expr("transform(array_sort(collect_list(struct(d, mn))), " +
-            "s -> s.mn)").as("mns"),
-          expr("transform(array_sort(collect_list(struct(d, mx))), " +
-            "s -> s.mx)").as("mxs")))
-    val codeExpr = expr(
-      ("transform(sequence(0, DIM - 1), i -> CAST(" +
-        "CASE WHEN mxs[i] = mns[i] THEN 0.0D ELSE " +
-        "least(255.0D, greatest(0.0D, " +
-        "floor((uv[i] - mns[i]) * 255.0D / (mxs[i] - mns[i])))) END " +
-        "AS DOUBLE))").replace("DIM", dim.toString))
-    val cc = cu.crossJoin(stats)
-      .select(col("nid"), codeExpr.as("cc"))
-      .withColumn("cn2", dot(col("cc"), col("cc")))
-    val qc = broadcast(qu.crossJoin(stats)
-      .select(col("qid"), codeExpr.as("qc"))
-      .withColumn("qcn2", dot(col("qc"), col("qc"))))
-    cc.join(qc, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (col("cn2") + col("qcn2") - lit(2.0) * dot(col("cc"), col("qc")))
-          .cast("long").as("d2"))
+  /** The SQ8 index as persistable tables: `bounds` (ONE row — dim plus
+    * the per-dimension [min, max] arrays learned over the corpus) and
+    * `codes (nid, cc, cn2)` (the 8-bit levels as exact small-integer
+    * doubles). The bounds ARE the model: a query batch quantized with
+    * pinned bounds is comparable to stored codes regardless of how the
+    * corpus drifted since training — the production contract scalar
+    * quantizers need (re-learning bounds per batch would silently shift
+    * every stored code's meaning). */
+  def sq8IndexTables(corpus: DataFrame, dim: Int = 64)
+      : Seq[(String, DataFrame)] = {
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val stats = broadcast(sq8StatsOf(corpusN2))
+    Seq("bounds" -> stats.select(lit(dim).as("dim"), col("mns"),
+        col("mxs")),
+      "codes" -> sq8CodesOf(corpusN2, stats, dim))
+  }
+
+  /** Build and publish an SQ8 index VERSION through the registry. */
+  def sq8Publish(corpus: DataFrame, reg: graft.state.ModelRegistry,
+      model: String, dim: Int = 64): Long =
+    reg.publish(model, sq8IndexTables(corpus, dim))
+
+  /** Score a NEW query batch against a PINNED stored SQ8 index:
+    * queries quantize with the pinned bounds, candidates score against
+    * the pinned code table, and only the rerank shortlist reads full
+    * vectors from primary storage by id. Bit-identical to
+    * [[annTopKSq8]] over the same corpus (pinned in
+    * DedupSimilaritySpec). */
+  def annTopKSq8Stored(queries: DataFrame, corpus: DataFrame, k: Int,
+      pin: graft.state.ModelRegistry#Pinned,
+      rerank: Int = Sq8Rerank): DataFrame = {
+    val bounds = pin.table("bounds")
+    val dim = bounds.select(col("dim")).head().getInt(0)
+    val stats = broadcast(bounds.select(col("mns"), col("mxs")))
+    val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
+    val qN2 = withN2(queries, "qid", "qv", "qn2")
+    sq8Rank(qN2, corpusN2,
+      sq8CandidatesFrom(qN2, pin.table("codes"), stats, dim), k, rerank)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009 — the

@@ -358,6 +358,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("stored IVF-PQ and SQ8 indexes: serve path == inline retrain " +
+      "path bit-exactly (registry round-trip for the compressed tiers)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val c = emb.filter(col("id") >= 5)
+    val reg = new graft.state.ModelRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-annpq-spec").toString)
+
+    // IVF-PQ: the whole compressed index (centroids, codebook, codes,
+    // build params) publishes as ONE version; ADC distances and the
+    // exact rerank are integer-exact, parquet round-trips the doubles
+    // bit-for-bit, so stored serve == inline retrain
+    assert(Similarity.ivfPqPublish(c, reg, "ivfpq", nCells = 8,
+      nSub = 8, nCentroids = 64) === 1L)
+    val pqPin = reg.snapshot("ivfpq")
+    val pqStored = Similarity.annTopKIvfPqStored(q, c, 5, pqPin,
+        nProbe = 3, rerank = 25)
+      .as[(Long, Long, Long)].collect().toSet
+    val pqInline = Similarity.annTopKIvfPq(q, c, 5, nCells = 8,
+        nProbe = 3, nSub = 8, nCentroids = 64, rerank = 25)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pqStored === pqInline)
+    assert(pqStored.nonEmpty)
+
+    // the meta table makes the artifact self-describing: serve reads
+    // nSub/dim from the pinned version, not from caller arguments
+    assert(pqPin.table("meta").select("n_sub", "dim")
+      .as[(Int, Int)].collect().toSeq === Seq((8, 64)))
+
+    // SQ8: bounds learned at publish time are THE model — the serve
+    // path quantizes the new batch with the pinned bounds and scores
+    // against the pinned code table
+    assert(Similarity.sq8Publish(c, reg, "sq8") === 1L)
+    val sqStored = Similarity.annTopKSq8Stored(q, c, 5,
+        reg.snapshot("sq8"))
+      .as[(Long, Long, Long)].collect().toSet
+    val sqInline = Similarity.annTopKSq8(q, c, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sqStored === sqInline)
+    assert(sqStored.nonEmpty)
+  }
+
   test("cluster mixture: batch stage == declared JSON stage == frozen " +
       "streaming gate on the same corpus") {
     val embPath = "/root/testdata/sf0.001/embeddings.parquet"
