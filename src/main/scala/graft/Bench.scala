@@ -1,6 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Fixed single-thread CPU spin (~2-4 ms nominal): xorshift64* over a
+    * constant iteration count, timed by wall clock. It runs BETWEEN
+    * queries, when the session is idle, so its wall time inflates ONLY
+    * when the HOST deschedules the thread — the single-thread-stall
+    * starvation signature documented in BASELINE.md since round 5,
+    * which corrupted the round-14 driver gate artifact 16×. Returning
+    * the mixed state defeats dead-code elimination. */
+  private def cpuProbeNanos(): (Long, Long) = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 2000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      x *= 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    (System.nanoTime() - t0, x)
+  }
+
+  /** Solo-warm per-query floors (seconds) recorded from a clean solo
+    * run at the driver's gate scale — `tools/bench_floor.tsv`, lines of
+    * `name<TAB>seconds`, plus the special `__probe_nominal_ms` row: the
+    * probe's healthy duration on this machine. The nominal is what
+    * catches UNIFORM starvation — every probe of a uniformly-contended
+    * run inflates together, so the run's own minimum stays 1.0x and
+    * only an absolute reference exposes it. Query floors apply only at
+    * the recorded scale (sf0.1); the nominal is scale-independent.
+    * Absent file disables the floor checks, never the within-run probe
+    * check. */
+  private def loadFloors(sfDir: String): (Map[String, Double], Option[Double]) = {
+    val f = new java.io.File("tools/bench_floor.tsv")
+    if (!f.isFile) return (Map.empty, None)
+    val src = scala.io.Source.fromFile(f)
+    val all = try src.getLines().flatMap { line =>
+      line.split('\t') match {
+        case Array(n, s) => scala.util.Try(n -> s.toDouble).toOption
+        case _ => None
+      }
+    }.toMap
+    finally src.close()
+    val nominal = all.get("__probe_nominal_ms")
+    (if (sfDir.endsWith("sf0.1")) all - "__probe_nominal_ms"
+     else Map.empty, nominal)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,37 +87,80 @@ object Bench {
         System.err.println(s"[bench] $name failed to plan: ${e.getMessage}")
       }
     }
+    // JIT the probe before any reading matters
+    (0 until 20).foreach(_ => cpuProbeNanos())
     // A failing query must fail the bench LOUDLY: it contributes its time
     // like any other query, is listed by name, and forces a nonzero exit —
     // never a near-zero "improvement".
     var failed = List.empty[String]
-    val results = ordered.map { case (name, fn) =>
+    // probes(i) brackets query i as its pre-probe and query i-1 as its
+    // post-probe; one extra probe after the loop closes the last slot
+    val probes = new Array[Long](ordered.size + 1)
+    probes(0) = cpuProbeNanos()._1
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      probes(i + 1) = cpuProbeNanos()._1
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // The driver archives only the tail of stdout, which truncates the
-    // per-query line above once the battery is large. Emit a compact
-    // self-sufficient summary AFTER it so the headline numbers (total,
-    // count, failures, worst offenders) always survive truncation.
     // Locale-pinned formatting: the f interpolator uses the JVM default
     // locale, which under a comma-decimal locale (de_DE) emits invalid
     // JSON ("1,234"). ROOT keeps the dot everywhere.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ---- host-stall forensics (round-15, VERDICT task 1) ------------
+    // The artifact self-diagnoses environment corruption WITHOUT
+    // changing what is timed: a slot is suspect when the idle-host CPU
+    // probe bracketing it ran >= 4x the run's own fastest probe (the
+    // thread was descheduled around the measurement), or when its time
+    // exceeds 4x its recorded solo-warm floor. A starved run therefore
+    // NAMES its corrupted slots instead of reading as a regression.
+    val (floors, probeNominalMs) = loadFloors(sfDir)
+    // stall reference = the SMALLER of the run's own fastest probe
+    // (catches intermittent stalls with no floor file) and the recorded
+    // machine nominal (catches uniform contention, where every probe of
+    // the run inflates together)
+    val runMinNs = if (probes.nonEmpty) probes.min.toDouble else 1.0
+    val floorNs = probeNominalMs match {
+      case Some(ms) => math.min(runMinNs, ms * 1e6)
+      case None => runMinNs
+    }
+    val suspects = results.zipWithIndex.flatMap { case ((name, sec), i) =>
+      val stallX = math.max(probes(i), probes(i + 1)) / floorNs
+      val floorX = floors.get(name).filter(_ > 0).map(sec / _)
+      val probeSuspect = stallX >= 4.0 && sec >= 0.5
+      val floorSuspect = floorX.exists(_ >= 4.0) && sec >= 1.0
+      if (probeSuspect || floorSuspect)
+        Some(s"""\"$name\":{\"sec\":${f3(sec)},\"stall_x\":${f3(stallX)}""" +
+          floorX.map(x => s""",\"floor_x\":${f3(x)}""").getOrElse("") + "}")
+      else None
+    }
+    val stallMax = if (probes.isEmpty) 1.0 else probes.max / floorNs
+    val forensics =
+      s"""{"probe_floor_ms":${f3(floorNs / 1e6)},""" +
+        s""""probe_max_x":${f3(stallMax)},""" +
+        s""""floor_ref":${if (floors.isEmpty && probeNominalMs.isEmpty) "null"
+          else "\"tools/bench_floor.tsv\""},""" +
+        s""""suspect_slots":${suspects.mkString("{", ",", "}")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"forensics":$forensics,"sf":"$sfDir"}""")
+    // The driver archives only the tail of stdout, which truncates the
+    // per-query line above once the battery is large. Emit a compact
+    // self-sufficient summary AFTER it so the headline numbers (total,
+    // count, failures, worst offenders, forensics) always survive
+    // truncation.
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${f3(total)},"n":${results.size},"failed":$failedJson,"top5":$top5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${f3(total)},"n":${results.size},"failed":$failedJson,"top5":$top5,"forensics":$forensics,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: " +
