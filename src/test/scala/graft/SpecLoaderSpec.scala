@@ -351,4 +351,95 @@ class SpecLoaderSpec extends AnyFunSuite {
     // the MinHash tier prunes the fixture's exact dups
     assert(afterM.count() < df.count() && want.count() > 0)
   }
+
+  test("README declared-chain example: the documented JSON runs " +
+      "verbatim and the documented funnel table is true") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{NaiveBayes, TextAnalysis}
+    // the README IS the fixture: extract the fenced JSON under the
+    // end-to-end section — if the docs drift from the engine, this fails
+    val readme = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val anchor = "### One chain, end to end"
+    val at = readme.indexOf(anchor)
+    assert(at >= 0, "README end-to-end section missing")
+    val fenceStart = readme.indexOf("```json", at)
+    val fenceEnd = readme.indexOf("```", fenceStart + 7)
+    assert(fenceStart > at && fenceEnd > fenceStart,
+      "README json fence missing")
+    val docJson = readme.substring(fenceStart + 7, fenceEnd)
+
+    // artifacts behind the two documented placeholders
+    val boiler = "breaking news update follows"
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-readme").toString
+    val store = new graft.state.SnapshotStore(spark, storeDir)
+    NaiveBayes.nbcStoreModel(Seq(
+      (100L, "en", "the cat sat on the mat and slept all day long"),
+      (101L, "en", "we walked to the market and bought fresh bread " +
+        "every morning"),
+      (102L, "en", "buy now click here free offer limited deal"),
+      (103L, "en", s"$boiler the cat and the dog today"),
+      (104L, "de", "der hund und die katze schlafen auf dem teppich"),
+      (106L, "de", "die katze sitzt auf der matte und schlaeft jetzt"),
+      (108L, "fr", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq"),
+      (110L, "fr", "qqz wwz vvz uuz ttz ssz rrz zzz ppz ooz")
+    ).toDF("doc_id", "lang", "text"), "text", "lang", store, "nbc")
+    NaiveBayes.nbcStoreModel(Seq(
+      (200L, "hq", "the cat sat on the mat and slept all day long"),
+      (202L, "hq", "a dog ran over the hill and far away it went"),
+      (204L, "hq", s"$boiler the cat and the dog today"),
+      (205L, "hq", "we walked to the market and bought fresh bread " +
+        "every morning"),
+      (206L, "hq", "der hund und die katze schlafen auf dem teppich"),
+      (208L, "lq", "buy now click here free offer limited deal"),
+      (210L, "lq", "free offer click now buy deal limited wins today")
+    ).toDF("doc_id", "lang", "text"), "text", "lang", store, "qual")
+    TextAnalysis.kn3StoreModel(Seq(
+      (0L, "the cat sat on the mat and then the cat slept"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (4L, "the cat sat on the mat and slept all day long"),
+      (6L, "a dog ran over the hill and far away it went"),
+      (8L, "der hund und die katze schlafen auf dem teppich hier"),
+      (10L, s"$boiler the cat and the dog today")
+    ).toDF("doc_id", "text"), "text", "doc_id", store, "lm")
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("graft-readme-emb").toString + "/emb"
+    // doc 1 (the boilerplate-news doc) is its own topic; every other
+    // doc shares the majority topic — the α-flattening then computes a
+    // sub-unity keep rate for the MAJORITY cell, so the documented
+    // chain visibly rebalances (doc 2's id hash lands above the rate)
+    (1 to 10).map(i => (i.toLong,
+        if (i == 1) Seq(0.1, 1.0, 0.2, 0.3)
+        else Seq(1.0, 0.1, 0.01 * i, 0.2)))
+      .toDF("vec_id", "embedding").write.parquet(vecDir)
+    val json = docJson.replace("<model-store>", storeDir)
+      .replace("<embeddings-table>", vecDir)
+
+    // the documented 10-document fixture: one verbatim duplicate (10),
+    // one off-language doc (3), one low-quality doc (5), one gibberish
+    // doc for the LM floor, one all-boilerplate doc (6)
+    val docs = Seq(
+      (1L, s"$boiler the cat sat on the mat and slept all day long"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (3L, "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq nnq mmq"),
+      (4L, "a dog ran over the hill and far away it went"),
+      (5L, "buy now click here free offer limited deal"),
+      (6L, s"$boiler $boiler"),
+      (7L, "der hund und die katze schlafen auf dem teppich hier"),
+      (8L, "the cat sat on the mat and then the cat slept"),
+      (9L, "we walked to the market and bought fresh bread this morning"),
+      (10L, "the cat sat on the mat and the dog sat too")
+    ).toDF("doc_id", "text")
+
+    val (out, funnel) = SpecLoader.funnelFromJson(json, docs)
+    val rows = funnel.map { case (i, op, in, o) => s"| $i | $op | $in | $o |" }
+    val missing = rows.filterNot(readme.contains)
+    assert(missing.isEmpty,
+      s"README funnel table out of date; actual funnel:\n" +
+        rows.mkString("\n"))
+    assert(out.select(col("doc_id")).count() === funnel.last._4)
+  }
 }
