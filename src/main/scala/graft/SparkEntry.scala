@@ -172,6 +172,8 @@ object SparkEntry {
           annRefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annPqApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annSq8ApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annPqRefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annSq8RefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
@@ -568,6 +570,86 @@ object SparkEntry {
       Similarity.annTopKSq8Stored(
           emb.filter(col("id") % 3 === 0 && col("id") < 30), corpus, 5,
           pin)
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Composed compressed-tier refresh loops (`ann_ivfpq_refresh` /
+    * `ann_sq8_refresh`): the ann_refresh cadence for the compressed
+    * artifacts — publish v1 on the base corpus, maintain the stored
+    * CODE table under the vector delta against the PINNED v1 artifacts
+    * (per-row encode/quantize of adds, anti-join of retracts —
+    * delta-sized, [[Similarity.ivfPqMaintainCodes]] /
+    * [[Similarity.sq8MaintainCodes]]), promote the maintained index as
+    * v2 reusing v1's frozen centroids/codebook/bounds tables, then
+    * serve a query batch against the PINNED v2. The oracle re-derives
+    * the post-delta index from scratch with the BASE-frozen artifacts,
+    * so maintenance + promotion + serve must compose bit-exactly. */
+  private val annPqRefreshMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annIvfPqRefreshScores(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annPqRefreshMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.filter(col("id") % 3 < 2)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-ivfpq-refresh"))
+      Similarity.ivfPqPublish(base, reg, "ivfpq",
+        nSub = 8, nCentroids = 128) // v1
+      val v1 = reg.snapshot("ivfpq")
+      val delta = emb.filter(col("id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      reg.publish("ivfpq", Seq( // v2: frozen artifacts, maintained codes
+        "meta" -> v1.table("meta"),
+        "centroids" -> v1.table("centroids"),
+        "codebook" -> v1.table("codebook"),
+        "codes" -> Similarity.ivfPqMaintainCodes(
+          v1.table("codes"), delta, v1, "__op")))
+      val pin = reg.snapshot("ivfpq")
+      val postCorpus = emb.filter(col("id") % 3 === 2)
+        .unionByName(base.filter(col("id") % 5 =!= 0))
+      Similarity.annTopKIvfPqStored(
+          emb.filter(col("id") % 3 === 2 && col("id") < 30), postCorpus,
+          5, pin, rerank = Similarity.Sq8Rerank)
+        .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  private val annSq8RefreshMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def annSq8RefreshScores(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annSq8RefreshMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.filter(col("id") % 3 < 2)
+      val reg = new graft.state.ModelRegistry(sess,
+        newModelTempRoot(sess, "graft-ann-sq8-refresh"))
+      Similarity.sq8Publish(base, reg, "sq8") // v1
+      val v1 = reg.snapshot("sq8")
+      val delta = emb.filter(col("id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      reg.publish("sq8", Seq( // v2: frozen bounds, maintained codes
+        "bounds" -> v1.table("bounds"),
+        "codes" -> Similarity.sq8MaintainCodes(
+          v1.table("codes"), delta, v1, "__op")))
+      val pin = reg.snapshot("sq8")
+      val postCorpus = emb.filter(col("id") % 3 === 2)
+        .unionByName(base.filter(col("id") % 5 =!= 0))
+      Similarity.annTopKSq8Stored(
+          emb.filter(col("id") % 3 === 2 && col("id") < 30), postCorpus,
+          5, pin)
         .withColumn("model_version", lit(pin.version))
         .localCheckpoint()
     })
@@ -2934,6 +3016,15 @@ object SparkEntry {
     // against the stored artifact, and stamp model_version per row.
     "ann_ivfpq_apply" -> ((s, dir) => annIvfPqApplyScores(s, dir)),
     "ann_sq8_apply" -> ((s, dir) => annSq8ApplyScores(s, dir)),
+
+    // the ann_refresh maintain -> promote -> serve cadence for the
+    // compressed tiers: codes maintained DELTA-SIZED against the
+    // pinned v1 artifacts (per-row encode/quantize of adds, anti-join
+    // retracts), promoted as v2 reusing the frozen centroids/codebook/
+    // bounds, served pinned; oracle rebuilds post-delta from scratch
+    // with the base-frozen artifacts
+    "ann_ivfpq_refresh" -> ((s, dir) => annIvfPqRefreshScores(s, dir)),
+    "ann_sq8_refresh" -> ((s, dir) => annSq8RefreshScores(s, dir)),
 
     // cluster-balanced (topic) resampling: assign every embedding to its
     // nearest deterministic IVF cell ([[Similarity.ivfIndexTables]] —
@@ -9734,6 +9825,34 @@ object SparkEntry {
     "ann_ivfpq_apply" -> annIvfPqSqlFor("id % 3 <> 0",
       "id % 3 = 0 AND id < 30", version = Some(1)),
 
+    // refresh-loop replays for the compressed tiers: the oracle
+    // re-derives the POST-delta index from scratch with artifacts
+    // frozen on the BASE corpus (seedPred/statsPred) — engine-side
+    // delta maintenance + v2 promotion + pinned serve must compose to
+    // the same rows; model_version = 2
+    "ann_ivfpq_refresh" -> annIvfPqSqlFor(
+      "(id % 3 = 2 OR (id % 3 < 2 AND id % 5 <> 0))",
+      "id % 3 = 2 AND id < 30", version = Some(2),
+      seedPred = "id % 3 < 2"),
+
+    "ann_sq8_refresh" ->
+      s"""${sq8CandSqlFor("(id % 3 = 2 OR (id % 3 < 2 AND id % 5 <> 0))",
+          "id % 3 = 2 AND id < 30", statsPred = "id % 3 < 2")},
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2 ASC, nid ASC) AS rn FROM cand) u
+        |  WHERE rn <= ${Similarity.Sq8Rerank}),
+        |rs AS (SELECT s.qid, s.nid,
+        |    CAST(round(list_dot_product(q.qv, c.nv) /
+        |      (sqrt(q.qn2) * sqrt(c.nn2)) * 1000.0, 0) AS BIGINT)
+        |      AS cos_permille
+        |  FROM short s JOIN corp c ON c.nid = s.nid JOIN q ON q.qid = s.qid)
+        |SELECT qid, nid, cos_permille,
+        |  CAST(2 AS BIGINT) AS model_version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM rs) u
+        |WHERE rn <= 5""".stripMargin,
+
     "ann_sq8_apply" ->
       s"""${sq8CandSqlFor("id % 3 <> 0", "id % 3 = 0 AND id < 30")},
         |short AS (SELECT qid, nid FROM (
@@ -11715,7 +11834,13 @@ object SparkEntry {
     * publish/pin/serve round-trip proof). */
   private def sq8CandSql: String = sq8CandSqlFor("id >= 10", "id < 10")
 
-  private def sq8CandSqlFor(corpPred: String, qPred: String): String =
+  /** `statsPred` is the corpus the FROZEN per-dim [min, max] bounds
+    * derive from — equal to `corpPred` for build-and-serve, the BASE
+    * corpus for the refresh oracle (maintained codes quantize the
+    * post-delta corpus with base-frozen bounds). */
+  private def sq8CandSqlFor(corpPred: String, qPred: String,
+      statsPred: String = null): String = {
+    val sPred = Option(statsPred).getOrElse(corpPred)
     s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
       |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
@@ -11728,7 +11853,9 @@ object SparkEntry {
       |   FROM q),
       |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
       |    SELECT unnest(uv) AS x,
-      |      unnest(range(1, len(uv) + 1)) AS d FROM corpn)
+      |      unnest(range(1, len(uv) + 1)) AS d FROM (
+      |      SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |        AS uv FROM base WHERE $sPred))
       |  GROUP BY d),
       |sta AS (SELECT list(mn ORDER BY d) AS mns,
       |    list(mx ORDER BY d) AS mxs FROM st),
@@ -11748,6 +11875,7 @@ object SparkEntry {
       |    CAST(cn2 + qcn2 - 2 * list_dot_product(cc, qc) AS BIGINT)
       |      AS d2
       |  FROM ce2, qe2 WHERE qid <> nid)""".stripMargin
+  }
 
   private def annIvfSql: String =
     """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -11786,14 +11914,20 @@ object SparkEntry {
   private def annIvfPqSql: String =
     annIvfPqSqlFor("id >= 10", "id < 10", version = None)
 
+  /** `seedPred` is the corpus the FROZEN artifacts (IVF centroids +
+    * PQ codebook seeds) derive from — equal to `corpPred` for the
+    * build-and-serve oracles, the BASE corpus for the refresh oracle
+    * (maintenance encodes the post-delta corpus against base-frozen
+    * artifacts, so the replay must too). */
   private def annIvfPqSqlFor(corpPred: String, qPred: String,
-      version: Option[Int]): String = {
+      version: Option[Int], seedPred: String = null): String = {
+    val sPred = Option(seedPred).getOrElse(corpPred)
     val vCol = version.map(v =>
       s",\n  CAST($v AS BIGINT) AS model_version").getOrElse("")
     s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
       |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
-      |   FROM base WHERE $corpPred ORDER BY id LIMIT 16),
+      |   FROM base WHERE $sPred ORDER BY id LIMIT 16),
       |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
       |   FROM base WHERE $corpPred),
       |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
@@ -11813,7 +11947,10 @@ object SparkEntry {
       |   FROM corp),
       |qn AS (SELECT qid, list_transform(qv, x -> x / sqrt(qn2)) AS qv
       |   FROM q),
-      |seeds AS (SELECT nid AS code, nv FROM corpn ORDER BY nid LIMIT 128),
+      |scorpn AS (SELECT id AS nid,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |   FROM base WHERE $sPred),
+      |seeds AS (SELECT nid AS code, nv FROM scorpn ORDER BY nid LIMIT 128),
       |cb AS (SELECT sub, code, nv[sub*8+1 : sub*8+8] AS cv,
       |    list_dot_product(nv[sub*8+1 : sub*8+8],
       |      nv[sub*8+1 : sub*8+8]) AS cn2

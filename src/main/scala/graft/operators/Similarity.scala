@@ -432,22 +432,76 @@ object Similarity {
           nSub, w)
         .select(col("sub"), col("nid").as("code"), col("sv").as("cv"),
           col("__sn2").as("cn2")))
-    // corpus: one cell + nSub codes per vector; the cell rides the encode
-    // (it is functionally determined by nid), so no corpus-sized join is
-    // needed to attach it; argmin = min-struct aggregate (the same
-    // 16-byte-buffer discipline as cell assignment)
-    val assigned = assignToCells(corpusN2, "nid", "nv", "nn2", cents, 1)
+    (cents, corpusN2, cb, ivfPqEncode(corpusN2, cents, cb, nSub, w))
+  }
+
+  /** Per-vector IVF-PQ encode against a FROZEN (centroids, codebook)
+    * pair: one cell + nSub codes per vector. The cell rides the encode
+    * (it is functionally determined by nid), so no corpus-sized join is
+    * needed to attach it; argmin = min-struct aggregate (the same
+    * 16-byte-buffer discipline as cell assignment). Per-row and
+    * deterministic, which is what makes delta MAINTENANCE
+    * ([[ivfPqMaintainCodes]]) bit-equal to a from-scratch re-encode. */
+  private def ivfPqEncode(vecsN2: DataFrame, cents: DataFrame,
+      cb: DataFrame, nSub: Int, w: Int): DataFrame = {
+    val assigned = assignToCells(vecsN2, "nid", "nv", "nn2", cents, 1)
       .select(col("nid"), col("cid").as("cell"),
         pqUnit("nv", "nn2").as("uv"))
-    val codes = pqSubSplit(assigned, "nid", "uv", nSub, w,
-        keep = Seq("cell"))
+    pqSubSplit(assigned, "nid", "uv", nSub, w, keep = Seq("cell"))
       .join(cb, Seq("sub"))
       .select(col("nid"), col("cell"), col("sub"), struct(pqPdist.as("pd"),
         col("code")).as("__c"))
       .groupBy(col("nid"), col("cell"), col("sub"))
       .agg(min(col("__c")).as("__m"))
       .select(col("nid"), col("cell"), col("sub"), col("__m.code").as("code"))
-    (cents, corpusN2, cb, codes)
+  }
+
+  /** Maintain a stored IVF-PQ code table under a corpus delta against
+    * the PINNED artifacts — [[ivfMaintainAssignments]]'s contract for
+    * the compressed tier: retractions (`opCol` = −1, matched by id)
+    * anti-join out of the state; additions (`opCol` = +1) are encoded
+    * per row against the SAME frozen centroids + codebook (read from
+    * `pin`, with build params from its meta table). Because the encode
+    * is per-row and the artifacts are frozen, the maintained table is
+    * BIT-EQUAL to re-encoding the post-delta corpus from scratch —
+    * delta-sized work instead of a corpus-wide rebuild (only a
+    * centroid/codebook RETRAIN forces one; that is a new index
+    * version, [[ivfPqPublish]]). `delta`: (id, vec, opCol). */
+  def ivfPqMaintainCodes(state: DataFrame, delta: DataFrame,
+      pin: graft.state.ModelRegistry#Pinned, opCol: String): DataFrame = {
+    val meta = pin.table("meta").select(col("n_sub"), col("dim")).head()
+    val (nSub, dim) = (meta.getInt(0), meta.getInt(1))
+    val cents = broadcast(withN2(
+      pin.table("centroids").select(col("cid").as("id"), col("vec")),
+      "cid", "cv", "cn2"))
+    val cb = broadcast(pin.table("codebook"))
+    val adds = ivfPqEncode(
+      withN2(delta.filter(col(opCol) === 1).select(col("id"), col("vec")),
+        "nid", "nv", "nn2", rebalance = true),
+      cents, cb, nSub, dim / nSub)
+    val retracts = delta.filter(col(opCol) === -1)
+      .select(col("id").as("nid"))
+    state.join(retracts, Seq("nid"), "left_anti").unionByName(adds)
+  }
+
+  /** Maintain a stored SQ8 code table under a corpus delta against the
+    * PINNED bounds — additions quantize per row with the frozen
+    * [min, max] arrays (never re-learned: re-learning would silently
+    * shift every EXISTING code's meaning), retractions anti-join out.
+    * Bit-equal to re-quantizing the post-delta corpus with the same
+    * bounds. `delta`: (id, vec, opCol). */
+  def sq8MaintainCodes(state: DataFrame, delta: DataFrame,
+      pin: graft.state.ModelRegistry#Pinned, opCol: String): DataFrame = {
+    val bounds = pin.table("bounds")
+    val dim = bounds.select(col("dim")).head().getInt(0)
+    val stats = broadcast(bounds.select(col("mns"), col("mxs")))
+    val adds = sq8CodesOf(
+      withN2(delta.filter(col(opCol) === 1).select(col("id"), col("vec")),
+        "nid", "nv", "nn2", rebalance = true),
+      stats, dim)
+    val retracts = delta.filter(col(opCol) === -1)
+      .select(col("id").as("nid"))
+    state.join(retracts, Seq("nid"), "left_anti").unionByName(adds)
   }
 
   /** The query half of [[annTopKIvfPq]] — identical machinery whether

@@ -402,6 +402,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sqStored.nonEmpty)
   }
 
+  test("compressed-tier code maintenance: maintained IVF-PQ and SQ8 " +
+      "code tables == from-scratch re-encode of the post-delta corpus " +
+      "against the same frozen artifacts") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = emb.filter(col("id") % 3 < 2)
+    val delta = emb.filter(col("id") % 3 === 2)
+      .withColumn("__op", lit(1))
+      .unionByName(base.filter(col("id") % 5 === 0)
+        .withColumn("__op", lit(-1)))
+    val postDelta = emb.filter(col("id") % 3 === 2)
+      .unionByName(base.filter(col("id") % 5 =!= 0))
+    val reg = new graft.state.ModelRegistry(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivm-spec").toString)
+
+    // IVF-PQ: encode is per-row against frozen centroids + codebook,
+    // so state − retracts + encoded adds == full re-encode
+    Similarity.ivfPqPublish(base, reg, "ivfpq", nCells = 8, nSub = 8,
+      nCentroids = 64)
+    val pqPin = reg.snapshot("ivfpq")
+    val pqMaintained = Similarity.ivfPqMaintainCodes(
+        pqPin.table("codes"), delta, pqPin, "__op")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val pqRebuilt = Similarity.ivfPqMaintainCodes(
+        pqPin.table("codes").limit(0),
+        postDelta.withColumn("__op", lit(1)), pqPin, "__op")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(pqMaintained === pqRebuilt)
+    assert(pqMaintained.nonEmpty)
+
+    // SQ8: quantization is per-row against the frozen bounds
+    Similarity.sq8Publish(base, reg, "sq8")
+    val sqPin = reg.snapshot("sq8")
+    val sqMaintained = Similarity.sq8MaintainCodes(
+        sqPin.table("codes"), delta, sqPin, "__op")
+      .as[(Long, Array[Double], Double)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).toSet
+    val sqRebuilt = Similarity.sq8MaintainCodes(
+        sqPin.table("codes").limit(0),
+        postDelta.withColumn("__op", lit(1)), sqPin, "__op")
+      .as[(Long, Array[Double], Double)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).toSet
+    assert(sqMaintained === sqRebuilt)
+    assert(sqMaintained.nonEmpty)
+  }
+
   test("cluster mixture: batch stage == declared JSON stage == frozen " +
       "streaming gate on the same corpus") {
     val embPath = "/root/testdata/sf0.001/embeddings.parquet"
