@@ -734,7 +734,7 @@ object Dedup {
     val thr = thresholdPermille.toLong
     val prefix = ranked.filter(col("rnk") <=
         col("n") - expr(s"(n * ${2 * thr - 1} + 1999) DIV 2000") + lit(1))
-      .select(col("id"), col("n"), col("w"))
+      .select(col("id"), col("n"), col("w"), col("rnk"))
     // candidate generation moves (id, n, token) rows ONLY — a pair
     // sharing m prefix tokens costs m light rows into the pair-dedup
     // aggregate, nothing doc-sized (an earlier draft rode the full token
@@ -763,17 +763,39 @@ object Dedup {
     val nch = rankedW.groupBy("w").agg(max(col("cx")).as("mc"))
     val yrep = rankedW.join(nch, "w")
       .withColumn("cy", explode(sequence(lit(0L), col("mc"))))
-      .select(col("w"), col("cy").as("cx"), col("id"), col("n"), col("r"))
+      .select(col("w"), col("cy").as("cx"), col("id"), col("n"),
+        col("r"), col("rnk"))
     // build side = rankedW (|prefix| rows — thousands per partition at
     // any scale); the replicated probe side streams. Hinting the
     // replicated side instead builds a pair-volume/chunk-sized hash map
     // per partition and OOMs at sf1 (measured).
+    //
+    // POSITIONAL filter (PPJoin proper, Xiao et al. WWW'08 §3.2): the
+    // shared token sits at global-rarity positions (rx, ry) in each
+    // doc's sorted token list, and the rarity order is GLOBAL ((df, w)
+    // total order), so every OTHER common token falls consistently
+    // before it in both lists or after it in both lists — true overlap
+    // ≤ min(rx, ry) + min(nx − rx, ny − ry). Candidate rows whose bound
+    // cannot reach the threshold's minimum overlap are dropped BEFORE
+    // the pair-dedup shuffle; a truly-qualifying pair satisfies the
+    // bound on EVERY shared-prefix-token row, so the pruning is
+    // lossless (and uses the same minOverlap−1 arithmetic as the
+    // verify-side abort, keeping the rounded-jaccard filter the sole
+    // arbiter of boundary pairs). At thr = 950 the bound is tight —
+    // most same-token-different-length candidates die here instead of
+    // shuffling into the aggregate.
+    val posBound = least(col("x.rnk"), col("y.rnk")) +
+      least(col("x.n") - col("x.rnk"), col("y.n") - col("y.rnk"))
+    val minOverlapM1XY = expr(
+      s"((2 * $thr - 1) * (x.n + y.n) + 1998 + 2 * $thr) " +
+        s"DIV (1999 + 2 * $thr) - 1")
     val cand = rankedW.as("x").hint("shuffle_hash")
       .join(yrep.as("y"),
         col("x.w") === col("y.w") && col("x.cx") === col("y.cx") &&
           col("x.r") < col("y.r") &&
           col("x.n") * 2000L >= col("y.n") * (2L * thr - 1) &&
-          col("y.n") * 2000L >= col("x.n") * (2L * thr - 1))
+          col("y.n") * 2000L >= col("x.n") * (2L * thr - 1) &&
+          posBound > minOverlapM1XY)
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
     // verification: sorted distinct-token arrays join ONCE per surviving
