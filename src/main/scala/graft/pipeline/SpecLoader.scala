@@ -176,6 +176,30 @@ object SpecLoader {
       case other => sys.error(s"$ctx: expected an object, got $other")
     }
 
+  /** Model-store kind of a declared gate stage: the default
+    * `"snapshot"` is the flat [[graft.state.SnapshotStore]] layout;
+    * `"registry"` reads the model's CURRENT promoted version through
+    * [[graft.state.ModelRegistry]] — the versioned production layer,
+    * so a declared chain serves the same pinned artifact the refresh
+    * loops publish, promotion/rollback-aware. Anything else fails
+    * loudly at parse time, not mid-chain. */
+  private def storeKind(fn: String, v: JValue): String = {
+    val kind = (v \ "store").extractOpt[String].getOrElse("snapshot")
+    require(kind == "snapshot" || kind == "registry",
+      s"function '$fn': unknown model store '$kind' " +
+        "(expected 'snapshot' or 'registry')")
+    kind
+  }
+
+  private def nbcModel(kind: String, dir: String, prefix: String,
+      df: DataFrame): graft.operators.NaiveBayes.NbcModel =
+    if (kind == "registry")
+      graft.operators.NaiveBayes.nbcFromRegistry(
+        new graft.state.ModelRegistry(df.sparkSession, dir)
+          .snapshot(prefix))
+    else graft.operators.NaiveBayes.nbcReadModel(
+      new graft.state.SnapshotStore(df.sparkSession, dir), prefix)
+
   private def parseStep(fn: String, v: JValue): DataFrame => DataFrame =
     (v \ "op").extract[String] match {
       case "explode" =>
@@ -394,18 +418,27 @@ object SpecLoader {
         // mean token log-prob AGAINST A STORED MODEL clears the floor —
         // the production form of lm_perplexity (the gate LM is trained
         // once and frozen, never re-fit on the stage input; Wenzek et
-        // al. 2020). `model_dir`/`model` locate the SnapshotStore
-        // artifact ([[graft.operators.TextAnalysis.kn3StoreModel]]);
-        // unscorable docs drop. The streaming twin is
+        // al. 2020). `model_dir`/`model` locate the artifact;
+        // `"store": "registry"` reads it through the VERSIONED
+        // [[graft.state.ModelRegistry]] (current promoted version,
+        // pinned at stage build — a chain keeps scoring a consistent
+        // model under concurrent refresh, and a rollback takes effect
+        // on the next run) instead of the flat SnapshotStore layout.
+        // Unscorable docs drop. The streaming twin is
         // [[graft.streaming.StreamingLmGate]] over the same artifact.
         val c = (v \ "text").extract[String]
         val id = (v \ "id").extract[String]
         val dir = (v \ "model_dir").extract[String]
         val prefix = (v \ "model").extractOpt[String].getOrElse("lm")
+        val kind = storeKind(fn, v)
         val floor = (v \ "min_lp_permille").extractOpt[Long].getOrElse(
           graft.operators.TextAnalysis.LmPerplexityFloorPermille)
         df => {
-          val m = graft.operators.TextAnalysis.kn3ReadModel(
+          val m = if (kind == "registry")
+            graft.operators.TextAnalysis.kn3FromRegistry(
+              new graft.state.ModelRegistry(df.sparkSession, dir)
+                .snapshot(prefix))
+          else graft.operators.TextAnalysis.kn3ReadModel(
             new graft.state.SnapshotStore(df.sparkSession, dir), prefix)
           df.join(
             graft.operators.TextAnalysis.kn3Score(df, c, id, m)
@@ -428,11 +461,10 @@ object SpecLoader {
         val id = (v \ "id").extract[String]
         val dir = (v \ "model_dir").extract[String]
         val prefix = (v \ "model").extractOpt[String].getOrElse("nbc")
+        val kind = storeKind(fn, v)
         val keep = (v \ "keep").extract[Seq[String]]
         df => graft.operators.NaiveBayes.nbcGate(df, c, id,
-          graft.operators.NaiveBayes.nbcReadModel(
-            new graft.state.SnapshotStore(df.sparkSession, dir), prefix),
-          keep)
+          nbcModel(kind, dir, prefix, df), keep)
       case "margin_gate" =>
         // classifier-confidence selection (the GPT-3 quality-filter cut,
         // Brown et al. 2020 App. A): keep rows the STORED binary
@@ -445,13 +477,12 @@ object SpecLoader {
         val id = (v \ "id").extract[String]
         val dir = (v \ "model_dir").extract[String]
         val prefix = (v \ "model").extractOpt[String].getOrElse("nbc")
+        val kind = storeKind(fn, v)
         val keepClass = (v \ "keep_class").extract[String]
         val minMargin = (v \ "min_margin_micros").extractOpt[Long]
           .getOrElse(0L)
         df => graft.operators.NaiveBayes.nbcMarginGate(df, c, id,
-          graft.operators.NaiveBayes.nbcReadModel(
-            new graft.state.SnapshotStore(df.sparkSession, dir), prefix),
-          keepClass, minMargin)
+          nbcModel(kind, dir, prefix, df), keepClass, minMargin)
       case "lm_perplexity" =>
         // CCNet-style perplexity gate (Wenzek et al. 2020): keep rows
         // whose Kneser-Ney mean token log-prob — the LM trained on the

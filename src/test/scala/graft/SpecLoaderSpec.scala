@@ -352,6 +352,82 @@ class SpecLoaderSpec extends AnyFunSuite {
     assert(afterM.count() < df.count() && want.count() > 0)
   }
 
+  test("declared gates with store=registry serve the promoted " +
+      "ModelRegistry version, equal the snapshot-backed chain, and " +
+      "follow promotion/rollback across chain rebuilds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{NaiveBayes, TextAnalysis}
+    val trainA = Seq(
+      (100L, "en", "the cat sat on the mat and slept all day long"),
+      (101L, "en", "a dog ran over the hill and far away it went"),
+      (104L, "de", "der hund und die katze schlafen auf dem teppich"),
+      (106L, "de", "die katze sitzt auf der matte und schlaeft jetzt"),
+      (108L, "fr", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq")
+    ).toDF("doc_id", "lang", "text")
+    // v2 swaps the class labels (English text now trains 'fr'), so the
+    // English doc the v1 gate kept must flip out under v2 — a change
+    // the chain can only see if it truly serves the promoted version
+    val trainB = Seq(
+      (200L, "fr", "the cat sat on the mat and slept all day long"),
+      (202L, "fr", "a dog ran over the hill and far away it went"),
+      (204L, "de", "der hund und die katze schlafen auf dem teppich"),
+      (208L, "en", "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq")
+    ).toDF("doc_id", "lang", "text")
+    val lmTrain = trainA.select(col("doc_id"), col("text"))
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog slept"),
+      (2L, "der hund und die katze schlafen auf der matte"),
+      (3L, "zzq wwq vvq uuq ttq ssq rrq qqq ppq ooq nnq"),
+      (4L, "rivers flow down to the open salt sea this day")
+    ).toDF("doc_id", "text")
+
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft-regchain").toString
+    val reg = new graft.state.ModelRegistry(spark, regDir)
+    NaiveBayes.nbcPublishModel(trainA, "text", "lang", reg, "nbc") // v1
+    TextAnalysis.kn3PublishModel(lmTrain, "text", "doc_id", reg, "lm")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-snapchain").toString
+    val store = new graft.state.SnapshotStore(spark, storeDir)
+    NaiveBayes.nbcStoreModel(trainA, "text", "lang", store, "nbc")
+    TextAnalysis.kn3StoreModel(lmTrain, "text", "doc_id", store, "lm")
+
+    def chain(dir: String, kind: String): Set[Long] =
+      SpecLoader.transformFromJson(
+        s"""{"name": "regchain", "steps": [
+           |  {"op": "lang_gate", "text": "text", "id": "doc_id",
+           |   "model_dir": "$dir", "model": "nbc", "store": "$kind",
+           |   "keep": ["en", "de"]},
+           |  {"op": "lm_apply", "text": "text", "id": "doc_id",
+           |   "model_dir": "$dir", "model": "lm", "store": "$kind",
+           |   "min_lp_permille": -10000} ] }""".stripMargin)(docs)
+        .select("doc_id").as[Long].collect().toSet
+
+    // same artifacts, two store layers -> identical survivors
+    val viaRegistry = chain(regDir, "registry")
+    assert(viaRegistry === chain(storeDir, "snapshot"))
+    assert(viaRegistry.nonEmpty && viaRegistry.size < docs.count())
+
+    // a refresh PROMOTES v2: the next chain build serves the new model
+    NaiveBayes.nbcPublishModel(trainB, "text", "lang", reg, "nbc") // v2
+    val viaV2 = chain(regDir, "registry")
+    assert(viaV2 !== viaRegistry,
+      "v2 was trained on disjoint text; the gate decisions must move")
+    // rollback re-promotes v1 -> the chain serves v1's decisions again
+    reg.rollback("nbc")
+    assert(chain(regDir, "registry") === viaRegistry)
+
+    // unknown store kinds fail loudly at parse time
+    val e = intercept[IllegalArgumentException](
+      SpecLoader.transformFromJson(
+        """{"name": "bad", "steps": [
+          |  {"op": "lang_gate", "text": "text", "id": "doc_id",
+          |   "model_dir": "/x", "store": "s3", "keep": ["en"]} ] }"""
+          .stripMargin))
+    assert(e.getMessage.contains("unknown model store"))
+  }
+
   test("README declared-chain example: the documented JSON runs " +
       "verbatim and the documented funnel table is true") {
     import spark.implicits._
