@@ -46,9 +46,10 @@ object Dedup {
     * (Spark reuses the partitioning). At 100 TB each stage stays
     * linear-shuffle with no per-row quadratic expression cost. */
   def shingleInv(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, hashedKey: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleStream(df, textCol, idCol, n).dropDuplicates("id", "s")
+    val sh = shingleStream(df, textCol, idCol, n, hashedKey = hashedKey)
+      .dropDuplicates("id", "s")
     sh.withColumn("nsh", count(lit(1)).over(Window.partitionBy("id")))
       .select("id", "nsh", "s")
   }
@@ -67,8 +68,20 @@ object Dedup {
     * downstream window needs hash(id) clustering anyway, so this exchange
     * replaces the bigger one that would have shuffled the exploded tokens
     * — strictly less data moved (docs < tokens) at any scale. */
+  /** `hashedKey = true` emits the gram as `xxhash64(w0, …, wn−1)` (one
+    * 8-byte long) instead of the concatenated string — for consumers
+    * that only COUNT grams (jaccard/containment/novelty: gram identity
+    * never reaches their output), the key is all that shuffles and
+    * joins, so a ~50-byte gram string is pure wasted bytes. Same
+    * collision discipline as the ppjoin verify arrays: deterministic,
+    * so a merge of two distinct grams could never pass the oracle gate
+    * silently, and a count error needs two of ONE corpus's distinct
+    * grams to collide in 64 bits. Consumers whose output or model
+    * carries the gram itself (kn/vocab tables, contamination reports)
+    * keep the string form. */
   def shingleStream(df: DataFrame, textCol: String, idCol: String,
-      n: Int, carry: Seq[String] = Nil): DataFrame = {
+      n: Int, carry: Seq[String] = Nil,
+      hashedKey: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `carry` columns must be constant per id (they ride the id-keyed
     // explode and window untouched) — used by consumers that branch on a
@@ -82,10 +95,12 @@ object Dedup {
         :+ posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")): _*)
     val wspec = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("w0"), j).over(wspec).as(s"w$j"))
+    val key =
+      if (hashedKey) xxhash64((0 until n).map(j => col(s"w$j")): _*)
+      else concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*)
     tok.select(col("id") +: carryCols ++: (col("w0") +: leads): _*)
       .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("id") +: carryCols
-        :+ concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*).as("s"): _*)
+      .select(col("id") +: carryCols :+ key.as("s"): _*)
   }
 
   /** Exact dedup: one surviving id (min) per distinct text. The group key
@@ -244,7 +259,8 @@ object Dedup {
     // two windows + aggregate) once per side — measured ~2× the cost — and
     // at 100 TB the index can't broadcast anyway, so the shuffle join is
     // also the only plan that scales.
-    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    val inv = shingleInv(df, textCol, idCol, n, hashedKey = true)
+      .repartition(col("s"))
     val pairs = inv.as("x").join(inv.as("y").hint("shuffle_hash"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
@@ -331,7 +347,7 @@ object Dedup {
     * same (a, b, jacc_permille) shape as [[ngramJaccardPairs]]. */
   def verifyCandidates(df: DataFrame, candidates: DataFrame, textCol: String,
       idCol: String, n: Int = 5, thresholdPermille: Int = 100): DataFrame = {
-    val inv = shingleInv(df, textCol, idCol, n)
+    val inv = shingleInv(df, textCol, idCol, n, hashedKey = true)
     val pairs = candidates.select(col("a"), col("b"))
       .join(inv.as("x"), col("a") === col("x.id"))
       .join(inv.as("y"), col("b") === col("y.id") && col("x.s") === col("y.s"))
@@ -540,7 +556,8 @@ object Dedup {
     * changes, so the same verifier-tier / LSH-scale contract applies. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5, thresholdPermille: Int = 800): DataFrame = {
-    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    val inv = shingleInv(df, textCol, idCol, n, hashedKey = true)
+      .repartition(col("s"))
     val pairs = inv.as("x").join(inv.as("y").hint("shuffle_hash"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"),
@@ -661,7 +678,8 @@ object Dedup {
     * absent. */
   def gramNovelty(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
-    val inv = shingleInv(df, textCol, idCol, n).repartition(col("s"))
+    val inv = shingleInv(df, textCol, idCol, n, hashedKey = true)
+      .repartition(col("s"))
     // (id, s) is distinct, so count(*) per gram == docs containing it
     val gdf = inv.groupBy("s").agg(count(lit(1)).as("__docs"))
     inv.join(gdf, "s")
