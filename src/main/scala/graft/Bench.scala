@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 object Bench {
 
@@ -29,9 +28,14 @@ object Bench {
     * catches UNIFORM starvation — every probe of a uniformly-contended
     * run inflates together, so the run's own minimum stays 1.0x and
     * only an absolute reference exposes it. Query floors apply only at
-    * the recorded scale (sf0.1); the nominal is scale-independent.
-    * Absent file disables the floor checks, never the within-run probe
+    * the recorded scale (sf0.1), matched on the fixture dir's BASENAME
+    * (a trailing slash must not disable them, an unrelated `foo-sf0.1`
+    * must not enable them); the nominal is scale-independent. Absent
+    * file disables the floor checks, never the within-run probe
     * check. */
+  private def isGateScale(sfDir: String): Boolean =
+    new java.io.File(sfDir).getName == "sf0.1"
+
   private def loadFloors(sfDir: String): (Map[String, Double], Option[Double]) = {
     val f = new java.io.File("tools/bench_floor.tsv")
     if (!f.isFile) return (Map.empty, None)
@@ -44,24 +48,17 @@ object Bench {
     }.toMap
     finally src.close()
     val nominal = all.get("__probe_nominal_ms")
-    (if (sfDir.endsWith("sf0.1")) all - "__probe_nominal_ms"
+    (if (isGateScale(sfDir)) all - "__probe_nominal_ms"
      else Map.empty, nominal)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // back-compat for TIMESTAMP(NANOS) fixtures; current fixtures ship
-      // timestamp[us] — SparkEntry.events() normalizes either encoding.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared builder: shuffle partitions derived from the fixture's
+    // input bytes (floored at the core count) — the same sizing Verify
+    // and RungLab run, so bench numbers carry the engine's real shape
+    val spark = GraftSession.build(sfDir, cpus.toInt)
     FixtureProbe.check(spark, sfDir) // names drifted columns up front
     // Warm the session (job machinery, codegen, file index) so the first
     // timed query doesn't absorb startup cost. Building every query's
@@ -161,6 +158,41 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":${f3(total)},"n":${results.size},"failed":$failedJson,"top5":$top5,"forensics":$forensics,"sf":"$sfDir"}""")
+    // ---- floor ratchet (round-16, VERDICT task 7) --------------------
+    // At the gate scale, emit the NEXT floor file as a candidate: per
+    // query the min of this run's time and the existing floor (so floors
+    // only ratchet DOWN — a stalled run can't raise them), existing
+    // entries for queries outside this run carried over (subset runs
+    // can't erase the battery's floors), and the probe nominal likewise
+    // min'd against this run's fastest probe. Closing a round becomes
+    // `cp tools/bench_floor.candidate.tsv tools/bench_floor.tsv` after a
+    // clean solo run, instead of a hand-run script — and a stale floor
+    // (from a since-optimized query) self-heals on the next clean copy.
+    if (isGateScale(sfDir) && failed.isEmpty) {
+      val prior = {
+        val f = new java.io.File("tools/bench_floor.tsv")
+        if (!f.isFile) Map.empty[String, Double]
+        else {
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().flatMap(_.split('\t') match {
+            case Array(n, s) => scala.util.Try(n -> s.toDouble).toOption
+            case _ => None
+          }).toMap finally src.close()
+        }
+      }
+      val runFloors = results.toMap
+      val probeMinMs = probes.min / 1e6
+      val merged = (prior - "__probe_nominal_ms") ++ runFloors.map {
+        case (n, sec) => n -> math.min(sec,
+          prior.getOrElse(n, Double.MaxValue))
+      } + ("__probe_nominal_ms" -> math.min(probeMinMs,
+        prior.getOrElse("__probe_nominal_ms", Double.MaxValue)))
+      val out = new java.io.PrintWriter(
+        "tools/bench_floor.candidate.tsv", "UTF-8")
+      try merged.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        out.println(s"$n\t${f3(v)}")
+      } finally out.close()
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: " +

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,18 +10,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Back-compat for fixtures that encode events.ts as parquet
-      // TIMESTAMP(NANOS): read as long. Current fixtures ship timestamp[us];
-      // SparkEntry.events() normalizes either encoding to long nanos.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared builder (input-byte-derived shuffle partitions): the gate
+    // runs the same session shape Bench and the scale rungs run
+    val spark = GraftSession.build(sfDir, cpus.toInt)
     FixtureProbe.check(spark, sfDir) // names drifted columns up front
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

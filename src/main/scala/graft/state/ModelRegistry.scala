@@ -39,8 +39,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Single-writer model (refreshes are driver-scheduled, serialized);
   * readers are unlimited. Filesystem contract inherited from
   * [[AtomicTable]]: HDFS-semantics atomic create — front an object store
-  * with a real table format instead. */
-class ModelRegistry(spark: SparkSession, root: String) {
+  * with a real table format instead.
+  *
+  * `keepDepth` widens the reader lease: GC retains the `keepDepth`
+  * NEWEST version dirs (always including the promoted current and its
+  * predecessor), so a [[Pinned]] reader survives `keepDepth − 1`
+  * promote cycles instead of exactly one — the knob for a serve join
+  * whose scan legitimately outlives two refresh cadences at 100 TB.
+  * Storage stays bounded at `keepDepth` versions; rollback history
+  * stays one step (the manifest holds one `prev_version`, a
+  * [[rollback]] contract independent of how many dirs GC retains). */
+class ModelRegistry(spark: SparkSession, root: String,
+    keepDepth: Int = 2) {
+  require(keepDepth >= 2,
+    s"keepDepth=$keepDepth: the manifest contract needs at least " +
+      "{current, previous} retained (rollback + one-cycle reader lease)")
 
   private val ManifestSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -100,10 +113,23 @@ class ModelRegistry(spark: SparkSession, root: String) {
     * inspect-and-remove — deliberate manual recovery, matching the
     * registry's driver-scheduled refresh contract. For schedulers that
     * cannot page an operator, `staleLockMs` bounds the wait: a lock
-    * older than the budget is broken and re-claimed atomically
-    * (create-if-absent again, so two recovering publishers cannot both
-    * win). Overwriting a crashed publisher's PARTIAL version dir is
-    * safe — it was never promoted, so no reader ever resolved it. */
+    * older than the budget is broken with an atomic RENAME of the
+    * observed stale file — exactly one breaker's rename succeeds, so
+    * two recovering publishers cannot both enter the critical section —
+    * and re-claimed with another create-if-absent (which a third, fresh
+    * publisher can still win; the breaker then fails loudly). Lock age
+    * is measured against the FILESYSTEM's clock (a probe file's mtime),
+    * never the local `System.currentTimeMillis` — on a distributed FS
+    * the two clocks can skew enough to mis-age a live lock. The lock
+    * carries its owner's unique token and its mtime is refreshed after
+    * every table write, so (a) a LIVE publisher whose writes outlast
+    * `staleLockMs` keeps presenting a young lock instead of being
+    * broken mid-write, and (b) if its lock IS stolen anyway (budget far
+    * too small), the owner detects the foreign token before promoting
+    * and aborts — a double-Overwrite of the same version dirs under
+    * pinned readers becomes a loud single-winner failure. Overwriting a
+    * crashed publisher's PARTIAL version dir is safe — it was never
+    * promoted, so no reader ever resolved it. */
   def publish(model: String, tables: Seq[(String, DataFrame)],
       staleLockMs: Long = Long.MaxValue): Long = {
     require(tables.nonEmpty, s"publish($model): no tables")
@@ -111,20 +137,72 @@ class ModelRegistry(spark: SparkSession, root: String) {
     val v = maxv + 1
     onBeforeClaim(model, v)
     val lock = new Path(s"$root/$model/publish-lock-$v")
+    val token = java.util.UUID.randomUUID().toString
     val f = fs
     f.mkdirs(lock.getParent)
-    if (!f.createNewFile(lock)) {
-      val ageMs = System.currentTimeMillis -
+    // atomic create-if-absent that also records the owner: create with
+    // overwrite=false either claims the lock and writes the token, or
+    // throws because another publisher's lock exists
+    def tryClaim(): Boolean =
+      try {
+        val os = f.create(lock, false)
+        try os.write(token.getBytes(java.nio.charset.StandardCharsets
+          .UTF_8)) finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    // the filesystem's own clock: the mtime a probe file gets right now
+    def fsNowMs(): Long = {
+      val probe = new Path(s"$root/$model/publish-probe-$token")
+      f.create(probe, true).close()
+      try f.getFileStatus(probe).getModificationTime
+      finally f.delete(probe, false)
+    }
+    if (!tryClaim()) {
+      val ageMs = try fsNowMs() -
         f.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+      // -1: the holder released between our failed claim and the stat —
+      // not stale, just contended; fall through to the loud error
       require(ageMs > staleLockMs,
         s"publish($model): version $v is already being published " +
           s"(concurrent publisher, or a crashed one — inspect and " +
           s"remove $lock to recover, or pass staleLockMs < $ageMs to " +
           "break the stale lock)")
-      f.delete(lock, false)
-      require(f.createNewFile(lock),
+      onBeforeBreak(model, v)
+      // atomic break: of N recoverers that all observed the stale lock,
+      // exactly ONE rename succeeds (the source exists only once)
+      val broken = new Path(s"${lock.toString}.broken-$token")
+      require(try f.rename(lock, broken) catch {
+          case _: java.io.IOException => false },
+        s"publish($model): lost the break race for version $v — a " +
+          s"concurrent recoverer broke $lock first; retry to publish " +
+          "against whatever head it promotes")
+      f.delete(broken, false)
+      require(tryClaim(),
         s"publish($model): lost the claim race for version $v while " +
           s"breaking a stale lock — a live publisher re-claimed $lock")
+    }
+    def stillOwned(): Boolean =
+      try {
+        val in = f.open(lock)
+        try {
+          val buf = new Array[Byte](token.length)
+          val n = in.read(buf)
+          n == token.length && new String(buf,
+            java.nio.charset.StandardCharsets.UTF_8) == token
+        } finally in.close()
+      } catch { case _: java.io.IOException => false }
+    // abort loudly unless the lock still exists and carries OUR token —
+    // called after every table write (which also refreshes the lock's
+    // mtime, keeping a live long write younger than any sane
+    // staleLockMs) and once more before the promote swap
+    def verifyOwnedAndRefresh(): Unit = {
+      require(stillOwned(),
+        s"publish($model): lock $lock was broken mid-write by a " +
+          s"recovering publisher (staleLockMs below this write's " +
+          "duration?) — aborting without promoting; the breaker owns " +
+          s"version $v now")
+      f.setTimes(lock, fsNowMs(), -1)
     }
     try {
       // post-claim re-validation (layer 2 above): allocate-from state
@@ -138,10 +216,17 @@ class ModelRegistry(spark: SparkSession, root: String) {
       tables.foreach { case (name, df) =>
         df.write.mode(SaveMode.Overwrite)
           .parquet(s"${versionDir(model, v)}/$name")
+        verifyOwnedAndRefresh()
       }
+      verifyOwnedAndRefresh()
       promote(model, version = v, prev = now._1, maxv = v,
         keep = Set(v, now._1))
-    } finally f.delete(lock, false)
+    } finally {
+      // release ONLY a lock this publisher still owns — if a recoverer
+      // stole it mid-write, deleting here would free the THIEF's claim
+      // under its own in-flight publish
+      if (stillOwned()) f.delete(lock, false)
+    }
     v
   }
 
@@ -152,6 +237,13 @@ class ModelRegistry(spark: SparkSession, root: String) {
     * No-op in production; ModelRegistrySpec overrides it to replay the
     * race deterministically. */
   protected def onBeforeClaim(model: String, version: Long): Unit = ()
+
+  /** Test seam: called between observing a stale lock (age check
+    * passed) and the atomic rename that breaks it — the two-recoverer
+    * break race window. No-op in production; ModelRegistrySpec
+    * overrides it to let a competing recoverer break-and-publish first,
+    * proving exactly one breaker enters the critical section. */
+  protected def onBeforeBreak(model: String, version: Long): Unit = ()
 
   /** Re-promote the previous version — pure manifest metadata, the data
     * dirs are untouched. Fails loudly if there is no history to restore
@@ -178,19 +270,27 @@ class ModelRegistry(spark: SparkSession, root: String) {
     gc(model, keep = keep.filter(_ > 0))
   }
 
-  /** Delete version dirs not in `keep` (best-effort, same contract as
-    * [[AtomicTable]]'s GC). */
+  /** Delete version dirs beyond the retention set: the mandatory `keep`
+    * versions (promoted current + its predecessor — the rollback
+    * contract) plus enough NEWEST other dirs to retain `keepDepth`
+    * total (the widened reader lease). Best-effort, same contract as
+    * [[AtomicTable]]'s GC; storage stays bounded at `keepDepth` dirs. */
   private def gc(model: String, keep: Set[Long]): Unit = {
     val base = new Path(s"$root/$model")
     val f = fs
     if (!f.exists(base)) return
     val VDir = "v-([0-9]+)".r
-    f.listStatus(base).foreach { st =>
+    val present = f.listStatus(base).flatMap { st =>
       st.getPath.getName match {
-        case VDir(n) if !keep.contains(n.toLong) =>
-          try f.delete(st.getPath, true) catch { case _: Exception => }
-        case _ => ()
+        case VDir(n) => Some(n.toLong -> st.getPath)
+        case _ => None
       }
+    }
+    val retained = keep ++ present.map(_._1).sorted(Ordering[Long].reverse)
+      .filterNot(keep.contains).take(keepDepth - keep.size)
+    present.foreach { case (n, p) =>
+      if (!retained.contains(n))
+        try f.delete(p, true) catch { case _: Exception => () }
     }
   }
 

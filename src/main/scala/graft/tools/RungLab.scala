@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
 
 /** Scale-rung probe: run named SparkEntry queries on a fixture dir and
   * report, per query, wall seconds, OUTPUT rows, and the shuffle-write
@@ -15,20 +14,12 @@ object RungLab {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // rung experiments: a 100x fixture with 32 shuffle partitions gives
-    // each task 100x the per-task hash state of the sf0.1 shape — on a
-    // real cluster partitions scale with the data; this knob lets the
-    // rung table separate "plan got worse" from "partitions outgrown"
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffleParts)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared builder: shuffle partitions DERIVE from the rung fixture's
+    // input bytes (the round-16 auto-sizing — on a real cluster this is
+    // what the resource manager scales); SPARK_GRAFT_SHUFFLE still
+    // overrides inside GraftSession for experiments that isolate the
+    // partition knob from the plan shape
+    val spark = graft.GraftSession.build(sfDir, cpus.toInt)
     spark.range(1000).selectExpr("sum(id)").collect()
 
     @volatile var totalRows = 0L
@@ -57,7 +48,22 @@ object RungLab {
       val t0 = System.nanoTime()
       val out = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener bus drains asynchronously
+      // the listener bus drains asynchronously: poll until the shuffle
+      // counters are quiescent (unchanged across two 100 ms reads, after
+      // at least one stage landed or 3 s passed) — a fixed sleep drops
+      // late stage events on a loaded host and bleeds them into the
+      // next query's totals, skewing the rung numbers this tool exists
+      // to produce
+      var last = -1L
+      var stableSince = System.nanoTime()
+      while ({
+        val cur = totalRows + totalBytes
+        val changed = cur != last
+        if (changed) { last = cur; stableSince = System.nanoTime() }
+        Thread.sleep(100)
+        val quietMs = (System.nanoTime() - stableSince) / 1e6
+        changed || quietMs < 300
+      } && (System.nanoTime() - t0) / 1e9 < sec + 10) ()
       println(s"""{"rung":"$sfDir","q":"$name","sec":${f3(sec)},""" +
         s""""rows_out":$out,"shuffle_rows":$totalRows,""" +
         s""""peak_stage_rows":$peakStageRows,""" +

@@ -248,6 +248,139 @@ class ModelRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("stale-lock break is ATOMIC: of two recoverers that both " +
+      "observed the stale lock, exactly one wins the rename; the loser " +
+      "fails loudly without entering the critical section") {
+    val root = Files.createTempDirectory("graft-registry-spec").toString
+    val fast = new ModelRegistry(spark, root)
+    fast.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    // a crashed publisher's stale lock for v2, aged past any budget
+    val lock = java.nio.file.Paths.get(s"$root/m/publish-lock-2")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 60000L))
+    // the SLOW recoverer observes the stale lock and passes the age
+    // check; inside its break window the FAST recoverer breaks the same
+    // lock, publishes v2 completely, and releases — the slow rename then
+    // finds no source file and must lose, not double-publish
+    var raced = false
+    val slow = new ModelRegistry(spark, root) {
+      override protected def onBeforeBreak(model: String,
+          v: Long): Unit =
+        if (!raced) {
+          raced = true
+          fast.publish("m", Seq("a" -> Seq((2L, "fast")).toDF("k", "v")),
+            staleLockMs = 1000L)
+        }
+    }
+    val e = intercept[IllegalArgumentException](slow.publish("m",
+      Seq("a" -> Seq((2L, "slow")).toDF("k", "v")), staleLockMs = 1000L))
+    assert(e.getMessage.contains("lost the break race"))
+    assert(fast.snapshot("m").version === 2L)
+    assert(fast.snapshot("m").table("a").as[(Long, String)].collect()
+      .toSeq === Seq((2L, "fast")))
+    // the loser retries cleanly against the new head
+    assert(slow.publish("m",
+      Seq("a" -> Seq((3L, "slow")).toDF("k", "v"))) === 3L)
+  }
+
+  test("a lock stolen MID-WRITE is detected before promote: the owner " +
+      "aborts loudly, never promotes, and never deletes the thief's " +
+      "lock") {
+    val (reg, root) = freshRegRoot()
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    // the second table's evaluation (inside its write, i.e. mid-publish)
+    // swaps the v2 lock's content — exactly what a recoverer with a
+    // too-small staleLockMs does to a live long write
+    val lockPath = s"$root/m/publish-lock-2"
+    val evil = spark.range(1).mapPartitions { it =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(lockPath),
+        "thief-token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      it
+    }.toDF("k")
+    val e = intercept[IllegalArgumentException](reg.publish("m", Seq(
+      "a" -> Seq((2L, "y")).toDF("k", "v"),
+      "b" -> evil)))
+    assert(e.getMessage.contains("broken mid-write"))
+    assert(reg.currentVersion("m") === 1L, "aborted publish must not " +
+      "promote")
+    // the thief's lock survives the owner's finally (its claim is live)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(lockPath)) === "thief-token")
+  }
+
+  test("a live publisher's lock mtime refreshes across table writes, " +
+      "so a long write stays younger than the stale budget") {
+    val (reg, root) = freshRegRoot()
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    // the first table's evaluation backdates the v2 lock an hour; the
+    // refresh after that table's write must bring the mtime back to
+    // now — observed by the SECOND table's evaluation, which records
+    // the lock's mtime as it sees it mid-publish
+    val lockPath = s"$root/m/publish-lock-2"
+    val mtimeLog = s"$root/observed-mtime"
+    val backdater = spark.range(1).mapPartitions { it =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(lockPath),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 3600000L))
+      it
+    }.toDF("k")
+    val recorder = spark.range(1).mapPartitions { it =>
+      val m = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(lockPath)).toMillis
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(mtimeLog), m.toString)
+      it
+    }.toDF("k")
+    val t0 = System.currentTimeMillis
+    assert(reg.publish("m", Seq(
+      "a" -> backdater,
+      "b" -> recorder)) === 2L)
+    val observed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(mtimeLog)).toLong
+    assert(observed >= t0 - 60000L,
+      s"lock mtime was not refreshed after table a's write: observed " +
+        s"$observed vs publish start $t0")
+    // lock released after promote; a fresh publish proceeds normally
+    assert(reg.publish("m",
+      Seq("a" -> Seq((3L, "z")).toDF("k", "v"))) === 3L)
+  }
+
+  test("keepDepth=3 widens the reader lease: a Pinned survives TWO " +
+      "promote cycles, GC stays bounded at three version dirs, and the " +
+      "third promote still reclaims it loudly") {
+    val root = Files.createTempDirectory("graft-registry-spec").toString
+    val reg = new ModelRegistry(spark, root, keepDepth = 3)
+    reg.publish("m", Seq("a" -> Seq((1L, "x")).toDF("k", "v")))
+    val pin = reg.snapshot("m") // v1
+    reg.publish("m", Seq("a" -> Seq((2L, "y")).toDF("k", "v")))
+    reg.publish("m", Seq("a" -> Seq((3L, "z")).toDF("k", "v")))
+    // two promotes: the round-15 contract failed here; keepDepth=3
+    // retains v1 and the pinned reader finishes its scan
+    assert(pin.table("a").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x")))
+    // GC is still bounded: exactly keepDepth version dirs on disk
+    val vDirs = new java.io.File(s"$root/m").listFiles()
+      .map(_.getName).filter(_.matches("v-[0-9]+")).sorted
+    assert(vDirs.toSeq === Seq("v-1", "v-2", "v-3"))
+    reg.publish("m", Seq("a" -> Seq((4L, "w")).toDF("k", "v")))
+    // third promote: v1 reclaimed, the stale pin fails LOUDLY
+    val e = intercept[IllegalArgumentException](pin.table("a"))
+    assert(e.getMessage.contains("missing from published version"))
+    val after = new java.io.File(s"$root/m").listFiles()
+      .map(_.getName).filter(_.matches("v-[0-9]+")).sorted
+    assert(after.toSeq === Seq("v-2", "v-3", "v-4"))
+  }
+
+  test("keepDepth below 2 is rejected (manifest needs current+prev)") {
+    val root = Files.createTempDirectory("graft-registry-spec").toString
+    val e = intercept[IllegalArgumentException](
+      new ModelRegistry(spark, root, keepDepth = 1))
+    assert(e.getMessage.contains("keepDepth"))
+  }
+
   test("kn3 publish/pin round-trip scores equal the in-session model") {
     val reg = freshReg()
     val docs = df(corpusA ++ corpusB)
