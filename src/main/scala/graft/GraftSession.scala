@@ -53,10 +53,14 @@ object GraftSession {
   /** The shared local session: `cores` threads, derived shuffle
     * partitions, AQE on, UTC, nanos back-compat, UI off. */
   def build(sfDir: String, cores: Int): SparkSession = {
+    val parts = derivedShufflePartitions(sfDir, cores)
+    // receipt on stderr (stdout carries the Bench/RungLab JSON): every
+    // gate and rung run records the partition count it actually used
+    System.err.println(s"[graft-session] sfDir=$sfDir " +
+      s"bytes=${inputBytes(sfDir)} shufflePartitions=$parts")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions",
-        derivedShufflePartitions(sfDir, cores).toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // back-compat for TIMESTAMP(NANOS) fixtures; current fixtures ship

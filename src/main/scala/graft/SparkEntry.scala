@@ -2455,28 +2455,21 @@ object SparkEntry {
         "p_brand", "p_name", "p_partkey", maxDist = 4)),
 
     // blocking-strategy evaluation: recall of the brand-blocked fuzzy
-    // matcher against ground truth (all-pairs edit distance on a bounded
-    // slice — the deliberate exception to the no-all-pairs rule: an
-    // evaluation tier MUST enumerate truth, so the slice is keyed down
-    // to stay quadratic-in-small). Output: truth size, blocked-found
-    // size, recall permille — the number that justifies (or indicts)
-    // the blocking key.
-    "blocking_recall" -> ((s, dir) => {
-      val sliceA = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
-        .select(col("p_brand"), col("p_name"), col("p_partkey"))
-      val found = Dedup.blockedEditDistance(sliceA, "p_brand", "p_name",
-        "p_partkey", maxDist = 4).select(col("a"), col("b"))
-      val v = sliceA.select(col("p_name").as("s"), col("p_partkey").as("id"))
-      val truth = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
-        .filter(levenshtein(col("x.s"), col("y.s")) <= 4)
-        .select(col("x.id").as("a"), col("y.id").as("b"))
-      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
-          truth.join(found, Seq("a", "b"), "left_semi")
-            .agg(count(lit(1)).as("n_found")))
-        .withColumn("recall_permille",
-          expr("CASE WHEN n_truth = 0 THEN 1000 " +
-            "ELSE (1000 * n_found) DIV n_truth END"))
-    }),
+    // matcher against a SAMPLED ground truth — the 128 smallest-keep-
+    // hash anchor rows crossed against the slice (deterministic, linear
+    // once the anchor cap saturates; the exhaustive all-pairs truth
+    // cross was the one query the 100× rung had to exclude). The
+    // estimate carries an exact-integer 1/√m confidence half-width;
+    // on a slice no larger than the anchor cap it IS the exhaustive
+    // recall (pinned in DedupSimilaritySpec). Output: sampled truth
+    // size, blocked-found size among them, recall permille, half-width
+    // permille — the numbers that justify (or indict) the blocking key
+    // ([[Dedup.blockedRecallSampled]]).
+    "blocking_recall" -> ((s, dir) =>
+      Dedup.blockedRecallSampled(
+        t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+          .select(col("p_brand"), col("p_name"), col("p_partkey")),
+        "p_brand", "p_name", "p_partkey", maxDist = 4, nAnchors = 128)),
 
     // smoothed bigram LM score per doc (the LM-quality signal one level
     // above unigram_logprob): add-1-smoothed P(w₂|w₁) from corpus bigram
@@ -10374,12 +10367,27 @@ object SparkEntry {
     // per-token integer-micro rounding makes the doc sum order-free, so
     // the only cross-engine float ops are ln() on identical integer
     // ratios and two end divisions — ulp drift cannot cross a boundary.
+    // sampled truth tier: anchors = the 128 smallest Knuth keep-hashes
+    // (id salt-folded below 2^31 first so the product stays under 2^63
+    // in BOTH engines — ANSI Spark throws on Long overflow — then
+    // ·2654435761 mod 10^6; tie-broken by id), each crossed against the
+    // whole slice; the integer-only 1/sqrt(m) half-width is
+    // deterministic across engines (IEEE sqrt of an exact integer is
+    // correctly rounded, floor then matches bit-for-bit)
     "blocking_recall" ->
-      """WITH sl AS (SELECT p_brand, p_name, p_partkey FROM part
+      s"""WITH sl AS (SELECT p_brand, p_name, p_partkey FROM part
         |  WHERE p_partkey % 10 = 0),
-        |truth AS (SELECT x.p_partkey AS a, y.p_partkey AS b
-        |  FROM sl x JOIN sl y ON x.p_partkey < y.p_partkey
-        |  WHERE levenshtein(x.p_name, y.p_name) <= 4),
+        |h AS (SELECT p_name AS s, p_partkey AS id,
+        |  ((p_partkey % 2147483647) * 2654435761) % 1000000 AS kh
+        |  FROM sl),
+        |anch AS (SELECT s, id FROM h ORDER BY kh, id LIMIT 128),
+        |pairs AS (SELECT DISTINCT
+        |    least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+        |    CASE WHEN x.id < y.id THEN x.s ELSE y.s END AS sa,
+        |    CASE WHEN x.id < y.id THEN y.s ELSE x.s END AS sb
+        |  FROM anch x JOIN h y ON x.id <> y.id),
+        |truth AS (SELECT a, b FROM pairs
+        |  WHERE levenshtein(sa, sb) <= 4),
         |found AS (SELECT x.p_partkey AS a, y.p_partkey AS b
         |  FROM sl x JOIN sl y ON x.p_brand = y.p_brand
         |    AND x.p_partkey < y.p_partkey
@@ -10390,7 +10398,10 @@ object SparkEntry {
         |    WHERE f.a = t.a AND f.b = t.b))
         |SELECT n_truth, n_found,
         |  CASE WHEN n_truth = 0 THEN 1000
-        |       ELSE (1000 * n_found) // n_truth END AS recall_permille
+        |       ELSE (1000 * n_found) // n_truth END AS recall_permille,
+        |  CASE WHEN n_truth = 0 THEN 1000
+        |       ELSE least(1000, 1000 // CAST(floor(sqrt(n_truth))
+        |         AS BIGINT)) END AS ci_halfwidth_permille
         |FROM n1 CROSS JOIN n2""".stripMargin,
 
     "bigram_logprob" ->

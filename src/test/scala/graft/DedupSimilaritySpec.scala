@@ -727,4 +727,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  /** Synthetic entity-resolution corpus: `n` rows in `nBlocks` blocking
+    * keys, names drawn from a small template set with id-keyed edits so
+    * both near-dup (within edit distance) and far pairs exist, and the
+    * truth/blocked recall relationship is non-trivial. Deterministic. */
+  private def fuzzyCorpus(n: Int, nBlocks: Int) = {
+    val stems = Vector("linen azure tomato", "metallic rose chiffon",
+      "powder navy cornsilk", "burnished olive drab")
+    (0 until n).map { i =>
+      val stem = stems((i * 7) % stems.size)
+      // id-keyed single-char edit for every third row → clusters of
+      // near-dups within levenshtein 4, mixed with unrelated stems
+      val name = if (i % 3 == 0) stem + " " + ("x" * (i % 3 + 1))
+        else stem + s" ${i % 5}"
+      (s"B${i % nBlocks}", name, i.toLong)
+    }.toDF("blk", "name", "id")
+  }
+
+  /** Exhaustive recall of the blocked matcher — the quadratic reference
+    * the sampled tier estimates. */
+  private def exhaustiveRecall(df: org.apache.spark.sql.DataFrame,
+      maxDist: Int): (Long, Long) = {
+    val found = Dedup.blockedEditDistance(df, "blk", "name", "id",
+      maxDist).select(col("a"), col("b"))
+    val v = df.select(col("name").as("s"), col("id"))
+    val truth = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .filter(levenshtein(col("x.s"), col("y.s")) <= maxDist)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    (truth.count(),
+      truth.join(found, Seq("a", "b"), "left_semi").count())
+  }
+
+  test("blockedRecallSampled: on a slice no larger than the anchor cap " +
+      "the sampled estimate IS the exhaustive recall (anchor set = " +
+      "slice, pair sample = all pairs)") {
+    // 60 rows ≤ 128 anchors; 7 blocks (coprime with the 4-stem cycle)
+    // scatter near-dup pairs across blocks so blocking is lossy
+    val df = fuzzyCorpus(60, 7)
+    val (nTruth, nFound) = exhaustiveRecall(df, maxDist = 4)
+    assert(nTruth > 0 && nFound < nTruth,
+      "fixture must make blocking lossy for the test to bite")
+    val row = Dedup.blockedRecallSampled(df, "blk", "name", "id",
+        maxDist = 4, nAnchors = 128)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 === nTruth && row._2 === nFound)
+    assert(row._3 === 1000L * nFound / nTruth)
+  }
+
+  test("blockedRecallSampled: past the anchor cap the estimate agrees " +
+      "with the exhaustive recall within its own confidence half-width, " +
+      "and the sample stays linear (|anchors|·n pairs, not n²)") {
+    val df = fuzzyCorpus(400, 8)
+    val (nTruth, nFound) = exhaustiveRecall(df, maxDist = 4)
+    assert(nTruth > 0)
+    val exact = 1000.0 * nFound / nTruth
+    val row = Dedup.blockedRecallSampled(df, "blk", "name", "id",
+        maxDist = 4, nAnchors = 32)
+      .as[(Long, Long, Long, Long)].collect().head
+    // the sampled truth is a strict subset (32 anchors over 400 rows)
+    assert(row._1 > 0 && row._1 < nTruth)
+    // deterministic corpus ⇒ this is a fixed number every run: pin the
+    // estimator inside its declared half-width of the exhaustive value
+    assert(math.abs(row._3 - exact) <= row._4.toDouble,
+      s"sampled ${row._3}‰ vs exhaustive $exact‰ exceeds declared " +
+        s"half-width ${row._4}‰")
+    // exact-integer half-width definition: 1000 DIV floor(sqrt(m))
+    assert(row._4 === math.min(1000L,
+      1000L / math.floor(math.sqrt(row._1.toDouble)).toLong))
+  }
 }
