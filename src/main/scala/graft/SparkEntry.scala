@@ -174,6 +174,7 @@ object SparkEntry {
           annSq8ApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annPqRefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           annSq8RefreshMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          annGateMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bpeMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           funnelMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           Option(modelTempRoots.remove(sc)).foreach { l =>
@@ -651,6 +652,42 @@ object SparkEntry {
           emb.filter(col("id") % 3 === 2 && col("id") < 30), postCorpus,
           5, pin)
         .withColumn("model_version", lit(pin.version))
+        .localCheckpoint()
+    })
+  }
+
+  /** Declared retrieval gate (`ann_gate`): ONE publish + DECLARED-chain
+    * pass per (session, dir). The stored IVF tier publishes to a temp
+    * registry, then the gate runs through [[graft.pipeline.SpecLoader]]
+    * from a JSON document — the product API, never a direct Similarity
+    * call — so this query oracle-checks exactly what a user's declared
+    * curation chain executes: every doc retrieves its top-k neighbors
+    * from the PINNED index and survives iff its top-1 cosine clears the
+    * floor (the retrieval form of margin_gate). The floor constant is
+    * defined once and generated into both the JSON and the oracle SQL
+    * (one-definition discipline). */
+  private val annGateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private[graft] val AnnGateFloorPermille = 300L
+  private def annGateDocs(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    annGateMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val root = newModelTempRoot(sess, "graft-ann-gate")
+      val reg = new graft.state.ModelRegistry(sess, root)
+      Similarity.ivfPublish(emb.filter(col("id") % 3 =!= 0), reg, "ivf")
+      val json =
+        s"""{ "name": "ann_gate_chain", "steps": [
+           |  { "op": "ann_gate", "id": "doc_id",
+           |    "vec_dir": "$d/embeddings.parquet",
+           |    "model_dir": "$root", "model": "ivf", "tier": "ivf",
+           |    "store": "registry", "k": 5,
+           |    "min_top_permille": $AnnGateFloorPermille } ] }"""
+          .stripMargin
+      graft.pipeline.SpecLoader.transformFromJson(json)(
+          t(sess, d, "documents").select(col("doc_id")))
         .localCheckpoint()
     })
   }
@@ -3009,6 +3046,14 @@ object SparkEntry {
     // against the stored artifact, and stamp model_version per row.
     "ann_ivfpq_apply" -> ((s, dir) => annIvfPqApplyScores(s, dir)),
     "ann_sq8_apply" -> ((s, dir) => annSq8ApplyScores(s, dir)),
+
+    // DECLARED retrieval gate: the stored-ANN serve tier as a JSON
+    // chain stage — every doc retrieves its top-k neighbors from the
+    // PINNED registry-versioned IVF index and survives iff its top-1
+    // cosine clears the declared floor. Runs through SpecLoader's
+    // parse (the product API), so the oracle checks the declared form
+    // end-to-end ([[annGateDocs]]).
+    "ann_gate" -> ((s, dir) => annGateDocs(s, dir)),
 
     // the ann_refresh maintain -> promote -> serve cadence for the
     // compressed tiers: codes maintained DELTA-SIZED against the
@@ -9713,6 +9758,41 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_permille DESC, nid ASC) AS rn FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    // declared retrieval-gate replay: the same stored-IVF serve as
+    // ann_apply (corpus = id % 3 <> 0, lowest-16 centroids, 4-probe),
+    // queried by EVERY doc's embedding; a doc survives iff its best
+    // retrieved cosine clears the floor. max over ALL probed
+    // candidates equals max over the engine's top-5 (top-1 ⊆ top-k),
+    // so the oracle skips the rank window. Floor generated from the
+    // engine's AnnGateFloorPermille (one-definition discipline).
+    "ann_gate" ->
+      s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])
+        |   AS v FROM embeddings),
+        |cent AS (SELECT id AS cid, v AS cv, list_dot_product(v, v) AS cn2
+        |   FROM base WHERE id % 3 <> 0 ORDER BY id LIMIT 16),
+        |corp AS (SELECT id AS nid, v AS nv, list_dot_product(v, v) AS nn2
+        |   FROM base WHERE id % 3 <> 0),
+        |q AS (SELECT id AS qid, v AS qv, list_dot_product(v, v) AS qn2
+        |   FROM base),
+        |cassign AS (SELECT nid, nv, nn2, cid FROM (
+        |  SELECT nid, nv, nn2, cid, row_number() OVER (PARTITION BY nid
+        |    ORDER BY CAST(round(list_dot_product(nv, cv) /
+        |      (sqrt(nn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM corp CROSS JOIN cent) WHERE rn = 1),
+        |qprobe AS (SELECT qid, qv, qn2, cid FROM (
+        |  SELECT qid, qv, qn2, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY CAST(round(list_dot_product(qv, cv) /
+        |      (sqrt(qn2) * sqrt(cn2)) * 1000.0, 0) AS BIGINT) DESC, cid ASC)
+        |    AS rn FROM q CROSS JOIN cent) WHERE rn <= 4),
+        |scored AS (SELECT DISTINCT qid, nid,
+        |  CAST(round(list_dot_product(qv, nv) / (sqrt(qn2) * sqrt(nn2))
+        |    * 1000.0, 0) AS BIGINT) AS cos_permille
+        |  FROM cassign JOIN qprobe USING (cid) WHERE qid <> nid),
+        |top1 AS (SELECT qid, max(cos_permille) AS t FROM scored
+        |  GROUP BY 1)
+        |SELECT d.doc_id FROM documents d JOIN top1 ON d.doc_id = top1.qid
+        |WHERE top1.t >= $AnnGateFloorPermille""".stripMargin,
 
     // IVM-maintenance replay for the ANN index: the oracle never sees
     // the delta algebra — it re-assigns the POST-delta corpus (base

@@ -527,6 +527,88 @@ object SpecLoader {
           df.sparkSession.read.parquet(vecDir)
             .select(col(vecId).as("id"), col(vecCol).as("vec")),
           nCells, alpha)
+      case "ann_gate" =>
+        // retrieval-augmented filtering against a STORED ANN index: each
+        // row's embedding (read from `vec_dir`, joined on `id` — rows
+        // without one drop, the cluster_mixture contract) retrieves its
+        // top-k neighbors from the registry-versioned index tier
+        // (`tier`: ivf | ivfpq | sq8 — the ann_apply serve paths,
+        // pinned at stage build so a chain keeps a consistent index
+        // under concurrent refresh), and the row is kept by its TOP-1
+        // cosine: `min_top_permille` keeps rows at least that similar
+        // to the indexed corpus (domain/topic selection — the
+        // retrieval form of margin_gate), `max_top_permille` keeps rows
+        // BELOW the ceiling (dedup/decontamination against an indexed
+        // reference set; rows with no retrieved candidate keep — nothing
+        // similar exists). `corpus_dir` locates the indexed corpus's
+        // full vectors (defaults to `vec_dir`): the compressed tiers
+        // fetch only the rerank shortlist from it by id.
+        val id = (v \ "id").extract[String]
+        val vecDir = (v \ "vec_dir").extract[String]
+        val vecId = (v \ "vec_id").extractOpt[String].getOrElse("vec_id")
+        val vecCol = (v \ "vec_col").extractOpt[String]
+          .getOrElse("embedding")
+        val corpusDir = (v \ "corpus_dir").extractOpt[String]
+          .getOrElse(vecDir)
+        val corpusId = (v \ "corpus_id").extractOpt[String]
+          .getOrElse(vecId)
+        val corpusCol = (v \ "corpus_col").extractOpt[String]
+          .getOrElse(vecCol)
+        val dir = (v \ "model_dir").extract[String]
+        val prefix = (v \ "model").extractOpt[String].getOrElse("ann")
+        val tier = (v \ "tier").extractOpt[String].getOrElse("ivf")
+        require(Set("ivf", "ivfpq", "sq8").contains(tier),
+          s"function '$fn': unknown ann_gate tier '$tier' " +
+            "(expected 'ivf', 'ivfpq' or 'sq8')")
+        // the ANN artifacts are registry-versioned only (every serve
+        // path pins an immutable version), so `store` DEFAULTS to
+        // registry here; a flat-store layout would silently skip the
+        // version pinning, so any other value is rejected at parse time
+        require((v \ "store").extractOpt[String]
+            .getOrElse("registry") == "registry",
+          s"function '$fn': ann_gate serves registry-versioned " +
+            "artifacts only (store: registry)")
+        val k = (v \ "k").extractOpt[Int].getOrElse(5)
+        val minTop = (v \ "min_top_permille").extractOpt[Long]
+        val maxTop = (v \ "max_top_permille").extractOpt[Long]
+        require(minTop.nonEmpty || maxTop.nonEmpty,
+          s"function '$fn': ann_gate needs min_top_permille and/or " +
+            "max_top_permille")
+        df => {
+          val s = df.sparkSession
+          val pin = new graft.state.ModelRegistry(s, dir)
+            .snapshot(prefix)
+          val queries = s.read.parquet(vecDir)
+            .select(col(vecId).as("id"), col(vecCol).as("vec"))
+            .join(df.select(col(id).as("id")), Seq("id"), "left_semi")
+          val corpus = s.read.parquet(corpusDir)
+            .select(col(corpusId).as("id"), col(corpusCol).as("vec"))
+          val served = tier match {
+            case "ivf" => graft.operators.Similarity
+              .annTopKIvfStored(queries, corpus, k, pin)
+            case "ivfpq" => graft.operators.Similarity
+              .annTopKIvfPqStored(queries, corpus, k, pin,
+                rerank = graft.operators.Similarity.Sq8Rerank)
+            case _ => graft.operators.Similarity
+              .annTopKSq8Stored(queries, corpus, k, pin)
+          }
+          val top1 = served.groupBy(col("qid"))
+            .agg(max(col("cos_permille")).as("__top1"))
+          val kept = (minTop, maxTop) match {
+            case (Some(m), None) =>
+              top1.filter(col("__top1") >= m).select(col("qid").as(id))
+            case (None, Some(x)) =>
+              queries.select(col("id").as("qid"))
+                .join(top1, Seq("qid"), "left")
+                .filter(col("__top1").isNull || col("__top1") < x)
+                .select(col("qid").as(id))
+            case _ =>
+              top1.filter(col("__top1") >= minTop.get &&
+                  col("__top1") < maxTop.get)
+                .select(col("qid").as(id))
+          }
+          df.join(kept, Seq(id), "left_semi")
+        }
       case "dsir_weight" =>
         // DSIR importance weighting (Xie et al. 2023): attach each doc's
         // hashed-bigram target/corpus rate-ratio score as a column

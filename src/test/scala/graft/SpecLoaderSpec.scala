@@ -428,6 +428,108 @@ class SpecLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown model store"))
   }
 
+  test("declared ann_gate equals the hand-composed stored-IVF retrieval " +
+      "gate, keeps no-candidate rows only in max mode, and rejects bad " +
+      "tiers / non-registry stores at parse time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    import graft.operators.Similarity
+    // deterministic 8-dim embeddings, ids 0..59: two tight clusters
+    // (top-1 cosine ≈ 1000 permille) plus a pseudo-random outlier
+    // family at i % 5 == 0 whose nearest indexed neighbors sit at
+    // 246–583 permille — so a 900 floor splits 55 keep / 5 drop. The
+    // index corpus is ids % 3 != 0 (the ann_apply split), so gated
+    // rows include both indexed and held-out ids
+    def vec(i: Int): Array[Float] =
+      if (i % 5 == 0)
+        Array.tabulate(8)(j => (((i * 13 + j * 5) % 7) - 3).toFloat)
+      else {
+        val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+          else Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+        base.zipWithIndex.map { case (v, j) =>
+          v + 0.01f * ((i * 7 + j * 3) % 5)
+        }
+      }
+    val emb = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("graft-anngate-vec").toString + "/emb.parquet"
+    emb.write.parquet(vecDir)
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft-anngate-reg").toString
+    val reg = new graft.state.ModelRegistry(spark, regDir)
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfPublish(corpus, reg, "ivf", nCells = 4)
+    val docs = (0 until 60).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+
+    def gate(extra: String): Set[Long] =
+      SpecLoader.transformFromJson(
+        s"""{"name": "anngate", "steps": [
+           |  {"op": "ann_gate", "id": "doc_id", "vec_dir": "$vecDir",
+           |   "model_dir": "$regDir", "model": "ivf", "tier": "ivf",
+           |   "store": "registry", "k": 5, $extra} ] }""".stripMargin)(
+        docs).select("doc_id").as[Long].collect().toSet
+
+    // hand-composed twin of the min mode: serve the pinned index, keep
+    // top-1 >= floor
+    val pin = reg.snapshot("ivf")
+    val queries = spark.read.parquet(vecDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val top1 = Similarity.annTopKIvfStored(queries, corpus, 5, pin)
+      .groupBy(col("qid")).agg(max(col("cos_permille")).as("t"))
+    val handMin = top1.filter(col("t") >= 900)
+      .select(col("qid")).as[Long].collect().toSet
+    val viaMin = gate(""""min_top_permille": 900""")
+    assert(viaMin === handMin && viaMin.nonEmpty &&
+      viaMin.size < docs.count())
+
+    // max mode is the complement over rows WITH an embedding, plus any
+    // no-candidate rows (none here: every query retrieves); a band
+    // (min+max) intersects
+    val viaMax = gate(""""max_top_permille": 900""")
+    assert(viaMax === (0L until 60L).toSet -- handMin)
+    val viaBand = gate(
+      """"min_top_permille": 900, "max_top_permille": 1001""")
+    assert(viaBand === viaMin)
+
+    // rows without an embedding drop in EITHER mode (they cannot be
+    // gated — the cluster_mixture contract)
+    val extraDoc = docs.unionByName(
+      Seq((999L, "no embedding")).toDF("doc_id", "text"))
+    val withGhost = SpecLoader.transformFromJson(
+      s"""{"name": "anngate", "steps": [
+         |  {"op": "ann_gate", "id": "doc_id", "vec_dir": "$vecDir",
+         |   "model_dir": "$regDir", "model": "ivf", "tier": "ivf",
+         |   "store": "registry", "max_top_permille": 1001} ] }"""
+        .stripMargin)(extraDoc)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!withGhost.contains(999L))
+
+    // parse-time failures: unknown tier, non-registry store, no bound
+    val badTier = intercept[IllegalArgumentException](
+      SpecLoader.transformFromJson(
+        s"""{"name": "x", "steps": [
+           |  {"op": "ann_gate", "id": "doc_id", "vec_dir": "$vecDir",
+           |   "model_dir": "$regDir", "tier": "hnsw",
+           |   "min_top_permille": 1} ] }""".stripMargin))
+    assert(badTier.getMessage.contains("unknown ann_gate tier"))
+    val badStore = intercept[IllegalArgumentException](
+      SpecLoader.transformFromJson(
+        s"""{"name": "x", "steps": [
+           |  {"op": "ann_gate", "id": "doc_id", "vec_dir": "$vecDir",
+           |   "model_dir": "$regDir", "store": "snapshot",
+           |   "min_top_permille": 1} ] }""".stripMargin))
+    assert(badStore.getMessage.contains("registry-versioned"))
+    val noBound = intercept[IllegalArgumentException](
+      SpecLoader.transformFromJson(
+        s"""{"name": "x", "steps": [
+           |  {"op": "ann_gate", "id": "doc_id", "vec_dir": "$vecDir",
+           |   "model_dir": "$regDir"} ] }""".stripMargin))
+    assert(noBound.getMessage.contains("min_top_permille"))
+  }
+
   test("README declared-chain example: the documented JSON runs " +
       "verbatim and the documented funnel table is true") {
     import spark.implicits._
