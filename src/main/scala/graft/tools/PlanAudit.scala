@@ -1,7 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.expressions.{Alias,
+  AttributeReference, Cast, ExprId, Expression, Literal, Pmod,
+  Remainder, SparkPartitionID}
+import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -59,9 +62,54 @@ object PlanAudit {
   private val Classified = 1
   private val Proven = 2
 
+  /** Alias definitions visible in a plan subtree (Project lists), for
+    * resolving an aggregate's grouping ATTRIBUTE back to the expression
+    * that produced it. A localCheckpoint below the aggregate cuts this
+    * lineage — the resolution then fails and the window stays
+    * Classified, which is the safe direction. */
+  private def aliasDefs(p: SparkPlan): Map[ExprId, Expression] =
+    p.collect { case pr: ProjectExec => pr.projectList }.flatten
+      .collect { case a: Alias => a.exprId -> a.child }.toMap
+
+  /** PLAN-bounded domain proof for a grouping expression (round-16
+    * verdict task 3 — the keyed-aggregate frames whose key cardinality
+    * is a PLAN property, not a data property):
+    *  - `spark_partition_id()` — ≤ the session's partition count (the
+    *    rangedRank `__pid` family);
+    *  - `pmod(_, literal)` / `_ % literal` — ≤ the literal modulus
+    *    (hash-bucket keys);
+    *  - an attribute carrying the engine's `dsir_buckets` metadata —
+    *    the bucket bound [[graft.operators.TextAnalysis.dsirFeaturize]]
+    *    stamps on its `b` column and enforces on every consumer
+    *    (checkpoint-proof: the metadata survives the lineage cut that
+    *    hides the pmod itself);
+    *  - casts/aliases of the above, and attributes resolving to the
+    *    above through Project aliases.
+    * Everything else stays unproven — conservative by construction. */
+  private def planBounded(e: Expression, defs: Map[ExprId, Expression],
+      depth: Int = 0): Boolean =
+    if (depth > 24) false else e match {
+      case _: SparkPartitionID => true
+      case Pmod(_, Literal(_, _), _) => true
+      case Remainder(_, Literal(_, _), _) => true
+      case _: Literal => true
+      case c: Cast => planBounded(c.child, defs, depth + 1)
+      case a: Alias => planBounded(a.child, defs, depth + 1)
+      case ar: AttributeReference =>
+        ar.metadata.contains("dsir_buckets") ||
+          defs.get(ar.exprId).exists(planBounded(_, defs, depth + 1))
+      case _ => false
+    }
+
   private def boundedness(p: SparkPlan): Int = p match {
     case a: BaseAggregateExec =>
-      if (a.groupingExpressions.isEmpty) Proven else Classified
+      if (a.groupingExpressions.isEmpty) Proven
+      else {
+        val defs = aliasDefs(a)
+        if (a.groupingExpressions.forall(g => planBounded(g, defs)))
+          Proven
+        else Classified
+      }
     case _ =>
       val n = p.getClass.getSimpleName
       if (n.contains("Aggregate")) Classified // non-BaseAggregate agg
