@@ -594,4 +594,63 @@ class StreamingFunnelSpec extends AnyFunSuite {
     val kept = declaredOut.select("doc_id").as[Long].collect().toSet
     assert(Seq(3L, 5L, 6L, 8L, 9L).forall(!kept.contains(_)))
   }
+
+  test("BOUNDED STATE on a duplicate-heavy stream: line-dedup state " +
+      "rows saturate at the DISTINCT line count and stop growing, " +
+      "however many more duplicate batches arrive (the StreamLab " +
+      "receipt's spec twin)") {
+    // 10 batches × 60 docs, every doc built from a FIXED pool of 20
+    // four-word boilerplate variants → ≤ 20 distinct width-4 lines
+    // ever enter the state store, while input lines grow by 60/batch
+    val pool = (0 until 20).map(i =>
+      s"alpha bravo charlie v$i")
+    def slice(b: Int): Seq[(Long, String)] =
+      (0 until 60).map(j => ((b * 60 + j).toLong, pool((b + j) % 20)))
+    val root = Files.createTempDirectory("graft-boundstate").toString
+    val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").json(inDir)
+    val stages = Seq(
+      ("line_occurrences", (d: DataFrame) =>
+        TextAnalysis.fixedWidthLines(d, "text", "doc_id", width)),
+      ("line_dedup", (d: DataFrame) =>
+        StatefulLineDedup.verdicts(
+          d.select(col("line"), col("id"), col("pos")).as[LineOcc],
+          maxDf).filter(col("kept") === 1L).toDF()))
+    val observed = StreamingFunnel.observed(stream, stages)
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = observed.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("boundstate").start()
+    val stateRows = new scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      (0 until 10).foreach { b =>
+        val json = slice(b).toDF("doc_id", "text").toJSON.collect()
+          .mkString("\n")
+        Files.writeString(Paths.get(s"$inDir/b$b.json"), json)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        stateRows += (if (p == null || p.stateOperators.isEmpty) -1L
+          else p.stateOperators.map(_.numRowsTotal).sum)
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // every distinct line is seen in batch 0 (60 docs over 20 variants):
+    // state saturates immediately and NEVER grows — 600 input docs,
+    // 20 state keys
+    assert(stateRows.head === 20L,
+      s"state after batch 0: ${stateRows.head} (expected the 20 " +
+        "distinct lines)")
+    assert(stateRows.toSeq === Seq.fill(10)(20L),
+      s"state must stay flat on duplicate input: $stateRows")
+  }
 }
