@@ -10458,8 +10458,7 @@ object SparkEntry {
       s"""WITH sl AS (SELECT p_brand, p_name, p_partkey FROM part
         |  WHERE p_partkey % 10 = 0),
         |h AS (SELECT p_name AS s, p_partkey AS id,
-        |  ((p_partkey % 2147483647) * 2654435761) % 1000000 AS kh
-        |  FROM sl),
+        |  ${XxhOracleSql.knuthKeepPpm("p_partkey")} AS kh FROM sl),
         |anch AS (SELECT s, id FROM h ORDER BY kh, id LIMIT 128),
         |pairs AS (SELECT DISTINCT
         |    least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
@@ -11261,8 +11260,9 @@ object SparkEntry {
         |  ELSE TRUE END""".stripMargin,
 
     // integer floor division on both sides (// in DuckDB, DIV in Spark);
-    // the Knuth keep step replays the engine's pmod over the full 64-bit
-    // wrap via XxhOracleSql.knuthKeepPpm (exact past id ≈ 3.47e9)
+    // the Knuth keep step is the salt-folded keepHashPpm on both sides
+    // (XxhOracleSql.knuthKeepPpm — identity fold at fixture ids, and
+    // the form that survives ANSI mode at 100x-rung surrogate keys)
     "mixture_sample" ->
       """WITH w(lang, w) AS (VALUES ('en', CAST(400 AS BIGINT)),
         |    ('zh', 150), ('es', 150), ('de', 150), ('fr', 150)),
@@ -11792,7 +11792,8 @@ object SparkEntry {
     "weighted_sample" ->
       """WITH s AS (SELECT source, doc_id, n_chars,
         |    CAST(round(
-        |      ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296)
+        |      ln((((doc_id % 2147483647) * 2654435761) % 4294967296
+        |        + 0.5) / 4294967296)
         |        / n_chars * 1000000000000, 0) AS BIGINT) AS score_pico
         |  FROM documents WHERE n_chars > 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source

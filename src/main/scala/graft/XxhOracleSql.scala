@@ -42,18 +42,17 @@ object XxhOracleSql {
   private val P5 = BigInt("2870177450012600261")
 
   /** DuckDB replay of the engine's Knuth keep hash
-    * `pmod(id * 2654435761L, 1000000L)` (TextAnalysis mixtureResample /
-    * alphaMixture) over the FULL non-negative long range: the HUGEINT
-    * product is reduced mod 2⁶⁴ (mask, not %), mapped back to Java's
-    * signed wrap, then taken through a non-negative mod — so the oracle
-    * stays exact past id ≈ 3.47e9 where `id·2654435761` wraps negative
-    * and a plain signed `%` would diverge (and a BIGINT product would
-    * overflow-error in DuckDB outright). */
-  def knuthKeepPpm(idCol: String): String = {
-    val u = s"((CAST($idCol AS HUGEINT) * 2654435761) & $MK64)"
-    val s = s"(CASE WHEN $u >= ${BigInt(1) << 63} THEN $u - $M64 ELSE $u END)"
-    s"CAST(((($s) % 1000000) + 1000000) % 1000000 AS BIGINT)"
-  }
+    * ([[graft.operators.TextAnalysis.keepHashPpm]]): the id is
+    * SALT-FOLDED below 2³¹−1 before the multiply, so the product stays
+    * under 2⁶³ on both engines — plain BIGINT arithmetic, no HUGEINT
+    * wrap games. The fold is the identity for every id < 2³¹−1 (all
+    * gate fixtures); past that it is what keeps ANSI Spark from
+    * THROWING on the multiply (the pre-round-16 wrap replay replayed a
+    * wrap the engine no longer survives to produce — 100×-rung
+    * surrogate keys reach ~1e10). ids are non-negative by fixture
+    * contract, so a plain `%` is the engine's pmod. */
+  def knuthKeepPpm(idCol: String): String =
+    s"CAST(((($idCol) % 2147483647) * 2654435761) % 1000000 AS BIGINT)"
 
   private def mul64(a: String, b: BigInt): String = {
     val blo = b % M32; val bhi = b >> 32

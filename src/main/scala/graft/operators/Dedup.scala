@@ -580,9 +580,7 @@ object Dedup {
       maxDist).select(col("a"), col("b"))
     val v = df.select(col(textCol).as("s"), col(idCol).as("id"))
     val anch = v
-      .withColumn("kh", pmod(
-        pmod(col("id"), lit(2147483647L)) * lit(2654435761L),
-        lit(1000000L)))
+      .withColumn("kh", TextAnalysis.keepHashPpm(col("id")))
       .orderBy(col("kh"), col("id")).limit(nAnchors)
       .select(col("s"), col("id"))
     // canonicalize (a < b) and de-dup: a pair of two anchors is proposed

@@ -823,9 +823,22 @@ object TextAnalysis {
       s"ratesPpm=$ratesPpm must be a non-empty map into [0, 1e6]")
     df.withColumn("__rate_ppm", element_at(typedLit(ratesPpm), strataCol))
       .filter(col("__rate_ppm").isNotNull &&
-        pmod(idCol * lit(2654435761L), lit(1000000L)) < col("__rate_ppm"))
+        keepHashPpm(idCol) < col("__rate_ppm"))
       .drop("__rate_ppm")
   }
+
+  /** THE deterministic keep hash every resampler keys on: Knuth
+    * multiplicative step over the id, SALT-FOLDED below 2³¹ first —
+    * `pmod(pmod(id, 2³¹−1)·2654435761, 10⁶)`. The fold is the identity
+    * for every id < 2³¹−1 (all gate fixtures) and keeps the product
+    * under 2⁶³ for ANY id: without it, ANSI mode (the engine default)
+    * THROWS on the multiply once ids pass ≈3.47e9 — exactly the
+    * warehouse-scale surrogate-key range the 100× rung generates. Pure
+    * BIGINT arithmetic, so the DuckDB oracle replays it bit-for-bit
+    * ([[graft.XxhOracleSql.knuthKeepPpm]], the same folded formula). */
+  def keepHashPpm(idCol: Column): Column =
+    pmod(pmod(idCol, lit(2147483647L)) * lit(2654435761L),
+      lit(1000000L))
 
   /** Incremental trigram-count maintenance (IVM with retractions) — the
     * LM family's sibling of [[Reconcile.maintainAggState]]: n-gram
@@ -1239,15 +1252,11 @@ object TextAnalysis {
     * weight is kept whole and every other stratum is downsampled to match —
     * `scale = min_s(n_s·10⁶ DIV w_s)`, `rate_s = w_s·scale DIV n_s` ppm.
     * All arithmetic is integer (floor division on both engines), and the
-    * per-row keep decision hashes the id through a fixed Knuth
-    * multiplicative step (`pmod(id·2654435761, 10⁶)` — pure BIGINT
-    * arithmetic, so engine and oracle agree bit-for-bit, unlike any
-    * engine-native hash; pmod keeps the remainder non-negative even once
-    * id·2654435761 wraps past 2⁶³ at id ≈ 3.47e9, where a signed `%`
-    * would make the filter unconditionally true — the oracle replays the
-    * same wrap via `XxhOracleSql.knuthKeepPpm`, HUGEINT product reduced
-    * mod 2⁶⁴ then pmod'd, so parity holds over the FULL non-negative id
-    * range, not just the fixtures). Strata absent
+    * per-row keep decision hashes the id through [[keepHashPpm]] — the
+    * salt-folded Knuth multiplicative step, pure BIGINT arithmetic, so
+    * engine and oracle agree bit-for-bit over the FULL non-negative id
+    * range (the fold keeps the product under 2⁶³, where ANSI mode would
+    * otherwise throw at id ≈ 3.47e9). Strata absent
     * from `targetPermille` are dropped: a mixture spec is a whitelist.
     *
     * Shape: one partial-combined count per stratum (tiny), a scalar min,
@@ -1266,7 +1275,7 @@ object TextAnalysis {
     val rates = counts.crossJoin(broadcast(scale))
       .select(col("__stratum"), expr("(__w * __scale) DIV __n").as("__rate_ppm"))
     df.join(broadcast(rates), strataCol === col("__stratum"))
-      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("__rate_ppm"))
+      .filter(keepHashPpm(idCol) < col("__rate_ppm"))
       .drop("__stratum", "__rate_ppm")
   }
 
@@ -1289,7 +1298,7 @@ object TextAnalysis {
       alpha: Double = 0.3): DataFrame =
     df.join(broadcast(alphaRatesPpm(df, strataCol, alpha)),
         strataCol === col("__stratum"))
-      .filter(pmod(idCol * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
+      .filter(keepHashPpm(idCol) < col("rate_ppm"))
       .drop("__stratum")
 
   /** [[alphaMixture]]'s rate table alone — (__stratum, rate_ppm) from
@@ -1455,9 +1464,10 @@ object TextAnalysis {
     *
     * Derandomization caveat, stated not hidden: u is a hash of the id,
     * so re-runs are reproducible BY DESIGN (the sampling-audit
-    * requirement); swap the hash for a salted one to redraw. ids must
-    * stay below 2³¹ or id·2654435761 overflows — salt-fold first at
-    * warehouse scale.
+    * requirement); swap the hash for a salted one to redraw. The id is
+    * salt-folded below 2³¹ before the multiply (the [[keepHashPpm]]
+    * convention — identity on every fixture id, and keeps the product
+    * under 2⁶³ where ANSI mode would throw at warehouse-scale ids).
     *
     * Scale shape: score is per-row arithmetic on the scan; top-k per
     * group is the rank ≤ k filter (WindowGroupLimit — per-partition
@@ -1469,7 +1479,8 @@ object TextAnalysis {
         col(weightCol).as("__w"))
       .filter(col("__w") > 0)
       .withColumn("__u", expr(
-        "((__id * 2654435761) % 4294967296 + 0.5) / 4294967296"))
+        "(((__id % 2147483647) * 2654435761) % 4294967296 + 0.5) / " +
+          "4294967296"))
       .withColumn("score_pico",
         expr("CAST(round(ln(__u) / __w * 1000000000000, 0) AS BIGINT)"))
     val w = Window.partitionBy(col("__g"))

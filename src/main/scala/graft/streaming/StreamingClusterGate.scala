@@ -56,6 +56,6 @@ object StreamingClusterGate {
       .flatMap { case (c, r) => Seq(lit(c), lit(r)) }: _*)
     val rate = try_element_at(rateMap, assignedCid)
     df.filter(rate.isNotNull &&
-      pmod(col(idCol) * lit(2654435761L), lit(1000000L)) < rate)
+      graft.operators.TextAnalysis.keepHashPpm(col(idCol)) < rate)
   }
 }
