@@ -11906,8 +11906,10 @@ object SparkEntry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |  FROM mk),
       |ch AS (SELECT id, off, COUNT(*) AS len,
-      |    SUM((b + 7) * (((k - off + 13) * (k - off + 13) * (k - off + 13))
-      |      % 1000000007)) % 1000000007 AS chunk_sig
+      |    SUM((b + 7) * ((((((k - off + 13) % 1000000007)
+      |      * ((k - off + 13) % 1000000007)) % 1000000007)
+      |      * ((k - off + 13) % 1000000007)) % 1000000007))
+      |      % 1000000007 AS chunk_sig
       |  FROM om GROUP BY 1, 2)
       |SELECT id AS asset_id,
       |  CAST(row_number() OVER (PARTITION BY id ORDER BY off) AS BIGINT)

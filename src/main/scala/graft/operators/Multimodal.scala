@@ -634,13 +634,19 @@ object Multimodal {
     // without it a term reaches 262·(P−1) ≈ 2.6e11 and a single cut-free
     // chunk past ~35 MB wraps the raw sum, silently diverging from the
     // streaming twin's stepwise floorMod accumulation (which is a true
-    // modular fold at ANY length). Values are unchanged wherever neither
-    // form wraps — i.e. everywhere the operator was previously exact.
+    // modular fold at ANY length). The position cube is reduced mod P
+    // PER MULTIPLY (fold rel+13 first, square mod P, then one more
+    // multiply mod P — each intermediate < P² ≈ 1e18 < 2⁶³): the raw
+    // triple product overflows at rel ≈ 2.1e6, where ANSI mode THROWS
+    // mid-scan on any cut-free region past ~2 MB. True modular
+    // arithmetic gives the same value wherever the raw cube fit — i.e.
+    // everywhere the operator was previously exact — and stays exact at
+    // ANY offset (the streaming twin folds the same way).
+    val r0 = pmod(col("k") - col("off") + 13L, lit(P))
     val chunks = marked.groupBy(col("id"), col("off"))
       .agg(count(lit(1)).as("len"),
         pmod(sum(pmod((col("b") + 7L) *
-          pmod((col("k") - col("off") + 13L) * (col("k") - col("off") + 13L)
-            * (col("k") - col("off") + 13L), lit(P)), lit(P))), lit(P))
+          pmod(pmod(r0 * r0, lit(P)) * r0, lit(P)), lit(P))), lit(P))
           .as("chunk_sig"))
     chunks.withColumn("chunk_idx",
         row_number().over(Window.partitionBy("id").orderBy("off"))

@@ -82,13 +82,15 @@ object StatefulCdcChunker {
         } else if (r.k == st.nextK) {
           val g = ((r.b + 1L) * 2654435761L) % 4294967296L
           val rel = r.k - st.off
-          // floorMod, not %: the batch operator takes Spark `pmod` of the
-          // WRAPPED 64-bit product (Multimodal.scala:635), so for
-          // rel ≳ 2.1e6 the cube wraps negative and signed % would break
-          // stream/batch signature parity. floorMod of the same wrapped
-          // product is bit-identical to pmod.
-          val cube = Math.floorMod(
-            (rel + 13L) * (rel + 13L) * (rel + 13L), P)
+          // TRUE modular cube, reduced per multiply exactly like the
+          // batch operator (Multimodal.cdcChunks): fold rel+13 below P
+          // first, square mod P, one more multiply mod P — every
+          // intermediate < P² ≈ 1e18 < 2⁶³, so the value is the exact
+          // (rel+13)³ mod P at ANY offset. The previous form floorMod'd
+          // a silently WRAPPED product past rel ≈ 2.1e6 — matching a
+          // batch plan that, under ANSI mode, actually throws there.
+          val r0 = Math.floorMod(rel + 13L, P)
+          val cube = Math.floorMod(Math.floorMod(r0 * r0, P) * r0, P)
           val sig = Math.floorMod(st.sig + (r.b + 7L) * cube, P)
           // h over the last `window` bytes: current gear + carried gears
           // shifted by recency; incomplete leading windows never cut

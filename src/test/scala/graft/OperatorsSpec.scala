@@ -2208,6 +2208,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunkRows: the position cube is TRUE modular arithmetic past " +
+      "the old 2^63 overflow point (rel ≈ 2.1e6) — batch and streaming " +
+      "twins agree with the BigInt reference, no ANSI throw") {
+    import graft.operators.Multimodal
+    val P = 1000000007L
+    // one asset, a single byte at offset 2,200,000 — no boundary can
+    // fire (no contiguous window), so the chunk is (off=0, len=1) and
+    // its signature is (b+7)·(rel+13)³ mod P with rel past the point
+    // where the raw cube used to overflow Long
+    val k = 2200000L
+    val b = 5L
+    val rows = Seq((1L, k, b)).toDF("id", "k", "b")
+    val sig = Multimodal.cdcChunkRows(rows)
+      .select("chunk_sig").as[Long].collect().head
+    val expected = ((BigInt(b + 7) *
+      BigInt(k + 13).pow(3)) % P).toLong
+    assert(sig === expected,
+      s"batch cube diverged from the BigInt reference at rel=$k")
+    // the streaming twin's cube is the same fold (unit-level identity:
+    // replicate its arithmetic and compare to the reference)
+    val r0 = Math.floorMod(k + 13L, P)
+    val streamCube = Math.floorMod(Math.floorMod(r0 * r0, P) * r0, P)
+    assert(Math.floorMod((b + 7L) * streamCube, P) === expected)
+  }
+
   test("winnowFingerprints: shared-substring guarantee and density bound") {
     import graft.operators.TextAnalysis
     val shared = "zqxjkvbnmwpfl"  // 13 chars >= k + w - 1 = 11
