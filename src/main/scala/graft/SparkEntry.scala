@@ -6387,16 +6387,16 @@ object SparkEntry {
         |    id AS node FROM adj),
         |w1 AS (SELECT w.start, CAST(1 AS BIGINT) AS step, a.nb AS node
         |  FROM w0 w JOIN adj a ON a.id = w.node
-        |    AND a.rnk = (w.start * 2654435761 + 97) % a.deg + 1),
+        |    AND a.rnk = ((w.start % 2147483647) * 2654435761 + 97) % a.deg + 1),
         |w2 AS (SELECT w.start, CAST(2 AS BIGINT) AS step, a.nb AS node
         |  FROM w1 w JOIN adj a ON a.id = w.node
-        |    AND a.rnk = (w.start * 2654435761 + 194) % a.deg + 1),
+        |    AND a.rnk = ((w.start % 2147483647) * 2654435761 + 194) % a.deg + 1),
         |w3 AS (SELECT w.start, CAST(3 AS BIGINT) AS step, a.nb AS node
         |  FROM w2 w JOIN adj a ON a.id = w.node
-        |    AND a.rnk = (w.start * 2654435761 + 291) % a.deg + 1),
+        |    AND a.rnk = ((w.start % 2147483647) * 2654435761 + 291) % a.deg + 1),
         |w4 AS (SELECT w.start, CAST(4 AS BIGINT) AS step, a.nb AS node
         |  FROM w3 w JOIN adj a ON a.id = w.node
-        |    AND a.rnk = (w.start * 2654435761 + 388) % a.deg + 1)
+        |    AND a.rnk = ((w.start % 2147483647) * 2654435761 + 388) % a.deg + 1)
         |SELECT * FROM w0 UNION ALL SELECT * FROM w1
         |UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
         |UNION ALL SELECT * FROM w4""".stripMargin,
@@ -6486,8 +6486,8 @@ object SparkEntry {
         |    AND (least(l_partkey % 300, l_suppkey % 300) * 31
         |       + greatest(l_partkey % 300, l_suppkey % 300)) % 7 = 0),
         |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
-        |nb AS (SELECT id, (id * 2654435761) % 16 AS bkt FROM n),
-        |pr AS (SELECT id AS u, ((id * 2654435761) % 16 + j) % 16 AS pb
+        |nb AS (SELECT id, ((id % 2147483647) * 2654435761) % 16 AS bkt FROM n),
+        |pr AS (SELECT id AS u, (((id % 2147483647) * 2654435761) % 16 + j) % 16 AS pb
         |       FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
         |c AS (SELECT pr.u, nb.id AS v FROM pr
         |      JOIN nb ON pr.pb = nb.bkt WHERE pr.u <> nb.id),
@@ -6495,7 +6495,7 @@ object SparkEntry {
         |    SELECT 1 FROM e
         |    WHERE e.a = least(u, v) AND e.b = greatest(u, v))),
         |r AS (SELECT u, v, row_number() OVER (PARTITION BY u
-        |    ORDER BY ((u * 31 + v) * 2654435761) % 1000000, v) AS rank
+        |    ORDER BY (((u * 31 + v) % 2147483647) * 2654435761) % 1000000, v) AS rank
         |  FROM cf)
         |SELECT u, v, rank FROM r WHERE rank <= 5""".stripMargin,
 

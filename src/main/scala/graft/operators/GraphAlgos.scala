@@ -149,8 +149,13 @@ object GraphAlgos {
     segments += walk
     for (i <- 1 to steps) {
       val pick = walk.select(col("start"), col("node").as("__cur"))
+        // salt-fold the id below 2³¹−1 before the Knuth multiply (the
+        // keepHashPpm convention): identity for every fixture id, and
+        // keeps the product under 2⁶³ where ANSI mode throws on raw
+        // warehouse-scale surrogate keys
         .withColumn("__r",
-          (col("start") * lit(2654435761L) + lit(i.toLong * 97L)))
+          (pmod(col("start"), lit(2147483647L)) * lit(2654435761L)
+            + lit(i.toLong * 97L)))
       walk = pick.join(adj, col("__cur") === adj("id") &&
           adj("rnk") === pmod(col("__r"), adj("deg")) + lit(1L))
         .select(col("start"), lit(i.toLong).as("step"),
@@ -274,7 +279,9 @@ object GraphAlgos {
         .select(col("id"), col("id").as("scc")))
       if (keptN == 0L) activeLeft = false
       else {
-        val hashed = pmod(col("id") * lit(2654435761L), lit(1000000007L))
+        // fold-below-2³¹ before the multiply (ANSI-safe at any id)
+        val hashed = pmod(pmod(col("id"), lit(2147483647L))
+          * lit(2654435761L), lit(1000000007L))
         val piv = ck(kept.groupBy(col("part"))
           .agg(min(struct(hashed.as("h"), col("id").as("id"))).as("m"))
           .select(col("part"), col("m.id").as("pivot")))
@@ -822,13 +829,17 @@ object GraphAlgos {
     val e = edges.select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint()
+    // ids salt-folded below 2³¹−1 before every Knuth multiply (identity
+    // at fixture ids; no ANSI overflow at warehouse-scale keys)
     val nodes = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id"))).distinct()
-      .withColumn("bkt", (col("id") * lit(2654435761L)) % lit(buckets.toLong))
+      .withColumn("bkt", (pmod(col("id"), lit(2147483647L))
+        * lit(2654435761L)) % lit(buckets.toLong))
       .localCheckpoint()
     val probing = nodes.select(col("id").as("u"),
         explode(sequence(lit(1L), lit(probes.toLong))).as("j"))
-      .select(col("u"), ((col("u") * lit(2654435761L)) % lit(buckets.toLong)
+      .select(col("u"), ((pmod(col("u"), lit(2147483647L))
+        * lit(2654435761L)) % lit(buckets.toLong)
         + col("j")) % lit(buckets.toLong) as "pb")
     val cand = probing
       .join(nodes.select(col("id").as("v"), col("bkt")),
@@ -839,7 +850,8 @@ object GraphAlgos {
       .join(e, Seq("a", "b"), "left_anti")
     cand
       .withColumn("h",
-        ((col("u") * lit(31L) + col("v")) * lit(2654435761L)) % lit(1000000L))
+        (pmod(col("u") * lit(31L) + col("v"), lit(2147483647L))
+          * lit(2654435761L)) % lit(1000000L))
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy(col("h"), col("v"))))
       .filter(col("rn") <= k)
