@@ -81,14 +81,15 @@ class ModelRegistry(spark: SparkSession, root: String,
 
   /** Write every table of a NEW version completely, then promote it with
     * one manifest swap. Returns the promoted version number. Version
-    * dirs other than the new current and its predecessor are
-    * best-effort GC'd — the READER-LEASE CONTRACT: a reader pinned on
-    * the outgoing version gets exactly ONE full promote cycle to
-    * finish. A [[Pinned]] held across TWO promotions points at a GC'd
-    * dir and fails its next `table` read loudly (pinned by name in
+    * dirs beyond the `keepDepth` newest are best-effort GC'd — the
+    * READER-LEASE CONTRACT: a reader pinned on an outgoing version gets
+    * `keepDepth − 1` full promote cycles to finish (default one). A
+    * [[Pinned]] held past that points at a GC'd dir and fails its next
+    * `table` read loudly (both the default one-cycle failure and the
+    * keepDepth=3 two-cycle survival are pinned by name in
     * ModelRegistrySpec); a refresh scheduler must bound scan time below
-    * its promote cadence, or widen the keep set with a real table
-    * format's snapshot retention.
+    * keepDepth−1 promote cadences, or raise `keepDepth` — the local
+    * analog of a real table format's snapshot retention.
     *
     * Single-writer ENFORCED, not just assumed, in two layers:
     *
