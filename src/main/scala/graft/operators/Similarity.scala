@@ -151,7 +151,25 @@ object Similarity {
     * `centroids = Some(trainCentroids(corpus))` for k-means cells — the
     * partition/probe machinery is identical. Everything is joins against a
     * broadcast centroid set: no driver-side loops, corpus assignment is one
-    * pass. */
+    * pass.
+    *
+    * Cell-count rule (the [[semDedup]] discipline applied to the query
+    * tier): `nCells <= 0` — the default on every IVF entry point —
+    * DERIVES the count as [[derivedIvfCells]]
+    * (`max(16, ceil(n/1024))`). A FIXED cell count is an unbounded
+    * liability for a gate-shaped serve (queries = the whole corpus):
+    * per-cell list length grows linearly with the corpus, so serve work
+    * is `n_queries · nProbe · n/nCells` — quadratic in n. Measured at
+    * the 100× rung before this rule, the 16-cell ann_gate pass was a
+    * ~6.6e9-cosine join that died after ~40 minutes; cells sized to
+    * ~1024 vectors bound the per-query candidate list at `nProbe·1024`
+    * regardless of corpus size (serve work linear in queries). The
+    * 16-cell floor makes the derivation the IDENTITY at every
+    * oracle-checked scale (corpora ≤ 16·1024 vectors — sf0.001/0.01/0.1
+    * and the 10× rung all derive exactly 16), so query results and the
+    * DuckDB twins are bit-unchanged there; explicit `nCells > 0` still
+    * pins the count (specs use 4/8). The derivation costs one count()
+    * job at index-build time. */
   /** Nearest-cell assignment against a broadcast centroid set `cents`
     * ((cid, cv, cn2) columns). probes=1 is the corpus path: an
     * argmax-aggregate over (sim, -cid) — a 16-byte buffer, map-side
@@ -179,13 +197,13 @@ object Similarity {
   }
 
   def annTopKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+      nCells: Int = 0, nProbe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     val centBase = centroids match {
       case Some(c) => withN2(c.select(col("cid").as("id"), col("vec")),
         "cid", "cv", "cn2")
       case None => withN2(corpus, "cid", "cv", "cn2")
-        .orderBy(col("cid")).limit(nCells)
+        .orderBy(col("cid")).limit(resolvedIvfCells(corpus, nCells))
     }
     val cents = broadcast(centBase)
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
@@ -221,9 +239,9 @@ object Similarity {
     * many batches, maintain under deltas ([[ivfMaintainAssignments]])
     * instead of re-assigning the corpus per query. */
   def ivfIndexTables(corpus: DataFrame,
-      nCells: Int = 16): Seq[(String, DataFrame)] = {
+      nCells: Int = 0): Seq[(String, DataFrame)] = {
     val centBase = withN2(corpus, "cid", "cv", "cn2")
-      .orderBy(col("cid")).limit(nCells)
+      .orderBy(col("cid")).limit(resolvedIvfCells(corpus, nCells))
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val assigned = assignToCells(corpusN2, "nid", "nv", "nn2",
       broadcast(centBase), 1).select(col("nid"), col("cid"))
@@ -236,7 +254,7 @@ object Similarity {
     * [[graft.state.ModelRegistry]] promotion contract). Returns the
     * promoted version. */
   def ivfPublish(corpus: DataFrame, reg: graft.state.ModelRegistry,
-      model: String, nCells: Int = 16): Long =
+      model: String, nCells: Int = 0): Long =
     reg.publish(model, ivfIndexTables(corpus, nCells))
 
   /** Score a NEW query batch against a PINNED stored IVF index — the
@@ -382,10 +400,11 @@ object Similarity {
     * distance table — corpus vectors never re-shuffle, and the ADC sum is
     * a map-side-combinable aggregate on (qid, nid). */
   def annTopKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 4,
+      nCells: Int = 0, nProbe: Int = 4, nSub: Int = 4,
       nCentroids: Int = 8, dim: Int = 64, rerank: Int = 0): DataFrame = {
     val (cents, corpusN2, cb, codes) =
-      ivfPqIndex(corpus, nCells, nSub, nCentroids, dim)
+      ivfPqIndex(corpus, resolvedIvfCells(corpus, nCells), nSub,
+        nCentroids, dim)
     ivfPqServe(queries, corpusN2, k, cents, cb, codes, nProbe, nSub, dim,
       rerank)
   }
@@ -555,13 +574,16 @@ object Similarity {
     * the ⅛-bytes scan the PQ tier exists for). Every value is either
     * integral or an exact parquet double, so a reloaded index serves
     * bit-identically to the just-built one. */
-  def ivfPqIndexTables(corpus: DataFrame, nCells: Int = 16,
+  def ivfPqIndexTables(corpus: DataFrame, nCells: Int = 0,
       nSub: Int = 4, nCentroids: Int = 8, dim: Int = 64)
       : Seq[(String, DataFrame)] = {
+    // the meta table must record the RESOLVED cell count — a derived
+    // count re-resolved at serve time could see a different corpus
+    val cells = resolvedIvfCells(corpus, nCells)
     val (cents, _, cb, codes) =
-      ivfPqIndex(corpus, nCells, nSub, nCentroids, dim)
+      ivfPqIndex(corpus, cells, nSub, nCentroids, dim)
     val meta = corpus.sparkSession.range(1).select(
-      lit(nCells).as("n_cells"), lit(nSub).as("n_sub"),
+      lit(cells).as("n_cells"), lit(nSub).as("n_sub"),
       lit(nCentroids).as("n_centroids"), lit(dim).as("dim"))
     Seq("meta" -> meta,
       "centroids" -> cents.select(col("cid"), col("cv").as("vec")),
@@ -572,7 +594,7 @@ object Similarity {
   /** Build and publish an IVF-PQ index VERSION through the registry —
     * one immutable version dir, single manifest swap. */
   def ivfPqPublish(corpus: DataFrame, reg: graft.state.ModelRegistry,
-      model: String, nCells: Int = 16, nSub: Int = 4,
+      model: String, nCells: Int = 0, nSub: Int = 4,
       nCentroids: Int = 8, dim: Int = 64): Long =
     reg.publish(model,
       ivfPqIndexTables(corpus, nCells, nSub, nCentroids, dim))
@@ -1116,4 +1138,26 @@ object Similarity {
     else if (n >= cap * targetMeanCell) cap.toInt // ceil would overflow
     else ((n + targetMeanCell - 1) / targetMeanCell).toInt
   }
+
+  /** The query tier's derived IVF cell count:
+    * `max(IvfFloorCells, ceil(n / IvfTargetMeanCell))` = `max(16,
+    * ceil(n/1024))`, capped at 2^20 (the centroid-broadcast bound).
+    * The floor makes the rule the IDENTITY for corpora up to
+    * 16·1024 = 16,384 vectors — every oracle-checked scale and the 10×
+    * rung — so derived-cell query results are bit-equal to the old
+    * fixed-16 tier there; beyond, cells track the corpus and per-cell
+    * list length stays ~[[IvfTargetMeanCell]] (serve work per query
+    * bounded at nProbe·1024 candidates; pinned in ScaleStressSpec). */
+  def derivedIvfCells(n: Long): Int =
+    math.max(IvfFloorCells, derivedCells(n, IvfTargetMeanCell))
+
+  /** [[derivedIvfCells]] floor and target mean cell size. */
+  val IvfFloorCells = 16
+  val IvfTargetMeanCell = 1024
+
+  /** Resolve an IVF entry point's `nCells` argument: positive pins the
+    * count (spec fixtures); `<= 0` derives it from one corpus count()
+    * job at index-build time. */
+  private def resolvedIvfCells(corpus: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells else derivedIvfCells(corpus.count())
 }

@@ -217,6 +217,32 @@ class ScaleStressSpec extends AnyFunSuite {
       s"in-cell pair volume super-linear: 1x=$pv1 8x=$pv8")
   }
 
+  test("derived IVF cell count: identity at every oracle scale, " +
+      "corpus-tracking beyond (the fixed-16 gate-serve quadratic)") {
+    import graft.operators.Similarity
+    // the floor makes the rule the identity for corpora <= 16*1024 —
+    // sf0.001 (500), sf0.01 (2000), sf0.1 (20000 * 2/3 gate slice),
+    // and the 10x keyed-replica rung all derive exactly 16
+    for (n <- Seq(0L, 1L, 500L, 1333L, 2000L, 13333L, 16384L))
+      assert(Similarity.derivedIvfCells(n) === 16, s"n=$n")
+    // beyond the floor, cells track the corpus at ~1024 vectors/cell:
+    // per-query serve candidates stay bounded at nProbe*1024 instead of
+    // nProbe*n/16 (the 100x ann_gate pass that died at ~6.6e9 cosines)
+    assert(Similarity.derivedIvfCells(16385L) === 17)
+    assert(Similarity.derivedIvfCells(133333L) === 131)
+    assert(Similarity.derivedIvfCells(Long.MaxValue) === (1 << 20))
+    // and the identity is literal: the derived default reproduces the
+    // old fixed-16 tier bit-for-bit on a gate-scale corpus
+    val em = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = em.filter(col("id") < 10)
+    val derived = Similarity.annTopKIvf(q, em, 5).orderBy(col("qid"),
+      col("cos_permille").desc, col("nid")).collect()
+    val fixed = Similarity.annTopKIvf(q, em, 5, nCells = 16)
+      .orderBy(col("qid"), col("cos_permille").desc, col("nid")).collect()
+    assert(derived.toSeq === fixed.toSeq)
+  }
+
   /** Residue-free co-purchase graph: parts co-occurring in an order,
     * node ids uncapped — the unbounded shape the mod-300 demo graphs
     * (mst_forest/ktruss/kcore queries) deliberately avoid. Has real
