@@ -500,13 +500,20 @@ object Dedup {
     * recoverable by multi-probe or plane-set rotation; the exact tier
     * ([[embeddingCosinePairs]]) remains the verifier. Output is exact
     * cosine on surviving pairs — a strict SUBSET of the all-pairs result
-    * (asserted in DedupSimilaritySpec). */
+    * (asserted in DedupSimilaritySpec).
+    *
+    * `nPlanes <= 0` (the default) derives the plane count from the
+    * corpus ([[Similarity.derivedLshPlanes]]): a FIXED plane count makes
+    * Σ|bucket|² — the in-bucket pair volume — quadratic in the corpus
+    * (the fixed-nlist IVF trap in its LSH form); derived planes hold
+    * mean occupancy at ~1024 so pair volume stays ~n·1024. Identity
+    * (6 planes) at every oracle-checked scale. */
   def embeddingCosineLsh(df: DataFrame, vecCol: String, idCol: String,
-      thresholdPermille: Int, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val b = Similarity.lshBuckets(
-        Transforms.rebalanceIfNarrow(
-          df.select(col(idCol).as("id"), col(vecCol).as("vec")), col("id")),
-        "vec", "id", nPlanes, dim)
+      thresholdPermille: Int, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val vecs = Transforms.rebalanceIfNarrow(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")), col("id"))
+    val b = Similarity.lshBuckets(vecs,
+        "vec", "id", Similarity.resolvedLshPlanes(vecs, nPlanes), dim)
       .withColumn("n2", Similarity.dot(col("v"), col("v")))
       .repartition(col("bucket"))
     b.as("x").join(b.as("y").hint("shuffle_hash"),

@@ -811,14 +811,22 @@ object Similarity {
     * without touching the rest of the corpus). The probe expansion happens
     * on the tiny query side only; the corpus join stays an equi-join on
     * bucket — co-partitionable, no all-pairs blowup. Expected scan fraction
-    * ≈ (nPlanes + 1) / 2^nPlanes of the corpus per query. */
+    * ≈ (nPlanes + 1) / 2^nPlanes of the corpus per query.
+    *
+    * `nPlanes <= 0` (the default) derives the plane count from the
+    * corpus ([[derivedLshPlanes]]): at a FIXED plane count the expected
+    * bucket occupancy `n / 2^nPlanes` — and with it per-query candidate
+    * work — grows linearly with the corpus; derived planes hold mean
+    * occupancy at ~[[IvfTargetMeanCell]]. Identity (6 planes) at every
+    * oracle-checked scale. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val q0 = lshBuckets(queries, "vec", "id", nPlanes, dim)
+      nPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val resolvedPlanes = resolvedLshPlanes(corpus, nPlanes)
+    val q0 = lshBuckets(queries, "vec", "id", resolvedPlanes, dim)
       .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
       .withColumn("qn2", dot(col("qv"), col("qv")))
     val probes = array(lit(0L) +:
-      (0 until nPlanes).map(p => shiftleft(lit(1L), p)): _*)
+      (0 until resolvedPlanes).map(p => shiftleft(lit(1L), p)): _*)
     val q = q0.select(col("qid"), col("qv"), col("qn2"),
       explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
         .as("bucket"))
@@ -826,7 +834,7 @@ object Similarity {
     // single-split inputs would otherwise compute every plane dot in 1 task
     // (skipped when the input is already split wide enough).
     val c = lshBuckets(Transforms.rebalanceIfNarrow(corpus, col("id")),
-        "vec", "id", nPlanes, dim)
+        "vec", "id", resolvedPlanes, dim)
       .select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
       .withColumn("nn2", dot(col("nv"), col("nv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -1160,4 +1168,34 @@ object Similarity {
     * job at index-build time. */
   private def resolvedIvfCells(corpus: DataFrame, nCells: Int): Int =
     if (nCells > 0) nCells else derivedIvfCells(corpus.count())
+
+  /** The SRP-LSH sibling of [[derivedIvfCells]]: the smallest plane
+    * count (floor [[LshFloorPlanes]]) holding expected bucket occupancy
+    * `n / 2^p` at or below [[IvfTargetMeanCell]], capped at
+    * [[LshCapPlanes]] (bucket ids pack plane signs into one Long).
+    * Identity (6 planes = 64 buckets) for corpora ≤ 64·1024 = 65,536
+    * vectors — every oracle-checked scale and the 10× rung — so
+    * derived-plane results are bit-equal to the old fixed-6 tier there.
+    * Beyond, each added plane halves mean occupancy: in-bucket pair
+    * volume (Σ|bucket|²) and per-query candidate lists stay ~n·1024
+    * and ~1024 instead of growing with n²/64 and n/64. The recall
+    * trade is the standard SRP one — each plane multiplies pair recall
+    * by (1 − θ/π) — recovered by multi-probe ([[annTopK]] probes the
+    * 1-bit-flip buckets) or a verification tier; pinned in
+    * ScaleStressSpec. */
+  def derivedLshPlanes(n: Long): Int = {
+    var p = LshFloorPlanes
+    while (p < LshCapPlanes && (n >> p) > IvfTargetMeanCell) p += 1
+    p
+  }
+
+  /** [[derivedLshPlanes]] floor and cap. */
+  val LshFloorPlanes = 6
+  val LshCapPlanes = 40
+
+  /** Resolve an SRP-LSH entry point's `nPlanes` argument: positive pins
+    * (spec fixtures); `<= 0` derives from one corpus count() job. */
+  private[operators] def resolvedLshPlanes(corpus: DataFrame,
+      nPlanes: Int): Int =
+    if (nPlanes > 0) nPlanes else derivedLshPlanes(corpus.count())
 }

@@ -243,6 +243,31 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(derived.toSeq === fixed.toSeq)
   }
 
+  test("derived SRP-LSH plane count: identity at oracle scales, " +
+      "occupancy-bounding beyond (the fixed-plane pair-volume quadratic)") {
+    import graft.operators.{Dedup, Similarity}
+    // 6-plane identity for corpora <= 64*1024 (all gate scales + 10x)
+    for (n <- Seq(0L, 500L, 2000L, 20000L, 65536L))
+      assert(Similarity.derivedLshPlanes(n) === 6, s"n=$n")
+    // beyond: each added plane halves expected occupancy n/2^p back
+    // under 1024 — in-bucket pair volume stays ~n*1024, never n^2/64
+    assert(Similarity.derivedLshPlanes(66000L) === 7)
+    assert(Similarity.derivedLshPlanes(200000L) === 8)
+    for (n <- Seq(66000L, 200000L, 1L << 40)) {
+      val p = Similarity.derivedLshPlanes(n)
+      assert((n >> p) <= 1024L, s"occupancy unbounded at n=$n planes=$p")
+    }
+    assert(Similarity.derivedLshPlanes(Long.MaxValue) === 40) // cap
+    // literal identity: derived default == fixed 6 on a gate-scale corpus
+    val em = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val derived = Dedup.embeddingCosineLsh(em, "vec", "id", 300)
+      .orderBy(col("a"), col("b")).collect()
+    val fixed = Dedup.embeddingCosineLsh(em, "vec", "id", 300, nPlanes = 6)
+      .orderBy(col("a"), col("b")).collect()
+    assert(derived.toSeq === fixed.toSeq)
+  }
+
   /** Residue-free co-purchase graph: parts co-occurring in an order,
     * node ids uncapped — the unbounded shape the mod-300 demo graphs
     * (mst_forest/ktruss/kcore queries) deliberately avoid. Has real
