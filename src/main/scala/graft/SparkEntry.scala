@@ -160,6 +160,8 @@ object SparkEntry {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           sccDagMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          modGraphMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          rankGraphMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           docDupMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           covisitMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -190,17 +192,93 @@ object SparkEntry {
       })
   }
 
+  /** Shared mod-300 interaction-graph core (round-16 optimization, guide
+    * §2.4 "remove shuffles outright"): ~20 graph queries each derived
+    * their edge set by re-scanning lineitem (600 K rows at sf0.1) and
+    * re-shuffling the (pk%300, sk%300) projection through their own
+    * distinct — per-battery, 20 identical scans + 20 identical
+    * corpus-sized exchanges. The projection's DISTINCT image is bounded
+    * at 90,000 (u,v) slots at ANY scale factor, so it is memoized ONCE
+    * per (session, dir) as a checkpointed table and every query applies
+    * its keep-filter to the ≤90 K-row core instead.
+    *
+    * Result-identical by construction: every GraphAlgos entry point
+    * distincts (or min-aggregates a deterministic function of) its edge
+    * input internally, and the keep-filters/canonicalizations are pure
+    * functions of (u, v), which commute with distinct — only the
+    * physical shape changes (1 scan + 1 exchange per battery instead of
+    * 20). The full-scan behavior each query documents ("reads every row,
+    * edge count saturates") is preserved: the ONE memo build still scans
+    * every lineitem row. */
+  private val modGraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def modUv(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    modGraphMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      t(sess, d, "lineitem")
+        .select((col("l_partkey") % 300).as("u"),
+          (col("l_suppkey") % 300).as("v"))
+        .distinct().localCheckpoint()
+    })
+  }
+
+  /** Directed mod-300 edges: keep-filter ((src·31+dst) % 7 = 0) over the
+    * distinct core — the exact edge set of the directed-graph queries. */
+  private def modDirectedE(s: SparkSession, dir: String): DataFrame =
+    modUv(s, dir).filter((col("u") * 31 + col("v")) % 7 === 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+
+  /** Canonical undirected mod-300 edges: least/greatest collapse, then
+    * the keep-filter on the CANONICAL pair — the exact edge set of the
+    * undirected-graph queries (the filter differs from the directed one:
+    * it tests (a·31+b) after canonicalization). */
+  private def modCanonicalE(s: SparkSession, dir: String): DataFrame =
+    modUv(s, dir)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+
+  /** Shared supplier→part→order→customer chain-graph prep for the rank
+    * family (`pagerank`, `ppr`): both queries union the SAME 1.35 M-row
+    * edge projection and need the same distinct+out-degree+nodes
+    * materialization ([[graft.operators.GraphAlgos.prepRankGraph]]) —
+    * memoized per (session, dir) so the second rank query starts from
+    * the checkpointed tables instead of replaying the scan, the distinct
+    * exchange, and the degree window (guide §2.4). */
+  private val rankGraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def rankGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    hookMemoEviction(s)
+    rankGraphMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val li = t(sess, d, "lineitem")
+      val ord = t(sess, d, "orders")
+      val edges = li.select((col("l_suppkey") * 4).as("src"),
+          (col("l_partkey") * 4 + 1).as("dst"))
+        .union(li.select((col("l_partkey") * 4 + 1).as("src"),
+          (col("l_orderkey") * 4 + 2).as("dst")))
+        .union(ord.select((col("o_orderkey") * 4 + 2).as("src"),
+          (col("o_custkey") * 4 + 3).as("dst")))
+      graft.operators.GraphAlgos.prepRankGraph(edges, "src", "dst")
+    })
+  }
+
   private def sccDag(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     hookMemoEviction(s)
     sccDagMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
-      val li = t(sess, d, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter(col("src") =!= col("dst") &&
-          (col("src") * 31 + col("dst")) % 7 === 0)
-        .distinct().localCheckpoint()
+      // same set as the original scan+filter+distinct: the mod-300 core
+      // is already distinct, and the self-loop/keep filters commute
+      val e = modUv(sess, d)
+        .filter(col("u") =!= col("v") &&
+          (col("u") * 31 + col("v")) % 7 === 0)
+        .select(col("u").as("src"), col("v").as("dst"))
+        .localCheckpoint()
       val sid = graft.operators.GraphAlgos
         .stronglyConnectedComponents(e, "src", "dst")
         .localCheckpoint()
@@ -827,36 +905,20 @@ object SparkEntry {
     // PageRank over the synced supplier→part→order→customer chain graph
     // (type-tagged ids keep the key spaces disjoint). 3 fixed iterations
     // in integer micros — bit-exact on both engines, see GraphAlgos.
-    "pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      val edges = li.select((col("l_suppkey") * 4).as("src"),
-          (col("l_partkey") * 4 + 1).as("dst"))
-        .union(li.select((col("l_partkey") * 4 + 1).as("src"),
-          (col("l_orderkey") * 4 + 2).as("dst")))
-        .union(ord.select((col("o_orderkey") * 4 + 2).as("src"),
-          (col("o_custkey") * 4 + 3).as("dst")))
-      graft.operators.GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
-    }),
+    "pagerank" -> ((s, dir) =>
+      graft.operators.GraphAlgos.pageRankPrepped(rankGraph(s, dir),
+        iters = 3)),
 
     // personalized PageRank: random walk with restart to the sparse
     // supplier seed set over the same 4-strata graph — proximity-to-seeds
     // scoring, same integer-micro discipline as pagerank
     // ([[GraphAlgos.personalizedPageRank]]).
     "ppr" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      val edges = li.select((col("l_suppkey") * 4).as("src"),
-          (col("l_partkey") * 4 + 1).as("dst"))
-        .union(li.select((col("l_partkey") * 4 + 1).as("src"),
-          (col("l_orderkey") * 4 + 2).as("dst")))
-        .union(ord.select((col("o_orderkey") * 4 + 2).as("src"),
-          (col("o_custkey") * 4 + 3).as("dst")))
       val seeds = t(s, dir, "supplier")
         .filter(col("s_suppkey") % 50 === 0)
         .select((col("s_suppkey") * 4).as("id"))
-      GraphAlgos.personalizedPageRank(edges, "src", "dst", seeds, "id",
-        iters = 3)
+      GraphAlgos.personalizedPageRankPrepped(rankGraph(s, dir), seeds,
+        "id", iters = 3)
     }),
 
     // Per-node triangle counts over a bounded "interaction" graph derived
@@ -867,12 +929,7 @@ object SparkEntry {
     // stays bounded while the scan still reads every row. The same
     // expressions run verbatim in the oracle.
     "triangle_count" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       graft.operators.GraphAlgos.triangleCounts(g, "a", "b")
     }),
 
@@ -881,12 +938,7 @@ object SparkEntry {
     // the bound) over the same mod-300 interaction graph
     // ([[GraphAlgos.kCore]]; oracle = the rounds unrolled as CTEs).
     "kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       graft.operators.GraphAlgos.kCore(g, "a", "b", k = 15, rounds = 4)
     }),
 
@@ -896,12 +948,7 @@ object SparkEntry {
     // support ([[GraphAlgos.kTruss]]; oracle = the rounds unrolled, same
     // contract as kcore).
     "ktruss" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       graft.operators.GraphAlgos.kTruss(g, "a", "b", k = 3, rounds = 2)
     }),
 
@@ -935,12 +982,7 @@ object SparkEntry {
     // reach_hll (rows-only for the same reason; the spec's error bound
     // transfers).
     "eff_diameter" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       val e = g.select(col("a").as("src"), col("b").as("dst"))
         .union(g.select(col("b").as("src"), col("a").as("dst")))
       val nf = graft.operators.GraphAlgos.neighborhoodFunction(
@@ -1022,12 +1064,7 @@ object SparkEntry {
     // the HLL sketch tier (`reach_hll`) below. Quadratic in ball size by
     // construction, which is exactly why the sketch tier exists.
     "reach_2hop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
         .distinct()
       val e = g.select(col("a").as("src"), col("b").as("dst"))
         .union(g.select(col("b").as("src"), col("a").as("dst")))
@@ -1051,12 +1088,7 @@ object SparkEntry {
     // SQL twin; OperatorsSpec bounds hop-2 error vs `reach_2hop`'s exact
     // counts.
     "reach_hll" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       val e = g.select(col("a").as("src"), col("b").as("dst"))
         .union(g.select(col("b").as("src"), col("a").as("dst")))
       graft.operators.GraphAlgos.neighborhoodFunction(
@@ -1067,12 +1099,7 @@ object SparkEntry {
     // endpoint degrees, both orientations) of the same graph, integer
     // micros ([[GraphAlgos.degreeAssortativity]]).
     "assortativity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       graft.operators.GraphAlgos.degreeAssortativity(g, "a", "b")
     }),
 
@@ -1081,12 +1108,7 @@ object SparkEntry {
     // ([[GraphAlgos.clusteringCoefficients]] — one materialized edge set
     // feeds both the degree aggregate and the wedge-closing join).
     "clustering_coeff" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       graft.operators.GraphAlgos.clusteringCoefficients(g, "a", "b")
     }),
 
@@ -1096,10 +1118,7 @@ object SparkEntry {
     // cyclic graph a terminating recursive-CTE oracle twin; the engine
     // side is frontier iteration (GraphAlgos.bfsHops).
     "bfs_hops" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
       graft.operators.GraphAlgos.bfsHops(e, "src", "dst",
@@ -1111,10 +1130,7 @@ object SparkEntry {
     // per-node neighbor ranks, so the walk corpus is engine-exact
     // ([[GraphAlgos.randomWalks]]).
     "random_walks" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       GraphAlgos.randomWalks(e, "src", "dst", steps = 4)
     }),
 
@@ -1177,10 +1193,7 @@ object SparkEntry {
     // landmark searches sharing each wave's joins via a (landmark, node)
     // frontier ([[GraphAlgos.closenessCentrality]]).
     "closeness_centrality" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
       GraphAlgos.closenessCentrality(e, "src", "dst",
@@ -1192,12 +1205,7 @@ object SparkEntry {
     // bucket-probe candidate generation, no |V|² stage
     // ([[GraphAlgos.negativeSample]]).
     "negative_sample" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       GraphAlgos.negativeSample(g, "a", "b", k = 5)
     }),
 
@@ -1207,10 +1215,7 @@ object SparkEntry {
     // the relax rounds — min-aggregates can't appear in a recursive CTE
     // (GraphAlgos.shortestPaths).
     "shortest_path" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
         .withColumn("w", (col("src") * 13 + col("dst") * 7) % 97 + 1)
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
@@ -1222,10 +1227,7 @@ object SparkEntry {
     // directed mod-300 graph ([[GraphAlgos.hits]]; the oracle unrolls
     // both rounds as join+sum CTEs).
     "hits_scores" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       graft.operators.GraphAlgos.hits(e, "src", "dst", rounds = 2)
     }),
 
@@ -3730,10 +3732,7 @@ object SparkEntry {
     // ([[graft.operators.GraphAlgos.labelPropagation]]); the oracle
     // unrolls the rounds — aggregates can't appear in a recursive CTE.
     "label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       graft.operators.GraphAlgos.labelPropagation(e, "src", "dst",
         rounds = 3)
     }),
@@ -3747,10 +3746,7 @@ object SparkEntry {
     // truncate-vs-floor division semantics enter the comparison
     // ([[GraphAlgos.modularityStats]]).
     "modularity_score" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select((col("l_partkey") % 300).as("src"),
-          (col("l_suppkey") % 300).as("dst"))
-        .filter((col("src") * 31 + col("dst")) % 7 === 0)
+      val e = modDirectedE(s, dir)
       val labels = graft.operators.GraphAlgos
         .labelPropagation(e, "src", "dst", rounds = 3)
       graft.operators.GraphAlgos.modularityStats(e, "src", "dst", labels)
@@ -3926,14 +3922,9 @@ object SparkEntry {
 
     // graph health check: out-degree histogram of the mod-300 interaction
     // graph ([[GraphAlgos.degreeHistogram]] — two-level aggregate).
-    "degree_hist" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+    "degree_hist" -> ((s, dir) =>
       graft.operators.GraphAlgos.degreeHistogram(
-        li.select((col("l_partkey") % 300).as("src"),
-            (col("l_suppkey") % 300).as("dst"))
-          .filter((col("src") * 31 + col("dst")) % 7 === 0),
-        "src", "dst")
-    }),
+        modDirectedE(s, dir), "src", "dst")),
 
     // REAL-data JSON extraction: events.props is a JSON payload column;
     // per event type, stats over the extracted $.k (codegen'd
@@ -5081,12 +5072,7 @@ object SparkEntry {
     // ([[GraphAlgos.linkPrediction]] — wedge join, integer-micro RA, no
     // all-pairs stage; same bounded graph as triangle_count/kcore).
     "link_predict" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
       GraphAlgos.linkPrediction(g, "a", "b")
         .orderBy(col("ra_micro").desc, col("u").asc, col("w").asc)
         .limit(50)
@@ -5686,12 +5672,7 @@ object SparkEntry {
     // lightest-outgoing-edge rounds, lexicographic tie perturbation;
     // rows-only, Kruskal-pinned in OperatorsSpec).
     "mst_forest" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val g = li.select((col("l_partkey") % 300).as("u"),
-          (col("l_suppkey") % 300).as("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b") && (col("a") * 31 + col("b")) % 7 === 0)
+      val g = modCanonicalE(s, dir)
         .withColumn("w", expr("(a * 37 + b * 101) % 997"))
       GraphAlgos.boruvkaMst(g, "a", "b", "w")
     })

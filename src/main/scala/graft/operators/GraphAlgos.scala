@@ -29,21 +29,40 @@ object GraphAlgos {
     * generation rather than the stochastic-matrix fixpoint. Nodes with no
     * in-edges hold the base (1000−d)·1000.
     */
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampingPermille: Int = 850,
-      checkpointEvery: Int = 4): DataFrame = {
-    require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
-      s"iters=$iters dampingPermille=$dampingPermille out of range")
-    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+  /** The rank-iteration input both [[pageRank]] and
+    * [[personalizedPageRank]] build from a raw edge list: the distinct
+    * edge table with per-source out-degree (window over the same
+    * hash(src) clustering the per-iteration join needs anyway) and the
+    * distinct node table, both checkpointed. Exposed so callers running
+    * SEVERAL rank variants over ONE graph (pagerank + ppr in the same
+    * battery) can share the materialization instead of re-scanning and
+    * re-shuffling the edge union per variant (guide §2.4). */
+  def prepRankGraph(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // edge list + out-degree materialized ONCE; the window rides the same
-    // hash(src) clustering the per-iteration join needs anyway
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val e = e0.withColumn("od", count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    (e, nodes)
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPermille: Int = 850,
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankPrepped(prepRankGraph(edges, srcCol, dstCol), iters,
+      dampingPermille, checkpointEvery)
+
+  /** [[pageRank]] over an already-prepped (edges+out-degree, nodes) pair
+    * from [[prepRankGraph]] — identical arithmetic, shared input. */
+  def pageRankPrepped(prep: (DataFrame, DataFrame), iters: Int,
+      dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
+      s"iters=$iters dampingPermille=$dampingPermille out of range")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val (e, nodes) = prep
     val base = lit((1000L - dampingPermille) * 1000L)
     var r = nodes.select(col("id"), lit(1000000L).as("r"))
     // Lineage is truncated every `checkpointEvery` rounds, not every round:
@@ -81,18 +100,23 @@ object GraphAlgos {
     * per-iteration join against the seed list. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, idCol: String, iters: Int,
+      dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame =
+    personalizedPageRankPrepped(prepRankGraph(edges, srcCol, dstCol),
+      seeds, idCol, iters, dampingPermille, checkpointEvery)
+
+  /** [[personalizedPageRank]] over a [[prepRankGraph]] pair — the seed
+    * flag is joined onto the SHARED node table (a broadcast of the tiny
+    * seed list), so pagerank and ppr over one graph share every
+    * corpus-sized exchange. */
+  def personalizedPageRankPrepped(prep: (DataFrame, DataFrame),
+      seeds: DataFrame, idCol: String, iters: Int,
       dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
       s"iters=$iters dampingPermille=$dampingPermille out of range")
-    import org.apache.spark.sql.expressions.Window
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-    val e = e0.withColumn("od", count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint()
+    val (e, nodesPlain) = prep
     val sd = seeds.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("__s", lit(1L))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = nodesPlain
       .join(sd, Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("__seed"))
       .localCheckpoint()
