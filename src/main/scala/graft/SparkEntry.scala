@@ -167,6 +167,8 @@ object SparkEntry {
           dsirOccMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           winnowMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          bigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          knIvmCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -442,7 +444,58 @@ object SparkEntry {
     hookMemoEviction(s)
     knMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
-      TextAnalysis.knLogProb(t(sess, d, "documents"), "text", "doc_id")
+      TextAnalysis.knLogProbFromCounts(t(sess, d, "documents"), "text",
+          "doc_id", corpusBigramCounts(sess, d))
+        .localCheckpoint()
+    })
+  }
+
+  /** Shared full-corpus bigram-count table (s, c12) for the bigram-LM
+    * family (round-16, guide §2.4): `bigram_logprob`, `bigram_entropy`,
+    * `bigram_topk`, `ngram_suggest`, `pmi_collocations`, `kn_logprob`
+    * (via [[knScores]]) and `kn_logprob_pruned` each re-ran the
+    * corpus-width tokenize → window → count pipeline to build the SAME
+    * vocab-sized table. Memoized + checkpointed once per (session, dir);
+    * consumers aggregate/join the vocab-sized table. Counts are a pure
+    * aggregate of the same token stream, so every consumer's output is
+    * bit-unchanged (the zip_with/arrays_zip forms build the same
+    * adjacent-pair multiset — pinned by the unchanged oracle SQL). */
+  private val bigramCountsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def corpusBigramCounts(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    bigramCountsMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      Dedup.shingleStream(t(sess, d, "documents"), "text", "doc_id", n = 2)
+        .groupBy(col("s")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Shared MAINTAINED trigram-count table for the LM-IVM pair
+    * (`kn_counts_ivm`, `kn_refresh`): both maintain the identical base
+    * count table under the identical delta before their own rollups —
+    * memoized + checkpointed once, so the refresh query starts from the
+    * maintained table instead of re-running the base tokenize+count and
+    * the delta maintenance (round-16, guide §2.4). */
+  private val knIvmCountsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def knMaintainedTrigramCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    hookMemoEviction(s)
+    knIvmCountsMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val docs = t(sess, d, "documents")
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val state = graft.operators.Dedup
+        .shingleStream(base, "text", "doc_id", n = 3)
+        .groupBy(col("s")).agg(count(lit(1)).as("c123"))
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("__op", lit(1))
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .withColumn("__op", lit(-1)))
+      TextAnalysis
+        .maintainTrigramCounts(state, delta, "text", "doc_id", "__op")
         .localCheckpoint()
     })
   }
@@ -1921,8 +1974,8 @@ object SparkEntry {
     // diverse); quantize-once per bigram TYPE
     // ([[TextAnalysis.bigramCondEntropy]]).
     "bigram_entropy" -> ((s, dir) =>
-      TextAnalysis.bigramCondEntropy(t(s, dir, "documents"), "text",
-        "doc_id")),
+      TextAnalysis.bigramCondEntropyFromCounts(
+        corpusBigramCounts(s, dir))),
 
     // per-stage curation audit: the DECLARED gopher→dedup→mixture chain
     // run through [[graft.pipeline.SpecLoader.funnelFromJson]] — one
@@ -2517,10 +2570,14 @@ object SparkEntry {
     "bigram_logprob" -> ((s, dir) => {
       val tok = Dedup.shingleStream(t(s, dir, "documents"), "text",
         "doc_id", n = 2).select(col("id"), col("s"))
-      val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
-      val uni = tok.select(col("id"),
-          substring_index(col("s"), " ", 1).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // counts ride the shared memoized table (r16): big verbatim; the
+      // unigram table is its per-w1 rollup (Σ c12 grouped by the first
+      // word ≡ counting the bigram stream by its first word) and the
+      // vocab its row count — bit-identical inputs, one corpus pass
+      val big = corpusBigramCounts(s, dir)
+      val uni = big.select(substring_index(col("s"), " ", 1).as("w1"),
+          col("c12"))
+        .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val vocab = broadcast(uni.agg(count(lit(1)).as("__v")))
       tok.withColumn("w1", substring_index(col("s"), " ", 1))
         .join(big, "s").join(uni, "w1").crossJoin(vocab)
@@ -2579,8 +2636,8 @@ object SparkEntry {
     // under the singleton-type growth that makes the unpruned tier's
     // sf1 rung scale 4x.
     "kn_logprob_pruned" -> ((s, dir) =>
-      TextAnalysis.knLogProbPruned(t(s, dir, "documents"), "text",
-        "doc_id")),
+      TextAnalysis.knLogProbPrunedFromCounts(t(s, dir, "documents"),
+        "text", "doc_id", corpusBigramCounts(s, dir))),
 
     // per-source unigram KL divergence vs the rest of the corpus in
     // integer micro-nats (Moore & Lewis 2010's cross-entropy-difference
@@ -2717,17 +2774,7 @@ object SparkEntry {
     // corpus, proving the ivm_agg bit-equality contract for the LM
     // family).
     "kn_counts_ivm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("doc_id") % 3 < 2)
-      val state = graft.operators.Dedup
-        .shingleStream(base, "text", "doc_id", n = 3)
-        .groupBy(col("s")).agg(count(lit(1)).as("c123"))
-      val delta = docs.filter(col("doc_id") % 3 === 2)
-        .withColumn("__op", lit(1))
-        .unionByName(base.filter(col("doc_id") % 5 === 0)
-          .withColumn("__op", lit(-1)))
-      TextAnalysis
-        .maintainTrigramCounts(state, delta, "text", "doc_id", "__op")
+      knMaintainedTrigramCounts(s, dir)
         .withColumn("b12", substring_index(col("s"), " ", 2))
         .groupBy(col("b12"))
         .agg(sum(col("c123")).as("c12"),
@@ -2745,18 +2792,12 @@ object SparkEntry {
     // model from scratch over the post-delta corpus, so equality proves
     // maintained-counts → model → score end to end.
     "kn_refresh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("doc_id") % 3 < 2)
-      val state = graft.operators.Dedup
-        .shingleStream(base, "text", "doc_id", n = 3)
-        .groupBy(col("s")).agg(count(lit(1)).as("c123"))
-      val delta = docs.filter(col("doc_id") % 3 === 2)
-        .withColumn("__op", lit(1))
-        .unionByName(base.filter(col("doc_id") % 5 === 0)
-          .withColumn("__op", lit(-1)))
-      val model = TextAnalysis.kn3ModelFromCounts(TextAnalysis
-        .maintainTrigramCounts(state, delta, "text", "doc_id", "__op"))
-      TextAnalysis.kn3Score(docs.filter(col("doc_id") % 3 === 2),
+      // maintenance rides the memoized table kn_counts_ivm also reads —
+      // the model derivation and scoring below are unchanged (r16)
+      val model = TextAnalysis.kn3ModelFromCounts(
+        knMaintainedTrigramCounts(s, dir))
+      TextAnalysis.kn3Score(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2),
         "text", "doc_id", model)
     }),
 
@@ -3294,14 +3335,14 @@ object SparkEntry {
     }),
 
     "bigram_topk" -> ((s, dir) =>
-      TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 50)),
+      TextAnalysis.bigramTopKFromCounts(corpusBigramCounts(s, dir), 50)),
 
     // collocation extraction: top bigrams by pointwise mutual information
     // (quantized-ln permille, pair-table marginals, count floor 5) —
     // the association scorer bigram_topk's raw counts can't express
     // ([[TextAnalysis.pmiCollocations]]).
     "pmi_collocations" -> ((s, dir) =>
-      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+      TextAnalysis.pmiCollocationsFromCounts(corpusBigramCounts(s, dir),
         k = 30, minCount = 5)),
 
     // exact distribution moments per event type: (n, Σv, Σv²) in integer
@@ -5400,11 +5441,12 @@ object SparkEntry {
     // left word's candidates map-side.
     "ngram_suggest" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val counts = Dedup.shingleStream(t(s, dir, "documents"), "text",
-          "doc_id", n = 2)
+      // (w1, w2) ↔ the space-joined bigram key is bijective (tokens carry
+      // no whitespace), so the shared count table IS the pair table (r16)
+      val counts = corpusBigramCounts(s, dir)
         .select(substring_index(col("s"), " ", 1).as("w1"),
-          substring_index(col("s"), " ", -1).as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+          substring_index(col("s"), " ", -1).as("w2"),
+          col("c12").as("n"))
         .filter(col("n") >= 5)
       counts.withColumn("rnk", row_number().over(Window.partitionBy("w1")
           .orderBy(col("n").desc, col("w2").asc)).cast("long"))

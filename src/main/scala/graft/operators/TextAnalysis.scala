@@ -320,6 +320,17 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** [[bigramTopK]] over a pre-aggregated corpus bigram-count table
+    * (s, c12) — see [[knLogProbFromCounts]]. Identical counts: the
+    * array-side zip_with bigrams and the shingle-stream bigrams are the
+    * same adjacent-pair multiset under the same whitespace tokenization
+    * (lower∘trim ≡ trim∘lower on whitespace structure), space-joined
+    * identically. */
+  def bigramTopKFromCounts(bigCounts: DataFrame, k: Int): DataFrame =
+    bigCounts.select(col("s").as("bg"), col("c12").as("n"))
+      .orderBy(col("n").desc, col("bg").asc)
+      .limit(k)
+
   /** PMI collocations: the top-k adjacent token pairs by pointwise mutual
     * information — `pmi(x,y) = ln(c_xy·N / (c_x·…·c_…y))` with marginals
     * and N taken FROM the bigram-event table itself (self-contained, no
@@ -340,10 +351,26 @@ object TextAnalysis {
     val toks = wsTokens(lower(col(textCol)))
     val n1 = greatest(size(toks) - 1, lit(0))
     val prs = arrays_zip(slice(toks, lit(1), n1), slice(toks, lit(2), n1))
-    val cells = df.select(explode(prs).as("p"))
+    pmiFromCells(df.select(explode(prs).as("p"))
       .select(col("p.0").as("x"), col("p.1").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(), k, minCount)
+  }
+
+  /** [[pmiCollocations]] over a pre-aggregated (already materialized)
+    * corpus bigram-count table (s, c12) — see [[knLogProbFromCounts]]
+    * and the count-identity note on [[bigramTopKFromCounts]]; the
+    * (x, y) split of the space-joined key is bijective because tokens
+    * contain no whitespace. */
+  def pmiCollocationsFromCounts(bigCounts: DataFrame, k: Int,
+      minCount: Int): DataFrame =
+    pmiFromCells(bigCounts.select(
+      substring_index(col("s"), " ", 1).as("x"),
+      substring_index(col("s"), " ", -1).as("y"),
+      col("c12").as("c")), k, minCount)
+
+  private def pmiFromCells(cells: DataFrame, k: Int,
+      minCount: Int): DataFrame = {
     val left = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
     val right = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
     val n = cells.agg(sum(col("c")).as("n"))
@@ -426,10 +453,22 @@ object TextAnalysis {
     * Shape: one bigram stream; f, r, B are aggregates OF the
     * vocab-sized bigram-count table, never the corpus; B rides a 1-row
     * broadcast. Returns (idCol, lp_permille) — mean token log-prob. */
-  def knLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def knLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    knLogProbFromCounts(df, textCol, idCol,
+      Dedup.shingleStream(df, textCol, idCol, n = 2)
+        .groupBy(col("s")).agg(count(lit(1)).as("c12")))
+
+  /** [[knLogProb]] over a PRE-AGGREGATED corpus bigram-count table
+    * (s, c12) — the round-16 shared-count form: the whole bigram-LM
+    * family (add-1, KN, pruned-KN, entropy, top-k, PMI, suggest) reads
+    * ONE memoized count table instead of each re-running the
+    * corpus-width tokenize+window+count (guide §2.4; the counts are a
+    * pure aggregate of the same stream, so scores are unchanged). */
+  def knLogProbFromCounts(df: DataFrame, textCol: String, idCol: String,
+      bigCounts: DataFrame): DataFrame = {
     val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
       .select(col("id"), col("s"))
-    val big = tok.groupBy(col("s")).agg(count(lit(1)).as("c12"))
+    val big = bigCounts
       .withColumn("w1", substring_index(col("s"), " ", 1))
       .withColumn("w2", substring_index(col("s"), " ", -1))
     val fol = big.groupBy(col("w1"))
@@ -477,15 +516,23 @@ object TextAnalysis {
     * count floor needs counts) and the per-w1 (c1, fw, n1) aggregate OF
     * that table. Returns (idCol, lp_permille). */
   def knLogProbPruned(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
-      .select(col("id"), col("s"))
+      idCol: String): DataFrame =
     // materialize the vocab-sized bigram-count table once — its four
     // consumers (fol, keptBig, pre, types) would each re-run the
     // corpus-width tokenize+window subtree otherwise (the kn3 checkpoint
     // discipline; exchange reuse does not dedupe across the aggregates)
-    val big = Dedup.ckptLight(
-        tok.groupBy(col("s")).agg(count(lit(1)).as("c12")))
+    knLogProbPrunedFromCounts(df, textCol, idCol, Dedup.ckptLight(
+      Dedup.shingleStream(df, textCol, idCol, n = 2)
+        .groupBy(col("s")).agg(count(lit(1)).as("c12"))))
+
+  /** [[knLogProbPruned]] over a pre-aggregated (ALREADY materialized)
+    * corpus bigram-count table (s, c12) — see [[knLogProbFromCounts]].
+    * The caller owns the count table's checkpoint. */
+  def knLogProbPrunedFromCounts(df: DataFrame, textCol: String,
+      idCol: String, bigCounts: DataFrame): DataFrame = {
+    val tok = Dedup.shingleStream(df, textCol, idCol, n = 2)
+      .select(col("id"), col("s"))
+    val big = bigCounts
       .withColumn("w1", substring_index(col("s"), " ", 1))
     val fol = big.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"),
@@ -1126,9 +1173,15 @@ object TextAnalysis {
     * corpus-sized bigram aggregate; everything after is vocab-sized.
     * Returns one row (n_bigrams, cond_entropy_micros). */
   def bigramCondEntropy(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val big = Dedup.shingleStream(df, textCol, idCol, n = 2)
-      .groupBy(col("s")).agg(count(lit(1)).as("c12"))
+      idCol: String): DataFrame =
+    bigramCondEntropyFromCounts(
+      Dedup.shingleStream(df, textCol, idCol, n = 2)
+        .groupBy(col("s")).agg(count(lit(1)).as("c12")))
+
+  /** [[bigramCondEntropy]] over a pre-aggregated corpus bigram-count
+    * table (s, c12) — see [[knLogProbFromCounts]]. */
+  def bigramCondEntropyFromCounts(bigCounts: DataFrame): DataFrame = {
+    val big = bigCounts
       .withColumn("w1", substring_index(col("s"), " ", 1))
     val fol = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     big.join(fol, "w1")
@@ -1747,22 +1800,28 @@ object TextAnalysis {
       df.select(col(idCol).cast("long").as("id"),
           wsTokens(lower(col(textCol))).as("__w"))
         .select(col("id"), explode(array_distinct(units)).as("w")))
-    var covered = toks.select(col("w")).filter(lit(false))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
+      // the covered set is re-derived per round from the CHECKPOINTED
+      // token table and the picked-id list (bounded, ≤ k ids) instead of
+      // being union-checkpointed per round — same set (union of picked
+      // docs' grams), one driver job per round instead of two (r16,
+      // guide §2.4/§5: the loop-carried state is the tiny pick list, not
+      // a materialized table)
+      val pickedIds = picks.map(_._2)
+      val covered =
+        if (pickedIds.isEmpty) toks.select(col("w")).filter(lit(false))
+        else toks.filter(col("id").isInCollection(pickedIds))
+          .select(col("w")).distinct()
       val top = toks.join(broadcast(covered), Seq("w"), "left_anti")
         .groupBy(col("id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val id = top(0).getLong(0)
-        picks += ((r, id, top(0).getLong(1)))
-        covered = Dedup.ckptLight(
-          covered.union(toks.filter(col("id") === id).select(col("w")))
-            .distinct())
+        picks += ((r, top(0).getLong(0), top(0).getLong(1)))
         r += 1
       }
     }
