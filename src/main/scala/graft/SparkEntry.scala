@@ -169,6 +169,7 @@ object SparkEntry {
           knMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           bigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knIvmCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          dupSpansMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -864,6 +865,23 @@ object SparkEntry {
       TextAnalysis.winnowFingerprints(t(sess, d, "documents"), "text",
         "doc_id", k = TextAnalysis.WinnowK, w = TextAnalysis.WinnowW)
         .localCheckpoint()
+    })
+  }
+
+  /** Shared duplicated-span table for the exact-substring trio
+    * (`dup_spans`, `span_coverage`, `substring_excise`): ONE
+    * window-gram + span-merge pass per (session, dir)
+    * ([[TextAnalysis.dupSpans]] k=8, the winnowMemo discipline) — the
+    * coverage statistic and the excision action are cheap consumers of
+    * the span table, not re-runs of the pipeline (r16, guide §2.4). */
+  private val dupSpansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def dupSpansTable(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    dupSpansMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      TextAnalysis.dupSpans(t(sess, d, "documents"), "text", "doc_id",
+        k = 8).localCheckpoint()
     })
   }
 
@@ -3594,23 +3612,23 @@ object SparkEntry {
     // dedup pass would excise. One explode, one gram-count aggregate,
     // one join against the duplicated sliver, one per-doc window.
     "dup_spans" -> ((s, dir) =>
-      TextAnalysis.dupSpans(t(s, dir, "documents"), "text", "doc_id",
-        k = 8).withColumnRenamed("id", "doc_id")),
+      dupSpansTable(s, dir).withColumnRenamed("id", "doc_id")),
 
     // duplicated-position coverage per document — the triage statistic
     // upstream of substring excision ([[TextAnalysis.spanCoverage]]);
     // one row per document, zeros when nothing is duplicated.
     "span_coverage" -> ((s, dir) =>
-      TextAnalysis.spanCoverage(t(s, dir, "documents"), "text", "doc_id",
-        k = 8).withColumnRenamed("id", "doc_id")),
+      TextAnalysis.spanCoverageFromSpans(t(s, dir, "documents"), "text",
+        "doc_id", dupSpansTable(s, dir)).withColumnRenamed("id", "doc_id")),
 
     // substring excision — the action step of exact-substring dedup:
     // every document rebuilt with duplicated-span positions removed,
     // survivors in original order ([[TextAnalysis.substringExcise]];
     // kept_text = "" when fully covered, mirroring line_dedup).
     "substring_excise" -> ((s, dir) =>
-      TextAnalysis.substringExcise(t(s, dir, "documents"), "text",
-        "doc_id", k = 8).withColumnRenamed("id", "doc_id")),
+      TextAnalysis.substringExciseFromSpans(t(s, dir, "documents"),
+        "text", "doc_id", dupSpansTable(s, dir))
+        .withColumnRenamed("id", "doc_id")),
 
     // DSIR-style importance weights (Xie et al. 2023) in exact fixed
     // point: hashed-bigram occurrence rates for the en-language target

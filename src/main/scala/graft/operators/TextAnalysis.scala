@@ -1925,10 +1925,18 @@ object TextAnalysis {
     * cov_permille is integer (1000·covered DIV tokens) so the oracle
     * compare is exact. */
   def spanCoverage(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8): DataFrame =
+    spanCoverageFromSpans(df, textCol, idCol, dupSpans(df, textCol, idCol, k))
+
+  /** [[spanCoverage]] over a PRE-COMPUTED [[dupSpans]] table — the
+    * round-16 shared-spans form: the exact-substring trio (`dup_spans`,
+    * `span_coverage`, `substring_excise`) reads one memoized span table
+    * instead of each re-running the window-gram pipeline (guide §2.4). */
+  def spanCoverageFromSpans(df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val cov = dupSpans(df, textCol, idCol, k)
+    val cov = spans
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("n_covered"))
     base.join(cov, Seq("id"), "left")
@@ -1951,12 +1959,19 @@ object TextAnalysis {
     * rebuild is the ordered FILTERed-collect aggregate the line-dedup
     * pass uses. */
   def substringExcise(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8): DataFrame =
+    substringExciseFromSpans(df, textCol, idCol,
+      dupSpans(df, textCol, idCol, k))
+
+  /** [[substringExcise]] over a pre-computed [[dupSpans]] table — see
+    * [[spanCoverageFromSpans]]. */
+  def substringExciseFromSpans(df: DataFrame, textCol: String,
+      idCol: String, spans: DataFrame): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         wsTokens(col(textCol)).as("__w"))
       .select(col("id"), posexplode(col("__w")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + lit(1L)).as("p"), col("tok"))
-    val covered = dupSpans(df, textCol, idCol, k)
+    val covered = spans
       .select(col("id"),
         explode(expr("sequence(span_start, span_end)")).as("p"))
       .withColumn("__c", lit(1))
