@@ -170,6 +170,7 @@ object SparkEntry {
           bigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knIvmCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           dupSpansMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          unigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -469,6 +470,22 @@ object SparkEntry {
       val (sess, d) = key
       Dedup.shingleStream(t(sess, d, "documents"), "text", "doc_id", n = 2)
         .groupBy(col("s")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Shared full-corpus unigram-count table (w, c) — the bigram memo's
+    * unigram sibling for `vocab_topk`, `coverage_curve`, `zipf_slope`,
+    * `unigram_logprob` (round-16, guide §2.4). */
+  private val unigramCountsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def corpusUnigramCounts(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    unigramCountsMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      t(sess, d, "documents")
+        .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
     })
   }
@@ -2671,7 +2688,7 @@ object SparkEntry {
     // budget planner ([[TextAnalysis.coverageCurve]]; rangedRank global
     // vocab order, pure integers).
     "coverage_curve" -> ((s, dir) =>
-      TextAnalysis.coverageCurve(t(s, dir, "documents"), "text")),
+      TextAnalysis.coverageCurveFromCounts(corpusUnigramCounts(s, dir))),
 
     // UniMax budget allocation (Chung et al. 2023): the fair-sampling
     // answer to alpha_mixture's temperature smoothing — allocate a
@@ -3327,7 +3344,7 @@ object SparkEntry {
         TextAnalysis.hashSplit(col("text")).as("split"))),
 
     "vocab_topk" -> ((s, dir) =>
-      TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 50)),
+      TextAnalysis.vocabTopKFromCounts(corpusUnigramCounts(s, dir), 50)),
 
     // tokenizer-coverage check: per source, the share of token
     // occurrences outside the corpus-wide top-50 vocabulary
@@ -4204,7 +4221,8 @@ object SparkEntry {
     // CCNet-style corpus-LM quality signal: mean unigram log-prob per doc
     // (integer-micro rounding per token keeps the distributed sum exact).
     "unigram_logprob" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")),
+      TextAnalysis.unigramLogProbFromCounts(t(s, dir, "documents"),
+        "text", "doc_id", corpusUnigramCounts(s, dir))),
 
     // Gopher rule battery (Rae et al. 2021 A1.1): the heuristic quality
     // filter applied before LM training — word-count bounds, mean word
@@ -5185,7 +5203,8 @@ object SparkEntry {
     // top-1k vocabulary ([[TextAnalysis.zipfSlope]] — per-term ln
     // quantized to micros, regression on exact integer sufficient stats).
     "zipf_slope" -> ((s, dir) =>
-      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", k = 1000)),
+      TextAnalysis.zipfSlopeFromCounts(corpusUnigramCounts(s, dir),
+        k = 1000)),
 
     // dyadic-decay smoothing of per-type daily spend
     // ([[EventAnalytics.ewmaDaily]] — grid collapse first, banded self-

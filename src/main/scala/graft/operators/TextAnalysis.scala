@@ -238,8 +238,15 @@ object TextAnalysis {
     * partition heaps + driver merge), never a global sort. Ties broken by
     * token ascending for determinism. */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
+    vocabTopKFromCounts(
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")), k)
+
+  /** [[vocabTopK]] over a pre-aggregated corpus unigram-count table
+    * (w, c) — the round-16 shared-count form (the bigram memo's unigram
+    * sibling; counts are a pure aggregate of the same token stream). */
+  def vocabTopKFromCounts(uniCounts: DataFrame, k: Int): DataFrame =
+    uniCounts.select(col("w"), col("c").as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(k)
 
@@ -422,11 +429,19 @@ object TextAnalysis {
     * order-independent, so distributed vs sequential accumulation can
     * never drift a rounding boundary (a raw double `avg` could). The
     * per-doc mean divides two exact integers at the end. */
-  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    unigramLogProbFromCounts(df, textCol, idCol,
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+
+  /** [[unigramLogProb]] over a pre-aggregated corpus unigram-count
+    * table (w, c) — see [[vocabTopKFromCounts]]; only the per-doc
+    * scoring stream is re-tokenized. */
+  def unigramLogProbFromCounts(df: DataFrame, textCol: String,
+      idCol: String, counts: DataFrame): DataFrame = {
     val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .select(col("id"), explode(wsTokens(lower(col("__text")))).as("w"))
       .repartition(col("w"))
-    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val total = broadcast(counts.agg(sum(col("c")).as("t")))
     tok.join(counts, Seq("w")).crossJoin(total)
       .select(col("id"),
@@ -1007,10 +1022,14 @@ object TextAnalysis {
     * [[Transforms.rangedRank]] (the scale-correct global ordering —
     * vocabularies are data-sized at corpus scale). Returns
     * (decile, n_types, covered_permille). */
-  def coverageCurve(df: DataFrame, textCol: String): DataFrame = {
-    val counts = df
-      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+  def coverageCurve(df: DataFrame, textCol: String): DataFrame =
+    coverageCurveFromCounts(
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
+  /** [[coverageCurve]] over a pre-aggregated corpus unigram-count table
+    * (w, c) — see [[vocabTopKFromCounts]]. */
+  def coverageCurveFromCounts(counts: DataFrame): DataFrame = {
     val ranked = Transforms.rangedRank(counts,
       Seq(col("c").desc, col("w").asc), "r")
     val glob = broadcast(ranked.agg(count(lit(1)).as("v"),
@@ -1681,11 +1700,15 @@ object TextAnalysis {
           .as("jaccard_permille"))
   }
 
-  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame =
+    zipfSlopeFromCounts(
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")), k)
+
+  /** [[zipfSlope]] over a pre-aggregated corpus unigram-count table
+    * (w, c) — see [[vocabTopKFromCounts]]. */
+  def zipfSlopeFromCounts(counts: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df
-      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     // top-k FIRST (a distributed TakeOrdered), so the ranking window only
     // ever sees k rows — never a single-partition pass over the vocabulary
     val ranked = counts
