@@ -171,6 +171,7 @@ object SparkEntry {
           knIvmCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           dupSpansMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           unigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          sq8CandMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcIvmMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -471,6 +472,25 @@ object SparkEntry {
       Dedup.shingleStream(t(sess, d, "documents"), "text", "doc_id", n = 2)
         .groupBy(col("s")).agg(count(lit(1)).as("c12"))
         .localCheckpoint()
+    })
+  }
+
+  /** Shared SQ8 candidate table (qid, nid, d2) for the compressed-ANN
+    * eval pair (`ann_sq8`, `rank_fusion`): both score the identical
+    * query/corpus cross against the identical corpus code table —
+    * memoized + checkpointed once per (session, dir) (r16, guide §2.4;
+    * the table is |q|·|corpus| eval-cross rows, the documented bounded
+    * evaluation-tier exception). */
+  private val sq8CandMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def sq8CandTable(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    sq8CandMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val emb = t(sess, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.sq8CandidateTable(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10)).localCheckpoint()
     })
   }
 
@@ -3221,8 +3241,9 @@ object SparkEntry {
     "ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.annTopKSq8(emb.filter(col("id") < 10),
-        emb.filter(col("id") >= 10), 5, rerank = Similarity.Sq8Rerank)
+      Similarity.annTopKSq8FromCandidates(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5, sq8CandTable(s, dir),
+        rerank = Similarity.Sq8Rerank)
     }),
 
     // hybrid-retrieval rank fusion (Cormack et al. 2009 RRF): the exact
@@ -3232,8 +3253,9 @@ object SparkEntry {
     "rank_fusion" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.rrfFusion(emb.filter(col("id") < 10),
-        emb.filter(col("id") >= 10), 5, kRrf = Similarity.RrfK)
+      Similarity.rrfFusionFromCandidates(emb.filter(col("id") < 10),
+        emb.filter(col("id") >= 10), 5, sq8CandTable(s, dir),
+        kRrf = Similarity.RrfK)
     }),
 
     // vector compression layer: product-quantization codes — 4 subspaces

@@ -651,6 +651,23 @@ object Similarity {
     sq8Rank(qN2, corpusN2, sq8Candidates(qN2, corpusN2, dim), k, rerank)
   }
 
+  /** The (qid, nid, d2) SQ8 code-distance table for a query/corpus
+    * pair — [[annTopKSq8]]'s candidate tier as a shareable product:
+    * `ann_sq8` and `rank_fusion` score the SAME cross with the SAME
+    * corpus code table, so a caller can build this once (checkpointed)
+    * and close both queries from it (round-16, guide §2.4). */
+  def sq8CandidateTable(queries: DataFrame, corpus: DataFrame,
+      dim: Int = 64): DataFrame =
+    sq8Candidates(withN2(queries, "qid", "qv", "qn2"),
+      withN2(corpus, "nid", "nv", "nn2", rebalance = true), dim)
+
+  /** [[annTopKSq8]] closed over a pre-built [[sq8CandidateTable]]. */
+  def annTopKSq8FromCandidates(queries: DataFrame, corpus: DataFrame,
+      k: Int, cand: DataFrame, rerank: Int = Sq8Rerank): DataFrame =
+    sq8Rank(withN2(queries, "qid", "qv", "qn2"),
+      withN2(corpus, "nid", "nv", "nn2", rebalance = true), cand, k,
+      rerank)
+
   private def sq8Unit(vC: String, n2C: String): Column =
     transform(col(vC), x => x / sqrt(col(n2C)))
 
@@ -781,7 +798,14 @@ object Similarity {
     * windows partition by qid — |q|·|corpus| rows ranked, nothing
     * pairwise beyond the eval cross. */
   def rrfFusion(queries: DataFrame, corpus: DataFrame, k: Int,
-      kRrf: Int = RrfK, dim: Int = 64): DataFrame = {
+      kRrf: Int = RrfK, dim: Int = 64): DataFrame =
+    rrfFusionFromCandidates(queries, corpus, k,
+      sq8CandidateTable(queries, corpus, dim), kRrf)
+
+  /** [[rrfFusion]] closed over a pre-built [[sq8CandidateTable]] —
+    * see there. */
+  def rrfFusionFromCandidates(queries: DataFrame, corpus: DataFrame,
+      k: Int, cand: DataFrame, kRrf: Int = RrfK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpusN2 = withN2(corpus, "nid", "nv", "nn2", rebalance = true)
     val qN2 = withN2(queries, "qid", "qv", "qn2")
@@ -791,7 +815,7 @@ object Similarity {
           .as("cos_permille"))
       .withColumn("rank_cos", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cos_permille").desc, col("nid").asc)))
-    val quant = sq8Candidates(qN2, corpusN2, dim)
+    val quant = cand
       .withColumn("rank_sq8", row_number().over(Window.partitionBy("qid")
         .orderBy(col("d2").asc, col("nid").asc)))
     val fused = exact.join(quant, Seq("qid", "nid"))
