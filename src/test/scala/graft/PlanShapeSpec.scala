@@ -123,11 +123,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("unigram_logprob: token explode computed once for counts and join") {
+    // r16: the count table rides the shared corpus-unigram memo (a
+    // materialized checkpoint scan), so the query plan must contain
+    // exactly ONE token explode — the per-doc scoring probe — and read
+    // the counts from the checkpointed RDD, never a second explode.
     val plan = finalPlan(q("unigram_logprob"))
-    val reused = plan.linesIterator.count(l =>
-      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
-    assert(reused >= 1,
-      s"count side and join side no longer share the token exchange\n" +
+    val explodes = plan.linesIterator.count(l =>
+      l.contains("Generate explode"))
+    assert(explodes == 1,
+      s"expected exactly one token explode (probe side), got $explodes\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("Scan ExistingRDD"),
+      s"counts no longer read the materialized shared table\n" +
         plan.linesIterator.take(30).mkString("\n"))
   }
 
@@ -649,8 +656,17 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("gopher_repetition / dup_spans: window n-grams travel as numeric " +
       "keys, never strings") {
-    for (name <- Seq("gopher_repetition", "dup_spans")) {
-      val plan = finalPlan(q(name))
+    // r16: the dup_spans QUERY serves the shared span-table memo (a
+    // checkpoint scan), so the numeric-key property is pinned on the
+    // OPERATOR plan that builds the table — the plan that actually
+    // moves window grams.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val forms: Seq[(String, DataFrame)] = Seq(
+      "gopher_repetition" -> q("gopher_repetition"),
+      "dup_spans" -> graft.operators.TextAnalysis.dupSpans(
+        docs, "text", "doc_id", k = 8))
+    for ((name, df) <- forms) {
+      val plan = finalPlan(df)
       // the string forms shuffled k× the corpus text (22.5 s / 5.8 s);
       // concat_ws in the plan means gram STRINGS are being built again
       // (the one allowed concat_ws is gopher_repetition's per-doc
