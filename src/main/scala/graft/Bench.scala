@@ -78,12 +78,40 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Memo-build accounting (round-17, VERDICT r16 task 2): in the full
+    // battery the warm loop runs PLANNING-ONLY — a query whose family
+    // memo is unbuilt raises MemoDeferred and skips its warm analysis
+    // (its input tables are shared and resolve through the other
+    // queries' warm passes) — and every cross-query memoized derivation
+    // is then built INSIDE the timed region as its own `__memo:<name>`
+    // slot, before the query loop. Per-query slots keep their pre-r17
+    // meaning (consumers read the built memo, exactly as when the warm
+    // loop built it), but the shared-derivation cost is now a named,
+    // probe-bracketed, floor-ratcheted row in the artifact instead of
+    // uncharged warm-phase work. Subset runs (dev / scale rungs) keep
+    // the old warm-builds behavior so their slot numbers stay
+    // comparable to prior subset receipts.
+    val fullBattery = only.isEmpty
+    if (fullBattery) SparkEntry.planningOnly = true
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).schema
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed to plan: ${e.getMessage}")
+      catch {
+        case _: SparkEntry.MemoDeferred => () // built in its __memo slot
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed to plan: ${e.getMessage}")
       }
     }
+    if (fullBattery) SparkEntry.planningOnly = false
+    // Timed slots: memo builds first (dependency order), then the
+    // queries (sorted). Each memo thunk invokes the family accessor —
+    // exactly the eager work the warm phase used to do.
+    val slots: Seq[(String, () => Unit)] =
+      (if (fullBattery) SparkEntry.memoBuilders.map { case (n, b) =>
+        (s"__memo:$n", () => b(spark, sfDir))
+      } else Seq.empty) ++
+        ordered.map { case (n, fn) =>
+          (n, () => { fn(spark, sfDir).count(); () })
+        }
     // JIT the probe before any reading matters
     (0 until 20).foreach(_ => cpuProbeNanos())
     // A failing query must fail the bench LOUDLY: it contributes its time
@@ -92,11 +120,11 @@ object Bench {
     var failed = List.empty[String]
     // probes(i) brackets query i as its pre-probe and query i-1 as its
     // post-probe; one extra probe after the loop closes the last slot
-    val probes = new Array[Long](ordered.size + 1)
+    val probes = new Array[Long](slots.size + 1)
     probes(0) = cpuProbeNanos()._1
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    val results = slots.zipWithIndex.map { case ((name, run), i) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { run() } catch {
         case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -148,7 +176,22 @@ object Bench {
         s""""floor_ref":${if (floors.isEmpty && probeNominalMs.isEmpty) "null"
           else "\"tools/bench_floor.tsv\""},""" +
         s""""suspect_slots":${suspects.mkString("{", ",", "}")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"forensics":$forensics,"sf":"$sfDir"}""")
+    // memo_sec = the Σ of the __memo:* build slots — subtract it from
+    // `value` to compare against pre-r17 totals, whose warm phase ran
+    // the same builds uncharged (OPTIMIZATION_r17.md "Memo accounting").
+    val memoSec = results.filter(_._1.startsWith("__memo:")).map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","memo_sec":${f3(memoSec)},"queries":$qs,"failed":$failedJson,"forensics":$forensics,"sf":"$sfDir"}"""
+    println(line)
+    // The per-query line is one stdout-tail truncation away from being
+    // lost to the driver's archiving (it cost round 16 its PERF table) —
+    // persist it to a file as well (round-17, VERDICT r16 task 8).
+    try {
+      val out = new java.io.PrintWriter("tools/bench_last.json", "UTF-8")
+      try out.println(line) finally out.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_last.json not written: $e")
+    }
     // The driver archives only the tail of stdout, which truncates the
     // per-query line above once the battery is large. Emit a compact
     // self-sufficient summary AFTER it so the headline numbers (total,
@@ -157,7 +200,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${f3(total)},"n":${results.size},"failed":$failedJson,"top5":$top5,"forensics":$forensics,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${f3(total)},"memo_sec":${f3(memoSec)},"n":${results.size},"failed":$failedJson,"top5":$top5,"forensics":$forensics,"sf":"$sfDir"}""")
     // ---- floor ratchet (round-16, VERDICT task 7) --------------------
     // At the gate scale, emit the NEXT floor file as a candidate: per
     // query the min of this run's time and the existing floor (so floors

@@ -171,6 +171,7 @@ object SparkEntry {
           knIvmCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           dupSpansMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           unigramCountsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+          postingsMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           sq8CandMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           knApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
           nbcApplyMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
@@ -197,6 +198,30 @@ object SparkEntry {
       })
   }
 
+  /** Memo-build accounting (round-17, VERDICT r16 task 2): when
+    * [[planningOnly]] is set, a memo accessor whose table is NOT yet
+    * built throws [[MemoDeferred]] instead of building it. Bench's warm
+    * loop sets the flag so warm-phase schema analysis can no longer
+    * materialize a memo silently — every build then executes inside the
+    * TIMED region as its own `__memo:<name>` slot (see
+    * [[memoBuilders]] and Bench.scala), making the shared-derivation
+    * cost artifact-visible instead of charged to no slot. Verify, the
+    * labs and direct callers never set the flag, so their behavior is
+    * unchanged (build on first access). */
+  private[graft] final class MemoDeferred extends Exception(
+    "memo build deferred (planning-only warm phase)", null, false, false)
+  @volatile private[graft] var planningOnly: Boolean = false
+
+  /** The guard every memo accessor runs before its `computeIfAbsent`:
+    * hooks eviction (as before) and, in planning-only mode, refuses to
+    * build a memo that is not already cached. */
+  private def memoGuard(
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _],
+      s: SparkSession, dir: String): Unit = {
+    hookMemoEviction(s)
+    if (planningOnly && !m.containsKey((s, dir))) throw new MemoDeferred
+  }
+
   /** Shared mod-300 interaction-graph core (round-16 optimization, guide
     * §2.4 "remove shuffles outright"): ~20 graph queries each derived
     * their edge set by re-scanning lineitem (600 K rows at sf0.1) and
@@ -219,7 +244,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
 
   private def modUv(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(modGraphMemo, s, dir)
     modGraphMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       t(sess, d, "lineitem")
@@ -236,9 +261,17 @@ object SparkEntry {
       .select(col("u").as("src"), col("v").as("dst"))
 
   /** Canonical undirected mod-300 edges: least/greatest collapse, then
-    * the keep-filter on the CANONICAL pair — the exact edge set of the
-    * undirected-graph queries (the filter differs from the directed one:
-    * it tests (a·31+b) after canonicalization). */
+    * the keep-filter on the CANONICAL pair (the filter differs from the
+    * directed one: it tests (a·31+b) after canonicalization).
+    *
+    * MULTISET, not a set (ADVICE r16): when both orientations (u,v) and
+    * (v,u) survive the distinct core, canonicalization emits the (a,b)
+    * row twice. Safe for every current consumer — each GraphAlgos entry
+    * point distincts (or min-aggregates a pure edge function of) its
+    * input internally — but a future multiplicity-sensitive consumer
+    * must add its own `.distinct()` (≤90 K rows) first. Deliberately
+    * NOT deduped here: the dedup would cost one extra exchange in each
+    * of the ~19 consuming queries for a property none of them needs. */
   private def modCanonicalE(s: SparkSession, dir: String): DataFrame =
     modUv(s, dir)
       .select(least(col("u"), col("v")).as("a"),
@@ -257,7 +290,7 @@ object SparkEntry {
 
   private def rankGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    hookMemoEviction(s)
+    memoGuard(rankGraphMemo, s, dir)
     rankGraphMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val li = t(sess, d, "lineitem")
@@ -274,7 +307,7 @@ object SparkEntry {
 
   private def sccDag(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    hookMemoEviction(s)
+    memoGuard(sccDagMemo, s, dir)
     sccDagMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       // same set as the original scan+filter+distinct: the mod-300 core
@@ -313,7 +346,7 @@ object SparkEntry {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def docDupGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    hookMemoEviction(s)
+    memoGuard(docDupMemo, s, dir)
     docDupMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val pairs = Dedup.ngramJaccardPairs(t(sess, d, "documents"),
@@ -338,7 +371,7 @@ object SparkEntry {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def covisitSessions(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    hookMemoEviction(s)
+    memoGuard(covisitMemo, s, dir)
     covisitMemo.computeIfAbsent((s, dir), { key =>
       import org.apache.spark.sql.expressions.Window
       val (sess0, d) = key
@@ -376,7 +409,7 @@ object SparkEntry {
   private val dsirOccMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def dsirOcc(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(dsirOccMemo, s, dir)
     dsirOccMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.dsirFeaturize(t(sess, d, "documents"), "text",
@@ -392,7 +425,7 @@ object SparkEntry {
     (SparkSession, String), Seq[(String, String)]]()
   private def bpeMergeTable(s: SparkSession,
       dir: String): Seq[(String, String)] = {
-    hookMemoEviction(s)
+    memoGuard(bpeMemo, s, dir)
     bpeMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.bpeMerges(t(sess, d, "documents"), "text", iters = 10)
@@ -424,7 +457,7 @@ object SparkEntry {
     (SparkSession, String), Seq[(Long, String, Long, Long)]]()
   private def funnelRows(s: SparkSession,
       dir: String): Seq[(Long, String, Long, Long)] = {
-    hookMemoEviction(s)
+    memoGuard(funnelMemo, s, dir)
     funnelMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
@@ -444,7 +477,7 @@ object SparkEntry {
   private val knMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def knScores(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(knMemo, s, dir)
     knMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.knLogProbFromCounts(t(sess, d, "documents"), "text",
@@ -466,7 +499,7 @@ object SparkEntry {
   private val bigramCountsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def corpusBigramCounts(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(bigramCountsMemo, s, dir)
     bigramCountsMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       Dedup.shingleStream(t(sess, d, "documents"), "text", "doc_id", n = 2)
@@ -484,7 +517,7 @@ object SparkEntry {
   private val sq8CandMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def sq8CandTable(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(sq8CandMemo, s, dir)
     sq8CandMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -494,18 +527,40 @@ object SparkEntry {
     })
   }
 
+  /** Shared (id, w, tf) per-(doc, term) postings table for the retrieval
+    * family (`tfidf_topterms`, `bm25_topk`, `postings`) — each used to
+    * rebuild the identical count aggregate of the identical
+    * `wsTokens ∘ lower` token stream (round-17, guide §2.4; the
+    * equivalence per consumer: tfidf's tf relation IS this table;
+    * bm25's tf relation IS this table (its N/S/df/dl are aggregates of
+    * it, unchanged); postings' DISTINCT (term, doc) is this table's key
+    * set, which a per-(doc, term) count emits exactly once). The
+    * unigram-count memo is its `Σ tf per w` rollup — see below. */
+  private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def corpusPostings(s: SparkSession, dir: String): DataFrame = {
+    memoGuard(postingsMemo, s, dir)
+    postingsMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      TextAnalysis.postingsTable(t(sess, d, "documents"), "text",
+        "doc_id").localCheckpoint()
+    })
+  }
+
   /** Shared full-corpus unigram-count table (w, c) — the bigram memo's
     * unigram sibling for `vocab_topk`, `coverage_curve`, `zipf_slope`,
-    * `unigram_logprob` (round-16, guide §2.4). */
+    * `unigram_logprob` (round-16, guide §2.4). Since r17 it is the
+    * `Σ tf per w` rollup of [[corpusPostings]] (Σ of per-doc counts ≡
+    * the corpus occurrence count), so the memo phase pays ONE corpus
+    * tokenize for the whole unigram+retrieval family. */
   private val unigramCountsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def corpusUnigramCounts(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(unigramCountsMemo, s, dir)
     unigramCountsMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
-      t(sess, d, "documents")
-        .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      corpusPostings(sess, d)
+        .groupBy(col("w")).agg(sum(col("tf")).as("c"))
         .localCheckpoint()
     })
   }
@@ -520,7 +575,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def knMaintainedTrigramCounts(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(knIvmCountsMemo, s, dir)
     knIvmCountsMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
@@ -567,7 +622,7 @@ object SparkEntry {
   private val knApplyMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def knApplyScores(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(knApplyMemo, s, dir)
     knApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
@@ -599,7 +654,7 @@ object SparkEntry {
   private val nbcApplyMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def nbcApplyScores(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(nbcApplyMemo, s, dir)
     nbcApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
@@ -628,7 +683,7 @@ object SparkEntry {
   private val annApplyMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def annApplyScores(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annApplyMemo, s, dir)
     annApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -656,7 +711,7 @@ object SparkEntry {
   private val annRefreshMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def annRefreshScores(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annRefreshMemo, s, dir)
     annRefreshMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -698,7 +753,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def annIvfPqApplyScores(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annPqApplyMemo, s, dir)
     annPqApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -727,7 +782,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def annSq8ApplyScores(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annSq8ApplyMemo, s, dir)
     annSq8ApplyMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -760,7 +815,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def annIvfPqRefreshScores(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annPqRefreshMemo, s, dir)
     annPqRefreshMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -796,7 +851,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def annSq8RefreshScores(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annSq8RefreshMemo, s, dir)
     annSq8RefreshMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -839,7 +894,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private[graft] val AnnGateFloorPermille = 300L
   private def annGateDocs(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(annGateMemo, s, dir)
     annGateMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val emb = t(sess, d, "embeddings")
@@ -871,7 +926,7 @@ object SparkEntry {
     (SparkSession, String), DataFrame]()
   private def nbcMaintainedCounts(s: SparkSession,
       dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(nbcIvmMemo, s, dir)
     nbcIvmMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       val docs = t(sess, d, "documents")
@@ -896,7 +951,7 @@ object SparkEntry {
   private val winnowMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def winnowFp(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(winnowMemo, s, dir)
     winnowMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.winnowFingerprints(t(sess, d, "documents"), "text",
@@ -914,7 +969,7 @@ object SparkEntry {
   private val dupSpansMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private def dupSpansTable(s: SparkSession, dir: String): DataFrame = {
-    hookMemoEviction(s)
+    memoGuard(dupSpansMemo, s, dir)
     dupSpansMemo.computeIfAbsent((s, dir), { key =>
       val (sess, d) = key
       TextAnalysis.dupSpans(t(sess, d, "documents"), "text", "doc_id",
@@ -950,6 +1005,66 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     Reconcile.classified(rBatch(spark, dir), rState(spark, dir))
       .select(col("__key").as("external_id"), col("op"))
+  }
+
+  /** Every cross-query memoized derivation, in dependency order (an
+    * entry's dependencies appear before it so each slot is charged its
+    * OWN incremental cost): Bench builds these inside the timed region
+    * as `__memo:<name>` slots (round-17, VERDICT r16 task 2 — the warm
+    * loop runs planning-only and can no longer absorb a build). Each
+    * builder just invokes the accessor: exactly the eager work the
+    * pre-r17 warm phase did, now timed and named. Keep this list in sync
+    * with the accessors above — a memo missing here builds inside its
+    * first consumer's timed slot (honest but floor-breaking, and the
+    * floor forensics will flag it). */
+  private[graft] val memoBuilders
+      : Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "mod_uv" -> ((s, d) => { modUv(s, d); () }),
+    "scc_dag" -> ((s, d) => { sccDag(s, d); () }),
+    "rank_graph" -> ((s, d) => { rankGraph(s, d); () }),
+    "doc_dup" -> ((s, d) => { docDupGraph(s, d); () }),
+    "covisit" -> ((s, d) => { covisitSessions(s, d); () }),
+    "dsir_occ" -> ((s, d) => { dsirOcc(s, d); () }),
+    "bpe_merges" -> ((s, d) => { bpeMergeTable(s, d); () }),
+    "funnel" -> ((s, d) => { funnelRows(s, d); () }),
+    "bigram_counts" -> ((s, d) => { corpusBigramCounts(s, d); () }),
+    "kn_scores" -> ((s, d) => { knScores(s, d); () }),
+    "kn_ivm_counts" -> ((s, d) => { knMaintainedTrigramCounts(s, d); () }),
+    "postings_tf" -> ((s, d) => { corpusPostings(s, d); () }),
+    "unigram_counts" -> ((s, d) => { corpusUnigramCounts(s, d); () }),
+    "dup_spans" -> ((s, d) => { dupSpansTable(s, d); () }),
+    "sq8_cand" -> ((s, d) => { sq8CandTable(s, d); () }),
+    "winnow_fp" -> ((s, d) => { winnowFp(s, d); () }),
+    "kn_apply" -> ((s, d) => { knApplyScores(s, d); () }),
+    "nbc_apply" -> ((s, d) => { nbcApplyScores(s, d); () }),
+    "nbc_ivm_counts" -> ((s, d) => { nbcMaintainedCounts(s, d); () }),
+    "ann_apply" -> ((s, d) => { annApplyScores(s, d); () }),
+    "ann_refresh" -> ((s, d) => { annRefreshScores(s, d); () }),
+    "ann_ivfpq_apply" -> ((s, d) => { annIvfPqApplyScores(s, d); () }),
+    "ann_sq8_apply" -> ((s, d) => { annSq8ApplyScores(s, d); () }),
+    "ann_ivfpq_refresh" -> ((s, d) => { annIvfPqRefreshScores(s, d); () }),
+    "ann_sq8_refresh" -> ((s, d) => { annSq8RefreshScores(s, d); () }),
+    "ann_gate" -> ((s, d) => { annGateDocs(s, d); () }))
+
+  /** Drop every memo cached for `(s, dir)` — the lost-checkpoint
+    * recovery hook (SCALING.md "Memoized checkpoints: loss recovery"):
+    * a memo's blocks live lineage-free in executor storage, so after an
+    * executor loss the consumers' recovery path is to drop the entry and
+    * let the accessor rebuild from the parquet inputs on next access
+    * (pure derivations of immutable fixtures — bit-identical by
+    * construction, pinned in MemoRecoverySpec). Does not unpersist
+    * surviving blocks: the caller decides whether the old frames are
+    * still referenced elsewhere. */
+  private[graft] def dropMemos(s: SparkSession, dir: String): Unit = {
+    val key = (s, dir)
+    Seq(sccDagMemo, modGraphMemo, rankGraphMemo, docDupMemo, covisitMemo,
+      dsirOccMemo, winnowMemo, knMemo, bigramCountsMemo, knIvmCountsMemo,
+      dupSpansMemo, unigramCountsMemo, postingsMemo, sq8CandMemo,
+      knApplyMemo, nbcApplyMemo, nbcIvmMemo, annApplyMemo, annRefreshMemo,
+      annPqApplyMemo, annSq8ApplyMemo, annPqRefreshMemo, annSq8RefreshMemo,
+      annGateMemo, bpeMemo, funnelMemo)
+      .foreach(_.asInstanceOf[java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String), _]].remove(key))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2780,7 +2895,10 @@ object SparkEntry {
         .withColumn("__op", lit(1))
         .unionByName(base.filter(col("doc_id") % 5 === 0)
           .withColumn("__op", lit(-1)))
-      val model = graft.operators.NaiveBayes.nbcModelFromCounts(
+      // prepped variant: the maintained counts are the checkpointed memo
+      // — re-checkpointing them inside the model build would copy the
+      // vocab table for a barrier that already exists (r17)
+      val model = graft.operators.NaiveBayes.nbcModelFromPreppedCounts(
         nbcMaintainedCounts(s, dir),
         graft.operators.NaiveBayes.maintainClassDocCounts(
           base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
@@ -3289,7 +3407,8 @@ object SparkEntry {
       // needs (no stage materializes more than (key, id)).
       // input-split rebalance ahead of the scoring expressions: a single
       // row-group input would run all three scorers in one task.
-      val d = t(s, dir, "documents").repartition(col("doc_id"))
+      val d = Transforms.keyedInputRebalance(t(s, dir, "documents"),
+        col("doc_id"))
       // single fused gate expression == tokenCount >= 20 && qualityScore
       // >= 400 && langId == "en" (FilterExec has no subexpression
       // elimination, so the composed conjunction re-scans the text per
@@ -4234,7 +4353,8 @@ object SparkEntry {
     // so the oracle compare never touches the float score (see tfIdf doc).
     "tfidf_topterms" -> ((s, dir) =>
       Transforms.topKPerGroup(
-          TextAnalysis.tfIdf(t(s, dir, "documents"), "text", "doc_id"),
+          TextAnalysis.tfIdfFromPostings(t(s, dir, "documents"),
+            corpusPostings(s, dir)),
           Seq(col("id")),
           Seq(col("tf").desc, col("term_df").asc, col("term").asc), 5)
         .select(col("id").as("doc_id"), col("term"), col("tf"),
@@ -5269,7 +5389,7 @@ object SparkEntry {
     // lists ([[TextAnalysis.postingsHead]] — distinct collapse, k-sized
     // TakeOrdered, rank-limit postings cap → WindowGroupLimit).
     "postings" -> ((s, dir) =>
-      TextAnalysis.postingsHead(t(s, dir, "documents"), "text", "doc_id",
+      TextAnalysis.postingsHeadFromPostings(corpusPostings(s, dir),
         k = 20, cap = 10)),
 
     // collection-level vocabulary overlap: Jaccard permille for every
@@ -5765,7 +5885,7 @@ object SparkEntry {
     // ([[TextAnalysis.bm25TopK]] — cleared-denominator integer
     // saturation, one tf relation feeding df/dl/scoring).
     "bm25_topk" -> ((s, dir) =>
-      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      TextAnalysis.bm25TopKFromPostings(corpusPostings(s, dir), "doc_id",
         qRankLo = 10, qRankHi = 12, k = 10)),
 
     // minimum spanning forest of the mod-300 interaction graph under a

@@ -88,9 +88,13 @@ object Dedup {
     // row property ABOVE the shared stream instead of pre-filtering, so
     // both branches reuse one exchange (see splitContamination).
     val carryCols = carry.map(col)
-    val tok = df.select(col(idCol).as("id") +: carryCols
-        :+ col(textCol).as("__text"): _*)
-      .repartition(col("id"))
+    // keyedInputRebalance, not a bare repartition(id): on a one-row-group
+    // input AQE coalesces the keyed exchange to a single task and the
+    // explode+window below serializes (r17; the explicit-count branch is
+    // AQE-exempt, the wide branch keeps the old keyed repartition)
+    val tok = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id") +: carryCols
+          :+ col(textCol).as("__text"): _*), col("id"))
       .select(col("id") +: carryCols
         :+ posexplode(split(lower(trim(col("__text"))), "\\s+")).as(Seq("pos", "w0")): _*)
     val wspec = Window.partitionBy("id").orderBy("pos")
@@ -809,8 +813,9 @@ object Dedup {
     // tokenize+dedup pipeline replays per consumer (measured: ~1/3 of
     // the query's wall time at sf0.1)
     val words = ckptLight(
-      df.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .repartition(col("id"))
+      Transforms.keyedInputRebalance(
+          df.select(col(idCol).as("id"), col(textCol).as("__text")),
+          col("id"))
         .select(col("id"),
           explode(split(lower(trim(col("__text"))), "\\s+")).as("w"))
         .dropDuplicates("id", "w"))
@@ -939,8 +944,9 @@ object Dedup {
       textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def posShingles(df: DataFrame): DataFrame = {
-      val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .repartition(col("id"))
+      val tok = Transforms.keyedInputRebalance(
+          df.select(col(idCol).as("id"), col(textCol).as("__text")),
+          col("id"))
         .select(col("id"),
           posexplode(split(lower(trim(col("__text"))), "\\s+"))
             .as(Seq("pos", "w0")))

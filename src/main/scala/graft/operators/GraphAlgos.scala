@@ -51,9 +51,16 @@ object GraphAlgos {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPermille: Int = 850,
-      checkpointEvery: Int = 4): DataFrame =
+      checkpointEvery: Int = 4): DataFrame = {
+    // validate BEFORE prepRankGraph: the prep eagerly scans, distincts
+    // and checkpoints the graph — bad arguments must throw before any
+    // of that runs (ADVICE r16)
+    require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
+      s"iters=$iters dampingPermille=$dampingPermille out of range")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     pageRankPrepped(prepRankGraph(edges, srcCol, dstCol), iters,
       dampingPermille, checkpointEvery)
+  }
 
   /** [[pageRank]] over an already-prepped (edges+out-degree, nodes) pair
     * from [[prepRankGraph]] — identical arithmetic, shared input. */
@@ -100,9 +107,14 @@ object GraphAlgos {
     * per-iteration join against the seed list. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, idCol: String, iters: Int,
-      dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame =
+      dampingPermille: Int = 850, checkpointEvery: Int = 4): DataFrame = {
+    // validate before the eager prep runs (ADVICE r16, as in pageRank)
+    require(iters >= 1 && dampingPermille > 0 && dampingPermille < 1000,
+      s"iters=$iters dampingPermille=$dampingPermille out of range")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     personalizedPageRankPrepped(prepRankGraph(edges, srcCol, dstCol),
       seeds, idCol, iters, dampingPermille, checkpointEvery)
+  }
 
   /** [[personalizedPageRank]] over a [[prepRankGraph]] pair — the seed
     * flag is joined onto the SHARED node table (a broadcast of the tiny

@@ -109,9 +109,23 @@ object NaiveBayes {
     * tables read the counts, and exchange reuse does not dedupe across
     * the differing aggregates above them. */
   def nbcModelFromCounts(gramCounts: DataFrame,
+      classDocCounts: DataFrame): NbcModel =
+    modelFromGc(Dedup.ckptLight(
+      gramCounts.select(col("lang"), col("g"), col("c"))), classDocCounts)
+
+  /** [[nbcModelFromCounts]] for a count table that is ALREADY
+    * materialized (e.g. the maintained-counts memo, checkpointed by its
+    * builder): re-checkpointing it would copy the vocab-sized table and
+    * pay one more driver job for a barrier that already exists — the
+    * three model aggregates below re-read the materialized rows either
+    * way (r17, guide §5 driver round-trips). */
+  def nbcModelFromPreppedCounts(gramCounts: DataFrame,
+      classDocCounts: DataFrame): NbcModel =
+    modelFromGc(gramCounts.select(col("lang"), col("g"), col("c")),
+      classDocCounts)
+
+  private def modelFromGc(gc: DataFrame,
       classDocCounts: DataFrame): NbcModel = {
-    val gc = Dedup.ckptLight(
-      gramCounts.select(col("lang"), col("g"), col("c")))
     val nt = gc.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
     val classes = classDocCounts.join(nt, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
@@ -181,9 +195,41 @@ object NaiveBayes {
         col("score").cast("long").as("score_micros"): _*)
   }
 
+  /** Size cap of the measured-size model-broadcast policy (r17, guide
+    * §3.1): the per-(lang, gram) delta table is vocab×|langs|-bounded
+    * but its SIZE is data-dependent, so the broadcast decision is made
+    * from the MATERIALIZED row count, never from an optimizer estimate
+    * (a checkpoint-backed relation has no stats, which is exactly why
+    * AQE planned these joins as SortMergeJoin before this policy). 32
+    * MiB estimated ≈ one small executor-memory bite per holder; a real
+    * 100 TB-corpus char-trigram vocabulary (≈10⁶ grams × many classes)
+    * blows the cap and falls back to the shuffle join — the policy is
+    * scale-safe by measurement, not a local-mode constant. */
+  private val ModelBroadcastMaxBytes = 32L << 20
+
+  /** Conservative UnsafeRow-ish estimate for one (lang, g, dlp_micro)
+    * row (two short strings + one long + row overhead). */
+  private val LpRowBytes = 64L
+
   /** The doc × class score grid (doc_id, __carry_i..., lang, score) —
     * the shared core of [[nbcClassify]] (argmax) and [[nbcMargins]]
-    * (top-2 pivot). */
+    * (top-2 pivot).
+    *
+    * Shape (r17, guide §2.4/§3): the grid is ONE hash aggregate over a
+    * union of two integer part-streams —
+    *   matched parts: tc·dlp per (doc, matched lang), from the
+    *     inverted-index join of the per-doc gram counts with the
+    *     (possibly broadcast) model delta table;
+    *   base parts: prior + T·floor per (doc, lang), one row per batch
+    *     doc × class from the broadcast |langs|-row class side —
+    * summed per (doc, lang). Σ of exact longs is order-independent, so
+    * the scores are bit-identical to the former join-assembled grid
+    * (prior + T·floor + Σ matched), which paid two more corpus-keyed
+    * exchanges: the batch⋈totals⋈matched join chain collapsed into the
+    * union aggregate. Carry columns ride the base-part stream (exactly
+    * one base row per (doc, lang)) and are recovered with
+    * `first(ignoreNulls)` — deterministic because the matched stream
+    * carries only nulls. */
   private def scoreGrid(batch: DataFrame, textCol: String, idCol: String,
       m: NbcModel, carry: Seq[String]): DataFrame = {
     val cl = classSide(m)
@@ -193,6 +239,11 @@ object NaiveBayes {
         (round(log((col("c") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double")) * lit(1000000))
           .cast("long") - col("floor_micro")).as("dlp_micro"))
+    // measured-size broadcast decision over the materialized table
+    val (lpC, lpRows) = Dedup.ckptLightCounted(lp)
+    val lpSide =
+      if (lpRows * LpRowBytes <= ModelBroadcastMaxBytes) broadcast(lpC)
+      else lpC
     // carry columns ride under reserved names so a carried column may
     // share its name with the class side's `lang` (e.g. a true label)
     val cs = carry.zipWithIndex.map { case (c, i) => (c, s"__carry_$i") }
@@ -207,22 +258,29 @@ object NaiveBayes {
       gramStream(b.select(col("doc_id"), col("__text")),
           "__text", Seq("doc_id"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tc")))
-    val att = b.select(col("doc_id"))
+    val carryNulls = cs.map { case (_, a) =>
+      lit(null).cast(b.schema(a).dataType).as(a)
+    }
+    val matchedParts = atc.join(lpSide, Seq("g"))
+      .select(col("doc_id") +: carryNulls :+ col("lang") :+
+        (col("tc") * col("dlp_micro")).as("__part"): _*)
+    val baseParts = b.drop("__text")
       .join(atc.groupBy(col("doc_id")).agg(sum(col("tc")).as("__t")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__t"), lit(0L)).as("t"))
-    val matched = atc.join(lp, Seq("g"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("tc") * col("dlp_micro")).as("msum"))
-    val grid = b.drop("__text")
-      .join(att, Seq("doc_id"))
       .crossJoin(broadcast(
         cl.select(col("lang"), col("prior_micro"), col("floor_micro"))))
-      .join(matched, Seq("doc_id", "lang"), "left")
       .select(col("doc_id") +: cs.map(p => col(p._2)) :+ col("lang") :+
-        (col("prior_micro") + col("t") * col("floor_micro") +
-          coalesce(col("msum"), lit(0L))).as("score"): _*)
-    grid
+        (col("prior_micro") +
+          coalesce(col("__t"), lit(0L)) * col("floor_micro"))
+          .as("__part"): _*)
+    matchedParts.unionByName(baseParts)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("__part")).as("score"),
+        cs.map { case (_, a) =>
+          first(col(a), ignoreNulls = true).as(a)
+        }: _*)
+      .select(col("doc_id") +: cs.map(p => col(p._2)) :+ col("lang") :+
+        col("score"): _*)
   }
 
   /** Per-doc decision MARGIN over a model: the top class and its lead

@@ -162,8 +162,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // Same input-split rebalance + exchange-reuse shape as shingleInv:
     // repartition raw docs by id; both aggregates then cluster on id.
-    val tok = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(col("id"))
+    val tok = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")),
+        col("id"))
       .select(col("id"),
         posexplode(wsTokens(lower(col("__text")))).as(Seq("pos", "w")))
     val wspec = Window.partitionBy("id").orderBy("pos")
@@ -1227,8 +1228,10 @@ object TextAnalysis {
   def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
       steps: Int = 10): DataFrame = {
     require(steps >= 1 && steps <= 100, s"steps=$steps out of range")
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(wsTokens(lower(col(textCol)))).as(Seq("pos", "w")))
+    val tok = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        posexplode(wsTokens(lower(col("__t")))).as(Seq("pos", "w")))
     val ix = Transforms.rangedRank(tok,
       Seq(col("id").asc, col("pos").asc), "gix")
     val first = ix.groupBy(col("w")).agg(min(col("gix")).as("first_ix"))
@@ -1289,11 +1292,30 @@ object TextAnalysis {
     * need cross-engine-exact output should rank on the INTEGER columns
     * (tf DESC, df ASC, term ASC), which orders by relevance without a
     * float in sight; the oracle query does exactly that. */
-  def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = Transforms.rebalanceIfNarrow(
-        df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+  def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    tfIdfFromPostings(df, postingsTable(df, textCol, idCol))
+
+  /** The shared (id, w, tf) per-(doc, term) frequency relation — ONE
+    * whitespace tokenize (`wsTokens ∘ lower`) + one partial-combined
+    * count, the base table of the retrieval family. [[tfIdf]],
+    * [[bm25TopK]] and [[postingsHead]] each used to rebuild exactly this
+    * aggregate of exactly this token stream; r17 exposes it so a caller
+    * can materialize it once and feed all three (guide §2.4 — and the
+    * per-term corpus counts are its `Σ tf` rollup, see
+    * SparkEntry.corpusUnigramCounts). */
+  def postingsTable(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    Transforms.rebalanceIfNarrow(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")),
+        col("id"))
       .select(col("id"), explode(wsTokens(lower(col("__text")))).as("w"))
-    val tf = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+
+  /** [[tfIdf]] over an already-built (id, w, tf) relation. `df` is still
+    * needed for the corpus size: N counts ALL docs, including ones whose
+    * text tokenizes to nothing. */
+  def tfIdfFromPostings(df: DataFrame, postings: DataFrame): DataFrame = {
+    val tf = postings.select(col("id"), col("w"), col("tf"))
       .repartition(col("w"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("term_df"))
     val n = broadcast(df.agg(count(lit(1)).as("n_docs")))
@@ -1585,12 +1607,19 @@ object TextAnalysis {
     * (qRankHi)-sized via TakeOrdered and broadcasts; the final top-k is
     * TakeOrderedAndProject. */
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      qRankLo: Int, qRankHi: Int, k: Int): DataFrame =
+    bm25TopKFromPostings(
+      postingsTable(df, textCol, idCol).localCheckpoint(),
+      idCol, qRankLo, qRankHi, k)
+
+  /** [[bm25TopK]] over an already-materialized (id, w, tf) relation —
+    * N and S are derived from the relation itself exactly as before (N
+    * always counted the docs present in the tf relation, i.e. docs with
+    * ≥1 token), so no raw-corpus pass remains. */
+  def bm25TopKFromPostings(postings: DataFrame, idCol: String,
       qRankLo: Int, qRankHi: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol).as("__id"),
-        explode(wsTokens(lower(col(textCol)))).as("w"))
-      .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = postings.select(col("id").as("__id"), col("w"), col("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
@@ -1649,11 +1678,16 @@ object TextAnalysis {
     * with 10⁹ postings never assembles them in one place ([[packSequences]]
     * / sample_per_group posture). */
   def postingsHead(df: DataFrame, textCol: String, idCol: String,
+      k: Int, cap: Int): DataFrame =
+    postingsHeadFromPostings(postingsTable(df, textCol, idCol), k, cap)
+
+  /** [[postingsHead]] over an already-built (id, w, tf) relation: its
+    * DISTINCT (term, doc) stage is exactly the relation's key set (a
+    * per-(doc, term) count aggregate emits each pair once). */
+  def postingsHeadFromPostings(postings: DataFrame,
       k: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val td = df.select(col(idCol).as("__id"),
-        explode(wsTokens(lower(col(textCol)))).as("w"))
-      .distinct()
+    val td = postings.select(col("id").as("__id"), col("w"))
     val top = td.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w").asc).limit(k)
     val wr = Window.partitionBy(col("w")).orderBy(col("__id").asc)
@@ -2331,8 +2365,14 @@ object TextAnalysis {
   def gopherRepetition(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"),
-        wsTokens(lower(col(textCol))).as("__w"))
+    // input-split rebalance before the tokenize+window pipeline (the
+    // shingleStream discipline, r17): moves raw doc rows once — strictly
+    // less than the exploded token stream the byDoc window would
+    // otherwise shuffle — and the explicit-count branch keeps a
+    // one-row-group input from serializing the whole gram build
+    val base = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), wsTokens(lower(col("__t"))).as("__w"))
       .select(col("id"),
         length(concat_ws(" ", col("__w"))).cast("long").as("n_chars"),
         col("__w"))

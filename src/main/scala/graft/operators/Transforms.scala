@@ -110,6 +110,26 @@ object Transforms {
     else df
   }
 
+  /** The UNCONDITIONAL-rebalance sibling of [[rebalanceIfNarrow]] for
+    * operators whose downstream shuffle is strictly bigger than the raw
+    * rows (shingle/token explodes feeding an id-keyed window): the keyed
+    * pre-explode repartition must always exist — it replaces the larger
+    * post-explode exchange — but a bare `repartition(key)` is
+    * AQE-coalescible, and on a narrow-in-BYTES input (one parquet row
+    * group: the sf fixtures, small dimension files, fresh single-file
+    * drops) AQE coalesces it right back to ONE task and the whole
+    * explode+window pipeline serializes (measured round-17:
+    * `kn3_logprob` 2.7 s over 10 single-task stages at 32 idle cores).
+    * Narrow input → explicit count (AQE-exempt, parallelizes the
+    * per-row work); already-wide input → keyed repartition exactly as
+    * before (AQE keeps sizing it from measured bytes — the right plan
+    * at cluster scale, where inputs arrive pre-split). */
+  def keyedInputRebalance(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
+    else df.repartition(key)
+  }
+
   /** Skew-safe equi-join: salt the skewed (big, hot-keyed) side into
     * `saltBuckets` sub-keys and explode the small side across all buckets.
     * AQE's skew-join handles moderate skew on its own; explicit salting is

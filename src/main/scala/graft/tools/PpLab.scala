@@ -19,8 +19,9 @@ object PpLab {
     }
     val thr = 950L
     val words = org.apache.spark.sql.GraftSqlBridge.localCheckpointFreshStats(
-      df.select(col("doc_id").as("id"), col("text").as("__text"))
-        .repartition(col("id"))
+      graft.operators.Transforms.keyedInputRebalance(
+          df.select(col("doc_id").as("id"), col("text").as("__text")),
+          col("id"))
         .select(col("id"), explode(split(lower(trim(col("__text"))), "\\s+")).as("w"))
         .dropDuplicates("id", "w"))
     timed("words")(words.count())

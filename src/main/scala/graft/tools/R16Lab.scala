@@ -78,6 +78,13 @@ object R16Lab {
       timed("range.count 4 partitions", 20) {
         spark.range(0, 100, 1, 4).count()
       }
+      // save + restore the values the probes mutate: restoring a
+      // hardcoded "32" would leave queries measured after __overhead
+      // running under a different partition count than the bench
+      // configuration whenever SPARK_GRAFT_CPUS/SPARK_GRAFT_SHUFFLE
+      // differ (ADVICE r16)
+      val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       timed("groupBy.count AQE OFF", 20) {
         spark.range(100).groupBy((col("id") % 7).as("k")).count().count()
@@ -87,12 +94,12 @@ object R16Lab {
           .groupBy("k").count()
           .groupBy((col("k") % 7).as("j")).agg(sum("count")).count()
       }
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       timed("groupBy.count shuffle=4", 20) {
         spark.range(100).groupBy((col("id") % 7).as("k")).count().count()
       }
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
     }
 
     names.foreach {

@@ -138,12 +138,23 @@ class PlanShapeSpec extends AnyFunSuite {
         plan.linesIterator.take(30).mkString("\n"))
   }
 
-  test("tfidf_topterms: corpus-sized tf relation shuffled once, df side rides it") {
+  test("tfidf_topterms: tf relation reads the shared postings memo, no tokenize in-plan") {
+    // r17: the (id, w, tf) relation rides the corpus-postings memo (a
+    // materialized checkpoint scan shared with bm25_topk / postings /
+    // the unigram-count rollup). The pre-r17 hazard this pin guarded —
+    // the df aggregate and the join side each re-running the corpus
+    // tokenize unless they shared the tf exchange — is gone: both sides
+    // re-read checkpoint blocks, so the pin now asserts the memoized
+    // shape itself: no token explode anywhere in the query plan, counts
+    // from the materialized table, n_docs still a broadcast.
     val plan = finalPlan(q("tfidf_topterms"))
-    val reused = plan.linesIterator.count(l =>
-      l.contains("ReusedExchange") || l.contains("ReusedQueryStage"))
-    assert(reused >= 1,
-      s"df aggregate and join side no longer share the tf exchange\n" +
+    val explodes = plan.linesIterator.count(l =>
+      l.contains("Generate explode"))
+    assert(explodes == 0,
+      s"tf relation re-tokenizes instead of reading the postings memo\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("Scan ExistingRDD"),
+      s"tf no longer reads the materialized shared table\n" +
         plan.linesIterator.take(30).mkString("\n"))
     assert(!plan.contains("CartesianProduct"), "n_docs must broadcast")
   }
