@@ -812,7 +812,7 @@ object Dedup {
     // ranking, and the verification arrays) — materialize once or the
     // tokenize+dedup pipeline replays per consumer (measured: ~1/3 of
     // the query's wall time at sf0.1)
-    val words = ckptLight(
+    val (words, nWords) = ckptLightCounted(
       Transforms.keyedInputRebalance(
           df.select(col(idCol).as("id"), col(textCol).as("__text")),
           col("id"))
@@ -820,8 +820,17 @@ object Dedup {
           explode(split(lower(trim(col("__text"))), "\\s+")).as("w"))
         .dropDuplicates("id", "w"))
     val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+    // measured-size broadcast of the per-token df table (r17, guide
+    // §3.1): the rarity join would otherwise shuffle `words` to hash(w)
+    // and the byRarity window would shuffle it straight back to
+    // hash(id) — two corpus-sized exchanges to attach one df column.
+    // |dfreq| ≤ |words| (already counted by the checkpoint), so the
+    // decision is measured, never estimated; a 100 TB vocabulary blows
+    // the cap and keeps today's shuffle join.
+    val dfreqSide =
+      if (nWords * 24L <= (32L << 20)) broadcast(dfreq) else dfreq
     val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("w").asc)
-    val ranked = words.join(dfreq, "w")
+    val ranked = words.join(dfreqSide, "w")
       .select(col("id"), col("w"),
         row_number().over(byRarity).as("rnk"),
         count(lit(1)).over(Window.partitionBy("id")).as("n"))

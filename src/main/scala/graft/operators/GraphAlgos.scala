@@ -311,8 +311,11 @@ object GraphAlgos {
       val (kept, keptN) = Dedup.ckptLightCounted(
         act.join(hasOut, Seq("id"), "left_semi")
           .join(hasIn, Seq("id"), "left_semi"))
-      out += ck(act.join(kept, Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("scc")))
+      // lazy emit (r17): act and kept are both checkpointed, so the
+      // singleton anti-join can be recomputed once inside the final
+      // normalization job instead of paying its own driver job per round
+      out += act.join(kept, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc"))
       if (keptN == 0L) activeLeft = false
       else {
         // fold-below-2³¹ before the multiply (ANSI-safe at any id)
@@ -321,33 +324,60 @@ object GraphAlgos {
         val piv = ck(kept.groupBy(col("part"))
           .agg(min(struct(hashed.as("h"), col("id").as("id"))).as("m"))
           .select(col("part"), col("m.id").as("pivot")))
-        def wave(fromCol: String, toCol: String): DataFrame = {
-          var reach = ck(piv.select(col("pivot").as("id"), col("part")))
-          var frontier = reach
-          var hops = 0
-          var done = false
-          while (!done && hops < maxHops) {
-            val (next, n) = Dedup.ckptLightCounted(frontier
-              .join(pe.select(col(fromCol).as("id"), col(toCol).as("nxt"),
-                col("part")), Seq("id", "part"))
-              .select(col("nxt").as("id"), col("part")).distinct()
-              .join(reach, Seq("id"), "left_anti"))
-            done = n == 0L
-            // plain union of materialized frontiers (bfsHops discipline):
-            // no per-hop re-checkpoint of the whole reach set
-            if (!done) reach = reach.union(next)
-            frontier = next
-            hops += 1
-          }
-          require(done, s"SCC BFS wave exceeded maxHops=$maxHops")
-          reach
+        // ONE direction-tagged wave instead of sequential fw then bw
+        // (r17, guide §5 — each BFS hop is a driver job): frontier rows
+        // carry the walk direction (0 = forward, 1 = backward) and the
+        // edge table is pre-flipped per direction, so both waves expand
+        // in the SAME per-hop job and the wave phase costs
+        // max(fwHops, bwHops) driver jobs instead of fwHops + bwHops.
+        // Reach sets are identical by construction: the tag partitions
+        // every row, joins key on (id, part, dir), and the anti-join
+        // keys on (id, dir) — two disjoint BFS runs in one frame.
+        val peBoth = pe.select(col("src").as("id"), col("dst").as("nxt"),
+            col("part"), lit(0L).as("dir"))
+          .union(pe.select(col("dst").as("id"), col("src").as("nxt"),
+            col("part"), lit(1L).as("dir")))
+        // lazy wave base: a projection-union of the checkpointed pivot
+        // table — re-reading it inside each hop's job is cheaper than a
+        // dedicated checkpoint job per round
+        var reach =
+          piv.select(col("pivot").as("id"), col("part"), lit(0L).as("dir"))
+            .union(piv.select(col("pivot").as("id"), col("part"),
+              lit(1L).as("dir")))
+        var frontier = reach
+        var hops = 0
+        var done = false
+        while (!done && hops < maxHops) {
+          // explicit re-select after the anti-join: a using-columns join
+          // moves the using columns FIRST (id, dir, part), and the
+          // positional reach.union(next) below would silently swap
+          // part/dir without it
+          val (next, n) = Dedup.ckptLightCounted(frontier
+            .join(peBoth, Seq("id", "part", "dir"))
+            .select(col("nxt").as("id"), col("part"), col("dir"))
+            .distinct()
+            .join(reach, Seq("id", "dir"), "left_anti")
+            .select(col("id"), col("part"), col("dir")))
+          done = n == 0L
+          // plain union of materialized frontiers (bfsHops discipline):
+          // no per-hop re-checkpoint of the whole reach set
+          if (!done) reach = reach.union(next)
+          frontier = next
+          hops += 1
         }
-        val fw = wave("src", "dst")
-        val bw = wave("dst", "src")
-        val members = ck(fw.join(bw.select(col("id")), Seq("id"),
-          "left_semi"))
-        out += ck(members.join(piv, Seq("part"))
-          .select(col("id"), col("pivot").as("scc")))
+        require(done, s"SCC BFS wave exceeded maxHops=$maxHops")
+        val fw = reach.filter(col("dir") === 0L)
+          .select(col("id"), col("part"))
+        val bw = reach.filter(col("dir") === 1L)
+          .select(col("id"), col("part"))
+        // members/emit stay lazy: every input below is a checkpoint (or
+        // a filter of one), so recomputation inside the consuming jobs
+        // is a shallow re-read, cheaper than one driver job each per
+        // round
+        val members = fw.join(bw.select(col("id")), Seq("id"),
+          "left_semi")
+        out += members.join(piv, Seq("part"))
+          .select(col("id"), col("pivot").as("scc"))
         val tagged = kept
           .join(members.select(col("id")), Seq("id"), "left_anti")
           .join(fw.select(col("id"), lit(1L).as("ff")), Seq("id"), "left")

@@ -239,11 +239,18 @@ object NaiveBayes {
         (round(log((col("c") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double")) * lit(1000000))
           .cast("long") - col("floor_micro")).as("dlp_micro"))
-    // measured-size broadcast decision over the materialized table
-    val (lpC, lpRows) = Dedup.ckptLightCounted(lp)
+    // measured-size broadcast decision: count the model's gram rows
+    // (|lp| ≡ |grams| up to classes-join pruning) — one cheap count job
+    // over the already-materialized gram table (ckptLight'd by the model
+    // builders, or a parquet scan for registry-read models), NOT a
+    // second materialization of the delta table: lp is a per-row
+    // projection over that table, cheap to compute once more inside the
+    // broadcast build, and on the fallback path it stays lazy inside
+    // the shuffle join exactly as before
+    val lpRows = m.grams.count()
     val lpSide =
-      if (lpRows * LpRowBytes <= ModelBroadcastMaxBytes) broadcast(lpC)
-      else lpC
+      if (lpRows * LpRowBytes <= ModelBroadcastMaxBytes) broadcast(lp)
+      else lp
     // carry columns ride under reserved names so a carried column may
     // share its name with the class side's `lang` (e.g. a true label)
     val cs = carry.zipWithIndex.map { case (c, i) => (c, s"__carry_$i") }

@@ -111,7 +111,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k <= 64, s"k=$k out of range")
     require(w >= 2 && w <= 64, s"w=$w out of range")
-    val pos = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    // input-split rebalance before the per-CHARACTER-position explode
+    // (r17, the shingleStream discipline): the keyed exchange moves raw
+    // doc rows once — strictly less than the char-position stream the
+    // byDoc window would otherwise shuffle — and parallelizes the
+    // substring-hash work a one-row-group input would serialize
+    val pos = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"), col("__t"),
         // m is per-doc constant and scan-derivable — carrying it beats a
         // second whole-partition count window downstream
@@ -1916,8 +1922,13 @@ object TextAnalysis {
   private def windowGramKeys(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("id"),
-        posexplode(wsTokens(col(textCol))).as(Seq("p0", "tok")))
+    // input-split rebalance before the explode (r17, the shingleStream
+    // discipline): docs move once instead of the exploded token stream,
+    // and a one-row-group input no longer serializes the gram build
+    val tok = Transforms.keyedInputRebalance(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        posexplode(wsTokens(col("__t"))).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + lit(1L)).as("p"),
         xxhash64(col("tok")).as("h"),
         length(col("tok")).cast("long").as("l"))
